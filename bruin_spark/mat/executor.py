@@ -1,0 +1,390 @@
+"""Materialization executor: runs strategies against the Spark catalog.
+
+Two execution paths share one semantics definition:
+
+- **DML path** — when the table provider supports row-level ops
+  (Delta / Iceberg), execute the SQL emitted by
+  :mod:`bruin_spark.mat.strategies` directly. This is the 100 TB path:
+  MERGE / DELETE touch only matching files, partition predicates prune.
+- **Rewrite path** (default here; plain parquet has no ACID DML) —
+  equivalent DataFrame programs. Incremental strategies compute the new
+  table contents declaratively and swap via a staged managed table;
+  when the table is partitioned **by the incremental key** we instead use
+  dynamic partition overwrite (``INSERT OVERWRITE`` with
+  ``partitionOverwriteMode=dynamic``) so only affected partitions are
+  rewritten — the Spark analog of the reference's partition-scoped merge
+  (ref: pkg/bigquery/materialization.go:137-324).
+
+Time is injected (``now``) so SCD2 outputs are deterministic under test;
+the DML SQL path uses CURRENT_TIMESTAMP() exactly like the reference.
+"""
+
+from __future__ import annotations
+
+import uuid
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from bruin_spark.model.pipeline import (
+    FULL_REFRESH_KEEP,
+    Asset,
+    MaterializationType,
+    Strategy,
+)
+from bruin_spark.mat.strategies import (
+    SCD2_VALID_UNTIL,
+    MaterializationError,
+    _validate_scd2,
+    quote_ident,
+    render_materialization,
+)
+
+_OPEN_END = datetime(9999, 12, 31)
+
+
+class Materializer:
+    def __init__(
+        self,
+        spark: SparkSession,
+        full_refresh: bool = False,
+        now: datetime | None = None,
+    ):
+        self.spark = spark
+        self.full_refresh = full_refresh
+        self.now = now or datetime.now(timezone.utc).replace(tzinfo=None)
+
+    # -- public ------------------------------------------------------------
+
+    def run(self, asset: Asset, rendered_query: str) -> None:
+        """Materialize one asset from its rendered SELECT query."""
+        mat = asset.materialization
+        if mat.type == MaterializationType.NONE:
+            for stmt in render_materialization(asset, rendered_query, self.full_refresh):
+                self.spark.sql(stmt)
+            return
+        if mat.type == MaterializationType.VIEW:
+            self.spark.sql(
+                f"CREATE OR REPLACE TEMPORARY VIEW {quote_ident(asset.name)} AS\n{rendered_query.rstrip(';')}"
+            )
+            return
+
+        strategy = mat.strategy or Strategy.CREATE_REPLACE
+        if self.full_refresh and strategy not in FULL_REFRESH_KEEP:
+            if strategy in (Strategy.SCD2_BY_COLUMN, Strategy.SCD2_BY_TIME):
+                return self._scd2_full_refresh(asset, rendered_query, strategy)
+            return self._create_replace(asset, rendered_query)
+
+        handlers = {
+            Strategy.CREATE_REPLACE: self._create_replace,
+            Strategy.APPEND: self._append,
+            Strategy.TRUNCATE_INSERT: self._truncate_insert,
+            Strategy.DELETE_INSERT: self._delete_insert,
+            Strategy.TIME_INTERVAL: self._time_interval,
+            Strategy.MERGE: self._merge,
+            Strategy.DDL: self._ddl,
+            Strategy.SCD2_BY_COLUMN: self._scd2_by_column,
+            Strategy.SCD2_BY_TIME: self._scd2_by_time,
+            Strategy.DATAVAULT_HUB: self._datavault,
+            Strategy.DATAVAULT_LINK: self._datavault,
+            Strategy.DATAVAULT_SATELLITE: self._datavault,
+        }
+        handler = handlers.get(strategy)
+        if handler is None:
+            raise MaterializationError(f"unsupported strategy: {strategy}")
+        handler(asset, rendered_query)
+
+    def table(self, name: str) -> DataFrame:
+        return self.spark.table(quote_ident(name))
+
+    # -- helpers -----------------------------------------------------------
+
+    def _select(self, query: str) -> DataFrame:
+        return self.spark.sql(query.rstrip().rstrip(";"))
+
+    def _exists(self, name: str) -> bool:
+        return self.spark.catalog.tableExists(name)
+
+    def _insert_into(self, name: str, df: DataFrame, overwrite: bool) -> None:
+        """insertInto is positional; align to the target's column order
+        (partitioned tables store partition columns last)."""
+        target_cols = self.spark.table(quote_ident(name)).columns
+        if set(target_cols) == set(df.columns) and target_cols != df.columns:
+            df = df.select(*target_cols)
+        df.write.insertInto(name, overwrite=overwrite)
+
+    def _writer(self, asset: Asset, df: DataFrame):
+        mat = asset.materialization
+        # cluster_by → sort within partitions before write: file-level
+        # clustering so min/max stats allow data skipping, the parquet
+        # analog of Iceberg's WRITE ORDERED BY.
+        cluster = [c for c in mat.cluster_by if c in df.columns]
+        if cluster:
+            df = df.sortWithinPartitions(*cluster)
+        writer = df.write
+        if mat.partition_by and mat.partition_by in df.columns:
+            writer = writer.partitionBy(mat.partition_by)
+        return writer
+
+    def _save_full(self, asset: Asset, df: DataFrame) -> None:
+        """Full-table (over)write that is safe even when df reads the target.
+
+        Stages into ``<name>__bruin_stage_<id>`` then swaps — never leaves a
+        half-written target and avoids Spark's self-overwrite restriction.
+        """
+        name = asset.name
+        if not self._exists(name):
+            self._writer(asset, df).saveAsTable(name)
+            return
+        stage = f"{name.replace('.', '_')}__bruin_stage_{uuid.uuid4().hex[:8]}"
+        self._writer(asset, df).saveAsTable(stage)
+        try:
+            self.spark.sql(f"DROP TABLE IF EXISTS {quote_ident(name)}")
+            self.spark.sql(f"ALTER TABLE {quote_ident(stage)} RENAME TO {quote_ident(name)}")
+        except Exception:
+            # catalogs without managed-table RENAME: copy + drop stage
+            self.spark.table(quote_ident(stage)).write.saveAsTable(name)
+            self.spark.sql(f"DROP TABLE IF EXISTS {quote_ident(stage)}")
+
+    # -- strategies ----------------------------------------------------------
+
+    def _create_replace(self, asset: Asset, query: str) -> None:
+        self._save_full(asset, self._select(query))
+
+    def _append(self, asset: Asset, query: str) -> None:
+        df = self._select(query)
+        if not self._exists(asset.name):
+            self._writer(asset, df).saveAsTable(asset.name)
+        else:
+            self._insert_into(asset.name, df, overwrite=False)
+
+    def _truncate_insert(self, asset: Asset, query: str) -> None:
+        df = self._select(query)
+        if not self._exists(asset.name):
+            self._writer(asset, df).saveAsTable(asset.name)
+        else:
+            # keeps schema/layout; rewrites all partitions (TRUNCATE+INSERT)
+            self._insert_into(asset.name, df, overwrite=True)
+
+    def _ddl(self, asset: Asset, _query: str) -> None:
+        for stmt in render_materialization(asset, "", False):
+            self.spark.sql(stmt)
+
+    # .. incremental ..........................................................
+
+    def _partition_aligned(self, asset: Asset) -> bool:
+        mat = asset.materialization
+        return bool(mat.partition_by) and mat.partition_by == mat.incremental_key
+
+    def _dynamic_overwrite(self, asset: Asset, df: DataFrame) -> None:
+        """Rewrite only the partitions present in the source (scale path)."""
+        prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            self._insert_into(asset.name, df, overwrite=True)
+        finally:
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    def _delete_insert(self, asset: Asset, query: str) -> None:
+        mat = asset.materialization
+        if not mat.incremental_key:
+            raise MaterializationError("delete+insert strategy requires incremental_key")
+        src = self._select(query)
+        if not self._exists(asset.name):
+            self._writer(asset, src).saveAsTable(asset.name)
+            return
+        if self._partition_aligned(asset):
+            # delete+insert keyed on the partition column ≡ dynamic
+            # partition overwrite: no full-table rewrite, no shuffle.
+            self._dynamic_overwrite(asset, src)
+            return
+        key = mat.incremental_key
+        target = self.table(asset.name)
+        # left_anti keeps target rows whose key is absent from the source;
+        # the source side is aggregated to distinct keys (map-side combine)
+        # and broadcast when small, so no full shuffle of the target.
+        keys = src.select(key).distinct()
+        kept = target.join(keys, on=key, how="left_anti")
+        self._save_full(asset, kept.unionByName(src))
+
+    def _time_interval(self, asset: Asset, query: str) -> None:
+        mat = asset.materialization
+        if not mat.incremental_key:
+            raise MaterializationError("incremental_key is required for time_interval strategy")
+        if mat.time_granularity not in ("date", "timestamp"):
+            raise MaterializationError("time_granularity must be either 'date', or 'timestamp'")
+        start, end = asset.parameters.get("_interval_start"), asset.parameters.get("_interval_end")
+        if start is None or end is None:
+            raise MaterializationError("time_interval requires the run interval in parameters")
+        src = self._select(query)
+        if not self._exists(asset.name):
+            self._writer(asset, src).saveAsTable(asset.name)
+            return
+        key = mat.incremental_key
+        cast = "date" if mat.time_granularity == "date" else "timestamp"
+        lo = F.lit(start).cast(cast)
+        hi = F.lit(end).cast(cast)
+        target = self.table(asset.name)
+        kept = target.filter(~F.col(key).between(lo, hi) | F.col(key).isNull())
+        self._save_full(asset, kept.unionByName(src))
+
+    def _merge(self, asset: Asset, query: str) -> None:
+        """Upsert keyed on primary keys (rewrite-path MERGE).
+
+        Update set is limited to update_on_merge / merge_sql columns
+        (ref: pkg/ansisql/materialization.go:10-21); merge_sql expressions
+        reference `target.` / `source.` and are evaluated via F.expr on the
+        aliased join.
+        """
+        if not asset.columns:
+            raise MaterializationError("merge strategy requires the `columns` field to be set")
+        pks = asset.primary_keys()
+        if not pks:
+            raise MaterializationError("merge strategy requires primary_key on at least one column")
+
+        src = self._select(query)
+        if not self._exists(asset.name):
+            self._writer(asset, src).saveAsTable(asset.name)
+            return
+
+        target = self.table(asset.name)
+        cols = [c.name for c in asset.columns] or target.columns
+
+        on = [F.col(f"target.{k}").eqNullSafe(F.col(f"source.{k}")) for k in pks]
+        if asset.materialization.incremental_predicate:
+            on.append(F.expr(asset.materialization.incremental_predicate))
+        cond = on[0]
+        for c in on[1:]:
+            cond = cond & c
+
+        joined = target.alias("target").join(src.alias("source"), cond, "left")
+        matched = F.col(f"source.{pks[0]}").isNotNull()
+        out_cols = []
+        update_names = {c.name: c for c in asset.columns if c.update_on_merge or c.merge_sql}
+        for name in cols:
+            col_meta = update_names.get(name)
+            if col_meta is not None:
+                new_val = (
+                    F.expr(col_meta.merge_sql) if col_meta.merge_sql else F.col(f"source.{name}")
+                )
+                out_cols.append(F.when(matched, new_val).otherwise(F.col(f"target.{name}")).alias(name))
+            else:
+                out_cols.append(F.col(f"target.{name}").alias(name))
+        updated = joined.select(*out_cols)
+
+        inserts = src.alias("source").join(
+            target.alias("target"), cond, "left_anti"
+        ).select(*[F.col(c) for c in cols])
+        self._save_full(asset, updated.unionByName(inserts))
+
+    # .. SCD2 .................................................................
+
+    def _scd2_full_refresh(self, asset: Asset, query: str, strategy: Strategy) -> None:
+        _validate_scd2(asset, strategy == Strategy.SCD2_BY_TIME)
+        mat = asset.materialization
+        src = self._select(query)
+        if mat.incremental_key:
+            valid_from = F.col(mat.incremental_key).cast("timestamp")
+        else:
+            valid_from = F.lit(self.now)
+        df = src.select(
+            valid_from.alias("_valid_from"),
+            "*",
+            F.lit(_OPEN_END).cast("timestamp").alias("_valid_until"),
+            F.lit(True).alias("_is_current"),
+        )
+        self._save_full(asset, df)
+
+    def _scd2_by_column(self, asset: Asset, query: str) -> None:
+        self._scd2(asset, query, by_time=False)
+
+    def _scd2_by_time(self, asset: Asset, query: str) -> None:
+        self._scd2(asset, query, by_time=True)
+
+    def _scd2(self, asset: Asset, query: str, by_time: bool) -> None:
+        """Rewrite-path SCD2 with MERGE-equivalent semantics
+        (ref: pkg/spark/materialization.go:287-436):
+
+        - changed current rows (any non-PK column differs / newer
+          incremental_key) are expired and a new version inserted
+        - brand-new PKs are inserted as current
+        - PKs absent from the source are expired at `now`
+        - historical (non-current) rows pass through untouched
+        """
+        _validate_scd2(asset, by_time)
+        mat = asset.materialization
+        pks = asset.primary_keys()
+        cols = [c.name for c in asset.columns]
+        non_pk = [c.name for c in asset.columns if not c.primary_key]
+
+        src = self._select(query)
+        if not self._exists(asset.name):
+            return self._scd2_full_refresh(
+                asset, query, Strategy.SCD2_BY_TIME if by_time else Strategy.SCD2_BY_COLUMN
+            )
+
+        if by_time or mat.incremental_key:
+            src_valid_from = F.col(f"s.{mat.incremental_key}").cast("timestamp")
+        else:
+            src_valid_from = F.lit(self.now)
+
+        target = self.table(asset.name)
+        current = target.filter(F.col("_is_current"))
+        history = target.filter(~F.col("_is_current"))
+
+        pk_cond = None
+        for k in pks:
+            c = F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+            pk_cond = c if pk_cond is None else (pk_cond & c)
+
+        if by_time:
+            changed = F.col("t._valid_from") < F.col(f"s.{mat.incremental_key}").cast("timestamp")
+        else:
+            ch = None
+            for n in non_pk:
+                c = ~F.col(f"t.{n}").eqNullSafe(F.col(f"s.{n}"))
+                ch = c if ch is None else (ch | c)
+            changed = ch if ch is not None else F.lit(False)
+
+        # presence flags survive full-outer NULLs via a constant probe column
+        t_df = current.withColumn("_t_present", F.lit(True)).alias("t")
+        s_df = src.withColumn("_s_present", F.lit(True)).alias("s")
+        j = t_df.join(s_df, pk_cond, "full_outer")
+        t_present = F.col("_t_present").isNotNull() & F.col("_t_present")
+        s_present = F.col("_s_present").isNotNull() & F.col("_s_present")
+
+        open_end = F.lit(_OPEN_END).cast("timestamp")
+        now_lit = F.lit(self.now).cast("timestamp")
+
+        # 1) existing current rows: expired when changed or gone from source
+        expire_at = src_valid_from if by_time or mat.incremental_key else now_lit
+        kept_current = j.filter(t_present).select(
+            *[F.col(f"t.{c}").alias(c) for c in cols],
+            F.col("t._valid_from").alias("_valid_from"),
+            F.when(s_present & changed, expire_at)
+            .when(~s_present, now_lit)
+            .otherwise(F.col("t._valid_until"))
+            .alias("_valid_until"),
+            F.when((s_present & changed) | (~s_present), F.lit(False))
+            .otherwise(F.col("t._is_current"))
+            .alias("_is_current"),
+        )
+
+        # 2) new versions: changed rows + brand-new PKs
+        new_rows = j.filter(s_present & (~t_present | changed)).select(
+            *[F.col(f"s.{c}").alias(c) for c in cols],
+            src_valid_from.alias("_valid_from"),
+            open_end.alias("_valid_until"),
+            F.lit(True).alias("_is_current"),
+        )
+
+        self._save_full(asset, history.unionByName(kept_current).unionByName(new_rows))
+
+    # .. Data Vault (insert-only: executable as SQL on parquet) ..............
+
+    def _datavault(self, asset: Asset, query: str) -> None:
+        if not self._exists(asset.name):
+            cols = ", ".join(f"{quote_ident(c.name)} {c.sql_type()}" for c in asset.columns)
+            self.spark.sql(f"CREATE TABLE IF NOT EXISTS {quote_ident(asset.name)} ({cols})")
+        for stmt in render_materialization(asset, query, False):
+            self.spark.sql(stmt)

@@ -1,0 +1,109 @@
+"""Pipeline / asset discovery and parsing.
+
+Two definition formats, kept verbatim-compatible with the reference
+(they are platform-independent):
+
+1. standalone YAML assets: ``*.asset.yml`` (ref: pkg/pipeline/yaml.go)
+2. embedded comment blocks in .sql / .py files between
+   ``/* @bruin ... @bruin */`` or ``\"\"\" @bruin ... @bruin \"\"\"``
+   markers, plus single-line ``-- @bruin.key: value`` form
+   (ref: pkg/pipeline/comment.go:16-63)
+
+Pipeline discovery walks a directory containing ``pipeline.yml`` and an
+``assets/`` tree (ref: pkg/pipeline/pipeline.go:2768,2860).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import yaml
+
+from bruin_spark.model.pipeline import Asset, Pipeline
+
+_BLOCK_RE = re.compile(
+    r"(?:/\*\s*@bruin(?P<sql>.*?)@bruin\s*\*/)"
+    r'|(?:"""\s*@bruin(?P<py>.*?)@bruin\s*""")',
+    re.DOTALL,
+)
+_LINE_RE = re.compile(r"^\s*--\s*@bruin\.(?P<key>[\w.]+)\s*:\s*(?P<val>.+?)\s*$", re.MULTILINE)
+
+ASSET_SUFFIXES = (".sql", ".py", ".asset.yml", ".asset.yaml")
+
+
+def parse_embedded_block(content: str) -> tuple[dict, str]:
+    """Extract the @bruin YAML block; return (meta dict, remaining body).
+
+    Single-line ``-- @bruin.name: x`` keys are merged in (dotted keys make
+    nested dicts), matching comment.go:42-63.
+    """
+    meta: dict = {}
+    body = content
+    m = _BLOCK_RE.search(content)
+    if m:
+        block = m.group("sql") or m.group("py") or ""
+        meta = yaml.safe_load(block) or {}
+        body = (content[: m.start()] + content[m.end() :]).strip()
+
+    for lm in _LINE_RE.finditer(body):
+        keys = lm.group("key").split(".")
+        cur = meta
+        for k in keys[:-1]:
+            cur = cur.setdefault(k, {})
+        cur[keys[-1]] = yaml.safe_load(lm.group("val"))
+    body = _LINE_RE.sub("", body).strip()
+    return meta, body
+
+
+def load_asset_file(path: str) -> Asset:
+    """Parse one asset file (YAML, .sql, or .py)."""
+    with open(path, encoding="utf-8") as f:
+        content = f.read()
+
+    if path.endswith((".asset.yml", ".asset.yaml", ".yml", ".yaml")):
+        d = yaml.safe_load(content) or {}
+        asset = Asset.from_dict(d, query=d.get("query", ""), file_path=path)
+    else:
+        meta, body = parse_embedded_block(content)
+        asset = Asset.from_dict(meta, query=body, file_path=path)
+        if not asset.type:
+            asset.type = "spark.sql" if path.endswith(".sql") else "python"
+
+    if not asset.name:
+        base = os.path.basename(path)
+        for suf in (".asset.yml", ".asset.yaml", ".sql", ".py", ".yml", ".yaml"):
+            if base.endswith(suf):
+                base = base[: -len(suf)]
+                break
+        asset.name = base
+    return asset
+
+
+def load_pipeline(path: str) -> Pipeline:
+    """Load a pipeline directory: pipeline.yml + assets/**."""
+    pipeline_yml = os.path.join(path, "pipeline.yml")
+    d: dict = {}
+    if os.path.exists(pipeline_yml):
+        with open(pipeline_yml, encoding="utf-8") as f:
+            d = yaml.safe_load(f) or {}
+
+    pipe = Pipeline(
+        name=d.get("name", os.path.basename(os.path.abspath(path))),
+        path=path,
+        schedule=str(d.get("schedule", "") or ""),
+        start_date=str(d.get("start_date", "") or ""),
+        variables=d.get("variables", {}) or {},
+        default_connections=d.get("default_connections", {}) or {},
+        concurrency=int(d.get("concurrency", 16) or 16),
+        retries=int(d.get("retries", 0) or 0),
+        catchup=bool(d.get("catchup", False)),
+    )
+
+    assets_dir = os.path.join(path, "assets")
+    if os.path.isdir(assets_dir):
+        for root, _dirs, files in os.walk(assets_dir):
+            for fn in sorted(files):
+                if fn.endswith(ASSET_SUFFIXES):
+                    pipe.assets.append(load_asset_file(os.path.join(root, fn)))
+    return pipe

@@ -1,0 +1,275 @@
+"""Pipeline / Asset / Column data model.
+
+Mirrors the reference's declared (not inferred) metadata model
+(ref: pkg/pipeline/pipeline.go:1297-1341 Asset, :845-869 Column,
+:652-660 Materialization, :808-826 checks, :1155-1161 Upstream) as plain
+dataclasses. The model is engine-agnostic; execution semantics live in
+bruin_spark.mat / checks / scheduler.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+from typing import Any
+
+
+class MaterializationType(str, enum.Enum):
+    NONE = ""
+    VIEW = "view"
+    TABLE = "table"
+
+
+class Strategy(str, enum.Enum):
+    """Materialization strategies (ref: pkg/pipeline/pipeline.go:607-623)."""
+
+    CREATE_REPLACE = "create+replace"
+    DELETE_INSERT = "delete+insert"
+    APPEND = "append"
+    MERGE = "merge"
+    TRUNCATE_INSERT = "truncate+insert"
+    TIME_INTERVAL = "time_interval"
+    DDL = "ddl"
+    SCD2_BY_COLUMN = "scd2_by_column"
+    SCD2_BY_TIME = "scd2_by_time"
+    DATAVAULT_HUB = "datavault_hub"
+    DATAVAULT_LINK = "datavault_link"
+    DATAVAULT_SATELLITE = "datavault_satellite"
+
+
+#: strategies that survive --full-refresh unchanged
+#: (ref: pkg/pipeline/materializer.go:30-43)
+FULL_REFRESH_KEEP = {
+    Strategy.DDL,
+    Strategy.DATAVAULT_HUB,
+    Strategy.DATAVAULT_LINK,
+    Strategy.DATAVAULT_SATELLITE,
+}
+
+
+@dataclass
+class Materialization:
+    type: MaterializationType = MaterializationType.NONE
+    strategy: Strategy | None = None
+    partition_by: str = ""
+    cluster_by: list[str] = field(default_factory=list)
+    incremental_key: str = ""
+    incremental_predicate: str = ""
+    time_granularity: str = ""  # "date" | "timestamp"
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any] | None) -> "Materialization":
+        if not d:
+            return cls()
+        cluster_by = d.get("cluster_by") or []
+        if isinstance(cluster_by, str):
+            cluster_by = [cluster_by]
+        strat = d.get("strategy")
+        return cls(
+            type=MaterializationType(d.get("type", "") or ""),
+            strategy=Strategy(strat) if strat else None,
+            partition_by=d.get("partition_by", "") or "",
+            cluster_by=list(cluster_by),
+            incremental_key=d.get("incremental_key", "") or "",
+            incremental_predicate=d.get("incremental_predicate", "") or "",
+            time_granularity=d.get("time_granularity", "") or "",
+        )
+
+
+@dataclass
+class ColumnCheck:
+    """A quality check attached to a column (ref: pipeline.go:808-826)."""
+
+    name: str
+    value: Any = None  # threshold / accepted list / regex
+    blocking: bool = True
+
+    @classmethod
+    def from_obj(cls, obj: Any) -> "ColumnCheck":
+        if isinstance(obj, str):
+            return cls(name=obj)
+        return cls(
+            name=obj["name"],
+            value=obj.get("value"),
+            blocking=obj.get("blocking", True),
+        )
+
+
+@dataclass
+class CustomCheck:
+    """Asset-level check: arbitrary SQL probe (ref: pipeline.go:1078-1088).
+
+    value mode: scalar result must equal ``value`` (default 0).
+    count mode: ``SELECT count(*) FROM (<query>)`` must equal ``count``.
+    """
+
+    name: str
+    query: str
+    value: Any = None
+    count: int | None = None
+    blocking: bool = True
+    description: str = ""
+
+
+@dataclass
+class Column:
+    name: str
+    type: str = ""  # opaque SQL type string, e.g. "decimal(10,2)"
+    description: str = ""
+    primary_key: bool = False
+    update_on_merge: bool = False
+    merge_sql: str = ""
+    nullable: bool | None = None
+    checks: list[ColumnCheck] = field(default_factory=list)
+    upstreams: list[dict[str, str]] = field(default_factory=list)  # lineage
+    tags: list[str] = field(default_factory=list)
+    precision: int | None = None
+    scale: int | None = None
+    length: int | None = None
+    datavault_role: str = ""  # hash_key|business_key|load_datetime|record_source|link_hash_key|hash_diff
+
+    def sql_type(self) -> str:
+        """Render the declared type with precision/scale/length.
+
+        Ref: Column.SQLType, pkg/pipeline/pipeline.go:887-903. Spark's DDL
+        parser accepts the same strings (decimal(10,2), varchar(n), ...).
+        """
+        t = self.type or "string"
+        if "(" in t:
+            return t
+        if self.precision is not None and self.scale is not None:
+            return f"{t}({self.precision}, {self.scale})"
+        if self.precision is not None:
+            return f"{t}({self.precision})"
+        if self.length is not None:
+            return f"{t}({self.length})"
+        return t
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "Column":
+        return cls(
+            name=d["name"],
+            type=d.get("type", "") or "",
+            description=d.get("description", "") or "",
+            primary_key=bool(d.get("primary_key", False)),
+            update_on_merge=bool(d.get("update_on_merge", False)),
+            merge_sql=d.get("merge_sql", "") or "",
+            nullable=d.get("nullable"),
+            checks=[ColumnCheck.from_obj(c) for c in d.get("checks", []) or []],
+            upstreams=d.get("upstreams", []) or [],
+            tags=d.get("tags", []) or [],
+            precision=d.get("precision"),
+            scale=d.get("scale"),
+            length=d.get("length"),
+            datavault_role=d.get("datavault_role", "") or "",
+        )
+
+
+@dataclass
+class Upstream:
+    """DAG edge (ref: pipeline.go:1155-1161).
+
+    mode="symbolic" edges carry lineage only — the scheduler must not wait
+    on them (ref: pkg/scheduler/scheduler.go:810-817).
+    """
+
+    value: str
+    type: str = "asset"  # "asset" | "uri"
+    mode: str = "full"  # "full" | "symbolic"
+
+    @classmethod
+    def from_obj(cls, obj: Any) -> "Upstream":
+        if isinstance(obj, str):
+            return cls(value=obj)
+        return cls(
+            value=obj.get("value") or obj.get("asset") or "",
+            type=obj.get("type", "asset"),
+            mode=obj.get("mode", "full"),
+        )
+
+
+@dataclass
+class Asset:
+    """One node in the pipeline DAG (ref: pipeline.go:1297-1341)."""
+
+    name: str
+    type: str = "spark.sql"  # spark.sql | spark.seed | spark.sensor.* | python | ingestr
+    query: str = ""  # raw (unrendered) SQL / script body
+    file_path: str = ""
+    description: str = ""
+    materialization: Materialization = field(default_factory=Materialization)
+    columns: list[Column] = field(default_factory=list)
+    custom_checks: list[CustomCheck] = field(default_factory=list)
+    depends: list[Upstream] = field(default_factory=list)
+    parameters: dict[str, Any] = field(default_factory=dict)
+    tags: list[str] = field(default_factory=list)
+    owner: str = ""
+    interval_modifiers: dict[str, str] = field(default_factory=dict)
+    hooks: dict[str, list[str]] = field(default_factory=dict)  # {"pre": [...], "post": [...]}
+
+    def primary_keys(self) -> list[str]:
+        return [c.name for c in self.columns if c.primary_key]
+
+    def column(self, name: str) -> Column | None:
+        for c in self.columns:
+            if c.name == name:
+                return c
+        return None
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any], query: str = "", file_path: str = "") -> "Asset":
+        hooks: dict[str, list[str]] = {}
+        for phase in ("pre", "post"):
+            raw = (d.get("hooks") or {}).get(phase) or []
+            hooks[phase] = [h["sql"] if isinstance(h, dict) else str(h) for h in raw]
+        return cls(
+            name=d.get("name", "") or "",
+            type=d.get("type", "spark.sql") or "spark.sql",
+            query=query or d.get("query", "") or "",
+            file_path=file_path,
+            description=d.get("description", "") or "",
+            materialization=Materialization.from_dict(d.get("materialization")),
+            columns=[Column.from_dict(c) for c in d.get("columns", []) or []],
+            custom_checks=[
+                CustomCheck(
+                    name=c["name"],
+                    query=c.get("query", ""),
+                    value=c.get("value"),
+                    count=c.get("count"),
+                    blocking=c.get("blocking", True),
+                    description=c.get("description", ""),
+                )
+                for c in d.get("custom_checks", []) or []
+            ],
+            depends=[Upstream.from_obj(u) for u in d.get("depends", []) or []],
+            parameters=d.get("parameters", {}) or {},
+            tags=d.get("tags", []) or [],
+            owner=d.get("owner", "") or "",
+            interval_modifiers=d.get("interval_modifiers", {}) or {},
+            hooks=hooks,
+        )
+
+
+@dataclass
+class Pipeline:
+    """A directory with pipeline.yml + assets/ (ref: pipeline.go:2238-2269)."""
+
+    name: str
+    path: str = ""
+    schedule: str = ""
+    start_date: str = ""
+    assets: list[Asset] = field(default_factory=list)
+    variables: dict[str, Any] = field(default_factory=dict)
+    default_connections: dict[str, str] = field(default_factory=dict)
+    concurrency: int = 16
+    retries: int = 0
+    catchup: bool = False
+
+    def asset(self, name: str) -> Asset | None:
+        for a in self.assets:
+            if a.name == name:
+                return a
+        return None
+
+    def asset_names(self) -> list[str]:
+        return [a.name for a in self.assets]

@@ -1,0 +1,200 @@
+"""Jinja rendering with the run-interval context.
+
+Context keys match the reference renderer (ref: pkg/jinja/jinja.go:149-170):
+``start_date`` / ``start_date_nodash`` / ``start_datetime`` /
+``start_timestamp`` (and the ``end_*`` / ``execution_*`` families),
+``pipeline``, ``run_id``, ``full_refresh``, ``this``, ``var``, plus the
+date filters of pkg/jinja/filters.go:15-40 and the SQL-generating
+builtins of pkg/jinja/bruin_funcs.go (Spark dialect).
+
+Interval modifiers (ref: pipeline.go:1375-1452, applied at render in
+jinja.go:247-305): per-asset shifts like ``1h``, ``-30m``, ``2d``, ``1M``
+applied to the start/end instants before the context is built.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from datetime import date, datetime, timedelta
+from typing import Any
+
+import jinja2
+
+from bruin_spark.render import builtins as b
+from bruin_spark.render.filters import FILTERS
+
+_MODIFIER_RE = re.compile(r"^(-?\d+)\s*(ms|s|m|h|d|w|M|y)$")
+
+
+def apply_interval_modifier(dt: datetime, modifier: str) -> datetime:
+    """Shift an instant by a modifier string like '2d', '-30m', '1M'."""
+    m = _MODIFIER_RE.match(modifier.strip())
+    if not m:
+        raise ValueError(f"invalid interval modifier: {modifier!r}")
+    n, unit = int(m.group(1)), m.group(2)
+    if unit == "M":
+        from calendar import monthrange
+
+        month = dt.month - 1 + n
+        year = dt.year + month // 12
+        month = month % 12 + 1
+        return dt.replace(year=year, month=month, day=min(dt.day, monthrange(year, month)[1]))
+    if unit == "y":
+        try:
+            return dt.replace(year=dt.year + n)
+        except ValueError:  # Feb 29
+            return dt.replace(year=dt.year + n, day=28)
+    delta = {
+        "ms": timedelta(milliseconds=n),
+        "s": timedelta(seconds=n),
+        "m": timedelta(minutes=n),
+        "h": timedelta(hours=n),
+        "d": timedelta(days=n),
+        "w": timedelta(weeks=n),
+    }[unit]
+    return dt + delta
+
+
+@dataclass
+class RenderContext:
+    start: datetime = field(default_factory=lambda: datetime(2024, 1, 1))
+    end: datetime = field(default_factory=lambda: datetime(2024, 1, 2))
+    run_id: str = "manual"
+    pipeline_name: str = ""
+    full_refresh: bool = False
+    this: str = ""  # fully-qualified name of the asset being rendered
+    variables: dict[str, Any] = field(default_factory=dict)
+
+    def with_modifiers(self, modifiers: dict[str, str]) -> "RenderContext":
+        start, end = self.start, self.end
+        if modifiers.get("start"):
+            start = apply_interval_modifier(start, modifiers["start"])
+        if modifiers.get("end"):
+            end = apply_interval_modifier(end, modifiers["end"])
+        out = RenderContext(**{**self.__dict__})
+        out.start, out.end = start, end
+        return out
+
+    def to_jinja(self) -> dict[str, Any]:
+        def fam(prefix: str, dt: datetime) -> dict[str, str]:
+            return {
+                f"{prefix}_date": dt.strftime("%Y-%m-%d"),
+                f"{prefix}_date_nodash": dt.strftime("%Y%m%d"),
+                f"{prefix}_datetime": dt.strftime("%Y-%m-%dT%H:%M:%S"),
+                f"{prefix}_timestamp": dt.strftime("%Y-%m-%dT%H:%M:%S.%f%z") or dt.isoformat(),
+            }
+
+        ctx: dict[str, Any] = {}
+        ctx.update(fam("start", self.start))
+        ctx.update(fam("end", self.end))
+        ctx.update(fam("execution", self.start))
+        ctx.update(
+            pipeline=self.pipeline_name,
+            run_id=self.run_id,
+            full_refresh=self.full_refresh,
+            this=self.this,
+            var=dict(self.variables),
+        )
+        return ctx
+
+
+def _environment() -> jinja2.Environment:
+    env = jinja2.Environment(undefined=jinja2.StrictUndefined, keep_trailing_newline=True)
+    env.filters.update(FILTERS)
+    env.globals.update(
+        # SQL-generating builtins, Spark dialect
+        # (ref: pkg/jinja/bruin_funcs.go:82-101, pkg/spark/bruin_funcs.go)
+        group_by=b.group_by,
+        safe_divide=b.safe_divide,
+        safe_add=b.safe_add,
+        safe_subtract=b.safe_subtract,
+        generate_surrogate_key=b.generate_surrogate_key,
+        haversine_distance=b.haversine_distance,
+        degrees_to_radians=b.degrees_to_radians,
+        width_bucket=b.width_bucket,
+        deduplicate=b.deduplicate,
+        generate_series=b.generate_series,
+        date_spine=b.date_spine,
+        slugify=b.slugify,
+        get_url_host=b.get_url_host,
+        get_url_parameter=b.get_url_parameter,
+        get_url_path=b.get_url_path,
+        pivot=b.pivot,
+        date_part=b.date_part,
+    )
+    return env
+
+
+_ENV = _environment()
+
+
+def render_sql(template: str, ctx: RenderContext) -> str:
+    """Render one SQL/script template against the interval context."""
+    return _ENV.from_string(template).render(**ctx.to_jinja())
+
+
+def render_asset_query(asset, ctx: RenderContext) -> str:
+    """Render an asset's query with its interval modifiers + `this` bound."""
+    actx = ctx.with_modifiers(asset.interval_modifiers or {})
+    actx.this = asset.name
+    return render_sql(asset.query, actx)
+
+
+def split_statements(sql: str) -> list[str]:
+    """Split a rendered script into statements on top-level semicolons.
+
+    Respects quotes and comments (ref: pkg/query/extract.go:339-357).
+    """
+    stmts, buf, i, n = [], [], 0, len(sql)
+    in_s = in_d = in_lc = in_bc = False
+    while i < n:
+        ch = sql[i]
+        nxt = sql[i + 1] if i + 1 < n else ""
+        if in_lc:
+            if ch == "\n":
+                in_lc = False
+            buf.append(ch)
+        elif in_bc:
+            if ch == "*" and nxt == "/":
+                in_bc = False
+                buf.append("*/")
+                i += 1
+            else:
+                buf.append(ch)
+        elif in_s:
+            buf.append(ch)
+            if ch == "'" and nxt == "'":
+                buf.append(nxt)
+                i += 1
+            elif ch == "'":
+                in_s = False
+        elif in_d:
+            buf.append(ch)
+            if ch == '"':
+                in_d = False
+        elif ch == "-" and nxt == "-":
+            in_lc = True
+            buf.append(ch)
+        elif ch == "/" and nxt == "*":
+            in_bc = True
+            buf.append("/*")
+            i += 1
+        elif ch == "'":
+            in_s = True
+            buf.append(ch)
+        elif ch == '"':
+            in_d = True
+            buf.append(ch)
+        elif ch == ";":
+            stmt = "".join(buf).strip()
+            if stmt:
+                stmts.append(stmt)
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    tail = "".join(buf).strip()
+    if tail:
+        stmts.append(tail)
+    return stmts

@@ -1,0 +1,75 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+The session is the engine's "connection" (the reference ships SQL text to
+an external warehouse; we ship logical plans to Catalyst). Configuration
+principles, chosen for a 1000-executor / 100 TB target but harmless on
+local[32]:
+
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting,
+  and dynamic join-strategy switching replace most hand-tuning.
+- Arrow on: every pandas-UDF / toPandas boundary is columnar.
+- shuffle.partitions is only the *initial* number; AQE coalesces. At real
+  scale set it ~2-3x total cores via BRUIN_SPARK_SHUFFLE_PARTITIONS.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("BRUIN_SPARK_SHUFFLE_PARTITIONS", "32")
+DEFAULT_MASTER = os.environ.get(
+    "BRUIN_SPARK_MASTER", f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+)
+
+
+def get_spark(app_name: str = "bruin_spark", master: str | None = None) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    Safe to call repeatedly; Spark returns the active session.
+    """
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # driver testdata is written with nanosecond timestamps; Spark 4
+        # reads them as timestamp_ntz under this flag instead of erroring
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.driver.memory", os.environ.get("BRUIN_SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if master or not SparkSession.getActiveSession():
+        builder = builder.master(master or DEFAULT_MASTER)
+    return builder.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
+    """Register the driver's parquet tables as temp views.
+
+    Views (not managed copies): the parquet scan stays pruned/pushed-down
+    and no data is duplicated. ``tables`` defaults to the full star schema.
+    """
+    names = tables or [
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    ]
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            spark.read.parquet(path).createOrReplaceTempView(name)

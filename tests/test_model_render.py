@@ -1,0 +1,95 @@
+"""Model parsing + Jinja rendering unit tests (no Spark session needed)."""
+
+import textwrap
+from datetime import datetime
+
+from bruin_spark.model.loader import parse_embedded_block, load_asset_file, load_pipeline
+from bruin_spark.model.pipeline import Strategy
+from bruin_spark.render.jinja import (
+    RenderContext,
+    apply_interval_modifier,
+    render_sql,
+    split_statements,
+)
+
+
+CTX = RenderContext(start=datetime(2024, 1, 1), end=datetime(2024, 1, 2), pipeline_name="p")
+
+
+def test_parse_embedded_sql_block():
+    content = textwrap.dedent(
+        """\
+        /* @bruin
+        name: myschema.daily
+        type: spark.sql
+        materialization:
+          type: table
+          strategy: delete+insert
+          incremental_key: d
+        columns:
+          - name: d
+            type: date
+            primary_key: true
+            checks:
+              - not_null
+              - name: unique
+        @bruin */
+        SELECT 1 AS d
+        """
+    )
+    meta, body = parse_embedded_block(content)
+    assert meta["name"] == "myschema.daily"
+    assert body == "SELECT 1 AS d"
+    from bruin_spark.model.pipeline import Asset
+
+    a = Asset.from_dict(meta, query=body)
+    assert a.materialization.strategy == Strategy.DELETE_INSERT
+    assert a.columns[0].checks[0].name == "not_null"
+    assert a.columns[0].checks[1].name == "unique"
+
+
+def test_single_line_bruin_keys():
+    content = "-- @bruin.name: my_asset\n-- @bruin.type: spark.sql\nSELECT 2"
+    meta, body = parse_embedded_block(content)
+    assert meta == {"name": "my_asset", "type": "spark.sql"}
+    assert body == "SELECT 2"
+
+
+def test_pipeline_dir_loading(tmp_path):
+    (tmp_path / "pipeline.yml").write_text("name: demo\nschedule: daily\n")
+    assets = tmp_path / "assets"
+    assets.mkdir()
+    (assets / "a.sql").write_text("/* @bruin\nname: a\n@bruin */\nSELECT 1 AS x")
+    (assets / "b.asset.yml").write_text("name: b\ntype: spark.seed\nparameters:\n  path: seed.csv\n")
+    p = load_pipeline(str(tmp_path))
+    assert p.name == "demo"
+    assert sorted(p.asset_names()) == ["a", "b"]
+
+
+def test_render_interval_context():
+    sql = "SELECT * FROM t WHERE d BETWEEN '{{ start_date }}' AND '{{ end_date }}'"
+    assert (
+        render_sql(sql, CTX)
+        == "SELECT * FROM t WHERE d BETWEEN '2024-01-01' AND '2024-01-02'"
+    )
+
+
+def test_render_filters_and_builtins():
+    assert render_sql("{{ '2024-01-31' | add_months(1) }}", CTX) == "2024-02-29"
+    assert render_sql("{{ '2024-03-15' | truncate_month }}", CTX) == "2024-03-01"
+    out = render_sql("SELECT {{ generate_surrogate_key('a', 'b') }}", CTX)
+    assert out.startswith("SELECT MD5(CONCAT_WS('|', COALESCE(CAST(a AS STRING)")
+    assert render_sql("{{ safe_divide('x', 'y') }}", CTX) == "TRY_DIVIDE(x, y)"
+
+
+def test_interval_modifiers():
+    assert apply_interval_modifier(datetime(2024, 1, 10), "-2d") == datetime(2024, 1, 8)
+    assert apply_interval_modifier(datetime(2024, 1, 10), "3h") == datetime(2024, 1, 10, 3)
+    assert apply_interval_modifier(datetime(2024, 1, 31), "1M") == datetime(2024, 2, 29)
+
+
+def test_split_statements():
+    sql = "SELECT 1; -- c;omment\nSELECT ';' AS s; /* b;c */ SELECT 3"
+    stmts = split_statements(sql)
+    assert len(stmts) == 3
+    assert stmts[1].endswith("SELECT ';' AS s")  # ';' inside quotes not split on
