@@ -1,38 +1,60 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check at sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2 +
+training-data operators); each callable takes (spark, sf_dir).
+``oracle_sql()`` — DuckDB-equivalent SQL per query for the driver's
+side-by-side correctness gate.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _configure(spark: SparkSession) -> None:
+    """Confs the engine needs when the driver supplies the session."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # already-read conf on a reused session
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    _configure(spark)
+    from bruin_spark.workloads.analytics import q5_local_supplier_volume
+
+    return q5_local_supplier_volume(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from bruin_spark.workloads import collect_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable] = {}
+    for name, (fn, _oracle) in collect_queries().items():
+
+        def wrapped(spark: SparkSession, sf_dir: str, _fn=fn) -> DataFrame:
+            _configure(spark)
+            return _fn(spark, sf_dir)
+
+        out[name] = wrapped
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from bruin_spark.workloads import collect_queries
+
+    return {
+        name: oracle
+        for name, (_fn, oracle) in collect_queries().items()
+        if oracle is not None
+    }

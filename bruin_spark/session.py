@@ -51,6 +51,32 @@ def get_spark(app_name: str = "bruin_spark", master: str | None = None) -> Spark
     return builder.getOrCreate()
 
 
+def read_parquet(spark: SparkSession, path: str):
+    """Read parquet, normalizing nanosecond-timestamp columns.
+
+    Parquet TIMESTAMP(NANOS) columns surface as raw nano longs under
+    ``spark.sql.legacy.parquet.nanosAsLong``; convert them back to
+    timestamp_ntz (integer division — no float precision loss). Detection
+    uses the pyarrow footer (metadata-only, no data read).
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    try:
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(path)
+        nano_cols = {f.name for f in schema if str(f.type) == "timestamp[ns]"}
+    except Exception:
+        nano_cols = set()
+    for name, dtype in df.dtypes:
+        if name in nano_cols and dtype == "bigint":
+            df = df.withColumn(
+                name, F.expr(f"timestamp_micros(`{name}` div 1000)").cast("timestamp_ntz")
+            )
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
     """Register the driver's parquet tables as temp views.
 
@@ -72,4 +98,4 @@ def load_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None = Non
     for name in names:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            spark.read.parquet(path).createOrReplaceTempView(name)
+            read_parquet(spark, path).createOrReplaceTempView(name)

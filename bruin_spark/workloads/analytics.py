@@ -1,0 +1,320 @@
+"""Analytical queries over the TPC-H-ish star schema.
+
+These exercise the engine's SQL execution surface (joins, aggregations,
+windows, rollup, pivot, series generation — the operations bruin assets
+contain and the warehouse, i.e. Catalyst, executes).
+
+Scale notes baked into each plan:
+- dimension tables (region/nation/supplier/part/customer) are broadcast;
+  no shuffle of the fact side for those joins
+- aggregates are expressed on decimals for cross-engine exactness
+- every query is a single declarative plan: filter/column pruning reach
+  the parquet scan (verified via .explain in tests/bench)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.functions import broadcast
+
+from bruin_spark.session import load_tables
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    import os
+
+    from bruin_spark.session import read_parquet
+
+    return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _dec(c, scale=2):
+    return F.col(c).cast(f"decimal(18,{scale})")
+
+
+# -- q1: pricing summary (TPC-H Q1 shape) -----------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).alias("sum_base_price"),
+            F.sum(
+                (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
+                .cast("decimal(18,4)")
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+       SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# -- q3: revenue by order over segment (TPC-H Q3 shape, full result) ---------
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1997-06-15")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-06-15")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
+                .cast("decimal(18,4)")
+            ).alias("revenue")
+        )
+    )
+
+
+Q3_ORACLE = """
+SELECT l_orderkey,
+       SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-06-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1997-06-15 00:00:00'
+GROUP BY l_orderkey
+"""
+
+
+# -- q5: local supplier volume (multi-join through region) -------------------
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    supplier = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
+                .cast("decimal(18,4)")
+            ).alias("revenue")
+        )
+    )
+
+
+Q5_ORACLE = """
+SELECT n_name,
+       SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+GROUP BY n_name
+"""
+
+
+# -- window functions: rank customers inside each nation ---------------------
+
+
+def q_window_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        cust.withColumn("bal_rank", F.row_number().over(w))
+        .filter(F.col("bal_rank") <= 3)
+        .select("c_nationkey", "c_custkey", _dec("c_acctbal").alias("acctbal"), "bal_rank")
+    )
+
+
+Q_WINDOW_ORACLE = """
+SELECT c_nationkey, c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal, bal_rank
+FROM (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS bal_rank
+  FROM customer
+)
+WHERE bal_rank <= 3
+"""
+
+
+# -- rollup: multi-level totals ----------------------------------------------
+
+
+def q_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.year("o_orderdate").alias("order_year"),
+            F.col("o_orderstatus").alias("status"),
+            _dec("o_totalprice").alias("price"),
+        )
+        .rollup("order_year", "status")
+        .agg(F.sum("price").alias("total_price"), F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+Q_ROLLUP_ORACLE = """
+SELECT EXTRACT(year FROM o_orderdate)::INT AS order_year, o_orderstatus AS status,
+       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price, COUNT(*) AS n_orders
+FROM orders
+GROUP BY ROLLUP (order_year, status)
+"""
+
+
+# -- pivot --------------------------------------------------------------------
+
+
+def q_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+    )
+
+
+Q_PIVOT_ORACLE = """
+SELECT o_orderpriority,
+       COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END), 0) AS "F",
+       COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END), 0) AS "O",
+       COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END), 0) AS "P"
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+# -- events: sessionized behavioral metrics (lag / time deltas) ---------------
+
+
+def q_events_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "gap_minutes",
+            F.when(
+                F.col("prev_ts").isNotNull(),
+                (
+                    (
+                        F.unix_micros(F.col("ts").cast("timestamp"))
+                        - F.unix_micros(F.col("prev_ts").cast("timestamp"))
+                    )
+                    / F.lit(60_000_000.0)
+                ).cast("decimal(18,2)"),
+            ),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_errors"),
+            F.max("gap_minutes").alias("max_gap_minutes"),
+        )
+    )
+
+
+Q_EVENTS_ORACLE = """
+SELECT user_id, COUNT(*) AS n_events,
+       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+       MAX(gap_minutes) AS max_gap_minutes
+FROM (
+  SELECT user_id, event_type,
+         CAST(EXTRACT(epoch FROM ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) / 60.0 AS DECIMAL(18,2)) AS gap_minutes
+  FROM events
+)
+GROUP BY user_id
+"""
+
+
+# -- date spine: zero-filled daily order counts (sequence + explode) ----------
+
+
+def q_date_spine_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    spine = spark.sql(
+        "SELECT explode(sequence(DATE '1997-01-01', DATE '1997-03-31', INTERVAL 1 DAY)) AS d"
+    )
+    daily = (
+        orders.filter(F.col("o_orderdate").between("1997-01-01", "1997-03-31"))
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        spine.join(daily, "d", "left")
+        .select(F.col("d").alias("order_day"), F.coalesce(F.col("n"), F.lit(0)).alias("n_orders"))
+    )
+
+
+Q_SPINE_ORACLE = """
+SELECT d AS order_day, COALESCE(n, 0) AS n_orders
+FROM (SELECT UNNEST(generate_series(DATE '1997-01-01', DATE '1997-03-31', INTERVAL 1 DAY))::DATE AS d)
+LEFT JOIN (
+  SELECT o_orderdate::DATE AS od, COUNT(*) AS n
+  FROM orders
+  WHERE o_orderdate BETWEEN TIMESTAMP '1997-01-01 00:00:00' AND TIMESTAMP '1997-03-31 00:00:00'
+  GROUP BY 1
+) ON d = od
+"""
+
+
+# -- surrogate key builtin: cross-engine md5 stability ------------------------
+
+
+def q_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ["nation"])
+    # uses the Jinja builtin's exact expansion (Spark dialect)
+    from bruin_spark.render.builtins import generate_surrogate_key
+
+    expr = generate_surrogate_key("n_nationkey", "n_name")
+    return spark.sql(f"SELECT n_nationkey, {expr} AS surrogate_key FROM nation")
+
+
+Q_SURROGATE_ORACLE = """
+SELECT n_nationkey,
+       MD5(CONCAT_WS('|', COALESCE(CAST(n_nationkey AS VARCHAR), '_bruin_surrogate_key_null_'),
+                          COALESCE(CAST(n_name AS VARCHAR), '_bruin_surrogate_key_null_'))) AS surrogate_key
+FROM nation
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_ORACLE),
+    "q3_shipping_priority": (q3_shipping_priority, Q3_ORACLE),
+    "q5_local_supplier_volume": (q5_local_supplier_volume, Q5_ORACLE),
+    "q_window_top_customers": (q_window_top_customers, Q_WINDOW_ORACLE),
+    "q_rollup_sales": (q_rollup_sales, Q_ROLLUP_ORACLE),
+    "q_pivot_status_by_priority": (q_pivot_status_by_priority, Q_PIVOT_ORACLE),
+    "q_events_user_activity": (q_events_user_activity, Q_EVENTS_ORACLE),
+    "q_date_spine_orders": (q_date_spine_orders, Q_SPINE_ORACLE),
+    "q_surrogate_keys": (q_surrogate_keys, Q_SURROGATE_ORACLE),
+}
