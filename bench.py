@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline workloads at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is timed end-to-end (plan + execute + count action). The
+headline metric is total wall seconds across the suite. Run a subset with
+`python bench.py q1 dedup`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline suite: analytics core + one representative per workload family.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q_window_top_customers",
+    "q_rollup_sales",
+    "q_events_user_activity",
+    "dedup_exact_survivors",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "sim_topk_bruteforce",
+    "sim_lsh_topk",
+    "text_quality",
+    "text_language_id",
+]
+
+
+def main() -> int:
+    filters = [a for a in sys.argv[1:] if not a.startswith("--")]
+
+    from bruin_spark.session import get_spark
+    from bruin_spark.workloads import collect_queries
+
+    spark = get_spark("bruin_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = collect_queries()
+    names = [n for n in HEADLINE if n in registry]
+    if filters:
+        names = [n for n in registry if any(f in n for f in filters)]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn, _oracle = registry[name]
+        spark.sparkContext.setJobDescription(f"bench:{name}")
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "suite_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,294 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale design notes (the reason each operator is shaped the way it is):
+
+- **exact**: one hash-groupBy over a canonical fingerprint — a single
+  shuffle on a short string key; AQE handles skew.
+- **n-gram Jaccard**: exact pairwise similarity via an inverted index
+  (explode shingles → self-join on shingle → count per pair). The
+  shingle join is the classic O(index) plan; it never materializes the
+  full O(n²) pair space, only pairs sharing ≥1 shingle.
+- **MinHash+LSH**: the 100 TB path. Signature = k independent min-hashes;
+  hashing is ``min(md5(seed || shingle))`` — md5 is deterministic and
+  engine-portable (lexicographic min over hex strings), so oracles can
+  reproduce signatures bit-for-bit. Bands of r rows → bucket join —
+  candidate generation cost is O(n·bands), not O(n²).
+- **SimHash**: 64-bit signature from md5-derived bit votes; near-dups =
+  signatures at small Hamming distance. Map-only signature computation.
+- **embedding cosine**: see operators/similarity.py; near-dup = cosine
+  above threshold between distinct vectors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from bruin_spark.operators.text import fingerprint, shingles
+
+
+# -- exact ---------------------------------------------------------------
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (canonicalized) documents.
+
+    Returns one row per duplicate group: fingerprint, size, canonical id
+    (min id), and the member ids.
+    """
+    fp = fingerprint(df, text_col)
+    return (
+        fp.groupBy("doc_fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.min(id_col).alias("canonical_id"),
+            F.sort_array(F.collect_list(id_col)).alias("member_ids"),
+        )
+        .filter(F.col("group_size") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one row (min id) per canonical text."""
+    fp = fingerprint(df, text_col)
+    w = Window.partitionBy("doc_fingerprint").orderBy(id_col)
+    return (
+        fp.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "doc_fingerprint")
+    )
+
+
+# -- n-gram Jaccard ---------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard similarity over word n-gram shingle sets.
+
+    Inverted-index plan: explode distinct shingles, self-join on shingle,
+    |A∩B| per pair, then |A∪B| = |A|+|B|−|A∩B|. Only pairs sharing at
+    least one shingle are ever formed.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), F.array_distinct(shingles(text_col, n)).alias("sh")
+    )
+    sizes = sh.select("id", F.size("sh").alias("n_sh"))
+    inv = sh.select("id", F.explode("sh").alias("shingle"))
+
+    pairs = (
+        inv.alias("a")
+        .join(inv.alias("b"), (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        pairs.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# -- MinHash + LSH -----------------------------------------------------------
+
+
+def minhash_signature(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    n: int = 3,
+) -> DataFrame:
+    """k-permutation MinHash signature.
+
+    Permutation i is simulated by ``md5(i || ':' || shingle)``; the
+    signature element is the lexicographic minimum hex digest. Identical
+    across engines (md5 is md5), deterministic, and entirely JVM-side.
+    """
+    sh = df.select(F.col(id_col).alias("id"), F.array_distinct(shingles(text_col, n)).alias("sh"))
+
+    def perm(i: int):
+        # single-arg lambda: a 2-arg lambda would be interpreted by
+        # transform() as the (element, index) form
+        return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
+
+    sig_cols = [F.array_min(F.transform("sh", perm(i))).alias(f"mh_{i}") for i in range(k)]
+    return sh.select("id", *sig_cols)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs: split the k-wide signature into ``bands``
+    bands of k/bands rows; docs sharing any band key are candidates.
+
+    Returns (id_a, id_b, n_bands_shared). The band key join is the only
+    shuffle and is keyed on a short md5 — uniform by construction.
+    """
+    assert k % bands == 0
+    r = k // bands
+    sig = minhash_signature(df, id_col, text_col, k, n)
+    band_rows = None
+    for b in range(bands):
+        cols = [F.col(f"mh_{i}") for i in range(b * r, (b + 1) * r)]
+        row = sig.select(
+            "id", F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("band_key")
+        )
+        band_rows = row if band_rows is None else band_rows.unionByName(row)
+
+    return (
+        band_rows.alias("a")
+        .join(
+            band_rows.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_bands_shared"))
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: LSH candidates verified with
+    exact Jaccard (verification join only touches candidate ids)."""
+    cands = minhash_lsh_candidates(df, id_col, text_col, k, bands, n)
+    sh = df.select(F.col(id_col).alias("id"), F.array_distinct(shingles(text_col, n)).alias("sh"))
+    verified = (
+        cands.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_a", "id_b", "jaccard")
+
+
+# -- SimHash -------------------------------------------------------------
+
+
+SIMHASH_BITS = 48  # 12 md5 hex digits × 4 bits; fits bigint with headroom
+
+
+def simhash_sql_expr(text_col: str = "text", dialect: str = "spark") -> str:
+    """SimHash signature as a SQL expression, generated per dialect.
+
+    One generator feeds both the Spark operator and the DuckDB oracle so
+    the bit arithmetic is identical by construction. Per bit: each token
+    votes ±1 using bit b of md5 hex digit h; signature bit = vote > 0.
+    """
+    if dialect == "spark":
+        toks = f"split(lower(trim({text_col})), '\\\\s+')"
+
+        def vote(h: int, p: int) -> str:
+            return (
+                f"aggregate(transform({toks}, t -> CASE WHEN "
+                f"((position(substr(md5(t), {h + 1}, 1) IN '0123456789abcdef') - 1) DIV {p}) % 2 = 1 "
+                f"THEN 1 ELSE -1 END), 0, (acc, x) -> acc + x)"
+            )
+
+    elif dialect == "duckdb":
+        toks = f"string_split_regex(lower(trim({text_col})), '\\s+')"
+
+        def vote(h: int, p: int) -> str:
+            return (
+                f"list_sum([CASE WHEN "
+                f"((position(substr(md5(t), {h + 1}, 1) IN '0123456789abcdef') - 1) // {p}) % 2 = 1 "
+                f"THEN 1 ELSE -1 END FOR t IN {toks}])"
+            )
+
+    else:
+        raise ValueError(dialect)
+
+    terms = []
+    for bit in range(SIMHASH_BITS):
+        h, b = bit // 4, bit % 4
+        terms.append(
+            f"(CASE WHEN ({vote(h, 2 ** b)}) > 0 THEN CAST({2 ** bit} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        )
+    return " + ".join(terms)
+
+
+def simhash64(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", out: str = "simhash"
+) -> DataFrame:
+    """SimHash signature over word tokens (SIMHASH_BITS wide).
+
+    Pure expression pipeline: transform + aggregate over the token array,
+    no UDF, no shuffle — map-only at any scale.
+    """
+    return df.select(F.col(id_col), F.expr(simhash_sql_expr(text_col, "spark")).alias(out))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.
+
+    Block on n_chunks bit-chunks (pigeonhole: distance ≤ n_chunks−1 ⇒ ≥1
+    identical chunk) then verify with bit_count(xor) — the candidate join
+    only touches chunk-equal pairs, never the O(n²) space.
+    """
+    width = SIMHASH_BITS // n_chunks
+    sig = simhash64(df, id_col, text_col)
+    blocked = None
+    for c in range(n_chunks):
+        b = sig.select(
+            F.col(id_col).alias("id"),
+            "simhash",
+            F.lit(c).alias("blk"),
+            F.shiftright("simhash", c * width).bitwiseAND(F.lit(2**width - 1)).alias("blk_key"),
+        )
+        blocked = b if blocked is None else blocked.unionByName(b)
+    return (
+        blocked.alias("a")
+        .join(
+            blocked.alias("b"),
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.blk_key") == F.col("b.blk_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,202 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: exact brute-force top-k — the correctness baseline.
+  Dot products run as ``aggregate(zip_with(...))`` built-ins (JVM-side,
+  codegen). The k-selection is a window row_number per query — at scale
+  replace the global window with a per-partition top-k + re-merge (AQE
+  keeps the shuffle small since only k rows per partition survive).
+- ``lsh_topk``: the scale path — random-hyperplane LSH bucketing; only
+  vectors sharing a bucket are scored. Hyperplanes are derived
+  deterministically from md5 so results are reproducible.
+- ``embedding_near_dup``: near-duplicate pairs above a cosine threshold,
+  LSH-bucketed candidate generation at scale.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def with_unit_vectors(df: DataFrame, vec_col: str = "embedding", out: str = "unit_vec") -> DataFrame:
+    """Pre-normalize once so cosine becomes a plain dot product.
+
+    The norm is materialized as its own column before the divide: nesting
+    the aggregate expression inside the transform lambda would re-evaluate
+    it per element AND trips ANSI-mode codegen on the nested lambda
+    binding. Zero vectors normalize to zero vectors (cosine 0).
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    tmp = "__bruin_norm"
+    return (
+        df.withColumn(tmp, _norm(v))
+        .withColumn(
+            out,
+            F.transform(
+                v,
+                lambda x: F.when(F.col(tmp) == 0, F.lit(0.0)).otherwise(x / F.col(tmp)),
+            ),
+        )
+        .drop(tmp)
+    )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (exact, O(n²) — baseline only;
+    use embedding_near_dup's LSH path at scale)."""
+    u = with_unit_vectors(df, vec_col).select(F.col(id_col).alias("id"), "unit_vec")
+    return (
+        u.alias("a")
+        .join(u.alias("b"), F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(_dot(F.col("a.unit_vec"), F.col("b.unit_vec")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k nearest neighbours (cosine) for each query vector."""
+    corpus = with_unit_vectors(df, vec_col).select(F.col(id_col).alias("nn_id"), F.col("unit_vec").alias("cv"))
+    qs = with_unit_vectors(queries, vec_col).select(
+        F.col(query_id_col).alias("query_id"), F.col("unit_vec").alias("qv")
+    )
+    scored = (
+        F.broadcast(qs)
+        .crossJoin(corpus)
+        .select(
+            "query_id",
+            "nn_id",
+            F.round(_dot(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nn_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nn_id", "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5 (no RNG state).
+
+    Component p[i][j] ∈ {-1, +1} from one md5 bit — sign-random
+    projections are enough for cosine LSH.
+    """
+    planes = []
+    for i in range(n_planes):
+        vals = []
+        j = 0
+        while len(vals) < dim:
+            digest = hashlib.md5(f"plane:{i}:{j}".encode()).digest()
+            for byte in digest:
+                for b in range(8):
+                    if len(vals) >= dim:
+                        break
+                    vals.append(1.0 if (byte >> b) & 1 else -1.0)
+            j += 1
+        planes.append(vals)
+    return planes
+
+
+def lsh_bucket(df: DataFrame, vec_col: str = "embedding", n_planes: int = 8, out: str = "bucket") -> DataFrame:
+    """Random-hyperplane LSH bucket id (0..2^n_planes-1), map-only."""
+    dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes)
+    bucket = F.lit(0)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    for i, plane in enumerate(planes):
+        arr = F.array(*[F.lit(p) for p in plane])
+        bit = F.when(_dot(v, arr) > 0, F.lit(2**i)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return df.withColumn(out, bucket)
+
+
+def lsh_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_planes: int = 4,
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors in the query's bucket.
+
+    With b buckets this cuts scored candidates ~b×; recall is tunable via
+    n_planes (fewer planes → bigger buckets → higher recall).
+    """
+    corpus = lsh_bucket(with_unit_vectors(df, vec_col), vec_col, n_planes).select(
+        F.col(id_col).alias("nn_id"), F.col("unit_vec").alias("cv"), "bucket"
+    )
+    qs = lsh_bucket(with_unit_vectors(queries, vec_col), vec_col, n_planes).select(
+        F.col(query_id_col).alias("query_id"), F.col("unit_vec").alias("qv"), "bucket"
+    )
+    scored = (
+        F.broadcast(qs)
+        .join(corpus, "bucket")
+        .select("query_id", "nn_id", F.round(_dot(F.col("qv"), F.col("cv")), 6).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nn_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nn_id", "cosine", "rank")
+    )
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 4,
+    exact: bool = False,
+) -> DataFrame:
+    """Near-duplicate vector pairs (cosine ≥ threshold).
+
+    exact=True: full O(n²) scoring (baseline / oracle parity).
+    exact=False: LSH-bucketed — pairs must share a bucket; at 8 planes a
+    0.95-cosine pair collides with probability ≈ (1 - θ/π)^8 ≈ 0.72 per
+    table, so production use unions a few plane-sets; here one set keeps
+    the example simple.
+    """
+    if exact:
+        return cosine_pairs(df, id_col, vec_col, threshold)
+    u = lsh_bucket(with_unit_vectors(df, vec_col), vec_col, n_planes).select(
+        F.col(id_col).alias("id"), "unit_vec", "bucket"
+    )
+    return (
+        u.alias("a")
+        .join(u.alias("b"), (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(_dot(F.col("a.unit_vec"), F.col("b.unit_vec")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,129 @@
+"""Text analysis operators: tokenization, quality scoring, language ID,
+fingerprinting.
+
+All expressions are Spark built-ins (split / filter / transform /
+regexp_replace / md5) so they run JVM-side inside whole-stage codegen —
+no Python in the hot path. Every operator has an exact cross-engine SQL
+rendering (used by the DuckDB oracles in workloads/text.py), so results
+are engine-independent and deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# deliberately small, fixed stopword sets — the *operator contract* is
+# deterministic scoring, not linguistic accuracy; swap lists freely.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "it", "that", "for", "on"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "se", "por"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "du", "que"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "zu"],
+    "it": ["il", "la", "di", "che", "e", "un", "per", "con", "del", "si"],
+}
+LANGS = list(STOPWORDS)
+
+
+def tokens(text_col: str) -> Column:
+    """Whitespace tokenization of lowercased text."""
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def token_count(df: DataFrame, text_col: str = "text", out: str = "n_tokens") -> DataFrame:
+    return df.withColumn(out, F.size(tokens(text_col)))
+
+
+def bpe_ish_token_count(df: DataFrame, text_col: str = "text", out: str = "n_subtokens") -> DataFrame:
+    """Sub-word-ish token estimate: word-boundary pieces + digits split,
+    a cheap stand-in for a BPE tokenizer's token count."""
+    pieces = F.split(
+        F.regexp_replace(F.lower(F.col(text_col)), r"([0-9])", r" $1 "), r"[^a-z0-9]+"
+    )
+    return df.withColumn(out, F.size(F.filter(pieces, lambda t: t != "")))
+
+
+def stopword_hits(text_col: str, lang: str) -> Column:
+    """How many tokens are stopwords of `lang` (duplicates counted)."""
+    words = STOPWORDS[lang]
+    lit_list = ", ".join(f"'{w}'" for w in words)
+    return F.expr(
+        f"size(filter(split(lower(trim({text_col})), '\\\\s+'), t -> t IN ({lit_list})))"
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
+    """n-gram/stopword-overlap language ID heuristic.
+
+    Deterministic: ties resolve in fixed LANGS order. One projection, no
+    shuffle; at 100 TB this is a map-only pass.
+    """
+    for lang in LANGS:
+        df = df.withColumn(f"_s_{lang}", stopword_hits(text_col, lang))
+    best = F.greatest(*[F.col(f"_s_{lang}") for lang in LANGS])
+    pick = None
+    for lang in LANGS:
+        cond = F.col(f"_s_{lang}") >= best
+        pick = F.when(cond, F.lit(lang)) if pick is None else pick.when(cond, F.lit(lang))
+    df = df.withColumn(out, pick)
+    return df.drop(*[f"_s_{lang}" for lang in LANGS])
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + score.
+
+    score ∈ [0,1]: rewards mid-length documents with low punctuation noise
+    and a plausible stopword ratio (classic heuristic pre-filter shape).
+    """
+    n_chars = F.length(F.col(text_col))
+    n_toks = F.size(tokens(text_col))
+    punct = F.length(F.regexp_replace(F.col(text_col), r"[a-zA-Z0-9\s]", ""))
+    stop_en = stopword_hits(text_col, "en")
+    df = (
+        df.withColumn("n_chars_q", n_chars)
+        .withColumn("n_tokens_q", n_toks)
+        .withColumn("punct_ratio", F.round(punct / F.greatest(n_chars, F.lit(1)), 6))
+        .withColumn("stopword_ratio", F.round(stop_en / F.greatest(n_toks, F.lit(1)), 6))
+        .withColumn(
+            "avg_token_len",
+            F.round(
+                (n_chars - (n_toks - F.lit(1))) / F.greatest(n_toks, F.lit(1)), 6
+            ),
+        )
+    )
+    # score uses the RAW ratios (not the rounded output columns): rounding
+    # first creates exact decimal midpoints whose final round() is
+    # engine-dependent at the last digit
+    raw_punct = punct / F.greatest(n_chars, F.lit(1))
+    raw_stop = stop_en / F.greatest(n_toks, F.lit(1))
+    length_term = F.least(F.col("n_tokens_q") / F.lit(64.0), F.lit(1.0))
+    score = (
+        length_term * F.lit(0.5)
+        + (F.lit(1.0) - F.least(raw_punct * F.lit(4.0), F.lit(1.0))) * F.lit(0.3)
+        + F.least(raw_stop * F.lit(5.0), F.lit(1.0)) * F.lit(0.2)
+    )
+    return df.withColumn("quality_score", F.round(score, 6))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", out: str = "doc_fingerprint") -> DataFrame:
+    """Deterministic document fingerprint: md5 over the normalized text
+    (lowercase, non-alphanumerics removed) — canonical-form hashing."""
+    normalized = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]", "")
+    return df.withColumn(out, F.md5(normalized))
+
+
+def shingles(text_col: str, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> (distinct preserved later).
+
+    Built from transform over a token-index sequence — all JVM-side.
+    """
+    return F.expr(
+        f"""
+        CASE WHEN size(split(lower(trim({text_col})), '\\\\s+')) >= {n}
+        THEN transform(
+          sequence(1, size(split(lower(trim({text_col})), '\\\\s+')) - {n - 1}),
+          i -> concat_ws(' ', slice(split(lower(trim({text_col})), '\\\\s+'), i, {n}))
+        )
+        ELSE array(concat_ws(' ', split(lower(trim({text_col})), '\\\\s+')))
+        END
+        """
+    )

@@ -45,6 +45,7 @@ def get_spark(app_name: str = "bruin_spark", master: str | None = None) -> Spark
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.driver.memory", os.environ.get("BRUIN_SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
     )
     if master or not SparkSession.getActiveSession():
         builder = builder.master(master or DEFAULT_MASTER)

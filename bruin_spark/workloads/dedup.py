@@ -1,1 +1,195 @@
-QUERIES: dict = {}
+"""Deduplication workloads over `documents`, with DuckDB oracles.
+
+Oracle strategy: every hash the Spark side computes is md5-based, so the
+DuckDB oracle reproduces signatures (and therefore candidate sets and
+final pairs) bit-for-bit. Shingles, MinHash permutations, LSH bands and
+SimHash bit votes are all re-expressed in DuckDB list comprehensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bruin_spark.operators import dedup as D
+from bruin_spark.session import read_parquet
+
+NGRAM = 3
+MINHASH_K = 16
+LSH_BANDS = 4
+JACCARD_T = 0.5
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    return read_parquet(spark, os.path.join(sf_dir, "documents.parquet"))
+
+
+# shared DuckDB fragments ------------------------------------------------------
+
+_DUCK_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
+_DUCK_SHINGLES = f"""
+list_distinct(
+  CASE WHEN len({_DUCK_TOKS}) >= {NGRAM}
+  THEN [array_to_string(list_slice({_DUCK_TOKS}, i, i + {NGRAM - 1}), ' ')
+        FOR i IN generate_series(1, len({_DUCK_TOKS}) - {NGRAM - 1})]
+  ELSE [array_to_string({_DUCK_TOKS}, ' ')]
+  END
+)
+"""
+
+
+# -- exact dedup -----------------------------------------------------------------
+
+
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_duplicates(_docs(spark, sf_dir))
+
+
+EXACT_ORACLE = """
+SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS doc_fingerprint,
+       COUNT(*) AS group_size,
+       MIN(doc_id) AS canonical_id,
+       list_sort(list(doc_id)) AS member_ids
+FROM documents
+GROUP BY 1
+HAVING COUNT(*) > 1
+"""
+
+
+def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = D.exact_dedup(_docs(spark, sf_dir))
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+EXACT_SURVIVORS_ORACLE = """
+SELECT doc_id, lang, source, n_chars
+FROM (
+  SELECT doc_id, lang, source, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+           ORDER BY doc_id
+         ) AS rn
+  FROM documents
+)
+WHERE rn = 1
+"""
+
+
+# -- n-gram Jaccard ---------------------------------------------------------------
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), n=NGRAM, threshold=JACCARD_T)
+
+
+NGRAM_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id AS id, {_DUCK_SHINGLES} AS sh FROM documents
+),
+inv AS (SELECT id, UNNEST(sh) AS shingle FROM sh),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM pairs
+JOIN (SELECT id, len(sh) AS n_sh FROM sh) sa ON sa.id = id_a
+JOIN (SELECT id, len(sh) AS n_sh FROM sh) sb ON sb.id = id_b
+WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_T}
+"""
+
+
+# -- MinHash signatures + LSH pipeline ---------------------------------------------
+
+
+def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_signature(_docs(spark, sf_dir), k=MINHASH_K, n=NGRAM)
+
+
+def _minhash_oracle() -> str:
+    sig = ", ".join(
+        f"list_min([md5(concat('{i}:', s)) FOR s IN sh]) AS mh_{i}" for i in range(MINHASH_K)
+    )
+    return f"""
+WITH sh AS (SELECT doc_id AS id, {_DUCK_SHINGLES} AS sh FROM documents)
+SELECT id, {sig} FROM sh
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_dedup_pairs(
+        _docs(spark, sf_dir), k=MINHASH_K, bands=LSH_BANDS, n=NGRAM, threshold=JACCARD_T
+    )
+
+
+def _minhash_lsh_oracle() -> str:
+    r = MINHASH_K // LSH_BANDS
+    sig = ", ".join(
+        f"list_min([md5(concat('{i}:', s)) FOR s IN sh]) AS mh_{i}" for i in range(MINHASH_K)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, md5(concat_ws('|', {', '.join(f'mh_{i}' for i in range(b * r, (b + 1) * r))})) AS band_key FROM sig"
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+WITH sh AS (SELECT doc_id AS id, {_DUCK_SHINGLES} AS sh FROM documents),
+sig AS (SELECT id, {sig} FROM sh),
+bands AS ({band_selects}),
+cands AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(len(list_intersect(sa.sh, sb.sh)) / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
+FROM cands
+JOIN sh sa ON sa.id = id_a
+JOIN sh sb ON sb.id = id_b
+WHERE len(list_intersect(sa.sh, sb.sh)) / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= {JACCARD_T}
+"""
+
+
+# -- SimHash ----------------------------------------------------------------------
+
+
+def dedup_simhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash64(_docs(spark, sf_dir))
+
+
+def _simhash_oracle() -> str:
+    return f"SELECT doc_id, {D.simhash_sql_expr('text', 'duckdb')} AS simhash FROM documents"
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def _simhash_pairs_oracle() -> str:
+    width = D.SIMHASH_BITS // 4
+    blocks = " UNION ALL ".join(
+        f"SELECT doc_id AS id, simhash, {c} AS blk, (simhash >> {c * width}) & {2**width - 1} AS blk_key FROM sig"
+        for c in range(4)
+    )
+    return f"""
+WITH sig AS (SELECT doc_id, {D.simhash_sql_expr('text', 'duckdb')} AS simhash FROM documents),
+blocked AS ({blocks})
+SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM blocked a
+JOIN blocked b ON a.blk = b.blk AND a.blk_key = b.blk_key AND a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+QUERIES = {
+    "dedup_exact_groups": (dedup_exact_groups, EXACT_ORACLE),
+    "dedup_simhash_signature": (dedup_simhash_signature, _simhash_oracle()),
+    "dedup_simhash_pairs": (dedup_simhash_pairs, _simhash_pairs_oracle()),
+    "dedup_exact_survivors": (dedup_exact_survivors, EXACT_SURVIVORS_ORACLE),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, NGRAM_ORACLE),
+    "dedup_minhash_signature": (dedup_minhash_signature, _minhash_oracle()),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_lsh_oracle()),
+}

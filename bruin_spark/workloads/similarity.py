@@ -1,1 +1,138 @@
-QUERIES: dict = {}
+"""Similarity-search workloads over `embeddings`, with DuckDB oracles.
+
+Cosines are computed with the SAME formula on both sides
+(normalize-then-dot, sequential fold over the vector) and rounded to 4
+decimals before ranking, so ranks are deterministic and engine-identical
+(ties broken by neighbour id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bruin_spark.operators import similarity as S
+from bruin_spark.session import read_parquet
+
+K = 5
+QUERY_MOD = 100  # vec_id % 100 == 0 → query set
+THRESHOLD = 0.55
+N_PLANES = 4
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    return read_parquet(spark, os.path.join(sf_dir, "embeddings.parquet"))
+
+
+# DuckDB: unit vector + sequential-fold dot product mirroring Spark's
+# aggregate(zip_with(...)) exactly.
+_DUCK_UNIT = """
+list_transform(embedding::DOUBLE[],
+  x -> coalesce(x / nullif(sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y * y))), 0), 0.0))
+"""
+
+
+def _duck_dot(a: str, b: str) -> str:
+    return f"list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i]))"
+
+
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(f"vec_id % {QUERY_MOD} = 0").withColumnRenamed("vec_id", "query_id")
+    return S.cosine_topk(emb, queries, k=K)
+
+
+TOPK_ORACLE = f"""
+WITH u AS (SELECT vec_id, {_DUCK_UNIT} AS uv FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+         ROUND({_duck_dot('q.uv', 'c.uv')}, 6) AS cosine
+  FROM u q CROSS JOIN u c
+  WHERE q.vec_id % {QUERY_MOD} = 0
+)
+SELECT query_id, nn_id, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rank
+  FROM scored
+) WHERE rank <= {K}
+"""
+
+
+def sim_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.embedding_near_dup(_emb(spark, sf_dir), threshold=THRESHOLD, exact=True)
+
+
+NEAR_DUP_ORACLE = f"""
+WITH u AS (SELECT vec_id, {_DUCK_UNIT} AS uv FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND({_duck_dot('a.uv', 'b.uv')}, 6) AS cosine
+FROM u a JOIN u b ON a.vec_id < b.vec_id
+WHERE ROUND({_duck_dot('a.uv', 'b.uv')}, 6) >= {THRESHOLD}
+"""
+
+
+def sim_lsh_bucket_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket histogram — verifies the bucketing function itself."""
+    from pyspark.sql import functions as F
+
+    b = S.lsh_bucket(_emb(spark, sf_dir), n_planes=N_PLANES)
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_vectors"), F.min("vec_id").alias("min_vec_id")
+    )
+
+
+def _lsh_bucket_oracle() -> str:
+    dim = 64
+    planes = S._hyperplanes(dim, N_PLANES)
+    terms = []
+    for i, plane in enumerate(planes):
+        arr = "[" + ", ".join(str(v) for v in plane) + "]"
+        dot = _duck_dot("v.dv", f"({arr}::DOUBLE[])")
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {2**i} ELSE 0 END)")
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings)
+SELECT {' + '.join(terms)} AS bucket, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
+FROM v
+GROUP BY 1
+"""
+
+
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(f"vec_id % {QUERY_MOD} = 0").withColumnRenamed("vec_id", "query_id")
+    return S.lsh_topk(emb, queries, k=K, n_planes=N_PLANES)
+
+
+def _lsh_topk_oracle() -> str:
+    dim = 64
+    planes = S._hyperplanes(dim, N_PLANES)
+    terms = []
+    for i, plane in enumerate(planes):
+        arr = "[" + ", ".join(str(v) for v in plane) + "]"
+        # Spark's lsh_topk buckets on the RAW vector (sign is
+        # scale-invariant); mirror that exactly
+        dot = _duck_dot("dv", f"({arr}::DOUBLE[])")
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {2**i} ELSE 0 END)")
+    bucket = " + ".join(terms)
+    return f"""
+WITH u AS (SELECT vec_id, embedding::DOUBLE[] AS dv, {_DUCK_UNIT} AS uv FROM embeddings),
+b AS (SELECT vec_id, uv, {bucket} AS bucket FROM u),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+         ROUND({_duck_dot('q.uv', 'c.uv')}, 6) AS cosine
+  FROM b q JOIN b c ON q.bucket = c.bucket
+  WHERE q.vec_id % {QUERY_MOD} = 0
+)
+SELECT query_id, nn_id, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rank
+  FROM scored
+) WHERE rank <= {K}
+"""
+
+
+QUERIES = {
+    "sim_topk_bruteforce": (sim_topk_bruteforce, TOPK_ORACLE),
+    "sim_near_dup_exact": (sim_near_dup_exact, NEAR_DUP_ORACLE),
+    "sim_lsh_bucket_sizes": (sim_lsh_bucket_sizes, _lsh_bucket_oracle()),
+    "sim_lsh_topk": (sim_lsh_topk, _lsh_topk_oracle()),
+}

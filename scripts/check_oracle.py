@@ -52,10 +52,13 @@ def df_to_rows(cols, rows):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     sf_dir = SF_DIR
-    if "--sf" in sys.argv:
-        sf_dir = sys.argv[sys.argv.index("--sf") + 1]
+    if "--sf" in argv:
+        i = argv.index("--sf")
+        sf_dir = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    args = [a for a in argv if not a.startswith("--")]
 
     import duckdb
 
