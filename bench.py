@@ -47,6 +47,10 @@ def main() -> int:
 
     spark = get_spark("bruin_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # Warmup: absorb one-time executor/codegen/broadcast init so the timed
+    # section measures steady-state query cost, not JVM spin-up.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(os.path.join(SF_DIR, "nation.parquet")).count()
     registry = collect_queries()
     names = [n for n in HEADLINE if n in registry]
     if filters:

@@ -116,16 +116,22 @@ def minhash_signature(
     Permutation i is simulated by ``md5(i || ':' || shingle)``; the
     signature element is the lexicographic minimum hex digest. Identical
     across engines (md5 is md5), deterministic, and entirely JVM-side.
+
+    Plan shape: explode shingles → k flat ``MIN(md5(...))`` aggregates in
+    one groupBy. The array form (array_min over transform) is interpreted
+    (higher-order functions are CodegenFallback) AND projection collapse
+    inlines the shingle computation into every signature column; the
+    aggregate is a barrier that guarantees shingles evaluate once, and
+    map-side partial MIN means the shuffle carries k hashes per doc.
     """
-    sh = df.select(F.col(id_col).alias("id"), F.array_distinct(shingles(text_col, n)).alias("sh"))
-
-    def perm(i: int):
-        # single-arg lambda: a 2-arg lambda would be interpreted by
-        # transform() as the (element, index) form
-        return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
-
-    sig_cols = [F.array_min(F.transform("sh", perm(i))).alias(f"mh_{i}") for i in range(k)]
-    return sh.select("id", *sig_cols)
+    sh_rows = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(text_col, n))).alias("_s"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("_s")))).alias(f"mh_{i}") for i in range(k)
+    ]
+    return sh_rows.groupBy("id").agg(*aggs)
 
 
 def minhash_lsh_candidates(
@@ -145,13 +151,23 @@ def minhash_lsh_candidates(
     assert k % bands == 0
     r = k // bands
     sig = minhash_signature(df, id_col, text_col, k, n)
-    band_rows = None
-    for b in range(bands):
-        cols = [F.col(f"mh_{i}") for i in range(b * r, (b + 1) * r)]
-        row = sig.select(
-            "id", F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("band_key")
-        )
-        band_rows = row if band_rows is None else band_rows.unionByName(row)
+    # One pass: signature computed once per row, bands exploded from an
+    # inline array (a union of per-band selects re-evaluates the whole
+    # signature expression once per band).
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws("|", *[F.col(f"mh_{i}") for i in range(b * r, (b + 1) * r)])
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    band_rows = sig.select("id", F.explode(band_structs).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
 
     return (
         band_rows.alias("a")
@@ -176,9 +192,23 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: LSH candidates verified with
-    exact Jaccard (verification join only touches candidate ids)."""
+    exact Jaccard (verification join only touches candidate ids).
+
+    Shingle sets for verification are computed only for docs that appear
+    in some candidate pair (semi-join first): at low dup rates that is a
+    tiny fraction of the corpus, so the expensive shingle expression runs
+    on ~|candidates| docs instead of all of them — twice matters at 100 TB.
+    """
     cands = minhash_lsh_candidates(df, id_col, text_col, k, bands, n)
-    sh = df.select(F.col(id_col).alias("id"), F.array_distinct(shingles(text_col, n)).alias("sh"))
+    cand_ids = (
+        cands.select(F.col("id_a").alias("cid"))
+        .union(cands.select(F.col("id_b").alias("cid")))
+        .distinct()
+    )
+    docs_small = df.join(cand_ids, F.col(id_col) == F.col("cid"), "left_semi")
+    sh = docs_small.select(
+        F.col(id_col).alias("id"), F.array_distinct(shingles(text_col, n)).alias("sh")
+    )
     verified = (
         cands.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
@@ -202,24 +232,15 @@ def minhash_dedup_pairs(
 SIMHASH_BITS = 48  # 12 md5 hex digits × 4 bits; fits bigint with headroom
 
 
-def simhash_sql_expr(text_col: str = "text", dialect: str = "spark") -> str:
-    """SimHash signature as a SQL expression, generated per dialect.
+def simhash_sql_expr(text_col: str = "text", dialect: str = "duckdb") -> str:
+    """SimHash signature as a single SQL expression (oracle side).
 
-    One generator feeds both the Spark operator and the DuckDB oracle so
-    the bit arithmetic is identical by construction. Per bit: each token
-    votes ±1 using bit b of md5 hex digit h; signature bit = vote > 0.
+    Mirrors simhash64's arithmetic exactly: per bit, each token votes ±1
+    using bit b of md5 hex digit h; signature bit = vote > 0. The Spark
+    operator computes the identical value through an explode/groupBy plan
+    (see simhash64); this expression form exists for the DuckDB oracle.
     """
-    if dialect == "spark":
-        toks = f"split(lower(trim({text_col})), '\\\\s+')"
-
-        def vote(h: int, p: int) -> str:
-            return (
-                f"aggregate(transform({toks}, t -> CASE WHEN "
-                f"((position(substr(md5(t), {h + 1}, 1) IN '0123456789abcdef') - 1) DIV {p}) % 2 = 1 "
-                f"THEN 1 ELSE -1 END), 0, (acc, x) -> acc + x)"
-            )
-
-    elif dialect == "duckdb":
+    if dialect == "duckdb":
         toks = f"string_split_regex(lower(trim({text_col})), '\\s+')"
 
         def vote(h: int, p: int) -> str:
@@ -246,10 +267,33 @@ def simhash64(
 ) -> DataFrame:
     """SimHash signature over word tokens (SIMHASH_BITS wide).
 
-    Pure expression pipeline: transform + aggregate over the token array,
-    no UDF, no shuffle — map-only at any scale.
+    Shape chosen for codegen: explode tokens → md5 ONCE per token → 48
+    flat ``SUM(CASE ...)`` bit-vote aggregates in one groupBy. Spark's
+    higher-order array functions (transform/aggregate) are interpreted
+    (CodegenFallback), so the seemingly shuffle-free fold-over-array form
+    is ~10× slower than this explode + hash-aggregate plan; the groupBy
+    does map-side partial aggregation, so the shuffle moves only
+    48 ints per document.
     """
-    return df.select(F.col(id_col), F.expr(simhash_sql_expr(text_col, "spark")).alias(out))
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    tok = df.select(F.col(id_col), F.explode(toks).alias("_t")).select(
+        id_col, F.md5("_t").alias("_d")
+    )
+    votes = []
+    for bit in range(SIMHASH_BITS):
+        h, p = bit // 4, 2 ** (bit % 4)
+        vote = (
+            f"CASE WHEN ((position(substr(_d, {h + 1}, 1) IN '0123456789abcdef') - 1) "
+            f"DIV {p}) % 2 = 1 THEN 1 ELSE -1 END"
+        )
+        votes.append(F.sum(F.expr(vote)).alias(f"_v{bit}"))
+    sig = tok.groupBy(id_col).agg(*votes)
+    acc = F.lit(0).cast("bigint")
+    for bit in range(SIMHASH_BITS):
+        acc = acc + F.when(F.col(f"_v{bit}") > 0, F.lit(2**bit).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return sig.select(F.col(id_col), acc.alias(out))
 
 
 def simhash_near_pairs(
@@ -267,15 +311,22 @@ def simhash_near_pairs(
     """
     width = SIMHASH_BITS // n_chunks
     sig = simhash64(df, id_col, text_col)
-    blocked = None
-    for c in range(n_chunks):
-        b = sig.select(
-            F.col(id_col).alias("id"),
-            "simhash",
-            F.lit(c).alias("blk"),
-            F.shiftright("simhash", c * width).bitwiseAND(F.lit(2**width - 1)).alias("blk_key"),
-        )
-        blocked = b if blocked is None else blocked.unionByName(b)
+    # Explode chunk keys from one signature evaluation (the per-chunk
+    # union form recomputes the 48-bit signature expression per chunk).
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("blk"),
+                F.shiftright("simhash", c * width)
+                .bitwiseAND(F.lit(2**width - 1))
+                .alias("blk_key"),
+            )
+            for c in range(n_chunks)
+        ]
+    )
+    blocked = sig.select(
+        F.col(id_col).alias("id"), "simhash", F.explode(chunk_structs).alias("bk")
+    ).select("id", "simhash", F.col("bk.blk").alias("blk"), F.col("bk.blk_key").alias("blk_key"))
     return (
         blocked.alias("a")
         .join(

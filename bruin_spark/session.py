@@ -63,11 +63,15 @@ def read_parquet(spark: SparkSession, path: str):
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(path)
+    n_row_groups = None
     try:
         import pyarrow.parquet as pq
 
-        schema = pq.read_schema(path)
+        pf = pq.ParquetFile(path)
+        schema = pf.schema_arrow
         nano_cols = {f.name for f in schema if str(f.type) == "timestamp[ns]"}
+        n_row_groups = pf.metadata.num_row_groups
+        n_rows = pf.metadata.num_rows
     except Exception:
         nano_cols = set()
     for name, dtype in df.dtypes:
@@ -75,6 +79,14 @@ def read_parquet(spark: SparkSession, path: str):
             df = df.withColumn(
                 name, F.expr(f"timestamp_micros(`{name}` div 1000)").cast("timestamp_ntz")
             )
+    # Parquet can only split at row-group boundaries: a single-row-group
+    # file is ONE input partition no matter how many cores exist, so every
+    # downstream map stage runs serially. Fan small inputs out to the
+    # cluster's parallelism (footer-metadata check only; at real scale
+    # inputs have >= cores row groups and this is a no-op).
+    cores = spark.sparkContext.defaultParallelism
+    if n_row_groups is not None and n_row_groups < cores and n_rows >= 1000:
+        df = df.repartition(cores)
     return df
 
 
