@@ -1,0 +1,530 @@
+"""Semantic query compiler: Query -> one ANSI SELECT string.
+
+Behavioral parity with the reference compiler
+(semantic-engine/engine.go:251-283 GenerateSQL; windowSQL 526-566;
+applyMetricFilter 605-633; buildWhereHaving 662-748; filterToSQL 790-849;
+generateWrapped 426-493), re-implemented from scratch in Python. The
+emitted SQL is deliberately dialect-neutral — Spark SQL and DuckDB both
+execute it unchanged, which is exactly how the correctness oracle works.
+
+Compilation shapes:
+
+- simple: ``SELECT dims..., metrics... FROM t [JOIN ...] WHERE ...
+  GROUP BY 1..n HAVING ... ORDER BY ... LIMIT n``
+- wrapped (any window metric present): the plain aggregates compile into
+  an inner grouped subquery ``base``; window/derived metrics are applied
+  in the outer SELECT over ``base`` columns.
+
+Metric kinds:
+- plain: an aggregate expression, optional ``filter`` rewritten to
+  ``AGG(CASE WHEN f THEN arg END)`` (DISTINCT and * handled).
+- derived: expression over ``{metric_or_dim}`` refs, expanded
+  recursively; a ref appearing as a divisor is wrapped in NULLIF(...,0).
+- window: running_total | lag | lead | rank | percent_of_total over the
+  grouped base rows.
+"""
+
+from __future__ import annotations
+
+import re
+
+from bruin_spark.semantic.model import (
+    Dimension,
+    DimensionRef,
+    Filter,
+    Metric,
+    Model,
+    Query,
+    SortSpec,
+)
+
+_REF = re.compile(r"\{([A-Za-z_][A-Za-z0-9_.]*)\}")
+_AGG_FNS = re.compile(
+    r"\b(sum|count|avg|min|max|stddev|stddev_pop|stddev_samp|var_pop|var_samp|"
+    r"approx_count_distinct|median|percentile_cont)\s*\(",
+    re.IGNORECASE,
+)
+_OPERATOR = re.compile(r"[+\-*/]")
+
+
+class SemanticError(ValueError):
+    pass
+
+
+def _fmt_value(v) -> str:
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if v is None:
+        return "NULL"
+    return f"{v:g}" if isinstance(v, float) else str(v)
+
+
+def _fmt_list(v) -> str:
+    if not isinstance(v, (list, tuple)):
+        v = [v]
+    return ", ".join(_fmt_value(x) for x in v)
+
+
+class SemanticEngine:
+    """Compiles Queries against a primary model plus joinable models."""
+
+    def __init__(self, model: Model, others: list[Model] | None = None):
+        self.model = model
+        self.models = {model.name: model}
+        for m in others or []:
+            self.models[m.name] = m
+        self.dims: dict[str, Dimension] = {d.name: d for d in model.dimensions}
+        self.metrics: dict[str, Metric] = {m.name: m for m in model.metrics}
+        self.segments = {s.name: s for s in model.segments}
+        self._has_joins_cache = False
+        self._validate_model()
+
+    # -- validation ----------------------------------------------------------
+
+    def _validate_model(self) -> None:
+        for j in self.model.joins:
+            if j.target_model not in self.models:
+                raise SemanticError(f"join target model not found: {j.target_model}")
+            if not j.sql and not j.foreign_key:
+                raise SemanticError(f"join {j.name}: needs foreign_key or sql")
+            target = self.models[j.target_model]
+            if not j.sql and not (j.target_key or target.primary_key):
+                raise SemanticError(f"join {j.name}: target has no key")
+        for m in self.model.metrics:
+            if m.window and m.window.type not in (
+                "running_total",
+                "lag",
+                "lead",
+                "rank",
+                "percent_of_total",
+            ):
+                raise SemanticError(f"metric {m.name}: unknown window type {m.window.type}")
+            if m.window and m.window.type != "rank" and not _REF.search(m.expression):
+                # window metrics apply over a referenced base metric
+                pass
+
+    # -- public API ----------------------------------------------------------
+
+    def generate_sql(self, q: Query) -> str:
+        sql, _cols = self.generate_sql_with_columns(q)
+        return sql
+
+    def generate_sql_with_columns(self, q: Query) -> tuple[str, list[tuple[str, str]]]:
+        """Returns (sql, [(output_name, referenced_field), ...])."""
+        if not q.dimensions and not q.metrics:
+            raise SemanticError("query must include at least one dimension or metric")
+        self._validate_query(q)
+        joins = self._needed_joins(q)
+        if self._needs_window_wrap(q.metrics):
+            sql = self._generate_wrapped(q, joins)
+        else:
+            sql = self._generate_simple(q, joins)
+        cols = [(self._dim_alias(d), d.name) for d in q.dimensions]
+        cols += [(m, m) for m in q.metrics]
+        return sql, cols
+
+    # -- resolution ----------------------------------------------------------
+
+    def _resolve_dim(self, ref: DimensionRef) -> tuple[Model, str, Dimension]:
+        """-> (owning model, relation alias ('' = primary), Dimension)."""
+        if "." in ref.name:
+            rel, dim_name = ref.name.split(".", 1)
+            join = next((j for j in self.model.joins if j.name == rel), None)
+            if join is None:
+                raise SemanticError(f"unknown relation: {rel}")
+            target = self.models[join.target_model]
+            dim = next((d for d in target.dimensions if d.name == dim_name), None)
+            if dim is None:
+                raise SemanticError(f"dimension not found: {ref.name}")
+            return target, rel, dim
+        dim = self.dims.get(ref.name)
+        if dim is None:
+            raise SemanticError(f"dimension not found: {ref.name}")
+        return self.model, "", dim
+
+    def _dim_alias(self, ref: DimensionRef) -> str:
+        base = ref.name.replace(".", "_")
+        return f"{base}_{ref.granularity}" if ref.granularity else base
+
+    def _dim_sql(self, ref: DimensionRef) -> str:
+        model, rel, dim = self._resolve_dim(ref)
+        expr = dim.expr(ref.granularity)
+        alias = rel or self.model.name
+        # qualify bare column references when joins are in play
+        if self._has_joins_cache and re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", expr):
+            return f"{alias}.{expr}"
+        return expr
+
+    def _validate_query(self, q: Query) -> None:
+        for d in q.dimensions:
+            _model, _rel, dim = self._resolve_dim(d)
+            if d.granularity:
+                if dim.type != "time":
+                    raise SemanticError(f"granularity on non-time dimension: {d.name}")
+                if d.granularity not in dim.granularities:
+                    raise SemanticError(
+                        f"invalid granularity {d.granularity!r} for dimension {d.name}"
+                    )
+        for name in q.metrics:
+            if name not in self.metrics:
+                raise SemanticError(f"metric not found: {name}")
+        for name in q.segments:
+            if name not in self.segments:
+                raise SemanticError(f"segment not found: {name}")
+        for f in q.filters:
+            if f.expression:
+                continue
+            if not f.dimension:
+                raise SemanticError("filter dimension is required")
+            ops = {
+                "equals", "not_equals", "gt", "gte", "lt", "lte",
+                "in", "not_in", "between", "is_null", "is_not_null",
+            }
+            if f.operator not in ops:
+                raise SemanticError(f"invalid filter operator {f.operator!r}")
+        for s in q.sort:
+            if s.name not in self.metrics and not self._sortable_dim(q, s.name):
+                raise SemanticError(f"sort field not found: {s.name}")
+
+    def _ref_for_alias(self, alias: str) -> DimensionRef | None:
+        """Reverse an output alias to a DimensionRef (granularity-aware)."""
+        if alias in self.dims:
+            return DimensionRef(alias)
+        for d in self.dims.values():
+            for g in d.granularities:
+                if f"{d.name}_{g}" == alias:
+                    return DimensionRef(d.name, granularity=g)
+        return None
+
+    def _sortable_dim(self, q: Query, name: str) -> DimensionRef | None:
+        for d in q.dimensions:
+            if d.name == name or self._dim_alias(d) == name:
+                return d
+        return None
+
+    # -- joins ---------------------------------------------------------------
+
+    def _needed_joins(self, q: Query) -> list:
+        rels: set[str] = set()
+        for d in q.dimensions:
+            if "." in d.name:
+                rels.add(d.name.split(".", 1)[0])
+        for f in q.filters:
+            for ref in _REF.findall(f.expression or ""):
+                if "." in ref:
+                    rels.add(ref.split(".", 1)[0])
+            if f.dimension and "." in f.dimension:
+                rels.add(f.dimension.split(".", 1)[0])
+        joins = [j for j in self.model.joins if j.name in rels]
+        missing = rels - {j.name for j in joins}
+        if missing:
+            raise SemanticError(f"unknown relations: {sorted(missing)}")
+        self._has_joins_cache = bool(joins)
+        return joins
+
+    def _from_sql(self, joins) -> str:
+        out = f" FROM {self.model.table} AS {self.model.name}"
+        for j in joins:
+            target = self.models[j.target_model]
+            if j.sql:
+                on = j.sql
+            else:
+                tk = j.target_key or target.primary_key
+                on = f"{self.model.name}.{j.foreign_key} = {j.name}.{tk}"
+            out += f" LEFT JOIN {target.table} AS {j.name} ON {on}"
+        return out
+
+    # -- metric expansion ----------------------------------------------------
+
+    def _is_derived(self, m: Metric) -> bool:
+        return bool(_REF.search(m.expression)) and m.window is None
+
+    def _expand_refs(self, expr: str, resolve) -> str:
+        out, prev = [], 0
+        for match in _REF.finditer(expr):
+            out.append(expr[prev : match.start()])
+            expanded = resolve(match.group(1))
+            before = expr[: match.start()].rstrip()
+            if before.endswith("/"):
+                expanded = f"NULLIF({expanded}, 0)"
+            out.append(expanded)
+            prev = match.end()
+        out.append(expr[prev:])
+        return "".join(out)
+
+    def _apply_metric_filter(self, expr: str, filt: str) -> str:
+        expr = expr.strip()
+        open_i = expr.find("(")
+        if open_i == -1:
+            return expr
+        fn = expr[:open_i].strip()
+        depth, close_i = 1, -1
+        for i in range(open_i + 1, len(expr)):
+            if expr[i] == "(":
+                depth += 1
+            elif expr[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    close_i = i
+                    break
+        if close_i == -1:
+            return expr
+        inner = expr[open_i + 1 : close_i].strip()
+        if inner == "*":
+            return f"{fn}(CASE WHEN {filt} THEN 1 ELSE NULL END)"
+        if inner.upper().startswith("DISTINCT "):
+            arg = inner[len("DISTINCT ") :].strip()
+            return f"{fn}(DISTINCT CASE WHEN {filt} THEN {arg} ELSE NULL END)"
+        return f"{fn}(CASE WHEN {filt} THEN {inner} ELSE NULL END)"
+
+    def _expand_simple(self, name: str, visited: frozenset = frozenset()) -> str:
+        if name in visited:
+            raise SemanticError(f"circular metric dependency: {name}")
+        m = self.metrics.get(name)
+        if m is None:
+            raise SemanticError(f"metric not found: {name}")
+        if m.window is not None:
+            raise SemanticError(f"window metric {name!r} not usable here")
+        if not self._is_derived(m):
+            expr = m.expression
+            if m.filter:
+                filt = self._expand_filter_text(m.filter)
+                return self._apply_metric_filter(expr, filt)
+            return expr
+
+        def resolve(ref: str) -> str:
+            if ref in self.dims or "." in ref:
+                return self._dim_sql(DimensionRef(ref))
+            expanded = self._expand_simple(ref, visited | {name})
+            return f"({expanded})" if _OPERATOR.search(expanded) else expanded
+
+        return self._expand_refs(m.expression, resolve)
+
+    def _expand_outer(self, name: str, visited: frozenset = frozenset()) -> str:
+        if name in visited:
+            raise SemanticError(f"circular metric dependency: {name}")
+        m = self.metrics.get(name)
+        if m is None:
+            raise SemanticError(f"metric not found: {name}")
+        if m.window is not None:
+            return self._window_sql(m)
+        if not self._is_derived(m):
+            return f"base.{name}"
+
+        def resolve(ref: str) -> str:
+            expanded = self._expand_outer(ref, visited | {name})
+            return f"({expanded})" if _OPERATOR.search(expanded) else expanded
+
+        return self._expand_refs(m.expression, resolve)
+
+    def _window_sql(self, m: Metric) -> str:
+        w = m.window
+        refs = _REF.findall(m.expression)
+        ref = refs[0] if refs else ""
+        parts = ", ".join(f"base.{p}" for p in w.partition_by)
+        partition = f"PARTITION BY {parts} " if parts else ""
+        order = f"base.{w.order_by}"
+        if w.type == "running_total":
+            return f"SUM(base.{ref}) OVER ({partition}ORDER BY {order} ROWS UNBOUNDED PRECEDING)"
+        if w.type == "lag":
+            return f"LAG(base.{ref}, {w.offset}) OVER ({partition}ORDER BY {order})"
+        if w.type == "lead":
+            return f"LEAD(base.{ref}, {w.offset}) OVER ({partition}ORDER BY {order})"
+        if w.type == "rank":
+            return f"RANK() OVER ({partition}ORDER BY {order})"
+        if w.type == "percent_of_total":
+            over = f"({partition.strip()})" if partition else "()"
+            return f"base.{ref} / NULLIF(SUM(base.{ref}) OVER {over}, 0)"
+        raise SemanticError(f"unknown window type: {w.type}")
+
+    def _needs_window_wrap(self, names: list[str]) -> bool:
+        seen: set[str] = set()
+
+        def check(n: str) -> bool:
+            if n in seen:
+                return False
+            seen.add(n)
+            m = self.metrics.get(n)
+            if m is None:
+                return False
+            if m.window is not None:
+                return True
+            return any(check(r) for r in _REF.findall(m.expression) if r in self.metrics)
+
+        return any(check(n) for n in names)
+
+    # -- filters -------------------------------------------------------------
+
+    def _filter_to_sql(self, f: Filter) -> str:
+        if f.expression:
+            return f.expression
+        dim = self._dim_sql(DimensionRef(f.dimension))
+        op, v = f.operator, f.value
+        if op == "equals":
+            return f"{dim} = {_fmt_value(v)}"
+        if op == "not_equals":
+            return f"{dim} != {_fmt_value(v)}"
+        if op == "gt":
+            return f"{dim} > {_fmt_value(v)}"
+        if op == "gte":
+            return f"{dim} >= {_fmt_value(v)}"
+        if op == "lt":
+            return f"{dim} < {_fmt_value(v)}"
+        if op == "lte":
+            return f"{dim} <= {_fmt_value(v)}"
+        if op == "in":
+            return f"{dim} IN ({_fmt_list(v)})"
+        if op == "not_in":
+            return f"{dim} NOT IN ({_fmt_list(v)})"
+        if op == "between":
+            if isinstance(v, dict):
+                lo, hi = v["start"], v["end"]
+            else:
+                lo, hi = v
+            return f"{dim} BETWEEN {_fmt_value(lo)} AND {_fmt_value(hi)}"
+        if op == "is_null":
+            return f"{dim} IS NULL"
+        if op == "is_not_null":
+            return f"{dim} IS NOT NULL"
+        raise SemanticError(f"invalid operator: {op}")
+
+    def _expand_filter_text(self, expr: str) -> str:
+        def resolve(ref: str) -> str:
+            if ref in self.dims or "." in ref:
+                return self._dim_sql(DimensionRef(ref))
+            if ref in self.metrics:
+                return self._expand_simple(ref)
+            raise SemanticError(f"unknown reference {{{ref}}} in filter")
+
+        return self._expand_refs(expr, resolve)
+
+    def _filter_is_having(self, raw: str) -> bool:
+        # aggregate functions outside {refs} OR references to metrics
+        for ref in _REF.findall(raw):
+            if ref in self.metrics:
+                return True
+        return bool(_AGG_FNS.search(_REF.sub("", raw)))
+
+    def _where_having(self, q: Query) -> tuple[str, str]:
+        where, having = [], []
+        for f in q.filters:
+            raw = f.expression or self._filter_to_sql(f)
+            target = having if self._filter_is_having(raw) else where
+            target.append(self._expand_filter_text(raw))
+        for name in q.segments:
+            raw = self.segments[name].filter
+            target = having if self._filter_is_having(raw) else where
+            target.append(self._expand_filter_text(raw))
+        return " AND ".join(where), " AND ".join(having)
+
+    # -- generation ----------------------------------------------------------
+
+    def _order_limit(self, q: Query, outer: bool) -> str:
+        s = ""
+        if q.sort:
+            parts = []
+            for srt in q.sort:
+                assert isinstance(srt, SortSpec)
+                direction = (srt.direction or "asc").upper()
+                name = srt.name
+                d = self._sortable_dim(q, name)
+                if d is not None:
+                    name = self._dim_alias(d)
+                    if outer:
+                        name = f"base.{name}"
+                parts.append(f"{name} {direction}")
+            s += " ORDER BY " + ", ".join(parts)
+        if q.limit:
+            s += f" LIMIT {q.limit}"
+        return s
+
+    def _generate_simple(self, q: Query, joins) -> str:
+        sel, group = [], []
+        for i, d in enumerate(q.dimensions):
+            sel.append(f"{self._dim_sql(d)} AS {self._dim_alias(d)}")
+            group.append(str(i + 1))
+        for name in q.metrics:
+            sel.append(f"{self._expand_simple(name)} AS {name}")
+        sql = "SELECT " + ", ".join(sel) + self._from_sql(joins)
+        where, having = self._where_having(q)
+        if where:
+            sql += f" WHERE {where}"
+        if group:
+            sql += " GROUP BY " + ", ".join(group)
+        if having:
+            sql += f" HAVING {having}"
+        return sql + self._order_limit(q, outer=False)
+
+    def _inner_metrics(self, names: list[str]) -> list[str]:
+        """Base (plain) metrics needed by the outer select, in first-use order."""
+        out: list[str] = []
+        seen: set[str] = set()
+
+        def walk(n: str) -> None:
+            if n in seen:
+                return
+            seen.add(n)
+            m = self.metrics.get(n)
+            if m is None:
+                return
+            if m.window is not None:
+                for r in _REF.findall(m.expression):
+                    walk(r)
+                return
+            if self._is_derived(m):
+                for r in _REF.findall(m.expression):
+                    if r in self.metrics:
+                        walk(r)
+                return
+            if n not in out:
+                out.append(n)
+
+        for n in names:
+            walk(n)
+        return out
+
+    def _generate_wrapped(self, q: Query, joins) -> str:
+        inner_metrics = self._inner_metrics(q.metrics)
+        # inner dimensions: query dims + any window partition/order aliases
+        inner_dims = list(q.dimensions)
+        aliases = {self._dim_alias(d) for d in inner_dims}
+        inner_metric_names = set(self._inner_metrics(q.metrics))
+        for name in q.metrics:
+            m = self.metrics[name]
+            if m.window is None:
+                continue
+            for extra in [m.window.order_by, *m.window.partition_by]:
+                # order_by may carry a direction ("revenue DESC") and may
+                # name an inner METRIC (already selected) or a dimension
+                col = extra.split()[0] if extra else ""
+                if not col or col in aliases or col in inner_metric_names:
+                    continue
+                # granularity aliases ("order_date_month") resolve back to
+                # the (dimension, granularity) pair they name
+                ref = self._ref_for_alias(col)
+                if ref is None:
+                    raise SemanticError(f"window column not found: {col}")
+                inner_dims.append(ref)
+                aliases.add(col)
+
+        sel, group = [], []
+        for i, d in enumerate(inner_dims):
+            sel.append(f"{self._dim_sql(d)} AS {self._dim_alias(d)}")
+            group.append(str(i + 1))
+        for name in inner_metrics:
+            sel.append(f"{self._expand_simple(name)} AS {name}")
+        inner = "SELECT " + ", ".join(sel) + self._from_sql(joins)
+        where, having = self._where_having(q)
+        if where:
+            inner += f" WHERE {where}"
+        if group:
+            inner += " GROUP BY " + ", ".join(group)
+        if having:
+            inner += f" HAVING {having}"
+
+        outer_sel = [f"base.{self._dim_alias(d)}" for d in q.dimensions]
+        outer_sel += [f"{self._expand_outer(n)} AS {n}" for n in q.metrics]
+        sql = "SELECT " + ", ".join(outer_sel) + f" FROM ({inner}) base"
+        return sql + self._order_limit(q, outer=True)
