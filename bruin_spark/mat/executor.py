@@ -21,6 +21,8 @@ the DML SQL path uses CURRENT_TIMESTAMP() exactly like the reference.
 
 from __future__ import annotations
 
+import os
+import shutil
 import uuid
 from datetime import datetime, timezone
 
@@ -105,6 +107,27 @@ class Materializer:
     def _exists(self, name: str) -> bool:
         return self.spark.catalog.tableExists(name)
 
+    def _clean_stale_location(self, name: str) -> None:
+        """Remove an orphaned managed-table directory.
+
+        The default in-memory catalog forgets tables between sessions but
+        leaves their warehouse directories behind; a later CREATE then
+        fails with LOCATION_ALREADY_EXISTS. Only fires when the catalog
+        does NOT know the table — never deletes live table data.
+        """
+        if self._exists(name):
+            return
+        from urllib.parse import urlparse
+
+        warehouse = urlparse(self.spark.conf.get("spark.sql.warehouse.dir", "")).path
+        if not warehouse:
+            return
+        parts = name.lower().split(".")
+        rel = f"{parts[0]}.db/{parts[1]}" if len(parts) == 2 else parts[-1]
+        path = os.path.join(warehouse, rel)
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+
     def _insert_into(self, name: str, df: DataFrame, overwrite: bool) -> None:
         """insertInto is positional; align to the target's column order
         (partitioned tables store partition columns last)."""
@@ -126,6 +149,11 @@ class Materializer:
             writer = writer.partitionBy(mat.partition_by)
         return writer
 
+    def _save_new(self, asset: Asset, df: DataFrame) -> None:
+        """Create a fresh managed table (stale-location safe)."""
+        self._clean_stale_location(asset.name)
+        self._writer(asset, df).saveAsTable(asset.name)
+
     def _save_full(self, asset: Asset, df: DataFrame) -> None:
         """Full-table (over)write that is safe even when df reads the target.
 
@@ -134,7 +162,7 @@ class Materializer:
         """
         name = asset.name
         if not self._exists(name):
-            self._writer(asset, df).saveAsTable(name)
+            self._save_new(asset, df)
             return
         stage = f"{name.replace('.', '_')}__bruin_stage_{uuid.uuid4().hex[:8]}"
         self._writer(asset, df).saveAsTable(stage)
@@ -154,19 +182,20 @@ class Materializer:
     def _append(self, asset: Asset, query: str) -> None:
         df = self._select(query)
         if not self._exists(asset.name):
-            self._writer(asset, df).saveAsTable(asset.name)
+            self._save_new(asset, df)
         else:
             self._insert_into(asset.name, df, overwrite=False)
 
     def _truncate_insert(self, asset: Asset, query: str) -> None:
         df = self._select(query)
         if not self._exists(asset.name):
-            self._writer(asset, df).saveAsTable(asset.name)
+            self._save_new(asset, df)
         else:
             # keeps schema/layout; rewrites all partitions (TRUNCATE+INSERT)
             self._insert_into(asset.name, df, overwrite=True)
 
     def _ddl(self, asset: Asset, _query: str) -> None:
+        self._clean_stale_location(asset.name)
         for stmt in render_materialization(asset, "", False):
             self.spark.sql(stmt)
 
@@ -191,7 +220,7 @@ class Materializer:
             raise MaterializationError("delete+insert strategy requires incremental_key")
         src = self._select(query)
         if not self._exists(asset.name):
-            self._writer(asset, src).saveAsTable(asset.name)
+            self._save_new(asset, src)
             return
         if self._partition_aligned(asset):
             # delete+insert keyed on the partition column ≡ dynamic
@@ -218,7 +247,7 @@ class Materializer:
             raise MaterializationError("time_interval requires the run interval in parameters")
         src = self._select(query)
         if not self._exists(asset.name):
-            self._writer(asset, src).saveAsTable(asset.name)
+            self._save_new(asset, src)
             return
         key = mat.incremental_key
         cast = "date" if mat.time_granularity == "date" else "timestamp"
@@ -244,7 +273,7 @@ class Materializer:
 
         src = self._select(query)
         if not self._exists(asset.name):
-            self._writer(asset, src).saveAsTable(asset.name)
+            self._save_new(asset, src)
             return
 
         target = self.table(asset.name)
@@ -384,6 +413,7 @@ class Materializer:
 
     def _datavault(self, asset: Asset, query: str) -> None:
         if not self._exists(asset.name):
+            self._clean_stale_location(asset.name)
             cols = ", ".join(f"{quote_ident(c.name)} {c.sql_type()}" for c in asset.columns)
             self.spark.sql(f"CREATE TABLE IF NOT EXISTS {quote_ident(asset.name)} ({cols})")
         for stmt in render_materialization(asset, query, False):

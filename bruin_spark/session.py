@@ -42,6 +42,10 @@ def get_spark(app_name: str = "bruin_spark", master: str | None = None) -> Spark
         # reads them as timestamp_ntz under this flag instead of erroring
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # with the default in-memory catalog, a stale warehouse dir from a
+        # previous session would otherwise fail CREATE OR REPLACE TABLE
+        # with LOCATION_ALREADY_EXISTS
+        .config("spark.sql.legacy.allowNonEmptyLocationInCTAS", "true")
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.driver.memory", os.environ.get("BRUIN_SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

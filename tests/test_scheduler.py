@@ -1,0 +1,251 @@
+"""Scheduler semantics tests (ref model: pkg/scheduler/scheduler.go).
+
+Uses tiny in-memory pipelines over the shared local session; asserts DAG
+explosion, blocking-check gating, failure propagation, retries, filters,
+and state/continue.
+"""
+
+import threading
+
+import pytest
+
+from bruin_spark.model.pipeline import (
+    Asset,
+    Column,
+    ColumnCheck,
+    CustomCheck,
+    Materialization,
+    MaterializationType,
+    Pipeline,
+    Strategy,
+    Upstream,
+)
+from bruin_spark.render.jinja import RenderContext
+from bruin_spark.scheduler import InstanceStatus, PipelineState, Scheduler
+
+
+def sql_asset(name, query, deps=(), checks=None, custom=None, mat=True):
+    return Asset(
+        name=name,
+        type="spark.sql",
+        query=query,
+        materialization=Materialization(
+            type=MaterializationType.TABLE if mat else MaterializationType.NONE,
+            strategy=Strategy.CREATE_REPLACE if mat else None,
+        ),
+        columns=checks or [],
+        custom_checks=custom or [],
+        depends=[Upstream(value=d) for d in deps],
+    )
+
+
+def make_pipeline(assets):
+    return Pipeline(name="p", assets=assets, concurrency=4)
+
+
+def test_dag_explosion_and_order(spark):
+    order = []
+    lock = threading.Lock()
+
+    def tracking_op(s, asset, ctx):
+        with lock:
+            order.append(asset.name)
+        s.sql(f"CREATE OR REPLACE TEMPORARY VIEW {asset.name} AS {asset.query}")
+
+    pipe = make_pipeline(
+        [
+            sql_asset("a", "SELECT 1 AS x"),
+            sql_asset("b", "SELECT * FROM a", deps=["a"]),
+            sql_asset("c", "SELECT * FROM b", deps=["b"]),
+        ]
+    )
+    sched = Scheduler(spark, pipe, operators={"spark.sql": tracking_op})
+    res = sched.run()
+    assert res.ok
+    assert order == ["a", "b", "c"]
+
+
+def test_blocking_check_failure_gates_downstream(spark):
+    spark.sql("DROP TABLE IF EXISTS src_blocking")
+    pipe = make_pipeline(
+        [
+            sql_asset(
+                "src_blocking",
+                "SELECT * FROM VALUES (1), (NULL) AS t(v)",
+                checks=[Column(name="v", checks=[ColumnCheck(name="not_null")])],
+            ),
+            sql_asset("down_blocking", "SELECT * FROM src_blocking", deps=["src_blocking"]),
+        ]
+    )
+    res = Scheduler(spark, pipe, workers=2).run()
+    assert "src_blocking:check:v:not_null" in res.failed
+    assert "down_blocking" in res.upstream_failed
+    assert not res.ok
+
+
+def test_non_blocking_check_failure_does_not_gate(spark):
+    spark.sql("DROP TABLE IF EXISTS src_nb")
+    pipe = make_pipeline(
+        [
+            sql_asset(
+                "src_nb",
+                "SELECT * FROM VALUES (1), (NULL) AS t(v)",
+                checks=[Column(name="v", checks=[ColumnCheck(name="not_null", blocking=False)])],
+            ),
+            sql_asset("down_nb", "SELECT v FROM src_nb WHERE v IS NOT NULL", deps=["src_nb"]),
+        ]
+    )
+    res = Scheduler(spark, pipe, workers=2).run()
+    assert "src_nb:check:v:not_null" in res.failed
+    assert "down_nb" in res.succeeded
+
+
+def test_custom_check_runs(spark):
+    pipe = make_pipeline(
+        [
+            sql_asset(
+                "src_cc",
+                "SELECT * FROM VALUES (1), (2) AS t(v)",
+                custom=[CustomCheck(name="row_count", query="SELECT COUNT(*) - 2 FROM src_cc")],
+            )
+        ]
+    )
+    res = Scheduler(spark, pipe).run()
+    assert res.ok
+    assert "src_cc:custom:row_count" in res.succeeded
+
+
+def test_retries(spark):
+    attempts = {"n": 0}
+
+    def flaky_op(s, asset, ctx):
+        attempts["n"] += 1
+        if attempts["n"] < 3:
+            raise RuntimeError("flaky")
+
+    pipe = make_pipeline([sql_asset("fl", "SELECT 1")])
+    res = Scheduler(spark, pipe, retries=2, operators={"spark.sql": flaky_op}).run()
+    assert res.ok
+    assert attempts["n"] == 3
+
+
+def test_failure_propagates_transitively(spark):
+    def boom(s, asset, ctx):
+        if asset.name == "x1":
+            raise RuntimeError("boom")
+
+    pipe = make_pipeline(
+        [
+            sql_asset("x1", "SELECT 1"),
+            sql_asset("x2", "SELECT 1", deps=["x1"]),
+            sql_asset("x3", "SELECT 1", deps=["x2"]),
+            sql_asset("y1", "SELECT 1"),
+        ]
+    )
+    res = Scheduler(spark, pipe, operators={"spark.sql": boom}).run()
+    assert res.failed == ["x1"]
+    assert set(res.upstream_failed) == {"x2", "x3"}
+    assert "y1" in res.succeeded
+
+
+def test_filters_skip_and_satisfy(spark):
+    ran = []
+
+    def track(s, asset, ctx):
+        ran.append(asset.name)
+
+    pipe = make_pipeline(
+        [
+            sql_asset("f1", "SELECT 1"),
+            sql_asset("f2", "SELECT 1", deps=["f1"]),
+        ]
+    )
+    sched = Scheduler(spark, pipe, operators={"spark.sql": track})
+    sched.apply_filters(only=["f2"])
+    res = sched.run()
+    assert ran == ["f2"]
+    assert "f1" in res.skipped and "f2" in res.succeeded
+
+
+def test_downstream_selector(spark):
+    ran = []
+
+    def track(s, asset, ctx):
+        ran.append(asset.name)
+
+    pipe = make_pipeline(
+        [
+            sql_asset("d1", "SELECT 1"),
+            sql_asset("d2", "SELECT 1", deps=["d1"]),
+            sql_asset("d3", "SELECT 1", deps=["d2"]),
+            sql_asset("other", "SELECT 1"),
+        ]
+    )
+    sched = Scheduler(spark, pipe, operators={"spark.sql": track})
+    sched.apply_filters(only=["d2"], downstream=True)
+    sched.run()
+    assert sorted(ran) == ["d2", "d3"]
+
+
+def test_tag_filters(spark):
+    ran = []
+
+    def track(s, asset, ctx):
+        ran.append(asset.name)
+
+    a = sql_asset("t1", "SELECT 1")
+    a.tags = ["daily"]
+    b = sql_asset("t2", "SELECT 1")
+    b.tags = ["hourly"]
+    sched = Scheduler(spark, make_pipeline([a, b]), operators={"spark.sql": track})
+    sched.apply_filters(tags=["daily"])
+    sched.run()
+    assert ran == ["t1"]
+
+
+def test_state_continue(spark, tmp_path):
+    ran = []
+
+    def track_then_fail(s, asset, ctx):
+        ran.append(asset.name)
+        if asset.name == "s2":
+            raise RuntimeError("first run fails")
+
+    pipe = make_pipeline(
+        [
+            sql_asset("s1", "SELECT 1"),
+            sql_asset("s2", "SELECT 1", deps=["s1"]),
+        ]
+    )
+    state_file = str(tmp_path / "state.json")
+    res1 = Scheduler(spark, pipe, operators={"spark.sql": track_then_fail}).run(
+        state_path=state_file
+    )
+    assert "s2" in res1.failed and "s1" in res1.succeeded
+
+    ran.clear()
+
+    def ok_op(s, asset, ctx):
+        ran.append(asset.name)
+
+    sched2 = Scheduler(spark, pipe, operators={"spark.sql": ok_op})
+    sched2.restore(PipelineState.load(state_file))
+    res2 = sched2.run()
+    assert res2.ok
+    assert ran == ["s2"]  # s1 kept from prior run
+
+
+def test_symbolic_dependency_not_an_edge(spark):
+    pipe = make_pipeline(
+        [
+            sql_asset("ext", "SELECT 1"),
+            Asset(
+                name="solo",
+                type="spark.sql",
+                query="SELECT 1",
+                depends=[Upstream(value="ext", mode="symbolic")],
+            ),
+        ]
+    )
+    sched = Scheduler(spark, pipe)
+    assert sched.instances["solo"].upstreams == []
