@@ -1,0 +1,171 @@
+"""Data-diff: schema comparison + per-column statistics with tolerance.
+
+Re-expresses the reference's diff subsystem (cmd/datadiff.go:156-438,
+pkg/diff/types.go:437-537) Spark-first: ALL columns' statistics compute
+in ONE ``df.agg`` pass — one scan of the table regardless of column
+count, with every aggregate codegen'd and combined map-side. The
+reference issues per-column probe queries against each warehouse; at
+100 TB one fused scan vs N scans is the whole ballgame.
+
+Normalized type categories (types.go:10-22): numeric / string / boolean /
+datetime / other. Stats per category:
+
+- numeric:  count, null_count, min, max, avg, sum, stddev (sample)
+- string:   count, null_count, distinct_count, min_length, max_length,
+            avg_length, empty_count
+- boolean:  count, null_count, true_count, false_count
+- datetime: count, null_count, earliest (epoch s), latest (epoch s),
+            unique_count
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+_NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+
+
+def _category(dtype: str) -> str:
+    base = dtype.split("(")[0].lower()
+    if base in _NUMERIC or base == "decimal":
+        return "numeric"
+    if base == "string":
+        return "string"
+    if base == "boolean":
+        return "boolean"
+    if base in ("date", "timestamp", "timestamp_ntz"):
+        return "datetime"
+    return "other"
+
+
+def _agg_exprs(name: str, category: str, prefix: str) -> dict[str, F.Column]:
+    c = F.col(name)
+    out: dict[str, F.Column] = {
+        "count": F.count(c),
+        "null_count": F.count(F.when(c.isNull(), 1)),
+    }
+    if category == "numeric":
+        out.update(
+            min=F.min(c).cast("double"),
+            max=F.max(c).cast("double"),
+            avg=F.avg(c).cast("double"),
+            sum=F.sum(c).cast("double"),
+            stddev=F.stddev_samp(c).cast("double"),
+        )
+    elif category == "string":
+        out.update(
+            distinct_count=F.count_distinct(c),
+            min_length=F.min(F.length(c)),
+            max_length=F.max(F.length(c)),
+            avg_length=F.avg(F.length(c)).cast("double"),
+            empty_count=F.count(F.when(F.length(c) == 0, 1)),
+        )
+    elif category == "boolean":
+        out.update(
+            true_count=F.count(F.when(c, 1)),
+            false_count=F.count(F.when(~c, 1)),
+        )
+    elif category == "datetime":
+        ts = c.cast("timestamp")
+        out.update(
+            earliest=F.min(ts).cast("double"),
+            latest=F.max(ts).cast("double"),
+            unique_count=F.count_distinct(c),
+        )
+    return {f"{prefix}{stat}": expr for stat, expr in out.items()}
+
+
+@dataclass
+class ColumnStat:
+    column: str
+    category: str
+    stats: dict[str, float | int | None]
+
+
+def profile(df: DataFrame) -> list[ColumnStat]:
+    """Per-column statistics in one aggregation pass (one table scan)."""
+    exprs: list[F.Column] = []
+    layout: list[tuple[str, str, str, str]] = []  # (col, category, stat, alias)
+    for i, (name, dtype) in enumerate(df.dtypes):
+        cat = _category(dtype)
+        for alias, expr in _agg_exprs(name, cat, f"c{i}_").items():
+            exprs.append(expr.alias(alias))
+            layout.append((name, cat, alias.split("_", 1)[1], alias))
+    row = df.agg(*exprs).collect()[0].asDict()
+    out: dict[str, ColumnStat] = {}
+    for name, cat, stat, alias in layout:
+        cs = out.setdefault(name, ColumnStat(column=name, category=cat, stats={}))
+        cs.stats[stat] = row[alias]
+    return list(out.values())
+
+
+def profile_long(df: DataFrame, round_to: int = 4) -> DataFrame:
+    """Profile as a (column_name, stat, value:double) DataFrame.
+
+    Long form keeps one stable schema for any input table — the shape the
+    correctness oracle compares.
+    """
+    spark = df.sparkSession
+    rows = []
+    for cs in profile(df):
+        for stat, val in cs.stats.items():
+            rows.append((cs.column, stat, float(val) if val is not None else None))
+    out = spark.createDataFrame(rows, "column_name string, stat string, value double")
+    # round in Spark (HALF_UP, matches DuckDB/SQL ROUND) — Python's round()
+    # is banker's rounding and would disagree with a SQL oracle at ties
+    return out.withColumn("value", F.round("value", round_to))
+
+
+@dataclass
+class DiffResult:
+    schema_only_a: list[str]
+    schema_only_b: list[str]
+    type_mismatches: list[tuple[str, str, str]]  # (col, type_a, type_b)
+    stat_diffs: list[tuple[str, str, float | None, float | None]]  # col, stat, a, b
+    matched: bool
+
+
+def schema_diff(a: DataFrame, b: DataFrame) -> tuple[list[str], list[str], list[tuple[str, str, str]]]:
+    ta, tb = dict(a.dtypes), dict(b.dtypes)
+    only_a = sorted(set(ta) - set(tb))
+    only_b = sorted(set(tb) - set(ta))
+    mismatch = [(c, ta[c], tb[c]) for c in sorted(set(ta) & set(tb)) if ta[c] != tb[c]]
+    return only_a, only_b, mismatch
+
+
+def diff_tables(a: DataFrame, b: DataFrame, tolerance: float = 0.0) -> DiffResult:
+    """Compare schemas + per-column stats of two tables.
+
+    ``tolerance`` is relative (|a-b| <= tolerance * max(|a|,|b|)) for
+    float stats; counts compare exactly.
+    """
+    only_a, only_b, mismatch = schema_diff(a, b)
+    pa = {c.column: c for c in profile(a)}
+    pb = {c.column: c for c in profile(b)}
+    diffs: list[tuple[str, str, float | None, float | None]] = []
+    for col in sorted(set(pa) & set(pb)):
+        sa, sb = pa[col].stats, pb[col].stats
+        for stat in sorted(set(sa) & set(sb)):
+            va, vb = sa[stat], sb[stat]
+            if va is None and vb is None:
+                continue
+            if va is None or vb is None:
+                diffs.append((col, stat, va, vb))
+                continue
+            va_f, vb_f = float(va), float(vb)
+            if isinstance(va, int) and isinstance(vb, int) and tolerance == 0.0:
+                if va != vb:
+                    diffs.append((col, stat, va_f, vb_f))
+            else:
+                bound = tolerance * max(abs(va_f), abs(vb_f))
+                if abs(va_f - vb_f) > bound:
+                    diffs.append((col, stat, va_f, vb_f))
+    return DiffResult(
+        schema_only_a=only_a,
+        schema_only_b=only_b,
+        type_mismatches=mismatch,
+        stat_diffs=diffs,
+        matched=not (only_a or only_b or mismatch or diffs),
+    )

@@ -15,10 +15,19 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def collect_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
-    from bruin_spark.workloads import analytics, dedup, matqueries, quality, semantic_q, similarity, text
+    from bruin_spark.workloads import (
+        analytics,
+        datadiff,
+        dedup,
+        matqueries,
+        quality,
+        semantic_q,
+        similarity,
+        text,
+    )
 
     out: dict = {}
-    for mod in (analytics, matqueries, quality, dedup, similarity, text, semantic_q):
+    for mod in (analytics, matqueries, quality, dedup, similarity, text, semantic_q, datadiff):
         for name, pair in mod.QUERIES.items():
             if name in out:
                 raise ValueError(f"duplicate workload query name: {name}")
