@@ -21,13 +21,24 @@ def collect_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame
         dedup,
         matqueries,
         quality,
+        relational_q,
         semantic_q,
         similarity,
         text,
     )
 
     out: dict = {}
-    for mod in (analytics, matqueries, quality, dedup, similarity, text, semantic_q, datadiff):
+    for mod in (
+        analytics,
+        matqueries,
+        quality,
+        dedup,
+        similarity,
+        text,
+        semantic_q,
+        datadiff,
+        relational_q,
+    ):
         for name, pair in mod.QUERIES.items():
             if name in out:
                 raise ValueError(f"duplicate workload query name: {name}")
