@@ -1,0 +1,25 @@
+from bruin_spark.parser.sqlutil import (
+    add_limit,
+    extract_ctes,
+    freeze_time,
+    is_single_select,
+    missing_dependencies,
+    prepend_ctes,
+    rename_tables,
+    select_from_cte,
+    split_statements,
+    used_tables,
+)
+
+__all__ = [
+    "add_limit",
+    "extract_ctes",
+    "freeze_time",
+    "is_single_select",
+    "missing_dependencies",
+    "prepend_ctes",
+    "rename_tables",
+    "select_from_cte",
+    "split_statements",
+    "used_tables",
+]

@@ -1,0 +1,418 @@
+"""SQL analysis services: used tables, renames, limits, time freezing,
+CTE surgery — the operations the reference delegates to a sqlglot
+subprocess (pkg/sqlparser/parser.go:100-166; pythonsrc/parser/main.py).
+
+sqlglot is not guaranteed in this environment, so the default
+implementation is a small token scanner sufficient for these structural
+rewrites (it does NOT build an AST; column-level lineage needs a real
+parser and is exposed only when sqlglot is importable). All functions
+preserve the original text outside the edited spans.
+"""
+
+from __future__ import annotations
+
+import re
+
+_TOKEN = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<lcomment>--[^\n]*)
+  | (?P<bcomment>/\*.*?\*/)
+  | (?P<str>'(?:[^']|'')*')
+  | (?P<dq>"(?:[^"]|"")*")
+  | (?P<bq>`(?:[^`]|``)*`)
+  | (?P<word>[A-Za-z_][A-Za-z0-9_$]*)
+  | (?P<num>\d+(?:\.\d*)?)
+  | (?P<sym>.)
+    """,
+    re.VERBOSE | re.DOTALL,
+)
+
+
+def _tokens(sql: str) -> list[tuple[str, str, int]]:
+    """-> [(kind, text, start_offset)]"""
+    out = []
+    for m in _TOKEN.finditer(sql):
+        out.append((m.lastgroup, m.group(), m.start()))
+    return out
+
+
+def _code_tokens(toks):
+    """Indices of non-whitespace/comment tokens."""
+    return [i for i, (k, _t, _s) in enumerate(toks) if k not in ("ws", "lcomment", "bcomment")]
+
+
+_FROMISH = {"from", "join"}
+_STOPPERS = {
+    "select", "where", "group", "order", "having", "limit", "on", "using",
+    "union", "intersect", "except", "when", "then", "else", "end", "set",
+    "values", "qualify", "window", "lateral", "cross", "inner", "left",
+    "right", "full", "outer", "semi", "anti", "natural", "unnest",
+}
+
+
+def split_statements(sql: str) -> list[str]:
+    """Split on ';' outside strings/comments; drops empty statements."""
+    toks = _tokens(sql)
+    parts, cur = [], []
+    for kind, text, _s in toks:
+        if kind == "sym" and text == ";":
+            stmt = "".join(cur).strip()
+            if stmt:
+                parts.append(stmt)
+            cur = []
+        else:
+            cur.append(text)
+    stmt = "".join(cur).strip()
+    if stmt:
+        parts.append(stmt)
+    return parts
+
+
+def _cte_names(toks, code) -> set[str]:
+    """Names defined in WITH clauses anywhere in the statement."""
+    names: set[str] = set()
+    i = 0
+    while i < len(code):
+        k, t, _ = toks[code[i]]
+        if k == "word" and t.lower() == "with":
+            j = i + 1
+            # name [(cols)] AS ( ... ) [, name AS ( ... )]*
+            while j < len(code):
+                kj, tj, _ = toks[code[j]]
+                if kj == "word" and tj.lower() == "recursive":
+                    j += 1
+                    continue
+                if kj not in ("word", "dq", "bq"):
+                    break
+                names.add(tj.strip('"`'))
+                j += 1
+                # optional column list
+                if j < len(code) and toks[code[j]][1] == "(":
+                    depth = 0
+                    while j < len(code):
+                        if toks[code[j]][1] == "(":
+                            depth += 1
+                        elif toks[code[j]][1] == ")":
+                            depth -= 1
+                            if depth == 0:
+                                j += 1
+                                break
+                        j += 1
+                if j < len(code) and toks[code[j]][1].lower() == "as":
+                    j += 1
+                if j < len(code) and toks[code[j]][1] == "(":
+                    depth = 0
+                    while j < len(code):
+                        if toks[code[j]][1] == "(":
+                            depth += 1
+                        elif toks[code[j]][1] == ")":
+                            depth -= 1
+                            if depth == 0:
+                                j += 1
+                                break
+                        j += 1
+                if j < len(code) and toks[code[j]][1] == ",":
+                    j += 1
+                    continue
+                break
+            i = j
+        else:
+            i += 1
+    return names
+
+
+def _table_refs(sql: str):
+    """-> [(qualified_name, first_tok_idx, last_tok_idx)] of FROM/JOIN refs."""
+    toks = _tokens(sql)
+    code = _code_tokens(toks)
+    refs = []
+    i = 0
+    while i < len(code):
+        k, t, _ = toks[code[i]]
+        if k == "word" and t.lower() in _FROMISH:
+            j = i + 1
+            while True:
+                if j >= len(code):
+                    break
+                kj, tj, _ = toks[code[j]]
+                if tj == "(":  # subquery — its FROMs hit on later iterations
+                    break
+                if kj not in ("word", "dq", "bq") or tj.lower() in _STOPPERS:
+                    break
+                # qualified name
+                first = j
+                name_parts = [tj.strip('"`')]
+                j += 1
+                while (
+                    j + 1 < len(code)
+                    and toks[code[j]][1] == "."
+                    and toks[code[j + 1]][0] in ("word", "dq", "bq")
+                ):
+                    name_parts.append(toks[code[j + 1]][1].strip('"`'))
+                    j += 2
+                refs.append((".".join(name_parts), code[first], code[j - 1]))
+                # skip alias
+                if j < len(code) and toks[code[j]][0] == "word" and toks[code[j]][1].lower() == "as":
+                    j += 1
+                if (
+                    j < len(code)
+                    and toks[code[j]][0] in ("word", "dq", "bq")
+                    and toks[code[j]][1].lower() not in _STOPPERS
+                    and toks[code[j]][1].lower() not in _FROMISH
+                ):
+                    j += 1
+                # comma-separated FROM list
+                if j < len(code) and toks[code[j]][1] == ",":
+                    j += 1
+                    continue
+                break
+            i = j
+        else:
+            i += 1
+    return toks, refs
+
+
+def used_tables(sql: str) -> list[str]:
+    """Distinct physical tables referenced (CTE names excluded), sorted."""
+    out: set[str] = set()
+    for stmt in split_statements(sql):
+        toks, refs = _table_refs(stmt)
+        ctes = _cte_names(toks, _code_tokens(toks))
+        for name, _a, _b in refs:
+            if name.split(".")[0] not in ctes and name not in ctes:
+                out.add(name)
+    return sorted(out)
+
+
+def rename_tables(sql: str, mapping: dict[str, str]) -> str:
+    """Rewrite FROM/JOIN table names per mapping (CTE refs untouched)."""
+    toks, refs = _table_refs(sql)
+    ctes = _cte_names(toks, _code_tokens(toks))
+    spans = []  # (char_start, char_end, replacement)
+    for name, a, b in refs:
+        if name in ctes or name.split(".")[0] in ctes:
+            continue
+        if name in mapping:
+            start = toks[a][2]
+            end = toks[b][2] + len(toks[b][1])
+            spans.append((start, end, mapping[name]))
+    for start, end, rep in sorted(spans, reverse=True):
+        sql = sql[:start] + rep + sql[end:]
+    return sql
+
+
+def add_limit(sql: str, limit: int) -> str:
+    """Append/override LIMIT on a single-select query (SELECT ... LIMIT n)."""
+    stmts = split_statements(sql)
+    if len(stmts) != 1:
+        raise ValueError("add_limit requires a single statement")
+    stmt = stmts[0]
+    toks = _tokens(stmt)
+    code = _code_tokens(toks)
+    # existing top-level LIMIT? (depth 0 only)
+    depth = 0
+    for pos, i in enumerate(code):
+        k, t, s = toks[i]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and k == "word" and t.lower() == "limit":
+            if pos + 1 < len(code) and toks[code[pos + 1]][0] == "num":
+                n_tok = toks[code[pos + 1]]
+                start, end = n_tok[2], n_tok[2] + len(n_tok[1])
+                return stmt[:start] + str(limit) + stmt[end:]
+    return f"{stmt.rstrip().rstrip(';')} LIMIT {limit}"
+
+
+_NOW_FNS = {"now", "current_timestamp", "current_date", "current_time", "getdate"}
+
+
+def freeze_time(sql: str, timestamp: str) -> str:
+    """Replace now()/CURRENT_TIMESTAMP/CURRENT_DATE with literals.
+
+    ``timestamp`` is an ISO 'YYYY-MM-DD HH:MM:SS' string; CURRENT_DATE
+    freezes to its date part.
+    """
+    toks = _tokens(sql)
+    code = _code_tokens(toks)
+    spans = []
+    date_part = timestamp.split(" ")[0].split("T")[0]
+    for pos, i in enumerate(code):
+        k, t, s = toks[i]
+        if k != "word" or t.lower() not in _NOW_FNS:
+            continue
+        fn = t.lower()
+        end = s + len(t)
+        # swallow optional ()
+        if pos + 1 < len(code) and toks[code[pos + 1]][1] == "(":
+            if pos + 2 < len(code) and toks[code[pos + 2]][1] == ")":
+                end = toks[code[pos + 2]][2] + 1
+            else:
+                continue  # function with args, not a now() call
+        elif fn in ("now", "getdate"):
+            continue  # bare word "now" without parens is an identifier
+        if fn == "current_date":
+            spans.append((s, end, f"CAST('{date_part}' AS DATE)"))
+        else:
+            spans.append((s, end, f"CAST('{timestamp}' AS TIMESTAMP)"))
+    for start, end, rep in sorted(spans, reverse=True):
+        sql = sql[:start] + rep + sql[end:]
+    return sql
+
+
+def is_single_select(sql: str) -> bool:
+    stmts = split_statements(sql)
+    if len(stmts) != 1:
+        return False
+    toks = _tokens(stmts[0])
+    code = _code_tokens(toks)
+    if not code:
+        return False
+    first = toks[code[0]][1].lower()
+    return first in ("select", "with", "values")
+
+
+def extract_ctes(sql: str) -> dict[str, str]:
+    """-> {cte_name: body_sql} for the statement's top-level WITH clause."""
+    toks = _tokens(sql)
+    code = _code_tokens(toks)
+    out: dict[str, str] = {}
+    if not code or toks[code[0]][1].lower() != "with":
+        return out
+    j = 1
+    while j < len(code):
+        kj, tj, _ = toks[code[j]]
+        if kj == "word" and tj.lower() == "recursive":
+            j += 1
+            continue
+        if kj not in ("word", "dq", "bq"):
+            break
+        name = tj.strip('"`')
+        j += 1
+        if j < len(code) and toks[code[j]][1] == "(":  # column list
+            depth = 0
+            while j < len(code):
+                if toks[code[j]][1] == "(":
+                    depth += 1
+                elif toks[code[j]][1] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        j += 1
+                        break
+                j += 1
+        if j < len(code) and toks[code[j]][1].lower() == "as":
+            j += 1
+        if j < len(code) and toks[code[j]][1] == "(":
+            depth = 0
+            body_start = None
+            while j < len(code):
+                tok = toks[code[j]]
+                if tok[1] == "(":
+                    depth += 1
+                    if depth == 1:
+                        body_start = tok[2] + 1
+                elif tok[1] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        out[name] = sql[body_start : tok[2]].strip()
+                        j += 1
+                        break
+                j += 1
+        if j < len(code) and toks[code[j]][1] == ",":
+            j += 1
+            continue
+        break
+    return out
+
+
+def select_from_cte(sql: str, cte_name: str) -> str:
+    """Rewrite so the query returns the named CTE's rows (unit-test
+    per-CTE assertions): keep the WITH prefix up to and including that
+    CTE, select * from it."""
+    ctes = extract_ctes(sql)
+    if cte_name not in ctes:
+        raise ValueError(f"CTE not found: {cte_name}")
+    kept = []
+    for name, body in ctes.items():
+        kept.append(f"{name} AS ({body})")
+        if name == cte_name:
+            break
+    return "WITH " + ", ".join(kept) + f" SELECT * FROM {cte_name}"
+
+
+def prepend_ctes(sql: str, fixtures: dict[str, str]) -> str:
+    """Inject fixture CTEs ahead of the query's own WITH clause.
+
+    fixtures: {name: select_sql}. Existing CTEs with the same name are
+    shadowed (fixture wins — reference fixture-override semantics).
+    """
+    stmts = split_statements(sql)
+    if len(stmts) != 1:
+        raise ValueError("prepend_ctes requires a single statement")
+    stmt = stmts[0]
+    own = extract_ctes(stmt)
+    fixture_part = ", ".join(
+        f"{name} AS ({body.rstrip().rstrip(';')})" for name, body in fixtures.items()
+    )
+    if not own:
+        return f"WITH {fixture_part} {stmt}"
+    # merge: fixtures first, then non-shadowed originals, then the body
+    own_parts = [f"{n} AS ({b})" for n, b in own.items() if n not in fixtures]
+    body_after = _after_with_clause(stmt)
+    all_parts = [fixture_part] + own_parts if own_parts else [fixture_part]
+    return "WITH " + ", ".join(all_parts) + " " + body_after
+
+
+def _skip_parens(toks, code, j: int) -> int:
+    """Given code index j at '(', return index just past its match."""
+    depth = 0
+    while j < len(code):
+        if toks[code[j]][1] == "(":
+            depth += 1
+        elif toks[code[j]][1] == ")":
+            depth -= 1
+            if depth == 0:
+                return j + 1
+        j += 1
+    return j
+
+
+def _after_with_clause(sql: str) -> str:
+    """Text after the top-level WITH clause (the main SELECT)."""
+    toks = _tokens(sql)
+    code = _code_tokens(toks)
+    if not code or toks[code[0]][1].lower() != "with":
+        return sql
+    j = 1
+    while j < len(code):
+        kj, tj, _ = toks[code[j]]
+        if kj == "word" and tj.lower() == "recursive":
+            j += 1
+            continue
+        if kj not in ("word", "dq", "bq"):
+            break
+        j += 1  # name
+        if j < len(code) and toks[code[j]][1] == "(":  # optional column list
+            j = _skip_parens(toks, code, j)
+        if j < len(code) and toks[code[j]][1].lower() == "as":
+            j += 1
+        if j < len(code) and toks[code[j]][1] == "(":  # body
+            j = _skip_parens(toks, code, j)
+        if j < len(code) and toks[code[j]][1] == ",":
+            j += 1
+            continue
+        break
+    if j >= len(code):
+        return ""
+    return sql[toks[code[j]][2] :]
+
+
+def missing_dependencies(sql: str, declared: list[str], known_assets: list[str]) -> list[str]:
+    """Lint: tables the query references that are known assets but not
+    declared as dependencies (ref: parser.go:515-596)."""
+    used = set(used_tables(sql))
+    declared_set = set(declared)
+    known = set(known_assets)
+    return sorted((used & known) - declared_set)

@@ -1,0 +1,130 @@
+"""Tests for the SQL analysis services (no Spark session needed)."""
+
+import pytest
+
+from bruin_spark.parser import (
+    add_limit,
+    extract_ctes,
+    freeze_time,
+    is_single_select,
+    missing_dependencies,
+    prepend_ctes,
+    rename_tables,
+    select_from_cte,
+    split_statements,
+    used_tables,
+)
+
+
+def test_used_tables_basic():
+    assert used_tables("SELECT * FROM a JOIN s.b ON a.id = b.id") == ["a", "s.b"]
+
+
+def test_used_tables_excludes_ctes():
+    sql = "WITH x AS (SELECT * FROM real1), y AS (SELECT * FROM x) SELECT * FROM y JOIN real2 USING (id)"
+    assert used_tables(sql) == ["real1", "real2"]
+
+
+def test_used_tables_subquery_and_commas():
+    sql = "SELECT * FROM a, b WHERE a.id IN (SELECT id FROM c)"
+    assert used_tables(sql) == ["a", "b", "c"]
+
+
+def test_used_tables_ignores_strings_comments():
+    sql = "SELECT 'from fake', x -- from c1\nFROM real /* from c2 */"
+    assert used_tables(sql) == ["real"]
+
+
+def test_rename_tables():
+    sql = "SELECT * FROM a JOIN dev.b b2 ON a.id = b2.id"
+    out = rename_tables(sql, {"a": "dev.a", "dev.b": "prod.b"})
+    assert out == "SELECT * FROM dev.a JOIN prod.b b2 ON a.id = b2.id"
+
+
+def test_rename_preserves_cte_refs():
+    sql = "WITH a AS (SELECT 1) SELECT * FROM a"
+    assert rename_tables(sql, {"a": "other"}) == sql
+
+
+def test_add_limit_appends():
+    assert add_limit("SELECT * FROM t", 10) == "SELECT * FROM t LIMIT 10"
+
+
+def test_add_limit_overrides_existing():
+    assert add_limit("SELECT * FROM t LIMIT 99", 10) == "SELECT * FROM t LIMIT 10"
+
+
+def test_add_limit_ignores_nested_limit():
+    sql = "SELECT * FROM (SELECT * FROM t LIMIT 5) s"
+    assert add_limit(sql, 10).endswith("LIMIT 10")
+    assert "LIMIT 5" in add_limit(sql, 10)
+
+
+def test_freeze_time():
+    out = freeze_time(
+        "SELECT now(), CURRENT_TIMESTAMP, CURRENT_DATE FROM t", "2024-03-01 12:00:00"
+    )
+    assert out == (
+        "SELECT CAST('2024-03-01 12:00:00' AS TIMESTAMP), "
+        "CAST('2024-03-01 12:00:00' AS TIMESTAMP), "
+        "CAST('2024-03-01' AS DATE) FROM t"
+    )
+
+
+def test_freeze_time_leaves_args_fn():
+    sql = "SELECT date_trunc('day', x) FROM t"
+    assert freeze_time(sql, "2024-01-01 00:00:00") == sql
+
+
+def test_split_statements():
+    assert split_statements("SELECT 1; SELECT ';'; -- x\nSELECT 2") == [
+        "SELECT 1",
+        "SELECT ';'",
+        "-- x\nSELECT 2",
+    ]
+
+
+def test_is_single_select():
+    assert is_single_select("SELECT 1")
+    assert is_single_select("WITH x AS (SELECT 1) SELECT * FROM x")
+    assert not is_single_select("SELECT 1; SELECT 2")
+    assert not is_single_select("DROP TABLE t")
+
+
+def test_extract_ctes():
+    sql = "WITH a AS (SELECT 1 AS x), b AS (SELECT * FROM a) SELECT * FROM b"
+    assert extract_ctes(sql) == {"a": "SELECT 1 AS x", "b": "SELECT * FROM a"}
+
+
+def test_extract_ctes_nested_parens():
+    sql = "WITH a AS (SELECT count(*) FROM (SELECT 1) s) SELECT * FROM a"
+    assert extract_ctes(sql) == {"a": "SELECT count(*) FROM (SELECT 1) s"}
+
+
+def test_select_from_cte():
+    sql = "WITH a AS (SELECT 1 AS x), b AS (SELECT x + 1 AS y FROM a) SELECT max(y) FROM b"
+    out = select_from_cte(sql, "a")
+    assert out == "WITH a AS (SELECT 1 AS x) SELECT * FROM a"
+    out_b = select_from_cte(sql, "b")
+    assert out_b.endswith("SELECT * FROM b")
+
+
+def test_prepend_ctes_no_with():
+    out = prepend_ctes("SELECT * FROM ups", {"ups": "SELECT 1 AS id"})
+    assert out == "WITH ups AS (SELECT 1 AS id) SELECT * FROM ups"
+
+
+def test_prepend_ctes_merges_and_shadows():
+    sql = "WITH mid AS (SELECT * FROM ups) SELECT * FROM mid"
+    out = prepend_ctes(sql, {"ups": "SELECT 1 AS id"})
+    assert out == (
+        "WITH ups AS (SELECT 1 AS id), mid AS (SELECT * FROM ups) SELECT * FROM mid"
+    )
+    shadowed = prepend_ctes(sql, {"mid": "SELECT 2 AS id"})
+    assert shadowed == "WITH mid AS (SELECT 2 AS id) SELECT * FROM mid"
+
+
+def test_missing_dependencies():
+    sql = "SELECT * FROM known1 JOIN unknown_ext JOIN known2"
+    got = missing_dependencies(sql, declared=["known1"], known_assets=["known1", "known2"])
+    assert got == ["known2"]
