@@ -206,6 +206,9 @@ class Asset:
     owner: str = ""
     interval_modifiers: dict[str, str] = field(default_factory=dict)
     hooks: dict[str, list[str]] = field(default_factory=dict)  # {"pre": [...], "post": [...]}
+    # raw unit-test specs (ref: pipeline.go:1095-1148); interpreted by
+    # bruin_spark.unittests
+    unit_tests: list[dict[str, Any]] = field(default_factory=list)
 
     def primary_keys(self) -> list[str]:
         return [c.name for c in self.columns if c.primary_key]
@@ -247,6 +250,7 @@ class Asset:
             owner=d.get("owner", "") or "",
             interval_modifiers=d.get("interval_modifiers", {}) or {},
             hooks=hooks,
+            unit_tests=d.get("unit_tests", []) or [],
         )
 
 
