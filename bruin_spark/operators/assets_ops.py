@@ -1,0 +1,183 @@
+"""Seed and Python asset operators.
+
+- **Seed** (ref: pkg/spark/seed.go:34-183): load a CSV/JSON/parquet file
+  shipped with the pipeline into a table, schema driven by the asset's
+  declared columns (never inferred when declared — the reference derives
+  Arrow types from declared columns the same way).
+- **Python asset** (ref: pkg/python/uv.go:371-530, operator.go:80-199):
+  the asset file is a Python script. With a materialization, it must
+  expose ``materialize()`` returning a pandas DataFrame, a pyarrow
+  Table, a Spark DataFrame, or a generator of the first two; the result
+  is written with the asset's §2.2 strategy. The script sees the
+  BRUIN_* context env vars. We run in-process with the live
+  SparkSession (the reference isolates under uv + ships Arrow IPC;
+  in-process Spark makes the Arrow hop unnecessary).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bruin_spark.mat.executor import Materializer
+from bruin_spark.model.pipeline import Asset, Materialization, MaterializationType, Strategy
+from bruin_spark.render.jinja import RenderContext
+
+#: python-asset strategies supported by the reference's ingestr bridge
+#: (pkg/python/materialization_mapping.go:24-30)
+PYTHON_STRATEGIES = {
+    Strategy.CREATE_REPLACE,
+    Strategy.APPEND,
+    Strategy.MERGE,
+    Strategy.DELETE_INSERT,
+}
+
+
+def declared_schema(asset: Asset) -> str | None:
+    """Spark DDL schema string from declared columns ('' columns -> None)."""
+    if not asset.columns:
+        return None
+    return ", ".join(f"{c.name} {c.sql_type()}" for c in asset.columns)
+
+
+def run_seed(spark: SparkSession, asset: Asset, ctx: RenderContext | None = None) -> None:
+    """Load the seed file into the asset's table (create+replace default)."""
+    rel = asset.parameters.get("path") or asset.parameters.get("file") or ""
+    if not rel:
+        raise ValueError(f"seed asset {asset.name}: parameters.path is required")
+    base = os.path.dirname(asset.file_path) if asset.file_path else "."
+    path = rel if os.path.isabs(rel) else os.path.join(base, rel)
+    ext = os.path.splitext(path)[1].lower()
+    schema = declared_schema(asset)
+
+    if ext == ".csv":
+        reader = spark.read.option("header", "true")
+        df = reader.csv(path, schema=schema) if schema else reader.option(
+            "inferSchema", "true"
+        ).csv(path)
+    elif ext in (".json", ".jsonl", ".ndjson"):
+        df = spark.read.json(path, schema=schema) if schema else spark.read.json(path)
+    elif ext == ".parquet":
+        df = spark.read.parquet(path)
+        if schema:
+            cols = [f"CAST({c.name} AS {c.sql_type()}) AS {c.name}" for c in asset.columns]
+            df = df.selectExpr(*cols)
+    else:
+        raise ValueError(f"seed asset {asset.name}: unsupported file type {ext}")
+
+    _write_df(spark, asset, df)
+
+
+def run_python_asset(
+    spark: SparkSession, asset: Asset, ctx: RenderContext | None = None
+) -> Any:
+    """Execute the asset's Python script; materialize() output if declared."""
+    src = asset.query
+    if not src and asset.file_path:
+        with open(asset.file_path) as f:
+            src = f.read()
+    env = _context_env(asset, ctx)
+    old = {k: os.environ.get(k) for k in env}
+    os.environ.update(env)
+    try:
+        ns: dict[str, Any] = {"__name__": f"bruin_asset_{asset.name}", "spark": spark}
+        exec(compile(src, asset.file_path or asset.name, "exec"), ns)  # noqa: S102
+        if asset.materialization.type == MaterializationType.NONE:
+            return ns.get("result")
+        fn = ns.get("materialize")
+        if fn is None:
+            raise ValueError(
+                f"python asset {asset.name}: materialization declared but no materialize()"
+            )
+        strategy = asset.materialization.strategy or Strategy.CREATE_REPLACE
+        if strategy not in PYTHON_STRATEGIES:
+            raise ValueError(
+                f"python asset {asset.name}: strategy {strategy.value} not supported"
+            )
+        df = _to_spark_df(spark, fn())
+        _write_df(spark, asset, df)
+        return None
+    finally:
+        for k, v in old.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
+def _context_env(asset: Asset, ctx: RenderContext | None) -> dict[str, str]:
+    """BRUIN_* env contract (ref: pkg/jinja/jinja.go:96-119)."""
+    if ctx is None:
+        return {}
+    return {
+        "BRUIN_START_DATE": ctx.start.strftime("%Y-%m-%d"),
+        "BRUIN_START_DATETIME": ctx.start.strftime("%Y-%m-%dT%H:%M:%S"),
+        "BRUIN_END_DATE": ctx.end.strftime("%Y-%m-%d"),
+        "BRUIN_END_DATETIME": ctx.end.strftime("%Y-%m-%dT%H:%M:%S"),
+        "BRUIN_RUN_ID": ctx.run_id,
+        "BRUIN_PIPELINE": ctx.pipeline_name,
+        "BRUIN_FULL_REFRESH": "1" if ctx.full_refresh else "",
+        "BRUIN_THIS": asset.name,
+    }
+
+
+def _to_spark_df(spark: SparkSession, result: Any) -> DataFrame:
+    if isinstance(result, DataFrame):
+        return result
+    try:
+        import pandas as pd
+
+        if isinstance(result, pd.DataFrame):
+            return spark.createDataFrame(result)
+    except ImportError:
+        pass
+    try:
+        import pyarrow as pa
+
+        if isinstance(result, pa.Table):
+            return spark.createDataFrame(result.to_pandas())
+    except ImportError:
+        pass
+    if hasattr(result, "__iter__") and not isinstance(result, (str, bytes, dict)):
+        import pandas as pd
+
+        frames = []
+        for chunk in result:
+            try:
+                import pyarrow as pa
+
+                if isinstance(chunk, pa.Table):
+                    chunk = chunk.to_pandas()
+            except ImportError:
+                pass
+            frames.append(chunk)
+        if not frames:
+            raise ValueError("materialize() generator yielded nothing")
+        return spark.createDataFrame(pd.concat(frames, ignore_index=True))
+    raise TypeError(
+        f"materialize() must return pandas/pyarrow/Spark data, got {type(result).__name__}"
+    )
+
+
+def _write_df(spark: SparkSession, asset: Asset, df: DataFrame) -> None:
+    """Write a DataFrame with the asset's materialization strategy by
+    routing through the SQL materializer over a temp view."""
+    if asset.materialization.type == MaterializationType.NONE:
+        asset = Asset(
+            name=asset.name,
+            type=asset.type,
+            materialization=Materialization(
+                type=MaterializationType.TABLE, strategy=Strategy.CREATE_REPLACE
+            ),
+            columns=asset.columns,
+            file_path=asset.file_path,
+            parameters=asset.parameters,
+        )
+    view = f"__bruin_src_{asset.name.replace('.', '_')}"
+    df.createOrReplaceTempView(view)
+    try:
+        Materializer(spark).run(asset, f"SELECT * FROM {view}")
+    finally:
+        spark.catalog.dropTempView(view)

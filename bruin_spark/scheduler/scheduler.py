@@ -383,6 +383,16 @@ class Scheduler:
             for post in asset.hooks.get("post", []):
                 self.spark.sql(post)
             return None
+        if asset.type in ("spark.seed", "seed"):
+            from bruin_spark.operators.assets_ops import run_seed
+
+            return run_seed(self.spark, asset, self.context)
+        if asset.type == "python":
+            from bruin_spark.operators.assets_ops import run_python_asset
+
+            ctx = self.context.with_modifiers(asset.interval_modifiers)
+            ctx.full_refresh = self.full_refresh
+            return run_python_asset(self.spark, asset, ctx)
         if asset.type.endswith(".source") or asset.type in ("noop", "metadata"):
             return None  # NoOp main; checks still run (executor/defaults.go:10-95)
         raise RuntimeError(f"no operator for asset type: {asset.type}")
