@@ -24,6 +24,7 @@ def collect_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame
         relational_q,
         semantic_q,
         similarity,
+        streaming_q,
         text,
     )
 
@@ -38,6 +39,7 @@ def collect_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame
         semantic_q,
         datadiff,
         relational_q,
+        streaming_q,
     ):
         for name, pair in mod.QUERIES.items():
             if name in out:

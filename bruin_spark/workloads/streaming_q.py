@@ -1,0 +1,101 @@
+"""Structured Streaming workloads.
+
+Runs real readStream → writeStream pipelines with availableNow triggers
+(single deterministic micro-batch over the sf dir's events file), then
+returns the sink table. Update-mode emissions after one batch equal the
+batch aggregation, so these streaming paths get REAL value oracles, not
+just rows-only checks.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from bruin_spark.streaming import (
+    run_stream_to_table,
+    stateful_running_counts,
+    stream_dedup,
+    stream_file_source,
+    windowed_agg,
+)
+
+
+_STAGED: dict[str, str] = {}
+
+
+def _events_path(sf_dir: str) -> str:
+    """File streaming sources need a DIRECTORY; stage a symlink dir."""
+    src = os.path.join(sf_dir, "events.parquet")
+    if sf_dir not in _STAGED:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="bruin_stream_events_")
+        os.symlink(src, os.path.join(d, "events.parquet"))
+        _STAGED[sf_dir] = d
+    return _STAGED[sf_dir]
+
+
+def _run(spark: SparkSession, sdf, mode: str) -> DataFrame:
+    name = f"stream_sink_{uuid.uuid4().hex[:8]}"
+    run_stream_to_table(sdf, name, output_mode=mode)
+    return spark.table(name)
+
+
+def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = stream_file_source(spark, _events_path(sf_dir))
+    sdf = windowed_agg(
+        stream,
+        time_col="ts",
+        window="1 hour",
+        watermark="2 hours",
+        keys=["event_type"],
+        aggs={"n_events": "count(1)", "total_value": "round(sum(value), 4)"},
+    )
+    out = _run(spark, sdf, "update")
+    return out.select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+HOURLY_ORACLE = """
+SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = stream_file_source(spark, _events_path(sf_dir))
+    sdf = stateful_running_counts(stream, key="user_id")
+    return _run(spark, sdf, "update")
+
+
+USER_TOTALS_ORACLE = """
+SELECT user_id, COUNT(*) AS n_events_total FROM events GROUP BY user_id
+"""
+
+
+def stream_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = stream_file_source(spark, _events_path(sf_dir))
+    deduped = stream_dedup(stream, keys=["user_id", "event_type"], time_col="ts")
+    out = _run(spark, deduped, "append")
+    return out.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_kinds"))
+
+
+DEDUP_ORACLE = """
+SELECT user_id, COUNT(DISTINCT event_type) AS n_kinds FROM events GROUP BY user_id
+"""
+
+
+QUERIES = {
+    "stream_hourly_counts": (stream_hourly_counts, HOURLY_ORACLE),
+    "stream_user_totals": (stream_user_totals, USER_TOTALS_ORACLE),
+    "stream_dedup_ids": (stream_dedup_ids, DEDUP_ORACLE),
+}
