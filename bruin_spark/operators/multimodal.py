@@ -1,0 +1,167 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Treats media as opaque ``binary`` columns plus a typed metadata struct —
+the Spark-side schema, Arrow batching, partition packing, and UDF
+signatures are real and tested; the actual codec calls are STUBBED
+because no image/audio libraries exist in this container:
+
+- real decode path: gated behind an import-try of PIL/soundfile — raises
+  ``NotImplementedError`` with instructions when absent;
+- deterministic fake format ``BRUI``: a 16-byte header (magic, width,
+  height, n_frames) + payload. Tests and oracles use it so the entire
+  distributed pipeline (scan → mapInPandas decode → feature columns)
+  runs for real, with only the codec swapped.
+
+Batch shape matters: mapInPandas receives Arrow record batches; media
+bytes dominate memory, so ``pack_partitions_by_bytes`` packs rows into
+partitions by cumulative payload size (not row count) before the decode
+stage — the difference between a 2 GB and a 40 GB executor working set
+when row sizes are skewed.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, functions as F
+
+MAGIC = b"BRUI"
+HEADER_FMT = ">4sHHI"  # magic, width, height, n_frames
+HEADER_SIZE = struct.calcsize(HEADER_FMT)
+
+IMAGE_META_SCHEMA = "mime string, width int, height int, n_frames int, n_bytes bigint"
+
+
+def synth_media(width: int, height: int, n_frames: int = 1, payload_seed: int = 0) -> bytes:
+    """Deterministic fake media blob in the BRUI container format."""
+    payload_len = (width * height) % 4096 + 16
+    payload = bytes((payload_seed + i * 31) % 256 for i in range(payload_len))
+    return struct.pack(HEADER_FMT, MAGIC, width, height, n_frames) + payload
+
+
+def parse_header(blob: bytes) -> tuple[int, int, int]:
+    """-> (width, height, n_frames); raises on foreign formats."""
+    if blob is None or len(blob) < HEADER_SIZE or blob[:4] != MAGIC:
+        raise ValueError("not a BRUI blob — real codecs are stubbed in this build")
+    _magic, w, h, n = struct.unpack(HEADER_FMT, blob[:HEADER_SIZE])
+    return w, h, n
+
+
+def decode_media(
+    df: DataFrame, bin_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """Decode headers + byte stats via mapInPandas (Arrow-batched).
+
+    Output: (id, width, height, n_frames, n_bytes, payload_sum) — the
+    schema a real decoder would extend with pixel tensors.
+    """
+    out_schema = (
+        f"{id_col} bigint, width int, height int, n_frames int, "
+        "n_bytes bigint, payload_sum bigint"
+    )
+
+    def decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _i, r in pdf.iterrows():
+                blob = r[bin_col]
+                w, h, n = parse_header(blob)
+                payload = blob[HEADER_SIZE:]
+                rows.append(
+                    (int(r[id_col]), w, h, n, len(blob), int(sum(payload)))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "width", "height", "n_frames", "n_bytes", "payload_sum"],
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(decode, out_schema)
+
+
+def resize_stub(df: DataFrame, bin_col: str = "media", size: tuple[int, int] = (64, 64)) -> DataFrame:
+    """Resize images. REAL path requires PIL — stubbed here.
+
+    The Spark plumbing (mapInPandas over binary, same-shape output) is
+    identical to decode_media; only the per-blob function changes.
+    """
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        raise NotImplementedError(
+            "image resize needs Pillow, which is not in this container; "
+            "swap decode_media's per-blob fn for PIL.Image.resize when available"
+        ) from None
+    raise NotImplementedError("real resize wiring lands with the codec")
+
+
+def frame_sample(
+    df: DataFrame, every_n: int = 10, bin_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """Sample every Nth frame of fake multi-frame media (video analog).
+
+    One output row per sampled frame: (id, frame_idx, frame_byte) —
+    demonstrates the 1-to-many mapInPandas explode shape a real video
+    frame sampler uses.
+    """
+    out_schema = f"{id_col} bigint, frame_idx int, frame_byte int"
+
+    def sample(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _i, r in pdf.iterrows():
+                blob = r[bin_col]
+                _w, _h, n_frames = parse_header(blob)
+                payload = blob[HEADER_SIZE:]
+                for f_idx in range(0, n_frames, every_n):
+                    rows.append(
+                        (int(r[id_col]), f_idx, payload[f_idx % len(payload)])
+                    )
+            yield pd.DataFrame(rows, columns=[id_col, "frame_idx", "frame_byte"])
+
+    return df.select(id_col, bin_col).mapInPandas(sample, out_schema)
+
+
+def pack_partitions_by_bytes(
+    df: DataFrame,
+    size_col: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Repartition so each partition holds ~target_bytes of payload.
+
+    Rows are ordered (by id for determinism), cumulative payload size is
+    bucketed, and the bucket becomes the shuffle key. Protects decode
+    stages from skew when blob sizes vary by 1000x.
+    """
+    from pyspark.sql import Window
+
+    order = [id_col] if id_col else [size_col]
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed = df.withColumn(
+        "__bucket", (F.sum(size_col).over(w) / F.lit(target_bytes)).cast("bigint")
+    )
+    n_buckets = bucketed.agg(F.max("__bucket")).collect()[0][0] or 0
+    return bucketed.repartition(int(n_buckets) + 1, "__bucket").drop("__bucket")
+
+
+def with_media_meta(df: DataFrame, bin_col: str = "media") -> DataFrame:
+    """Attach the typed metadata struct using ONLY cheap header parsing
+    expressed with built-in byte functions (no Python): substr on binary
+    + conv — the metadata-only scan never deserializes payloads."""
+    blob = F.col(bin_col)
+    w = F.conv(F.hex(F.substring(blob, 5, 2)), 16, 10).cast("int")
+    h = F.conv(F.hex(F.substring(blob, 7, 2)), 16, 10).cast("int")
+    n = F.conv(F.hex(F.substring(blob, 9, 4)), 16, 10).cast("int")
+    meta = F.struct(
+        F.lit("application/x-brui").alias("mime"),
+        w.alias("width"),
+        h.alias("height"),
+        n.alias("n_frames"),
+        F.length(blob).cast("bigint").alias("n_bytes"),
+    )
+    return df.withColumn("media_meta", meta)

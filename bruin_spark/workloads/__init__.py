@@ -20,6 +20,7 @@ def collect_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame
         datadiff,
         dedup,
         matqueries,
+        multimodal_q,
         quality,
         relational_q,
         semantic_q,
@@ -40,6 +41,7 @@ def collect_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame
         datadiff,
         relational_q,
         streaming_q,
+        multimodal_q,
     ):
         for name, pair in mod.QUERIES.items():
             if name in out:
