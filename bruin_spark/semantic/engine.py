@@ -255,11 +255,16 @@ class SemanticEngine:
         return "".join(out)
 
     def _apply_metric_filter(self, expr: str, filt: str) -> str:
+        """Rewrite the AGGREGATE call inside expr to filter via CASE WHEN.
+
+        Targets the first aggregate function (not the first paren), so
+        wrappers like ROUND(SUM(x), 2) filter the SUM, not the ROUND.
+        """
         expr = expr.strip()
-        open_i = expr.find("(")
-        if open_i == -1:
+        m = _AGG_FNS.search(expr)
+        if m is None:
             return expr
-        fn = expr[:open_i].strip()
+        open_i = expr.index("(", m.start())
         depth, close_i = 1, -1
         for i in range(open_i + 1, len(expr)):
             if expr[i] == "(":
@@ -273,11 +278,17 @@ class SemanticEngine:
             return expr
         inner = expr[open_i + 1 : close_i].strip()
         if inner == "*":
-            return f"{fn}(CASE WHEN {filt} THEN 1 ELSE NULL END)"
-        if inner.upper().startswith("DISTINCT "):
+            filtered = f"CASE WHEN {filt} THEN 1 ELSE NULL END"
+        elif inner.upper().startswith("DISTINCT "):
             arg = inner[len("DISTINCT ") :].strip()
-            return f"{fn}(DISTINCT CASE WHEN {filt} THEN {arg} ELSE NULL END)"
-        return f"{fn}(CASE WHEN {filt} THEN {inner} ELSE NULL END)"
+            return (
+                expr[: open_i + 1]
+                + f"DISTINCT CASE WHEN {filt} THEN {arg} ELSE NULL END"
+                + expr[close_i:]
+            )
+        else:
+            filtered = f"CASE WHEN {filt} THEN {inner} ELSE NULL END"
+        return expr[: open_i + 1] + filtered + expr[close_i:]
 
     def _expand_simple(self, name: str, visited: frozenset = frozenset()) -> str:
         if name in visited:

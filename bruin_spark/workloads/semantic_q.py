@@ -54,10 +54,12 @@ ORDERS_MODEL = Model(
     ],
     metrics=[
         Metric(name="order_count", expression="COUNT(*)"),
-        Metric(name="revenue", expression="SUM(o_totalprice)"),
+        # ROUND on money sums: parallel partial-sum order differs between
+        # engines, so raw double SUMs diverge in the last ulp at ~1e9
+        Metric(name="revenue", expression="ROUND(SUM(o_totalprice), 2)"),
         Metric(
             name="urgent_revenue",
-            expression="SUM(o_totalprice)",
+            expression="ROUND(SUM(o_totalprice), 2)",
             filter="o_orderpriority = '1-URGENT'",
         ),
         Metric(name="avg_order_value", expression="{revenue} / {order_count}"),
@@ -103,9 +105,26 @@ def _engine() -> SemanticEngine:
     return SemanticEngine(ORDERS_MODEL, [CUSTOMERS_MODEL])
 
 
+# windowed SUMs associate differently across engines (DuckDB uses a
+# segment tree); round those outputs identically on BOTH sides by
+# wrapping the generated SQL — workload-level concern, not an engine one
+_ROUND_COLS = {"running_revenue": 2, "prev_month_revenue": 2, "revenue_share": 6}
+
+
+def _compile(q: Query) -> str:
+    sql, cols = _engine().generate_sql_with_columns(q)
+    if not any(name in _ROUND_COLS for name, _f in cols):
+        return sql
+    sel = ", ".join(
+        f"ROUND({name}, {_ROUND_COLS[name]}) AS {name}" if name in _ROUND_COLS else name
+        for name, _f in cols
+    )
+    return f"SELECT {sel} FROM ({sql}) AS w"
+
+
 def _run(spark: SparkSession, sf_dir: str, q: Query) -> DataFrame:
     load_tables(spark, sf_dir, ["orders", "customer"])
-    return spark.sql(_engine().generate_sql(q))
+    return spark.sql(_compile(q))
 
 
 # -- queries (each returns both the Spark DF and carries its oracle SQL) -------
@@ -168,7 +187,7 @@ def _mk(qf):
 
 
 def _oracle(qf) -> str:
-    return _engine().generate_sql(qf())
+    return _compile(qf())
 
 
 QUERIES = {
