@@ -36,6 +36,12 @@ HEADLINE = [
     "sim_lsh_topk",
     "text_quality",
     "text_language_id",
+    "sem_monthly_window",
+    "rel_asof_purchase_login",
+    "rel_session_stats",
+    "diff_profile_orders",
+    "stream_hourly_counts",
+    "mm_decode",
 ]
 
 

@@ -66,13 +66,11 @@ def decode_media(
 
         for pdf in batches:
             rows = []
-            for _i, r in pdf.iterrows():
-                blob = r[bin_col]
+            # zip over columns — iterrows() is ~20x slower per row
+            for rid, blob in zip(pdf[id_col], pdf[bin_col]):
                 w, h, n = parse_header(blob)
                 payload = blob[HEADER_SIZE:]
-                rows.append(
-                    (int(r[id_col]), w, h, n, len(blob), int(sum(payload)))
-                )
+                rows.append((int(rid), w, h, n, len(blob), int(sum(payload))))
             yield pd.DataFrame(
                 rows,
                 columns=[id_col, "width", "height", "n_frames", "n_bytes", "payload_sum"],
@@ -113,14 +111,11 @@ def frame_sample(
 
         for pdf in batches:
             rows = []
-            for _i, r in pdf.iterrows():
-                blob = r[bin_col]
+            for rid, blob in zip(pdf[id_col], pdf[bin_col]):
                 _w, _h, n_frames = parse_header(blob)
                 payload = blob[HEADER_SIZE:]
                 for f_idx in range(0, n_frames, every_n):
-                    rows.append(
-                        (int(r[id_col]), f_idx, payload[f_idx % len(payload)])
-                    )
+                    rows.append((int(rid), f_idx, payload[f_idx % len(payload)]))
             yield pd.DataFrame(rows, columns=[id_col, "frame_idx", "frame_byte"])
 
     return df.select(id_col, bin_col).mapInPandas(sample, out_schema)
