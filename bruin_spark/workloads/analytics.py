@@ -318,3 +318,224 @@ QUERIES = {
     "q_date_spine_orders": (q_date_spine_orders, Q_SPINE_ORACLE),
     "q_surrogate_keys": (q_surrogate_keys, Q_SURROGATE_ORACLE),
 }
+
+
+# -- q4: orders with late-shipped items (TPC-H Q4 shape, EXISTS semi-join) ----
+
+
+def q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-10-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    # semi join: order has at least one item shipped > 60 days after order
+    joined = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return joined.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+Q4_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
+# -- q6: forecast revenue change (TPC-H Q6 — scan-only with full pushdown) ----
+
+
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.09)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                (_dec("l_extendedprice") * _dec("l_discount")).cast("decimal(18,4)")
+            ).alias("revenue")
+        )
+    )
+
+
+Q6_ORACLE = """
+SELECT SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount >= 0.02 AND l_discount <= 0.09
+  AND l_quantity < 24
+"""
+
+
+# -- q7: volume between nation pairs (TPC-H Q7 shape) -------------------------
+
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = broadcast(nation.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")))
+    n2 = broadcast(nation.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(n1, supp.s_nationkey == F.col("snk"))
+        .join(n2, cust.c_nationkey == F.col("cnk"))
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+        .withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            F.sum(
+                (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
+                .cast("decimal(18,4)")
+            ).alias("revenue")
+        )
+    )
+
+
+Q7_ORACLE = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       EXTRACT(year FROM l_shipdate)::BIGINT AS l_year,
+       SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name < n2.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+# -- q10: returned-item revenue by customer (TPC-H Q10 shape) -----------------
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-07-01")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(
+                (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
+                .cast("decimal(18,4)")
+            ).alias("revenue")
+        )
+    )
+
+
+Q10_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+GROUP BY 1, 2, 3, 4
+"""
+
+
+# -- q14: promo revenue share (TPC-H Q14 shape) -------------------------------
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    part = _t(spark, sf_dir, "part")
+    disc = (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type").startswith("PROMO"), disc).otherwise(F.lit(0).cast("decimal(18,4)")))
+                / F.sum(disc),
+                6,
+            ).alias("promo_share_pct")
+        )
+    )
+
+
+Q14_ORACLE = """
+SELECT ROUND(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+             THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))
+             ELSE CAST(0 AS DECIMAL(18,4)) END)
+       / SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))), 6) AS promo_share_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+"""
+
+
+# -- q18: large-volume orders (TPC-H Q18 shape: agg-filter then join back) ----
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "total_qty")
+    )
+
+
+Q18_ORACLE = """
+SELECT c_custkey, c_name, o_orderkey, o_totalprice, total_qty
+FROM (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+) big
+JOIN orders ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+QUERIES.update(
+    {
+        "q4_late_orders": (q4_late_orders, Q4_ORACLE),
+        "q6_revenue_forecast": (q6_revenue_forecast, Q6_ORACLE),
+        "q7_nation_volume": (q7_nation_volume, Q7_ORACLE),
+        "q10_returned_items": (q10_returned_items, Q10_ORACLE),
+        "q14_promo_revenue": (q14_promo_revenue, Q14_ORACLE),
+        "q18_large_orders": (q18_large_orders, Q18_ORACLE),
+    }
+)
