@@ -326,12 +326,19 @@ class Scheduler:
                             raise RuntimeError(res.error() or f"check failed: {inst.id}")
                     inst.status = InstanceStatus.SUCCEEDED
                 except Exception as exc:  # noqa: BLE001 - task boundary
-                    inst.attempts += 1
-                    if inst.attempts <= self.retries:
-                        inst.status = InstanceStatus.PENDING  # retry
+                    from bruin_spark.operators.sensors import SensorSkip
+
+                    if isinstance(exc, SensorSkip):
+                        inst.status = InstanceStatus.SKIPPED
                     else:
-                        inst.status = InstanceStatus.FAILED
-                        inst.error = f"{type(exc).__name__}: {exc}\n{traceback.format_exc(limit=3)}"
+                        inst.attempts += 1
+                        if inst.attempts <= self.retries:
+                            inst.status = InstanceStatus.PENDING  # retry
+                        else:
+                            inst.status = InstanceStatus.FAILED
+                            inst.error = (
+                                f"{type(exc).__name__}: {exc}\n{traceback.format_exc(limit=3)}"
+                            )
                 finally:
                     inst.duration_s += time.perf_counter() - t0
                     with lock:
@@ -383,6 +390,21 @@ class Scheduler:
             for post in asset.hooks.get("post", []):
                 self.spark.sql(post)
             return None
+        if asset.type in ("spark.sensor.query", "spark.sensor.table", "spark.sensor.path"):
+            from bruin_spark.operators import sensors
+
+            kind = asset.type.rsplit(".", 1)[1]
+            params = asset.parameters
+            kwargs = dict(
+                mode=params.get("mode", "wait"),
+                poke_interval_s=float(params.get("poke_interval", 30)),
+                timeout_s=float(params["timeout"]) if params.get("timeout") else None,
+            )
+            if kind == "query":
+                return sensors.query_sensor(self.spark, params["query"], **kwargs)
+            if kind == "table":
+                return sensors.table_sensor(self.spark, params["table"], **kwargs)
+            return sensors.path_sensor(self.spark, params["path"], **kwargs)
         if asset.type in ("spark.seed", "seed"):
             from bruin_spark.operators.assets_ops import run_seed
 
