@@ -1,0 +1,214 @@
+"""CLI: the reference's top entry points on Spark
+(ref: cmd/run.go:571 run, cmd/fetch.go:48-160 query, cmd/render.go:54-200
+render, `internal parse-pipeline` JSON dump, lint).
+
+    python -m bruin_spark run ./pipeline [--asset X] [--downstream]
+        [--tag t] [--exclude-tag t] [--full-refresh] [--workers N]
+        [--start YYYY-MM-DD] [--end YYYY-MM-DD] [--continue]
+    python -m bruin_spark render ./pipeline asset_name [--start ...]
+    python -m bruin_spark query --query "SELECT ..." [--limit N] [--sf-dir D]
+    python -m bruin_spark parse ./pipeline
+    python -m bruin_spark lint ./pipeline
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+from datetime import datetime, timedelta
+
+
+def _parse_date(s: str | None, default: datetime) -> datetime:
+    if not s:
+        return default
+    for fmt in ("%Y-%m-%d", "%Y-%m-%dT%H:%M:%S", "%Y-%m-%d %H:%M:%S"):
+        try:
+            return datetime.strptime(s, fmt)
+        except ValueError:
+            continue
+    raise SystemExit(f"unparseable date: {s!r}")
+
+
+def _context(args) -> "RenderContext":
+    from bruin_spark.render import RenderContext
+
+    # default interval = yesterday (ref: jinja.go:172-183)
+    today = datetime.now().replace(hour=0, minute=0, second=0, microsecond=0)
+    start = _parse_date(getattr(args, "start", None), today - timedelta(days=1))
+    end = _parse_date(getattr(args, "end", None), today)
+    return RenderContext(
+        start=start,
+        end=end,
+        run_id=getattr(args, "run_id", "") or f"cli_{start:%Y%m%d}",
+        full_refresh=bool(getattr(args, "full_refresh", False)),
+    )
+
+
+def cmd_run(args) -> int:
+    from bruin_spark import get_spark
+    from bruin_spark.lint import lint_pipeline
+    from bruin_spark.model import load_pipeline
+    from bruin_spark.scheduler import PipelineState, Scheduler
+
+    pipe = load_pipeline(args.pipeline)
+    errors = [i for i in lint_pipeline(pipe) if i.severity == "error"]
+    if errors:
+        for i in errors:
+            print(str(i), file=sys.stderr)
+        return 2
+
+    spark = get_spark(f"bruin:{pipe.name}")
+    if args.tables_dir:
+        from bruin_spark.session import load_tables
+
+        load_tables(spark, args.tables_dir)
+    ctx = _context(args)
+    ctx.pipeline_name = pipe.name
+    sched = Scheduler(
+        spark,
+        pipe,
+        context=ctx,
+        workers=args.workers,
+        full_refresh=args.full_refresh,
+    )
+    sched.apply_filters(
+        only=[args.asset] if args.asset else None,
+        downstream=args.downstream,
+        tags=args.tag,
+        exclude_tags=args.exclude_tag,
+    )
+    state_path = args.state or os.path.join(args.pipeline, ".bruin_state.json")
+    if args.continue_run and os.path.exists(state_path):
+        sched.restore(PipelineState.load(state_path))
+    res = sched.run(state_path=state_path)
+    for iid in res.succeeded:
+        print(f"ok   {iid}")
+    for iid in res.skipped:
+        print(f"skip {iid}")
+    for iid in res.upstream_failed:
+        print(f"up!  {iid}")
+    for iid in res.failed:
+        print(f"FAIL {iid}: {sched.instances[iid].error.splitlines()[0] if sched.instances[iid].error else ''}")
+    return 0 if res.ok else 1
+
+
+def cmd_render(args) -> int:
+    from bruin_spark.mat.strategies import render_materialization
+    from bruin_spark.model import load_pipeline
+    from bruin_spark.render import render_asset_query
+
+    pipe = load_pipeline(args.pipeline)
+    asset = pipe.asset(args.asset)
+    if asset is None:
+        print(f"asset not found: {args.asset}", file=sys.stderr)
+        return 2
+    ctx = _context(args)
+    ctx.pipeline_name, ctx.this = pipe.name, asset.name
+    sql = render_asset_query(asset, ctx)
+    for stmt in render_materialization(asset, sql, args.full_refresh):
+        print(stmt.rstrip(";") + ";")
+    return 0
+
+
+def cmd_query(args) -> int:
+    from bruin_spark import get_spark
+    from bruin_spark.parser import add_limit
+    from bruin_spark.session import load_tables
+
+    spark = get_spark("bruin:query")
+    if args.sf_dir:
+        load_tables(spark, args.sf_dir)
+    q = add_limit(args.query, args.limit) if args.limit else args.query
+    df = spark.sql(q)
+    rows = df.collect()
+    if args.json:
+        print(json.dumps([r.asDict() for r in rows], default=str))
+    else:
+        print("\t".join(df.columns))
+        for r in rows:
+            print("\t".join(str(v) for v in r))
+    return 0
+
+
+def cmd_parse(args) -> int:
+    from bruin_spark.model import load_pipeline
+
+    pipe = load_pipeline(args.pipeline)
+
+    def clean(obj):
+        if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
+            return {k: clean(v) for k, v in dataclasses.asdict(obj).items()}
+        if isinstance(obj, dict):
+            return {k: clean(v) for k, v in obj.items()}
+        if isinstance(obj, (list, tuple)):
+            return [clean(v) for v in obj]
+        if hasattr(obj, "value"):
+            return obj.value
+        return obj
+
+    print(json.dumps(clean(pipe), indent=2, default=str))
+    return 0
+
+
+def cmd_lint(args) -> int:
+    from bruin_spark.lint import lint_pipeline
+    from bruin_spark.model import load_pipeline
+
+    issues = lint_pipeline(load_pipeline(args.pipeline))
+    for i in issues:
+        print(str(i))
+    return 1 if any(i.severity == "error" for i in issues) else 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="bruin_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("run", help="run a pipeline")
+    pr.add_argument("pipeline")
+    pr.add_argument("--asset")
+    pr.add_argument("--downstream", action="store_true")
+    pr.add_argument("--tag", action="append", default=[])
+    pr.add_argument("--exclude-tag", action="append", default=[])
+    pr.add_argument("--full-refresh", action="store_true")
+    pr.add_argument("--workers", type=int, default=None)
+    pr.add_argument("--start")
+    pr.add_argument("--end")
+    pr.add_argument("--run-id")
+    pr.add_argument("--state")
+    pr.add_argument("--tables-dir", help="register parquet tables from this dir as views")
+    pr.add_argument("--continue", dest="continue_run", action="store_true")
+    pr.set_defaults(fn=cmd_run)
+
+    pd = sub.add_parser("render", help="print rendered SQL for an asset")
+    pd.add_argument("pipeline")
+    pd.add_argument("asset")
+    pd.add_argument("--start")
+    pd.add_argument("--end")
+    pd.add_argument("--full-refresh", action="store_true")
+    pd.set_defaults(fn=cmd_render)
+
+    pq = sub.add_parser("query", help="run an ad-hoc query")
+    pq.add_argument("--query", required=True)
+    pq.add_argument("--limit", type=int)
+    pq.add_argument("--sf-dir", help="register parquet tables from this dir")
+    pq.add_argument("--json", action="store_true")
+    pq.set_defaults(fn=cmd_query)
+
+    pp = sub.add_parser("parse", help="dump the parsed pipeline as JSON")
+    pp.add_argument("pipeline")
+    pp.set_defaults(fn=cmd_parse)
+
+    pl = sub.add_parser("lint", help="lint a pipeline")
+    pl.add_argument("pipeline")
+    pl.set_defaults(fn=cmd_lint)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
