@@ -83,7 +83,11 @@ def ngram_jaccard_pairs(
 
     pairs = (
         inv.alias("a")
-        .join(inv.alias("b"), (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .hint("merge")
+        .join(
+            inv.alias("b").hint("merge"),
+            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")),
+        )
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -169,10 +173,15 @@ def minhash_lsh_candidates(
         "id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
     )
 
+    # merge-join hint: a broadcast self-join would evaluate the signature
+    # pipeline twice (once to build the hash relation, once to stream);
+    # with SMJ both sides shuffle on identical keys and Spark's exchange
+    # reuse computes the signature subplan ONCE
     return (
         band_rows.alias("a")
+        .hint("merge")
         .join(
-            band_rows.alias("b"),
+            band_rows.alias("b").hint("merge"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.id") < F.col("b.id")),
@@ -329,8 +338,9 @@ def simhash_near_pairs(
     ).select("id", "simhash", F.col("bk.blk").alias("blk"), F.col("bk.blk_key").alias("blk_key"))
     return (
         blocked.alias("a")
+        .hint("merge")
         .join(
-            blocked.alias("b"),
+            blocked.alias("b").hint("merge"),
             (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.blk_key") == F.col("b.blk_key"))
             & (F.col("a.id") < F.col("b.id")),
