@@ -200,3 +200,98 @@ def embedding_near_dup(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# -- IVF (inverted-file) ANN --------------------------------------------------
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "unit_vec",
+    id_col: str = "vec_id",
+    cent_id: str = "centroid_id",
+    cent_vec: str = "centroid_vec",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine).
+
+    Centroids broadcast (they're small by construction); assignment is a
+    map-side argmax, so the corpus never shuffles for partitioning — the
+    IVF index build is one pass.
+    """
+    scored = df.join(F.broadcast(centroids)).withColumn(
+        "_score", _dot(F.col(vec_col), F.col(cent_vec))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_score").desc(), F.col(cent_id))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_score", cent_vec)
+    )
+
+
+def deterministic_centroids(
+    df: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "unit_vec",
+) -> DataFrame:
+    """Pick the n lowest-id vectors as centroids.
+
+    Deterministic and oracle-reproducible. Production swaps this for
+    k-means|| (pyspark.ml.clustering.KMeans) — the index structure and
+    probe path below are unchanged.
+    """
+    return (
+        df.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("centroid_vec"),
+        )
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: corpus is partitioned into centroid cells;
+    each query scores only the ``n_probe`` nearest cells' vectors.
+
+    Candidate cost drops from |corpus| to ~|corpus|·n_probe/n_centroids
+    per query. The cell join is an equi-join on centroid_id, so at scale
+    it shuffles once on a low-cardinality key that AQE can coalesce.
+    """
+    corpus_u = with_unit_vectors(df, vec_col)
+    cents = deterministic_centroids(corpus_u, n_centroids, id_col)
+    corpus = ivf_assign(corpus_u, cents, id_col=id_col).select(
+        F.col(id_col).alias("nn_id"), F.col("unit_vec").alias("cv"), "centroid_id"
+    )
+    qs_u = with_unit_vectors(queries, vec_col)
+    q_scored = qs_u.join(F.broadcast(cents)).withColumn(
+        "_score", _dot(F.col("unit_vec"), F.col("centroid_vec"))
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(F.col("_score").desc(), F.col("centroid_id"))
+    q_cells = (
+        q_scored.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= n_probe)
+        .select(F.col(query_id_col).alias("query_id"), F.col("unit_vec").alias("qv"), "centroid_id")
+    )
+    scored = (
+        F.broadcast(q_cells)
+        .join(corpus, "centroid_id")
+        .select("query_id", "nn_id", F.round(_dot(F.col("qv"), F.col("cv")), 6).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nn_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nn_id", "cosine", "rank")
+    )

@@ -130,7 +130,59 @@ SELECT query_id, nn_id, cosine, rank FROM (
 """
 
 
+N_CENTROIDS = 8
+N_PROBE = 2
+
+
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(f"vec_id % {QUERY_MOD} = 0").withColumnRenamed("vec_id", "query_id")
+    return S.ivf_topk(emb, queries, k=K, n_centroids=N_CENTROIDS, n_probe=N_PROBE)
+
+
+# DuckDB replica of the IVF index: centroids = unit vectors of the
+# N_CENTROIDS lowest vec_ids; corpus rows assigned to argmax-cosine
+# centroid; each query probes its N_PROBE best cells.
+IVF_ORACLE = f"""
+WITH u AS (SELECT vec_id, {_DUCK_UNIT} AS uv FROM embeddings),
+cents AS (
+  SELECT vec_id AS centroid_id, uv AS cv FROM u ORDER BY vec_id LIMIT {N_CENTROIDS}
+),
+assigned AS (
+  SELECT vec_id, uv, centroid_id FROM (
+    SELECT v.vec_id, v.uv, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_duck_dot('v.uv', 'c.cv')} DESC, c.centroid_id
+           ) AS rn
+    FROM u v CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+q_cells AS (
+  SELECT query_id, uv AS qv, centroid_id FROM (
+    SELECT v.vec_id AS query_id, v.uv, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_duck_dot('v.uv', 'c.cv')} DESC, c.centroid_id
+           ) AS rn
+    FROM u v CROSS JOIN cents c
+    WHERE v.vec_id % {QUERY_MOD} = 0
+  ) WHERE rn <= {N_PROBE}
+),
+scored AS (
+  SELECT q.query_id, a.vec_id AS nn_id,
+         ROUND({_duck_dot('q.qv', 'a.uv')}, 6) AS cosine
+  FROM q_cells q JOIN assigned a ON q.centroid_id = a.centroid_id
+)
+SELECT query_id, nn_id, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rank
+  FROM scored
+) WHERE rank <= {K}
+"""
+
+
 QUERIES = {
+    "sim_ivf_topk": (sim_ivf_topk, IVF_ORACLE),
     "sim_topk_bruteforce": (sim_topk_bruteforce, TOPK_ORACLE),
     "sim_near_dup_exact": (sim_near_dup_exact, NEAR_DUP_ORACLE),
     "sim_lsh_bucket_sizes": (sim_lsh_bucket_sizes, _lsh_bucket_oracle()),
