@@ -67,12 +67,20 @@ def cmd_run(args) -> int:
         load_tables(spark, args.tables_dir)
     ctx = _context(args)
     ctx.pipeline_name = pipe.name
+    ctx.variables = dict(pipe.variables)
+    if getattr(args, "variant", None):
+        overrides = pipe.variants.get(args.variant)
+        if overrides is None:
+            print(f"unknown variant: {args.variant}", file=sys.stderr)
+            return 2
+        ctx.variables.update(overrides.get("variables", overrides))
     sched = Scheduler(
         spark,
         pipe,
         context=ctx,
         workers=args.workers,
         full_refresh=args.full_refresh,
+        push_metadata=args.push_metadata,
     )
     sched.apply_filters(
         only=[args.asset] if args.asset else None,
@@ -180,6 +188,8 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--run-id")
     pr.add_argument("--state")
     pr.add_argument("--tables-dir", help="register parquet tables from this dir as views")
+    pr.add_argument("--variant", help="apply a named variable override set")
+    pr.add_argument("--push-metadata", action="store_true")
     pr.add_argument("--continue", dest="continue_run", action="store_true")
     pr.set_defaults(fn=cmd_run)
 

@@ -80,8 +80,42 @@ def load_asset_file(path: str) -> Asset:
     return asset
 
 
+def load_glossary(path: str) -> dict[str, dict[str, dict]]:
+    """glossary.yml entities: {Entity: {attribute: {type, description}}}
+    (ref: pkg/glossary/entity.go:28-34)."""
+    for fn in ("glossary.yml", "glossary.yaml"):
+        p = os.path.join(path, fn)
+        if os.path.exists(p):
+            with open(p, encoding="utf-8") as f:
+                d = yaml.safe_load(f) or {}
+            out = {}
+            for ent, spec in (d.get("entities") or {}).items():
+                out[ent] = {
+                    a: (aspec or {}) for a, aspec in (spec.get("attributes") or {}).items()
+                }
+            return out
+    return {}
+
+
+def apply_glossary(pipe: Pipeline, glossary: dict[str, dict[str, dict]]) -> None:
+    """Columns with ``extends: Entity.attribute`` inherit type/description
+    (declared values win — ref: pipeline.go:1747-1784)."""
+    for asset in pipe.assets:
+        for col in asset.columns:
+            if not col.extends or "." not in col.extends:
+                continue
+            ent, attr = col.extends.split(".", 1)
+            spec = glossary.get(ent, {}).get(attr)
+            if spec is None:
+                continue
+            if not col.type and spec.get("type"):
+                col.type = spec["type"]
+            if not col.description and spec.get("description"):
+                col.description = spec["description"]
+
+
 def load_pipeline(path: str) -> Pipeline:
-    """Load a pipeline directory: pipeline.yml + assets/**."""
+    """Load a pipeline directory: pipeline.yml + assets/** (+glossary)."""
     pipeline_yml = os.path.join(path, "pipeline.yml")
     d: dict = {}
     if os.path.exists(pipeline_yml):
@@ -94,6 +128,7 @@ def load_pipeline(path: str) -> Pipeline:
         schedule=str(d.get("schedule", "") or ""),
         start_date=str(d.get("start_date", "") or ""),
         variables=d.get("variables", {}) or {},
+        variants=d.get("variants", {}) or {},
         default_connections=d.get("default_connections", {}) or {},
         concurrency=int(d.get("concurrency", 16) or 16),
         retries=int(d.get("retries", 0) or 0),
@@ -106,4 +141,7 @@ def load_pipeline(path: str) -> Pipeline:
             for fn in sorted(files):
                 if fn.endswith(ASSET_SUFFIXES):
                     pipe.assets.append(load_asset_file(os.path.join(root, fn)))
+    glossary = load_glossary(path)
+    if glossary:
+        apply_glossary(pipe, glossary)
     return pipe

@@ -127,6 +127,7 @@ class Column:
     scale: int | None = None
     length: int | None = None
     datavault_role: str = ""  # hash_key|business_key|load_datetime|record_source|link_hash_key|hash_diff
+    extends: str = ""  # "Entity.attribute" glossary inheritance (ref: pipeline.go:1747-1784)
 
     def sql_type(self) -> str:
         """Render the declared type with precision/scale/length.
@@ -162,6 +163,7 @@ class Column:
             scale=d.get("scale"),
             length=d.get("length"),
             datavault_role=d.get("datavault_role", "") or "",
+            extends=d.get("extends", "") or d.get("entity_attribute", "") or "",
         )
 
 
@@ -204,6 +206,7 @@ class Asset:
     parameters: dict[str, Any] = field(default_factory=dict)
     tags: list[str] = field(default_factory=list)
     owner: str = ""
+    tier: str = ""  # fair-scheduler pool routing (ref: pipeline.go tier)
     interval_modifiers: dict[str, str] = field(default_factory=dict)
     hooks: dict[str, list[str]] = field(default_factory=dict)  # {"pre": [...], "post": [...]}
     # raw unit-test specs (ref: pipeline.go:1095-1148); interpreted by
@@ -248,6 +251,7 @@ class Asset:
             parameters=d.get("parameters", {}) or {},
             tags=d.get("tags", []) or [],
             owner=d.get("owner", "") or "",
+            tier=str(d.get("tier", "") or ""),
             interval_modifiers=d.get("interval_modifiers", {}) or {},
             hooks=hooks,
             unit_tests=d.get("unit_tests", []) or [],
@@ -264,6 +268,7 @@ class Pipeline:
     start_date: str = ""
     assets: list[Asset] = field(default_factory=list)
     variables: dict[str, Any] = field(default_factory=dict)
+    variants: dict[str, dict[str, Any]] = field(default_factory=dict)  # named variable override sets
     default_connections: dict[str, str] = field(default_factory=dict)
     concurrency: int = 16
     retries: int = 0

@@ -129,7 +129,9 @@ class Scheduler:
         full_refresh: bool = False,
         retries: int | None = None,
         operators: dict[str, Callable[[SparkSession, Asset, RenderContext], Any]] | None = None,
+        push_metadata: bool = False,
     ):
+        self.push_metadata = push_metadata
         self.spark = spark
         self.pipeline = pipeline
         self.context = context or RenderContext(pipeline_name=pipeline.name)
@@ -375,6 +377,11 @@ class Scheduler:
 
     def _run_main(self, asset: Asset):
         self.spark.sparkContext.setJobDescription(f"{self.pipeline.name}:{asset.name}")
+        # tier -> fair-scheduler pool: lets high-tier assets' Spark jobs
+        # get scheduling weight (connection-slot analog, scheduler.go:1016)
+        self.spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", asset.tier or None
+        )
         op = self.operators.get(asset.type)
         if op is not None:
             return op(self.spark, asset, self.context)
@@ -389,6 +396,10 @@ class Scheduler:
             mat.run(asset, rendered)
             for post in asset.hooks.get("post", []):
                 self.spark.sql(post)
+            if self.push_metadata:
+                from bruin_spark.operators.metadata import push_metadata
+
+                push_metadata(self.spark, asset)
             return None
         if asset.type in ("spark.sensor.query", "spark.sensor.table", "spark.sensor.path"):
             from bruin_spark.operators import sensors
