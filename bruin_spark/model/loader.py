@@ -141,6 +141,14 @@ def load_pipeline(path: str) -> Pipeline:
             for fn in sorted(files):
                 if fn.endswith(ASSET_SUFFIXES):
                     pipe.assets.append(load_asset_file(os.path.join(root, fn)))
+    macros_dir = os.path.join(path, "macros")
+    if os.path.isdir(macros_dir):
+        parts = []
+        for fn in sorted(os.listdir(macros_dir)):
+            if fn.endswith((".sql", ".jinja", ".j2")):
+                with open(os.path.join(macros_dir, fn), encoding="utf-8") as f:
+                    parts.append(f.read())
+        pipe.macros = "\n".join(parts)
     glossary = load_glossary(path)
     if glossary:
         apply_glossary(pipe, glossary)

@@ -269,6 +269,7 @@ class Pipeline:
     assets: list[Asset] = field(default_factory=list)
     variables: dict[str, Any] = field(default_factory=dict)
     variants: dict[str, dict[str, Any]] = field(default_factory=dict)  # named variable override sets
+    macros: str = ""  # concatenated Jinja macro defs from macros/
     default_connections: dict[str, str] = field(default_factory=dict)
     concurrency: int = 16
     retries: int = 0

@@ -65,6 +65,9 @@ class RenderContext:
     full_refresh: bool = False
     this: str = ""  # fully-qualified name of the asset being rendered
     variables: dict[str, Any] = field(default_factory=dict)
+    # Jinja macro definitions from the pipeline's macros/ dir
+    # (ref: pkg/jinja/jinja.go:37-68) — prepended to every template
+    macros: str = ""
 
     def with_modifiers(self, modifiers: dict[str, str]) -> "RenderContext":
         start, end = self.start, self.end
@@ -131,6 +134,11 @@ _ENV = _environment()
 
 def render_sql(template: str, ctx: RenderContext) -> str:
     """Render one SQL/script template against the interval context."""
+    if ctx.macros:
+        # macro definition blocks render to empty lines; strip what they
+        # leave behind so the statement text is unchanged
+        out = _ENV.from_string(ctx.macros + "\n" + template).render(**ctx.to_jinja())
+        return out.lstrip("\n").lstrip()
     return _ENV.from_string(template).render(**ctx.to_jinja())
 
 

@@ -389,6 +389,8 @@ class Scheduler:
             ctx = self.context.with_modifiers(asset.interval_modifiers)
             ctx.this = asset.name
             ctx.full_refresh = self.full_refresh
+            if not ctx.macros and self.pipeline.macros:
+                ctx.macros = self.pipeline.macros
             rendered = render_asset_query(asset, ctx)
             mat = Materializer(self.spark, full_refresh=self.full_refresh)
             for pre in asset.hooks.get("pre", []):

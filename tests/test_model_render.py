@@ -93,3 +93,26 @@ def test_split_statements():
     stmts = split_statements(sql)
     assert len(stmts) == 3
     assert stmts[1].endswith("SELECT ';' AS s")  # ';' inside quotes not split on
+
+
+def test_pipeline_macros_render(tmp_path):
+    from datetime import datetime
+
+    from bruin_spark.model.loader import load_pipeline
+    from bruin_spark.render.jinja import RenderContext, render_sql
+
+    (tmp_path / "pipeline.yml").write_text("name: m\n")
+    macros = tmp_path / "macros"
+    macros.mkdir()
+    (macros / "util.sql").write_text(
+        "{% macro money(col) %}ROUND({{ col }}, 2){% endmacro %}"
+    )
+    assets = tmp_path / "assets"
+    assets.mkdir()
+    (assets / "a.sql").write_text("SELECT {{ money('amount') }} AS amt FROM t")
+    pipe = load_pipeline(str(tmp_path))
+    assert "macro money" in pipe.macros
+    ctx = RenderContext(start=datetime(2024, 1, 1), end=datetime(2024, 1, 2))
+    ctx.macros = pipe.macros
+    out = render_sql(pipe.asset("a").query, ctx)
+    assert out == "SELECT ROUND(amount, 2) AS amt FROM t"
