@@ -126,10 +126,25 @@ def cmd_query(args) -> int:
     from bruin_spark.parser import add_limit
     from bruin_spark.session import load_tables
 
+    if args.asset:
+        from bruin_spark.model import load_pipeline
+        from bruin_spark.render import render_asset_query
+
+        pipe = load_pipeline(args.pipeline or ".")
+        asset = pipe.asset(args.asset)
+        if asset is None:
+            print(f"asset not found: {args.asset}", file=sys.stderr)
+            return 2
+        ctx = _context(args)
+        ctx.pipeline_name, ctx.this, ctx.macros = pipe.name, asset.name, pipe.macros
+        query = render_asset_query(asset, ctx)
+    else:
+        query = args.query
+
     spark = get_spark("bruin:query")
     if args.sf_dir:
         load_tables(spark, args.sf_dir)
-    q = add_limit(args.query, args.limit) if args.limit else args.query
+    q = add_limit(query, args.limit) if args.limit else query
     df = spark.sql(q)
     rows = df.collect()
     if args.json:
@@ -158,6 +173,28 @@ def cmd_parse(args) -> int:
         return obj
 
     print(json.dumps(clean(pipe), indent=2, default=str))
+    return 0
+
+
+def cmd_lineage(args) -> int:
+    from bruin_spark.model import load_pipeline
+    from bruin_spark.parser.sqlutil import column_lineage, used_tables
+
+    pipe = load_pipeline(args.pipeline)
+    asset = pipe.asset(args.asset)
+    if asset is None:
+        print(f"asset not found: {args.asset}", file=sys.stderr)
+        return 2
+    print(
+        json.dumps(
+            {
+                "asset": asset.name,
+                "used_tables": used_tables(asset.query),
+                "columns": column_lineage(asset.query),
+            },
+            indent=2,
+        )
+    )
     return 0
 
 
@@ -201,12 +238,21 @@ def main(argv: list[str] | None = None) -> int:
     pd.add_argument("--full-refresh", action="store_true")
     pd.set_defaults(fn=cmd_render)
 
-    pq = sub.add_parser("query", help="run an ad-hoc query")
-    pq.add_argument("--query", required=True)
+    pq = sub.add_parser("query", help="run an ad-hoc query or an asset's rendered query")
+    pq.add_argument("--query")
+    pq.add_argument("--asset", help="render + run this asset's query instead")
+    pq.add_argument("--pipeline", help="pipeline dir for --asset (default .)")
+    pq.add_argument("--start")
+    pq.add_argument("--end")
     pq.add_argument("--limit", type=int)
     pq.add_argument("--sf-dir", help="register parquet tables from this dir")
     pq.add_argument("--json", action="store_true")
     pq.set_defaults(fn=cmd_query)
+
+    pli = sub.add_parser("lineage", help="best-effort column lineage for an asset")
+    pli.add_argument("pipeline")
+    pli.add_argument("asset")
+    pli.set_defaults(fn=cmd_lineage)
 
     pp = sub.add_parser("parse", help="dump the parsed pipeline as JSON")
     pp.add_argument("pipeline")

@@ -416,3 +416,116 @@ def missing_dependencies(sql: str, declared: list[str], known_assets: list[str])
     declared_set = set(declared)
     known = set(known_assets)
     return sorted((used & known) - declared_set)
+
+
+# -- column lineage (best-effort, top-level select list) -----------------------
+
+
+def _top_level_select_items(sql: str) -> list[str]:
+    """Split the OUTER select list into item strings (depth-0 commas)."""
+    toks = _tokens(sql)
+    code = _code_tokens(toks)
+    # find the main SELECT: skip a WITH clause if present
+    body = _after_with_clause(sql)
+    if body is not sql:
+        return _top_level_select_items(body)
+    i = 0
+    while i < len(code) and not (
+        toks[code[i]][0] == "word" and toks[code[i]][1].lower() == "select"
+    ):
+        i += 1
+    if i >= len(code):
+        return []
+    start = code[i] + 1
+    depth = 0
+    items: list[str] = []
+    cur_start = None
+    for j in range(i + 1, len(code)):
+        k, t, s = toks[code[j]]
+        if cur_start is None:
+            cur_start = s
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and k == "word" and t.lower() in ("from", "where", "group", "order", "limit", "having", "qualify", "union", "intersect", "except", "window"):
+            items.append(sql[cur_start:s].strip())
+            return [x for x in items if x]
+        elif depth == 0 and t == ",":
+            items.append(sql[cur_start:s].strip())
+            cur_start = None
+            # next item's start = next code token
+            nxt = j + 1
+            cur_start = toks[code[nxt]][2] if nxt < len(code) else None
+    if cur_start is not None:
+        items.append(sql[cur_start:].strip())
+    return [x for x in items if x]
+
+
+_KEYWORD_BLOCKLIST = _STOPPERS | _FROMISH | {
+    "as", "case", "cast", "distinct", "and", "or", "not", "in", "is", "null",
+    "true", "false", "like", "between", "interval", "over", "partition", "by",
+    "rows", "range", "preceding", "following", "unbounded", "current", "row",
+    "asc", "desc", "nulls", "first", "last", "all", "exists", "any", "some",
+    "day", "days", "month", "months", "year", "years", "hour", "minute", "second",
+}
+
+
+def column_lineage(sql: str) -> list[dict]:
+    """Best-effort per-output-column upstream references.
+
+    -> [{"name": out_col, "upstream": [{"table": t_or_alias_or_"", "column": c}]}]
+
+    Token-level heuristic (a real parser — sqlglot — slots in when
+    available): the last bare identifier of an item is its alias (or the
+    column itself for plain refs); every identifier inside the expression
+    that isn't a SQL keyword or function name counts as an upstream ref.
+    """
+    out = []
+    for item in _top_level_select_items(sql):
+        toks = _tokens(item)
+        code = _code_tokens(toks)
+        if not code:
+            continue
+        # output name: after AS, else last word token, else expression text
+        name = item
+        for pos in range(len(code) - 1, -1, -1):
+            k, t, _ = toks[code[pos]]
+            if k in ("word", "dq", "bq") and t.lower() not in _KEYWORD_BLOCKLIST:
+                name = t.strip('"`')
+                break
+        refs: list[dict] = []
+        seen: set[tuple[str, str]] = set()
+        pos = 0
+        while pos < len(code):
+            k, t, _ = toks[code[pos]]
+            if k in ("word", "dq", "bq") and t.lower() not in _KEYWORD_BLOCKLIST:
+                # function call? (identifier immediately followed by '(')
+                if pos + 1 < len(code) and toks[code[pos + 1]][1] == "(":
+                    pos += 1
+                    continue
+                # qualified chain
+                parts = [t.strip('"`')]
+                q = pos + 1
+                while (
+                    q + 1 < len(code)
+                    and toks[code[q]][1] == "."
+                    and toks[code[q + 1]][0] in ("word", "dq", "bq")
+                ):
+                    parts.append(toks[code[q + 1]][1].strip('"`'))
+                    q += 2
+                # skip the alias occurrence (last token after AS)
+                is_alias = q >= len(code) and pos > 0 and toks[code[pos - 1]][1].lower() == "as"
+                if not is_alias:
+                    table = ".".join(parts[:-1])
+                    key = (table, parts[-1])
+                    if key not in seen:
+                        seen.add(key)
+                        refs.append({"table": table, "column": parts[-1]})
+                pos = q
+            else:
+                pos += 1
+        # drop the output alias itself if it sneaked in as a bare ref and
+        # equals the last ref with no table (alias after AS)
+        out.append({"name": name, "upstream": refs})
+    return out

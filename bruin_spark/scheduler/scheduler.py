@@ -471,3 +471,53 @@ def run_pipeline(
     if continue_from and os.path.exists(continue_from):
         sched.restore(PipelineState.load(continue_from))
     return sched.run(state_path=state_path)
+
+
+def backfill(
+    spark: SparkSession,
+    pipeline: Pipeline,
+    start,
+    end,
+    granularity: str = "day",
+    state_dir: str = "",
+    **kwargs,
+) -> list[RunResult]:
+    """Catchup/backfill: split [start, end) into schedule-interval chunks
+    and run the pipeline once per chunk, oldest first
+    (ref: scheduler.go:126-129 --backfill-id/--backfill-total).
+
+    Each chunk gets its own RenderContext window and (optionally) its own
+    state file, so a failed chunk can be resumed with --continue without
+    disturbing completed ones.
+    """
+    from datetime import timedelta
+
+    step = {
+        "hour": timedelta(hours=1),
+        "day": timedelta(days=1),
+        "week": timedelta(weeks=1),
+        "month": timedelta(days=30),
+    }.get(granularity)
+    if step is None:
+        raise ValueError(f"unknown granularity: {granularity}")
+
+    results: list[RunResult] = []
+    cur = start
+    i = 0
+    while cur < end:
+        nxt = min(cur + step, end)
+        ctx = RenderContext(
+            start=cur,
+            end=nxt,
+            run_id=f"backfill_{i}_{cur:%Y%m%dT%H%M}",
+            pipeline_name=pipeline.name,
+        )
+        state_path = (
+            os.path.join(state_dir, f"state_{i:05d}.json") if state_dir else ""
+        )
+        res = run_pipeline(spark, pipeline, context=ctx, state_path=state_path, **kwargs)
+        results.append(res)
+        if not res.ok:
+            break  # stop the backfill at the first failed interval
+        cur, i = nxt, i + 1
+    return results

@@ -128,3 +128,34 @@ def test_missing_dependencies():
     sql = "SELECT * FROM known1 JOIN unknown_ext JOIN known2"
     got = missing_dependencies(sql, declared=["known1"], known_assets=["known1", "known2"])
     assert got == ["known2"]
+
+
+def test_column_lineage_simple():
+    from bruin_spark.parser.sqlutil import column_lineage
+
+    out = column_lineage("SELECT a.x, b.y AS why, SUM(z) AS total, 1 AS one FROM a JOIN b")
+    by_name = {o["name"]: o["upstream"] for o in out}
+    assert by_name["x"] == [{"table": "a", "column": "x"}]
+    assert by_name["why"] == [{"table": "b", "column": "y"}]
+    assert by_name["total"] == [{"table": "", "column": "z"}]
+    assert by_name["one"] == []
+
+
+def test_column_lineage_with_cte_and_expression():
+    from bruin_spark.parser.sqlutil import column_lineage
+
+    out = column_lineage("WITH c AS (SELECT 1) SELECT c.v + d.w AS s FROM c, d")
+    assert out == [
+        {"name": "s", "upstream": [{"table": "c", "column": "v"}, {"table": "d", "column": "w"}]}
+    ]
+
+
+def test_column_lineage_case_expression():
+    from bruin_spark.parser.sqlutil import column_lineage
+
+    out = column_lineage(
+        "SELECT CASE WHEN t.status = 'x' THEN t.a ELSE t.b END AS picked FROM t"
+    )
+    assert out[0]["name"] == "picked"
+    cols = {u["column"] for u in out[0]["upstream"]}
+    assert cols == {"status", "a", "b"}

@@ -249,3 +249,53 @@ def test_symbolic_dependency_not_an_edge(spark):
     )
     sched = Scheduler(spark, pipe)
     assert sched.instances["solo"].upstreams == []
+
+
+def test_backfill_chunks_run_in_order(spark):
+    from datetime import datetime
+
+    from bruin_spark.scheduler.scheduler import backfill
+
+    windows = []
+
+    def track(s, asset, ctx):
+        windows.append((ctx.start, ctx.end))
+
+    pipe = make_pipeline([sql_asset("bf", "SELECT 1")])
+    results = backfill(
+        spark,
+        pipe,
+        datetime(2024, 1, 1),
+        datetime(2024, 1, 4),
+        granularity="day",
+        operators={"spark.sql": track},
+    )
+    assert len(results) == 3 and all(r.ok for r in results)
+    assert windows == [
+        (datetime(2024, 1, 1), datetime(2024, 1, 2)),
+        (datetime(2024, 1, 2), datetime(2024, 1, 3)),
+        (datetime(2024, 1, 3), datetime(2024, 1, 4)),
+    ]
+
+
+def test_backfill_stops_on_failure(spark):
+    from datetime import datetime
+
+    from bruin_spark.scheduler.scheduler import backfill
+
+    calls = {"n": 0}
+
+    def fail_second(s, asset, ctx):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("chunk 2 fails")
+
+    pipe = make_pipeline([sql_asset("bf2", "SELECT 1")])
+    results = backfill(
+        spark,
+        pipe,
+        datetime(2024, 1, 1),
+        datetime(2024, 1, 5),
+        operators={"spark.sql": fail_second},
+    )
+    assert len(results) == 2 and results[0].ok and not results[1].ok
