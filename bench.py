@@ -65,6 +65,7 @@ def main() -> int:
     timings: dict[str, float] = {}
     for name in names:
         fn, _oracle = registry[name]
+        spark.catalog.clearCache()  # isolate queries from accumulated state
         spark.sparkContext.setJobDescription(f"bench:{name}")
         t0 = time.perf_counter()
         df = fn(spark, SF_DIR)
