@@ -539,3 +539,103 @@ QUERIES.update(
         "q18_large_orders": (q18_large_orders, Q18_ORACLE),
     }
 )
+
+
+# -- q15-like: top suppliers by revenue (agg + max-filter join-back) ----------
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
+            .cast("decimal(18,4)")
+        ).alias("total_revenue")
+    )
+    top = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(top), rev.total_revenue == F.col("mx"))
+        .join(broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+Q15_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+"""
+
+
+# -- q16-like: suppliers per part attribute, with anti-join exclusion ---------
+
+
+def q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pairs = (
+        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        .join(broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .select("p_brand", "p_type", "l_suppkey")
+        .distinct()
+    )
+    return pairs.groupBy("p_brand", "p_type").agg(
+        F.count_distinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+Q16_ORACLE = """
+SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type
+"""
+
+
+# -- q22-like: wealthy customers with no urgent orders (anti-join + subquery) --
+
+
+def q22_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
+    wealthy = cust.join(F.broadcast(avg_bal), cust.c_acctbal > F.col("ab"))
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    inactive = wealthy.join(
+        urgent.select("o_custkey").distinct(),
+        wealthy.c_custkey == F.col("o_custkey"),
+        "left_anti",
+    )
+    return inactive.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )
+
+
+Q22_ORACLE = """
+SELECT c_nationkey, COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND c_custkey NOT IN (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+"""
+
+
+QUERIES.update(
+    {
+        "q15_top_supplier": (q15_top_supplier, Q15_ORACLE),
+        "q16_parts_supplier_counts": (q16_parts_supplier_counts, Q16_ORACLE),
+        "q22_inactive_customers": (q22_inactive_customers, Q22_ORACLE),
+    }
+)
