@@ -391,6 +391,18 @@ class Scheduler:
             ctx.full_refresh = self.full_refresh
             if not ctx.macros and self.pipeline.macros:
                 ctx.macros = self.pipeline.macros
+            # time_interval deletes the run window before inserting; feed it
+            # the (modifier-adjusted) interval bounds
+            from bruin_spark.model.pipeline import Strategy
+
+            if asset.materialization.strategy == Strategy.TIME_INTERVAL:
+                fmt = (
+                    "%Y-%m-%d"
+                    if asset.materialization.time_granularity == "date"
+                    else "%Y-%m-%d %H:%M:%S"
+                )
+                asset.parameters.setdefault("_interval_start", ctx.start.strftime(fmt))
+                asset.parameters.setdefault("_interval_end", ctx.end.strftime(fmt))
             rendered = render_asset_query(asset, ctx)
             mat = Materializer(self.spark, full_refresh=self.full_refresh)
             for pre in asset.hooks.get("pre", []):

@@ -299,3 +299,36 @@ def test_backfill_stops_on_failure(spark):
         operators={"spark.sql": fail_second},
     )
     assert len(results) == 2 and results[0].ok and not results[1].ok
+
+
+def test_time_interval_gets_run_window(spark):
+    from datetime import datetime
+
+    pipe = make_pipeline(
+        [
+            Asset(
+                name="ti_asset",
+                type="spark.sql",
+                query=(
+                    "SELECT CAST('2024-01-01 12:00:00' AS TIMESTAMP) AS ts, 'b2' AS src"
+                ),
+                materialization=Materialization(
+                    type=MaterializationType.TABLE,
+                    strategy=Strategy.TIME_INTERVAL,
+                    incremental_key="ts",
+                    time_granularity="timestamp",
+                ),
+            )
+        ]
+    )
+    spark.sql("DROP TABLE IF EXISTS ti_asset")
+    spark.sql(
+        "CREATE TABLE ti_asset AS SELECT CAST('2024-01-01 06:00:00' AS TIMESTAMP) AS ts, 'b1' AS src "
+        "UNION ALL SELECT CAST('2024-02-15 00:00:00' AS TIMESTAMP), 'b1'"
+    )
+    ctx = RenderContext(start=datetime(2024, 1, 1), end=datetime(2024, 1, 31))
+    res = Scheduler(spark, pipe, context=ctx).run()
+    assert res.ok, res.failed
+    rows = sorted((str(r["ts"]), r["src"]) for r in spark.table("ti_asset").collect())
+    # the January window was replaced by the new batch; February survives
+    assert rows == [("2024-01-01 12:00:00", "b2"), ("2024-02-15 00:00:00", "b1")]
