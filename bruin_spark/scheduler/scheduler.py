@@ -107,6 +107,9 @@ class PipelineState:
         return cls(run_id=d["run_id"], statuses=d["statuses"])
 
 
+_REF_JINJA = "{{"
+
+
 def _match_selector(asset: Asset, only: set[str] | None, tags: set[str], exclude_tags: set[str]) -> bool:
     if only is not None and asset.name not in only:
         return False
@@ -461,6 +464,22 @@ class Scheduler:
             cached = self._check_batches.get(asset.name)
             if cached is not None:
                 return cached
+        if any(_REF_JINJA in c.query for c in asset.custom_checks):
+            # custom-check SQL is Jinja-rendered with the run context
+            # (ref: pkg/ansisql/checks.go:283-315)
+            import dataclasses
+
+            from bruin_spark.render.jinja import render_sql
+
+            ctx = self.context.with_modifiers(asset.interval_modifiers)
+            ctx.this = asset.name
+            asset = dataclasses.replace(
+                asset,
+                custom_checks=[
+                    dataclasses.replace(c, query=render_sql(c.query, ctx))
+                    for c in asset.custom_checks
+                ],
+            )
         results = run_asset_checks(self.spark, asset, raise_on_failure=False)
         batch: dict[tuple[str, str], CheckResult] = {}
         for r in results:

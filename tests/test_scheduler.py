@@ -332,3 +332,28 @@ def test_time_interval_gets_run_window(spark):
     rows = sorted((str(r["ts"]), r["src"]) for r in spark.table("ti_asset").collect())
     # the January window was replaced by the new batch; February survives
     assert rows == [("2024-01-01 12:00:00", "b2"), ("2024-02-15 00:00:00", "b1")]
+
+
+def test_custom_check_query_is_jinja_rendered(spark):
+    from datetime import datetime
+
+    pipe = make_pipeline(
+        [
+            sql_asset(
+                "cc_jinja",
+                "SELECT CAST('2024-01-15' AS DATE) AS d",
+                custom=[
+                    CustomCheck(
+                        name="in_window",
+                        query=(
+                            "SELECT COUNT(*) FROM cc_jinja "
+                            "WHERE d < DATE '{{ start_date }}' OR d >= DATE '{{ end_date }}'"
+                        ),
+                    )
+                ],
+            )
+        ]
+    )
+    ctx = RenderContext(start=datetime(2024, 1, 1), end=datetime(2024, 2, 1))
+    res = Scheduler(spark, pipe, context=ctx).run()
+    assert res.ok, [i.error for i in res.check_results] if res.check_results else res.failed
