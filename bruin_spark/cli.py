@@ -176,6 +176,31 @@ def cmd_parse(args) -> int:
     return 0
 
 
+def cmd_data_diff(args) -> int:
+    from bruin_spark import get_spark
+    from bruin_spark.diff import diff_tables
+    from bruin_spark.session import load_tables
+
+    spark = get_spark("bruin:data-diff")
+    if args.sf_dir:
+        load_tables(spark, args.sf_dir)
+
+    def resolve(ref: str):
+        return spark.read.parquet(ref) if ref.endswith(".parquet") else spark.table(ref)
+
+    res = diff_tables(resolve(args.table1), resolve(args.table2), tolerance=args.tolerance)
+    for c in res.schema_only_a:
+        print(f"only in {args.table1}: {c}")
+    for c in res.schema_only_b:
+        print(f"only in {args.table2}: {c}")
+    for c, ta, tb in res.type_mismatches:
+        print(f"type mismatch {c}: {ta} vs {tb}")
+    for c, stat, va, vb in res.stat_diffs:
+        print(f"stat diff {c}.{stat}: {va} vs {vb}")
+    print("MATCH" if res.matched else "DIFFER")
+    return 0 if res.matched else 1
+
+
 def cmd_lineage(args) -> int:
     from bruin_spark.model import load_pipeline
     from bruin_spark.parser.sqlutil import column_lineage, used_tables
@@ -253,6 +278,13 @@ def main(argv: list[str] | None = None) -> int:
     pli.add_argument("pipeline")
     pli.add_argument("asset")
     pli.set_defaults(fn=cmd_lineage)
+
+    pdd = sub.add_parser("data-diff", help="schema + per-column stat comparison")
+    pdd.add_argument("table1", help="catalog table or parquet path")
+    pdd.add_argument("table2")
+    pdd.add_argument("--tolerance", type=float, default=0.0)
+    pdd.add_argument("--sf-dir", help="register parquet tables from this dir")
+    pdd.set_defaults(fn=cmd_data_diff)
 
     pp = sub.add_parser("parse", help="dump the parsed pipeline as JSON")
     pp.add_argument("pipeline")

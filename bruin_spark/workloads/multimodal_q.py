@@ -19,7 +19,9 @@ from bruin_spark.session import read_parquet
 
 
 def _with_media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_parquet(spark, os.path.join(sf_dir, "documents.parquet"))
+    # modest partition count: every mapInPandas partition spawns a Python
+    # worker, and at this row count worker spawn dominates compute
+    docs = read_parquet(spark, os.path.join(sf_dir, "documents.parquet")).repartition(8)
 
     def gen(batches):
         import pandas as pd
