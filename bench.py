@@ -26,6 +26,9 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q9_product_profit",
+    "q13_customer_order_distribution",
+    "q21_waiting_supplier",
     "q_window_top_customers",
     "q_rollup_sales",
     "q_events_user_activity",

@@ -662,8 +662,12 @@ def q2_min_acctbal_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     with lineitem standing in for partsupp).
 
     Scale: distinct (part, supp) pairs first (map-side combine collapses the
-    fact table), dims broadcast, min-agg joined back on the small pair set.
+    fact table), dims broadcast, then the per-part min as a WINDOW over the
+    small pair set — one shuffle on p_partkey and a single lineitem scan,
+    instead of an agg + join-back that re-evaluates the distinct twice.
     """
+    from pyspark.sql import Window
+
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
     part = _t(spark, sf_dir, "part").filter(F.col("p_size") < 10)
     supp = _t(spark, sf_dir, "supplier")
@@ -672,12 +676,10 @@ def q2_min_acctbal_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal")
     )
-    mn = ps.groupBy(F.col("p_partkey").alias("mk")).agg(F.min("s_acctbal").alias("min_bal"))
+    w = Window.partitionBy("p_partkey")
     return (
-        ps.join(
-            broadcast(mn),
-            (ps.p_partkey == mn.mk) & (ps.s_acctbal == mn.min_bal),
-        )
+        ps.withColumn("min_bal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
         .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal")
     )
 

@@ -122,3 +122,46 @@ def test_asof_join_single_shuffle_on_key(spark):
     # must NOT contain any join operator at all
     assert "Join" not in plan
     assert "Window" in plan
+
+
+def test_q19_part_filters_pushed_to_scan(spark):
+    """Q19's disjunction spans both sides; Catalyst must still derive
+    single-side disjuncts and push them into each parquet scan."""
+    from bruin_spark.workloads.analytics import q19_disjunctive_revenue
+
+    plan = plan_of(q19_disjunctive_revenue(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # derived quantity-band disjunction reaches the lineitem scan,
+    # brand/size disjunction reaches the part scan
+    li_scan = next(l for l in plan.splitlines() if "lineitem.parquet" in l)
+    part_scan = next(l for l in plan.splitlines() if "part.parquet" in l)
+    assert "l_quantity" in li_scan.split("DataFilters:")[1]
+    assert "p_brand" in part_scan.split("DataFilters:")[1]
+
+
+def test_q9_broadcasts_all_dimensions(spark):
+    """Five-way star join: part/supplier/nation broadcast; only the
+    lineitem<->orders join may shuffle."""
+    from bruin_spark.workloads.analytics import q9_product_profit
+
+    plan = plan_of(q9_product_profit(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_q21_single_lineitem_shuffle(spark):
+    """The only-late-supplier rewrite must not self-join lineitem: exactly
+    one scan of lineitem in the plan (vs three in the EXISTS formulation)."""
+    from bruin_spark.workloads.analytics import q21_waiting_supplier
+
+    plan = plan_of(q21_waiting_supplier(spark, SF))
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_q2_distinct_pairs_before_dim_joins(spark):
+    """Q2 collapses lineitem to distinct (part, supp) pairs before joining
+    dimensions — the aggregate must sit below the broadcast joins."""
+    from bruin_spark.workloads.analytics import q2_min_acctbal_supplier
+
+    plan = plan_of(q2_min_acctbal_supplier(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("lineitem.parquet") == 1
