@@ -25,6 +25,7 @@ def collect_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame
         relational_q,
         semantic_q,
         similarity,
+        stats_q,
         streaming_q,
         text,
     )
@@ -42,6 +43,7 @@ def collect_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame
         relational_q,
         streaming_q,
         multimodal_q,
+        stats_q,
     ):
         for name, pair in mod.QUERIES.items():
             if name in out:

@@ -1010,3 +1010,40 @@ QUERIES.update(
         "q21_waiting_supplier": (q21_waiting_supplier, Q21_ORACLE),
     }
 )
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose shipped value exceeds a fixed fraction of the global
+    shipped value (TPC-H Q11: grouped HAVING against a scalar subquery of
+    the same aggregate).  Spark evaluates the global sum once (tiny single-
+    row broadcast), not per-group."""
+    li = _t(spark, sf_dir, "lineitem")
+    val = (_dec("l_extendedprice") * _dec("l_quantity")).cast("decimal(18,4)")
+    per_part = li.select(F.col("l_partkey"), val.alias("v")).groupBy("l_partkey").agg(
+        F.sum("v").alias("part_value")
+    )
+    # scale-free threshold: 1.3x the average per-part value, computed as
+    # exact decimal sum -> one double division (deterministic on both engines)
+    total = per_part.agg(
+        (F.sum("part_value").cast("double") * F.lit(1.3) / F.count(F.lit(1))).alias("thresh")
+    )
+    return (
+        per_part.join(F.broadcast(total), per_part.part_value.cast("double") > F.col("thresh"))
+        .select("l_partkey", "part_value")
+    )
+
+
+Q11_ORACLE = """
+WITH per_part AS (
+  SELECT l_partkey,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS part_value
+  FROM lineitem
+  GROUP BY l_partkey
+)
+SELECT l_partkey, part_value
+FROM per_part
+WHERE CAST(part_value AS DOUBLE) > (SELECT CAST(SUM(part_value) AS DOUBLE) * 1.3 / COUNT(*) FROM per_part)
+"""
+
+
+QUERIES.update({"q11_important_parts": (q11_important_parts, Q11_ORACLE)})
