@@ -23,6 +23,7 @@ def collect_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame
         multimodal_q,
         quality,
         relational_q,
+        sampling_q,
         semantic_q,
         similarity,
         stats_q,
@@ -44,6 +45,7 @@ def collect_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame
         streaming_q,
         multimodal_q,
         stats_q,
+        sampling_q,
     ):
         for name, pair in mod.QUERIES.items():
             if name in out:

@@ -1,0 +1,65 @@
+"""Deterministic-sampling workloads (oracle-paired: the md5 bucket
+assignment is engine-independent, so DuckDB derives the identical splits)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from bruin_spark.operators.sampling import (
+    N_BUCKETS,
+    assign_split,
+    bucket_sql,
+    deterministic_sample,
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bruin_spark.session import read_parquet
+
+    return read_parquet(spark, os.path.join(sf_dir, "documents.parquet"))
+
+
+def split_counts_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90/5/5 split of the corpus; per (split, lang) doc counts and total
+    chars — the reproducibility contract a curation pipeline reports."""
+    docs = assign_split(_docs(spark, sf_dir), "doc_id")
+    return docs.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+SPLIT_COUNTS_ORACLE = f"""
+SELECT CASE
+         WHEN {bucket_sql('doc_id', 'split')} < {int(0.9 * N_BUCKETS)} THEN 'train'
+         WHEN {bucket_sql('doc_id', 'split')} < {int(0.95 * N_BUCKETS)} THEN 'val'
+         ELSE 'test'
+       END AS split,
+       lang,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS total_chars
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+def sample_docs_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 10 % corpus sample (id-hash bucketing, map-only)."""
+    return deterministic_sample(_docs(spark, sf_dir), "doc_id", 0.10, salt="s1").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+SAMPLE_ORACLE = f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE {bucket_sql('doc_id', 's1')} < {int(0.10 * N_BUCKETS)}
+"""
+
+
+QUERIES = {
+    "split_counts_by_lang": (split_counts_by_lang, SPLIT_COUNTS_ORACLE),
+    "sample_docs_10pct": (sample_docs_10pct, SAMPLE_ORACLE),
+}

@@ -1,0 +1,51 @@
+"""Deterministic sampling: split disjointness/coverage, stability across
+invocations, fraction accuracy, and the map-only plan contract."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bruin_spark.operators.sampling import assign_split, deterministic_sample
+from bruin_spark.session import read_parquet
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return read_parquet(spark, f"{SF}/documents.parquet")
+
+
+def test_split_exhaustive_and_disjoint(docs):
+    out = assign_split(docs, "doc_id")
+    assert out.filter(F.col("split").isNull()).count() == 0
+    # one split per row by construction (single column), totals preserved
+    assert out.count() == docs.count()
+
+
+def test_split_fractions_close(docs):
+    total = docs.count()
+    got = {r.split: r.n for r in assign_split(docs, "doc_id").groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert abs(got.get("train", 0) / total - 0.9) < 0.05
+    assert abs(got.get("val", 0) / total - 0.05) < 0.03
+    assert abs(got.get("test", 0) / total - 0.05) < 0.03
+
+
+def test_sample_stable_across_runs(docs):
+    a = sorted(r.doc_id for r in deterministic_sample(docs, "doc_id", 0.1, "s1").select("doc_id").collect())
+    b = sorted(r.doc_id for r in deterministic_sample(docs, "doc_id", 0.1, "s1").select("doc_id").collect())
+    assert a == b and a  # identical and non-empty
+
+
+def test_different_salt_different_sample(docs):
+    a = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.1, "s1").select("doc_id").collect()}
+    b = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.1, "s2").select("doc_id").collect()}
+    assert a != b
+
+
+def test_sample_is_map_only_no_shuffle(spark, docs):
+    plan = (
+        deterministic_sample(docs, "doc_id", 0.1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
