@@ -18,19 +18,28 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def _configure(spark: SparkSession) -> None:
-    """Confs the engine needs when the driver supplies the session."""
+def _configure(spark: SparkSession, sf_dir: str = "") -> None:
+    """Confs the engine needs when the driver supplies the session.
+
+    The shuffle-partition count is sized to the scale factor: a
+    driver-default 200 partitions means 200 scheduled tasks per shuffle
+    of a few-MB table — pure fixed overhead at sf<=0.01.  At real scale
+    the session owner sizes this to the cluster; these workloads only
+    override it downward for the toy correctness inputs.
+    """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass  # already-read conf on a reused session
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    small = "sf0.001" in sf_dir or "sf0.01" in sf_dir
+    spark.conf.set("spark.sql.shuffle.partitions", "8" if small else "32")
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    _configure(spark)
+    _configure(spark, "sf0.001")
     from bruin_spark.workloads.analytics import q5_local_supplier_volume
 
     return q5_local_supplier_volume(spark, "/root/testdata/sf0.001")
@@ -43,7 +52,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for name, (fn, _oracle) in collect_queries().items():
 
         def wrapped(spark: SparkSession, sf_dir: str, _fn=fn) -> DataFrame:
-            _configure(spark)
+            _configure(spark, sf_dir)
             return _fn(spark, sf_dir)
 
         out[name] = wrapped

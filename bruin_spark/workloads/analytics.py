@@ -41,12 +41,14 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= "1998-09-01")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).alias("sum_base_price"),
+            # sums are exact decimals (order-independent); the final cast to
+            # double is deterministic and matches what DuckDB hands pandas
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
             F.sum(
                 (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
                 .cast("decimal(18,4)")
-            ).alias("sum_disc_price"),
+            ).cast("double").alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -54,9 +56,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q1_ORACLE = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-       SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS sum_disc_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
@@ -79,14 +81,14 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
                 .cast("decimal(18,4)")
-            ).alias("revenue")
+            ).cast("double").alias("revenue")
         )
     )
 
 
 Q3_ORACLE = """
 SELECT l_orderkey,
-       SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS revenue
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -119,14 +121,14 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
                 .cast("decimal(18,4)")
-            ).alias("revenue")
+            ).cast("double").alias("revenue")
         )
     )
 
 
 Q5_ORACLE = """
 SELECT n_name,
-       SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS revenue
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -149,12 +151,12 @@ def q_window_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cust.withColumn("bal_rank", F.row_number().over(w))
         .filter(F.col("bal_rank") <= 3)
-        .select("c_nationkey", "c_custkey", _dec("c_acctbal").alias("acctbal"), "bal_rank")
+        .select("c_nationkey", "c_custkey", F.col("c_acctbal").alias("acctbal"), "bal_rank")
     )
 
 
 Q_WINDOW_ORACLE = """
-SELECT c_nationkey, c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal, bal_rank
+SELECT c_nationkey, c_custkey, c_acctbal AS acctbal, bal_rank
 FROM (
   SELECT c_nationkey, c_custkey, c_acctbal,
          ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS bal_rank
@@ -176,13 +178,16 @@ def q_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dec("o_totalprice").alias("price"),
         )
         .rollup("order_year", "status")
-        .agg(F.sum("price").alias("total_price"), F.count(F.lit(1)).alias("n_orders"))
+        .agg(
+            F.sum("price").cast("double").alias("total_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
     )
 
 
 Q_ROLLUP_ORACLE = """
 SELECT EXTRACT(year FROM o_orderdate)::INT AS order_year, o_orderstatus AS status,
-       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price, COUNT(*) AS n_orders
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price, COUNT(*) AS n_orders
 FROM orders
 GROUP BY ROLLUP (order_year, status)
 """
@@ -203,9 +208,9 @@ def q_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_PIVOT_ORACLE = """
 SELECT o_orderpriority,
-       COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END), 0) AS "F",
-       COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END), 0) AS "O",
-       COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END), 0) AS "P"
+       COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END), 0)::BIGINT AS "F",
+       COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END), 0)::BIGINT AS "O",
+       COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END), 0)::BIGINT AS "P"
 FROM orders
 GROUP BY o_orderpriority
 """
@@ -238,15 +243,15 @@ def q_events_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_errors"),
-            F.max("gap_minutes").alias("max_gap_minutes"),
+            F.max("gap_minutes").cast("double").alias("max_gap_minutes"),
         )
     )
 
 
 Q_EVENTS_ORACLE = """
 SELECT user_id, COUNT(*) AS n_events,
-       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
-       MAX(gap_minutes) AS max_gap_minutes
+       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_errors,
+       CAST(MAX(gap_minutes) AS DOUBLE) AS max_gap_minutes
 FROM (
   SELECT user_id, event_type,
          CAST(EXTRACT(epoch FROM ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) / 60.0 AS DECIMAL(18,2)) AS gap_minutes
@@ -367,13 +372,13 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(
                 (_dec("l_extendedprice") * _dec("l_discount")).cast("decimal(18,4)")
-            ).alias("revenue")
+            ).cast("double").alias("revenue")
         )
     )
 
 
 Q6_ORACLE = """
-SELECT SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS revenue
+SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
@@ -406,7 +411,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
                 .cast("decimal(18,4)")
-            ).alias("revenue")
+            ).cast("double").alias("revenue")
         )
     )
 
@@ -414,7 +419,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q7_ORACLE = """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        EXTRACT(year FROM l_shipdate)::BIGINT AS l_year,
-       SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS revenue
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -445,14 +450,14 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
                 .cast("decimal(18,4)")
-            ).alias("revenue")
+            ).cast("double").alias("revenue")
         )
     )
 
 
 Q10_ORACLE = """
 SELECT c_custkey, c_name, c_acctbal, n_name,
-       SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS revenue
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -514,12 +519,18 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
         .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "total_qty")
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_totalprice",
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
     )
 
 
 Q18_ORACLE = """
-SELECT c_custkey, c_name, o_orderkey, o_totalprice, total_qty
+SELECT c_custkey, c_name, o_orderkey, o_totalprice, CAST(total_qty AS DOUBLE) AS total_qty
 FROM (
   SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
   FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
@@ -559,7 +570,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.join(F.broadcast(top), rev.total_revenue == F.col("mx"))
         .join(broadcast(supp), rev.l_suppkey == supp.s_suppkey)
-        .select("s_suppkey", "s_name", "total_revenue")
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
     )
 
 
@@ -571,7 +586,7 @@ WITH rev AS (
   WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
   GROUP BY l_suppkey
 )
-SELECT s_suppkey, s_name, total_revenue
+SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
 FROM rev JOIN supplier ON l_suppkey = s_suppkey
 WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
 """
@@ -619,12 +634,12 @@ def q22_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return inactive.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("numcust"),
-        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
     )
 
 
 Q22_ORACLE = """
-SELECT c_nationkey, COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 2) AS totacctbal
+SELECT c_nationkey, COUNT(*) AS numcust, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
 FROM customer
 WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
   AND c_custkey NOT IN (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
@@ -778,13 +793,13 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("nation", F.year("o_orderdate").alias("o_year"), rev.alias("rev"), cost.alias("cost"))
     )
     return joined.groupBy("nation", "o_year").agg(
-        (F.sum("rev") - F.sum("cost")).cast("decimal(18,4)").alias("sum_profit")
+        (F.sum("rev") - F.sum("cost")).cast("decimal(18,4)").cast("double").alias("sum_profit")
     )
 
 
 Q9_ORACLE = """
 SELECT nation, o_year,
-       CAST(SUM(rev) - SUM(cost) AS DECIMAL(18,4)) AS sum_profit
+       CAST(CAST(SUM(rev) - SUM(cost) AS DECIMAL(18,4)) AS DOUBLE) AS sum_profit
 FROM (
   SELECT n_name AS nation, YEAR(o_orderdate) AS o_year,
          CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS rev,
@@ -817,8 +832,8 @@ def q12_late_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q12_ORACLE = """
 SELECT l_returnflag,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)::BIGINT AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
 GROUP BY l_returnflag
@@ -905,12 +920,12 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
             .cast("decimal(18,4)")
-        ).alias("revenue")
+        ).cast("double").alias("revenue")
     )
 
 
 Q19_ORACLE = """
-SELECT SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS revenue
+SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
@@ -1029,7 +1044,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         per_part.join(F.broadcast(total), per_part.part_value.cast("double") > F.col("thresh"))
-        .select("l_partkey", "part_value")
+        .select("l_partkey", F.col("part_value").cast("double").alias("part_value"))
     )
 
 
@@ -1040,7 +1055,7 @@ WITH per_part AS (
   FROM lineitem
   GROUP BY l_partkey
 )
-SELECT l_partkey, part_value
+SELECT l_partkey, CAST(part_value AS DOUBLE) AS part_value
 FROM per_part
 WHERE CAST(part_value AS DOUBLE) > (SELECT CAST(SUM(part_value) AS DOUBLE) * 1.3 / COUNT(*) FROM per_part)
 """

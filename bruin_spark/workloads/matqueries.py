@@ -248,29 +248,35 @@ def mat_scd2_by_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ELSE n_name END AS n_name FROM nation WHERE n_nationkey <> 3 "
         "UNION ALL SELECT 990, 'NEWLAND'",
     )
-    return spark.table(a.name)
+    # _valid_until is projected as STRING because the open-row sentinel
+    # (9999-12-31) overflows pandas datetime64[ns] in the driver harness;
+    # the table itself keeps the timestamp sentinel (reference semantics).
+    return spark.sql(
+        f"SELECT _valid_from, n_nationkey, n_name, "
+        f"CAST(_valid_until AS STRING) AS _valid_until, _is_current FROM {a.name}"
+    )
 
 
 SCD2C_ORACLE = f"""
 -- unchanged keys: still current from T0
 SELECT TIMESTAMP '{T0S}' AS _valid_from, n_nationkey, n_name,
-       TIMESTAMP '{OPEN_END}' AS _valid_until, TRUE AS _is_current
+       TIMESTAMP '{OPEN_END}'::VARCHAR AS _valid_until, TRUE AS _is_current
 FROM nation WHERE n_nationkey NOT IN (1, 2, 3)
 UNION ALL
 -- changed keys: expired old version
-SELECT TIMESTAMP '{T0S}', n_nationkey, n_name, TIMESTAMP '{T1S}', FALSE
+SELECT TIMESTAMP '{T0S}', n_nationkey, n_name, TIMESTAMP '{T1S}'::VARCHAR, FALSE
 FROM nation WHERE n_nationkey IN (1, 2)
 UNION ALL
 -- changed keys: new current version
-SELECT TIMESTAMP '{T1S}', n_nationkey, UPPER(n_name) || '_V2', TIMESTAMP '{OPEN_END}', TRUE
+SELECT TIMESTAMP '{T1S}', n_nationkey, UPPER(n_name) || '_V2', TIMESTAMP '{OPEN_END}'::VARCHAR, TRUE
 FROM nation WHERE n_nationkey IN (1, 2)
 UNION ALL
 -- gone key: expired at now
-SELECT TIMESTAMP '{T0S}', n_nationkey, n_name, TIMESTAMP '{T1S}', FALSE
+SELECT TIMESTAMP '{T0S}', n_nationkey, n_name, TIMESTAMP '{T1S}'::VARCHAR, FALSE
 FROM nation WHERE n_nationkey = 3
 UNION ALL
 -- brand-new key
-SELECT TIMESTAMP '{T1S}', 990, 'NEWLAND', TIMESTAMP '{OPEN_END}', TRUE
+SELECT TIMESTAMP '{T1S}', 990, 'NEWLAND', TIMESTAMP '{OPEN_END}'::VARCHAR, TRUE
 """
 
 
@@ -300,18 +306,22 @@ def mat_scd2_by_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CASE WHEN n_nationkey IN (1,2) THEN TIMESTAMP '{T1S}' ELSE TIMESTAMP '{T0S}' END AS updated_at "
         "FROM nation",
     )
-    return spark.table(a.name)
+    # see mat_scd2_by_column: string-project the 9999-12-31 sentinel
+    return spark.sql(
+        f"SELECT _valid_from, n_nationkey, n_name, updated_at, "
+        f"CAST(_valid_until AS STRING) AS _valid_until, _is_current FROM {a.name}"
+    )
 
 
 SCD2T_ORACLE = f"""
 SELECT TIMESTAMP '{T0S}' AS _valid_from, n_nationkey, n_name,
-       TIMESTAMP '{T0S}' AS updated_at, TIMESTAMP '{OPEN_END}' AS _valid_until, TRUE AS _is_current
+       TIMESTAMP '{T0S}' AS updated_at, TIMESTAMP '{OPEN_END}'::VARCHAR AS _valid_until, TRUE AS _is_current
 FROM nation WHERE n_nationkey NOT IN (1, 2)
 UNION ALL
-SELECT TIMESTAMP '{T0S}', n_nationkey, n_name, TIMESTAMP '{T0S}', TIMESTAMP '{T1S}', FALSE
+SELECT TIMESTAMP '{T0S}', n_nationkey, n_name, TIMESTAMP '{T0S}', TIMESTAMP '{T1S}'::VARCHAR, FALSE
 FROM nation WHERE n_nationkey IN (1, 2)
 UNION ALL
-SELECT TIMESTAMP '{T1S}', n_nationkey, n_name || '_T1', TIMESTAMP '{T1S}', TIMESTAMP '{OPEN_END}', TRUE
+SELECT TIMESTAMP '{T1S}', n_nationkey, n_name || '_T1', TIMESTAMP '{T1S}', TIMESTAMP '{OPEN_END}'::VARCHAR, TRUE
 FROM nation WHERE n_nationkey IN (1, 2)
 """
 
@@ -350,6 +360,48 @@ FROM nation WHERE n_regionkey < 3
 UNION ALL
 SELECT md5(n_name), n_name, TIMESTAMP '{T1S}', 'batch2'
 FROM nation WHERE n_regionkey >= 3
+"""
+
+
+# -- data vault link -------------------------------------------------------------
+
+_LINK_COLS = [
+    Column(name="link_nr_hk", type="string", datavault_role="link_hash_key"),
+    Column(name="hub_nation_hk", type="string", datavault_role="hash_key"),
+    Column(name="hub_region_hk", type="string", datavault_role="hash_key"),
+    Column(name="load_ts", type="timestamp", datavault_role="load_datetime"),
+    Column(name="rec_src", type="string", datavault_role="record_source"),
+]
+
+
+def mat_datavault_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Insert-only link load keyed on link_hash_key: batch 2 re-presents every
+    nation-region pair, but only pairs unseen in batch 1 insert (first-load
+    metadata wins).  Mirrors the reference's link materialization
+    (pkg/duckdb/datavault_materialization.go:11-126)."""
+    _load(spark, sf_dir, "nation", "region")
+    a = _asset("mq_dvlink", Strategy.DATAVAULT_LINK, columns=_LINK_COLS)
+    _fresh(spark, a.name)
+    m = Materializer(spark, now=T0)
+    pair = (
+        "SELECT md5(n_name || r_name) AS link_nr_hk, md5(n_name) AS hub_nation_hk, "
+        "md5(r_name) AS hub_region_hk, TIMESTAMP '{ts}' AS load_ts, '{src}' AS rec_src "
+        "FROM nation JOIN region ON n_regionkey = r_regionkey{where}"
+    )
+    m.run(a, pair.format(ts=T0S, src="b1", where=" WHERE n_regionkey < 3"))
+    m.run(a, pair.format(ts=T1S, src="b2", where=""))
+    return spark.table(a.name)
+
+
+DVLINK_ORACLE = f"""
+SELECT md5(n_name || r_name) AS link_nr_hk, md5(n_name) AS hub_nation_hk,
+       md5(r_name) AS hub_region_hk, TIMESTAMP '{T0S}' AS load_ts, 'b1' AS rec_src
+FROM nation JOIN region ON n_regionkey = r_regionkey
+WHERE n_regionkey < 3
+UNION ALL
+SELECT md5(n_name || r_name), md5(n_name), md5(r_name), TIMESTAMP '{T1S}', 'b2'
+FROM nation JOIN region ON n_regionkey = r_regionkey
+WHERE n_regionkey >= 3
 """
 
 
@@ -408,5 +460,6 @@ QUERIES = {
     "mat_scd2_by_column": (mat_scd2_by_column, SCD2C_ORACLE),
     "mat_scd2_by_time": (mat_scd2_by_time, SCD2T_ORACLE),
     "mat_datavault_hub": (mat_datavault_hub, DVHUB_ORACLE),
+    "mat_datavault_link": (mat_datavault_link, DVLINK_ORACLE),
     "mat_datavault_satellite": (mat_datavault_satellite, DVSAT_ORACLE),
 }

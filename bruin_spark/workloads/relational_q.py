@@ -82,8 +82,8 @@ def rel_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SESSIONIZE_ORACLE = f"""
 SELECT event_id, user_id, ts,
-       SUM(CASE WHEN prev_t IS NULL OR (t - prev_t) > {GAP_S} THEN 1 ELSE 0 END)
-         OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+       (SUM(CASE WHEN prev_t IS NULL OR (t - prev_t) > {GAP_S} THEN 1 ELSE 0 END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING))::BIGINT AS session_seq
 FROM (
   SELECT event_id, user_id, ts, EPOCH(ts) AS t,
          LAG(EPOCH(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_t
@@ -101,8 +101,8 @@ def rel_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SESSION_STATS_ORACLE = f"""
 WITH tagged AS (
   SELECT user_id, ts, value,
-         SUM(CASE WHEN prev_t IS NULL OR (t - prev_t) > {GAP_S} THEN 1 ELSE 0 END)
-           OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+         (SUM(CASE WHEN prev_t IS NULL OR (t - prev_t) > {GAP_S} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING))::BIGINT AS session_seq
   FROM (
     SELECT event_id, user_id, ts, value, EPOCH(ts) AS t,
            LAG(EPOCH(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_t

@@ -39,7 +39,7 @@ SELECT CASE
        END AS split,
        lang,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars
+       SUM(n_chars)::BIGINT AS total_chars
 FROM documents
 GROUP BY 1, 2
 """

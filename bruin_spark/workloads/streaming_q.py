@@ -10,7 +10,6 @@ just rows-only checks.
 from __future__ import annotations
 
 import os
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -38,8 +37,9 @@ def _events_path(sf_dir: str) -> str:
     return _STAGED[sf_dir]
 
 
-def _run(spark: SparkSession, sdf, mode: str) -> DataFrame:
-    name = f"stream_sink_{uuid.uuid4().hex[:8]}"
+def _run(spark: SparkSession, sdf, mode: str, name: str) -> DataFrame:
+    # deterministic sink name, dropped up-front: reruns never leak tables
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
     run_stream_to_table(sdf, name, output_mode=mode)
     return spark.table(name)
 
@@ -54,7 +54,7 @@ def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["event_type"],
         aggs={"n_events": "count(1)", "total_value": "round(sum(value), 4)"},
     )
-    out = _run(spark, sdf, "update")
+    out = _run(spark, sdf, "update", "stream_sink_hourly")
     return out.select(
         F.col("window_start").cast("timestamp_ntz").alias("window_start"),
         "event_type",
@@ -74,7 +74,7 @@ GROUP BY 1, 2
 def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = stream_file_source(spark, _events_path(sf_dir))
     sdf = stateful_running_counts(stream, key="user_id")
-    return _run(spark, sdf, "update")
+    return _run(spark, sdf, "update", "stream_sink_user_totals")
 
 
 USER_TOTALS_ORACLE = """
@@ -85,7 +85,7 @@ SELECT user_id, COUNT(*) AS n_events_total FROM events GROUP BY user_id
 def stream_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = stream_file_source(spark, _events_path(sf_dir))
     deduped = stream_dedup(stream, keys=["user_id", "event_type"], time_col="ts")
-    out = _run(spark, deduped, "append")
+    out = _run(spark, deduped, "append", "stream_sink_dedup")
     return out.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_kinds"))
 
 

@@ -3,9 +3,18 @@
 
 Runs every ``queries()`` entry from __spark_entry__ on Spark AND its
 ``oracle_sql()`` on DuckDB (same parquet tables), compares row count,
-column names, and order-insensitive values (rounded floats). Usage:
+column names, and order-insensitive values.
 
-    python scripts/check_oracle.py [substring ...] [--sf DIR]
+The comparison goes through pandas on BOTH sides (``toPandas()`` /
+``duckdb .df()``) because that is what the driver does, and pandas is
+stricter than row tuples: Spark DECIMAL arrives as ``object`` dtype
+holding ``Decimal('137869.00')`` while DuckDB DECIMAL arrives as
+``float64`` — those must FAIL here (they fail in the driver), so
+queries must cast final aggregates to DOUBLE/BIGINT on both engines.
+Timestamps beyond pandas datetime64[ns] range (e.g. the SCD2 sentinel
+9999-12-31) hard-error, as they do in the driver.
+
+Usage:  python scripts/check_oracle.py [substring ...] [--sf DIR]
 """
 
 from __future__ import annotations
@@ -20,35 +29,47 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def norm(v):
-    if v is None:
+    """Normalize one pandas cell, keeping type CLASS distinctions.
+
+    int-like and float-like values hash differently (the driver's pandas
+    path keeps int64 1000 != float64 1000.0), and Decimal objects are kept
+    verbatim (Decimal('137869.00') != 137869.0 in the driver)."""
+    import datetime
+    import decimal
+
+    import numpy as np
+    import pandas as pd
+
+    if v is None or v is pd.NaT:
         return None
-    if isinstance(v, float):
+    if isinstance(v, (float, np.floating)):
         if math.isnan(v):
             return "nan"
-        return round(v, 6)
-    if isinstance(v, bool):
-        return bool(v)
-    try:
-        import decimal
-
-        if isinstance(v, decimal.Decimal):
-            return round(float(v), 6)
-    except ImportError:
-        pass
-    import datetime
-
+        return ("f", round(float(v), 6))
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
+    if isinstance(v, (int, np.integer)):
+        return ("i", int(v))
+    if isinstance(v, decimal.Decimal):
+        return ("dec", str(v))
+    if isinstance(v, pd.Timestamp):
+        return ("t", str(v))
     if isinstance(v, (datetime.datetime, datetime.date)):
-        return str(v)
-    if isinstance(v, list):
+        return ("t", str(pd.Timestamp(v)))
+    if isinstance(v, (list, tuple, np.ndarray)):
         return tuple(norm(x) for x in v)
+    if isinstance(v, bytes):
+        return ("bytes", v)
     return v
 
 
-def df_to_rows(cols, rows):
-    idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(cols[i] for i in idx), sorted(
-        tuple(norm(r[i]) for i in idx) for r in rows
+def pdf_to_rows(pdf):
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    rows = sorted(
+        tuple(norm(v) for v in row) for row in pdf.itertuples(index=False, name=None)
     )
+    return cols, rows
 
 
 def main():
@@ -76,30 +97,34 @@ def main():
         k: v for k, v in queries.items() if not args or any(a in k for a in args)
     }
     n_pass = n_fail = n_weak = 0
+    import time
+
     for name, fn in selected.items():
+        t_start = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            s_cols = sdf.columns
-            s_rows = [tuple(r) for r in sdf.collect()]
+            s_pdf = sdf.toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:200]}")
             n_fail += 1
             continue
         if name not in oracles:
-            print(f"WEAK {name}: rows-only check, {len(s_rows)} rows")
+            print(
+                f"WEAK {name}: rows-only check, {len(s_pdf)} rows"
+                f" [{time.time() - t_start:.1f}s]"
+            )
             n_weak += 1
             continue
         try:
-            rel = con.execute(oracles[name])
-            d_cols = [d[0] for d in rel.description]
-            d_rows = rel.fetchall()
+            d_pdf = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:200]}")
             n_fail += 1
             continue
 
-        sc, sr = df_to_rows(s_cols, s_rows)
-        dc, dr = df_to_rows(d_cols, d_rows)
+        sc, sr = pdf_to_rows(s_pdf)
+        dc, dr = pdf_to_rows(d_pdf)
+        elapsed = time.time() - t_start
         if sc != dc:
             print(f"FAIL {name}: columns differ spark={sc} duckdb={dc}")
             n_fail += 1
@@ -111,7 +136,7 @@ def main():
             print(f"FAIL {name}: values differ, first diffs: {diffs}")
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(sr)} rows)")
+            print(f"PASS {name} ({len(sr)} rows) [{elapsed:.1f}s]")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} rows-only")
     return 1 if n_fail else 0
