@@ -51,10 +51,17 @@ class Materializer:
         spark: SparkSession,
         full_refresh: bool = False,
         now: datetime | None = None,
+        interval: tuple[str, str] | None = None,
     ):
+        """``interval`` is the run's (start, end) window for time_interval
+        assets, as strings in the asset's granularity format.  Passing it
+        here (the scheduler does) keeps Asset objects immutable across
+        runs; direct callers may instead set the legacy
+        ``_interval_start``/``_interval_end`` asset parameters."""
         self.spark = spark
         self.full_refresh = full_refresh
         self.now = now or datetime.now(timezone.utc).replace(tzinfo=None)
+        self.interval = interval
 
     # -- public ------------------------------------------------------------
 
@@ -242,7 +249,11 @@ class Materializer:
             raise MaterializationError("incremental_key is required for time_interval strategy")
         if mat.time_granularity not in ("date", "timestamp"):
             raise MaterializationError("time_granularity must be either 'date', or 'timestamp'")
-        start, end = asset.parameters.get("_interval_start"), asset.parameters.get("_interval_end")
+        if self.interval is not None:
+            start, end = self.interval
+        else:
+            start = asset.parameters.get("_interval_start")
+            end = asset.parameters.get("_interval_end")
         if start is None or end is None:
             raise MaterializationError("time_interval requires the run interval in parameters")
         src = self._select(query)
@@ -279,6 +290,30 @@ class Materializer:
         target = self.table(asset.name)
         cols = [c.name for c in asset.columns] or target.columns
 
+        # MERGE cardinality: >1 source row per PK group would silently
+        # duplicate matched target rows, where MERGE INTO raises.  The
+        # per-PK count is a window over the same keys the join shuffles
+        # on (exchange reused, no second source scan); assert_true makes
+        # the plan raise on violation.  Kept as a filter so column
+        # pruning cannot drop the assertion.
+        from pyspark.sql import Window
+
+        src = (
+            src.withColumn(
+                "_bruin_pk_cnt", F.count(F.lit(1)).over(Window.partitionBy(*pks))
+            )
+            .filter(
+                F.assert_true(
+                    F.col("_bruin_pk_cnt") == 1,
+                    F.lit("MERGE source has more than one row per primary key"),
+                ).isNull()
+            )
+            .drop("_bruin_pk_cnt")
+        )
+        # constant probe column: NULL PK values in the source still count
+        # as matched (eqNullSafe join), exactly like MERGE INTO
+        src = src.withColumn("_s_present", F.lit(True))
+
         on = [F.col(f"target.{k}").eqNullSafe(F.col(f"source.{k}")) for k in pks]
         if asset.materialization.incremental_predicate:
             on.append(F.expr(asset.materialization.incremental_predicate))
@@ -287,7 +322,7 @@ class Materializer:
             cond = cond & c
 
         joined = target.alias("target").join(src.alias("source"), cond, "left")
-        matched = F.col(f"source.{pks[0]}").isNotNull()
+        matched = F.col("source._s_present").isNotNull()
         out_cols = []
         update_names = {c.name: c for c in asset.columns if c.update_on_merge or c.merge_sql}
         for name in cols:

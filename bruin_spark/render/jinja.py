@@ -80,12 +80,22 @@ class RenderContext:
         return out
 
     def to_jinja(self) -> dict[str, Any]:
+        def ts(dt: datetime) -> str:
+            # reference emits Go layout '2006-01-02T15:04:05.000000Z07:00'
+            # (jinja.go:154): UTC renders as 'Z', other offsets '+hh:mm';
+            # naive contexts are treated as UTC
+            base = dt.strftime("%Y-%m-%dT%H:%M:%S.%f")
+            off = dt.strftime("%z")
+            if not off or off in ("+0000", "-0000"):
+                return base + "Z"
+            return f"{base}{off[:3]}:{off[3:]}"
+
         def fam(prefix: str, dt: datetime) -> dict[str, str]:
             return {
                 f"{prefix}_date": dt.strftime("%Y-%m-%d"),
                 f"{prefix}_date_nodash": dt.strftime("%Y%m%d"),
                 f"{prefix}_datetime": dt.strftime("%Y-%m-%dT%H:%M:%S"),
-                f"{prefix}_timestamp": dt.strftime("%Y-%m-%dT%H:%M:%S.%f%z") or dt.isoformat(),
+                f"{prefix}_timestamp": ts(dt),
             }
 
         ctx: dict[str, Any] = {}

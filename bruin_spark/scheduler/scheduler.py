@@ -145,6 +145,17 @@ class Scheduler:
         self.instances: dict[str, TaskInstance] = {}
         self._check_batches: dict[str, dict[tuple[str, str], CheckResult]] = {}
         self._batch_lock = threading.Lock()
+        # user-supplied interval overrides are honored; everything else is
+        # recomputed per run so a reused Pipeline (e.g. backfill chunks)
+        # never inherits a previous run's bounds
+        self._user_intervals: dict[str, dict[str, str]] = {
+            a.name: {
+                k: a.parameters[k]
+                for k in ("_interval_start", "_interval_end")
+                if k in a.parameters
+            }
+            for a in pipeline.assets
+        }
         self._build_instances()
 
     # -- DAG construction ----------------------------------------------------
@@ -307,6 +318,20 @@ class Scheduler:
                 if self._ready(inst):
                     inst.status = InstanceStatus.QUEUED
                     work.put(inst)
+            statuses = [i.status for i in self.instances.values()]
+            stuck = not any(
+                s in (InstanceStatus.QUEUED, InstanceStatus.RUNNING) for s in statuses
+            ) and any(s is InstanceStatus.PENDING for s in statuses)
+            if stuck:
+                # nothing running, nothing ready, work remaining: a
+                # dependency cycle (or dangling upstream) would hang the
+                # pool forever — fail those instances instead
+                for inst in self.instances.values():
+                    if inst.status is InstanceStatus.PENDING:
+                        inst.status = InstanceStatus.FAILED
+                        inst.error = (
+                            "unrunnable: dependency cycle or unsatisfiable upstreams"
+                        )
             if all(i.status in _TERMINAL for i in self.instances.values()):
                 done_event.set()
                 for _ in range(self.workers):
@@ -389,25 +414,36 @@ class Scheduler:
         if op is not None:
             return op(self.spark, asset, self.context)
         if asset.type in ("spark.sql", "sql"):
-            ctx = self.context.with_modifiers(asset.interval_modifiers)
+            # interval modifiers are applied exactly ONCE, inside
+            # render_asset_query; `ctx` here stays unshifted and the
+            # time_interval bounds are derived from the same single
+            # shift so the delete window always matches the rendered SQL
+            ctx = self.context.with_modifiers({})
             ctx.this = asset.name
             ctx.full_refresh = self.full_refresh
             if not ctx.macros and self.pipeline.macros:
                 ctx.macros = self.pipeline.macros
-            # time_interval deletes the run window before inserting; feed it
-            # the (modifier-adjusted) interval bounds
             from bruin_spark.model.pipeline import Strategy
 
+            interval: tuple[str, str] | None = None
             if asset.materialization.strategy == Strategy.TIME_INTERVAL:
+                # delete window = the SAME single-shifted interval the SQL
+                # renders with; passed to the Materializer rather than
+                # written into the shared Asset (a reused Pipeline — e.g.
+                # backfill chunks — must not inherit a prior run's bounds)
                 fmt = (
                     "%Y-%m-%d"
                     if asset.materialization.time_granularity == "date"
                     else "%Y-%m-%d %H:%M:%S"
                 )
-                asset.parameters.setdefault("_interval_start", ctx.start.strftime(fmt))
-                asset.parameters.setdefault("_interval_end", ctx.end.strftime(fmt))
+                shifted = ctx.with_modifiers(asset.interval_modifiers)
+                user = self._user_intervals.get(asset.name, {})
+                interval = (
+                    user.get("_interval_start", shifted.start.strftime(fmt)),
+                    user.get("_interval_end", shifted.end.strftime(fmt)),
+                )
             rendered = render_asset_query(asset, ctx)
-            mat = Materializer(self.spark, full_refresh=self.full_refresh)
+            mat = Materializer(self.spark, full_refresh=self.full_refresh, interval=interval)
             for pre in asset.hooks.get("pre", []):
                 self.spark.sql(pre)
             mat.run(asset, rendered)

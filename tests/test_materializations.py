@@ -277,3 +277,42 @@ def test_datavault_satellite(spark, mat):
     mat.run(a, t1)
     got = rows(spark, "t_dvsat", "load_ts")
     assert len(got) == 2 and got[1][1] == "d2"
+
+
+def test_merge_raises_on_duplicate_source_pks(spark, mat):
+    """MERGE INTO semantics: >1 source row per PK is a cardinality error,
+    not a silent duplication of the matched target row."""
+    a = Asset.from_dict(
+        {
+            "name": "t_merge_card",
+            "materialization": {"type": "table", "strategy": "merge"},
+            "columns": [
+                {"name": "id", "type": "bigint", "primary_key": True},
+                {"name": "v", "type": "string", "update_on_merge": True},
+            ],
+        }
+    )
+    spark.sql("DROP TABLE IF EXISTS t_merge_card")
+    mat.run(a, "SELECT 1 AS id, 'a' AS v")
+    with pytest.raises(Exception, match="(?i)more than one row|assert"):
+        mat.run(a, "SELECT 1 AS id, 'b' AS v UNION ALL SELECT 1, 'c'")
+
+
+def test_merge_null_pk_rows_update_not_drop(spark, mat):
+    """eqNullSafe join: a NULL-pk source row matches a NULL-pk target row
+    and must UPDATE it (constant probe column, not pk IS NOT NULL)."""
+    a = Asset.from_dict(
+        {
+            "name": "t_merge_nullpk",
+            "materialization": {"type": "table", "strategy": "merge"},
+            "columns": [
+                {"name": "id", "type": "bigint", "primary_key": True},
+                {"name": "v", "type": "string", "update_on_merge": True},
+            ],
+        }
+    )
+    spark.sql("DROP TABLE IF EXISTS t_merge_nullpk")
+    mat.run(a, "SELECT CAST(NULL AS BIGINT) AS id, 'old' AS v UNION ALL SELECT 7, 'seven'")
+    mat.run(a, "SELECT CAST(NULL AS BIGINT) AS id, 'updated' AS v")
+    got = sorted([(r["id"], r["v"]) for r in spark.table("t_merge_nullpk").collect()], key=str)
+    assert (None, "updated") in got and (7, "seven") in got and len(got) == 2

@@ -116,3 +116,19 @@ def test_pipeline_macros_render(tmp_path):
     ctx.macros = pipe.macros
     out = render_sql(pipe.asset("a").query, ctx)
     assert out == "SELECT ROUND(amount, 2) AS amt FROM t"
+
+
+def test_start_timestamp_has_utc_suffix():
+    """Naive contexts render as UTC with a 'Z' suffix (reference Go layout
+    '2006-01-02T15:04:05.000000Z07:00', jinja.go:154)."""
+    from datetime import datetime, timedelta, timezone
+
+    from bruin_spark.render.jinja import RenderContext, render_sql
+
+    ctx = RenderContext(start=datetime(2024, 1, 1), end=datetime(2024, 1, 2))
+    out = render_sql("{{ start_timestamp }}|{{ end_timestamp }}", ctx)
+    assert out == "2024-01-01T00:00:00.000000Z|2024-01-02T00:00:00.000000Z"
+
+    tz = timezone(timedelta(hours=5, minutes=30))
+    ctx2 = RenderContext(start=datetime(2024, 1, 1, tzinfo=tz), end=datetime(2024, 1, 2, tzinfo=tz))
+    assert render_sql("{{ start_timestamp }}", ctx2) == "2024-01-01T00:00:00.000000+05:30"

@@ -357,3 +357,96 @@ def test_custom_check_query_is_jinja_rendered(spark):
     ctx = RenderContext(start=datetime(2024, 1, 1), end=datetime(2024, 2, 1))
     res = Scheduler(spark, pipe, context=ctx).run()
     assert res.ok, [i.error for i in res.check_results] if res.check_results else res.failed
+
+
+def test_backfill_time_interval_each_chunk_own_window(spark):
+    """Regression: a reused Pipeline must not pin chunk 1's interval into
+    Asset.parameters — every backfill chunk replaces ITS OWN window."""
+    from datetime import datetime
+
+    from bruin_spark.scheduler.scheduler import backfill
+
+    pipe = make_pipeline(
+        [
+            Asset(
+                name="ti_bf",
+                type="spark.sql",
+                query=(
+                    "SELECT CAST('{{ start_date }} 12:00:00' AS TIMESTAMP) AS ts, "
+                    "'new' AS src"
+                ),
+                materialization=Materialization(
+                    type=MaterializationType.TABLE,
+                    strategy=Strategy.TIME_INTERVAL,
+                    incremental_key="ts",
+                    time_granularity="timestamp",
+                ),
+            )
+        ]
+    )
+    spark.sql("DROP TABLE IF EXISTS ti_bf")
+    spark.sql(
+        "CREATE TABLE ti_bf AS "
+        "SELECT CAST('2024-01-01 06:00:00' AS TIMESTAMP) AS ts, 'old' AS src "
+        "UNION ALL SELECT CAST('2024-01-02 06:00:00' AS TIMESTAMP), 'old' "
+        "UNION ALL SELECT CAST('2024-03-01 00:00:00' AS TIMESTAMP), 'old'"
+    )
+    results = backfill(
+        spark, pipe, datetime(2024, 1, 1), datetime(2024, 1, 3), granularity="day"
+    )
+    assert len(results) == 2 and all(r.ok for r in results)
+    rows = sorted((str(r["ts"]), r["src"]) for r in spark.table("ti_bf").collect())
+    # both daily windows were replaced by their own chunk; March survives
+    assert rows == [
+        ("2024-01-01 12:00:00", "new"),
+        ("2024-01-02 12:00:00", "new"),
+        ("2024-03-01 00:00:00", "old"),
+    ]
+
+
+def test_interval_modifiers_applied_exactly_once(spark):
+    """Regression: with a start modifier of -1d the rendered SQL and the
+    time_interval delete window must agree on the SAME single shift."""
+    from datetime import datetime
+
+    asset = Asset(
+        name="ti_mod",
+        type="spark.sql",
+        query="SELECT CAST('{{ start_date }} 00:00:00' AS TIMESTAMP) AS ts",
+        materialization=Materialization(
+            type=MaterializationType.TABLE,
+            strategy=Strategy.TIME_INTERVAL,
+            incremental_key="ts",
+            time_granularity="timestamp",
+        ),
+        interval_modifiers={"start": "-1d"},
+    )
+    spark.sql("DROP TABLE IF EXISTS ti_mod")
+    spark.sql(
+        "CREATE TABLE ti_mod AS "
+        "SELECT CAST('2024-01-07 12:00:00' AS TIMESTAMP) AS ts "  # outside window
+        "UNION ALL SELECT CAST('2024-01-08 06:00:00' AS TIMESTAMP)"  # inside
+    )
+    ctx = RenderContext(start=datetime(2024, 1, 9), end=datetime(2024, 1, 10))
+    res = Scheduler(spark, make_pipeline([asset]), context=ctx).run()
+    assert res.ok, res.failed
+    rows = sorted(str(r["ts"]) for r in spark.table("ti_mod").collect())
+    # single shift: rendered row AND delete window both start 2024-01-08 —
+    # the 01-08 old row was replaced, the 01-07 row survived.  A double
+    # shift would have rendered 01-07 while deleting from 01-08.
+    assert rows == ["2024-01-07 12:00:00", "2024-01-08 00:00:00"]
+
+
+def test_cyclic_dependencies_fail_instead_of_hanging(spark):
+    pipe = make_pipeline(
+        [
+            sql_asset("cy_a", "SELECT 1", deps=["cy_b"]),
+            sql_asset("cy_b", "SELECT 1", deps=["cy_a"]),
+        ]
+    )
+    res = Scheduler(spark, pipe, workers=2).run()
+    assert not res.ok
+    assert set(res.failed) == {"cy_a", "cy_b"}
+    sched = Scheduler(spark, pipe, workers=2)
+    sched.run()
+    assert "cycle" in sched.instances["cy_a"].error
