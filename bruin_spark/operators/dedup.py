@@ -30,19 +30,40 @@ from bruin_spark.operators.text import fingerprint, shingles
 # -- exact ---------------------------------------------------------------
 
 
-def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def exact_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_member_ids: int = 100,
+) -> DataFrame:
     """Groups of byte-identical (canonicalized) documents.
 
     Returns one row per duplicate group: fingerprint, size, canonical id
-    (min id), and the member ids.
+    (min id), and the FIRST ``max_member_ids`` member ids by id order.
+    The cap is enforced BEFORE aggregation (row_number window over the
+    same shuffle key, so the exchange is reused and the running count
+    never buffers the group): one boilerplate document duplicated 100M
+    times at 100 TB would otherwise materialize an unbounded array on a
+    single hot reducer.  ``group_size`` + ``canonical_id`` stay exact;
+    pass ``max_member_ids=None`` only for toy inputs.
     """
     fp = fingerprint(df, text_col)
+    if max_member_ids is None:
+        member_expr = F.collect_list(id_col)
+    else:
+        w = Window.partitionBy("doc_fingerprint").orderBy(id_col)
+        fp = fp.withColumn("_rn", F.row_number().over(w))
+        # collect_list skips NULLs: the agg buffer holds at most
+        # max_member_ids entries per group
+        member_expr = F.collect_list(
+            F.when(F.col("_rn") <= max_member_ids, F.col(id_col))
+        )
     return (
         fp.groupBy("doc_fingerprint")
         .agg(
             F.count(F.lit(1)).alias("group_size"),
             F.min(id_col).alias("canonical_id"),
-            F.sort_array(F.collect_list(id_col)).alias("member_ids"),
+            F.sort_array(member_expr).alias("member_ids"),
         )
         .filter(F.col("group_size") > 1)
     )

@@ -129,19 +129,50 @@ def pack_partitions_by_bytes(
 ) -> DataFrame:
     """Repartition so each partition holds ~target_bytes of payload.
 
-    Rows are ordered (by id for determinism), cumulative payload size is
-    bucketed, and the bucket becomes the shuffle key. Protects decode
-    stages from skew when blob sizes vary by 1000x.
+    Scale-safe packing (no global sort, no single-partition exchange):
+
+    1. a column-pruned stats pass sums ``size_col`` per INPUT partition —
+       the collect is one row per partition, not per row;
+    2. the driver turns those sums into prefix byte-offsets (tiny) and
+       broadcast-joins them back on ``spark_partition_id()``;
+    3. the running total within each partition is a window partitioned
+       by the input partition id — every task sees only its own
+       partition's rows, so no stage funnels the dataset through one
+       reducer;
+    4. ``offset + local running total`` bucketed by ``target_bytes``
+       becomes the shuffle key.
+
+    Protects decode stages from skew when blob sizes vary by 1000x.
     """
     from pyspark.sql import Window
 
+    tagged = df.withColumn("__pid", F.spark_partition_id())
+    # stats pass: reads only size_col (column pruning keeps payload
+    # bytes out of this scan); O(num input partitions) rows collected
+    totals = tagged.groupBy("__pid").agg(F.sum(size_col).alias("__b")).collect()
+    offsets, acc = [], 0
+    for row in sorted(totals, key=lambda r: r["__pid"]):
+        offsets.append((row["__pid"], acc))
+        acc += int(row["__b"] or 0)
+    n_buckets = int(acc // target_bytes) + 1
+    if not offsets:
+        return df
+    offs = df.sparkSession.createDataFrame(offsets, "__pid int, __off bigint")
+
     order = [id_col] if id_col else [size_col]
-    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    bucketed = df.withColumn(
-        "__bucket", (F.sum(size_col).over(w) / F.lit(target_bytes)).cast("bigint")
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    n_buckets = bucketed.agg(F.max("__bucket")).collect()[0][0] or 0
-    return bucketed.repartition(int(n_buckets) + 1, "__bucket").drop("__bucket")
+    bucketed = (
+        tagged.join(F.broadcast(offs), "__pid")
+        .withColumn(
+            "__bucket",
+            ((F.col("__off") + F.sum(size_col).over(w)) / F.lit(target_bytes)).cast("bigint"),
+        )
+    )
+    return bucketed.repartition(n_buckets, "__bucket").drop("__pid", "__off", "__bucket")
 
 
 def with_media_meta(df: DataFrame, bin_col: str = "media") -> DataFrame:

@@ -165,3 +165,36 @@ def test_q2_distinct_pairs_before_dim_joins(spark):
     plan = plan_of(q2_min_acctbal_supplier(spark, SF))
     assert "BroadcastHashJoin" in plan
     assert plan.count("lineitem.parquet") == 1
+
+
+def test_pack_partitions_no_single_partition_exchange(spark):
+    """pack_partitions_by_bytes must not funnel data through one task:
+    no global-sort window (Exchange SinglePartition) anywhere."""
+    from pyspark.sql import functions as F
+
+    from bruin_spark.operators import multimodal as M
+
+    df = read_parquet(spark, f"{SF}/documents.parquet").withColumn(
+        "sz", F.length("text").cast("bigint")
+    )
+    packed = M.pack_partitions_by_bytes(df, "sz", target_bytes=4096, id_col="doc_id")
+    assert "SinglePartition" not in plan_of(packed)
+
+
+def test_exact_duplicates_bounded_members_single_shuffle(spark):
+    """The member-id cap is enforced pre-aggregation, and the window +
+    groupBy share one exchange on the fingerprint."""
+    from pyspark.sql import functions as F
+
+    from bruin_spark.operators.dedup import exact_duplicates
+
+    docs = read_parquet(spark, f"{SF}/documents.parquet")
+    dup = docs.select("doc_id", F.substring("text", 1, 0).alias("text"))  # all same
+    out = exact_duplicates(dup, max_member_ids=7)
+    plan = plan_of(out)
+    assert plan.count("Exchange hashpartitioning") == 1
+    [row] = out.collect()
+    assert row["group_size"] == docs.count()
+    assert len(row["member_ids"]) == 7
+    assert row["member_ids"] == sorted(row["member_ids"])
+    assert row["canonical_id"] == min(row["member_ids"])
