@@ -224,10 +224,15 @@ def cmd_lineage(args) -> int:
 
 
 def cmd_lint(args) -> int:
-    from bruin_spark.lint import lint_pipeline
+    from bruin_spark.lint import lint_with_policies
     from bruin_spark.model import load_pipeline
 
-    issues = lint_pipeline(load_pipeline(args.pipeline))
+    spark = None
+    if getattr(args, "dry_run", False):
+        from bruin_spark import get_spark
+
+        spark = get_spark("bruin:lint")
+    issues = lint_with_policies(load_pipeline(args.pipeline), spark=spark)
     for i in issues:
         print(str(i))
     return 1 if any(i.severity == "error" for i in issues) else 0
@@ -292,6 +297,11 @@ def main(argv: list[str] | None = None) -> int:
 
     pl = sub.add_parser("lint", help="lint a pipeline")
     pl.add_argument("pipeline")
+    pl.add_argument(
+        "--dry-run",
+        action="store_true",
+        help="EXPLAIN custom-check/hook SQL against a live session",
+    )
     pl.set_defaults(fn=cmd_lint)
 
     args = p.parse_args(argv)

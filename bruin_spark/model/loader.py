@@ -133,6 +133,10 @@ def load_pipeline(path: str) -> Pipeline:
         concurrency=int(d.get("concurrency", 16) or 16),
         retries=int(d.get("retries", 0) or 0),
         catchup=bool(d.get("catchup", False)),
+        notifications=d.get("notifications", {}) or {},
+        metadata_push=d.get("metadata_push", {}) or {},
+        max_active_steps=d.get("max_active_steps"),
+        raw=dict(d),
     )
 
     assets_dir = os.path.join(path, "assets")

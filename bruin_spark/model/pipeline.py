@@ -212,6 +212,11 @@ class Asset:
     # raw unit-test specs (ref: pipeline.go:1095-1148); interpreted by
     # bruin_spark.unittests
     unit_tests: list[dict[str, Any]] = field(default_factory=list)
+    uri: str = ""  # cross-pipeline address (ref: pipeline.go Asset.URI)
+    secrets: list[dict[str, str]] = field(default_factory=list)  # {secret_key, inject_as}
+    notifications: dict[str, Any] = field(default_factory=dict)
+    # raw parsed YAML/frontmatter, kept for unknown-field linting
+    raw: dict[str, Any] = field(default_factory=dict, repr=False)
 
     def primary_keys(self) -> list[str]:
         return [c.name for c in self.columns if c.primary_key]
@@ -255,6 +260,13 @@ class Asset:
             interval_modifiers=d.get("interval_modifiers", {}) or {},
             hooks=hooks,
             unit_tests=d.get("unit_tests", []) or [],
+            uri=d.get("uri", "") or "",
+            secrets=[
+                s if isinstance(s, dict) else {"secret_key": str(s)}
+                for s in d.get("secrets", []) or []
+            ],
+            notifications=d.get("notifications", {}) or {},
+            raw=dict(d),
         )
 
 
@@ -274,6 +286,11 @@ class Pipeline:
     concurrency: int = 16
     retries: int = 0
     catchup: bool = False
+    notifications: dict[str, Any] = field(default_factory=dict)
+    metadata_push: dict[str, Any] = field(default_factory=dict)
+    max_active_steps: int | None = None
+    # raw parsed pipeline.yml, kept for unknown-field linting
+    raw: dict[str, Any] = field(default_factory=dict, repr=False)
 
     def asset(self, name: str) -> Asset | None:
         for a in self.assets:

@@ -34,7 +34,7 @@ def test_duplicate_and_invalid_names():
         assets=[Asset(name="a"), Asset(name="a"), Asset(name="bad name!")],
     )
     rs = rules_of(lint_pipeline(p))
-    assert "asset-name-unique" in rs and "asset-name-valid" in rs
+    assert "task-name-unique" in rs and "task-name-valid" in rs
 
 
 def test_unknown_dependency_and_cycle():
@@ -106,3 +106,270 @@ def test_missing_dependency_warning():
     )
     issues = lint_pipeline(p)
     assert any(i.rule == "missing-dependency" and i.severity == "warning" for i in issues)
+
+
+# ---------------------------------------------------------------------------
+# round-2 rule breadth (ref: pkg/lint/list.go:31-371)
+# ---------------------------------------------------------------------------
+
+
+def _p(assets=None, **kw):
+    return Pipeline(name=kw.pop("name", "p"), assets=assets or [], **kw)
+
+
+def test_rule_registry_breadth():
+    from bruin_spark.lint import rule_ids
+    from bruin_spark.lint.policy import BUILTIN_POLICY_RULES
+
+    # reference ships ~45 rule ids; we mirror the applicable set plus the
+    # builtin policy rules (policy_builtins.go)
+    assert len(rule_ids()) + len(BUILTIN_POLICY_RULES) >= 45
+
+
+def test_valid_pipeline_schedule():
+    assert rules_of(lint_pipeline(_p(schedule="daily"))) == set()
+    assert rules_of(lint_pipeline(_p(schedule="*/5 0-12 * * 1-5"))) == set()
+    assert "valid-pipeline-schedule" in rules_of(lint_pipeline(_p(schedule="not a cron")))
+    assert "valid-pipeline-schedule" in rules_of(lint_pipeline(_p(schedule="99 * * * *")))
+
+
+def test_valid_pipeline_start_date_and_concurrency():
+    assert "valid-pipeline-start-date" in rules_of(lint_pipeline(_p(start_date="01/02/2024")))
+    assert rules_of(lint_pipeline(_p(start_date="2024-01-02"))) == set()
+    assert "valid-pipeline-concurrency" in rules_of(lint_pipeline(_p(concurrency=0)))
+    assert "valid-pipeline-max-active-steps" in rules_of(lint_pipeline(_p(max_active_steps=0)))
+
+
+def test_valid_variables():
+    bad = _p(variables={"bad name": 1})
+    assert "valid-variables" in rules_of(lint_pipeline(bad))
+    missing_default = _p(variables={"x": {"type": "string"}})
+    assert "valid-variables" in rules_of(lint_pipeline(missing_default))
+    ok = _p(variables={"x": {"type": "string", "default": "y"}, "plain": 5})
+    assert rules_of(lint_pipeline(ok)) == set()
+
+
+def test_notifications_shape():
+    p = _p(notifications={"slack": [{}], "email": [{"recipients": ["nope"]}]})
+    rs = rules_of(lint_pipeline(p))
+    assert "valid-pipeline-notifications" in rs
+    a = Asset(name="a", notifications={"slack": [{"channel": "#x"}]})
+    assert "valid-asset-notifications" not in rules_of(lint_pipeline(_p([a])))
+
+
+def test_unknown_fields_warn():
+    p = _p([Asset(name="a", raw={"name": "a", "typo_field": 1})])
+    p.raw = {"name": "p", "scheduel": "daily"}
+    rs = lint_pipeline(p)
+    assert any(i.rule == "unknown-pipeline-fields" and i.severity == "warning" for i in rs)
+    assert any(i.rule == "unknown-asset-fields" and i.severity == "warning" for i in rs)
+
+
+def test_name_component_count():
+    assert "asset-name-component-count" in rules_of(
+        lint_pipeline(_p([Asset(name="a.b.c.d", type="spark.sql")]))
+    )
+    assert rules_of(lint_pipeline(_p([Asset(name="cat.sch.tbl", type="spark.sql")]))) == set()
+
+
+def test_sensor_rules():
+    qs = Asset(name="qs", type="spark.sensor.query", parameters={})
+    ts = Asset(name="ts", type="spark.sensor.table", parameters={"table": "bad name!"})
+    to = Asset(name="to", type="spark.sensor.path", parameters={"path": "/x", "timeout": "5 fortnights"})
+    rs = rules_of(lint_pipeline(_p([qs, ts, to])))
+    assert {"valid-query-sensor", "valid-table-sensor-table", "valid-sensor-timeout"} <= rs
+    ok = Asset(name="ok", type="spark.sensor.query", parameters={"query": "SELECT 1", "timeout": "30m"})
+    assert rules_of(lint_pipeline(_p([ok]))) == set()
+
+
+def test_valid_asset_tier():
+    assert "valid-asset-tier" in rules_of(lint_pipeline(_p([Asset(name="a", tier="9")])))
+    assert rules_of(lint_pipeline(_p([Asset(name="a", tier="3")]))) == set()
+
+
+def test_valid_ingestr():
+    a = Asset(name="ing", type="ingestr", parameters={})
+    rs = rules_of(lint_pipeline(_p([a])))
+    assert "valid-ingestr" in rs
+    b = Asset(
+        name="ing2",
+        type="ingestr",
+        parameters={
+            "source_connection": "pg",
+            "source_table": "t",
+            "incremental_strategy": "merge",
+            "cdc": "true",
+            "cdc_mode": "stream",
+        },
+    )
+    issues = lint_pipeline(_p([b]))
+    assert any(i.rule == "ingestr-cdc-mode-deprecated" and i.severity == "warning" for i in issues)
+
+
+def test_column_metadata_and_tags():
+    a = Asset(
+        name="a",
+        columns=[
+            Column(name="v", checks=[__import__("bruin_spark.model.pipeline", fromlist=["ColumnCheck"]).ColumnCheck(name="nonsense")]),
+        ],
+        tags=["x", "x"],
+    )
+    rs = rules_of(lint_pipeline(_p([a])))
+    assert {"valid-column-metadata", "duplicate-tags"} <= rs
+
+
+def test_python_asset_syntax_validation():
+    a = Asset(name="py", type="python", query="def broken(:\n  pass")
+    assert "assets-python-validation" in rules_of(lint_pipeline(_p([a])))
+    ok = Asset(name="py2", type="python", query="print('hi')")
+    assert rules_of(lint_pipeline(_p([ok]))) == set()
+
+
+def test_hooks_on_wrong_type_warn():
+    a = Asset(name="s", type="spark.sensor.query", parameters={"query": "SELECT 1"},
+              hooks={"pre": ["SELECT 1"], "post": []})
+    issues = lint_pipeline(_p([a]))
+    assert any(i.rule == "asset-hooks-applicable-type-ignored" for i in issues)
+
+
+def test_valid_time_interval_modifiers():
+    a = Asset(name="a", interval_modifiers={"start": "-1q"})
+    assert "valid-time-interval" in rules_of(lint_pipeline(_p([a])))
+    b = Asset(name="b", interval_modifiers={"start": "-1d", "end": "2h"})
+    assert rules_of(lint_pipeline(_p([b]))) == set()
+
+
+def test_materialization_view_cluster_and_partition_columns():
+    a = Asset(
+        name="v",
+        materialization=Materialization(type=MaterializationType.VIEW, cluster_by=["x"]),
+    )
+    assert "materialization-config" in rules_of(lint_pipeline(_p([a])))
+    b = Asset(
+        name="t",
+        materialization=Materialization(type=MaterializationType.TABLE, partition_by="nope"),
+        columns=[Column(name="real_col")],
+    )
+    assert "materialization-config" in rules_of(lint_pipeline(_p([b])))
+
+
+def test_cross_pipeline_uri_dependencies():
+    from bruin_spark.lint import lint_pipelines
+
+    p1 = _p([Asset(name="src", uri="warehouse://p1/src")], name="p1")
+    p2 = _p(
+        [Asset(name="cons", depends=[Upstream(value="warehouse://p1/src", type="uri")]),
+         Asset(name="bad", depends=[Upstream(value="warehouse://missing", type="uri")])],
+        name="p2",
+    )
+    issues = lint_pipelines([p1, p2])
+    assert any("not found" in i.message for i in issues)
+    dup = _p([Asset(name="a", uri="u://1"), Asset(name="b", uri="u://1")], name="p3")
+    assert any("duplicate URI" in i.message for i in lint_pipelines([dup]))
+
+
+def test_dry_run_rules(spark):
+    a = Asset(
+        name="dq",
+        type="spark.sql",
+        query="SELECT 1 AS x",
+        custom_checks=[CustomCheck(name="bad_sql", query="SELEC wrong FROM {{ this }}")],
+        hooks={"pre": ["SET spark.sql.shuffle.partitions=8"], "post": []},
+    )
+    issues = lint_pipeline(_p([a]), spark=spark)
+    assert any(i.rule == "custom-check-query-dry-run" for i in issues)
+    ok = Asset(
+        name="dq2",
+        type="spark.sql",
+        query="SELECT 1 AS x",
+        custom_checks=[CustomCheck(name="ok", query="SELECT COUNT(*) - 1 FROM some_unknown_table")],
+    )
+    assert not lint_pipeline(_p([ok]), spark=spark)
+
+
+# ---------------------------------------------------------------------------
+# policies (ref: pkg/lint/policy.go, policy_builtins.go)
+# ---------------------------------------------------------------------------
+
+
+def test_policy_builtin_ruleset():
+    from bruin_spark.lint.policy import PolicySpecification
+
+    spec = PolicySpecification.from_dict(
+        {"rulesets": [{"name": "std", "rules": ["asset-has-owner", "asset-name-is-lowercase"]}]}
+    )
+    p = _p([Asset(name="UPPER", owner=""), Asset(name="ok.asset", owner="team@x")])
+    issues = spec.lint(p)
+    ids = {(i.rule, i.asset) for i in issues}
+    assert ("policy:std:asset-has-owner", "UPPER") in ids
+    assert ("policy:std:asset-name-is-lowercase", "UPPER") in ids
+    assert not any(a == "ok.asset" for _r, a in ids)
+
+
+def test_policy_custom_criteria_and_selector():
+    from bruin_spark.lint.policy import PolicySpecification
+
+    spec = PolicySpecification.from_dict(
+        {
+            "custom_rules": [
+                {
+                    "name": "must-have-two-tags",
+                    "description": "assets need >=2 tags",
+                    "criteria": "len(asset.tags) >= 2",
+                }
+            ],
+            "rulesets": [
+                {"name": "tagged", "selector": [{"asset": "core\\..*"}], "rules": ["must-have-two-tags"]}
+            ],
+        }
+    )
+    p = _p([Asset(name="core.t", tags=["one"]), Asset(name="other.t", tags=[])])
+    issues = spec.lint(p)
+    assert [i.asset for i in issues] == ["core.t"]  # selector excluded other.t
+
+
+def test_policy_validation_errors():
+    import pytest
+
+    from bruin_spark.lint.policy import PolicyError, PolicySpecification
+
+    with pytest.raises(PolicyError, match="builtin"):
+        PolicySpecification.from_dict(
+            {"custom_rules": [{"name": "asset-has-owner", "description": "d", "criteria": "true"}],
+             "rulesets": [{"name": "x", "rules": ["asset-has-owner"]}]}
+        ).lint(_p())
+    with pytest.raises(PolicyError, match="no such rule"):
+        PolicySpecification.from_dict(
+            {"rulesets": [{"name": "x", "rules": ["ghost-rule"]}]}
+        ).lint(_p())
+
+
+def test_policy_pipeline_rules_and_file_load(tmp_path):
+    from bruin_spark.lint.policy import lint_with_policies
+
+    d = tmp_path / "pipe"
+    (d / "assets").mkdir(parents=True)
+    (d / "pipeline.yml").write_text("name: pp\nretries: 0\n")
+    (d / "assets" / "a.sql").write_text("/* @bruin\nname: a\n@bruin */\nSELECT 1 AS x\n")
+    (d / "policy.yml").write_text(
+        "rulesets:\n  - name: ops\n    rules: [pipeline-has-retries]\n"
+    )
+    from bruin_spark.model import load_pipeline
+
+    issues = lint_with_policies(load_pipeline(str(d)))
+    assert any(i.rule == "policy:ops:pipeline-has-retries" for i in issues)
+
+
+def test_policy_query_matches_columns():
+    from bruin_spark.lint.policy import PolicySpecification
+
+    spec = PolicySpecification.from_dict(
+        {"rulesets": [{"name": "q", "rules": ["query-matches-columns"]}]}
+    )
+    bad = Asset(
+        name="t", type="spark.sql",
+        query="SELECT a AS x, b AS y FROM src",
+        columns=[Column(name="x"), Column(name="z")],
+    )
+    issues = spec.lint(_p([bad]))
+    assert any("z" in i.message for i in issues)
