@@ -87,6 +87,7 @@ def cmd_run(args) -> int:
         downstream=args.downstream,
         tags=args.tag,
         exclude_tags=args.exclude_tag,
+        select=args.select,
     )
     state_path = args.state or os.path.join(args.pipeline, ".bruin_state.json")
     if args.continue_run and os.path.exists(state_path):
@@ -245,6 +246,11 @@ def main(argv: list[str] | None = None) -> int:
     pr = sub.add_parser("run", help="run a pipeline")
     pr.add_argument("pipeline")
     pr.add_argument("--asset")
+    pr.add_argument(
+        "--select",
+        default=None,
+        help="selector expression: +name, name+2, @name, tag:/path:/file:/fqn:, comma intersect",
+    )
     pr.add_argument("--downstream", action="store_true")
     pr.add_argument("--tag", action="append", default=[])
     pr.add_argument("--exclude-tag", action="append", default=[])

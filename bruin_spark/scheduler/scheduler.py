@@ -234,8 +234,18 @@ class Scheduler:
         downstream: bool = False,
         tags: list[str] | None = None,
         exclude_tags: list[str] | None = None,
+        select: str | None = None,
     ) -> None:
-        """Mark filtered-out assets SKIPPED (they satisfy readiness)."""
+        """Mark filtered-out assets SKIPPED (they satisfy readiness).
+
+        ``select`` takes a full selector expression (``+name``, ``tag:x``,
+        ``path:...``, comma intersection, ``@`` closure — see
+        scheduler/selector.py, ref pkg/pipeline/selector.go)."""
+        if select:
+            from bruin_spark.scheduler.selector import resolve_selector_assets
+
+            matched = {a.name for a in resolve_selector_assets(select, self.pipeline)}
+            only = sorted(matched | set(only or []))
         selected: set[str] | None = None
         if only:
             selected = set(only)
