@@ -74,6 +74,16 @@ def cmd_run(args) -> int:
             print(f"unknown variant: {args.variant}", file=sys.stderr)
             return 2
         ctx.variables.update(overrides.get("variables", overrides))
+    environment = None
+    if getattr(args, "environment", None):
+        from bruin_spark.devenv import apply_dev_environment, load_environment
+
+        try:
+            environment = load_environment(pipe, args.environment)
+        except ValueError as e:
+            print(str(e), file=sys.stderr)
+            return 2
+        apply_dev_environment(pipe, environment)
     sched = Scheduler(
         spark,
         pipe,
@@ -81,6 +91,7 @@ def cmd_run(args) -> int:
         workers=args.workers,
         full_refresh=args.full_refresh,
         push_metadata=args.push_metadata,
+        environment=environment,
     )
     sched.apply_filters(
         only=[args.asset] if args.asset else None,
@@ -262,6 +273,10 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--state")
     pr.add_argument("--tables-dir", help="register parquet tables from this dir as views")
     pr.add_argument("--variant", help="apply a named variable override set")
+    pr.add_argument(
+        "--environment",
+        help="run in a named environment from pipeline.yml (schema_prefix rewriting)",
+    )
     pr.add_argument("--push-metadata", action="store_true")
     pr.add_argument("--continue", dest="continue_run", action="store_true")
     pr.set_defaults(fn=cmd_run)

@@ -133,8 +133,12 @@ class Scheduler:
         retries: int | None = None,
         operators: dict[str, Callable[[SparkSession, Asset, RenderContext], Any]] | None = None,
         push_metadata: bool = False,
+        environment=None,
     ):
         self.push_metadata = push_metadata
+        # dev environment (bruin_spark.devenv.Environment): rendered SQL
+        # gets existence-gated schema-prefix rewriting before execution
+        self.environment = environment
         self.spark = spark
         self.pipeline = pipeline
         self.context = context or RenderContext(pipeline_name=pipeline.name)
@@ -453,6 +457,12 @@ class Scheduler:
                     user.get("_interval_end", shifted.end.strftime(fmt)),
                 )
             rendered = render_asset_query(asset, ctx)
+            if self.environment is not None:
+                from bruin_spark.devenv import modify_query_for_dev
+
+                rendered = modify_query_for_dev(
+                    self.spark, asset.name, rendered, self.environment
+                )
             mat = Materializer(self.spark, full_refresh=self.full_refresh, interval=interval)
             for pre in asset.hooks.get("pre", []):
                 self.spark.sql(pre)
