@@ -33,8 +33,12 @@ def _configure(spark: SparkSession, sf_dir: str = "") -> None:
     except Exception:
         pass  # already-read conf on a reused session
     spark.conf.set("spark.sql.adaptive.enabled", "true")
-    small = "sf0.001" in sf_dir or "sf0.01" in sf_dir
-    spark.conf.set("spark.sql.shuffle.partitions", "8" if small else "32")
+    # Size shuffle parallelism ONLY for the known toy/bench scale factors;
+    # any other sf_dir keeps the session owner's cluster-sized value.
+    if "sf0.001" in sf_dir or "sf0.01" in sf_dir:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+    elif "sf0.1" in sf_dir:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -19,12 +19,17 @@
 
 ``criteria`` is a boolean expression evaluated against ``asset`` /
 ``pipeline`` / ``var`` — the Python analog of the reference's expr-lang
-programs (policy.go:106-121).  Policies are trusted repo config, the
-same trust model as the reference; evaluation still strips builtins.
+programs (policy.go:106-121).  Like expr-lang, criteria run SANDBOXED:
+the expression AST is validated against a node-type whitelist (no
+statements, imports, lambdas, or walrus) and every attribute/name
+starting with an underscore is rejected, which closes the
+``x.__class__.__init__.__globals__`` escape hatch — ``bruin lint`` is
+safe to run on untrusted pipelines even when ``run`` is not.
 """
 
 from __future__ import annotations
 
+import ast
 import os
 import re
 from dataclasses import dataclass, field
@@ -225,6 +230,57 @@ class PolicyError(ValueError):
     pass
 
 
+# Expression-only AST whitelist: enough for the reference's expr-lang
+# surface (boolean logic, comparisons, arithmetic, method calls,
+# indexing, literals, comprehensions, conditional expressions).
+_ALLOWED_NODES: tuple[type, ...] = (
+    ast.Expression,
+    ast.BoolOp, ast.And, ast.Or,
+    ast.UnaryOp, ast.Not, ast.USub, ast.UAdd,
+    ast.BinOp, ast.Add, ast.Sub, ast.Mult, ast.Div, ast.FloorDiv,
+    ast.Mod, ast.Pow,
+    ast.Compare, ast.Eq, ast.NotEq, ast.Lt, ast.LtE, ast.Gt, ast.GtE,
+    ast.In, ast.NotIn, ast.Is, ast.IsNot,
+    ast.Call, ast.keyword, ast.Attribute, ast.Name, ast.Load,
+    ast.Constant, ast.IfExp,
+    ast.List, ast.Tuple, ast.Set, ast.Dict,
+    ast.Subscript, ast.Slice, ast.Starred,
+    ast.ListComp, ast.SetComp, ast.GeneratorExp, ast.DictComp,
+    ast.comprehension, ast.Store,  # Store: comprehension loop targets
+    ast.JoinedStr, ast.FormattedValue,
+)
+
+
+def _validate_criteria_ast(rule_name: str, criteria: str) -> ast.Expression:
+    """Parse and sandbox-check a criteria expression.
+
+    Raises :class:`PolicyError` on any statement-level construct or any
+    dunder/underscore attribute or name — the attribute escapes that
+    make bare ``eval`` unsafe all require an underscore-prefixed hop.
+    """
+    try:
+        tree = ast.parse(criteria, mode="eval")
+    except SyntaxError as e:
+        raise PolicyError(f"error compiling rule {rule_name}: {e}") from e
+    for node in ast.walk(tree):
+        if not isinstance(node, _ALLOWED_NODES):
+            raise PolicyError(
+                f"rule {rule_name}: disallowed construct "
+                f"{type(node).__name__} in criteria"
+            )
+        if isinstance(node, ast.Attribute) and node.attr.startswith("_"):
+            raise PolicyError(
+                f"rule {rule_name}: underscore attribute "
+                f"{node.attr!r} is not allowed in criteria"
+            )
+        if isinstance(node, ast.Name) and node.id.startswith("_"):
+            raise PolicyError(
+                f"rule {rule_name}: underscore name {node.id!r} "
+                "is not allowed in criteria"
+            )
+    return tree
+
+
 @dataclass
 class RuleDefinition:
     name: str
@@ -246,10 +302,8 @@ class RuleDefinition:
             raise PolicyError(f"rule {self.name}: no such target {self.target!r}")
 
     def compile(self) -> None:
-        try:
-            self._code = compile(self.criteria, f"<policy:{self.name}>", "eval")
-        except SyntaxError as e:
-            raise PolicyError(f"error compiling rule {self.name}: {e}") from e
+        tree = _validate_criteria_ast(self.name, self.criteria)
+        self._code = compile(tree, f"<policy:{self.name}>", "eval")
 
     def evaluate(self, pipeline: Pipeline, asset: Asset | None) -> bool:
         env = {
@@ -257,9 +311,13 @@ class RuleDefinition:
             "pipeline": pipeline,
             "var": dict(pipeline.variables or {}),
             "len": len, "any": any, "all": all, "str": str, "set": set,
-            "sorted": sorted, "re": re,
+            "sorted": sorted, "min": min, "max": max, "sum": sum,
+            "re": re,
         }
-        result = eval(self._code, {"__builtins__": {}}, env)  # noqa: S307 - trusted repo config, like expr-lang in the reference
+        # the compiled AST was validated by _validate_criteria_ast, so
+        # eval here executes only whitelisted expression nodes with no
+        # underscore attribute access and no builtins beyond `env`
+        result = eval(self._code, {"__builtins__": {}}, env)  # noqa: S307
         return bool(result)
 
 

@@ -68,6 +68,12 @@ class Materializer:
     def run(self, asset: Asset, rendered_query: str) -> None:
         """Materialize one asset from its rendered SELECT query."""
         mat = asset.materialization
+        if mat.type != MaterializationType.VIEW:
+            # Per-asset schema creation, so a prefixed dev environment (or
+            # any fresh catalog) works without manual CREATE DATABASE
+            # (ref: pkg/spark/operator.go:95 -> db.go:274
+            # CreateSchemaIfNotExist).  Temp views need no schema.
+            self._ensure_schema(asset.name)
         if mat.type == MaterializationType.NONE:
             for stmt in render_materialization(asset, rendered_query, self.full_refresh):
                 self.spark.sql(stmt)
@@ -113,6 +119,14 @@ class Materializer:
 
     def _exists(self, name: str) -> bool:
         return self.spark.catalog.tableExists(name)
+
+    def _ensure_schema(self, name: str) -> None:
+        """CREATE SCHEMA IF NOT EXISTS for a 2/3-part asset name."""
+        parts = name.split(".")
+        if len(parts) < 2:
+            return
+        schema = ".".join(parts[:-1])
+        self.spark.sql(f"CREATE SCHEMA IF NOT EXISTS {quote_ident(schema)}")
 
     def _clean_stale_location(self, name: str) -> None:
         """Remove an orphaned managed-table directory.
@@ -290,25 +304,20 @@ class Materializer:
         target = self.table(asset.name)
         cols = [c.name for c in asset.columns] or target.columns
 
-        # MERGE cardinality: >1 source row per PK group would silently
-        # duplicate matched target rows, where MERGE INTO raises.  The
-        # per-PK count is a window over the same keys the join shuffles
-        # on (exchange reused, no second source scan); assert_true makes
-        # the plan raise on violation.  Kept as a filter so column
-        # pruning cannot drop the assertion.
+        # MERGE cardinality: MERGE INTO errors only when multiple source
+        # rows match the SAME target row; duplicate-PK source rows that
+        # match no target row simply insert.  The per-PK count is a
+        # window over the same keys the join shuffles on (exchange
+        # reused, no second source scan); the assertion fires post-join
+        # on MATCHED rows only, so unmatched duplicates fall through to
+        # the insert branch exactly like real MERGE.  (Stricter-than-
+        # MERGE corner: the count ignores incremental_predicate, so a
+        # PK group where the predicate excludes all-but-one row from
+        # matching still errors if any row matches.)
         from pyspark.sql import Window
 
-        src = (
-            src.withColumn(
-                "_bruin_pk_cnt", F.count(F.lit(1)).over(Window.partitionBy(*pks))
-            )
-            .filter(
-                F.assert_true(
-                    F.col("_bruin_pk_cnt") == 1,
-                    F.lit("MERGE source has more than one row per primary key"),
-                ).isNull()
-            )
-            .drop("_bruin_pk_cnt")
+        src = src.withColumn(
+            "_bruin_pk_cnt", F.count(F.lit(1)).over(Window.partitionBy(*pks))
         )
         # constant probe column: NULL PK values in the source still count
         # as matched (eqNullSafe join), exactly like MERGE INTO
@@ -323,6 +332,12 @@ class Materializer:
 
         joined = target.alias("target").join(src.alias("source"), cond, "left")
         matched = F.col("source._s_present").isNotNull()
+        joined = joined.filter(
+            F.assert_true(
+                ~matched | (F.col("source._bruin_pk_cnt") == 1),
+                F.lit("MERGE source has more than one row per primary key matching a target row"),
+            ).isNull()
+        )
         out_cols = []
         update_names = {c.name: c for c in asset.columns if c.update_on_merge or c.merge_sql}
         for name in cols:

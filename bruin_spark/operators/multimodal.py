@@ -144,11 +144,20 @@ def pack_partitions_by_bytes(
 
     Protects decode stages from skew when blob sizes vary by 1000x.
     """
+    from pyspark import StorageLevel
     from pyspark.sql import Window
 
-    tagged = df.withColumn("__pid", F.spark_partition_id())
-    # stats pass: reads only size_col (column pruning keeps payload
-    # bytes out of this scan); O(num input partitions) rows collected
+    # persist so the stats pass and the pack pass observe the SAME
+    # physical partitioning: spark_partition_id() is not stable across
+    # plan re-executions (AQE re-planning, non-deterministic sources),
+    # and a pid present in one job but not the other would mis-bucket.
+    # Callers may unpersist the result's lineage once the packed output
+    # is materialized.
+    tagged = df.withColumn("__pid", F.spark_partition_id()).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # stats pass: O(num input partitions) rows collected (this also
+    # materializes the cache, pinning the pid assignment)
     totals = tagged.groupBy("__pid").agg(F.sum(size_col).alias("__b")).collect()
     offsets, acc = [], 0
     for row in sorted(totals, key=lambda r: r["__pid"]):
@@ -156,6 +165,7 @@ def pack_partitions_by_bytes(
         acc += int(row["__b"] or 0)
     n_buckets = int(acc // target_bytes) + 1
     if not offsets:
+        tagged.unpersist()
         return df
     offs = df.sparkSession.createDataFrame(offsets, "__pid int, __off bigint")
 
@@ -165,11 +175,17 @@ def pack_partitions_by_bytes(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # left join + coalesce: even if a pid were somehow absent from the
+    # stats pass, its rows survive (packed from offset 0) instead of
+    # being silently dropped by an inner join.
     bucketed = (
-        tagged.join(F.broadcast(offs), "__pid")
+        tagged.join(F.broadcast(offs), "__pid", "left")
         .withColumn(
             "__bucket",
-            ((F.col("__off") + F.sum(size_col).over(w)) / F.lit(target_bytes)).cast("bigint"),
+            (
+                (F.coalesce(F.col("__off"), F.lit(0)) + F.sum(size_col).over(w))
+                / F.lit(target_bytes)
+            ).cast("bigint"),
         )
     )
     return bucketed.repartition(n_buckets, "__bucket").drop("__pid", "__off", "__bucket")

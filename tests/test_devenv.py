@@ -106,3 +106,35 @@ def test_end_to_end_dev_run(spark):
     [row] = spark.table("dev_e2esch.out").collect()
     assert row["src"] == "dev"
     assert not spark.catalog.tableExists("e2esch.out")
+
+def test_dev_run_creates_missing_schema(spark):
+    """First --environment dev run against a catalog with no dev schema
+    must succeed: the Materializer creates it per-asset (reference
+    CreateSchemaIfNotExist, pkg/spark/operator.go:95 -> db.go:274)."""
+    from bruin_spark.scheduler import Scheduler
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS mssch")
+    spark.sql("DROP DATABASE IF EXISTS dev_mssch CASCADE")
+    spark.sql("DROP TABLE IF EXISTS mssch.base")
+    spark.sql("CREATE TABLE mssch.base AS SELECT 'prod' AS src")
+
+    p = Pipeline(
+        name="p",
+        assets=[
+            Asset(
+                name="mssch.out",
+                type="spark.sql",
+                query="SELECT src FROM mssch.base",
+                materialization=Materialization(
+                    type=MaterializationType.TABLE, strategy=Strategy.CREATE_REPLACE
+                ),
+            )
+        ],
+    )
+    env = Environment(name="dev", schema_prefix="dev_")
+    apply_dev_environment(p, env)
+    res = Scheduler(spark, p, environment=env).run()
+    assert res.ok, res.failed
+    # dev schema auto-created; base had no dev copy so prod data is read
+    [row] = spark.table("dev_mssch.out").collect()
+    assert row["src"] == "prod"

@@ -373,3 +373,38 @@ def test_policy_query_matches_columns():
     )
     issues = spec.lint(_p([bad]))
     assert any("z" in i.message for i in issues)
+
+def test_policy_criteria_sandbox_blocks_escapes():
+    import pytest
+
+    from bruin_spark.lint.policy import PolicyError, RuleDefinition
+
+    def rd(criteria):
+        r = RuleDefinition(name="r", description="d", criteria=criteria)
+        r.validate()
+        r.compile()
+        return r
+
+    # legitimate expr-lang-style criteria still work
+    p = _p([Asset(name="core.t", tags=["a", "b"])])
+    assert rd("all(c for c in [True])").evaluate(p, p.assets[0])
+    assert rd("asset.name.startswith('core.')").evaluate(p, p.assets[0])
+    assert rd("len([t for t in asset.tags if t]) == 2").evaluate(p, p.assets[0])
+
+    # attribute escapes and statement-level constructs are rejected
+    for bad in (
+        "asset.__class__.__init__.__globals__",
+        "().__class__.__bases__",
+        "__import__('os').system('true')",
+        "(lambda: 1)()",
+        "(x := 5)",
+        "import os",
+    ):
+        with pytest.raises(PolicyError):
+            RuleDefinition(name="r", description="d", criteria=bad).compile()
+
+    # names absent from the eval env (e.g. getattr) fail at runtime:
+    # builtins are stripped, so there is no fallback resolution
+    r = rd("getattr(asset, 'name')")
+    with pytest.raises(NameError):
+        r.evaluate(p, p.assets[0])

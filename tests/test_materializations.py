@@ -298,6 +298,28 @@ def test_merge_raises_on_duplicate_source_pks(spark, mat):
         mat.run(a, "SELECT 1 AS id, 'b' AS v UNION ALL SELECT 1, 'c'")
 
 
+def test_merge_duplicate_source_pks_unmatched_insert(spark, mat):
+    """MERGE INTO only errors when duplicates match the same TARGET row;
+    duplicate-PK source rows matching no target row insert (one WHEN NOT
+    MATCHED action per source row)."""
+    a = Asset.from_dict(
+        {
+            "name": "t_merge_card2",
+            "materialization": {"type": "table", "strategy": "merge"},
+            "columns": [
+                {"name": "id", "type": "int", "primary_key": True},
+                {"name": "v", "type": "string", "update_on_merge": True},
+            ],
+        }
+    )
+    spark.sql("DROP TABLE IF EXISTS t_merge_card2")
+    mat.run(a, "SELECT 1 AS id, 'a' AS v")
+    # id=2 is absent from the target: both duplicate rows insert
+    mat.run(a, "SELECT 2 AS id, 'b' AS v UNION ALL SELECT 2, 'c'")
+    got = sorted(spark.table("t_merge_card2").collect(), key=lambda r: (r["id"], r["v"]))
+    assert [(r["id"], r["v"]) for r in got] == [(1, "a"), (2, "b"), (2, "c")]
+
+
 def test_merge_null_pk_rows_update_not_drop(spark, mat):
     """eqNullSafe join: a NULL-pk source row matches a NULL-pk target row
     and must UPDATE it (constant probe column, not pk IS NOT NULL)."""
