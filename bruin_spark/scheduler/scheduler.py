@@ -134,7 +134,11 @@ class Scheduler:
         operators: dict[str, Callable[[SparkSession, Asset, RenderContext], Any]] | None = None,
         push_metadata: bool = False,
         environment=None,
+        stream_mode: bool = False,
     ):
+        # stream_mode=True is `bruin run --stream <asset>`: the single
+        # streaming asset is the intended target, so no exclusion
+        self.stream_mode = stream_mode
         self.push_metadata = push_metadata
         # dev environment (bruin_spark.devenv.Environment): rendered SQL
         # gets existence-gated schema-prefix rewriting before execution
@@ -320,7 +324,30 @@ class Scheduler:
                         changed = True
                         break
 
+    def _skip_streaming_assets(self) -> int:
+        """Keep continuously-running streaming assets out of a batch run:
+        they never terminate, so including one would hang the pool.  They
+        are launched with ``--stream <asset>`` instead (stream_mode).
+        Ref: cmd/run.go:3147-3170 SkipStreamingAssets."""
+        if self.stream_mode:
+            return 0
+        from bruin_spark.sources.uri import is_streaming_asset
+
+        skipped = 0
+        for a in self.pipeline.assets:
+            if not is_streaming_asset(a):
+                continue
+            inst = self.instances[a.name]
+            if inst.status is InstanceStatus.PENDING:
+                inst.status = InstanceStatus.SKIPPED
+                skipped += 1
+            for check in self._check_instances_of(a.name):
+                if check.status is InstanceStatus.PENDING:
+                    check.status = InstanceStatus.SKIPPED
+        return skipped
+
     def run(self, state_path: str = "") -> RunResult:
+        self._skip_streaming_assets()
         work: queue.Queue[TaskInstance | None] = queue.Queue()
         lock = threading.Lock()
         done_event = threading.Event()

@@ -52,7 +52,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "sample_docs_10pct",
     # --- new entries this round (need a first verdict) ---
     "unittest_fixture_query",
-    "stream_rate_smoke",
+    "stream_kafka_parse",
     "lineage_orders_enriched",
     "ingest_sqlite_roundtrip",
     # --- green sentinels, one-plus per family already verified in r02 ---

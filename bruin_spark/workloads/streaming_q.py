@@ -14,6 +14,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from bruin_spark.streaming import (
+    parse_kafka_json_values,
     run_stream_to_table,
     stateful_running_counts,
     stream_dedup,
@@ -23,6 +24,7 @@ from bruin_spark.streaming import (
 
 
 _STAGED: dict[str, str] = {}
+_KAFKA_STAGED: dict[str, str] = {}
 
 
 def _events_path(sf_dir: str) -> str:
@@ -94,8 +96,55 @@ SELECT user_id, COUNT(DISTINCT event_type) AS n_kinds FROM events GROUP BY user_
 """
 
 
+def _kafka_envelope_path(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events as kafka-shaped records (binary key/value + timestamp)
+    so the kafka VALUE-DECODE path runs as a real stream without a broker:
+    the frame matches what readStream.format(\"kafka\") yields, only the
+    transport differs."""
+    if sf_dir not in _KAFKA_STAGED:
+        import tempfile
+
+        from bruin_spark.session import read_parquet
+
+        d = tempfile.mkdtemp(prefix="bruin_stream_kafka_")
+        ev = read_parquet(spark, os.path.join(sf_dir, "events.parquet"))
+        shaped = ev.select(
+            F.col("user_id").cast("string").cast("binary").alias("key"),
+            F.to_json(F.struct("event_id", "user_id", "event_type", "value")).cast(
+                "binary"
+            ).alias("value"),
+            F.col("ts").cast("timestamp").alias("timestamp"),
+        )
+        shaped.write.mode("overwrite").parquet(d)
+        _KAFKA_STAGED[sf_dir] = d
+    return _KAFKA_STAGED[sf_dir]
+
+
+def stream_kafka_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka-envelope decode (from_json on binary values) + streaming agg:
+    the parse path of a kafka ingestion, oracle-checked against the plain
+    events table."""
+    staged = _kafka_envelope_path(spark, sf_dir)
+    stream = stream_file_source(spark, staged)
+    parsed = parse_kafka_json_values(
+        stream, "event_id bigint, user_id bigint, event_type string, value double"
+    )
+    sdf = parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    return _run(spark, sdf, "update", "stream_sink_kafka_parse")
+
+
+KAFKA_PARSE_ORACLE = """
+SELECT event_type, COUNT(*)::BIGINT AS n_events, ROUND(SUM(value), 4) AS total_value
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "stream_hourly_counts": (stream_hourly_counts, HOURLY_ORACLE),
     "stream_user_totals": (stream_user_totals, USER_TOTALS_ORACLE),
     "stream_dedup_ids": (stream_dedup_ids, DEDUP_ORACLE),
+    "stream_kafka_parse": (stream_kafka_parse, KAFKA_PARSE_ORACLE),
 }

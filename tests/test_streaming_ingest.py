@@ -1,0 +1,231 @@
+"""CDC URI rewriting, streaming-asset classification, batch-DAG
+exclusion, and kafka source option construction.
+
+Reference behaviors mirrored: pkg/ingestruri/uri.go:74-149,
+pkg/ingestr/operator.go:229-320 (CDC parameters), :596-609
+(IsStreamingAsset), cmd/run.go:3147-3170 (SkipStreamingAssets).
+"""
+
+import pytest
+
+from bruin_spark.model.pipeline import (
+    Asset,
+    Materialization,
+    MaterializationType,
+    Pipeline,
+    Strategy,
+)
+from bruin_spark.sources.uri import (
+    apply_cdc_parameters,
+    cdc_scheme,
+    is_streaming_asset,
+    normalize,
+    parse_uri,
+    to_cdc,
+)
+from bruin_spark.streaming import kafka_reader_options
+
+
+# -- uri parsing ---------------------------------------------------------------
+
+
+def test_normalize():
+    assert normalize("bigquery:project.dataset") == "bigquery://project.dataset"
+    assert normalize("postgres://u@h/db") == "postgres://u@h/db"
+    assert normalize("no-scheme-path") == "no-scheme-path"
+
+
+def test_parse_tolerates_nonstandard_schemes():
+    p = parse_uri("ps_mysql://user:pw@host:3306/db?tls=true")
+    assert p.scheme == "ps_mysql"
+    assert p.netloc == "user:pw@host:3306"
+    assert p.path == "/db"
+    assert p.query_dict() == {"tls": "true"}
+    assert p.render() == "ps_mysql://user:pw@host:3306/db?tls=true"
+
+
+def test_cdc_scheme_map():
+    # uri.go:118-132
+    assert cdc_scheme("postgres+cdc") == ("postgres+cdc", True)
+    assert cdc_scheme("postgresql") == ("postgres+cdc", True)
+    assert cdc_scheme("postgresql+psycopg2") == ("postgres+cdc+psycopg2", True)
+    for s in ("mysql", "mariadb", "vitess", "ps_mysql", "mongodb", "mssql", "sqlserver"):
+        got, ok = cdc_scheme(s)
+        assert ok and got == s + "+cdc"
+    assert cdc_scheme("snowflake") == ("snowflake", False)
+
+
+def test_to_cdc_rejects_unsupported():
+    assert to_cdc("mysql://h/db") == "mysql+cdc://h/db"
+    with pytest.raises(ValueError, match="change data capture"):
+        to_cdc("duckdb://file.db")
+
+
+# -- cdc parameter application -------------------------------------------------
+
+
+def test_cdc_postgres_parameters():
+    uri, params = apply_cdc_parameters(
+        "postgresql://u@h:5432/db",
+        {"cdc": "true", "cdc_publication": "pub1", "cdc_slot": "slot1"},
+    )
+    p = parse_uri(uri)
+    assert p.scheme == "postgres+cdc"
+    assert p.query_dict() == {"publication": "pub1", "slot": "slot1"}
+    assert params["incremental_strategy"] == "merge"  # auto-set
+
+
+def test_cdc_not_enabled_is_noop():
+    uri, params = apply_cdc_parameters("postgres://h/db", {"x": "1"})
+    assert uri == "postgres://h/db" and params == {"x": "1"}
+
+
+def test_cdc_mssql_change_tracking():
+    # +ct replaces +cdc and takes NO query parameters
+    uri, _ = apply_cdc_parameters(
+        "mssql://h/db",
+        {
+            "cdc": "true",
+            "cdc_sql_capture": "change_tracking",
+            "cdc_capture_instance": "dbo_t",  # must NOT be forwarded
+        },
+    )
+    p = parse_uri(uri)
+    assert p.scheme == "mssql+ct"
+    assert "capture_instance" not in p.query_dict()
+
+
+def test_cdc_mssql_log_based_forwards_capture_params():
+    uri, _ = apply_cdc_parameters(
+        "mssql://h/db",
+        {"cdc": "true", "cdc_capture_instance": "dbo_t", "cdc_poll_interval": "5"},
+    )
+    p = parse_uri(uri)
+    assert p.scheme == "mssql+cdc"
+    assert p.query_dict() == {"capture_instance": "dbo_t", "poll_interval": "5"}
+
+
+def test_cdc_mongodb_confined_params():
+    uri, _ = apply_cdc_parameters(
+        "mongodb://h/db",
+        {"cdc": "true", "cdc_max_await_time": "10", "cdc_schema_sample_size": "100"},
+    )
+    assert parse_uri(uri).query_dict() == {
+        "max_await_time": "10",
+        "schema_sample_size": "100",
+    }
+    # the mongo params never leak into non-mongo URIs
+    uri2, _ = apply_cdc_parameters(
+        "mysql://h/db", {"cdc": "true", "cdc_max_await_time": "10"}
+    )
+    assert parse_uri(uri2).query_dict() == {}
+
+
+def test_cdc_stream_mode_alias():
+    _, params = apply_cdc_parameters(
+        "mysql://h/db", {"cdc": "true", "cdc_mode": "stream"}
+    )
+    assert params["stream"] == "true"
+
+
+def test_cdc_respects_existing_strategy():
+    _, params = apply_cdc_parameters(
+        "mysql://h/db", {"cdc": "true", "incremental_strategy": "append"}
+    )
+    assert params["incremental_strategy"] == "append"
+
+
+# -- streaming classifier + batch-DAG exclusion -------------------------------
+
+
+def _ingestr_asset(name, params):
+    return Asset(name=name, type="ingestr", parameters=params)
+
+
+def test_is_streaming_asset():
+    assert is_streaming_asset(_ingestr_asset("a", {"stream": "true"}))
+    assert is_streaming_asset(_ingestr_asset("a", {"cdc": "true", "cdc_mode": "stream"}))
+    assert not is_streaming_asset(_ingestr_asset("a", {"cdc": "true"}))  # batch CDC
+    assert not is_streaming_asset(_ingestr_asset("a", {}))
+    # only ingestr assets classify as streaming
+    assert not is_streaming_asset(Asset(name="a", type="spark.sql", parameters={"stream": "true"}))
+    assert not is_streaming_asset(None)
+
+
+def test_scheduler_excludes_streaming_assets(spark):
+    from bruin_spark.scheduler import InstanceStatus, Scheduler
+
+    batch = Asset(
+        name="batch_out",
+        type="spark.sql",
+        query="SELECT 1 AS x",
+        materialization=Materialization(
+            type=MaterializationType.TABLE, strategy=Strategy.CREATE_REPLACE
+        ),
+    )
+    streaming = _ingestr_asset("kafka_stream", {"stream": "true", "source_table": "t"})
+    p = Pipeline(name="p", assets=[batch, streaming])
+
+    res = Scheduler(spark, p).run()
+    assert res.ok
+    sch = Scheduler(spark, p)
+    sch.run()
+    assert sch.instances["kafka_stream"].status is InstanceStatus.SKIPPED
+    assert sch.instances["batch_out"].status is InstanceStatus.SUCCEEDED
+
+    # --stream mode targets the streaming asset itself: no exclusion
+    sch2 = Scheduler(spark, p, stream_mode=True)
+    assert sch2._skip_streaming_assets() == 0
+
+
+# -- kafka options -------------------------------------------------------------
+
+
+def test_kafka_reader_options_from_uri():
+    opts = kafka_reader_options(
+        uri="kafka://broker1:9092/clicks?group_id=bruin&starting_offsets=latest"
+    )
+    assert opts == {
+        "kafka.bootstrap.servers": "broker1:9092",
+        "subscribe": "clicks",
+        "startingOffsets": "latest",
+        "kafka.group.id": "bruin",
+    }
+
+
+def test_kafka_reader_options_ingestr_style():
+    # ingestr grammar: kafka://?bootstrap_servers=..&group_id=.. with the
+    # topic supplied as source_table
+    opts = kafka_reader_options(
+        uri="kafka://?bootstrap_servers=b1:9092,b2:9092&group_id=g1", topic="events"
+    )
+    assert opts["kafka.bootstrap.servers"] == "b1:9092,b2:9092"
+    assert opts["subscribe"] == "events"
+    assert opts["kafka.group.id"] == "g1"
+
+
+def test_kafka_reader_options_requires_topic_and_servers():
+    with pytest.raises(ValueError, match="topic"):
+        kafka_reader_options(bootstrap_servers="h:9092")
+    with pytest.raises(ValueError, match="bootstrap"):
+        kafka_reader_options(topic="t")
+    with pytest.raises(ValueError, match="not a kafka"):
+        kafka_reader_options(uri="mysql://h/db")
+
+
+def test_kafka_value_parse_roundtrip(spark):
+    """parse_kafka_json_values decodes binary JSON values into typed
+    columns — the same frame shape format('kafka') produces."""
+    from pyspark.sql import functions as F
+
+    from bruin_spark.streaming import parse_kafka_json_values
+
+    df = spark.range(3).select(
+        F.col("id").cast("string").cast("binary").alias("key"),
+        F.to_json(F.struct(F.col("id"), (F.col("id") * 2).alias("v"))).cast("binary").alias("value"),
+        F.current_timestamp().alias("timestamp"),
+    )
+    out = parse_kafka_json_values(df, "id bigint, v bigint")
+    rows = sorted((r["id"], r["v"]) for r in out.collect())
+    assert rows == [(0, 0), (1, 2), (2, 4)]
+    assert set(out.columns) == {"_key", "_kafka_ts", "id", "v"}
