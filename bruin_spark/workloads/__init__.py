@@ -77,6 +77,7 @@ def collect_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame
         analytics,
         datadiff,
         dedup,
+        ingest_q,
         matqueries,
         multimodal_q,
         quality,
@@ -104,6 +105,7 @@ def collect_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame
         multimodal_q,
         stats_q,
         sampling_q,
+        ingest_q,
     ):
         for name, pair in mod.QUERIES.items():
             if name in out:

@@ -70,3 +70,100 @@ def test_unknown_strategy_rejected(spark, tmp_path):
     f.write_text("a\n1\n")
     with pytest.raises(ValueError, match="unknown strategy"):
         ingest(spark, f"csv://{f}", "t", strategy="bogus")
+
+
+# -- connector breadth (round 3) ----------------------------------------------
+
+
+def test_resolve_file_source_schemes():
+    from bruin_spark.sources.ingest import resolve_file_source
+
+    assert resolve_file_source("csv:///data/x.csv") == ("csv", "/data/x.csv")
+    assert resolve_file_source("jsonl:///d/x.jsonl") == ("json", "/d/x.jsonl")
+    assert resolve_file_source("ndjson:///d/x") == ("json", "/d/x")
+    assert resolve_file_source("avro:///d/x.avro") == ("avro", "/d/x.avro")
+    assert resolve_file_source("/d/x.parquet") == ("parquet", "/d/x.parquet")
+    assert resolve_file_source("/d/x.pq", file_type="pq") == ("parquet", "/d/x.pq")
+    assert resolve_file_source("mystery://x") is None
+
+
+def test_resolve_object_store_paths():
+    from bruin_spark.sources.ingest import resolve_file_source
+
+    # s3 -> s3a (the maintained Hadoop connector); gcs -> gs
+    assert resolve_file_source("s3://bucket/k/x.parquet") == ("parquet", "s3a://bucket/k/x.parquet")
+    assert resolve_file_source("gcs://b/x.csv") == ("csv", "gs://b/x.csv")
+    assert resolve_file_source("abfss://c@acct.dfs.core.windows.net/x.json") == (
+        "json",
+        "abfss://c@acct.dfs.core.windows.net/x.json",
+    )
+    # extension-less object path needs an explicit file_type
+    assert resolve_file_source("s3://b/data", file_type="parquet") == ("parquet", "s3a://b/data")
+    with pytest.raises(ValueError, match="file_type"):
+        resolve_file_source("s3://b/data")
+
+
+def test_jdbc_options_warehouse_schemes():
+    from bruin_spark.sources.ingest import jdbc_options
+
+    o = jdbc_options("redshift://u:p@rs.example:5439/dw", table="t")
+    assert o["url"] == "jdbc:redshift://rs.example:5439/dw"
+    assert o["driver"] == "com.amazon.redshift.jdbc42.Driver"
+    assert o["dbtable"] == "t"
+
+    o = jdbc_options("snowflake://acct.snowflakecomputing.com/analytics?warehouse=wh1")
+    assert o["url"] == "jdbc:snowflake://acct.snowflakecomputing.com/?db=analytics"
+    assert o["warehouse"] == "wh1"
+    assert o["driver"] == "net.snowflake.client.jdbc.SnowflakeDriver"
+
+    o = jdbc_options("trino://u@coord:8080/hive")
+    assert o["url"] == "jdbc:trino://coord:8080/hive"
+    o = jdbc_options("clickhouse://ch:8123/default")
+    assert o["url"] == "jdbc:clickhouse://ch:8123/default"
+    o = jdbc_options("db2://h:50000/sample")
+    assert o["url"] == "jdbc:db2://h:50000/sample"
+
+
+def test_read_sqlite_source(spark, tmp_path):
+    import sqlite3
+
+    from bruin_spark.sources.ingest import read_source
+
+    db = tmp_path / "s.db"
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE t (id INTEGER, name TEXT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", [(1, "a"), (2, "b")])
+    con.commit()
+    con.close()
+    df = read_source(spark, f"sqlite://{db}", table="t")
+    assert sorted((r["id"], r["name"]) for r in df.collect()) == [(1, "a"), (2, "b")]
+    # query= override
+    df2 = read_source(spark, f"sqlite://{db}", query="SELECT id FROM t WHERE id = 2")
+    assert [r["id"] for r in df2.collect()] == [2]
+
+
+def test_read_http_csv_source(spark, tmp_path):
+    import http.server
+    import threading
+
+    from bruin_spark.sources.ingest import read_source
+
+    (tmp_path / "d.csv").write_text("id,v\n1,x\n2,y\n")
+    handler = lambda *a, **kw: http.server.SimpleHTTPRequestHandler(  # noqa: E731
+        *a, directory=str(tmp_path), **kw
+    )
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        port = srv.server_address[1]
+        df = read_source(spark, f"http://127.0.0.1:{port}/d.csv")
+        assert sorted((r["id"], r["v"]) for r in df.collect()) == [(1, "x"), (2, "y")]
+    finally:
+        srv.shutdown()
+
+
+def test_kafka_uri_rejected_in_batch_reader(spark):
+    from bruin_spark.sources.ingest import read_source
+
+    with pytest.raises(ValueError, match="streaming source"):
+        read_source(spark, "kafka://b:9092/topic")
