@@ -215,19 +215,30 @@ def cmd_data_diff(args) -> int:
 
 def cmd_lineage(args) -> int:
     from bruin_spark.model import load_pipeline
-    from bruin_spark.parser.sqlutil import column_lineage, used_tables
+    from bruin_spark.parser.lineage import get_column_lineage
+    from bruin_spark.parser.sqlutil import used_tables
 
     pipe = load_pipeline(args.pipeline)
     asset = pipe.asset(args.asset)
     if asset is None:
         print(f"asset not found: {args.asset}", file=sys.stderr)
         return 2
+    # sibling assets' declared columns act as the schema for * expansion,
+    # like the reference feeding upstream schemas into sqlglot's qualify
+    schema = {
+        a.name: [c.name for c in a.columns]
+        for a in pipe.assets
+        if a.columns
+    }
+    lineage = get_column_lineage(asset.query, schema=schema or None)
     print(
         json.dumps(
             {
                 "asset": asset.name,
                 "used_tables": used_tables(asset.query),
-                "columns": column_lineage(asset.query),
+                "columns": lineage["columns"],
+                "non_selected_columns": lineage["non_selected_columns"],
+                "errors": lineage["errors"],
             },
             indent=2,
         )

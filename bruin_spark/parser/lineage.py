@@ -1,0 +1,640 @@
+"""Column-level lineage: a self-contained recursive resolver.
+
+Produces the reference's lineage shape (pythonsrc/parser/main.py:278-460
+``get_column_lineage`` and pkg/lineage/lineage.go:101-269) without
+sqlglot, which is not installed here: a mini recursive-descent parser
+for SELECT queries feeds a scope resolver that walks aliases, derived
+tables, CTE chains, and set operations down to the PHYSICAL leaf tables,
+expands ``*`` / ``alias.*`` (from subquery/CTE output lists, or from an
+optional ``schema`` dict for physical tables, mirroring sqlglot's
+``qualify`` needing a schema), and records non-selected columns used in
+WHERE / JOIN ON / GROUP BY (main.py:23-54 extract_non_selected_columns).
+
+Output::
+
+    {"columns": [{"name", "upstream": [{"column", "table"}], "type"}],
+     "non_selected_columns": [{"name", "upstream": [...]}],
+     "errors": [...]}
+
+Upstream entries always point at physical tables (never aliases or CTE
+names); a reference that cannot be grounded resolves to table ``""``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from bruin_spark.parser.sqlutil import _code_tokens, _tokens, split_statements
+
+# keywords that terminate an identifier chain / select item
+_CLAUSE_KW = {
+    "from", "where", "group", "order", "having", "limit", "qualify",
+    "window", "union", "intersect", "except", "on", "using",
+}
+_JOIN_KW = {"join", "inner", "left", "right", "full", "cross", "outer", "semi", "anti", "natural", "lateral"}
+_NOT_ALIAS = _CLAUSE_KW | _JOIN_KW | {"as", "select", "with", "set", "values", "when", "then", "else", "end", "and", "or", "not", "in", "is", "like", "between", "distinct", "all", "by"}
+
+_EXPR_KEYWORDS = {
+    "as", "case", "when", "then", "else", "end", "cast", "try_cast", "distinct",
+    "and", "or", "not", "in", "is", "null", "true", "false", "like", "ilike",
+    "rlike", "between", "interval", "over", "partition", "by", "rows", "range",
+    "preceding", "following", "unbounded", "current", "row", "asc", "desc",
+    "nulls", "first", "last", "all", "exists", "any", "some", "escape",
+    "day", "days", "month", "months", "year", "years", "hour", "hours",
+    "minute", "minutes", "second", "seconds", "week", "weeks", "quarter",
+    "filter", "within", "ignore", "respect", "from", "order", "group",
+    "select", "where", "having", "limit", "union", "intersect", "except",
+    "on", "using", "join", "inner", "left", "right", "full", "cross",
+    "outer", "date", "timestamp", "time", "both", "leading", "trailing",
+}
+
+# SQL type names that appear as bare words inside CAST(x AS type)
+_TYPE_WORDS = {
+    "int", "integer", "bigint", "smallint", "tinyint", "float", "real",
+    "double", "decimal", "numeric", "string", "varchar", "char", "text",
+    "boolean", "binary", "date", "timestamp", "timestamp_ntz", "interval",
+    "array", "map", "struct", "void", "precision",
+}
+
+
+@dataclass
+class _Rel:
+    """A FROM-clause source: physical table, CTE reference, or subquery."""
+
+    name: str = ""
+    alias: str = ""
+    sub: "_Query | None" = None
+
+
+@dataclass
+class _Select:
+    items: list[tuple[str | None, list[tuple[str, str]]]] = field(default_factory=list)
+    relations: list[_Rel] = field(default_factory=list)
+    cond_toks: list[list[tuple[str, str]]] = field(default_factory=list)
+
+
+@dataclass
+class _Query:
+    """A query expression: CTE prologue + select (+ set-op branches)."""
+
+    ctes: list[tuple[str, list[str], "_Query"]] = field(default_factory=list)
+    select: _Select | None = None
+    branches: list["_Select | _Query"] = field(default_factory=list)
+
+
+class _ParseError(ValueError):
+    pass
+
+
+class _Parser:
+    """Recursive-descent over code tokens ``[(kind, text)]``."""
+
+    def __init__(self, toks: list[tuple[str, str]]):
+        self.t = toks
+        self.i = 0
+
+    def _peek(self, off: int = 0) -> tuple[str, str] | None:
+        j = self.i + off
+        return self.t[j] if j < len(self.t) else None
+
+    def _text(self, off: int = 0) -> str:
+        p = self._peek(off)
+        return p[1].lower() if p and p[0] == "word" else (p[1] if p else "")
+
+    def _kw(self, *words: str) -> bool:
+        p = self._peek()
+        if p and p[0] == "word" and p[1].lower() in words:
+            self.i += 1
+            return True
+        return False
+
+    def _expect(self, text: str) -> None:
+        p = self._peek()
+        if p is None or p[1].lower() != text:
+            raise _ParseError(f"expected {text!r} at token {self.i}, got {p}")
+        self.i += 1
+
+    def _ident(self) -> str | None:
+        p = self._peek()
+        if p and p[0] in ("word", "dq", "bq") and p[1].lower() not in _NOT_ALIAS:
+            self.i += 1
+            return p[1].strip('"`')
+        return None
+
+    def _qualified(self) -> str | None:
+        name = self._ident()
+        if name is None:
+            return None
+        parts = [name]
+        while self._text() == "." :
+            p2 = self._peek(1)
+            if p2 and p2[0] in ("word", "dq", "bq"):
+                parts.append(p2[1].strip('"`'))
+                self.i += 2
+            else:
+                break
+        return ".".join(parts)
+
+    def _skip_parens(self) -> list[tuple[str, str]]:
+        """Consume a balanced (...) group, returning the inner tokens."""
+        self._expect("(")
+        depth = 1
+        out: list[tuple[str, str]] = []
+        while self.i < len(self.t):
+            k, t = self.t[self.i]
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+                if depth == 0:
+                    self.i += 1
+                    return out
+            out.append((k, t))
+            self.i += 1
+        raise _ParseError("unbalanced parentheses")
+
+    # -- grammar ------------------------------------------------------------
+
+    def parse_query(self) -> _Query:
+        q = _Query()
+        if self._kw("with"):
+            self._kw("recursive")
+            while True:
+                name = self._ident()
+                if name is None:
+                    raise _ParseError("expected CTE name")
+                cols: list[str] = []
+                if self._text() == "(":
+                    inner = self._skip_parens()
+                    cols = [t.strip('"`') for k, t in inner if k in ("word", "dq", "bq")]
+                self._expect("as")
+                self._expect("(")
+                body = self.parse_query()
+                self._expect(")")
+                q.ctes.append((name, cols, body))
+                if self._text() == ",":
+                    self.i += 1
+                    continue
+                break
+        q.select = self._parse_operand()
+        while True:
+            p = self._peek()
+            if p and p[0] == "word" and p[1].lower() in ("union", "intersect", "except"):
+                self.i += 1
+                self._kw("all", "distinct")
+                q.branches.append(self._parse_operand())
+            else:
+                break
+        return q
+
+    def _parse_operand(self) -> "_Select | _Query":
+        if self._text() == "(":
+            self._expect("(")
+            sub = self.parse_query()
+            self._expect(")")
+            return sub
+        return self._parse_select()
+
+    def _parse_select(self) -> _Select:
+        s = _Select()
+        self._expect("select")
+        self._kw("distinct") or self._kw("all")
+        s.items = self._parse_select_items()
+        if self._kw("from"):
+            self._parse_from(s)
+        # trailing clauses; where/group/having/qualify/on feed non-selected
+        while self.i < len(self.t):
+            p = self._peek()
+            if p is None or p[1] == ")" or (p[0] == "word" and p[1].lower() in ("union", "intersect", "except")):
+                break
+            word = p[1].lower() if p[0] == "word" else ""
+            if word in ("where", "having", "qualify"):
+                self.i += 1
+                s.cond_toks.append(self._clause_tokens())
+            elif word == "group":
+                self.i += 1
+                self._kw("by")
+                s.cond_toks.append(self._clause_tokens())
+            elif word in ("order", "window", "limit", "distribute", "sort", "cluster"):
+                self.i += 1
+                self._kw("by")
+                self._clause_tokens()  # consumed, not lineage-bearing
+            else:
+                self.i += 1  # defensive: skip stray token
+        return s
+
+    def _clause_tokens(self) -> list[tuple[str, str]]:
+        """Tokens until the next top-level clause keyword / ')' / set op."""
+        out: list[tuple[str, str]] = []
+        depth = 0
+        stop = {"where", "group", "order", "having", "qualify", "window", "limit",
+                "union", "intersect", "except", "distribute", "sort", "cluster"}
+        while self.i < len(self.t):
+            k, t = self.t[self.i]
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif depth == 0 and k == "word" and t.lower() in stop:
+                break
+            out.append((k, t))
+            self.i += 1
+        return out
+
+    def _parse_select_items(self) -> list[tuple[str | None, list[tuple[str, str]]]]:
+        items = []
+        cur: list[tuple[str, str]] = []
+        depth = 0
+        while self.i < len(self.t):
+            k, t = self.t[self.i]
+            low = t.lower() if k == "word" else ""
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif depth == 0 and low in ("from", "where", "group", "order", "having",
+                                        "limit", "union", "intersect", "except", "qualify", "window"):
+                break
+            elif depth == 0 and t == ",":
+                items.append(self._finish_item(cur))
+                cur = []
+                self.i += 1
+                continue
+            cur.append((k, t))
+            self.i += 1
+        if cur:
+            items.append(self._finish_item(cur))
+        return items
+
+    @staticmethod
+    def _finish_item(toks: list[tuple[str, str]]) -> tuple[str | None, list[tuple[str, str]]]:
+        """Split a select item into (alias, expression tokens)."""
+        # explicit AS at top level
+        depth = 0
+        for j, (k, t) in enumerate(toks):
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            elif depth == 0 and k == "word" and t.lower() == "as" and j + 1 < len(toks):
+                ak, at = toks[j + 1]
+                if ak in ("word", "dq", "bq"):
+                    return at.strip('"`'), toks[:j]
+        # implicit alias: trailing identifier not part of a qualified chain
+        if len(toks) >= 2:
+            lk, lt = toks[-1]
+            pk, pt = toks[-2]
+            if (
+                lk in ("word", "dq", "bq")
+                and lt.lower() not in _EXPR_KEYWORDS
+                and lt.lower() not in _TYPE_WORDS
+                and pt != "."
+                and pt != "*"
+            ):
+                return lt.strip('"`'), toks[:-1]
+        return None, toks
+
+    def _parse_from(self, s: _Select) -> None:
+        s.relations.append(self._parse_relation())
+        while True:
+            p = self._peek()
+            if p is None:
+                break
+            t = p[1].lower() if p[0] == "word" else p[1]
+            if t == ",":
+                self.i += 1
+                s.relations.append(self._parse_relation())
+                continue
+            if p[0] == "word" and t in _JOIN_KW:
+                while self._kw(*(_JOIN_KW - {"join"})):
+                    pass
+                if not self._kw("join"):
+                    break
+                s.relations.append(self._parse_relation())
+                if self._kw("on"):
+                    s.cond_toks.append(self._clause_tokens_until_join())
+                elif self._kw("using"):
+                    inner = self._skip_parens()
+                    s.cond_toks.append(inner)
+                continue
+            break
+
+    def _clause_tokens_until_join(self) -> list[tuple[str, str]]:
+        out: list[tuple[str, str]] = []
+        depth = 0
+        stop = _CLAUSE_KW | _JOIN_KW
+        while self.i < len(self.t):
+            k, t = self.t[self.i]
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif depth == 0 and k == "word" and t.lower() in stop and t.lower() != "on":
+                break
+            out.append((k, t))
+            self.i += 1
+        return out
+
+    def _parse_relation(self) -> _Rel:
+        if self._text() == "(":
+            self._expect("(")
+            sub = self.parse_query()
+            self._expect(")")
+            self._kw("as")
+            alias = self._ident() or ""
+            return _Rel(alias=alias, sub=sub)
+        name = self._qualified()
+        if name is None:
+            raise _ParseError(f"expected table reference at token {self.i}")
+        alias = ""
+        if self._kw("as"):
+            alias = self._ident() or ""
+        else:
+            a = self._ident()
+            if a is not None:
+                alias = a
+        return _Rel(name=name, alias=alias)
+
+
+# -- reference extraction from expression tokens ------------------------------
+
+
+def _expr_refs(toks: list[tuple[str, str]]) -> tuple[list[tuple[str | None, str]], bool]:
+    """Column references in an expression: [(qualifier|None, column)].
+
+    Returns (refs, has_bare_star).  ``alias.*`` comes back as
+    (alias, "*"); a lone ``*`` sets has_bare_star.
+    """
+    refs: list[tuple[str | None, str]] = []
+    star = False
+    i = 0
+    n = len(toks)
+    while i < n:
+        k, t = toks[i]
+        if t == "*" and (i == 0 or toks[i - 1][1] != ".") and (i == 0 or toks[i - 1][0] not in ("word", "dq", "bq", "num") or toks[i - 1][1].lower() in ("select", "(", ",")):
+            # multiplication vs wildcard: '*' directly after an operand is
+            # multiplication; after nothing/'('/','/keyword it is a wildcard
+            prev = toks[i - 1][1] if i > 0 else ""
+            if prev in ("", "(", ",") or (toks[i - 1][0] == "word" and prev.lower() in _EXPR_KEYWORDS):
+                star = True
+            i += 1
+            continue
+        if k in ("word", "dq", "bq") and t.lower() not in _EXPR_KEYWORDS and t.lower() not in _TYPE_WORDS:
+            # function call: identifier immediately followed by '('
+            if i + 1 < n and toks[i + 1][1] == "(":
+                i += 2
+                continue
+            parts = [t.strip('"`')]
+            j = i + 1
+            while j + 1 < n and toks[j][1] == "." and toks[j + 1][0] in ("word", "dq", "bq"):
+                parts.append(toks[j + 1][1].strip('"`'))
+                j += 2
+            # alias.* wildcard
+            if j + 1 < n and toks[j][1] == "." and toks[j + 1][1] == "*":
+                refs.append((".".join(parts), "*"))
+                i = j + 2
+                continue
+            qualifier = ".".join(parts[:-1]) if len(parts) > 1 else None
+            refs.append((qualifier, parts[-1]))
+            i = j
+            continue
+        i += 1
+    return refs, star
+
+
+# -- scope resolution ---------------------------------------------------------
+
+
+@dataclass
+class _Output:
+    """Resolved output of a query: ordered columns with leaf upstreams."""
+
+    columns: list[tuple[str, set[tuple[str, str]]]] = field(default_factory=list)
+
+    def find(self, name: str) -> set[tuple[str, str]] | None:
+        low = name.lower()
+        for n, ups in self.columns:
+            if n.lower() == low:
+                return ups
+        return None
+
+
+class _Source:
+    """A resolved FROM-clause source."""
+
+    def __init__(self, key: str, physical: str = "", output: _Output | None = None,
+                 schema_cols: list[str] | None = None):
+        self.key = key                  # alias or name used for qualification
+        self.physical = physical        # physical table name ("" for derived)
+        self.output = output            # derived/CTE output (None for physical)
+        self.schema_cols = schema_cols  # known physical columns (from schema)
+
+    def resolve_col(self, col: str) -> set[tuple[str, str]]:
+        if self.output is not None:
+            found = self.output.find(col)
+            return found if found is not None else set()
+        return {(self.physical, col)}
+
+    def has_col(self, col: str) -> bool | None:
+        """True/False when knowable, None when unknown (physical, no schema)."""
+        if self.output is not None:
+            return self.output.find(col) is not None
+        if self.schema_cols is not None:
+            return col.lower() in (c.lower() for c in self.schema_cols)
+        return None
+
+    def all_columns(self) -> list[tuple[str, set[tuple[str, str]]]] | None:
+        if self.output is not None:
+            return list(self.output.columns)
+        if self.schema_cols is not None:
+            return [(c, {(self.physical, c)}) for c in self.schema_cols]
+        return None
+
+
+class _Resolver:
+    def __init__(self, schema: dict | None):
+        self.schema = {k.lower(): v for k, v in (schema or {}).items()}
+        self.errors: list[str] = []
+        self.non_selected: list[tuple[str, str, str]] = []  # (as_written, leaf_table, leaf_col)
+
+    def resolve_query(self, q: _Query, env: dict[str, _Output]) -> _Output:
+        env = dict(env)
+        for name, declared_cols, body in q.ctes:
+            out = self.resolve_query(body, env)
+            if declared_cols:
+                out = _Output(
+                    [(declared_cols[i] if i < len(declared_cols) else n, ups)
+                     for i, (n, ups) in enumerate(out.columns)]
+                )
+            env[name.lower()] = out
+        first = self._resolve_operand(q.select, env)
+        for br in q.branches:
+            other = self._resolve_operand(br, env)
+            # set ops combine positionally; names come from the first branch
+            merged = []
+            for i, (n, ups) in enumerate(first.columns):
+                extra = other.columns[i][1] if i < len(other.columns) else set()
+                merged.append((n, ups | extra))
+            first = _Output(merged)
+        return first
+
+    def _resolve_operand(self, op: "_Select | _Query", env: dict[str, _Output]) -> _Output:
+        if isinstance(op, _Query):
+            return self.resolve_query(op, env)
+        return self._resolve_select(op, env)
+
+    def _resolve_select(self, s: _Select, env: dict[str, _Output]) -> _Output:
+        sources: list[_Source] = []
+        for rel in s.relations:
+            if rel.sub is not None:
+                out = self.resolve_query(rel.sub, env)
+                sources.append(_Source(key=rel.alias, output=out))
+            elif rel.name.lower() in env:
+                sources.append(_Source(key=rel.alias or rel.name, output=env[rel.name.lower()]))
+            else:
+                cols = self.schema.get(rel.name.lower())
+                sources.append(
+                    _Source(
+                        key=rel.alias or rel.name,
+                        physical=rel.name,
+                        schema_cols=list(cols) if cols else None,
+                    )
+                )
+
+        def find_source(qualifier: str) -> _Source | None:
+            low = qualifier.lower()
+            for src in sources:
+                if src.key.lower() == low:
+                    return src
+            # 2/3-part qualified column against an unaliased 2/3-part table
+            for src in sources:
+                if src.physical and src.physical.lower().endswith(low):
+                    return src
+            return None
+
+        def resolve_ref(qualifier: str | None, col: str) -> set[tuple[str, str]]:
+            if qualifier:
+                src = find_source(qualifier)
+                if src is None:
+                    self.errors.append(f"unknown table or alias {qualifier!r}")
+                    return {("", col)}
+                return src.resolve_col(col)
+            if len(sources) == 1:
+                return sources[0].resolve_col(col)
+            owners = [s2 for s2 in sources if s2.has_col(col)]
+            if len(owners) == 1:
+                return owners[0].resolve_col(col)
+            unknowns = [s2 for s2 in sources if s2.has_col(col) is None]
+            if len(owners) == 0 and len(unknowns) == 1:
+                return unknowns[0].resolve_col(col)
+            if len(owners) > 1:
+                self.errors.append(f"ambiguous column {col!r}")
+                return set().union(*(o.resolve_col(col) for o in owners))
+            return {("", col)}
+
+        out_cols: list[tuple[str, set[tuple[str, str]]]] = []
+        for alias, toks in s.items:
+            refs, bare_star = _expr_refs(toks)
+            if bare_star and not refs:
+                for src in sources:
+                    cols = src.all_columns()
+                    if cols is None:
+                        self.errors.append(
+                            f"cannot expand * on {src.physical or src.key!r} without schema"
+                        )
+                        out_cols.append(("*", {(src.physical, "*")}))
+                    else:
+                        out_cols.extend(cols)
+                continue
+            star_refs = [r for r in refs if r[1] == "*"]
+            if star_refs and len(refs) == len(star_refs):
+                for qualifier, _ in star_refs:
+                    src = find_source(qualifier or "")
+                    if src is None:
+                        self.errors.append(f"unknown table or alias {qualifier!r}")
+                        continue
+                    cols = src.all_columns()
+                    if cols is None:
+                        self.errors.append(
+                            f"cannot expand {qualifier}.* without schema"
+                        )
+                        out_cols.append(("*", {(src.physical, "*")}))
+                    else:
+                        out_cols.extend(cols)
+                continue
+            ups: set[tuple[str, str]] = set()
+            for qualifier, col in refs:
+                ups |= resolve_ref(qualifier, col)
+            if alias:
+                name = alias
+            elif len(refs) == 1 and not star_refs:
+                name = refs[0][1]
+            else:
+                name = "".join(t for _k, t in toks).strip()
+            out_cols.append((name, ups))
+
+        # non-selected: WHERE / JOIN ON|USING / GROUP BY / HAVING / QUALIFY
+        for ctoks in s.cond_toks:
+            refs, _ = _expr_refs(ctoks)
+            for qualifier, col in refs:
+                if col == "*":
+                    continue
+                for table, leaf_col in resolve_ref(qualifier, col):
+                    if table:
+                        self.non_selected.append((col, table, leaf_col))
+        return _Output(out_cols)
+
+
+# -- public api ---------------------------------------------------------------
+
+
+def get_column_lineage(query: str, schema: dict | None = None) -> dict:
+    """Reference-shaped column lineage for one SELECT statement.
+
+    ``schema``: optional ``{table: {column: type}}`` (or ``{table:
+    [columns]}``) used to expand ``*`` over physical tables and to
+    disambiguate unqualified columns in multi-table scopes — the same
+    role the schema plays for sqlglot's qualify in the reference
+    (pythonsrc/parser/main.py:301-344).
+    """
+    stmts = split_statements(query)
+    if not stmts:
+        return {"columns": [], "non_selected_columns": [], "errors": ["empty query"]}
+    toks = _tokens(stmts[-1])
+    code = [(toks[i][0], toks[i][1]) for i in _code_tokens(toks)]
+    parser = _Parser(code)
+    try:
+        q = parser.parse_query()
+    except _ParseError as e:
+        return {"columns": [], "non_selected_columns": [], "errors": [f"Parse error: {e}"]}
+    norm_schema = {
+        t: (list(cols.keys()) if isinstance(cols, dict) else list(cols))
+        for t, cols in (schema or {}).items()
+    }
+    resolver = _Resolver(norm_schema)
+    out = resolver.resolve_query(q, {})
+
+    columns = []
+    for name, ups in out.columns:
+        upstream = [{"column": c, "table": t} for t, c in sorted(ups, key=lambda x: (x[1].lower(), x[0]))]
+        columns.append({"name": name, "upstream": upstream, "type": ""})
+    columns.sort(key=lambda c: c["name"].lower())
+
+    ns: dict[str, list[dict]] = {}
+    seen: set[tuple[str, str, str]] = set()
+    for as_written, table, col in resolver.non_selected:
+        if (as_written, table, col) in seen:
+            continue
+        seen.add((as_written, table, col))
+        ns.setdefault(as_written, []).append({"column": col, "table": table})
+    non_selected = [
+        {"name": n, "upstream": sorted(u, key=lambda x: (x["column"].lower(), x["table"]))}
+        for n, u in sorted(ns.items())
+    ]
+    return {"columns": columns, "non_selected_columns": non_selected, "errors": resolver.errors}

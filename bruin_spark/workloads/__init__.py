@@ -78,6 +78,7 @@ def collect_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame
         datadiff,
         dedup,
         ingest_q,
+        lineage_q,
         matqueries,
         multimodal_q,
         quality,
@@ -106,6 +107,7 @@ def collect_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame
         stats_q,
         sampling_q,
         ingest_q,
+        lineage_q,
     ):
         for name, pair in mod.QUERIES.items():
             if name in out:

@@ -1,0 +1,185 @@
+"""Column lineage resolver behaviors, modeled on the reference's
+parse-lineage goldens (pythonsrc/parser/main.py:278-460,
+pkg/lineage/lineage.go:101-269): alias resolution, CTE chains,
+derived tables, asterisk expansion, non-selected columns, set ops.
+"""
+
+from bruin_spark.parser.lineage import get_column_lineage
+
+
+def _cols(res):
+    return {c["name"]: c["upstream"] for c in res["columns"]}
+
+
+def test_simple_select_with_aliases():
+    res = get_column_lineage(
+        "SELECT o.o_orderkey AS id, o.o_totalprice AS price FROM orders o"
+    )
+    assert res["errors"] == []
+    assert _cols(res) == {
+        "id": [{"column": "o_orderkey", "table": "orders"}],
+        "price": [{"column": "o_totalprice", "table": "orders"}],
+    }
+
+
+def test_expression_combines_upstreams():
+    res = get_column_lineage(
+        "SELECT l.l_extendedprice * (1 - l.l_discount) AS revenue FROM lineitem l"
+    )
+    assert _cols(res)["revenue"] == [
+        {"column": "l_discount", "table": "lineitem"},
+        {"column": "l_extendedprice", "table": "lineitem"},
+    ]
+
+
+def test_function_names_not_columns():
+    res = get_column_lineage("SELECT sum(x) AS s, count(1) AS n FROM t")
+    assert _cols(res) == {"s": [{"column": "x", "table": "t"}], "n": []}
+
+
+def test_cte_chain_resolves_to_leaf_tables():
+    res = get_column_lineage(
+        """
+        WITH base AS (SELECT o_custkey AS ck, o_totalprice AS tp FROM orders),
+             agg AS (SELECT ck, sum(tp) AS total FROM base GROUP BY ck)
+        SELECT c.c_name, a.total FROM customer c JOIN agg a ON c.c_custkey = a.ck
+        """
+    )
+    cols = _cols(res)
+    assert cols["c_name"] == [{"column": "c_name", "table": "customer"}]
+    # through two CTE hops down to orders
+    assert cols["total"] == [{"column": "o_totalprice", "table": "orders"}]
+
+
+def test_derived_table_subquery():
+    res = get_column_lineage(
+        "SELECT s.total FROM (SELECT sum(o_totalprice) AS total FROM orders) s"
+    )
+    assert _cols(res)["total"] == [{"column": "o_totalprice", "table": "orders"}]
+
+
+def test_star_expansion_with_schema():
+    res = get_column_lineage(
+        "SELECT * FROM orders",
+        schema={"orders": {"o_orderkey": "bigint", "o_custkey": "bigint"}},
+    )
+    assert res["errors"] == []
+    assert _cols(res) == {
+        "o_orderkey": [{"column": "o_orderkey", "table": "orders"}],
+        "o_custkey": [{"column": "o_custkey", "table": "orders"}],
+    }
+
+
+def test_qualified_star_expansion():
+    res = get_column_lineage(
+        "SELECT o.*, c.c_name FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey",
+        schema={"orders": ["o_orderkey", "o_custkey"], "customer": ["c_custkey", "c_name"]},
+    )
+    cols = _cols(res)
+    assert set(cols) == {"o_orderkey", "o_custkey", "c_name"}
+    assert cols["o_orderkey"] == [{"column": "o_orderkey", "table": "orders"}]
+
+
+def test_star_through_cte_needs_no_schema():
+    # the CTE's output list is known, so * expands without a schema
+    res = get_column_lineage(
+        "WITH x AS (SELECT o_orderkey AS a, o_custkey AS b FROM orders) SELECT * FROM x"
+    )
+    assert _cols(res) == {
+        "a": [{"column": "o_orderkey", "table": "orders"}],
+        "b": [{"column": "o_custkey", "table": "orders"}],
+    }
+
+
+def test_star_without_schema_is_an_error():
+    res = get_column_lineage("SELECT * FROM orders")
+    assert any("schema" in e for e in res["errors"])
+
+
+def test_non_selected_where_join_group():
+    res = get_column_lineage(
+        """
+        SELECT o.o_orderkey FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY o.o_orderkey
+        """
+    )
+    ns = {n["name"]: n["upstream"] for n in res["non_selected_columns"]}
+    assert ns["o_custkey"] == [{"column": "o_custkey", "table": "orders"}]
+    assert ns["c_custkey"] == [{"column": "c_custkey", "table": "customer"}]
+    assert ns["o_orderstatus"] == [{"column": "o_orderstatus", "table": "orders"}]
+    assert ns["o_orderkey"] == [{"column": "o_orderkey", "table": "orders"}]
+
+
+def test_non_selected_through_cte_resolves_to_leaf():
+    res = get_column_lineage(
+        "WITH x AS (SELECT o_custkey AS ck FROM orders) SELECT count(1) AS n FROM x WHERE ck > 5"
+    )
+    ns = {n["name"]: n["upstream"] for n in res["non_selected_columns"]}
+    assert ns["ck"] == [{"column": "o_custkey", "table": "orders"}]
+
+
+def test_union_merges_upstreams_positionally():
+    res = get_column_lineage(
+        "SELECT o_orderkey AS k FROM orders UNION ALL SELECT l_orderkey AS k FROM lineitem"
+    )
+    assert _cols(res)["k"] == [
+        {"column": "l_orderkey", "table": "lineitem"},
+        {"column": "o_orderkey", "table": "orders"},
+    ]
+
+
+def test_unqualified_single_source():
+    res = get_column_lineage("SELECT o_orderkey FROM orders WHERE o_totalprice > 0")
+    assert _cols(res)["o_orderkey"] == [{"column": "o_orderkey", "table": "orders"}]
+    ns = {n["name"] for n in res["non_selected_columns"]}
+    assert ns == {"o_totalprice"}
+
+
+def test_unqualified_multi_source_uses_schema():
+    res = get_column_lineage(
+        "SELECT o_orderkey, c_name FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey",
+        schema={"orders": ["o_orderkey", "o_custkey"], "customer": ["c_custkey", "c_name"]},
+    )
+    cols = _cols(res)
+    assert cols["o_orderkey"] == [{"column": "o_orderkey", "table": "orders"}]
+    assert cols["c_name"] == [{"column": "c_name", "table": "customer"}]
+
+
+def test_case_and_cast_expressions():
+    res = get_column_lineage(
+        "SELECT CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END AS x, "
+        "CAST(o_custkey AS STRING) AS ck FROM orders"
+    )
+    cols = _cols(res)
+    assert cols["x"] == [
+        {"column": "o_orderstatus", "table": "orders"},
+        {"column": "o_totalprice", "table": "orders"},
+    ]
+    assert cols["ck"] == [{"column": "o_custkey", "table": "orders"}]
+
+
+def test_implicit_alias():
+    res = get_column_lineage("SELECT o_orderkey id FROM orders")
+    assert _cols(res) == {"id": [{"column": "o_orderkey", "table": "orders"}]}
+
+
+def test_window_function():
+    res = get_column_lineage(
+        "SELECT rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS r FROM orders"
+    )
+    assert _cols(res)["r"] == [
+        {"column": "o_custkey", "table": "orders"},
+        {"column": "o_totalprice", "table": "orders"},
+    ]
+
+
+def test_schema_qualified_tables():
+    res = get_column_lineage("SELECT t.x FROM warehouse.schema1.tbl t")
+    assert _cols(res)["x"] == [{"column": "x", "table": "warehouse.schema1.tbl"}]
+
+
+def test_parse_error_is_reported_not_raised():
+    res = get_column_lineage("DELETE FROM t WHERE x = 1")
+    assert res["columns"] == [] and res["errors"]
