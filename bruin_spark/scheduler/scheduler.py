@@ -526,6 +526,12 @@ class Scheduler:
             ctx = self.context.with_modifiers(asset.interval_modifiers)
             ctx.full_refresh = self.full_refresh
             return run_python_asset(self.spark, asset, ctx)
+        if asset.type == "r":
+            from bruin_spark.operators.r_ops import run_r_asset
+
+            ctx = self.context.with_modifiers(asset.interval_modifiers)
+            ctx.full_refresh = self.full_refresh
+            return run_r_asset(self.spark, asset, ctx)
         if asset.type.endswith(".source") or asset.type in ("noop", "metadata"):
             return None  # NoOp main; checks still run (executor/defaults.go:10-95)
         raise RuntimeError(f"no operator for asset type: {asset.type}")

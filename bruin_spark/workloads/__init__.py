@@ -89,6 +89,7 @@ def collect_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame
         stats_q,
         streaming_q,
         text,
+        unittest_q,
     )
 
     out: dict = {}
@@ -108,6 +109,7 @@ def collect_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame
         sampling_q,
         ingest_q,
         lineage_q,
+        unittest_q,
     ):
         for name, pair in mod.QUERIES.items():
             if name in out:
