@@ -66,6 +66,7 @@ def main() -> int:
         names = [n for n in registry if any(f in n for f in filters)]
 
     timings: dict[str, float] = {}
+    plan_hashes: dict[str, str] = {}
     for name in names:
         fn, _oracle = registry[name]
         spark.catalog.clearCache()  # isolate queries from accumulated state
@@ -75,7 +76,18 @@ def main() -> int:
         n = df.count()
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
-        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        # plan fingerprint: a changed hash across rounds means the PLAN
+        # changed; an unchanged hash with a changed timing means noise /
+        # harness interference (this is how the r02 rel_session_stats and
+        # diff_profile_orders "regressions" were root-caused as noise)
+        try:
+            import hashlib
+
+            plan = df._jdf.queryExecution().optimizedPlan().toString()
+            plan_hashes[name] = hashlib.md5(plan.encode()).hexdigest()[:10]
+        except Exception:
+            plan_hashes[name] = ""
+        print(f"# {name}: {dt:.3f}s ({n} rows) plan={plan_hashes[name]}", file=sys.stderr)
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
@@ -89,6 +101,7 @@ def main() -> int:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "plan_hashes": plan_hashes,
                 "sf": sf_val,
             }
         )
