@@ -84,6 +84,7 @@ def cmd_run(args) -> int:
             print(str(e), file=sys.stderr)
             return 2
         apply_dev_environment(pipe, environment)
+    stream_target = getattr(args, "stream", None)
     sched = Scheduler(
         spark,
         pipe,
@@ -92,9 +93,12 @@ def cmd_run(args) -> int:
         full_refresh=args.full_refresh,
         push_metadata=args.push_metadata,
         environment=environment,
+        stream_mode=bool(stream_target),
     )
     sched.apply_filters(
-        only=[args.asset] if args.asset else None,
+        # --stream <asset> runs exactly that streaming asset (ref
+        # cmd/run.go StreamMode); otherwise streaming assets are skipped
+        only=[stream_target] if stream_target else ([args.asset] if args.asset else None),
         downstream=args.downstream,
         tags=args.tag,
         exclude_tags=args.exclude_tag,
@@ -290,6 +294,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     pr.add_argument("--push-metadata", action="store_true")
     pr.add_argument("--continue", dest="continue_run", action="store_true")
+    pr.add_argument(
+        "--stream",
+        metavar="ASSET",
+        help="run a single continuously-streaming asset (batch runs skip them)",
+    )
     pr.set_defaults(fn=cmd_run)
 
     pd = sub.add_parser("render", help="print rendered SQL for an asset")
