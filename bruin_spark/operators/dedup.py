@@ -374,3 +374,101 @@ def simhash_near_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# -- duplicate clusters: connected components ---------------------------------
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round: every node points its LARGER neighbors at the
+    minimum of its neighborhood (including itself)."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least(F.col("mn"), F.col("u")).alias("m"))
+    )
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: every node points its SMALLER-or-equal
+    neighborhood (and itself) at the neighborhood minimum."""
+    oriented = e.select(
+        F.greatest(F.col("u"), F.col("v")).alias("u"),
+        F.least(F.col("u"), F.col("v")).alias("v"),
+    )
+    withself = oriented.union(
+        oriented.select(F.col("u").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    mins = withself.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        withself.join(mins, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components over a pair graph -> (node, component).
+
+    Alternating large-star / small-star rounds (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14): converges
+    in O(log n) rounds, each round is a groupBy + a key-colocated join —
+    no driver-side graph, no vertex broadcast, so the pair graph can be
+    billions of edges.  This is the cluster-assignment endgame of the
+    MinHash/SimHash pipelines: LSH emits candidate PAIRS; training-data
+    dedup needs per-document cluster ids to pick survivors.
+
+    ``component`` is the minimum node id of the component.  Lineage is
+    truncated per round with localCheckpoint (swap for checkpoint(dir)
+    on a real cluster).  Raises after ``max_iter`` non-converged rounds.
+
+    Reference has no analog (its dedup ends at the warehouse); SURVEY
+    §2 training-data design slot.
+    """
+    e = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    if e.isEmpty():
+        schema = "node bigint, component bigint"
+        return e.sparkSession.createDataFrame([], schema)
+
+    def _fingerprint(df: DataFrame):
+        # bit_xor: order-independent and overflow-free under ANSI mode
+        # (a SUM of xxhash64 values overflows long)
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    e = e.localCheckpoint(eager=True)
+    prev = _fingerprint(e)
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = _fingerprint(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+    # converged star edges: (node, root); roots map to themselves
+    roots = e.select(F.col("v").alias("u"), F.col("v").alias("v")).distinct()
+    return e.union(roots).distinct().select(
+        F.col("u").alias("node"), F.col("v").alias("component")
+    )

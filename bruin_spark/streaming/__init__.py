@@ -2,6 +2,7 @@ from bruin_spark.streaming.streaming import (
     kafka_reader_options,
     parse_kafka_json_values,
     run_stream_to_table,
+    session_window_agg,
     stateful_running_counts,
     stream_dedup,
     stream_file_source,
@@ -13,6 +14,7 @@ __all__ = [
     "kafka_reader_options",
     "parse_kafka_json_values",
     "run_stream_to_table",
+    "session_window_agg",
     "stateful_running_counts",
     "stream_dedup",
     "stream_file_source",

@@ -185,6 +185,36 @@ def windowed_agg(
     )
 
 
+def session_window_agg(
+    stream: DataFrame,
+    time_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    keys: list[str] | None = None,
+    aggs: dict[str, str] | None = None,
+) -> DataFrame:
+    """Watermarked SESSION-window aggregation: windows extend while
+    events keep arriving within ``gap`` of the previous one and close
+    after a quiet period — Spark's native dynamic-gap analog of the
+    batch sessionize operator (operators/relational.py).  The watermark
+    bounds open-session state exactly like the tumbling-window case."""
+    ts = F.col(time_col).cast("timestamp")
+    w = stream.withColumn("__ts", ts).withWatermark("__ts", watermark)
+    group_cols = [F.session_window("__ts", gap)] + [F.col(k) for k in (keys or [])]
+    agg_exprs = (
+        [F.expr(expr).alias(name) for name, expr in (aggs or {}).items()]
+        if aggs
+        else [F.count(F.lit(1)).alias("n_events")]
+    )
+    out = w.groupBy(*group_cols).agg(*agg_exprs)
+    return out.select(
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        *[c for c in (keys or [])],
+        *[name for name in (aggs or {"n_events": None})],
+    )
+
+
 def stream_dedup(
     stream: DataFrame,
     keys: list[str],

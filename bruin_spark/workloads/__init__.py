@@ -55,6 +55,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "stream_kafka_parse",
     "lineage_orders_enriched",
     "ingest_sqlite_roundtrip",
+    "dedup_clusters",
+    "stream_session_counts",
     # --- green sentinels, one-plus per family already verified in r02 ---
     "q1_pricing_summary",
     "q21_waiting_supplier",

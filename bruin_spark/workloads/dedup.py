@@ -184,8 +184,47 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 
+# -- duplicate clusters (connected components over the LSH pair graph) --------
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH pairs -> large-star/small-star connected components ->
+    (doc_id, cluster_id): the cluster-assignment endgame of near-dup
+    dedup, oracle-checked against a recursive-CTE reachability closure
+    over the SAME deterministic pair graph."""
+    from pyspark.sql import functions as F
+
+    pairs = D.minhash_dedup_pairs(
+        _docs(spark, sf_dir), k=MINHASH_K, bands=LSH_BANDS, n=NGRAM, threshold=JACCARD_T
+    )
+    cc = D.connected_components(pairs, "id_a", "id_b")
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+def _clusters_oracle() -> str:
+    # min-reachable-id per node == the min-id component representative the
+    # star algorithm converges to
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_lsh_oracle()}),
+e AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(u, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM e) AS n(u)
+  UNION
+  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u
+)
+SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u
+"""
+
+
 QUERIES = {
     "dedup_exact_groups": (dedup_exact_groups, EXACT_ORACLE),
+    "dedup_clusters": (dedup_clusters, _clusters_oracle()),
     "dedup_simhash_signature": (dedup_simhash_signature, _simhash_oracle()),
     "dedup_simhash_pairs": (dedup_simhash_pairs, _simhash_pairs_oracle()),
     "dedup_exact_survivors": (dedup_exact_survivors, EXACT_SURVIVORS_ORACLE),

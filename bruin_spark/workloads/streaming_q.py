@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from bruin_spark.streaming import (
     parse_kafka_json_values,
     run_stream_to_table,
+    session_window_agg,
     stateful_running_counts,
     stream_dedup,
     stream_file_source,
@@ -142,8 +143,54 @@ FROM events GROUP BY event_type
 """
 
 
+def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (dynamic gap) as a real stream; the oracle
+    recomputes sessions with lag-based gap logic — cross-checking
+    Spark's session_window merge semantics against plain SQL."""
+    stream = stream_file_source(spark, _events_path(sf_dir))
+    sdf = session_window_agg(
+        stream,
+        time_col="ts",
+        gap="30 minutes",
+        watermark="4 hours",
+        keys=["user_id"],
+        aggs={"n_events": "count(1)"},
+    )
+    out = _run(spark, sdf, "complete", "stream_sink_sessions")
+    return out.select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        "n_events",
+    )
+
+
+# a session breaks when the gap to the previous event is >= 30 minutes
+# (Spark merges an event into a session only while ts < prev_end, where
+# prev_end = prev_max_ts + gap)
+SESSION_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (
+           PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+         ) AS sid
+  FROM marked
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*)::BIGINT AS n_events
+FROM sessions GROUP BY user_id, sid
+"""
+
+
 QUERIES = {
     "stream_hourly_counts": (stream_hourly_counts, HOURLY_ORACLE),
+    "stream_session_counts": (stream_session_counts, SESSION_ORACLE),
     "stream_user_totals": (stream_user_totals, USER_TOTALS_ORACLE),
     "stream_dedup_ids": (stream_dedup_ids, DEDUP_ORACLE),
     "stream_kafka_parse": (stream_kafka_parse, KAFKA_PARSE_ORACLE),

@@ -39,3 +39,66 @@ def test_two_phase_agg_matches_direct(spark):
         {"n": F.sum("n"), "s": F.sum("s"), "mx": F.max("mx")},
     )
     assert sorted(map(tuple, direct.collect())) == sorted(map(tuple, two.collect()))
+
+
+# -- connected components ------------------------------------------------------
+
+
+def test_connected_components_basic(spark):
+    from bruin_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 4), (7, 8), (8, 9), (9, 7)], "id_a bigint, id_b bigint"
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1),
+        (4, 4), (5, 4),
+        (7, 7), (8, 7), (9, 7),
+    }
+
+
+def test_connected_components_chain_and_empty(spark):
+    from bruin_spark.operators.dedup import connected_components
+
+    # a long chain forces multiple star rounds
+    chain = [(i, i + 1) for i in range(0, 40)]
+    pairs = spark.createDataFrame(chain, "id_a bigint, id_b bigint")
+    got = connected_components(pairs).collect()
+    assert all(r["component"] == 0 for r in got)
+    assert {r["node"] for r in got} == set(range(41))
+
+    empty = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    assert connected_components(empty).count() == 0
+
+
+def test_connected_components_matches_union_find(spark):
+    import random
+
+    from bruin_spark.operators.dedup import connected_components
+
+    rnd = random.Random(7)
+    edges = [(rnd.randrange(60), rnd.randrange(60)) for _ in range(45)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = list(range(60))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {n for e in edges for n in e}
+    expected = {n: min(m for m in nodes if find(m) == find(n)) for n in nodes}
+
+    pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == expected
