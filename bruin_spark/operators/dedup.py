@@ -229,16 +229,26 @@ def minhash_dedup_pairs(
     tiny fraction of the corpus, so the expensive shingle expression runs
     on ~|candidates| docs instead of all of them — twice matters at 100 TB.
     """
-    cands = minhash_lsh_candidates(df, id_col, text_col, k, bands, n)
+    # Materialize the candidate pairs once: the subtree is referenced 3×
+    # below (pair join + both sides of the id union) and differing column
+    # pruning defeats Spark's exchange reuse, so without this the whole
+    # scan→minhash→band-join pipeline would execute three times.  The
+    # pinned data is one row per candidate PAIR — tiny next to the corpus.
+    cands = minhash_lsh_candidates(df, id_col, text_col, k, bands, n).localCheckpoint(
+        eager=True
+    )
     cand_ids = (
         cands.select(F.col("id_a").alias("cid"))
         .union(cands.select(F.col("id_b").alias("cid")))
         .distinct()
     )
     docs_small = df.join(cand_ids, F.col(id_col) == F.col("cid"), "left_semi")
+    # Same for the verification shingles (referenced as sh_a AND sh_b:
+    # two corpus semi-join scans otherwise); only candidate docs' shingle
+    # arrays are pinned.
     sh = docs_small.select(
         F.col(id_col).alias("id"), F.array_distinct(shingles(text_col, n)).alias("sh")
-    )
+    ).localCheckpoint(eager=True)
     verified = (
         cands.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")

@@ -198,3 +198,20 @@ def test_exact_duplicates_bounded_members_single_shuffle(spark):
     assert len(row["member_ids"]) == 7
     assert row["member_ids"] == sorted(row["member_ids"])
     assert row["canonical_id"] == min(row["member_ids"])
+
+
+def test_minhash_verification_reads_materialized_candidates(spark, sf_dir):
+    """minhash_dedup_pairs materializes candidates + candidate shingles
+    once; the final verification job must contain NO file scans (the
+    corpus pipeline would otherwise execute 3x via pruned-subtree
+    duplication)."""
+    import re
+
+    from bruin_spark.operators.dedup import minhash_dedup_pairs
+    from bruin_spark.session import read_parquet
+    import os
+
+    docs = read_parquet(spark, os.path.join(sf_dir, "documents.parquet"))
+    out = minhash_dedup_pairs(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"FileScan", plan)) == 0
