@@ -1,7 +1,9 @@
 from bruin_spark.diff.diff import (
     ColumnStat,
     DiffResult,
+    diff_rows,
     diff_tables,
+    generate_alter_statements,
     profile,
     profile_long,
     schema_diff,
@@ -10,7 +12,9 @@ from bruin_spark.diff.diff import (
 __all__ = [
     "ColumnStat",
     "DiffResult",
+    "diff_rows",
     "diff_tables",
+    "generate_alter_statements",
     "profile",
     "profile_long",
     "schema_diff",

@@ -169,3 +169,85 @@ def diff_tables(a: DataFrame, b: DataFrame, tolerance: float = 0.0) -> DiffResul
         stat_diffs=diffs,
         matched=not (only_a or only_b or mismatch or diffs),
     )
+
+
+# -- row-level diff ------------------------------------------------------------
+
+
+def diff_rows(
+    a: DataFrame,
+    b: DataFrame,
+    pks: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level diff keyed on primary keys -> (pk..., change_type) with
+    change_type in ('added', 'removed', 'changed').
+
+    One full-outer join on the PKs (single shuffle, both sides keyed);
+    'changed' uses null-safe inequality over the compared columns, so a
+    NULL-vs-value difference counts as a change rather than vanishing.
+    'added' means the row exists only in ``b``, 'removed' only in ``a``
+    (a -> b reading direction, like the reference's source->target diff).
+    Unchanged rows are filtered out BEFORE the result materializes —
+    at 100 TB the output is proportional to the drift, not the table.
+    """
+    cols = compare_cols or [c for c in a.columns if c in set(b.columns) and c not in pks]
+    la = a.alias("a").withColumn("_a_present", F.lit(True))
+    lb = b.alias("b").withColumn("_b_present", F.lit(True))
+    cond = None
+    for k in pks:
+        c = F.col(f"a.{k}").eqNullSafe(F.col(f"b.{k}"))
+        cond = c if cond is None else (cond & c)
+    j = la.join(lb, cond, "full_outer")
+    a_present = F.col("_a_present").isNotNull()
+    b_present = F.col("_b_present").isNotNull()
+    changed = F.lit(False)
+    for c in cols:
+        changed = changed | ~F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
+    change_type = (
+        F.when(a_present & ~b_present, F.lit("removed"))
+        .when(b_present & ~a_present, F.lit("added"))
+        .when(changed, F.lit("changed"))
+    )
+    pk_cols = [
+        F.coalesce(F.col(f"a.{k}"), F.col(f"b.{k}")).alias(k) for k in pks
+    ]
+    return (
+        j.select(*pk_cols, change_type.alias("change_type"))
+        .filter(F.col("change_type").isNotNull())
+    )
+
+
+# -- schema migration statements ----------------------------------------------
+
+
+def generate_alter_statements(
+    a: DataFrame,
+    b: DataFrame,
+    target_table: str,
+    reverse: bool = False,
+) -> list[str]:
+    """ALTER TABLE statements that evolve ``target_table`` (shaped like
+    ``a``) toward ``b``'s schema (ref: pkg/diff/alter.go:37-95
+    GenerateAlterStatements; ``reverse`` swaps the direction).
+
+    Spark DDL: ADD COLUMNS for missing ones, DROP COLUMN for extras,
+    ALTER COLUMN TYPE for mismatches (type widening only on v2 tables —
+    emitted with a comment when Spark cannot apply it in place).
+    """
+    if reverse:
+        a, b = b, a
+    only_a, only_b, mismatch = schema_diff(a, b)
+    tb = dict(b.dtypes)
+    stmts: list[str] = []
+    adds = [f"{c} {tb[c]}" for c in only_b]
+    if adds:
+        stmts.append(f"ALTER TABLE {target_table} ADD COLUMNS ({', '.join(adds)})")
+    for c in only_a:
+        stmts.append(f"ALTER TABLE {target_table} DROP COLUMN {c}")
+    for c, _ta, t_new in mismatch:
+        stmts.append(
+            f"ALTER TABLE {target_table} ALTER COLUMN {c} TYPE {t_new}"
+            " -- in-place type change requires a v2 table (Delta/Iceberg)"
+        )
+    return stmts

@@ -57,6 +57,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "ingest_sqlite_roundtrip",
     "dedup_clusters",
     "stream_session_counts",
+    "diff_rows_orders",
     # --- green sentinels, one-plus per family already verified in r02 ---
     "q1_pricing_summary",
     "q21_waiting_supplier",

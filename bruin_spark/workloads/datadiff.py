@@ -92,3 +92,43 @@ QUERIES = {
     "diff_profile_orders": (_profile_query("orders"), _oracle("orders")),
     "diff_profile_part": (_profile_query("part"), _oracle("part")),
 }
+
+
+def diff_rows_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level diff between orders and a deterministically drifted
+    copy: keys %97 removed, %89 re-added under shifted keys, %53
+    repriced — the same drift both engines derive, so change
+    classification is value-checked."""
+    from bruin_spark.diff import diff_rows
+    from pyspark.sql import functions as F
+
+    orders = read_parquet(spark, os.path.join(sf_dir, "orders.parquet"))
+    a = orders
+    b = (
+        orders.filter(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 53 == 0, F.col("o_totalprice") + 1
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 89 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 10_000_000
+            )
+        )
+    )
+    return diff_rows(a, b, pks=["o_orderkey"])
+
+
+DIFF_ROWS_ORACLE = """
+SELECT o_orderkey, 'removed' AS change_type FROM orders WHERE o_orderkey % 97 = 0
+UNION ALL
+SELECT o_orderkey + 10000000 AS o_orderkey, 'added' AS change_type
+FROM orders WHERE o_orderkey % 89 = 0
+UNION ALL
+SELECT o_orderkey, 'changed' AS change_type
+FROM orders WHERE o_orderkey % 53 = 0 AND o_orderkey % 97 <> 0
+"""
+
+QUERIES["diff_rows_orders"] = (diff_rows_orders, DIFF_ROWS_ORACLE)

@@ -45,3 +45,44 @@ def test_diff_tables_tolerance(spark):
 def test_diff_tables_identical(spark):
     a = spark.createDataFrame([(1, "x", 1.0)], "id int, s string, v double")
     assert diff_tables(a, a).matched
+
+
+def test_diff_rows_classification(spark):
+    from bruin_spark.diff import diff_rows
+
+    a = spark.createDataFrame(
+        [(1, "x", 10.0), (2, "y", 20.0), (3, "z", 30.0), (None, "n", 1.0)],
+        "id int, name string, v double",
+    )
+    b = spark.createDataFrame(
+        [(1, "x", 10.0), (2, "y", 99.0), (4, "w", 40.0), (None, "n", 2.0)],
+        "id int, name string, v double",
+    )
+    got = {(r["id"], r["change_type"]) for r in diff_rows(a, b, ["id"]).collect()}
+    # 1 unchanged (absent); 2 changed; 3 removed; 4 added; NULL pk pairs
+    # via eqNullSafe and counts as changed (v 1.0 -> 2.0)
+    assert got == {(2, "changed"), (3, "removed"), (4, "added"), (None, "changed")}
+
+
+def test_diff_rows_single_shuffle(spark):
+    from bruin_spark.diff import diff_rows
+
+    a = spark.range(100).selectExpr("id", "id * 2 AS v")
+    b = spark.range(100).selectExpr("id", "id * 3 AS v")
+    plan = diff_rows(a, b, ["id"])._jdf.queryExecution().executedPlan().toString()
+    # one full-outer SMJ: exactly two exchanges (one per side), none after
+    assert plan.count("SortMergeJoin") == 1
+
+
+def test_generate_alter_statements(spark):
+    from bruin_spark.diff import generate_alter_statements
+
+    a = spark.createDataFrame([], "id int, old_col string, price float")
+    b = spark.createDataFrame([], "id int, new_col string, price double")
+    stmts = generate_alter_statements(a, b, "t")
+    assert stmts[0] == "ALTER TABLE t ADD COLUMNS (new_col string)"
+    assert "ALTER TABLE t DROP COLUMN old_col" in stmts
+    assert any("ALTER COLUMN price TYPE double" in s for s in stmts)
+
+    rev = generate_alter_statements(a, b, "t", reverse=True)
+    assert rev[0] == "ALTER TABLE t ADD COLUMNS (old_col string)"
