@@ -526,6 +526,12 @@ class Scheduler:
             ctx = self.context.with_modifiers(asset.interval_modifiers)
             ctx.full_refresh = self.full_refresh
             return run_python_asset(self.spark, asset, ctx)
+        if asset.type == "ingestr":
+            from bruin_spark.sources.ingest import run_ingestr_asset
+
+            # streaming ingestr assets were routed out of the batch DAG
+            # by _skip_streaming_assets; only one-shot loads reach here
+            return run_ingestr_asset(self.spark, asset, self.pipeline)
         if asset.type == "r":
             from bruin_spark.operators.r_ops import run_r_asset
 

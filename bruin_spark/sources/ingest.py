@@ -274,13 +274,21 @@ def ingest(
     primary_keys: list[str] | None = None,
     partition_by: str = "",
     schema: str | None = None,
+    file_type: str | None = None,
 ) -> None:
     """One-shot ingest: read source, write with the named strategy
     (the `bruin run` path for ingestr assets, minus the subprocess)."""
     strat = STRATEGY_MAP.get(strategy)
     if strat is None:
         raise ValueError(f"unknown strategy {strategy!r}; one of {sorted(STRATEGY_MAP)}")
-    df = read_source(spark, source_uri, table=source_table, query=source_query, schema=schema)
+    df = read_source(
+        spark,
+        source_uri,
+        table=source_table,
+        query=source_query,
+        schema=schema,
+        file_type=file_type,
+    )
     pks = set(primary_keys or [])
     # non-PK columns update on merge (the reference leaves this per-column;
     # for ingestion "merge" means upsert the whole row)
@@ -307,3 +315,56 @@ def ingest(
     from bruin_spark.operators.assets_ops import _write_df
 
     _write_df(spark, asset, df)
+
+
+# -- ingestr-type assets -------------------------------------------------------
+
+
+def resolve_ingestr_plan(asset, pipeline=None) -> tuple[str, str, dict]:
+    """(source_uri, strategy, params) for an ingestr asset.
+
+    Mirrors the reference's operator prologue (pkg/ingestr/
+    operator.go:210-330): the source URI comes from an explicit
+    ``source_uri`` parameter or from ``source_connection`` resolved
+    against the pipeline's connection map; CDC mode rewrites the URI
+    scheme + query parameters and defaults the strategy to merge.
+    Pure — no I/O — so connection/CDC resolution is testable without
+    live sources.
+    """
+    from bruin_spark.sources.uri import apply_cdc_parameters, normalize
+
+    params = dict(asset.parameters or {})
+    uri = params.get("source_uri")
+    if not uri and pipeline is not None:
+        conn = params.get("source_connection", "")
+        uri = (getattr(pipeline, "default_connections", None) or {}).get(conn)
+    if not uri:
+        raise ValueError(
+            f"ingestr asset {asset.name}: no source_uri parameter and no "
+            "resolvable source_connection"
+        )
+    uri = normalize(str(uri))
+    uri, params = apply_cdc_parameters(uri, params)
+    strategy = params.get("incremental_strategy", "replace")
+    return uri, strategy, params
+
+
+def run_ingestr_asset(spark: SparkSession, asset, pipeline=None) -> None:
+    """Execute a batch ingestr asset: resolve the URI, read the source,
+    write with the asset's incremental strategy.  (Streaming ingestr
+    assets never reach here — the scheduler routes them out of the batch
+    DAG, cmd/run.go:3147-3170.)"""
+    uri, strategy, params = resolve_ingestr_plan(asset, pipeline)
+    pks = [c.name for c in asset.columns if getattr(c, "primary_key", False)]
+    ingest(
+        spark,
+        uri,
+        dest_table=asset.name,
+        source_table=params.get("source_table"),
+        source_query=params.get("source_query"),
+        strategy=strategy,
+        incremental_key=params.get("incremental_key", ""),
+        primary_keys=pks or [str(k) for k in params.get("primary_keys", [])],
+        partition_by=params.get("partition_by", ""),
+        file_type=params.get("file_type"),
+    )

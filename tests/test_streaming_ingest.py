@@ -229,3 +229,49 @@ def test_kafka_value_parse_roundtrip(spark):
     rows = sorted((r["id"], r["v"]) for r in out.collect())
     assert rows == [(0, 0), (1, 2), (2, 4)]
     assert set(out.columns) == {"_key", "_kafka_ts", "id", "v"}
+
+
+# -- ingestr-type assets -------------------------------------------------------
+
+
+def test_resolve_ingestr_plan_connection_and_cdc():
+    from bruin_spark.sources.ingest import resolve_ingestr_plan
+
+    pipe = Pipeline(
+        name="p",
+        assets=[],
+        default_connections={"pg_prod": "postgresql://u@h:5432/db"},
+    )
+    a = _ingestr_asset(
+        "dest.t",
+        {
+            "source_connection": "pg_prod",
+            "source_table": "public.users",
+            "cdc": "true",
+            "cdc_publication": "pub1",
+        },
+    )
+    uri, strategy, params = resolve_ingestr_plan(a, pipe)
+    assert uri.startswith("postgres+cdc://u@h:5432/db")
+    assert "publication=pub1" in uri
+    assert strategy == "merge"  # CDC auto-sets merge
+    assert params["source_table"] == "public.users"
+
+    with pytest.raises(ValueError, match="source_uri"):
+        resolve_ingestr_plan(_ingestr_asset("x", {}), pipe)
+
+
+def test_scheduler_runs_batch_ingestr_asset(spark, tmp_path):
+    from bruin_spark.scheduler import Scheduler
+
+    f = tmp_path / "users.csv"
+    f.write_text("id,name\n1,ada\n2,grace\n")
+    asset = _ingestr_asset(
+        "ing_users", {"source_uri": f"csv://{f}", "incremental_strategy": "replace"}
+    )
+    spark.sql("DROP TABLE IF EXISTS ing_users")
+    p = Pipeline(name="p", assets=[asset])
+    res = Scheduler(spark, p).run()
+    assert res.ok, res.failed
+    rows = sorted((r["id"], r["name"]) for r in spark.table("ing_users").collect())
+    assert rows == [(1, "ada"), (2, "grace")]
