@@ -213,21 +213,25 @@ def ivf_assign(
     cent_id: str = "centroid_id",
     cent_vec: str = "centroid_vec",
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid (max cosine).
+    """Assign each vector to its nearest centroid (max cosine; ties break
+    toward the smaller centroid id, which must be numeric).
 
-    Centroids broadcast (they're small by construction); assignment is a
-    map-side argmax, so the corpus never shuffles for partitioning — the
-    IVF index build is one pass.
+    Centroids broadcast (they're small by construction); the argmax is a
+    ``max_by`` aggregation, so partial (map-side) aggregation collapses
+    the k-per-vector scored rows to ONE row per vector before the
+    shuffle — a window argmax would shuffle and sort the full
+    corpus x centroids frame instead.
     """
+    others = [c for c in df.columns if c != id_col]
     scored = df.join(F.broadcast(centroids)).withColumn(
         "_score", _dot(F.col(vec_col), F.col(cent_vec))
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("_score").desc(), F.col(cent_id))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_score", cent_vec)
+    tie_key = F.struct(F.col("_score"), (-F.col(cent_id)).alias("_neg"))
+    agged = scored.groupBy(id_col).agg(
+        F.max_by(F.col(cent_id), tie_key).alias(cent_id),
+        *[F.first(F.col(c)).alias(c) for c in others],
     )
+    return agged.select(*df.columns, cent_id)
 
 
 def deterministic_centroids(

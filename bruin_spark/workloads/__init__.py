@@ -58,6 +58,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_clusters",
     "stream_session_counts",
     "diff_rows_orders",
+    "emb_kmeans_step",
     # --- green sentinels, one-plus per family already verified in r02 ---
     "q1_pricing_summary",
     "q21_waiting_supplier",

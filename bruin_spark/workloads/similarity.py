@@ -188,3 +188,50 @@ QUERIES = {
     "sim_lsh_bucket_sizes": (sim_lsh_bucket_sizes, _lsh_bucket_oracle()),
     "sim_lsh_topk": (sim_lsh_topk, _lsh_topk_oracle()),
 }
+
+
+def emb_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration from the deterministic seed centroids:
+    broadcast argmax assignment (max_by, map-side partials) then an
+    element-wise mean per (centroid, dimension) — the k-means update
+    that production IVF training iterates.  Emitted long-form
+    (centroid_id, pos, mean_val) so the oracle compares scalars, not
+    float arrays."""
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark, sf_dir)
+    u = S.with_unit_vectors(emb).select("vec_id", "unit_vec")
+    cents = S.deterministic_centroids(u, N_CENTROIDS)
+    assigned = S.ivf_assign(u, cents)
+    ex = assigned.select(
+        "centroid_id", F.posexplode("unit_vec").alias("pos", "val")
+    )
+    return ex.groupBy("centroid_id", "pos").agg(
+        F.round(F.avg("val"), 6).alias("mean_val")
+    )
+
+
+KMEANS_STEP_ORACLE = f"""
+WITH u AS (SELECT vec_id, {_DUCK_UNIT} AS uv FROM embeddings),
+cents AS (
+  SELECT vec_id AS centroid_id, uv AS cv FROM u ORDER BY vec_id LIMIT {N_CENTROIDS}
+),
+assigned AS (
+  SELECT vec_id, uv, centroid_id FROM (
+    SELECT v.vec_id, v.uv, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_duck_dot('v.uv', 'c.cv')} DESC, c.centroid_id
+           ) AS rn
+    FROM u v CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+ex AS (
+  SELECT centroid_id, (t.i - 1)::INT AS pos, uv[t.i] AS val
+  FROM assigned, UNNEST(generate_series(1, len(uv))) AS t(i)
+)
+SELECT centroid_id, pos, ROUND(AVG(val), 6) AS mean_val
+FROM ex GROUP BY centroid_id, pos
+"""
+
+QUERIES["emb_kmeans_step"] = (emb_kmeans_step, KMEANS_STEP_ORACLE)
