@@ -111,6 +111,40 @@ def fingerprint(df: DataFrame, text_col: str = "text", out: str = "doc_fingerpri
     return df.withColumn(out, F.md5(normalized))
 
 
+def repetition_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+
+    - ``top1_token_frac``: fraction of tokens that are the single most
+      frequent token (boilerplate/spam indicator),
+    - ``top_2gram_frac``: fraction of word 2-grams that are the most
+      frequent 2-gram (repeated-phrase indicator).
+
+    Plan shape: two wordcount-style aggregations (explode -> partial
+    map-side count -> shuffle on (doc, gram) -> per-doc max/sum) joined
+    back on the doc id.  The shuffled rows are (doc, gram, count) —
+    proportional to distinct grams, with map-side combine absorbing the
+    repetition itself, so heavy repetition makes this CHEAPER, not
+    hotter.  All built-in expressions, no Python.
+    """
+
+    def _top_frac(gram_col: Column, out: str) -> DataFrame:
+        return (
+            df.select(F.col(id_col), F.explode(gram_col).alias("_g"))
+            .groupBy(id_col, "_g")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .groupBy(id_col)
+            .agg(
+                F.round(F.max("_c") / F.sum("_c"), 6).alias(out)
+            )
+        )
+
+    t1 = _top_frac(tokens(text_col), "top1_token_frac")
+    t2 = _top_frac(shingles(text_col, 2), "top_2gram_frac")
+    return df.join(t1, id_col, "left").join(t2, id_col, "left")
+
+
 def shingles(text_col: str, n: int = 3) -> Column:
     """Word n-gram shingles as an array<string> (distinct preserved later).
 

@@ -111,9 +111,157 @@ FROM documents
 """
 
 
+# -- repetition quality (Gopher-style) -------------------------------------------
+
+
+def _duck_shingles_all(n: int, col: str = "text") -> str:
+    """DuckDB word n-gram list WITH repetition (no list_distinct)."""
+    toks = _duck_tokens(col)
+    return f"""
+  CASE WHEN len({toks}) >= {n}
+  THEN [array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')
+        FOR i IN generate_series(1, len({toks}) - {n - 1})]
+  ELSE [array_to_string({toks}, ' ')]
+  END
+"""
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = T.repetition_features(_docs(spark, sf_dir))
+    return out.select("doc_id", "top1_token_frac", "top_2gram_frac")
+
+
+REPETITION_ORACLE = f"""
+WITH t1 AS (
+  SELECT doc_id, ROUND(1.0 * MAX(c) / SUM(c), 6) AS top1_token_frac FROM (
+    SELECT doc_id, tok, COUNT(*) AS c
+    FROM (SELECT doc_id, UNNEST({_duck_tokens()}) AS tok FROM documents)
+    GROUP BY 1, 2
+  ) GROUP BY 1
+),
+t2 AS (
+  SELECT doc_id, ROUND(1.0 * MAX(c) / SUM(c), 6) AS top_2gram_frac FROM (
+    SELECT doc_id, g, COUNT(*) AS c
+    FROM (SELECT doc_id, UNNEST({_duck_shingles_all(2)}) AS g FROM documents)
+    GROUP BY 1, 2
+  ) GROUP BY 1
+)
+SELECT d.doc_id, t1.top1_token_frac, t2.top_2gram_frac
+FROM documents d LEFT JOIN t1 USING (doc_id) LEFT JOIN t2 USING (doc_id)
+"""
+
+
+# -- PII redaction ----------------------------------------------------------------
+# The driver's synthetic documents contain no real PII, so the workload
+# deterministically plants emails / IPs / phone numbers derived from
+# doc_id on BOTH engines, then runs the redaction operator over it.
+
+
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bruin_spark.operators import pii as P
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    email = F.when(
+        d % 3 == 0,
+        F.concat(F.lit(" contact user"), d.cast("string"), F.lit("@example.com")),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        d % 5 == 0,
+        F.concat(F.lit(" host 10.0."), (d % 256).cast("string"), F.lit(".7")),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        d % 7 == 0,
+        F.concat(F.lit(" tel 555-"), F.lpad((d % 10000).cast("string"), 4, "0")),
+    ).otherwise(F.lit(""))
+    planted = docs.withColumn("text", F.concat(F.col("text"), email, ip, phone))
+    out = P.redact_pii(P.pii_counts(planted))
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_ip",
+        "n_phone",
+        F.length("text_redacted").alias("redacted_len"),
+    )
+
+
+def _pii_oracle() -> str:
+    from bruin_spark.operators.pii import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    planted = """
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END AS text
+  FROM documents
+"""
+    return f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{EMAIL_RE}'))::INT AS n_email,
+       len(regexp_extract_all(text, '{IPV4_RE}'))::INT AS n_ip,
+       len(regexp_extract_all(text, '{PHONE_RE}'))::INT AS n_phone,
+       length(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '{EMAIL_RE}', '[EMAIL]', 'g'),
+             '{IPV4_RE}', '[IP]', 'g'),
+           '{PHONE_RE}', '[PHONE]', 'g')
+       ) AS redacted_len
+FROM ({planted})
+"""
+
+
+# -- test-set decontamination -----------------------------------------------------
+# Held-out "eval set" = the deterministic md5-bucket 1/16th of documents;
+# the rest is the training corpus screened against it.
+
+_DECON_N = 5
+_TEST_PRED = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'"
+
+
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bruin_spark.operators.contamination import ngram_overlap_contamination
+
+    docs = _docs(spark, sf_dir)
+    is_test = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    out = ngram_overlap_contamination(
+        docs.filter(~is_test), docs.filter(is_test), n=_DECON_N
+    )
+    return out.select("doc_id", "n_hits", "contaminated")
+
+
+def _decon_oracle() -> str:
+    sh = f"list_distinct({_duck_shingles_all(_DECON_N)})"
+    return f"""
+WITH test AS (SELECT * FROM documents WHERE {_TEST_PRED}),
+corpus AS (SELECT * FROM documents WHERE NOT ({_TEST_PRED})),
+tsh AS (SELECT DISTINCT UNNEST({sh}) AS shingle FROM test),
+csh AS (SELECT doc_id, UNNEST({sh}) AS shingle FROM corpus),
+hits AS (
+  SELECT csh.doc_id, COUNT(*) AS n_hits
+  FROM csh JOIN tsh USING (shingle)
+  GROUP BY 1
+)
+SELECT corpus.doc_id,
+       COALESCE(hits.n_hits, 0)::INT AS n_hits,
+       COALESCE(hits.n_hits, 0) >= 1 AS contaminated
+FROM corpus LEFT JOIN hits USING (doc_id)
+"""
+
+
 QUERIES = {
     "text_token_count": (text_token_count, TOKEN_ORACLE),
     "text_language_id": (text_language_id, _lang_oracle()),
     "text_quality": (text_quality, _quality_oracle()),
     "text_fingerprint": (text_fingerprint, FINGERPRINT_ORACLE),
+    "text_repetition": (text_repetition, REPETITION_ORACLE),
+    "text_pii_redact": (text_pii_redact, _pii_oracle()),
+    "text_decontaminate": (text_decontaminate, _decon_oracle()),
 }

@@ -1,0 +1,82 @@
+"""Tests for the PII-redaction, decontamination, and repetition operators."""
+
+from pyspark.sql import functions as F
+
+from bruin_spark.operators.contamination import ngram_overlap_contamination
+from bruin_spark.operators.pii import pii_counts, redact_pii
+from bruin_spark.operators.text import repetition_features
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_pii_counts_and_redaction(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "mail me at jane.doe+x@example.co.uk or call 555-0199"),
+            (2, "server 192.168.0.1 and 10.0.0.7 are up"),
+            (3, "nothing sensitive here"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in redact_pii(pii_counts(df)).collect()}
+    assert (out[1]["n_email"], out[1]["n_phone"], out[1]["n_ip"]) == (1, 1, 0)
+    assert out[1]["text_redacted"] == "mail me at [EMAIL] or call [PHONE]"
+    assert out[2]["n_ip"] == 2
+    assert out[2]["text_redacted"] == "server [IP] and [IP] are up"
+    assert out[3]["text_redacted"] == "nothing sensitive here"
+    assert (out[3]["n_email"], out[3]["n_ip"], out[3]["n_phone"]) == (0, 0, 0)
+
+
+def test_redaction_is_map_only(spark):
+    df = _docs(spark, [(1, "a@b.co")])
+    plan = redact_pii(pii_counts(df))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_contamination_flags_overlap(spark):
+    corpus = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated words about spark plans"),
+            (3, "quick brown fox jumps over fences daily it seems"),
+        ],
+    )
+    test = _docs(spark, [(100, "a quick brown fox jumps over things")])
+    out = {
+        r["doc_id"]: r
+        for r in ngram_overlap_contamination(corpus, test, n=5).collect()
+    }
+    # doc 1 shares the 5-gram "quick brown fox jumps over"; doc 3 too
+    assert out[1]["contaminated"] and out[1]["n_hits"] >= 1
+    assert out[3]["contaminated"]
+    assert not out[2]["contaminated"] and out[2]["n_hits"] == 0
+    assert len(out) == 3  # one row per corpus doc, clean docs kept
+
+
+def test_contamination_broadcasts_test_side(spark):
+    corpus = _docs(spark, [(1, "one two three four five six")])
+    test = _docs(spark, [(2, "one two three four five")])
+    plan = (
+        ngram_overlap_contamination(corpus, test, n=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_repetition_features(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "spam spam spam spam"),  # top1 = 1.0; 2-gram "spam spam" x3 = 1.0
+            (2, "all words here differ"),  # top1 = 1/4
+        ],
+    )
+    out = {r["doc_id"]: r for r in repetition_features(df).collect()}
+    assert out[1]["top1_token_frac"] == 1.0
+    assert out[1]["top_2gram_frac"] == 1.0
+    assert out[2]["top1_token_frac"] == 0.25
+    assert abs(out[2]["top_2gram_frac"] - round(1 / 3, 6)) < 1e-9
