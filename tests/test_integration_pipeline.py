@@ -1,0 +1,185 @@
+"""End-to-end integration test in the reference's integration-test style
+(integration-tests/test-pipelines/* executed via pkg/e2e): a full
+pipeline DIRECTORY on disk — seed CSV, SQL assets with create+replace and
+merge strategies, a Python materialize() asset, column checks — run
+through the real CLI entry point (`bruin_spark.cli.main`), twice, with
+golden row assertions after each run (the duckdb-materialization-* and
+duckdb-scd2-tests expectation-CSV pattern).
+"""
+
+import textwrap
+
+import pytest
+
+from bruin_spark.cli import main as cli_main
+
+
+@pytest.fixture()
+def pipeline_dir(tmp_path):
+    d = tmp_path / "shop"
+    assets = d / "assets"
+    assets.mkdir(parents=True)
+    (d / "pipeline.yml").write_text("name: shop_pipeline\n")
+
+    (assets / "products.csv").write_text(
+        "product_id,name,stock\n1,apple,10\n2,banana,20\n"
+    )
+    (assets / "shop_products.asset.yml").write_text(
+        textwrap.dedent(
+            """
+            name: shop_products
+            type: spark.seed
+            parameters:
+              path: products.csv
+            columns:
+              - name: product_id
+                type: bigint
+                checks: [{name: not_null}, {name: unique}]
+              - name: name
+                type: string
+              - name: stock
+                type: bigint
+                checks: [{name: non_negative}]
+            """
+        )
+    )
+    (assets / "shop_inventory.sql").write_text(
+        textwrap.dedent(
+            """
+            /* @bruin
+            name: shop_inventory
+            type: spark.sql
+            depends: [shop_products]
+            materialization:
+              type: table
+              strategy: merge
+            columns:
+              - name: product_id
+                type: bigint
+                primary_key: true
+              - name: name
+                type: string
+                update_on_merge: true
+              - name: stock
+                type: bigint
+                update_on_merge: true
+            @bruin */
+            SELECT product_id, name, stock FROM shop_products
+            """
+        )
+    )
+    (assets / "shop_summary.sql").write_text(
+        textwrap.dedent(
+            """
+            /* @bruin
+            name: shop_summary
+            type: spark.sql
+            depends: [shop_inventory]
+            materialization:
+              type: table
+              strategy: create+replace
+            columns:
+              - name: n_products
+                type: bigint
+                checks: [{name: positive}]
+              - name: total_stock
+                type: bigint
+            @bruin */
+            SELECT count(*) AS n_products, sum(stock) AS total_stock
+            FROM shop_inventory
+            """
+        )
+    )
+    (assets / "shop_flags.py").write_text(
+        textwrap.dedent(
+            '''
+            """ @bruin
+            name: shop_flags
+            type: python
+            depends: [shop_inventory]
+            materialization:
+              type: table
+              strategy: create+replace
+            @bruin """
+            import pandas as pd
+
+            def materialize():
+                inv = spark.table("shop_inventory").toPandas()
+                inv["low_stock"] = inv["stock"] < 15
+                return inv[["product_id", "low_stock"]]
+            '''
+        )
+    )
+    return d
+
+
+def _rows(spark, table, key):
+    return [tuple(r) for r in spark.table(table).orderBy(key).collect()]
+
+
+def test_pipeline_runs_end_to_end_and_merges_on_rerun(spark, pipeline_dir):
+    rc = cli_main(
+        ["run", str(pipeline_dir), "--start", "2024-01-01", "--end", "2024-01-02"]
+    )
+    assert rc == 0
+    assert _rows(spark, "shop_inventory", "product_id") == [
+        (1, "apple", 10),
+        (2, "banana", 20),
+    ]
+    assert _rows(spark, "shop_summary", "n_products") == [(2, 30)]
+    assert _rows(spark, "shop_flags", "product_id") == [(1, True), (2, False)]
+
+    # second run: seed changes — stock update for an existing PK plus a
+    # brand-new product; merge must update in place and insert the new row
+    (pipeline_dir / "assets" / "products.csv").write_text(
+        "product_id,name,stock\n1,apple,7\n2,banana,20\n3,cherry,5\n"
+    )
+    rc = cli_main(
+        ["run", str(pipeline_dir), "--start", "2024-01-02", "--end", "2024-01-03"]
+    )
+    assert rc == 0
+    assert _rows(spark, "shop_inventory", "product_id") == [
+        (1, "apple", 7),
+        (2, "banana", 20),
+        (3, "cherry", 5),
+    ]
+    assert _rows(spark, "shop_summary", "n_products") == [(3, 32)]
+    assert _rows(spark, "shop_flags", "product_id") == [
+        (1, True),
+        (2, False),
+        (3, True),
+    ]
+
+
+def test_blocking_check_failure_fails_run_and_gates_downstream(spark, pipeline_dir):
+    # negative stock violates the seed's non_negative check; downstream
+    # assets must not run (ref: scheduler.go:1127-1140 Blocking())
+    (pipeline_dir / "assets" / "products.csv").write_text(
+        "product_id,name,stock\n1,apple,-4\n"
+    )
+    for t in ("shop_inventory", "shop_summary", "shop_flags"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    rc = cli_main(
+        ["run", str(pipeline_dir), "--start", "2024-01-01", "--end", "2024-01-02"]
+    )
+    assert rc == 1
+    assert not spark.catalog.tableExists("shop_summary")
+    assert not spark.catalog.tableExists("shop_flags")
+
+
+def test_parse_pipeline_json_golden(pipeline_dir, capsys):
+    # the reference's parse-whole-pipeline golden (pipeline.yml.json):
+    # assert the JSON dump's load-bearing structure
+    import json
+
+    rc = cli_main(["parse", str(pipeline_dir)])
+    assert rc == 0
+    doc = json.loads(capsys.readouterr().out)
+    assert doc["name"] == "shop_pipeline"
+    by_name = {a["name"]: a for a in doc["assets"]}
+    assert set(by_name) == {"shop_products", "shop_inventory", "shop_summary", "shop_flags"}
+    assert by_name["shop_inventory"]["materialization"]["strategy"] == "merge"
+    assert [u["value"] for u in by_name["shop_summary"]["depends"]] == ["shop_inventory"]
+    inv_cols = {c["name"]: c for c in by_name["shop_inventory"]["columns"]}
+    assert inv_cols["product_id"]["primary_key"] is True
+    assert by_name["shop_flags"]["type"] == "python"
