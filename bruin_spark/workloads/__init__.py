@@ -59,14 +59,14 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "stream_session_counts",
     "diff_rows_orders",
     "emb_kmeans_step",
+    "text_repetition",
+    "text_pii_redact",
+    "text_decontaminate",
     # --- green sentinels, one-plus per family already verified in r02 ---
     "q1_pricing_summary",
-    "q21_waiting_supplier",
-    "q11_important_parts",
     "mat_merge",
     "mat_time_interval",
     "mat_scd2_by_column",
-    "mat_scd2_by_time",
     "mat_datavault_link",
     "quality_violation_counts",
     "dedup_exact_groups",
