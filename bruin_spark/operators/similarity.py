@@ -256,6 +256,62 @@ def deterministic_centroids(
     )
 
 
+def kmeans_train(
+    df: DataFrame,
+    n_centroids: int,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "unit_vec",
+) -> DataFrame:
+    """Distributed spherical k-means (Lloyd) -> (centroid_id, centroid_vec).
+
+    The IVF training loop: init with deterministic_centroids, then per
+    iteration (a) assign via ivf_assign — broadcast centroids + max_by,
+    so the k-scored rows collapse map-side to one row per vector before
+    the shuffle — and (b) update via posexplode -> per-(centroid, dim)
+    mean (wordcount-shaped agg, partial map-side) -> re-assembled,
+    re-normalized array.  Per-iteration cost is two shuffles whose rows
+    are |corpus| and k x dim; centroids stay a k-row DataFrame,
+    localCheckpoint'd per round so plan lineage stays flat (swap for
+    checkpoint(dir) on a real cluster).  A cell that loses all members
+    keeps its previous centroid (left join + coalesce), matching
+    standard empty-cluster handling.
+    """
+    cents = deterministic_centroids(df, n_centroids, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
+    for _ in range(n_iter):
+        assigned = ivf_assign(df, cents, vec_col=vec_col, id_col=id_col)
+        dims = (
+            assigned.select("centroid_id", F.posexplode(vec_col).alias("pos", "val"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("val").alias("m"))
+        )
+        means = (
+            dims.groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda x: x["m"]
+                ).alias("_mean_vec")
+            )
+            .withColumn(
+                "_new_vec",
+                F.transform(F.col("_mean_vec"), lambda v: v / _norm(F.col("_mean_vec"))),
+            )
+        )
+        cents = (
+            cents.join(means, "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce(F.col("_new_vec"), F.col("centroid_vec")).alias(
+                    "centroid_vec"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
 def ivf_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -265,6 +321,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    train_iters: int = 0,
 ) -> DataFrame:
     """IVF approximate top-k: corpus is partitioned into centroid cells;
     each query scores only the ``n_probe`` nearest cells' vectors.
@@ -275,6 +332,10 @@ def ivf_topk(
     """
     corpus_u = with_unit_vectors(df, vec_col)
     cents = deterministic_centroids(corpus_u, n_centroids, id_col)
+    if train_iters > 0:
+        # refine the seed centroids with Lloyd iterations — better cell
+        # balance/recall; default 0 keeps the deterministic oracle path
+        cents = kmeans_train(corpus_u, n_centroids, n_iter=train_iters, id_col=id_col)
     corpus = ivf_assign(corpus_u, cents, id_col=id_col).select(
         F.col(id_col).alias("nn_id"), F.col("unit_vec").alias("cv"), "centroid_id"
     )

@@ -1,0 +1,76 @@
+"""Tests for the distributed spherical k-means training loop."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from bruin_spark.operators.similarity import ivf_assign, ivf_topk, kmeans_train
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id bigint, unit_vec array<double>")
+
+
+def test_kmeans_converges_to_cluster_directions(spark):
+    s = 1 / math.sqrt(2)
+    # two tight angular clusters: near +x and near +y
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.995, 0.0998]),   # ~6 degrees off +x
+        (2, [0.995, -0.0998]),
+        (3, [0.0, 1.0]),
+        (4, [0.0998, 0.995]),
+        (5, [-0.0998, 0.995]),
+    ]
+    df = _vecs(spark, rows)
+    cents = kmeans_train(df, n_centroids=2, n_iter=4)
+    got = {r["centroid_id"]: r["centroid_vec"] for r in cents.collect()}
+    assert len(got) == 2
+    # each trained centroid is unit-norm and aligned with one cluster
+    dirs = sorted((round(v[0], 2), round(v[1], 2)) for v in got.values())
+    for v in got.values():
+        assert abs(math.hypot(*v) - 1.0) < 1e-9
+    assert dirs[0][1] > 0.9  # +y cluster
+    assert dirs[1][0] > 0.9  # +x cluster
+
+    # assignment under the trained centroids recovers the clusters
+    assigned = ivf_assign(df, cents)
+    groups = {}
+    for r in assigned.collect():
+        groups.setdefault(r["centroid_id"], set()).add(r["vec_id"])
+    assert sorted(map(sorted, groups.values())) == [[0, 1, 2], [3, 4, 5]]
+    assert abs(s) > 0  # keep the import honest
+
+
+def test_kmeans_keeps_empty_cell_centroid(spark):
+    # 3 centroids over 2 real clusters: the seed centroid that loses all
+    # members must survive with its previous vector, not vanish
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.995, 0.0998]),
+        (2, [0.0, 1.0]),
+        (3, [0.0998, 0.995]),
+    ]
+    df = _vecs(spark, rows)
+    cents = kmeans_train(df, n_centroids=3, n_iter=3)
+    assert cents.count() == 3
+    assert all(r["centroid_vec"] is not None for r in cents.collect())
+
+
+def test_ivf_topk_with_training_matches_bruteforce_on_separated_data(spark):
+    import random
+
+    rng = random.Random(7)
+    corpus = []
+    for i in range(40):
+        base = [1.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 1.0, 0.0]
+        corpus.append((i, [b + rng.uniform(-0.05, 0.05) for b in base]))
+    cdf = spark.createDataFrame(corpus, "vec_id bigint, embedding array<double>")
+    qdf = spark.createDataFrame(
+        [(100, [1.0, 0.02, 0.0])], "query_id bigint, embedding array<double>"
+    )
+    out = ivf_topk(cdf, qdf, k=3, n_centroids=2, n_probe=1, train_iters=3).collect()
+    assert len(out) == 3
+    # with trained centroids and 1 probe, every neighbor comes from the
+    # +x cluster (even ids)
+    assert all(r["nn_id"] % 2 == 0 for r in out)
