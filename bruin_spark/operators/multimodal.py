@@ -79,20 +79,103 @@ def decode_media(
     return df.select(id_col, bin_col).mapInPandas(decode, out_schema)
 
 
-def resize_stub(df: DataFrame, bin_col: str = "media", size: tuple[int, int] = (64, 64)) -> DataFrame:
-    """Resize images. REAL path requires PIL — stubbed here.
+def resize_media(
+    df: DataFrame,
+    size: tuple[int, int] = (8, 8),
+    bin_col: str = "media",
+    id_col: str = "doc_id",
+    out: str = "media_resized",
+) -> DataFrame:
+    """Resize media blobs, binary in -> binary out, via mapInPandas.
 
-    The Spark plumbing (mapInPandas over binary, same-shape output) is
-    identical to decode_media; only the per-blob function changes.
+    The Spark plumbing — Arrow batch transfer, binary column in/out,
+    per-partition batching — is real and tested.  The per-blob function
+    dispatches: real image formats need Pillow (absent in this
+    container; gated behind an import-try and raising with instructions),
+    while BRUI synthetic blobs get a deterministic nearest-neighbor
+    payload subsample (new_payload[i] = old[(i * old_len) // new_len]),
+    so the whole pipeline runs end-to-end and is oracle-reproducible.
     """
-    try:
-        import PIL  # noqa: F401
-    except ImportError:
-        raise NotImplementedError(
-            "image resize needs Pillow, which is not in this container; "
-            "swap decode_media's per-blob fn for PIL.Image.resize when available"
-        ) from None
-    raise NotImplementedError("real resize wiring lands with the codec")
+    tw, th = size
+    out_schema = f"{id_col} bigint, {out} binary"
+
+    def work(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        try:
+            from PIL import Image  # noqa: F401
+
+            have_pil = True
+        except ImportError:
+            have_pil = False
+
+        for pdf in batches:
+            rows = []
+            for rid, blob in zip(pdf[id_col], pdf[bin_col]):
+                b = bytes(blob)
+                if b[:4] == MAGIC:
+                    _w, _h, n_frames = parse_header(b)
+                    payload = b[HEADER_SIZE:]
+                    old_len = len(payload)
+                    new_len = (tw * th) % 4096 + 16
+                    sub = bytes(
+                        payload[(i * old_len) // new_len] for i in range(new_len)
+                    )
+                    rows.append(
+                        (int(rid), struct.pack(HEADER_FMT, MAGIC, tw, th, n_frames) + sub)
+                    )
+                elif have_pil:
+                    # real path: Image.open(BytesIO(b)).resize(size) ->
+                    # re-encode; exercised only where Pillow is installed
+                    from io import BytesIO
+
+                    from PIL import Image
+
+                    img = Image.open(BytesIO(b)).resize((tw, th))
+                    buf = BytesIO()
+                    img.save(buf, format=img.format or "PNG")
+                    rows.append((int(rid), buf.getvalue()))
+                else:
+                    raise NotImplementedError(
+                        "non-BRUI media needs Pillow, which is not in this container"
+                    )
+            yield pd.DataFrame(rows, columns=[id_col, out])
+
+    return df.select(id_col, bin_col).mapInPandas(work, out_schema)
+
+
+def byte_histogram_features(
+    df: DataFrame,
+    n_bins: int = 16,
+    bin_col: str = "media",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-blob payload byte histogram -> long form (id, bin, cnt).
+
+    The feature-extraction shape of a real multimodal pipeline (pixel /
+    spectral statistics per asset): Arrow-batched mapInPandas, numpy
+    bincount per blob (vectorized, no per-byte Python), one output row
+    per (blob, bin).  Deterministic on BRUI blobs, so oracle-checkable.
+    """
+    out_schema = f"{id_col} bigint, bin int, cnt int"
+    width = 256 // n_bins
+
+    def work(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for rid, blob in zip(pdf[id_col], pdf[bin_col]):
+                b = bytes(blob)
+                payload = np.frombuffer(b[HEADER_SIZE:], dtype=np.uint8)
+                hist = np.bincount(payload // width, minlength=n_bins)
+                rows.extend(
+                    (int(rid), i, int(c)) for i, c in enumerate(hist[:n_bins])
+                )
+            yield pd.DataFrame(rows, columns=[id_col, "bin", "cnt"])
+
+    return df.select(id_col, bin_col).mapInPandas(work, out_schema)
 
 
 def frame_sample(

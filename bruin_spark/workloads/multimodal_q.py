@@ -99,8 +99,52 @@ FROM base, UNNEST([i FOR i IN generate_series(0, n_frames - 1) IF i % 4 = 0]) AS
 """
 
 
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize to 8x8 (BRUI subsample path), then decode the result —
+    verifies the resized blobs round-trip through the decoder."""
+    resized = M.resize_media(_with_media(spark, sf_dir), size=(8, 8))
+    return M.decode_media(resized, bin_col="media_resized")
+
+
+# after resize to (8,8): new_payload_len = 64 % 4096 + 16 = 80;
+# new_payload[i] = old_payload[(i * old_len) // 80] with
+# old_payload[j] = (doc_id + 31*j) % 256
+RESIZE_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         doc_id % 12 + 1 AS n_frames,
+         ((doc_id % 32 + 1) * (doc_id % 24 + 1)) % 4096 + 16 AS old_len
+  FROM documents
+)
+SELECT doc_id, 8::INT AS width, 8::INT AS height, n_frames::INT AS n_frames,
+       (80 + 12)::BIGINT AS n_bytes,
+       CAST(list_sum([ (doc_id + 31 * ((i * old_len) // 80)) % 256
+                       FOR i IN generate_series(0, 79) ]) AS BIGINT) AS payload_sum
+FROM base
+"""
+
+
+def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.byte_histogram_features(_with_media(spark, sf_dir), n_bins=16)
+
+
+FEATURES_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         ((doc_id % 32 + 1) * (doc_id % 24 + 1)) % 4096 + 16 AS payload_len
+  FROM documents
+)
+SELECT doc_id, b::INT AS bin,
+       len(list_filter(generate_series(0, payload_len - 1),
+                       j -> ((doc_id + 31 * j) % 256) // 16 = b))::INT AS cnt
+FROM base, UNNEST(generate_series(0, 15)) AS t(b)
+"""
+
+
 QUERIES = {
     "mm_decode": (mm_decode, DECODE_ORACLE),
     "mm_meta_scan": (mm_meta_scan, META_ORACLE),
     "mm_frame_sample": (mm_frame_sample, FRAME_ORACLE),
+    "mm_resize": (mm_resize, RESIZE_ORACLE),
+    "mm_features": (mm_features, FEATURES_ORACLE),
 }

@@ -57,13 +57,49 @@ def test_pack_partitions_by_bytes(spark):
     assert packed.rdd.getNumPartitions() >= 4
 
 
-def test_resize_stub_gated(spark):
-    df = _media_df(spark, n=1)
+def test_resize_brui_subsample_roundtrip(spark):
+    df = _media_df(spark, n=10)
+    out = M.decode_media(M.resize_media(df, size=(8, 8)), bin_col="media_resized")
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 10
+    for i, r in rows.items():
+        assert (r["width"], r["height"]) == (8, 8)
+        assert r["n_frames"] == i % 5 + 1  # frame count preserved
+        assert r["n_bytes"] == 80 + M.HEADER_SIZE  # (8*8)%4096+16 payload
+    # subsample is deterministic: first new byte == first old byte
+    blob = M.synth_media(5, 4, 2, payload_seed=3)
+    old_payload = blob[M.HEADER_SIZE:]
+    resized = (
+        M.resize_media(spark.createDataFrame([(0, blob)], "doc_id bigint, media binary"))
+        .collect()[0]["media_resized"]
+    )
+    assert bytes(resized)[M.HEADER_SIZE] == old_payload[0]
+
+
+def test_resize_non_brui_gated_without_pil(spark):
     try:
         import PIL  # noqa: F401
 
         pytest.skip("PIL present; stub gate not applicable")
     except ImportError:
         pass
-    with pytest.raises(NotImplementedError):
-        M.resize_stub(df)
+    df = spark.createDataFrame([(0, b"JPEG....")], "doc_id bigint, media binary")
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises((NotImplementedError, Py4JJavaError, Exception)):
+        M.resize_media(df).collect()
+
+
+def test_byte_histogram_features(spark):
+    df = _media_df(spark, n=5)
+    out = M.byte_histogram_features(df, n_bins=16)
+    rows = out.collect()
+    assert len(rows) == 5 * 16
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], 0)
+        per_doc[r["doc_id"]] += r["cnt"]
+    # histogram counts sum to the payload length
+    for i in range(5):
+        payload_len = ((i % 8 + 1) * (i % 6 + 1)) % 4096 + 16
+        assert per_doc[i] == payload_len
