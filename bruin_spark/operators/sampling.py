@@ -71,6 +71,49 @@ def assign_split(
     return df.withColumn("split", expr)
 
 
+def stratified_quota_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    quotas: dict[str, int],
+    default_quota: int = 0,
+    salt: str = "quota",
+) -> DataFrame:
+    """Keep at most ``quotas[stratum]`` rows per stratum, chosen by hash
+    rank — the training-mix shaping op ("cap English at N docs, keep all
+    of the low-resource languages").
+
+    Selection is the quota-smallest hash buckets per stratum: stable
+    across runs AND monotone under growth (a kept id stays kept until
+    the stratum's quota fills with smaller hashes).  Plan: one window
+    (rank over bucket within stratum) — a single shuffle on the stratum
+    key.  A skewed giant stratum makes that one sort task hot; for
+    100 TB-scale strata pre-filter with deterministic_sample to ~quota
+    size first (two-phase: cheap map-only cut, then the exact rank).
+    Ties (two ids in one bucket) break on the id for determinism.
+    """
+    from pyspark.sql import Window
+
+    bucket = hash_bucket(id_col, salt)
+    w = Window.partitionBy(stratum_col).orderBy(bucket, F.col(id_col))
+    quota_expr = None
+    for stratum, q in quotas.items():
+        cond = F.col(stratum_col) == stratum
+        quota_expr = (
+            F.when(cond, q) if quota_expr is None else quota_expr.when(cond, q)
+        )
+    quota_expr = (
+        quota_expr.otherwise(default_quota)
+        if quota_expr is not None
+        else F.lit(default_quota)
+    )
+    return (
+        df.withColumn("_qrank", F.row_number().over(w))
+        .filter(F.col("_qrank") <= quota_expr)
+        .drop("_qrank")
+    )
+
+
 def bucket_sql(id_expr: str, salt: str = "", n_buckets: int = N_BUCKETS) -> str:
     """The DuckDB-equivalent bucket expression (for oracles / warehouses
     that speak ANSI SQL) — byte-identical assignment to `hash_bucket`."""

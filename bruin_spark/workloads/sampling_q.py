@@ -59,7 +59,38 @@ WHERE {bucket_sql('doc_id', 's1')} < {int(0.10 * N_BUCKETS)}
 """
 
 
+_QUOTAS = {"en": 50, "es": 30}
+_DEFAULT_QUOTA = 10
+
+
+def sample_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix shaping: cap en at 50 docs, es at 30, everything
+    else at 10 — hash-rank selection, stable across runs and engines."""
+    from bruin_spark.operators.sampling import stratified_quota_sample
+
+    out = stratified_quota_sample(
+        _docs(spark, sf_dir), "doc_id", "lang", _QUOTAS, default_quota=_DEFAULT_QUOTA
+    )
+    return out.select("doc_id", "lang")
+
+
+def _quota_oracle() -> str:
+    cases = " ".join(f"WHEN '{s}' THEN {q}" for s, q in _QUOTAS.items())
+    return f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY {bucket_sql('doc_id', 'quota')}, doc_id
+         ) AS rn
+  FROM documents
+)
+WHERE rn <= CASE lang {cases} ELSE {_DEFAULT_QUOTA} END
+"""
+
+
 QUERIES = {
     "split_counts_by_lang": (split_counts_by_lang, SPLIT_COUNTS_ORACLE),
     "sample_docs_10pct": (sample_docs_10pct, SAMPLE_ORACLE),
+    "sample_stratified_quota": (sample_stratified_quota, _quota_oracle()),
 }

@@ -49,3 +49,20 @@ def test_sample_is_map_only_no_shuffle(spark, docs):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_stratified_quota_caps_and_stability(spark):
+    from bruin_spark.operators.sampling import stratified_quota_sample
+
+    rows = [(i, "en" if i % 3 else "fr") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    out = stratified_quota_sample(df, "doc_id", "lang", {"en": 5, "fr": 100})
+    got = out.collect()
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert len(by_lang["en"]) == 5          # capped
+    assert len(by_lang["fr"]) == 20         # under quota: all kept
+    # stability: same selection on rerun and on a superset (monotone)
+    again = stratified_quota_sample(df, "doc_id", "lang", {"en": 5, "fr": 100})
+    assert {r["doc_id"] for r in again.collect()} == {r["doc_id"] for r in got}
