@@ -163,6 +163,21 @@ def cmd_query(args) -> int:
     q = add_limit(query, args.limit) if args.limit else query
     df = spark.sql(q)
     rows = df.collect()
+    if getattr(args, "export", None):
+        # ref: cmd/fetch.go --export (CSV; .json by extension here)
+        if os.path.splitext(args.export)[1].lower() == ".json":
+            with open(args.export, "w") as f:
+                json.dump([r.asDict() for r in rows], f, default=str)
+        else:
+            import csv
+
+            with open(args.export, "w", newline="") as f:
+                w = csv.writer(f)
+                w.writerow(df.columns)
+                for r in rows:
+                    w.writerow([r[c] for c in df.columns])
+        print(f"exported {len(rows)} rows to {args.export}")
+        return 0
     if args.json:
         print(json.dumps([r.asDict() for r in rows], default=str))
     else:
@@ -318,6 +333,7 @@ def main(argv: list[str] | None = None) -> int:
     pq.add_argument("--limit", type=int)
     pq.add_argument("--sf-dir", help="register parquet tables from this dir")
     pq.add_argument("--json", action="store_true")
+    pq.add_argument("--export", help="write results to a .csv / .json file")
     pq.set_defaults(fn=cmd_query)
 
     pli = sub.add_parser("lineage", help="best-effort column lineage for an asset")

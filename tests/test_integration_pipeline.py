@@ -183,3 +183,16 @@ def test_parse_pipeline_json_golden(pipeline_dir, capsys):
     inv_cols = {c["name"]: c for c in by_name["shop_inventory"]["columns"]}
     assert inv_cols["product_id"]["primary_key"] is True
     assert by_name["shop_flags"]["type"] == "python"
+
+
+def test_query_export_csv_and_json(spark, tmp_path):
+    out_csv = tmp_path / "r.csv"
+    out_json = tmp_path / "r.json"
+    rc = cli_main(["query", "--query", "SELECT 1 AS a, 'x' AS b", "--export", str(out_csv)])
+    assert rc == 0
+    assert out_csv.read_text().splitlines() == ["a,b", "1,x"]
+    rc = cli_main(["query", "--query", "SELECT 2 AS n", "--export", str(out_json)])
+    assert rc == 0
+    import json
+
+    assert json.loads(out_json.read_text()) == [{"n": 2}]
