@@ -215,3 +215,51 @@ def test_minhash_verification_reads_materialized_candidates(spark, sf_dir):
     out = minhash_dedup_pairs(docs)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"FileScan", plan)) == 0
+
+
+def test_diff_rows_single_shuffle_per_side(spark):
+    """Row-level diff is ONE full-outer sort-merge join keyed on the PK:
+    exactly one hash-partitioning exchange per input, no broadcast of a
+    potentially-100TB side, no extra repartition."""
+    from bruin_spark.diff.diff import diff_rows
+
+    a = read_parquet(spark, f"{SF}/orders.parquet")
+    b = a.limit(100)
+    plan = plan_of(diff_rows(a, b, pks=["o_orderkey"]))
+    assert "SortMergeJoin FullOuter" in plan or "FullOuter" in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_stratified_quota_single_shuffle(spark):
+    """Quota sampling is one window over the stratum key — a single
+    exchange; the hash-bucket expression stays map-side."""
+    from bruin_spark.operators.sampling import stratified_quota_sample
+
+    docs = read_parquet(spark, f"{SF}/documents.parquet")
+    out = stratified_quota_sample(docs, "doc_id", "lang", {"en": 5})
+    plan = plan_of(out)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_kmeans_assign_partial_aggregates_before_shuffle(spark):
+    """ivf_assign's max_by argmax must collapse the k-scored rows per
+    vector MAP-SIDE (partial aggregation) before the shuffle — the
+    exchange carries |vectors| rows, not |vectors| x k."""
+    from pyspark.sql import functions as F
+
+    from bruin_spark.operators.similarity import (
+        deterministic_centroids,
+        ivf_assign,
+        with_unit_vectors,
+    )
+
+    emb = read_parquet(spark, f"{SF}/embeddings.parquet")
+    u = with_unit_vectors(emb).select("vec_id", "unit_vec")
+    cents = deterministic_centroids(u, 4)
+    plan = plan_of(ivf_assign(u, cents))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # map-side partial argmax before the single exchange (SortAggregate:
+    # first(array) + max_by(struct) are not hash-aggregable)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_max_by" in plan
