@@ -119,6 +119,95 @@ def cmd_run(args) -> int:
     return 0 if res.ok else 1
 
 
+_INIT_PIPELINE_YML = """name: {name}
+schedule: daily
+start_date: "2024-01-01"
+catchup: false
+"""
+
+_INIT_SEED_YML = """name: raw_events
+type: spark.seed
+parameters:
+  path: events.csv
+columns:
+  - name: event_id
+    type: bigint
+    checks: [{name: not_null}, {name: unique}]
+  - name: user_id
+    type: bigint
+  - name: amount
+    type: bigint
+    checks: [{name: non_negative}]
+"""
+
+_INIT_SEED_CSV = """event_id,user_id,amount
+1,10,25
+2,10,40
+3,11,5
+"""
+
+_INIT_SQL = """/* @bruin
+name: user_totals
+type: spark.sql
+depends: [raw_events]
+materialization:
+  type: table
+  strategy: create+replace
+columns:
+  - name: user_id
+    type: bigint
+    checks: [{name: not_null}, {name: unique}]
+  - name: total_amount
+    type: bigint
+    checks: [{name: non_negative}]
+@bruin */
+SELECT user_id, sum(amount) AS total_amount
+FROM raw_events
+GROUP BY user_id
+"""
+
+_INIT_PY = '''""" @bruin
+name: user_report
+type: python
+depends: [user_totals]
+materialization:
+  type: table
+  strategy: create+replace
+@bruin """
+
+def materialize():
+    totals = spark.table("user_totals").toPandas()
+    totals["is_big_spender"] = totals["total_amount"] > 30
+    return totals
+'''
+
+
+def cmd_init(args) -> int:
+    """Scaffold a runnable starter pipeline (ref: cmd/init.go + the
+    templates/default layout: pipeline.yml + seed + SQL + Python asset,
+    re-expressed for the Spark backend)."""
+    root = args.dir
+    assets = os.path.join(root, "assets")
+    if os.path.exists(os.path.join(root, "pipeline.yml")):
+        print(f"{root} already contains a pipeline.yml", file=sys.stderr)
+        return 2
+    os.makedirs(assets, exist_ok=True)
+    name = args.name or os.path.basename(os.path.abspath(root)) or "my_pipeline"
+    with open(os.path.join(root, "pipeline.yml"), "w") as f:
+        f.write(_INIT_PIPELINE_YML.format(name=name))
+    for fn, content in (
+        ("raw_events.asset.yml", _INIT_SEED_YML),
+        ("events.csv", _INIT_SEED_CSV),
+        ("user_totals.sql", _INIT_SQL),
+        ("user_report.py", _INIT_PY),
+    ):
+        with open(os.path.join(assets, fn), "w") as f:
+            f.write(content)
+    print(f"initialized pipeline {name!r} in {root}")
+    print(f"run it:  python -m bruin_spark run {root}")
+    return 0
+
+
 def cmd_render(args) -> int:
     from bruin_spark.mat.strategies import render_materialization
     from bruin_spark.model import load_pipeline
@@ -283,6 +372,11 @@ def cmd_lint(args) -> int:
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="bruin_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("init", help="scaffold a runnable starter pipeline")
+    pi.add_argument("dir")
+    pi.add_argument("--name", help="pipeline name (default: directory name)")
+    pi.set_defaults(fn=cmd_init)
 
     pr = sub.add_parser("run", help="run a pipeline")
     pr.add_argument("pipeline")

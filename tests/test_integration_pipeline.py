@@ -196,3 +196,16 @@ def test_query_export_csv_and_json(spark, tmp_path):
     import json
 
     assert json.loads(out_json.read_text()) == [{"n": 2}]
+
+
+def test_init_scaffold_runs_end_to_end(spark, tmp_path):
+    d = tmp_path / "starter"
+    rc = cli_main(["init", str(d), "--name", "starter"])
+    assert rc == 0
+    rc = cli_main(["init", str(d)])  # refuses to clobber
+    assert rc == 2
+    rc = cli_main(["run", str(d), "--start", "2024-01-01", "--end", "2024-01-02"])
+    assert rc == 0
+    assert _rows(spark, "user_totals", "user_id") == [(10, 65), (11, 5)]
+    report = {r["user_id"]: r["is_big_spender"] for r in spark.table("user_report").collect()}
+    assert report == {10: True, 11: False}
