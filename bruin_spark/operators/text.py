@@ -145,6 +145,52 @@ def repetition_features(
     return df.join(t1, id_col, "left").join(t2, id_col, "left")
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split documents into token-bounded chunks with overlap — the LLM
+    context-window preprocessing step (chunk i starts at token
+    ``i * (chunk_tokens - overlap)``).
+
+    One output row per chunk: (..input cols.., chunk_idx, chunk_text,
+    chunk_n_tokens).  Map-only: tokenization, the chunk-start sequence,
+    and the slice+reassemble all run as built-in array expressions inside
+    codegen — a 100 TB corpus chunks in a single scan with no shuffle
+    and no Python.  Documents shorter than ``chunk_tokens`` yield exactly
+    one chunk.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(text_col)
+    # chunk starts: 0, stride, 2*stride, ... while start < n_tokens;
+    # last chunk may be short but is never empty
+    starts = F.expr(
+        f"sequence(0, greatest(size(split(lower(trim({text_col})), '\\\\s+')) - 1, 0), {stride})"
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("start"),
+            F.concat_ws(" ", F.slice(toks, s + 1, chunk_tokens)).alias("chunk_text"),
+            F.least(
+                F.lit(chunk_tokens), F.size(toks) - s
+            ).alias("chunk_n_tokens"),
+        ),
+    )
+    out = df.withColumn("_chunk", F.explode(chunks))
+    return (
+        out.withColumn("chunk_idx", (F.col("_chunk.start") / stride).cast("int"))
+        .withColumn("chunk_text", F.col("_chunk.chunk_text"))
+        .withColumn("chunk_n_tokens", F.col("_chunk.chunk_n_tokens"))
+        .drop("_chunk")
+    )
+
+
 def shingles(text_col: str, n: int = 3) -> Column:
     """Word n-gram shingles as an array<string> (distinct preserved later).
 

@@ -256,8 +256,32 @@ FROM corpus LEFT JOIN hits USING (doc_id)
 """
 
 
+# -- context-window chunking ------------------------------------------------------
+
+_CHUNK, _OVERLAP = 64, 8
+_STRIDE = _CHUNK - _OVERLAP
+
+
+def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = T.chunk_documents(
+        _docs(spark, sf_dir), chunk_tokens=_CHUNK, overlap=_OVERLAP
+    )
+    return out.select("doc_id", "chunk_idx", "chunk_text", "chunk_n_tokens")
+
+
+CHUNKS_ORACLE = f"""
+SELECT doc_id,
+       (s // {_STRIDE})::INT AS chunk_idx,
+       array_to_string(list_slice(toks, s + 1, s + {_CHUNK}), ' ') AS chunk_text,
+       LEAST({_CHUNK}, len(toks) - s)::INT AS chunk_n_tokens
+FROM (SELECT doc_id, {_duck_tokens()} AS toks FROM documents),
+     UNNEST(generate_series(0, GREATEST(len(toks) - 1, 0), {_STRIDE})) AS t(s)
+"""
+
+
 QUERIES = {
     "text_token_count": (text_token_count, TOKEN_ORACLE),
+    "text_chunks": (text_chunks, CHUNKS_ORACLE),
     "text_language_id": (text_language_id, _lang_oracle()),
     "text_quality": (text_quality, _quality_oracle()),
     "text_fingerprint": (text_fingerprint, FINGERPRINT_ORACLE),

@@ -80,3 +80,40 @@ def test_repetition_features(spark):
     assert out[1]["top_2gram_frac"] == 1.0
     assert out[2]["top1_token_frac"] == 0.25
     assert abs(out[2]["top_2gram_frac"] - round(1 / 3, 6)) < 1e-9
+
+
+def test_chunk_documents_shapes_and_overlap(spark):
+    from bruin_spark.operators.text import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(100))
+    df = _docs(spark, [(1, words), (2, "short doc"), (3, "")])
+    out = chunk_documents(df, chunk_tokens=40, overlap=10)
+    rows = sorted(
+        ((r["doc_id"], r["chunk_idx"], r["chunk_n_tokens"], r["chunk_text"]) for r in out.collect())
+    )
+    by_doc = {}
+    for d, i, n, t in rows:
+        by_doc.setdefault(d, []).append((i, n, t))
+    # 100 tokens, stride 30: starts 0,30,60,90 -> sizes 40,40,40,10
+    assert [(i, n) for i, n, _ in by_doc[1]] == [(0, 40), (1, 40), (2, 40), (3, 10)]
+    # overlap: chunk 1 starts at token 30
+    assert by_doc[1][1][2].split(" ")[0] == "w30"
+    assert by_doc[1][0][2].split(" ")[-1] == "w39"
+    # short doc: exactly one chunk, all tokens
+    assert [(i, n) for i, n, _ in by_doc[2]] == [(0, 2)]
+    # empty text still yields one (empty-token) chunk, never zero rows
+    assert len(by_doc[3]) == 1
+
+    # map-only: no shuffle in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    from bruin_spark.operators.text import chunk_documents
+
+    df = _docs(spark, [(1, "a b c")])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=8, overlap=8)
