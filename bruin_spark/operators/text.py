@@ -191,6 +191,44 @@ def chunk_documents(
     )
 
 
+def assign_sequence_bins(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    budget: int = 2048,
+    n_buckets: int = 64,
+    salt: str = "seqpack",
+) -> DataFrame:
+    """Assign documents to training-sequence bins of ~``budget`` tokens
+    (the sequence-packing step before example serialization).
+
+    Deterministic and engine-portable, unlike first-fit heuristics that
+    depend on arrival order: documents are md5-hash-bucketed, ordered by
+    id within their bucket, and ``bin = floor(running_tokens_before /
+    budget)`` — the same doc always lands in the same (bucket, bin).
+    A bin can overshoot the budget by at most one document, the same
+    slack greedy packing accepts.  Plan: one shuffle on the bucket key;
+    each bucket's running sum is an independent window, so parallelism
+    is ``n_buckets`` regardless of corpus size — size n_buckets to the
+    cluster (e.g. 10k+ at 100 TB), not to 64.
+    """
+    from pyspark.sql import Window
+
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long") % n_buckets
+    out = df.withColumn("seq_bucket", bucket.cast("int"))
+    w = (
+        Window.partitionBy("seq_bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    running = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    return out.withColumn("seq_bin", F.floor(running / budget).cast("int"))
+
+
 def shingles(text_col: str, n: int = 3) -> Column:
     """Word n-gram shingles as an array<string> (distinct preserved later).
 

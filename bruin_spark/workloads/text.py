@@ -279,9 +279,48 @@ FROM (SELECT doc_id, {_duck_tokens()} AS toks FROM documents),
 """
 
 
+# -- sequence packing -------------------------------------------------------------
+
+_SEQ_BUDGET, _SEQ_BUCKETS = 512, 16
+
+
+def text_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack docs into ~512-token sequence bins; per-bin occupancy stats."""
+    docs = T.token_count(_docs(spark, sf_dir))
+    packed = T.assign_sequence_bins(
+        docs, budget=_SEQ_BUDGET, n_buckets=_SEQ_BUCKETS
+    )
+    return packed.groupBy("seq_bucket", "seq_bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+    )
+
+
+SEQPACK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, len({_duck_tokens()}) AS n_tokens,
+         (('0x' || SUBSTR(MD5('seqpack' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          % {_SEQ_BUCKETS})::INT AS seq_bucket
+  FROM documents
+),
+binned AS (
+  SELECT seq_bucket,
+         (COALESCE(SUM(n_tokens) OVER (
+            PARTITION BY seq_bucket ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          // {_SEQ_BUDGET})::INT AS seq_bin,
+         n_tokens
+  FROM toks
+)
+SELECT seq_bucket, seq_bin, COUNT(*) AS n_docs, SUM(n_tokens)::BIGINT AS bin_tokens
+FROM binned GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "text_token_count": (text_token_count, TOKEN_ORACLE),
     "text_chunks": (text_chunks, CHUNKS_ORACLE),
+    "text_sequence_packing": (text_sequence_packing, SEQPACK_ORACLE),
     "text_language_id": (text_language_id, _lang_oracle()),
     "text_quality": (text_quality, _quality_oracle()),
     "text_fingerprint": (text_fingerprint, FINGERPRINT_ORACLE),

@@ -117,3 +117,30 @@ def test_chunk_documents_rejects_bad_overlap(spark):
 
     with _pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=8, overlap=8)
+
+
+def test_sequence_bins_budget_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from bruin_spark.operators.text import assign_sequence_bins
+
+    rows = [(i, 100) for i in range(50)]  # uniform 100-token docs
+    df = spark.createDataFrame(rows, "doc_id bigint, n_tokens int")
+    out = assign_sequence_bins(df, budget=250, n_buckets=4)
+    got = out.collect()
+    # determinism across reruns
+    again = assign_sequence_bins(df, budget=250, n_buckets=4).collect()
+    assert {(r["doc_id"], r["seq_bucket"], r["seq_bin"]) for r in got} == {
+        (r["doc_id"], r["seq_bucket"], r["seq_bin"]) for r in again
+    }
+    # every bin holds <= budget + one doc's tokens (running-quotient slack)
+    sums = (
+        out.groupBy("seq_bucket", "seq_bin").agg(F.sum("n_tokens").alias("t")).collect()
+    )
+    assert all(r["t"] <= 250 + 100 for r in sums)
+    # bins within a bucket are consecutive starting at 0
+    per_bucket = {}
+    for r in got:
+        per_bucket.setdefault(r["seq_bucket"], set()).add(r["seq_bin"])
+    for bins in per_bucket.values():
+        assert bins == set(range(len(bins)))
