@@ -231,7 +231,35 @@ def cmd_query(args) -> int:
     from bruin_spark.parser import add_limit
     from bruin_spark.session import load_tables
 
-    if args.asset:
+    if getattr(args, "semantic_model", None):
+        # ref: cmd/fetch.go:594-680 — compile a semantic query from the
+        # repo's semantic/ dir (next to the pipeline by default)
+        from bruin_spark.semantic import SemanticEngine
+        from bruin_spark.semantic.loader import load_semantic_dir
+        from bruin_spark.semantic.model import DimensionRef, Query
+
+        sem_dir = args.semantic_dir or os.path.join(args.pipeline or ".", "semantic")
+        models = load_semantic_dir(sem_dir)
+        model = models.get(args.semantic_model)
+        if model is None:
+            print(
+                f"semantic model {args.semantic_model!r} not found in {sem_dir}",
+                file=sys.stderr,
+            )
+            return 2
+        dims = []
+        for d in args.dimension or []:
+            name, _, gran = d.partition(":")
+            dims.append(DimensionRef(name, granularity=gran))
+        q = Query(
+            dimensions=dims,
+            metrics=list(args.metric or []),
+            segments=list(args.segment or []),
+            # limit applied downstream via add_limit like every query
+        )
+        others = [m for m in models.values() if m.name != model.name]
+        query = SemanticEngine(model, others).generate_sql(q)
+    elif args.asset:
         from bruin_spark.model import load_pipeline
         from bruin_spark.render import render_asset_query
 
@@ -428,6 +456,11 @@ def main(argv: list[str] | None = None) -> int:
     pq.add_argument("--sf-dir", help="register parquet tables from this dir")
     pq.add_argument("--json", action="store_true")
     pq.add_argument("--export", help="write results to a .csv / .json file")
+    pq.add_argument("--semantic-model", help="compile a semantic query instead of SQL")
+    pq.add_argument("--semantic-dir", help="semantic models dir (default: <pipeline>/semantic)")
+    pq.add_argument("--metric", action="append", help="semantic metric (repeatable)")
+    pq.add_argument("--dimension", action="append", help="semantic dimension, optionally name:granularity (repeatable)")
+    pq.add_argument("--segment", action="append", help="semantic segment (repeatable)")
     pq.set_defaults(fn=cmd_query)
 
     pli = sub.add_parser("lineage", help="best-effort column lineage for an asset")
