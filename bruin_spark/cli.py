@@ -208,6 +208,30 @@ def cmd_init(args) -> int:
     return 0
 
 
+def cmd_clean(args) -> int:
+    """Remove run artifacts: pipeline state files and (with --sinks)
+    leftover stream sink tables (ref: cmd/clean.go removes cached
+    artifacts; ours are state + streaming sinks)."""
+    removed = []
+    state = os.path.join(args.pipeline, ".bruin_state.json")
+    if os.path.exists(state):
+        os.remove(state)
+        removed.append(state)
+    if args.sinks:
+        from bruin_spark import get_spark
+
+        spark = get_spark("bruin:clean")
+        for t in spark.catalog.listTables():
+            if t.name.startswith("stream_sink_") and t.tableType != "TEMPORARY":
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+                removed.append(f"table:{t.name}")
+    for r in removed:
+        print(f"removed {r}")
+    if not removed:
+        print("nothing to clean")
+    return 0
+
+
 def cmd_render(args) -> int:
     from bruin_spark.mat.strategies import render_materialization
     from bruin_spark.model import load_pipeline
@@ -400,6 +424,11 @@ def cmd_lint(args) -> int:
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="bruin_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
+
+    pc = sub.add_parser("clean", help="remove run state and stream sink leftovers")
+    pc.add_argument("pipeline", nargs="?", default=".")
+    pc.add_argument("--sinks", action="store_true", help="also drop stream_sink_* tables")
+    pc.set_defaults(fn=cmd_clean)
 
     pi = sub.add_parser("init", help="scaffold a runnable starter pipeline")
     pi.add_argument("dir")

@@ -209,3 +209,16 @@ def test_init_scaffold_runs_end_to_end(spark, tmp_path):
     assert _rows(spark, "user_totals", "user_id") == [(10, 65), (11, 5)]
     report = {r["user_id"]: r["is_big_spender"] for r in spark.table("user_report").collect()}
     assert report == {10: True, 11: False}
+
+
+def test_clean_removes_state_and_sinks(spark, tmp_path):
+    d = tmp_path / "p"
+    d.mkdir()
+    (d / ".bruin_state.json").write_text("{}")
+    spark.sql("CREATE TABLE IF NOT EXISTS stream_sink_cleanme (x INT) USING parquet")
+    rc = cli_main(["clean", str(d), "--sinks"])
+    assert rc == 0
+    assert not (d / ".bruin_state.json").exists()
+    assert not spark.catalog.tableExists("stream_sink_cleanme")
+    rc = cli_main(["clean", str(d)])
+    assert rc == 0  # idempotent
