@@ -103,6 +103,7 @@ def cmd_run(args) -> int:
         tags=args.tag,
         exclude_tags=args.exclude_tag,
         select=args.select,
+        only_types=args.only,
     )
     state_path = args.state or os.path.join(args.pipeline, ".bruin_state.json")
     if args.continue_run and os.path.exists(state_path):
@@ -444,6 +445,12 @@ def main(argv: list[str] | None = None) -> int:
         help="selector expression: +name, name+2, @name, tag:/path:/file:/fqn:, comma intersect",
     )
     pr.add_argument("--downstream", action="store_true")
+    pr.add_argument(
+        "--only",
+        action="append",
+        choices=["main", "checks"],
+        help="restrict to instance kinds (ref run --only): e.g. --only checks",
+    )
     pr.add_argument("--tag", action="append", default=[])
     pr.add_argument("--exclude-tag", action="append", default=[])
     pr.add_argument("--full-refresh", action="store_true")

@@ -243,12 +243,18 @@ class Scheduler:
         tags: list[str] | None = None,
         exclude_tags: list[str] | None = None,
         select: str | None = None,
+        only_types: list[str] | None = None,
     ) -> None:
         """Mark filtered-out assets SKIPPED (they satisfy readiness).
 
         ``select`` takes a full selector expression (``+name``, ``tag:x``,
         ``path:...``, comma intersection, ``@`` closure — see
-        scheduler/selector.py, ref pkg/pipeline/selector.go)."""
+        scheduler/selector.py, ref pkg/pipeline/selector.go).
+
+        ``only_types`` restricts by INSTANCE kind (``main`` / ``checks``),
+        the reference's ``--only`` flag (cmd/run.go): ``--only checks``
+        re-validates existing tables without re-materializing (skipped
+        mains satisfy readiness, so checks still run)."""
         if select:
             from bruin_spark.scheduler.selector import resolve_selector_assets
 
@@ -273,6 +279,12 @@ class Scheduler:
             if not _match_selector(a, selected, set(tags or []), set(exclude_tags or [])):
                 self.instances[a.name].status = InstanceStatus.SKIPPED
                 for inst in self._check_instances_of(a.name):
+                    inst.status = InstanceStatus.SKIPPED
+        if only_types:
+            kinds = set(only_types)
+            for inst in self.instances.values():
+                kind = "main" if inst.type == InstanceType.MAIN else "checks"
+                if kind not in kinds:
                     inst.status = InstanceStatus.SKIPPED
 
     def restore(self, state: PipelineState) -> None:

@@ -222,3 +222,19 @@ def test_clean_removes_state_and_sinks(spark, tmp_path):
     assert not spark.catalog.tableExists("stream_sink_cleanme")
     rc = cli_main(["clean", str(d)])
     assert rc == 0  # idempotent
+
+
+def test_only_checks_revalidates_without_rematerializing(spark, pipeline_dir):
+    rc = cli_main(["run", str(pipeline_dir), "--start", "2024-01-01", "--end", "2024-01-02"])
+    assert rc == 0
+    # change the seed on disk; --only checks must validate the EXISTING
+    # tables without re-running mains (ref cmd/run.go --only)
+    (pipeline_dir / "assets" / "products.csv").write_text(
+        "product_id,name,stock\n9,kiwi,1\n"
+    )
+    rc = cli_main(
+        ["run", str(pipeline_dir), "--only", "checks", "--start", "2024-01-01", "--end", "2024-01-02"]
+    )
+    assert rc == 0
+    # table still reflects the first run, not the new seed
+    assert [r["product_id"] for r in spark.table("shop_products").collect()] != [9]
