@@ -296,7 +296,15 @@ def kmeans_train(
             )
             .withColumn(
                 "_new_vec",
-                F.transform(F.col("_mean_vec"), lambda v: v / _norm(F.col("_mean_vec"))),
+                # zero-mean guard (opposing members cancel exactly): keep
+                # the raw mean instead of dividing to NaN, matching
+                # with_unit_vectors' zero-norm behavior
+                F.transform(
+                    F.col("_mean_vec"),
+                    lambda v: F.when(
+                        _norm(F.col("_mean_vec")) == 0.0, v
+                    ).otherwise(v / _norm(F.col("_mean_vec"))),
+                ),
             )
         )
         cents = (
