@@ -209,6 +209,60 @@ def cmd_init(args) -> int:
     return 0
 
 
+def cmd_patch(args) -> int:
+    """`patch fill-asset-dependencies`: parse each SQL asset's query for
+    referenced tables and add any that are pipeline assets to its
+    `depends` list, rewriting the asset file (ref: cmd/patch.go:233-379).
+    """
+    import re
+
+    import yaml
+
+    from bruin_spark.model import load_pipeline
+    from bruin_spark.parser import used_tables
+
+    pipe = load_pipeline(args.pipeline)
+    known = {a.name: a for a in pipe.assets}
+    patched = []
+    for a in pipe.assets:
+        if not a.query or "sql" not in (a.type or "") or not a.file_path:
+            continue
+        declared = {u.value for u in a.depends}
+        missing = sorted(
+            t
+            for t in used_tables(a.query)
+            if t in known and t != a.name and t not in declared
+        )
+        if not missing:
+            continue
+        new_deps = sorted(declared | set(missing))
+        with open(a.file_path) as f:
+            content = f.read()
+        if a.file_path.endswith((".yml", ".yaml")):
+            doc = yaml.safe_load(content) or {}
+            doc["depends"] = new_deps
+            new_content = yaml.safe_dump(doc, sort_keys=False)
+        else:
+            block = re.search(r"/\*\s*@bruin(.*?)@bruin\s*\*/", content, re.DOTALL)
+            if not block:
+                continue
+            meta = yaml.safe_load(block.group(1)) or {}
+            meta["depends"] = new_deps
+            new_block = "/* @bruin\n" + yaml.safe_dump(meta, sort_keys=False) + "@bruin */"
+            new_content = content[: block.start()] + new_block + content[block.end():]
+        with open(a.file_path, "w") as f:
+            f.write(new_content)
+        patched.append((a.name, missing))
+    if args.output == "json":
+        print(json.dumps([{"asset": n, "added": m} for n, m in patched]))
+    else:
+        for name, missing in patched:
+            print(f"{name}: added depends {', '.join(missing)}")
+        if not patched:
+            print("all asset dependencies already declared")
+    return 0
+
+
 def cmd_clean(args) -> int:
     """Remove run artifacts: pipeline state files and (with --sinks)
     leftover stream sink tables (ref: cmd/clean.go removes cached
@@ -425,6 +479,14 @@ def cmd_lint(args) -> int:
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="bruin_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
+
+    ppa = sub.add_parser(
+        "patch", help="fill missing asset dependencies from parsed SQL"
+    )
+    ppa.add_argument("subcommand", choices=["fill-asset-dependencies"])
+    ppa.add_argument("pipeline")
+    ppa.add_argument("--output", choices=["plain", "json"], default="plain")
+    ppa.set_defaults(fn=cmd_patch)
 
     pc = sub.add_parser("clean", help="remove run state and stream sink leftovers")
     pc.add_argument("pipeline", nargs="?", default=".")

@@ -238,3 +238,33 @@ def test_only_checks_revalidates_without_rematerializing(spark, pipeline_dir):
     assert rc == 0
     # table still reflects the first run, not the new seed
     assert [r["product_id"] for r in spark.table("shop_products").collect()] != [9]
+
+
+def test_patch_fill_asset_dependencies(tmp_path, capsys):
+    d = tmp_path / "patchme"
+    assets = d / "assets"
+    assets.mkdir(parents=True)
+    (d / "pipeline.yml").write_text("name: patchme\n")
+    (assets / "base.sql").write_text(
+        "/* @bruin\nname: base\ntype: spark.sql\n@bruin */\nSELECT 1 AS x\n"
+    )
+    (assets / "derived.sql").write_text(
+        "/* @bruin\nname: derived\ntype: spark.sql\n@bruin */\n"
+        "SELECT x FROM base JOIN other_table ON 1=1\n"
+    )
+    rc = cli_main(["patch", "fill-asset-dependencies", str(d)])
+    assert rc == 0
+    assert "derived: added depends base" in capsys.readouterr().out
+
+    from bruin_spark.model import load_pipeline
+
+    pipe = load_pipeline(str(d))
+    assert [u.value for u in pipe.asset("derived").depends] == ["base"]
+    # non-asset table references are NOT added
+    assert "other_table" not in {u.value for u in pipe.asset("derived").depends}
+    # the rewritten file still carries its SQL body
+    assert "SELECT x FROM base" in (assets / "derived.sql").read_text()
+    # idempotent
+    rc = cli_main(["patch", "fill-asset-dependencies", str(d)])
+    assert rc == 0
+    assert "already declared" in capsys.readouterr().out
