@@ -221,45 +221,88 @@ def cmd_patch(args) -> int:
     from bruin_spark.model import load_pipeline
     from bruin_spark.parser import used_tables
 
+    def rewrite_meta(asset, mutate) -> bool:
+        """Apply ``mutate(meta_dict)`` to the asset file's metadata
+        (YAML file or embedded @bruin block); returns False when the
+        file has no rewritable metadata."""
+        with open(asset.file_path) as f:
+            content = f.read()
+        if asset.file_path.endswith((".yml", ".yaml")):
+            doc = yaml.safe_load(content) or {}
+            mutate(doc)
+            new_content = yaml.safe_dump(doc, sort_keys=False)
+        else:
+            marker = (
+                r"/\*\s*@bruin(.*?)@bruin\s*\*/"
+                if asset.file_path.endswith(".sql")
+                else r'"""\s*@bruin(.*?)@bruin\s*"""'
+            )
+            block = re.search(marker, content, re.DOTALL)
+            if not block:
+                return False
+            meta = yaml.safe_load(block.group(1)) or {}
+            mutate(meta)
+            body = yaml.safe_dump(meta, sort_keys=False)
+            wrap = ("/* @bruin\n", "@bruin */") if asset.file_path.endswith(".sql") else ('""" @bruin\n', '@bruin """')
+            new_content = (
+                content[: block.start()] + wrap[0] + body + wrap[1] + content[block.end():]
+            )
+        with open(asset.file_path, "w") as f:
+            f.write(new_content)
+        return True
+
     pipe = load_pipeline(args.pipeline)
     known = {a.name: a for a in pipe.assets}
     patched = []
-    for a in pipe.assets:
-        if not a.query or "sql" not in (a.type or "") or not a.file_path:
-            continue
-        declared = {u.value for u in a.depends}
-        missing = sorted(
-            t
-            for t in used_tables(a.query)
-            if t in known and t != a.name and t not in declared
-        )
-        if not missing:
-            continue
-        new_deps = sorted(declared | set(missing))
-        with open(a.file_path) as f:
-            content = f.read()
-        if a.file_path.endswith((".yml", ".yaml")):
-            doc = yaml.safe_load(content) or {}
-            doc["depends"] = new_deps
-            new_content = yaml.safe_dump(doc, sort_keys=False)
-        else:
-            block = re.search(r"/\*\s*@bruin(.*?)@bruin\s*\*/", content, re.DOTALL)
-            if not block:
+    if args.subcommand == "fill-columns-from-db":
+        # ref: cmd/patch.go:381+ — back-fill declared columns from the
+        # materialized table's schema, keeping existing column metadata
+        from bruin_spark import get_spark
+
+        spark = get_spark("bruin:patch")
+        for a in pipe.assets:
+            if not a.file_path or not spark.catalog.tableExists(a.name):
                 continue
-            meta = yaml.safe_load(block.group(1)) or {}
-            meta["depends"] = new_deps
-            new_block = "/* @bruin\n" + yaml.safe_dump(meta, sort_keys=False) + "@bruin */"
-            new_content = content[: block.start()] + new_block + content[block.end():]
-        with open(a.file_path, "w") as f:
-            f.write(new_content)
-        patched.append((a.name, missing))
+            declared = {c.name for c in a.columns}
+            missing = [
+                (n, t) for n, t in spark.table(a.name).dtypes if n not in declared
+            ]
+            if not missing:
+                continue
+
+            def add_cols(meta, missing=missing):
+                cols = meta.setdefault("columns", [])
+                cols.extend({"name": n, "type": t} for n, t in missing)
+
+            if rewrite_meta(a, add_cols):
+                patched.append((a.name, [n for n, _ in missing]))
+    else:
+        for a in pipe.assets:
+            if not a.query or "sql" not in (a.type or "") or not a.file_path:
+                continue
+            declared = {u.value for u in a.depends}
+            missing = sorted(
+                t
+                for t in used_tables(a.query)
+                if t in known and t != a.name and t not in declared
+            )
+            if not missing:
+                continue
+            new_deps = sorted(declared | set(missing))
+
+            def set_deps(meta, new_deps=new_deps):
+                meta["depends"] = new_deps
+
+            if rewrite_meta(a, set_deps):
+                patched.append((a.name, missing))
+    what = "columns" if args.subcommand == "fill-columns-from-db" else "depends"
     if args.output == "json":
         print(json.dumps([{"asset": n, "added": m} for n, m in patched]))
     else:
         for name, missing in patched:
-            print(f"{name}: added depends {', '.join(missing)}")
+            print(f"{name}: added {what} {', '.join(missing)}")
         if not patched:
-            print("all asset dependencies already declared")
+            print(f"all asset {what} already declared")
     return 0
 
 
@@ -483,7 +526,9 @@ def main(argv: list[str] | None = None) -> int:
     ppa = sub.add_parser(
         "patch", help="fill missing asset dependencies from parsed SQL"
     )
-    ppa.add_argument("subcommand", choices=["fill-asset-dependencies"])
+    ppa.add_argument(
+        "subcommand", choices=["fill-asset-dependencies", "fill-columns-from-db"]
+    )
     ppa.add_argument("pipeline")
     ppa.add_argument("--output", choices=["plain", "json"], default="plain")
     ppa.set_defaults(fn=cmd_patch)

@@ -268,3 +268,26 @@ def test_patch_fill_asset_dependencies(tmp_path, capsys):
     rc = cli_main(["patch", "fill-asset-dependencies", str(d)])
     assert rc == 0
     assert "already declared" in capsys.readouterr().out
+
+
+def test_patch_fill_columns_from_db(spark, tmp_path, capsys):
+    d = tmp_path / "colpatch"
+    assets = d / "assets"
+    assets.mkdir(parents=True)
+    (d / "pipeline.yml").write_text("name: colpatch\n")
+    (assets / "widgets.sql").write_text(
+        "/* @bruin\nname: widgets\ntype: spark.sql\ncolumns:\n"
+        "  - name: widget_id\n    type: bigint\n@bruin */\n"
+        "SELECT 1 AS widget_id, 'a' AS label, 2.5 AS price\n"
+    )
+    spark.sql("DROP TABLE IF EXISTS widgets")
+    spark.sql("CREATE TABLE widgets USING parquet AS SELECT 1L AS widget_id, 'a' AS label, CAST(2.5 AS double) AS price")
+    rc = cli_main(["patch", "fill-columns-from-db", str(d)])
+    assert rc == 0
+    assert "widgets: added columns label, price" in capsys.readouterr().out
+
+    from bruin_spark.model import load_pipeline
+
+    pipe = load_pipeline(str(d))
+    cols = {c.name: c.type for c in pipe.asset("widgets").columns}
+    assert cols == {"widget_id": "bigint", "label": "string", "price": "double"}
