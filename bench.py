@@ -44,6 +44,8 @@ HEADLINE = [
     "sim_lsh_topk",
     "text_quality",
     "text_language_id",
+    "text_chunks",
+    "text_decontaminate",
     "sem_monthly_window",
     "rel_asof_purchase_login",
     "rel_session_stats",
