@@ -168,6 +168,12 @@ class Materializer:
         writer = df.write
         if mat.partition_by and mat.partition_by in df.columns:
             writer = writer.partitionBy(mat.partition_by)
+        if mat.bucket_by and mat.buckets:
+            # hash-bucketed + sorted layout: co-bucketed tables sort-merge
+            # join with no Exchange (gated in tests/test_plans.py)
+            cols = [c for c in mat.bucket_by if c in df.columns]
+            if cols:
+                writer = writer.bucketBy(mat.buckets, *cols).sortBy(*cols)
         return writer
 
     def _save_new(self, asset: Asset, df: DataFrame) -> None:

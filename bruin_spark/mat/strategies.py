@@ -97,8 +97,17 @@ def _replace_table(asset: Asset, select_query: str) -> list[str]:
     mat = asset.materialization
     name = quote_ident(asset.name)
     create = f"CREATE TABLE {name}"
+    if mat.bucket_by and mat.buckets:
+        # hash-bucketed layout: co-bucketed tables sort-merge join with
+        # no Exchange (plan-gated in tests/test_plans.py). Bucketing is
+        # a datasource-table feature, so the provider is explicit; the
+        # clause order (USING, PARTITIONED BY, CLUSTERED BY) is Spark's.
+        create += "\nUSING parquet"
     if mat.partition_by:
         create += f"\nPARTITIONED BY ({mat.partition_by})"
+    if mat.bucket_by and mat.buckets:
+        cols = ", ".join(quote_ident(c) for c in mat.bucket_by)
+        create += f"\nCLUSTERED BY ({cols}) SORTED BY ({cols}) INTO {mat.buckets} BUCKETS"
     create += f"\nAS\n{select_query}"
     stmts = [f"DROP TABLE IF EXISTS {name}", create]
     if mat.cluster_by:

@@ -56,6 +56,11 @@ class Materialization:
     incremental_key: str = ""
     incremental_predicate: str = ""
     time_granularity: str = ""  # "date" | "timestamp"
+    # Spark-first extension (no reference analog): hash-bucketed layout.
+    # Two tables bucketed INTO the same count ON the join key sort-merge
+    # join WITHOUT a shuffle — the co-located-join lever at 100 TB.
+    bucket_by: list[str] = field(default_factory=list)
+    buckets: int = 0
 
     @classmethod
     def from_dict(cls, d: dict[str, Any] | None) -> "Materialization":
@@ -64,6 +69,9 @@ class Materialization:
         cluster_by = d.get("cluster_by") or []
         if isinstance(cluster_by, str):
             cluster_by = [cluster_by]
+        bucket_by = d.get("bucket_by") or []
+        if isinstance(bucket_by, str):
+            bucket_by = [bucket_by]
         strat = d.get("strategy")
         return cls(
             type=MaterializationType(d.get("type", "") or ""),
@@ -73,6 +81,8 @@ class Materialization:
             incremental_key=d.get("incremental_key", "") or "",
             incremental_predicate=d.get("incremental_predicate", "") or "",
             time_granularity=d.get("time_granularity", "") or "",
+            bucket_by=list(bucket_by),
+            buckets=int(d.get("buckets", 0) or 0),
         )
 
 

@@ -338,3 +338,28 @@ def test_merge_null_pk_rows_update_not_drop(spark, mat):
     mat.run(a, "SELECT CAST(NULL AS BIGINT) AS id, 'updated' AS v")
     got = sorted([(r["id"], r["v"]) for r in spark.table("t_merge_nullpk").collect()], key=str)
     assert (None, "updated") in got and (7, "seven") in got and len(got) == 2
+
+
+def test_bucketed_create_replace_sql_golden():
+    from bruin_spark.mat.strategies import render_materialization
+    from bruin_spark.model.pipeline import (
+        Asset,
+        Materialization,
+        MaterializationType,
+        Strategy,
+    )
+
+    asset = Asset(
+        name="b.t",
+        type="spark.sql",
+        materialization=Materialization(
+            type=MaterializationType.TABLE,
+            strategy=Strategy.CREATE_REPLACE,
+            bucket_by=["k"],
+            buckets=16,
+        ),
+    )
+    stmts = render_materialization(asset, "SELECT 1 AS k", False)
+    assert stmts[0] == "DROP TABLE IF EXISTS `b`.`t`"
+    assert "USING parquet" in stmts[1]
+    assert "CLUSTERED BY (`k`) SORTED BY (`k`) INTO 16 BUCKETS" in stmts[1]

@@ -263,3 +263,39 @@ def test_kmeans_assign_partial_aggregates_before_shuffle(spark):
     # first(array) + max_by(struct) are not hash-aggregable)
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_max_by" in plan
+
+
+def test_bucketed_materialization_joins_without_shuffle(spark):
+    """Two tables materialized with the same bucket layout on the join
+    key must sort-merge join with NO Exchange on either side — the
+    co-located-join contract bucket_by exists for."""
+    from bruin_spark.mat.executor import Materializer
+    from bruin_spark.model.pipeline import Asset, Materialization, MaterializationType, Strategy
+
+    m = Materializer(spark)
+    for name, src in (
+        ("bkt_orders", f"SELECT o_orderkey, o_totalprice FROM parquet.`{SF}/orders.parquet`"),
+        ("bkt_lines", f"SELECT l_orderkey AS o_orderkey, l_quantity FROM parquet.`{SF}/lineitem.parquet`"),
+    ):
+        asset = Asset(
+            name=name,
+            type="spark.sql",
+            materialization=Materialization(
+                type=MaterializationType.TABLE,
+                strategy=Strategy.CREATE_REPLACE,
+                bucket_by=["o_orderkey"],
+                buckets=4,
+            ),
+        )
+        m.run(asset, src)
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bkt_orders").join(spark.table("bkt_lines"), "o_orderkey")
+        plan = plan_of(joined)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    assert joined.count() > 0
