@@ -441,6 +441,16 @@ def _materialization_config(p: Pipeline, a: Asset) -> list[Issue]:
         issues.append(
             Issue("materialization-config", a.name, "views cannot be partitioned or clustered")
         )
+    if bool(mat.bucket_by) != bool(mat.buckets):
+        issues.append(
+            Issue(
+                "materialization-config",
+                a.name,
+                "bucket_by and buckets must be set together",
+            )
+        )
+    if mat.bucket_by and mat.type == MaterializationType.VIEW:
+        issues.append(Issue("materialization-config", a.name, "views cannot be bucketed"))
     if a.columns:
         declared = {c.name.lower() for c in a.columns}
         for col in list(mat.cluster_by) + ([mat.partition_by] if mat.partition_by else []):

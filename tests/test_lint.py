@@ -408,3 +408,32 @@ def test_policy_criteria_sandbox_blocks_escapes():
     r = rd("getattr(asset, 'name')")
     with pytest.raises(NameError):
         r.evaluate(p, p.assets[0])
+
+
+def test_bucketing_lint_rules():
+    from bruin_spark.lint import lint_pipeline
+    from bruin_spark.model.pipeline import (
+        Asset,
+        Materialization,
+        MaterializationType,
+        Pipeline,
+        Strategy,
+    )
+
+    bad = Pipeline(
+        name="p",
+        assets=[
+            Asset(
+                name="t",
+                type="spark.sql",
+                query="SELECT 1 AS k",
+                materialization=Materialization(
+                    type=MaterializationType.TABLE,
+                    strategy=Strategy.CREATE_REPLACE,
+                    bucket_by=["k"],  # buckets missing
+                ),
+            )
+        ],
+    )
+    msgs = [i.message for i in lint_pipeline(bad) if i.rule == "materialization-config"]
+    assert any("bucket_by and buckets" in m for m in msgs)
