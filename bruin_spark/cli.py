@@ -209,6 +209,57 @@ def cmd_init(args) -> int:
     return 0
 
 
+def cmd_docs(args) -> int:
+    """Generate markdown documentation for a pipeline (ref: cmd/docs.go
+    serves an interactive UI; this emits the same content statically)."""
+    from bruin_spark.model import load_pipeline
+
+    pipe = load_pipeline(args.pipeline)
+    lines = [f"# Pipeline: {pipe.name}", ""]
+    if pipe.variables:
+        lines += ["## Variables", ""]
+        for k, v in pipe.variables.items():
+            lines.append(f"- `{k}` (default: `{v}`)")
+        lines.append("")
+    lines += ["## Assets", ""]
+    for a in pipe.assets:
+        mat = a.materialization
+        lines.append(f"### {a.name}")
+        lines.append("")
+        meta = [f"type: `{a.type}`"]
+        if mat.strategy:
+            meta.append(f"strategy: `{mat.strategy.value}`")
+        if a.depends:
+            meta.append("depends: " + ", ".join(f"`{u.value}`" for u in a.depends))
+        if a.tags:
+            meta.append("tags: " + ", ".join(a.tags))
+        if a.owner:
+            meta.append(f"owner: {a.owner}")
+        lines.append(" · ".join(meta))
+        lines.append("")
+        if a.description:
+            lines += [a.description, ""]
+        if a.columns:
+            lines += ["| column | type | PK | checks | description |", "|---|---|---|---|---|"]
+            for c in a.columns:
+                checks = ", ".join(ch.name for ch in c.checks) or "—"
+                lines.append(
+                    f"| {c.name} | {c.type or '—'} | {'✓' if c.primary_key else ''} "
+                    f"| {checks} | {c.description or ''} |"
+                )
+            lines.append("")
+        if a.custom_checks:
+            lines += ["Custom checks: " + ", ".join(cc.name for cc in a.custom_checks), ""]
+    doc = "\n".join(lines)
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write(doc)
+        print(f"wrote {args.output}")
+    else:
+        print(doc)
+    return 0
+
+
 def cmd_patch(args) -> int:
     """`patch fill-asset-dependencies`: parse each SQL asset's query for
     referenced tables and add any that are pipeline assets to its
@@ -522,6 +573,11 @@ def cmd_lint(args) -> int:
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="bruin_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
+
+    pdo = sub.add_parser("docs", help="generate markdown docs for a pipeline")
+    pdo.add_argument("pipeline")
+    pdo.add_argument("--output", help="write to a file instead of stdout")
+    pdo.set_defaults(fn=cmd_docs)
 
     ppa = sub.add_parser(
         "patch", help="fill missing asset dependencies from parsed SQL"

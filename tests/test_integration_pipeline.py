@@ -291,3 +291,15 @@ def test_patch_fill_columns_from_db(spark, tmp_path, capsys):
     pipe = load_pipeline(str(d))
     cols = {c.name: c.type for c in pipe.asset("widgets").columns}
     assert cols == {"widget_id": "bigint", "label": "string", "price": "double"}
+
+
+def test_docs_generation(pipeline_dir, tmp_path, capsys):
+    out = tmp_path / "docs.md"
+    rc = cli_main(["docs", str(pipeline_dir), "--output", str(out)])
+    assert rc == 0
+    doc = out.read_text()
+    assert "# Pipeline: shop_pipeline" in doc
+    assert "### shop_inventory" in doc
+    assert "strategy: `merge`" in doc
+    assert "| product_id | bigint | ✓ " in doc
+    assert "depends: `shop_inventory`" in doc
