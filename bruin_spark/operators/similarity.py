@@ -256,6 +256,45 @@ def deterministic_centroids(
     )
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out: str = "qvec",
+) -> DataFrame:
+    """Per-vector int8-range scalar quantization: 4x smaller embedding
+    storage — at 100 TB the difference between embeddings fitting in the
+    page cache or not.
+
+    ``q[i] = least(255, floor((v[i] - vmin) * 255 / (vmax - vmin)))``
+    with the per-vector ``vmin`` / ``vmax`` kept alongside for
+    dequantization (``v ≈ vmin + q * (vmax - vmin) / 255``).  floor, not
+    round: only exact range endpoints land on integer boundaries, so the
+    assignment is engine-exact (IEEE double ops in a fixed order).
+    Map-only built-in array expressions — zero Python, zero shuffle.
+    A constant vector (vmax == vmin) quantizes to all zeros.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    vmin, vmax = F.array_min(v), F.array_max(v)
+    df = (
+        df.withColumn("_v", v)
+        .withColumn("vmin", vmin)
+        .withColumn("vmax", vmax)
+    )
+    scale = F.col("vmax") - F.col("vmin")
+    q = F.when(
+        scale == 0.0,
+        F.transform(F.col("_v"), lambda x: F.lit(0).cast("int")),
+    ).otherwise(
+        F.transform(
+            F.col("_v"),
+            lambda x: F.least(
+                F.lit(255), F.floor((x - F.col("vmin")) * 255.0 / scale).cast("int")
+            ).cast("int"),
+        )
+    )
+    return df.withColumn(out, q).drop("_v")
+
+
 def kmeans_train(
     df: DataFrame,
     n_centroids: int,

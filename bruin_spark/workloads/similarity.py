@@ -235,3 +235,41 @@ FROM ex GROUP BY centroid_id, pos
 """
 
 QUERIES["emb_kmeans_step"] = (emb_kmeans_step, KMEANS_STEP_ORACLE)
+
+
+def emb_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 quantization summary: per-vector range + quantized checksum
+    (qsum/qmax prove the bucket assignment matches cross-engine)."""
+    from pyspark.sql import functions as F
+
+    q = S.quantize_embeddings(_emb(spark, sf_dir))
+    return q.select(
+        "vec_id",
+        F.round("vmin", 6).alias("vmin"),
+        F.round("vmax", 6).alias("vmax"),
+        F.aggregate("qvec", F.lit(0).cast("bigint"), lambda a, x: a + x).alias("qsum"),
+        F.array_max("qvec").alias("qmax"),
+    )
+
+
+QUANTIZE_ORACLE = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ve,
+         list_min(embedding::DOUBLE[]) AS vmin,
+         list_max(embedding::DOUBLE[]) AS vmax
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, vmin, vmax,
+         CASE WHEN vmax = vmin
+              THEN list_transform(ve, x -> 0)
+              ELSE list_transform(ve, x -> LEAST(255, FLOOR((x - vmin) * 255.0 / (vmax - vmin))::INT))
+         END AS qvec
+  FROM v
+)
+SELECT vec_id, ROUND(vmin, 6) AS vmin, ROUND(vmax, 6) AS vmax,
+       list_sum(qvec)::BIGINT AS qsum, list_max(qvec)::INT AS qmax
+FROM q
+"""
+
+QUERIES["emb_quantize_stats"] = (emb_quantize_stats, QUANTIZE_ORACLE)

@@ -74,3 +74,29 @@ def test_ivf_topk_with_training_matches_bruteforce_on_separated_data(spark):
     # with trained centroids and 1 probe, every neighbor comes from the
     # +x cluster (even ids)
     assert all(r["nn_id"] % 2 == 0 for r in out)
+
+
+def test_quantize_embeddings_roundtrip_error_bound(spark):
+    from pyspark.sql import functions as F
+
+    from bruin_spark.operators.similarity import quantize_embeddings
+
+    rows = [
+        (1, [0.0, 0.5, 1.0]),
+        (2, [-2.0, 0.0, 2.0]),
+        (3, [3.0, 3.0, 3.0]),  # constant vector
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    assert out[1]["qvec"] == [0, 127, 255]
+    assert out[3]["qvec"] == [0, 0, 0]  # vmax == vmin guard
+    # dequantization error bounded by one bucket width
+    for rid, vec in rows:
+        r = out[rid]
+        width = (r["vmax"] - r["vmin"]) / 255 if r["vmax"] > r["vmin"] else 0
+        for orig, q in zip(vec, r["qvec"]):
+            deq = r["vmin"] + q * width
+            assert abs(deq - orig) <= width + 1e-12
+    # map-only plan
+    plan = quantize_embeddings(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
