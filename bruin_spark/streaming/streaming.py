@@ -267,6 +267,66 @@ def stateful_running_counts(
     )
 
 
+def apply_cdc_stream(
+    spark: SparkSession,
+    sdf: DataFrame,
+    target: str,
+    pks: list[str],
+    op_col: str = "op",
+    ts_col: str = "",
+    checkpoint: str | None = None,
+    available_now: bool = True,
+):
+    """Apply a CDC event stream (insert/update/delete ops) onto a target
+    table via ``foreachBatch`` — the apply side of the reference's CDC
+    ingestion (pkg/ingestr/operator.go:229-320 produces the feed; the
+    warehouse merges it; here Spark is the warehouse).
+
+    Per micro-batch: collapse to the latest event per PK (by ``ts_col``
+    when given, else arbitrary-but-deterministic PK order), then rebuild
+    target = (target anti-join touched PKs) ∪ upserts — deletes
+    (``op = 'd'``) simply drop out.  The staged-swap write keeps the
+    batch idempotent: replaying a micro-batch after a crash converges to
+    the same table state, which combined with the checkpoint gives
+    end-to-end exactly-once.  On Delta/Iceberg swap the rebuild for a
+    real ``MERGE INTO`` per batch; the plan shape (one shuffle on the
+    PKs, batch side tiny) is the same.
+    """
+    import uuid as _uuid
+
+    from pyspark.sql import Window
+
+    def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        order = F.col(ts_col).desc() if ts_col else F.lit(1)
+        w = Window.partitionBy(*pks).orderBy(order)
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        upserts = latest.filter(F.col(op_col) != "d").drop(op_col)
+        keys = latest.select(*pks)
+        if not spark.catalog.tableExists(target):
+            upserts.write.saveAsTable(target)
+            return
+        remaining = spark.table(target).join(keys, pks, "left_anti")
+        new_state = remaining.unionByName(upserts)
+        stage = f"{target}__cdc_stage_{_uuid.uuid4().hex[:8]}"
+        new_state.write.saveAsTable(stage)
+        spark.sql(f"DROP TABLE IF EXISTS {target}")
+        spark.sql(f"ALTER TABLE {stage} RENAME TO {target}")
+
+    cp = checkpoint or tempfile.mkdtemp(prefix=f"bruin_cdc_{target}_")
+    writer = sdf.writeStream.foreachBatch(apply_batch).option("checkpointLocation", cp)
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
+
+
 def run_stream_to_table(
     sdf: DataFrame,
     table: str,

@@ -275,3 +275,51 @@ def test_scheduler_runs_batch_ingestr_asset(spark, tmp_path):
     assert res.ok, res.failed
     rows = sorted((r["id"], r["name"]) for r in spark.table("ing_users").collect())
     assert rows == [(1, "ada"), (2, "grace")]
+
+
+def test_apply_cdc_stream_upserts_and_deletes(spark, tmp_path):
+    import json
+
+    from bruin_spark.streaming.streaming import apply_cdc_stream
+
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    cp = str(tmp_path / "cdc_ckpt")
+    schema = "op string, id bigint, val string, ts bigint"
+
+    def write_batch(fn, events):
+        (src / fn).write_text("\n".join(json.dumps(e) for e in events))
+
+    def run():
+        sdf = (
+            spark.readStream.schema(schema).json(str(src))
+        )
+        apply_cdc_stream(
+            spark, sdf, "cdc_target", pks=["id"], ts_col="ts", checkpoint=cp
+        )
+
+    spark.sql("DROP TABLE IF EXISTS cdc_target")
+    write_batch(
+        "b1.json",
+        [
+            {"op": "c", "id": 1, "val": "a", "ts": 1},
+            {"op": "c", "id": 2, "val": "b", "ts": 2},
+            {"op": "u", "id": 1, "val": "a2", "ts": 3},  # later ts wins in-batch
+        ],
+    )
+    run()
+    rows = {r["id"]: r["val"] for r in spark.table("cdc_target").collect()}
+    assert rows == {1: "a2", 2: "b"}
+
+    # second run: the checkpoint skips b1 and applies only the new file
+    write_batch(
+        "b2.json",
+        [
+            {"op": "d", "id": 2, "val": None, "ts": 4},   # delete
+            {"op": "u", "id": 1, "val": "a3", "ts": 5},   # update
+            {"op": "c", "id": 3, "val": "c", "ts": 6},    # insert
+        ],
+    )
+    run()
+    rows = {r["id"]: r["val"] for r in spark.table("cdc_target").collect()}
+    assert rows == {1: "a3", 3: "c"}
