@@ -267,6 +267,35 @@ def stateful_running_counts(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: match right events to left
+    events with the same ``key`` where ``right_ts`` falls in
+    ``[left_ts - within, left_ts]``.
+
+    Both sides carry a watermark and the join condition bounds event
+    time, so Spark's state store can EVICT matched/expired rows — the
+    property that makes a stream-stream join runnable forever at scale
+    instead of buffering both streams unboundedly.  The join itself is
+    a keyed shuffle, same cost shape as a batch join on (key).
+    """
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.expr(f"l.{left_ts} - INTERVAL {within}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
+    )
+    return l.join(r, cond, "inner")
+
+
 def apply_cdc_stream(
     spark: SparkSession,
     sdf: DataFrame,

@@ -188,8 +188,55 @@ FROM sessions GROUP BY user_id, sid
 """
 
 
+def stream_purchase_view_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream join: each purchase matched to the same user's page
+    views in the preceding 2 hours — the attribution-funnel shape —
+    with watermark-evictable join state."""
+    from bruin_spark.streaming.streaming import stream_stream_join
+
+    purchases = stream_file_source(spark, _events_path(sf_dir)).filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        # watermarks require TIMESTAMP (session tz = UTC, so the cast is
+        # value-stable from the parquet NTZ column)
+        F.col("ts").cast("timestamp").alias("p_ts"),
+    )
+    views = stream_file_source(spark, _events_path(sf_dir)).filter(
+        F.col("event_type") == "view"
+    ).select(
+        F.col("event_id").alias("l_id"),
+        F.col("user_id").alias("l_user"),
+        F.col("ts").cast("timestamp").alias("l_ts"),
+    )
+    joined = stream_stream_join(
+        purchases.withColumnRenamed("user_id", "key_user"),
+        views.withColumnRenamed("l_user", "key_user"),
+        key="key_user",
+        left_ts="p_ts",
+        right_ts="l_ts",
+        within="2 hours",
+    )
+    sdf = joined.select(
+        F.col("l.key_user").alias("user_id"), "p_id", "l_id"
+    )
+    out = _run(spark, sdf, "append", "stream_sink_pv_join")
+    return out
+
+
+PV_JOIN_ORACLE = """
+SELECT p.user_id, p.event_id AS p_id, l.event_id AS l_id
+FROM events p JOIN events l
+  ON p.user_id = l.user_id
+ AND p.event_type = 'purchase' AND l.event_type = 'view'
+ AND l.ts >= p.ts - INTERVAL 2 HOUR AND l.ts <= p.ts
+"""
+
+
 QUERIES = {
     "stream_hourly_counts": (stream_hourly_counts, HOURLY_ORACLE),
+    "stream_purchase_view_join": (stream_purchase_view_join, PV_JOIN_ORACLE),
     "stream_session_counts": (stream_session_counts, SESSION_ORACLE),
     "stream_user_totals": (stream_user_totals, USER_TOTALS_ORACLE),
     "stream_dedup_ids": (stream_dedup_ids, DEDUP_ORACLE),
