@@ -62,16 +62,16 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "text_repetition",
     "text_pii_redact",
     "text_decontaminate",
-    # --- green sentinels, one-plus per family already verified in r02 ---
+    "mm_resize",
+    "mm_features",
+    "sample_stratified_quota",
+    "text_chunks",
+    "text_sequence_packing",
+    # --- green sentinels, one per family already verified in r02 ---
     "q1_pricing_summary",
     "mat_merge",
-    "mat_time_interval",
-    "mat_scd2_by_column",
-    "mat_datavault_link",
     "quality_violation_counts",
-    "dedup_exact_groups",
     "dedup_minhash_lsh",
-    "dedup_simhash_pairs",
     "sim_ivf_topk",
 )
 
