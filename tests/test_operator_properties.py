@@ -1,0 +1,135 @@
+"""Property-style tests for the training-data operators: seeded random
+corpora, invariants checked in Python over the full Spark output (one
+Spark job per property, not per example)."""
+
+import random
+import re
+
+from pyspark.sql import functions as F
+
+SEED = 20260813
+
+
+def _random_docs(n=60, vocab=("alpha", "beta", "gamma", "delta", "eps")):
+    rng = random.Random(SEED)
+    rows = []
+    for i in range(n):
+        n_tokens = rng.randint(0, 120)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n_tokens))))
+    return rows
+
+
+def test_chunking_covers_every_token_with_exact_overlap(spark):
+    from bruin_spark.operators.text import chunk_documents
+
+    chunk_tokens, overlap = 32, 8
+    stride = chunk_tokens - overlap
+    rows = _random_docs()
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = chunk_documents(df, chunk_tokens=chunk_tokens, overlap=overlap).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, text in rows:
+        toks = text.strip().lower().split() if text.strip() else [""]
+        chunks = sorted(by_doc[doc_id], key=lambda r: r["chunk_idx"])
+        # chunk indices are consecutive from 0
+        assert [c["chunk_idx"] for c in chunks] == list(range(len(chunks)))
+        # reassembling from stride-offsets reproduces the token stream
+        rebuilt = []
+        for c in chunks:
+            ctoks = c["chunk_text"].split(" ") if c["chunk_text"] != "" else [""]
+            assert len(ctoks) == c["chunk_n_tokens"] <= chunk_tokens
+            start = c["chunk_idx"] * stride
+            assert ctoks == toks[start : start + chunk_tokens]
+            rebuilt[start:] = ctoks  # overwrite the overlap region
+        assert rebuilt == toks
+
+
+def test_quantization_bounds_and_monotonicity(spark):
+    from bruin_spark.operators.similarity import quantize_embeddings
+
+    rng = random.Random(SEED)
+    rows = [
+        (i, [rng.uniform(-10, 10) for _ in range(16)]) for i in range(40)
+    ] + [(1000, [7.25] * 16)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    for vid, vec in rows:
+        r = out[vid]
+        assert all(0 <= q <= 255 for q in r["qvec"])
+        if r["vmax"] > r["vmin"]:
+            width = (r["vmax"] - r["vmin"]) / 255
+            for orig, q in zip(vec, r["qvec"]):
+                assert abs((r["vmin"] + q * width) - orig) <= width * (1 + 1e-9)
+            # monotone: larger values never get smaller codes
+            order = sorted(range(len(vec)), key=lambda i: vec[i])
+            codes = [r["qvec"][i] for i in order]
+            assert codes == sorted(codes)
+        else:
+            assert set(r["qvec"]) == {0}
+
+
+def test_pii_redaction_leaves_no_matches(spark):
+    from bruin_spark.operators.pii import PII_PATTERNS, pii_counts, redact_pii
+
+    rng = random.Random(SEED)
+    rows = []
+    for i in range(40):
+        parts = ["text", "more"]
+        if rng.random() < 0.5:
+            parts.append(f"user{i}@mail{i % 7}.com")
+        if rng.random() < 0.5:
+            parts.append(f"10.{i % 256}.0.{(i * 3) % 256}")
+        if rng.random() < 0.5:
+            parts.append(f"555-{i:04d}")
+        rng.shuffle(parts)
+        rows.append((i, " ".join(parts)))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = redact_pii(pii_counts(df)).collect()
+    for r in out:
+        for kind, (pattern, token) in PII_PATTERNS.items():
+            assert not re.search(pattern, r["text_redacted"]), (kind, r["text_redacted"])
+            # every counted match produced a token
+            assert r["text_redacted"].count(token) == r[f"n_{kind}"]
+
+
+def test_contamination_flags_are_sound_and_complete(spark):
+    from bruin_spark.operators.contamination import ngram_overlap_contamination
+
+    n = 4
+    rows = _random_docs(80)
+    corpus_rows = [(i, t) for i, t in rows if i % 4 != 0]
+    test_rows = [(i, t) for i, t in rows if i % 4 == 0]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id bigint, text string")
+    test = spark.createDataFrame(test_rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in ngram_overlap_contamination(corpus, test, n=n).collect()}
+
+    def grams(text):
+        toks = text.strip().lower().split() if text.strip() else [""]
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    test_grams = set().union(*(grams(t) for _, t in test_rows))
+    for doc_id, text in corpus_rows:
+        expected = len(grams(text) & test_grams)
+        assert out[doc_id]["n_hits"] == expected
+        assert out[doc_id]["contaminated"] == (expected >= 1)
+
+
+def test_sequence_bins_respect_budget_slack(spark):
+    from bruin_spark.operators.text import assign_sequence_bins
+
+    rng = random.Random(SEED)
+    rows = [(i, rng.randint(1, 300)) for i in range(200)]
+    budget = 500
+    df = spark.createDataFrame(rows, "doc_id bigint, n_tokens int")
+    out = assign_sequence_bins(df, budget=budget, n_buckets=8)
+    sums = (
+        out.groupBy("seq_bucket", "seq_bin")
+        .agg(F.sum("n_tokens").alias("t"), F.max("n_tokens").alias("mx"))
+        .collect()
+    )
+    for r in sums:
+        assert r["t"] <= budget + r["mx"]
