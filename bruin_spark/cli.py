@@ -85,6 +85,11 @@ def cmd_run(args) -> int:
             return 2
         apply_dev_environment(pipe, environment)
     stream_target = getattr(args, "stream", None)
+    if args.full_refresh and args.apply_interval_modifiers:
+        print(
+            "Warning: --apply-interval-modifiers is ignored when --full-refresh is enabled.",
+            file=sys.stderr,
+        )
     sched = Scheduler(
         spark,
         pipe,
@@ -94,6 +99,7 @@ def cmd_run(args) -> int:
         push_metadata=args.push_metadata,
         environment=environment,
         stream_mode=bool(stream_target),
+        apply_interval_modifiers=args.apply_interval_modifiers,
     )
     sched.apply_filters(
         # --stream <asset> runs exactly that streaming asset (ref
@@ -617,6 +623,12 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--tag", action="append", default=[])
     pr.add_argument("--exclude-tag", action="append", default=[])
     pr.add_argument("--full-refresh", action="store_true")
+    pr.add_argument(
+        "--apply-interval-modifiers",
+        action="store_true",
+        help="apply per-asset interval modifiers to the run window "
+        "(ref run flag; ignored with --full-refresh)",
+    )
     pr.add_argument("--workers", type=int, default=None)
     pr.add_argument("--start")
     pr.add_argument("--end")

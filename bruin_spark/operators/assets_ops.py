@@ -108,10 +108,15 @@ def run_python_asset(
 
 
 def _context_env(asset: Asset, ctx: RenderContext | None) -> dict[str, str]:
-    """BRUIN_* env contract (ref: pkg/jinja/jinja.go:96-119)."""
+    """BRUIN_* env contract (ref: pkg/jinja/jinja.go:96-119) + secret
+    injection (ref: pkg/python/operator.go:144-182 — secrets resolve from
+    the secrets backend, here the parent process environment, and are
+    injected under ``inject_as`` or their own key)."""
     if ctx is None:
         return {}
-    return {
+    import json as _json
+
+    env = {
         "BRUIN_START_DATE": ctx.start.strftime("%Y-%m-%d"),
         "BRUIN_START_DATETIME": ctx.start.strftime("%Y-%m-%dT%H:%M:%S"),
         "BRUIN_END_DATE": ctx.end.strftime("%Y-%m-%d"),
@@ -120,7 +125,17 @@ def _context_env(asset: Asset, ctx: RenderContext | None) -> dict[str, str]:
         "BRUIN_PIPELINE": ctx.pipeline_name,
         "BRUIN_FULL_REFRESH": "1" if ctx.full_refresh else "",
         "BRUIN_THIS": asset.name,
+        "BRUIN_VARS": _json.dumps(ctx.variables or {}),
     }
+    for s in asset.secrets:
+        key = s.get("secret_key", "")
+        if not key:
+            continue
+        val = os.environ.get(key)
+        if val is None:
+            raise ValueError(f"there's no secret with the name {key!r}")
+        env[s.get("inject_as") or key] = val
+    return env
 
 
 def _to_spark_df(spark: SparkSession, result: Any) -> DataFrame:

@@ -135,6 +135,7 @@ class Scheduler:
         push_metadata: bool = False,
         environment=None,
         stream_mode: bool = False,
+        apply_interval_modifiers: bool = True,
     ):
         # stream_mode=True is `bruin run --stream <asset>`: the single
         # streaming asset is the intended target, so no exclusion
@@ -148,6 +149,9 @@ class Scheduler:
         self.context = context or RenderContext(pipeline_name=pipeline.name)
         self.workers = workers or pipeline.concurrency or 16
         self.full_refresh = full_refresh
+        # ref cmd/run.go:553-562: interval modifiers are opt-in on manual
+        # runs and always ignored under --full-refresh
+        self.apply_interval_modifiers = apply_interval_modifiers and not full_refresh
         self.retries = pipeline.retries if retries is None else retries
         self.operators = operators or {}
         self.instances: dict[str, TaskInstance] = {}
@@ -224,6 +228,9 @@ class Scheduler:
                     if inst.blocking and inst.id not in main.upstreams:
                         extra.append(inst.id)
             main.upstreams.extend(extra)
+
+    def _mods(self, asset: Asset) -> dict:
+        return asset.interval_modifiers if self.apply_interval_modifiers else {}
 
     def _check_instances_of(self, asset_name: str) -> list[TaskInstance]:
         prefix_a = f"{asset_name}:check:"
@@ -489,7 +496,7 @@ class Scheduler:
                     if asset.materialization.time_granularity == "date"
                     else "%Y-%m-%d %H:%M:%S"
                 )
-                shifted = ctx.with_modifiers(asset.interval_modifiers)
+                shifted = ctx.with_modifiers(self._mods(asset))
                 user = self._user_intervals.get(asset.name, {})
                 interval = (
                     user.get("_interval_start", shifted.start.strftime(fmt)),
@@ -535,7 +542,7 @@ class Scheduler:
         if asset.type == "python":
             from bruin_spark.operators.assets_ops import run_python_asset
 
-            ctx = self.context.with_modifiers(asset.interval_modifiers)
+            ctx = self.context.with_modifiers(self._mods(asset))
             ctx.full_refresh = self.full_refresh
             return run_python_asset(self.spark, asset, ctx)
         if asset.type == "ingestr":
@@ -547,7 +554,7 @@ class Scheduler:
         if asset.type == "r":
             from bruin_spark.operators.r_ops import run_r_asset
 
-            ctx = self.context.with_modifiers(asset.interval_modifiers)
+            ctx = self.context.with_modifiers(self._mods(asset))
             ctx.full_refresh = self.full_refresh
             return run_r_asset(self.spark, asset, ctx)
         if asset.type.endswith(".source") or asset.type in ("noop", "metadata"):
@@ -578,7 +585,7 @@ class Scheduler:
 
             from bruin_spark.render.jinja import render_sql
 
-            ctx = self.context.with_modifiers(asset.interval_modifiers)
+            ctx = self.context.with_modifiers(self._mods(asset))
             ctx.this = asset.name
             asset = dataclasses.replace(
                 asset,

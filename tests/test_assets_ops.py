@@ -120,3 +120,47 @@ def test_python_asset_append_strategy(spark):
     run_python_asset(spark, asset)
     run_python_asset(spark, asset)
     assert spark.table("py_append").count() == 2
+
+
+def test_python_asset_secrets_and_vars_env(spark, monkeypatch):
+    from bruin_spark.model.pipeline import Asset
+    from bruin_spark.operators.assets_ops import run_python_asset
+    from bruin_spark.render import RenderContext
+
+    monkeypatch.setenv("MY_TOKEN", "s3cr3t")
+    asset = Asset(
+        name="env_probe",
+        type="python",
+        query=(
+            "import os, json\n"
+            "assert os.environ['API_KEY'] == 's3cr3t'\n"
+            "assert json.loads(os.environ['BRUIN_VARS']) == {'region': 'eu'}\n"
+        ),
+        secrets=[{"secret_key": "MY_TOKEN", "inject_as": "API_KEY"}],
+    )
+    from datetime import datetime
+
+    ctx = RenderContext(
+        start=datetime(2024, 1, 1), end=datetime(2024, 1, 2), variables={"region": "eu"}
+    )
+    run_python_asset(spark, asset, ctx)  # asserts inside the script
+
+
+def test_python_asset_missing_secret_errors(spark):
+    import pytest as _pytest
+
+    from bruin_spark.model.pipeline import Asset
+    from bruin_spark.operators.assets_ops import run_python_asset
+    from bruin_spark.render import RenderContext
+
+    asset = Asset(
+        name="env_probe2",
+        type="python",
+        query="pass\n",
+        secrets=[{"secret_key": "DOES_NOT_EXIST_XYZ"}],
+    )
+    from datetime import datetime
+
+    ctx = RenderContext(start=datetime(2024, 1, 1), end=datetime(2024, 1, 2))
+    with _pytest.raises(ValueError, match="no secret"):
+        run_python_asset(spark, asset, ctx)

@@ -450,3 +450,20 @@ def test_cyclic_dependencies_fail_instead_of_hanging(spark):
     sched = Scheduler(spark, pipe, workers=2)
     sched.run()
     assert "cycle" in sched.instances["cy_a"].error
+
+
+def test_interval_modifiers_gating(spark):
+    """ref cmd/run.go:553-562: modifiers are skipped when disabled, and
+    always skipped under full-refresh."""
+    from bruin_spark.model.pipeline import Asset, Pipeline
+    from bruin_spark.scheduler.scheduler import Scheduler
+
+    a = Asset(name="m_probe", type="spark.sql", query="SELECT 1 AS x",
+              interval_modifiers={"start": "-2h"})
+    pipe = Pipeline(name="p", assets=[a])
+    on = Scheduler(spark, pipe, apply_interval_modifiers=True)
+    off = Scheduler(spark, pipe, apply_interval_modifiers=False)
+    fr = Scheduler(spark, pipe, apply_interval_modifiers=True, full_refresh=True)
+    assert on._mods(a) == {"start": "-2h"}
+    assert off._mods(a) == {}
+    assert fr._mods(a) == {}
