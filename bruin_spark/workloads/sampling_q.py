@@ -89,8 +89,46 @@ WHERE rn <= CASE lang {cases} ELSE {_DEFAULT_QUOTA} END
 """
 
 
+def split_alignment_docs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table split consistency: hashing the shared id assigns a
+    document and its embedding to the SAME split without any join at
+    assignment time — the property that lets a 100 TB corpus and its
+    embedding store be split independently yet stay aligned.  Output is
+    the (doc_split, emb_split) contingency table: all mass must sit on
+    the diagonal."""
+    import os
+
+    from bruin_spark.session import read_parquet
+
+    docs = assign_split(_docs(spark, sf_dir), "doc_id")
+    emb = read_parquet(spark, os.path.join(sf_dir, "embeddings.parquet"))
+    emb = assign_split(emb, "vec_id").withColumnRenamed("split", "emb_split")
+    joined = docs.select("doc_id", "split").join(
+        emb.select(F.col("vec_id").alias("doc_id"), "emb_split"), "doc_id"
+    )
+    return joined.groupBy("split", "emb_split").agg(F.count(F.lit(1)).alias("n"))
+
+
+_SPLIT_CASE = f"""CASE
+  WHEN {bucket_sql('{id}', 'split')} < {int(0.9 * N_BUCKETS)} THEN 'train'
+  WHEN {bucket_sql('{id}', 'split')} < {int(0.95 * N_BUCKETS)} THEN 'val'
+  ELSE 'test' END"""
+
+SPLIT_ALIGNMENT_ORACLE = f"""
+SELECT d.split, e.emb_split, COUNT(*) AS n
+FROM (SELECT doc_id, {_SPLIT_CASE.replace('{id}', 'doc_id')} AS split FROM documents) d
+JOIN (SELECT vec_id, {_SPLIT_CASE.replace('{id}', 'vec_id')} AS emb_split FROM embeddings) e
+  ON d.doc_id = e.vec_id
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "split_counts_by_lang": (split_counts_by_lang, SPLIT_COUNTS_ORACLE),
+    "split_alignment_docs_embeddings": (
+        split_alignment_docs_embeddings,
+        SPLIT_ALIGNMENT_ORACLE,
+    ),
     "sample_docs_10pct": (sample_docs_10pct, SAMPLE_ORACLE),
     "sample_stratified_quota": (sample_stratified_quota, _quota_oracle()),
 }
