@@ -38,6 +38,7 @@ _VALID_TYPES = {
     "spark.seed",
     "seed",
     "python",
+    "r",
     "ingestr",
     "spark.sensor.query",
     "spark.sensor.table",

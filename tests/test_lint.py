@@ -437,3 +437,11 @@ def test_bucketing_lint_rules():
     )
     msgs = [i.message for i in lint_pipeline(bad) if i.rule == "materialization-config"]
     assert any("bucket_by and buckets" in m for m in msgs)
+
+
+def test_r_asset_type_is_valid():
+    from bruin_spark.lint import lint_pipeline
+    from bruin_spark.model.pipeline import Asset, Pipeline
+
+    p = Pipeline(name="p", assets=[Asset(name="x", type="r", query="cat(1)")])
+    assert not [i for i in lint_pipeline(p) if i.rule == "valid-task-type"]
