@@ -47,6 +47,18 @@ _VALID_TYPES = {
     "metadata",
 }
 
+#: BI/dashboard placeholder types (ref pipeline.go:35-169): valid DAG
+#: nodes with a NoOp main — they exist for lineage/metadata, checks can
+#: still attach (ref pkg/executor/defaults.go:10-95)
+_BI_PLACEHOLDER_TYPES = {
+    "tableau", "tableau.dashboard", "tableau.datasource", "tableau.workbook",
+    "tableau.worksheet", "looker", "powerbi", "metabase", "superset", "mode",
+    "modebi", "redash", "grafana", "domo", "qliksense", "qlikview",
+    "quicksight", "quicksight.dashboard", "quicksight.dataset", "sisense",
+    "holistics", "gooddata",
+}
+_VALID_TYPES |= _BI_PLACEHOLDER_TYPES
+
 _KNOWN_CHECKS = {
     "not_null",
     "unique",

@@ -557,7 +557,13 @@ class Scheduler:
             ctx = self.context.with_modifiers(self._mods(asset))
             ctx.full_refresh = self.full_refresh
             return run_r_asset(self.spark, asset, ctx)
-        if asset.type.endswith(".source") or asset.type in ("noop", "metadata"):
+        from bruin_spark.lint.rules import _BI_PLACEHOLDER_TYPES
+
+        if (
+            asset.type.endswith(".source")
+            or asset.type in ("noop", "metadata")
+            or asset.type in _BI_PLACEHOLDER_TYPES
+        ):
             return None  # NoOp main; checks still run (executor/defaults.go:10-95)
         raise RuntimeError(f"no operator for asset type: {asset.type}")
 

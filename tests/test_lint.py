@@ -445,3 +445,24 @@ def test_r_asset_type_is_valid():
 
     p = Pipeline(name="p", assets=[Asset(name="x", type="r", query="cat(1)")])
     assert not [i for i in lint_pipeline(p) if i.rule == "valid-task-type"]
+
+
+def test_bi_placeholder_types_valid_and_noop(spark):
+    from bruin_spark.lint import lint_pipeline
+    from bruin_spark.model.pipeline import Asset, Pipeline
+    from bruin_spark.scheduler.scheduler import Scheduler
+
+    from bruin_spark.model.pipeline import Upstream
+
+    p = Pipeline(
+        name="p",
+        assets=[
+            Asset(name="base_t", type="spark.sql", query="SELECT 1 AS x"),
+            Asset(name="dash", type="tableau.dashboard",
+                  depends=[Upstream(value="base_t")]),
+        ],
+    )
+    assert not [i for i in lint_pipeline(p) if i.rule == "valid-task-type"]
+    res = Scheduler(spark, p).run()
+    assert res.ok
+    assert "dash" in res.succeeded
