@@ -7,7 +7,15 @@ from hypothesis import strategies as st
 from bruin_spark.parser import add_limit, rename_tables, used_tables
 from bruin_spark.unittests.runner import compare_rows
 
-ident = st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True)
+# bare reserved words are not valid table names in the generated SQL
+_SQL_KEYWORDS = {
+    "on", "as", "by", "in", "is", "or", "and", "not", "join", "from",
+    "where", "group", "order", "select", "left", "right", "full", "inner",
+    "outer", "cross", "union", "all", "limit", "having", "with", "using",
+}
+ident = st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True).filter(
+    lambda s: s not in _SQL_KEYWORDS
+)
 
 
 @given(tables=st.lists(ident, min_size=1, max_size=4, unique=True))
