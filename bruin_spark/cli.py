@@ -100,6 +100,7 @@ def cmd_run(args) -> int:
         environment=environment,
         stream_mode=bool(stream_target),
         apply_interval_modifiers=args.apply_interval_modifiers,
+        sensor_mode=args.sensor_mode or "",
     )
     sched.apply_filters(
         # --stream <asset> runs exactly that streaming asset (ref
@@ -641,6 +642,11 @@ def main(argv: list[str] | None = None) -> int:
         help="run in a named environment from pipeline.yml (schema_prefix rewriting)",
     )
     pr.add_argument("--push-metadata", action="store_true")
+    pr.add_argument(
+        "--sensor-mode",
+        choices=["wait", "once", "skip"],
+        help="override every sensor's mode for this run (ref run --sensor-mode)",
+    )
     pr.add_argument("--continue", dest="continue_run", action="store_true")
     pr.add_argument(
         "--stream",

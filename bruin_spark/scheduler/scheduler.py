@@ -136,6 +136,7 @@ class Scheduler:
         environment=None,
         stream_mode: bool = False,
         apply_interval_modifiers: bool = True,
+        sensor_mode: str = "",
     ):
         # stream_mode=True is `bruin run --stream <asset>`: the single
         # streaming asset is the intended target, so no exclusion
@@ -152,6 +153,9 @@ class Scheduler:
         # ref cmd/run.go:553-562: interval modifiers are opt-in on manual
         # runs and always ignored under --full-refresh
         self.apply_interval_modifiers = apply_interval_modifiers and not full_refresh
+        if sensor_mode and sensor_mode not in ("wait", "once", "skip"):
+            raise ValueError("sensor_mode must be one of wait|once|skip")
+        self.sensor_mode = sensor_mode
         self.retries = pipeline.retries if retries is None else retries
         self.operators = operators or {}
         self.instances: dict[str, TaskInstance] = {}
@@ -526,7 +530,9 @@ class Scheduler:
             kind = asset.type.rsplit(".", 1)[1]
             params = asset.parameters
             kwargs = dict(
-                mode=params.get("mode", "wait"),
+                # a run-level sensor_mode overrides every sensor's own
+                # mode (ref cmd/run.go:607 --sensor-mode)
+                mode=self.sensor_mode or params.get("mode", "wait"),
                 poke_interval_s=float(params.get("poke_interval", 30)),
                 timeout_s=float(params["timeout"]) if params.get("timeout") else None,
             )

@@ -82,3 +82,28 @@ def test_sensor_skip_in_scheduler_lets_downstream_run(spark):
     res = Scheduler(spark, pipe, operators={"spark.sql": track}).run()
     assert "gate" in res.skipped
     assert "after" in res.succeeded and ran == ["after"]
+
+
+def test_run_level_sensor_mode_override(spark):
+    """--sensor-mode skip turns a would-block wait sensor into a SKIPPED
+    instance (ref cmd/run.go:607)."""
+    from bruin_spark.model.pipeline import Asset, Pipeline, Upstream
+    from bruin_spark.scheduler.scheduler import InstanceStatus, Scheduler
+
+    p = Pipeline(
+        name="p",
+        assets=[
+            Asset(
+                name="gate",
+                type="spark.sensor.query",
+                parameters={"query": "SELECT 0", "mode": "wait", "timeout": "1"},
+            ),
+            Asset(name="down", type="spark.sql", query="SELECT 1 AS x",
+                  depends=[Upstream(value="gate")]),
+        ],
+    )
+    sched = Scheduler(spark, p, sensor_mode="skip")
+    res = sched.run()
+    assert sched.instances["gate"].status == InstanceStatus.SKIPPED
+    # skipped sensor satisfies readiness -> downstream still runs
+    assert "down" in res.succeeded
