@@ -33,11 +33,13 @@ def _configure(spark: SparkSession, sf_dir: str = "") -> None:
     except Exception:
         pass  # already-read conf on a reused session
     spark.conf.set("spark.sql.adaptive.enabled", "true")
-    # Size shuffle parallelism ONLY for the known toy/bench scale factors;
-    # any other sf_dir keeps the session owner's cluster-sized value.
-    if "sf0.001" in sf_dir or "sf0.01" in sf_dir:
+    # Size shuffle parallelism ONLY for the known toy/bench scale factors
+    # (exact final path component, so a production path that merely
+    # contains "sf0.1" keeps the session owner's cluster-sized value).
+    leaf = os.path.basename(os.path.normpath(sf_dir)) if sf_dir else sf_dir
+    if leaf in ("sf0.001", "sf0.01"):
         spark.conf.set("spark.sql.shuffle.partitions", "8")
-    elif "sf0.1" in sf_dir:
+    elif leaf == "sf0.1":
         spark.conf.set("spark.sql.shuffle.partitions", "32")
 
 

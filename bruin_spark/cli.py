@@ -85,6 +85,11 @@ def cmd_run(args) -> int:
             return 2
         apply_dev_environment(pipe, environment)
     stream_target = getattr(args, "stream", None)
+    if stream_target and getattr(args, "sensor_mode", None):
+        # ref cmd/run.go:939 rejects combining --stream with --sensor-mode:
+        # a continuously-streaming run has no sensor poll loop to override.
+        print("--sensor-mode cannot be combined with --stream", file=sys.stderr)
+        return 2
     if args.full_refresh and args.apply_interval_modifiers:
         print(
             "Warning: --apply-interval-modifiers is ignored when --full-refresh is enabled.",
@@ -378,7 +383,10 @@ def cmd_clean(args) -> int:
 
         spark = get_spark("bruin:clean")
         for t in spark.catalog.listTables():
-            if t.name.startswith("stream_sink_") and t.tableType != "TEMPORARY":
+            orphan = t.name.startswith("stream_sink_") or (
+                "__cdc_stage_" in t.name or "__cdc_backup_" in t.name
+            )
+            if orphan and t.tableType != "TEMPORARY":
                 spark.sql(f"DROP TABLE IF EXISTS {t.name}")
                 removed.append(f"table:{t.name}")
     for r in removed:

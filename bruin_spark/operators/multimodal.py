@@ -159,6 +159,8 @@ def byte_histogram_features(
     """
     out_schema = f"{id_col} bigint, bin int, cnt int"
     width = 256 // n_bins
+    if width == 0:
+        raise ValueError(f"n_bins must be <= 256, got {n_bins}")
 
     def work(batches: Iterator) -> Iterator:
         import numpy as np
@@ -169,7 +171,10 @@ def byte_histogram_features(
             for rid, blob in zip(pdf[id_col], pdf[bin_col]):
                 b = bytes(blob)
                 payload = np.frombuffer(b[HEADER_SIZE:], dtype=np.uint8)
-                hist = np.bincount(payload // width, minlength=n_bins)
+                # When 256 % n_bins != 0 the last bin absorbs the tail
+                # (byte 255 maps past n_bins-1 otherwise, dropping counts).
+                idx = np.minimum(payload // width, n_bins - 1)
+                hist = np.bincount(idx, minlength=n_bins)
                 rows.extend(
                     (int(rid), i, int(c)) for i, c in enumerate(hist[:n_bins])
                 )

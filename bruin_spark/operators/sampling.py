@@ -78,6 +78,8 @@ def stratified_quota_sample(
     quotas: dict[str, int],
     default_quota: int = 0,
     salt: str = "quota",
+    two_phase: bool = True,
+    oversample: float = 4.0,
 ) -> DataFrame:
     """Keep at most ``quotas[stratum]`` rows per stratum, chosen by hash
     rank — the training-mix shaping op ("cap English at N docs, keep all
@@ -85,32 +87,110 @@ def stratified_quota_sample(
 
     Selection is the quota-smallest hash buckets per stratum: stable
     across runs AND monotone under growth (a kept id stays kept until
-    the stratum's quota fills with smaller hashes).  Plan: one window
-    (rank over bucket within stratum) — a single shuffle on the stratum
-    key.  A skewed giant stratum makes that one sort task hot; for
-    100 TB-scale strata pre-filter with deterministic_sample to ~quota
-    size first (two-phase: cheap map-only cut, then the exact rank).
-    Ties (two ids in one bucket) break on the id for determinism.
+    the stratum's quota fills with smaller hashes).
+
+    With ``two_phase`` (the default) the exact rank window only ever
+    sees ~``oversample × quota`` rows per stratum: a first cheap pass
+    collects per-stratum row counts (partial-agg shuffle, #strata output
+    rows), a broadcast-joined per-stratum hash threshold then cuts each
+    stratum map-side BEFORE the window, and a verification count
+    guarantees at least ``min(quota, stratum_size)`` survivors per
+    stratum (doubling any undershooting threshold — vanishingly rare at
+    oversample=4, but the guarantee is what keeps the output
+    byte-identical to the single-phase form: whenever ≥ quota rows
+    survive a bucket cut, the quota-smallest buckets are all among
+    them).  That bounds the hot-stratum sort task at ~oversample×quota
+    rows no matter how big the stratum is — a 100 TB English stratum
+    costs two map-only scans plus a window over a few-×-quota sliver,
+    instead of one sort task over the whole stratum.
+
+    ``two_phase=False`` keeps the direct single-window form (one shuffle
+    on the stratum key), fine when strata are known-small.  Ties (two
+    ids in one bucket) break on the id for determinism; both forms
+    return identical rows.
     """
+    import math
+
     from pyspark.sql import Window
+    from pyspark.sql.types import LongType, StructField, StructType
 
     bucket = hash_bucket(id_col, salt)
     w = Window.partitionBy(stratum_col).orderBy(bucket, F.col(id_col))
-    quota_expr = None
-    for stratum, q in quotas.items():
-        cond = F.col(stratum_col) == stratum
+
+    if not two_phase:
+        quota_expr = None
+        for stratum, q in quotas.items():
+            cond = F.col(stratum_col) == stratum
+            quota_expr = (
+                F.when(cond, q) if quota_expr is None else quota_expr.when(cond, q)
+            )
         quota_expr = (
-            F.when(cond, q) if quota_expr is None else quota_expr.when(cond, q)
+            quota_expr.otherwise(default_quota)
+            if quota_expr is not None
+            else F.lit(default_quota)
         )
-    quota_expr = (
-        quota_expr.otherwise(default_quota)
-        if quota_expr is not None
-        else F.lit(default_quota)
+        return (
+            df.withColumn("_qrank", F.row_number().over(w))
+            .filter(F.col("_qrank") <= quota_expr)
+            .drop("_qrank")
+        )
+
+    spark = df.sparkSession
+    sizes = {r[0]: r[1] for r in df.groupBy(stratum_col).count().collect()}
+
+    def _threshold(n: int, q: int) -> int:
+        if q <= 0:
+            return 0
+        if n <= oversample * q:
+            return N_BUCKETS
+        return min(N_BUCKETS, int(math.ceil(oversample * q / n * N_BUCKETS)))
+
+    thr = {
+        s: _threshold(n, quotas.get(s, default_quota)) for s, n in sizes.items()
+    }
+    stratum_type = df.schema[stratum_col].dataType
+    tschema = StructType(
+        [
+            StructField("_stratum", stratum_type, True),
+            StructField("_thr", LongType(), False),
+            StructField("_quota", LongType(), False),
+        ]
     )
+
+    def _filtered(cur_thr: dict) -> DataFrame:
+        rows = [
+            (s, int(cur_thr[s]), int(quotas.get(s, default_quota))) for s in sizes
+        ]
+        tdf = spark.createDataFrame(rows, tschema)
+        joined = df.join(
+            F.broadcast(tdf), df[stratum_col].eqNullSafe(tdf["_stratum"]), "inner"
+        ).drop("_stratum")
+        return joined.filter(bucket < F.col("_thr"))
+
+    # Verify the cut left >= min(quota, stratum_size) survivors wherever it
+    # actually cut (threshold strictly between 0 and N_BUCKETS); double any
+    # undershooting threshold.  Each iteration is one map-side-combined
+    # count; with oversample=4 the first pass succeeds essentially always.
+    while True:
+        cut_strata = {s for s, t in thr.items() if 0 < t < N_BUCKETS}
+        if not cut_strata:
+            break
+        surv = {r[0]: r[1] for r in _filtered(thr).groupBy(stratum_col).count().collect()}
+        bad = [
+            s
+            for s in cut_strata
+            if surv.get(s, 0) < min(quotas.get(s, default_quota), sizes[s])
+        ]
+        if not bad:
+            break
+        for s in bad:
+            thr[s] = min(N_BUCKETS, thr[s] * 2)
+
     return (
-        df.withColumn("_qrank", F.row_number().over(w))
-        .filter(F.col("_qrank") <= quota_expr)
-        .drop("_qrank")
+        _filtered(thr)
+        .withColumn("_qrank", F.row_number().over(w))
+        .filter(F.col("_qrank") <= F.col("_quota"))
+        .drop("_qrank", "_thr", "_quota")
     )
 
 

@@ -312,24 +312,54 @@ def apply_cdc_stream(
     warehouse merges it; here Spark is the warehouse).
 
     Per micro-batch: collapse to the latest event per PK (by ``ts_col``
-    when given, else arbitrary-but-deterministic PK order), then rebuild
-    target = (target anti-join touched PKs) ∪ upserts — deletes
-    (``op = 'd'``) simply drop out.  The staged-swap write keeps the
-    batch idempotent: replaying a micro-batch after a crash converges to
-    the same table state, which combined with the checkpoint gives
-    end-to-end exactly-once.  On Delta/Iceberg swap the rebuild for a
-    real ``MERGE INTO`` per batch; the plan shape (one shuffle on the
-    PKs, batch side tiny) is the same.
+    when given, else by every non-PK column descending — a stable,
+    content-derived tiebreaker so replays of the same batch pick the
+    same row; pass ``ts_col`` whenever the feed carries event order),
+    then rebuild target = (target anti-join touched PKs) ∪ upserts —
+    deletes (``op = 'd'``) simply drop out.
+
+    Crash safety: the rebuilt state is staged, then swapped via
+    rename-to-backup → rename-stage-in → drop-backup, and every batch
+    begins with a recovery sweep that restores the backup if a crash
+    left no ``target`` and drops orphaned ``__cdc_stage_*`` /
+    ``__cdc_backup_*`` tables.  The batch rebuild is idempotent
+    (replaying the same micro-batch converges to the same table state),
+    so with the checkpoint this is effectively-once; the metastore
+    rename pair is still two statements, not one atomic commit — on
+    Delta/Iceberg swap the rebuild for a real ``MERGE INTO`` per batch
+    (single atomic commit) with the same plan shape (one shuffle on the
+    PKs, batch side tiny).
     """
     import uuid as _uuid
 
     from pyspark.sql import Window
 
+    def _recover_and_sweep() -> None:
+        """Restore target from a backup left by a mid-swap crash; drop
+        orphaned stage/backup tables from failed earlier batches."""
+        names = {t.name for t in spark.catalog.listTables()}
+        base = target.split(".")[-1]
+        backups = sorted(n for n in names if n.startswith(f"{base}__cdc_backup_"))
+        if base not in names and backups:
+            spark.sql(f"ALTER TABLE {backups[-1]} RENAME TO {target}")
+            backups = backups[:-1]
+        for n in backups:
+            spark.sql(f"DROP TABLE IF EXISTS {n}")
+        for n in names:
+            if n.startswith(f"{base}__cdc_stage_"):
+                spark.sql(f"DROP TABLE IF EXISTS {n}")
+
     def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        order = F.col(ts_col).desc() if ts_col else F.lit(1)
-        w = Window.partitionBy(*pks).orderBy(order)
+        if ts_col:
+            order = [F.col(ts_col).desc()]
+        else:
+            # No event-time column: break ties on the full row content so
+            # the picked row is a deterministic function of the batch.
+            tie_cols = [c for c in batch_df.columns if c not in pks]
+            order = [F.col(c).desc() for c in tie_cols] or [F.lit(1)]
+        w = Window.partitionBy(*pks).orderBy(*order)
         latest = (
             batch_df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
@@ -337,15 +367,19 @@ def apply_cdc_stream(
         )
         upserts = latest.filter(F.col(op_col) != "d").drop(op_col)
         keys = latest.select(*pks)
+        _recover_and_sweep()
         if not spark.catalog.tableExists(target):
             upserts.write.saveAsTable(target)
             return
         remaining = spark.table(target).join(keys, pks, "left_anti")
         new_state = remaining.unionByName(upserts)
-        stage = f"{target}__cdc_stage_{_uuid.uuid4().hex[:8]}"
+        token = _uuid.uuid4().hex[:8]
+        stage = f"{target}__cdc_stage_{token}"
+        backup = f"{target}__cdc_backup_{token}"
         new_state.write.saveAsTable(stage)
-        spark.sql(f"DROP TABLE IF EXISTS {target}")
+        spark.sql(f"ALTER TABLE {target} RENAME TO {backup}")
         spark.sql(f"ALTER TABLE {stage} RENAME TO {target}")
+        spark.sql(f"DROP TABLE IF EXISTS {backup}")
 
     cp = checkpoint or tempfile.mkdtemp(prefix=f"bruin_cdc_{target}_")
     writer = sdf.writeStream.foreachBatch(apply_batch).option("checkpointLocation", cp)

@@ -20,59 +20,62 @@ from pyspark.sql import DataFrame, SparkSession
 # green sentinels (at least one per workload family) to guard against
 # regressions.  Everything else keeps its module order after the window.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # --- never driver-checked before round 3 ---
-    "sim_topk_bruteforce",
-    "sim_near_dup_exact",
-    "sim_lsh_bucket_sizes",
-    "sim_lsh_topk",
-    "text_token_count",
-    "text_language_id",
-    "text_quality",
-    "text_fingerprint",
-    "sem_revenue_by_status",
-    "sem_monthly_window",
-    "sem_filtered_segmented",
-    "sem_joined_segment",
-    "sem_rank_wrapped",
-    "diff_profile_orders",
-    "diff_profile_part",
-    "rel_asof_purchase_login",
-    "rel_range_price_bands",
-    "rel_sessionize",
-    "rel_session_stats",
-    "stream_hourly_counts",
-    "stream_user_totals",
-    "stream_dedup_ids",
-    "mm_decode",
-    "mm_meta_scan",
-    "mm_frame_sample",
-    "stat_price_quantiles",
+    # Round-4 window (exactly 50; any NEW registry entry added this round
+    # must be inserted HERE, near the top, displacing a sentinel below):
+    # --- never driver-checked (r01-r03 union misses only these 3) ---
+    "emb_quantize_stats",
+    "split_alignment_docs_embeddings",
+    "stream_purchase_view_join",
+    # --- changed this round (KMV sketch; two-phase quota sampling) ---
     "stat_event_user_sketch",
-    "split_counts_by_lang",
-    "sample_docs_10pct",
-    # --- new entries this round (need a first verdict) ---
-    "unittest_fixture_query",
-    "stream_kafka_parse",
-    "lineage_orders_enriched",
-    "ingest_sqlite_roundtrip",
-    "dedup_clusters",
-    "stream_session_counts",
-    "diff_rows_orders",
-    "emb_kmeans_step",
-    "text_repetition",
-    "text_pii_redact",
-    "text_decontaminate",
-    "mm_resize",
-    "mm_features",
     "sample_stratified_quota",
-    "text_chunks",
-    "text_sequence_packing",
-    # --- green sentinels, one per family already verified in r02 ---
-    "q1_pricing_summary",
-    "mat_merge",
-    "quality_violation_counts",
-    "dedup_minhash_lsh",
-    "sim_ivf_topk",
+    # --- sentinels: every entry last verified in r01/r02 (not r03),
+    # so after r04 every registry entry has a verdict <= 2 rounds old ---
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q_window_top_customers",
+    "q_rollup_sales",
+    "q_pivot_status_by_priority",
+    "q_events_user_activity",
+    "q_date_spine_orders",
+    "q_surrogate_keys",
+    "q4_late_orders",
+    "q6_revenue_forecast",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q15_top_supplier",
+    "q16_parts_supplier_counts",
+    "q22_inactive_customers",
+    "q2_min_acctbal_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q12_late_priority_lines",
+    "q13_customer_order_distribution",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q20_heavy_red_suppliers",
+    "q21_waiting_supplier",
+    "q11_important_parts",
+    "mat_create_replace",
+    "mat_view",
+    "mat_append",
+    "mat_truncate_insert",
+    "mat_delete_insert",
+    "mat_time_interval",
+    "mat_ddl",
+    "mat_scd2_by_column",
+    "mat_scd2_by_time",
+    "mat_datavault_hub",
+    "mat_datavault_link",
+    "mat_datavault_satellite",
+    "dedup_exact_groups",
+    "dedup_simhash_signature",
+    "dedup_simhash_pairs",
+    "dedup_exact_survivors",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_signature",
 )
 
 

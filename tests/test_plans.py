@@ -231,8 +231,11 @@ def test_diff_rows_single_shuffle_per_side(spark):
 
 
 def test_stratified_quota_single_shuffle(spark):
-    """Quota sampling is one window over the stratum key — a single
-    exchange; the hash-bucket expression stays map-side."""
+    """Two-phase quota sampling: the per-stratum hash-threshold cut must
+    execute MAP-SIDE (inside the broadcast join, before the exchange) so
+    the window's one shuffle+sort only sees ~oversample×quota rows per
+    stratum — the property that keeps a giant stratum off a single hot
+    sort task at 100 TB."""
     from bruin_spark.operators.sampling import stratified_quota_sample
 
     docs = read_parquet(spark, f"{SF}/documents.parquet")
@@ -240,6 +243,11 @@ def test_stratified_quota_single_shuffle(spark):
     plan = plan_of(out)
     assert plan.count("Exchange hashpartitioning") == 1
     assert "BatchEvalPython" not in plan
+    # the threshold pre-filter (bucket < _thr) sits in the broadcast join,
+    # upstream of the window exchange
+    join_part = plan.split("Exchange hashpartitioning")[1]
+    assert "BroadcastHashJoin" in join_part
+    assert "md5" in join_part and "_thr" in join_part
 
 
 def test_kmeans_assign_partial_aggregates_before_shuffle(spark):

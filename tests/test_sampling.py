@@ -66,3 +66,36 @@ def test_stratified_quota_caps_and_stability(spark):
     # stability: same selection on rerun and on a superset (monotone)
     again = stratified_quota_sample(df, "doc_id", "lang", {"en": 5, "fr": 100})
     assert {r["doc_id"] for r in again.collect()} == {r["doc_id"] for r in got}
+
+
+def test_stratified_two_phase_matches_single_phase(spark):
+    """The automated two-phase cut must return byte-identical rows to the
+    direct single-window form — the kept set is the same quota-smallest
+    hashes whenever the cut leaves >= quota survivors (guaranteed by the
+    verification pass)."""
+    from bruin_spark.operators.sampling import stratified_quota_sample
+    from bruin_spark.session import read_parquet
+
+    docs = read_parquet(spark, "/root/testdata/sf0.01/documents.parquet")
+    kw = dict(quotas={"en": 17, "es": 3}, default_quota=7)
+    two = stratified_quota_sample(docs, "doc_id", "lang", **kw).collect()
+    one = stratified_quota_sample(
+        docs, "doc_id", "lang", two_phase=False, **kw
+    ).collect()
+    assert sorted(map(tuple, two)) == sorted(map(tuple, one))
+
+
+def test_stratified_two_phase_tiny_oversample_still_exact(spark):
+    """Even a deliberately undersized oversample factor must converge to
+    the exact answer via the verification/doubling loop."""
+    from bruin_spark.operators.sampling import stratified_quota_sample
+
+    rows = [(i, "en") for i in range(500)] + [(i + 1000, "fr") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    out = stratified_quota_sample(
+        df, "doc_id", "lang", {"en": 50, "fr": 100}, oversample=1.01
+    )
+    ref = stratified_quota_sample(
+        df, "doc_id", "lang", {"en": 50, "fr": 100}, two_phase=False
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, ref.collect()))

@@ -323,3 +323,53 @@ def test_apply_cdc_stream_upserts_and_deletes(spark, tmp_path):
     run()
     rows = {r["id"]: r["val"] for r in spark.table("cdc_target").collect()}
     assert rows == {1: "a3", 3: "c"}
+
+    # crash simulation 1: a crash between rename-to-backup and
+    # rename-stage-in leaves no target but a backup — the next batch's
+    # recovery sweep must restore the backup, so no prior rows are lost
+    spark.sql("ALTER TABLE cdc_target RENAME TO cdc_target__cdc_backup_deadbeef")
+    # crash simulation 2: an orphaned stage table from a failed write
+    spark.sql("CREATE TABLE cdc_target__cdc_stage_cafe0000 AS SELECT 1 AS junk")
+    write_batch("b3.json", [{"op": "u", "id": 3, "val": "c2", "ts": 7}])
+    run()
+    rows = {r["id"]: r["val"] for r in spark.table("cdc_target").collect()}
+    assert rows == {1: "a3", 3: "c2"}  # id=1 survived the simulated crash
+    leftovers = [
+        t.name
+        for t in spark.catalog.listTables()
+        if "__cdc_stage_" in t.name or "__cdc_backup_" in t.name
+    ]
+    assert leftovers == []
+    spark.sql("DROP TABLE IF EXISTS cdc_target")
+
+
+def test_apply_cdc_stream_no_ts_deterministic(spark, tmp_path):
+    """Without ts_col the latest-per-PK pick must be a deterministic
+    function of the batch content (full-row tiebreaker), not
+    partition-order-dependent."""
+    import json
+
+    from bruin_spark.streaming.streaming import apply_cdc_stream
+
+    src = tmp_path / "cdc_src2"
+    src.mkdir()
+    schema = "op string, id bigint, val string"
+    (src / "b1.json").write_text(
+        "\n".join(
+            json.dumps(e)
+            for e in [
+                {"op": "c", "id": 1, "val": "aaa"},
+                {"op": "u", "id": 1, "val": "zzz"},
+                {"op": "u", "id": 1, "val": "mmm"},
+            ]
+        )
+    )
+    spark.sql("DROP TABLE IF EXISTS cdc_nt")
+    for attempt in range(2):
+        cp = str(tmp_path / f"ckpt{attempt}")
+        spark.sql("DROP TABLE IF EXISTS cdc_nt")
+        sdf = spark.readStream.schema(schema).json(str(src))
+        apply_cdc_stream(spark, sdf, "cdc_nt", pks=["id"], checkpoint=cp)
+        rows = {r["id"]: r["val"] for r in spark.table("cdc_nt").collect()}
+        assert rows == {1: "zzz"}  # max val: content-derived, replay-stable
+    spark.sql("DROP TABLE IF EXISTS cdc_nt")
