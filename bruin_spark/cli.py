@@ -75,15 +75,30 @@ def cmd_run(args) -> int:
             return 2
         ctx.variables.update(overrides.get("variables", overrides))
     environment = None
-    if getattr(args, "environment", None):
+    env_name = getattr(args, "environment", None)
+    if not env_name:
+        # no flag: the project config's default_environment applies
+        # (ref: .bruin.yml default_environment, cmd/run.go env selection)
+        from bruin_spark.devenv import default_environment_name
+
+        env_name = default_environment_name(args.pipeline) or None
+    if env_name:
         from bruin_spark.devenv import apply_dev_environment, load_environment
 
         try:
-            environment = load_environment(pipe, args.environment)
+            environment = load_environment(pipe, env_name, search_dir=args.pipeline)
         except ValueError as e:
             print(str(e), file=sys.stderr)
             return 2
         apply_dev_environment(pipe, environment)
+        if environment.tables_dir and not args.tables_dir:
+            from bruin_spark.session import load_tables
+
+            load_tables(spark, environment.tables_dir)
+        if environment.shuffle_partitions:
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(environment.shuffle_partitions)
+            )
     stream_target = getattr(args, "stream", None)
     if stream_target and getattr(args, "sensor_mode", None):
         # ref cmd/run.go:939 rejects combining --stream with --sensor-mode:
@@ -369,6 +384,129 @@ def cmd_patch(args) -> int:
     return 0
 
 
+def cmd_import(args) -> int:
+    """Scaffold assets from the warehouse catalog (ref: cmd/import.go
+    ImportDatabase — here the connection is the SparkSession catalog)."""
+    from bruin_spark import get_spark
+    from bruin_spark.model.importer import import_database, import_tables_dir
+
+    spark = get_spark("bruin:import")
+    try:
+        if args.tables_dir:
+            created, skipped = import_tables_dir(
+                spark,
+                args.pipeline,
+                args.tables_dir,
+                schema_name=args.schema or "raw",
+                overwrite=args.overwrite,
+            )
+        else:
+            created, skipped = import_database(
+                spark,
+                args.pipeline,
+                schema=args.schema,
+                fill_columns=not args.no_columns,
+                overwrite=args.overwrite,
+            )
+    except ValueError as e:
+        print(str(e), file=sys.stderr)
+        return 2
+    for p in created:
+        print(f"created {p}")
+    for p in skipped:
+        print(f"skipped {p} (exists; use --overwrite)")
+    if not created and not skipped:
+        print("no tables found in catalog")
+    return 0
+
+
+def cmd_format(args) -> int:
+    """Canonicalize asset files (ref: cmd/format.go; --fail-if-changed
+    is the CI hook mode)."""
+    from bruin_spark.model.formatter import format_asset_file, format_pipeline
+
+    target = args.path
+    if os.path.isfile(target):
+        changed_list = [target] if format_asset_file(
+            target, write=not args.fail_if_changed
+        ) else []
+        errors = []
+    else:
+        changed_list, errors = format_pipeline(
+            target, write=not args.fail_if_changed
+        )
+    for p in errors:
+        print(f"error formatting {p}", file=sys.stderr)
+    if args.fail_if_changed:
+        for p in changed_list:
+            print(f"would reformat {p}")
+        return 1 if changed_list or errors else 0
+    for p in changed_list:
+        print(f"formatted {p}")
+    if not changed_list:
+        print("all assets already formatted")
+    return 1 if errors else 0
+
+
+def cmd_environments(args) -> int:
+    """Manage named environments in the project .bruin.yml
+    (ref: cmd/environments.go list/create/update/delete/clone)."""
+    import json
+
+    from bruin_spark.projectconfig import (
+        CONFIG_FILENAME,
+        clone_environment,
+        create_environment,
+        delete_environment,
+        load_config,
+        save_config,
+        update_environment,
+    )
+
+    cfg = load_config(args.config_file or os.getcwd())
+    if args.envcommand == "list":
+        if args.output == "json":
+            print(
+                json.dumps(
+                    {
+                        "selected_environment": cfg.default_environment,
+                        "environments": [
+                            {"name": n, **spec} for n, spec in cfg.environments.items()
+                        ],
+                    }
+                )
+            )
+        else:
+            if not cfg.environments:
+                print("no environments defined")
+            for n, spec in cfg.environments.items():
+                star = "*" if n == cfg.default_environment else " "
+                prefix = spec.get("schema_prefix", "")
+                print(f"{star} {n}" + (f" (schema_prefix: {prefix})" if prefix else ""))
+        return 0
+
+    try:
+        if args.envcommand == "create":
+            create_environment(cfg, args.name, schema_prefix=args.schema_prefix or "")
+        elif args.envcommand == "update":
+            update_environment(
+                cfg, args.name, new_name=args.new_name, schema_prefix=args.schema_prefix
+            )
+        elif args.envcommand == "delete":
+            delete_environment(cfg, args.name)
+        elif args.envcommand == "clone":
+            clone_environment(
+                cfg, args.name, args.target, schema_prefix=args.schema_prefix
+            )
+    except ValueError as e:
+        print(str(e), file=sys.stderr)
+        return 2
+    path = cfg.path or args.config_file or os.path.join(os.getcwd(), CONFIG_FILENAME)
+    save_config(cfg, path)
+    print(f"{args.envcommand}d environment {args.name!r} in {path}")
+    return 0
+
+
 def cmd_clean(args) -> int:
     """Remove run artifacts: pipeline state files and (with --sinks)
     leftover stream sink tables (ref: cmd/clean.go removes cached
@@ -613,6 +751,50 @@ def main(argv: list[str] | None = None) -> int:
     pi.add_argument("dir")
     pi.add_argument("--name", help="pipeline name (default: directory name)")
     pi.set_defaults(fn=cmd_init)
+
+    pim = sub.add_parser(
+        "import", help="scaffold assets from the warehouse catalog (ref: bruin import database)"
+    )
+    pim.add_argument("pipeline")
+    pim.add_argument("--schema", "-s", help="only this schema/database")
+    pim.add_argument(
+        "--no-columns", "-n", action="store_true", help="skip column metadata"
+    )
+    pim.add_argument("--overwrite", action="store_true", help="replace existing asset files")
+    pim.add_argument(
+        "--tables-dir",
+        help="import parquet tables from this directory instead of the catalog",
+    )
+    pim.set_defaults(fn=cmd_import)
+
+    pe = sub.add_parser(
+        "environments", help="manage environments in the project .bruin.yml"
+    )
+    pesub = pe.add_subparsers(dest="envcommand", required=True)
+    pel = pesub.add_parser("list")
+    pel.add_argument("--output", "-o", default="plain", choices=["plain", "json"])
+    pel.add_argument("--config-file")
+    pel.set_defaults(fn=cmd_environments)
+    for verb in ("create", "update", "delete", "clone"):
+        pv = pesub.add_parser(verb)
+        pv.add_argument("name")
+        if verb == "clone":
+            pv.add_argument("target")
+        if verb == "update":
+            pv.add_argument("--new-name")
+        if verb in ("create", "update", "clone"):
+            pv.add_argument("--schema-prefix")
+        pv.add_argument("--config-file")
+        pv.set_defaults(fn=cmd_environments, output="plain")
+
+    pf = sub.add_parser("format", help="canonicalize asset definition files")
+    pf.add_argument("path", nargs="?", default=".", help="pipeline dir or one asset file")
+    pf.add_argument(
+        "--fail-if-changed",
+        action="store_true",
+        help="don't rewrite; exit 1 if any asset needs reformatting (CI hook)",
+    )
+    pf.set_defaults(fn=cmd_format)
 
     pr = sub.add_parser("run", help="run a pipeline")
     pr.add_argument("pipeline")

@@ -37,14 +37,46 @@ from bruin_spark.parser.sqlutil import rename_tables, used_tables
 class Environment:
     name: str
     schema_prefix: str = ""
+    tables_dir: str = ""
+    shuffle_partitions: int = 0
 
 
-def load_environment(pipeline: Pipeline, name: str) -> Environment:
+def _env_from_spec(name: str, spec: dict) -> Environment:
+    return Environment(
+        name=name,
+        schema_prefix=str(spec.get("schema_prefix", "") or ""),
+        tables_dir=str(spec.get("tables_dir", "") or ""),
+        shuffle_partitions=int(spec.get("shuffle_partitions", 0) or 0),
+    )
+
+
+def load_environment(
+    pipeline: Pipeline, name: str, search_dir: str | None = None
+) -> Environment:
+    """Resolve a named environment: the pipeline's own ``environments:``
+    block first, then the nearest ``.bruin.yml`` walking up from
+    ``search_dir`` (ref: cmd/environments.go keeps them in .bruin.yml)."""
     envs = (pipeline.raw or {}).get("environments", {}) or {}
     spec = envs.get(name)
-    if spec is None:
-        raise ValueError(f"unknown environment {name!r}; declare it under `environments:`")
-    return Environment(name=name, schema_prefix=str(spec.get("schema_prefix", "") or ""))
+    if spec is not None:
+        return _env_from_spec(name, spec or {})
+    if search_dir is not None:
+        from bruin_spark.projectconfig import load_config
+
+        cfg = load_config(search_dir)
+        if name in cfg.environments:
+            return _env_from_spec(name, cfg.environments[name])
+    raise ValueError(
+        f"unknown environment {name!r}; declare it under `environments:` "
+        f"in pipeline.yml or in a project .bruin.yml"
+    )
+
+
+def default_environment_name(search_dir: str) -> str:
+    """The project config's default_environment ('' when none)."""
+    from bruin_spark.projectconfig import load_config
+
+    return load_config(search_dir).default_environment
 
 
 def prefix_schema_component(name: str, prefix: str) -> str:

@@ -20,8 +20,15 @@ seed file schemes; the database families mirror ingestr's URI builders):
   ``partitionColumn``/``numPartitions`` parallel reads
 - local embedded: ``duckdb://path.db``, ``sqlite://path.db`` via Arrow/
   pandas (no JDBC needed)
-- ``kafka://`` is rejected here with a pointer to the streaming API
-  (streaming sources never run under the batch reader)
+- ``kafka:// kinesis:// rabbitmq://`` are rejected here with a pointer
+  to the streaming API (streaming sources never run under the batch
+  reader)
+- everything else the reference can address (the full ~140-scheme
+  ingestr surface) resolves through ``sources/registry.py``: extra
+  JDBC-wire databases fold into the JDBC map, connector-format systems
+  (mongodb/cassandra/elasticsearch/bigquery/iceberg/...) build their
+  Spark reader options (jar-gated), and the SaaS-API tail validates +
+  constructs options, with the fetch stubbed (``ApiSourceUnavailable``)
 
 Strategies (ingestr names): replace | append | merge | delete+insert |
 truncate+insert.
@@ -71,6 +78,19 @@ _JDBC_DRIVER = {
     "db2": "com.ibm.db2.jcc.DB2Driver",
     "sap": "com.sap.db.jdbc.Driver",
 }
+
+
+def _merge_jdbc_family() -> None:
+    """Fold the registry's extra JDBC-wire schemes (vertica, doris,
+    starrocks, cratedb, databricks, athena, ...) into the core maps."""
+    from bruin_spark.sources.registry import JDBC_FAMILY
+
+    for scheme, (sub, driver) in JDBC_FAMILY.items():
+        _JDBC_SUBPROTOCOL.setdefault(scheme, sub)
+        _JDBC_DRIVER.setdefault(sub, driver)
+
+
+_merge_jdbc_family()
 
 #: file_type / extension token -> Spark reader format
 #: (ref seedFileSchemes, operator.go:441-449; avro needs spark-avro jar)
@@ -209,15 +229,39 @@ def read_source(
     without them a database read is a single connection no matter the
     cluster size.
     """
+    from bruin_spark.sources.registry import (
+        API_SOURCES,
+        CONNECTOR_SOURCES,
+        STREAM_SCHEMES,
+        ApiSourceUnavailable,
+        api_source_options,
+        connector_read_options,
+    )
+
     scheme = uri.split("://", 1)[0] if "://" in uri else ""
     path = uri.split("://", 1)[1] if "://" in uri else uri
 
-    if scheme == "kafka":
+    if scheme in STREAM_SCHEMES:
         raise ValueError(
-            "kafka:// is a streaming source; use "
+            f"{scheme}:// is a streaming source; use "
             "bruin_spark.streaming.stream_kafka_source (batch runs skip "
             "streaming assets entirely)"
         )
+    if scheme in CONNECTOR_SOURCES:
+        fmt, opts, needs_jar = connector_read_options(uri, table)
+        reader = spark.read.format(fmt)
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        try:
+            return reader.load()
+        except Exception as e:  # connector jar absent on this cluster
+            raise ValueError(
+                f"{scheme}:// needs the {needs_jar or fmt} connector on "
+                f"the cluster (options constructed: {sorted(opts)})"
+            ) from e
+    if scheme in API_SOURCES:
+        # validates + constructs options; fetch is stubbed (registry.py)
+        raise ApiSourceUnavailable(scheme, api_source_options(uri))
     if scheme in ("http", "https"):
         local = _fetch_http(uri)
         resolved = resolve_file_source(local, file_type)

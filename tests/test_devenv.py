@@ -138,3 +138,117 @@ def test_dev_run_creates_missing_schema(spark):
     # dev schema auto-created; base had no dev copy so prod data is read
     [row] = spark.table("dev_mssch.out").collect()
     assert row["src"] == "prod"
+
+
+# ---------- project config (.bruin.yml analog) ----------
+
+
+def test_load_environment_from_project_config(tmp_path):
+    (tmp_path / ".bruin.yml").write_text(
+        "default_environment: dev\n"
+        "environments:\n"
+        "  dev:\n"
+        "    schema_prefix: dev_\n"
+        "    shuffle_partitions: 8\n"
+        "  prod:\n"
+        "    schema_prefix: ''\n"
+    )
+    sub = tmp_path / "pipelines" / "p1"
+    sub.mkdir(parents=True)
+    p = Pipeline(name="p", raw={})
+    env = load_environment(p, "dev", search_dir=str(sub))  # found walking up
+    assert env.schema_prefix == "dev_" and env.shuffle_partitions == 8
+    # pipeline.yml block wins over .bruin.yml on name collision
+    p2 = Pipeline(name="p", raw={"environments": {"dev": {"schema_prefix": "x_"}}})
+    assert load_environment(p2, "dev", search_dir=str(sub)).schema_prefix == "x_"
+
+    from bruin_spark.devenv import default_environment_name
+
+    assert default_environment_name(str(sub)) == "dev"
+
+
+def test_project_config_management_roundtrip(tmp_path):
+    from bruin_spark.projectconfig import (
+        clone_environment,
+        create_environment,
+        delete_environment,
+        load_config,
+        save_config,
+        update_environment,
+    )
+
+    cfg = load_config(str(tmp_path))
+    assert cfg.path == "" and cfg.environments == {}
+    create_environment(cfg, "default")
+    create_environment(cfg, "dev", schema_prefix="dev_")
+    assert cfg.default_environment == "default"
+    path = save_config(cfg, str(tmp_path / ".bruin.yml"))
+    cfg2 = load_config(path)
+    assert set(cfg2.environments) == {"default", "dev"}
+    clone_environment(cfg2, "dev", "staging", schema_prefix="stg_")
+    update_environment(cfg2, "dev", new_name="devel")
+    delete_environment(cfg2, "default")
+    assert set(cfg2.environments) == {"devel", "staging"}
+    assert cfg2.environments["staging"]["schema_prefix"] == "stg_"
+    assert cfg2.default_environment in cfg2.environments
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        create_environment(cfg2, "staging")
+    with pytest.raises(ValueError):
+        delete_environment(cfg2, "nope")
+
+
+def test_run_under_two_named_environments(spark, tmp_path):
+    """The integration story: one pipeline, two environments from
+    .bruin.yml — prod materializes into the plain schema, dev into the
+    prefixed one; default_environment applies without a flag."""
+    from types import SimpleNamespace
+
+    from bruin_spark.cli import cmd_run
+
+    d = tmp_path / "envpipe"
+    (d / "assets").mkdir(parents=True)
+    (d / "pipeline.yml").write_text("name: envpipe\n")
+    (d / ".bruin.yml").write_text(
+        "default_environment: prod\n"
+        "environments:\n"
+        "  prod:\n    schema_prefix: ''\n"
+        "  dev:\n    schema_prefix: dev_\n"
+    )
+    (d / "assets" / "tot.sql").write_text(
+        "/* @bruin\nname: envsch.tot\ntype: spark.sql\nmaterialization:\n"
+        "  type: table\n@bruin */\n"
+        "SELECT COUNT(*) AS n FROM orders\n"
+    )
+    spark.sql("CREATE DATABASE IF NOT EXISTS envsch")
+    spark.sql("CREATE DATABASE IF NOT EXISTS dev_envsch")
+    spark.sql("DROP TABLE IF EXISTS envsch.tot")
+    spark.sql("DROP TABLE IF EXISTS dev_envsch.tot")
+
+    def run(env=None):
+        args = SimpleNamespace(
+            pipeline=str(d), asset=None, select=None, downstream=False, only=None,
+            tag=[], exclude_tag=[], full_refresh=False,
+            apply_interval_modifiers=False, workers=1, start=None, end=None,
+            run_id=None, state=str(d / f"state_{env}.json"),
+            tables_dir="/root/testdata/sf0.001", variant=None, environment=env,
+            push_metadata=False, sensor_mode=None, continue_run=False, stream=None,
+        )
+        return cmd_run(args)
+
+    try:
+        assert run(env=None) == 0  # default_environment=prod from .bruin.yml
+        assert spark.catalog.tableExists("envsch.tot")
+        assert not spark.catalog.tableExists("dev_envsch.tot")
+        assert run(env="dev") == 0
+        assert spark.catalog.tableExists("dev_envsch.tot")
+        n_prod = spark.table("envsch.tot").collect()[0][0]
+        n_dev = spark.table("dev_envsch.tot").collect()[0][0]
+        assert n_prod == n_dev > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS envsch.tot")
+        spark.sql("DROP TABLE IF EXISTS dev_envsch.tot")
+        spark.sql("DROP DATABASE IF EXISTS envsch")
+        spark.sql("DROP DATABASE IF EXISTS dev_envsch")

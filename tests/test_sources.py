@@ -167,3 +167,120 @@ def test_kafka_uri_rejected_in_batch_reader(spark):
 
     with pytest.raises(ValueError, match="streaming source"):
         read_source(spark, "kafka://b:9092/topic")
+
+
+# ---------- source registry: the full ingestr scheme surface ----------
+
+
+def test_api_sources_table_driven_option_construction():
+    """Every SaaS scheme in the registry validates + constructs options
+    from a well-formed URI (table-driven over the whole tail)."""
+    from bruin_spark.sources.registry import API_SOURCES, api_source_options
+
+    assert len(API_SOURCES) >= 85  # the reference's SaaS connector tail
+    for scheme, required in API_SOURCES.items():
+        qs = "&".join(f"{k}=v_{k}" for k in required)
+        uri = f"{scheme}://myhost?{qs}" if qs else f"{scheme}://myhost"
+        opts = api_source_options(uri)
+        assert opts["scheme"] == scheme
+        assert opts["host"] == "myhost"
+        for k in required:
+            assert opts[k] == f"v_{k}", (scheme, k)
+
+
+def test_api_sources_missing_required_param_errors():
+    import pytest
+
+    from bruin_spark.sources.registry import API_SOURCES, api_source_options
+
+    for scheme, required in API_SOURCES.items():
+        if not required:
+            continue
+        with pytest.raises(ValueError, match=required[0]):
+            api_source_options(f"{scheme}://")
+    with pytest.raises(ValueError, match="unknown API source"):
+        api_source_options("nosuchsaas://?api_key=x")
+
+
+def test_jdbc_family_schemes_build_urls_and_drivers():
+    from bruin_spark.sources.ingest import jdbc_options
+
+    cases = {
+        "trino://u:p@thost:8080/hive": ("jdbc:trino://thost:8080/hive", "io.trino.jdbc.TrinoDriver"),
+        "db2://u:p@dhost:50000/mydb": ("jdbc:db2://dhost:50000/mydb", "com.ibm.db2.jcc.DB2Driver"),
+        "vertica://u:p@vhost:5433/vdb": ("jdbc:vertica://vhost:5433/vdb", "com.vertica.jdbc.Driver"),
+        "doris://u:p@dhost:9030/d": ("jdbc:mysql://dhost:9030/d", "com.mysql.cj.jdbc.Driver"),
+        "starrocks://u:p@shost:9030/d": ("jdbc:mysql://shost:9030/d", "com.mysql.cj.jdbc.Driver"),
+        "cratedb://u:p@chost:5432/doc": ("jdbc:postgresql://chost:5432/doc", "org.postgresql.Driver"),
+        "planetscale://u:p@phost/d": ("jdbc:mysql://phost/d", "com.mysql.cj.jdbc.Driver"),
+    }
+    for uri, (url, driver) in cases.items():
+        opts = jdbc_options(uri, table="t")
+        assert opts["url"] == url, uri
+        assert opts["driver"] == driver, uri
+        assert opts["dbtable"] == "t" and opts["user"] == "u"
+
+
+def test_connector_sources_construct_reader_options():
+    from bruin_spark.sources.registry import connector_read_options
+
+    fmt, opts, jar = connector_read_options(
+        "mongodb://mh:27017/appdb", table="events"
+    )
+    assert fmt == "mongodb" and jar
+    assert opts["spark.mongodb.read.connection.uri"].startswith("mongodb://mh")
+    assert opts["collection"] == "events"
+
+    fmt, opts, _ = connector_read_options("cassandra://chost/ks", table="tbl")
+    assert fmt == "org.apache.spark.sql.cassandra"
+    assert opts["spark.cassandra.connection.host"] == "chost"
+
+    fmt, opts, _ = connector_read_options(
+        "elasticsearch://es1:9200?secure=true", table="idx/doc"
+    )
+    assert fmt == "es" and opts["es.nodes"] == "es1:9200" and opts["es.resource"] == "idx/doc"
+
+    fmt, opts, _ = connector_read_options(
+        "dynamodb://?access_key_id=ak&secret_access_key=sk", table="orders"
+    )
+    assert fmt == "dynamodb"
+    assert opts == {"tableName": "orders", "accessKey": "ak", "secretKey": "sk"}
+
+    fmt, opts, _ = connector_read_options(
+        "spanner://?project_id=p&instance_id=i&database=d", table="t"
+    )
+    assert opts == {"projectId": "p", "instanceId": "i", "databaseId": "d", "table": "t"}
+
+
+def test_read_source_api_scheme_raises_unavailable_with_options(spark):
+    import pytest
+
+    from bruin_spark.sources.ingest import read_source
+    from bruin_spark.sources.registry import ApiSourceUnavailable
+
+    with pytest.raises(ApiSourceUnavailable) as ei:
+        read_source(spark, "stripe://?api_key=sk_test")
+    assert ei.value.scheme == "stripe"
+    assert ei.value.options["api_key"] == "sk_test"
+    # malformed URI of a known scheme -> ValueError, not the stub
+    with pytest.raises(ValueError, match="api_key"):
+        read_source(spark, "stripe://")
+
+
+def test_read_source_rejects_all_stream_schemes(spark):
+    import pytest
+
+    from bruin_spark.sources.ingest import read_source
+
+    for scheme in ("kafka", "kinesis", "rabbitmq"):
+        with pytest.raises(ValueError, match="streaming source"):
+            read_source(spark, f"{scheme}://broker:9092?topic=t")
+
+
+def test_all_known_schemes_covers_reference_surface():
+    from bruin_spark.sources.registry import all_known_schemes
+
+    schemes = all_known_schemes()
+    assert len(schemes) >= 130
+    for s in ("csv", "s3", "postgres", "trino", "mongodb", "kafka", "stripe", "iceberg"):
+        assert s in schemes, s
