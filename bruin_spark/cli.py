@@ -99,6 +99,17 @@ def cmd_run(args) -> int:
             spark.conf.set(
                 "spark.sql.shuffle.partitions", str(environment.shuffle_partitions)
             )
+    # named connections from the project .bruin.yml (active environment)
+    # back-fill the pipeline's own map (ref: connection resolution order,
+    # cmd/run.go + pkg/connection); pipeline.yml keys win on collision
+    from bruin_spark.projectconfig import load_config
+    from bruin_spark.sources.connections import environment_connections
+
+    _cfg = load_config(args.pipeline)
+    _conn_env = env_name or _cfg.default_environment
+    if _conn_env:
+        for _name, _uri in environment_connections(_cfg, _conn_env).items():
+            pipe.default_connections.setdefault(_name, _uri)
     stream_target = getattr(args, "stream", None)
     if stream_target and getattr(args, "sensor_mode", None):
         # ref cmd/run.go:939 rejects combining --stream with --sensor-mode:
@@ -507,6 +518,54 @@ def cmd_environments(args) -> int:
     return 0
 
 
+def cmd_connections(args) -> int:
+    """Manage named connections in the project .bruin.yml
+    (ref: cmd/connections.go list/add/delete; specs are URI strings or
+    typed mappings rendered by sources/connections.py)."""
+    import json
+
+    from bruin_spark.projectconfig import CONFIG_FILENAME, load_config, save_config
+    from bruin_spark.sources.connections import environment_connections
+
+    cfg = load_config(args.config_file or os.getcwd())
+    env = args.environment or cfg.default_environment or "default"
+    if args.conncommand == "list":
+        if args.output == "json":
+            print(
+                json.dumps(
+                    {
+                        e: environment_connections(cfg, e)
+                        for e in (cfg.environments or {})
+                    }
+                )
+            )
+        else:
+            conns = environment_connections(cfg, env)
+            if not conns:
+                print(f"no connections in environment {env!r}")
+            for name, uri in conns.items():
+                scheme = uri.split("://", 1)[0]
+                print(f"{name} ({scheme})")
+        return 0
+    envs = cfg.environments.setdefault(env, {})
+    conns = envs.setdefault("connections", {})
+    if args.conncommand == "add":
+        if args.name in conns:
+            print(f"connection {args.name!r} already exists in {env!r}", file=sys.stderr)
+            return 2
+        conns[args.name] = args.uri
+    elif args.conncommand == "delete":
+        if args.name not in conns:
+            print(f"unknown connection {args.name!r} in {env!r}", file=sys.stderr)
+            return 2
+        del conns[args.name]
+    path = cfg.path or args.config_file or os.path.join(os.getcwd(), CONFIG_FILENAME)
+    save_config(cfg, path)
+    verb = "added" if args.conncommand == "add" else "deleted"
+    print(f"{verb} connection {args.name!r} in {path} ({env})")
+    return 0
+
+
 def cmd_clean(args) -> int:
     """Remove run artifacts: pipeline state files and (with --sinks)
     leftover stream sink tables (ref: cmd/clean.go removes cached
@@ -786,6 +845,27 @@ def main(argv: list[str] | None = None) -> int:
             pv.add_argument("--schema-prefix")
         pv.add_argument("--config-file")
         pv.set_defaults(fn=cmd_environments, output="plain")
+
+    pcn = sub.add_parser(
+        "connections", help="manage named connections in the project .bruin.yml"
+    )
+    pcnsub = pcn.add_subparsers(dest="conncommand", required=True)
+    pcl = pcnsub.add_parser("list")
+    pcl.add_argument("--output", "-o", default="plain", choices=["plain", "json"])
+    pcl.add_argument("--environment", "--env")
+    pcl.add_argument("--config-file")
+    pcl.set_defaults(fn=cmd_connections, name="")
+    pca = pcnsub.add_parser("add")
+    pca.add_argument("name")
+    pca.add_argument("--uri", required=True, help="source URI for the connection")
+    pca.add_argument("--environment", "--env")
+    pca.add_argument("--config-file")
+    pca.set_defaults(fn=cmd_connections, output="plain")
+    pcd = pcnsub.add_parser("delete")
+    pcd.add_argument("name")
+    pcd.add_argument("--environment", "--env")
+    pcd.add_argument("--config-file")
+    pcd.set_defaults(fn=cmd_connections, output="plain")
 
     pf = sub.add_parser("format", help="canonicalize asset definition files")
     pf.add_argument("path", nargs="?", default=".", help="pipeline dir or one asset file")

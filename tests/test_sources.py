@@ -284,3 +284,95 @@ def test_all_known_schemes_covers_reference_surface():
     assert len(schemes) >= 130
     for s in ("csv", "s3", "postgres", "trino", "mongodb", "kafka", "stripe", "iceberg"):
         assert s in schemes, s
+
+
+# ---------- named connections (.bruin.yml store) ----------
+
+
+def test_connection_uri_typed_specs():
+    from bruin_spark.sources.connections import connection_uri
+
+    assert (
+        connection_uri(
+            {"type": "postgres", "host": "h", "port": 5432, "username": "u",
+             "password": "p w", "database": "db", "sslmode": "require"}
+        )
+        == "postgres://u:p%20w@h:5432/db?sslmode=require"
+    )
+    assert connection_uri({"type": "duckdb", "path": "/tmp/x.db"}) == "duckdb:///tmp/x.db"
+    assert connection_uri({"type": "stripe", "api_key": "sk"}) == "stripe://?api_key=sk"
+    assert connection_uri("mysql://u@h/d") == "mysql://u@h/d"  # passthrough
+    import pytest
+
+    with pytest.raises(ValueError, match="type"):
+        connection_uri({"host": "h"})
+
+
+def test_environment_connections_both_layouts():
+    from bruin_spark.projectconfig import ProjectConfig
+    from bruin_spark.sources.connections import environment_connections
+
+    cfg = ProjectConfig(
+        environments={
+            "dev": {
+                "connections": {
+                    # flat: name -> uri or typed mapping
+                    "warehouse": "duckdb:///tmp/w.db",
+                    "crm": {"type": "hubspot", "api_key": "k"},
+                }
+            },
+            "prod": {
+                "connections": {
+                    # reference layout: type -> [specs-with-name]
+                    "postgres": [
+                        {"name": "pg_main", "host": "h1", "database": "d1"},
+                        {"name": "pg_replica", "host": "h2", "database": "d1"},
+                    ]
+                }
+            },
+        }
+    )
+    dev = environment_connections(cfg, "dev")
+    assert dev["warehouse"] == "duckdb:///tmp/w.db"
+    assert dev["crm"] == "hubspot://?api_key=k"
+    prod = environment_connections(cfg, "prod")
+    assert prod["pg_main"] == "postgres://h1/d1"
+    assert set(prod) == {"pg_main", "pg_replica"}
+    assert environment_connections(cfg, "nope") == {}
+
+
+def test_run_resolves_source_connection_from_bruin_yml(spark, tmp_path):
+    """End-to-end: an ingestr asset addressing a named connection that
+    lives only in .bruin.yml resolves and loads."""
+    from types import SimpleNamespace
+
+    from bruin_spark.cli import cmd_run
+
+    csv = tmp_path / "users.csv"
+    csv.write_text("id,name\n1,ada\n2,grace\n")
+    d = tmp_path / "connpipe"
+    (d / "assets").mkdir(parents=True)
+    (d / "pipeline.yml").write_text("name: connpipe\n")
+    (d / ".bruin.yml").write_text(
+        "default_environment: local\n"
+        "environments:\n"
+        "  local:\n"
+        f"    connections:\n      users_file: csv://{csv}\n"
+    )
+    (d / "assets" / "conn_users.asset.yml").write_text(
+        "name: conn_users\ntype: ingestr\nparameters:\n"
+        "  source_connection: users_file\n  source_table: ignored\n"
+        "  incremental_strategy: replace\n"
+    )
+    spark.sql("DROP TABLE IF EXISTS conn_users")
+    args = SimpleNamespace(
+        pipeline=str(d), asset=None, select=None, downstream=False, only=None,
+        tag=[], exclude_tag=[], full_refresh=False, apply_interval_modifiers=False,
+        workers=1, start=None, end=None, run_id=None, state=str(d / "s.json"),
+        tables_dir=None, variant=None, environment=None, push_metadata=False,
+        sensor_mode=None, continue_run=False, stream=None,
+    )
+    assert cmd_run(args) == 0
+    rows = sorted((r["id"], r["name"]) for r in spark.table("conn_users").collect())
+    assert rows == [(1, "ada"), (2, "grace")]
+    spark.sql("DROP TABLE IF EXISTS conn_users")
