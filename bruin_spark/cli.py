@@ -518,6 +518,41 @@ def cmd_environments(args) -> int:
     return 0
 
 
+def cmd_unit_test(args) -> int:
+    """Run the unit tests declared on SQL assets (ref: cmd/unittest.go
+    `bruin unit-test [pipeline|asset]`): each test runs the asset's
+    rendered query against pinned CTE fixtures and compares rows."""
+    from bruin_spark import get_spark
+    from bruin_spark.model import load_pipeline
+    from bruin_spark.render import render_asset_query
+    from bruin_spark.unittests import run_unit_tests
+
+    pipe = load_pipeline(args.pipeline)
+    assets = [a for a in pipe.assets if a.unit_tests]
+    if args.asset:
+        assets = [a for a in assets if a.name == args.asset]
+        if not assets:
+            print(f"no unit tests found for asset {args.asset!r}", file=sys.stderr)
+            return 2
+    if not assets:
+        print("no unit tests declared in this pipeline")
+        return 0
+    spark = get_spark(f"bruin:unit-test:{pipe.name}")
+    ctx = _context(args)
+    ctx.pipeline_name = pipe.name
+    ctx.variables = dict(pipe.variables)
+    failed = 0
+    for asset in assets:
+        ctx.this = asset.name
+        rendered = render_asset_query(asset, ctx)
+        for res in run_unit_tests(spark, asset, rendered):
+            mark = "ok  " if res.passed else "FAIL"
+            detail = f": {res.message}" if res.message else ""
+            print(f"{mark} {res.asset}::{res.test}{detail}")
+            failed += 0 if res.passed else 1
+    return 1 if failed else 0
+
+
 def cmd_connections(args) -> int:
     """Manage named connections in the project .bruin.yml
     (ref: cmd/connections.go list/add/delete; specs are URI strings or
@@ -845,6 +880,15 @@ def main(argv: list[str] | None = None) -> int:
             pv.add_argument("--schema-prefix")
         pv.add_argument("--config-file")
         pv.set_defaults(fn=cmd_environments, output="plain")
+
+    pu = sub.add_parser(
+        "unit-test", help="run unit tests declared on SQL assets"
+    )
+    pu.add_argument("pipeline", nargs="?", default=".")
+    pu.add_argument("--asset", help="only this asset's tests")
+    pu.add_argument("--start")
+    pu.add_argument("--end")
+    pu.set_defaults(fn=cmd_unit_test)
 
     pcn = sub.add_parser(
         "connections", help="manage named connections in the project .bruin.yml"

@@ -114,3 +114,45 @@ def test_cte_assertion(spark):
     )
     res = run_unit_tests(spark, asset)[0]
     assert res.passed, res.message
+
+
+def test_unit_test_cli_command(spark, tmp_path, capsys):
+    """`bruin unit-test <pipeline>`: runs declared tests, exit 0/1
+    (ref cmd/unittest.go)."""
+    from types import SimpleNamespace
+
+    from bruin_spark.cli import cmd_unit_test
+
+    d = tmp_path / "utpipe"
+    (d / "assets").mkdir(parents=True)
+    (d / "pipeline.yml").write_text("name: utpipe\n")
+    (d / "assets" / "totals.sql").write_text(
+        "/* @bruin\nname: totals\ntype: spark.sql\nunit_tests:\n"
+        "  - name: sums_per_user\n"
+        "    inputs:\n"
+        "      raw_events:\n"
+        "        columns: [user_id, amount]\n"
+        "        types: [bigint, double]\n"
+        "        rows: [[1, 10.0], [1, 5.0], [2, 2.0]]\n"
+        "    expected:\n"
+        "      columns: [user_id, total]\n"
+        "      rows: [[1, 15.0], [2, 2.0]]\n"
+        "  - name: failing_expectation\n"
+        "    inputs:\n"
+        "      raw_events:\n"
+        "        columns: [user_id, amount]\n"
+        "        types: [bigint, double]\n"
+        "        rows: [[1, 10.0]]\n"
+        "    expected_count: 99\n"
+        "@bruin */\n\n"
+        "SELECT user_id, SUM(amount) AS total FROM raw_events GROUP BY user_id\n"
+    )
+    args = SimpleNamespace(pipeline=str(d), asset=None, start=None, end=None)
+    rc = cmd_unit_test(args)
+    out = capsys.readouterr().out
+    assert rc == 1  # one failing test
+    assert "ok   totals::sums_per_user" in out
+    assert "FAIL totals::failing_expectation" in out
+    # asset filter + all-green exit
+    args = SimpleNamespace(pipeline=str(d), asset="nope", start=None, end=None)
+    assert cmd_unit_test(args) == 2
