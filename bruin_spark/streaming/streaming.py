@@ -336,18 +336,22 @@ def apply_cdc_stream(
 
     def _recover_and_sweep() -> None:
         """Restore target from a backup left by a mid-swap crash; drop
-        orphaned stage/backup tables from failed earlier batches."""
-        names = {t.name for t in spark.catalog.listTables()}
-        base = target.split(".")[-1]
+        orphaned stage/backup tables from failed earlier batches.
+        Handles schema-qualified targets (``db.tbl``): the sweep lists
+        the table's own database, and rename/drop statements stay
+        qualified."""
+        db, _, base = target.rpartition(".")
+        names = {t.name for t in spark.catalog.listTables(db or None)}
+        qual = (lambda n: f"{db}.{n}") if db else (lambda n: n)
         backups = sorted(n for n in names if n.startswith(f"{base}__cdc_backup_"))
         if base not in names and backups:
-            spark.sql(f"ALTER TABLE {backups[-1]} RENAME TO {target}")
+            spark.sql(f"ALTER TABLE {qual(backups[-1])} RENAME TO {target}")
             backups = backups[:-1]
         for n in backups:
-            spark.sql(f"DROP TABLE IF EXISTS {n}")
+            spark.sql(f"DROP TABLE IF EXISTS {qual(n)}")
         for n in names:
             if n.startswith(f"{base}__cdc_stage_"):
-                spark.sql(f"DROP TABLE IF EXISTS {n}")
+                spark.sql(f"DROP TABLE IF EXISTS {qual(n)}")
 
     def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
         if batch_df.isEmpty():

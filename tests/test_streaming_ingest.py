@@ -373,3 +373,47 @@ def test_apply_cdc_stream_no_ts_deterministic(spark, tmp_path):
         rows = {r["id"]: r["val"] for r in spark.table("cdc_nt").collect()}
         assert rows == {1: "zzz"}  # max val: content-derived, replay-stable
     spark.sql("DROP TABLE IF EXISTS cdc_nt")
+
+
+def test_apply_cdc_stream_qualified_target(spark, tmp_path):
+    """Schema-qualified CDC targets (db.tbl): swap, recovery sweep, and
+    stage cleanup all stay inside the target's own database."""
+    import json
+
+    from bruin_spark.streaming.streaming import apply_cdc_stream
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS cdcdb")
+    spark.sql("DROP TABLE IF EXISTS cdcdb.tgt")
+    src = tmp_path / "qsrc"
+    src.mkdir()
+    schema = "op string, id bigint, val string, ts bigint"
+    (src / "b1.json").write_text(
+        json.dumps({"op": "c", "id": 1, "val": "a", "ts": 1})
+    )
+    try:
+        sdf = spark.readStream.schema(schema).json(str(src))
+        apply_cdc_stream(
+            spark, sdf, "cdcdb.tgt", pks=["id"], ts_col="ts",
+            checkpoint=str(tmp_path / "qck1"),
+        )
+        assert {r["id"] for r in spark.table("cdcdb.tgt").collect()} == {1}
+        # simulate a crash that left only the backup, plus an orphan stage
+        spark.sql("ALTER TABLE cdcdb.tgt RENAME TO cdcdb.tgt__cdc_backup_aa11")
+        spark.sql("CREATE TABLE cdcdb.tgt__cdc_stage_bb22 AS SELECT 1 AS junk")
+        (src / "b2.json").write_text(
+            json.dumps({"op": "c", "id": 2, "val": "b", "ts": 2})
+        )
+        sdf = spark.readStream.schema(schema).json(str(src))
+        apply_cdc_stream(
+            spark, sdf, "cdcdb.tgt", pks=["id"], ts_col="ts",
+            checkpoint=str(tmp_path / "qck2"),
+        )
+        assert {r["id"] for r in spark.table("cdcdb.tgt").collect()} == {1, 2}
+        leftovers = [
+            t.name for t in spark.catalog.listTables("cdcdb") if "__cdc_" in t.name
+        ]
+        assert leftovers == []
+    finally:
+        for t in spark.catalog.listTables("cdcdb"):
+            spark.sql(f"DROP TABLE IF EXISTS cdcdb.{t.name}")
+        spark.sql("DROP DATABASE IF EXISTS cdcdb")
