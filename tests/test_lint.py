@@ -466,3 +466,27 @@ def test_bi_placeholder_types_valid_and_noop(spark):
     res = Scheduler(spark, p).run()
     assert res.ok
     assert "dash" in res.succeeded
+
+
+def test_lint_flags_unknown_source_uri_scheme():
+    from bruin_spark.lint import lint_pipeline
+    from bruin_spark.model.pipeline import Asset, Pipeline
+
+    def issues_for(uri):
+        a = Asset(
+            name="ing", type="ingestr",
+            parameters={"source_uri": uri, "source_table": "t"},
+        )
+        return [
+            i for i in lint_pipeline(Pipeline(name="p", assets=[a]))
+            if i.rule == "valid-ingestr"
+        ]
+
+    assert any("unknown source URI scheme" in i.message for i in issues_for("nosuchdb://h/db"))
+    # known schemes, CDC/driver suffixes, and the SaaS tail all pass
+    for uri in (
+        "postgres://h/db", "postgres+cdc://h/db", "mysql+pymysql://h/db",
+        "ps_mysql://h/db", "stripe://?api_key=k", "mongodb://h/db",
+        "s3://bucket/k.parquet", "trino://h:8080/c",
+    ):
+        assert not issues_for(uri), uri
