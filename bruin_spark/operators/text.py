@@ -166,21 +166,25 @@ def chunk_documents(
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
     stride = chunk_tokens - overlap
-    toks = tokens(text_col)
-    # chunk starts: 0, stride, 2*stride, ... while start < n_tokens;
-    # last chunk may be short but is never empty
-    starts = F.expr(
-        f"sequence(0, greatest(size(split(lower(trim({text_col})), '\\\\s+')) - 1, 0), {stride})"
-    )
-    chunks = F.transform(
-        starts,
-        lambda s: F.struct(
-            s.alias("start"),
-            F.concat_ws(" ", F.slice(toks, s + 1, chunk_tokens)).alias("chunk_text"),
-            F.least(
-                F.lit(chunk_tokens), F.size(toks) - s
-            ).alias("chunk_n_tokens"),
-        ),
+    # Bind the token array ONCE per row (single-element outer transform):
+    # referencing tokens() inside the chunk lambda would re-tokenize the
+    # document for every chunk (no CSE inside HOF lambdas — same
+    # pathology fixed in shingles()).  Chunk starts: 0, stride,
+    # 2*stride, ... while start < n_tokens; last chunk may be short but
+    # is never empty.
+    chunks = F.expr(
+        f"""
+        transform(array(split(lower(trim({text_col})), '\\\\s+')), toks ->
+          transform(
+            sequence(0, greatest(size(toks) - 1, 0), {stride}),
+            s -> struct(
+              s AS start,
+              concat_ws(' ', slice(toks, s + 1, {chunk_tokens})) AS chunk_text,
+              least({chunk_tokens}, size(toks) - s) AS chunk_n_tokens
+            )
+          )
+        )[0]
+        """
     )
     out = df.withColumn("_chunk", F.explode(chunks))
     return (
