@@ -307,3 +307,18 @@ def test_bucketed_materialization_joins_without_shuffle(spark):
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan
     assert joined.count() > 0
+
+
+def test_shingle_tokenization_bound_once(spark):
+    """Regression gate for the HOF-lambda CSE trap: the regex
+    tokenization must appear exactly ONCE in the optimized plan of every
+    shingle/chunk consumer.  Inlining split() inside a transform lambda
+    re-tokenizes the document per element (no CSE in interpreted HOF
+    lambdas) — O(words²) per doc, measured 10× slower at 8× scale."""
+    from bruin_spark.operators.dedup import minhash_signature
+    from bruin_spark.operators.text import chunk_documents
+
+    docs = read_parquet(spark, f"{SF}/documents.parquet")
+    for df in (minhash_signature(docs), chunk_documents(docs)):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("split(lower(trim") == 1
