@@ -482,3 +482,72 @@ def connected_components(
     return e.union(roots).distinct().select(
         F.col("u").alias("node"), F.col("v").alias("component")
     )
+
+
+# -- segment-level (cross-corpus span) dedup ----------------------------------
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 16,
+) -> DataFrame:
+    """Remove duplicated token-window segments ACROSS the corpus,
+    keeping each segment's first occurrence (by doc id, then position) —
+    the C4/RefinedWeb-style line/paragraph-level dedup step that strips
+    boilerplate repeated over many documents, generalized to fixed
+    ``seg_tokens`` windows so it applies to corpora without newline
+    structure.
+
+    Returns one row per input doc: (id, clean_text, n_segments_total,
+    n_segments_kept, n_tokens_kept).  Docs whose every segment already
+    appeared elsewhere come back with empty clean_text (curation then
+    drops them).
+
+    Plan (100 TB shape): chunking is a map-only explode; first-occurrence
+    selection is ONE shuffle — a row_number window keyed on the segment
+    md5 (uniform by construction; a boilerplate segment repeated 100M
+    times makes one hot key whose window only streams rank<=1, no
+    buffering); reassembly is one groupBy on the doc id.  No Python.
+    """
+    from bruin_spark.operators.text import chunk_documents
+
+    segs = chunk_documents(
+        df.select(F.col(id_col), F.col(text_col)),
+        id_col=id_col,
+        text_col=text_col,
+        chunk_tokens=seg_tokens,
+        overlap=0,
+    ).select(
+        F.col(id_col).alias("id"),
+        F.col("chunk_idx").alias("idx"),
+        F.col("chunk_text").alias("seg"),
+        F.col("chunk_n_tokens").alias("seg_tokens"),
+    )
+    w = Window.partitionBy(F.md5(F.col("seg"))).orderBy("id", "idx")
+    ranked = segs.withColumn("_occ", F.row_number().over(w))
+    return (
+        ranked.groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_occ") == 1,
+                                F.struct(F.col("idx"), F.col("seg")),
+                            )
+                        )
+                    ),
+                    lambda s: s["seg"],
+                ),
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_segments_total"),
+            F.count(F.when(F.col("_occ") == 1, 1)).alias("n_segments_kept"),
+            F.coalesce(
+                F.sum(F.when(F.col("_occ") == 1, F.col("seg_tokens"))), F.lit(0)
+            ).alias("n_tokens_kept"),
+        )
+    )

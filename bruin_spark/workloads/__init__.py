@@ -29,6 +29,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # --- changed this round (KMV sketch; two-phase quota sampling) ---
     "stat_event_user_sketch",
     "sample_stratified_quota",
+    # --- new this round (needs a first verdict) ---
+    "dedup_segments",
     # --- sentinels: every entry last verified in r01/r02 (not r03),
     # so after r04 every registry entry has a verdict <= 2 rounds old ---
     "q3_shipping_priority",
@@ -75,7 +77,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_simhash_pairs",
     "dedup_exact_survivors",
     "dedup_ngram_jaccard",
-    "dedup_minhash_signature",
+    # dedup_minhash_signature displaced by dedup_segments (window cap 50);
+    # it keeps its green r02 verdict
 )
 
 

@@ -222,7 +222,44 @@ SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u
 """
 
 
+SEG_TOKENS = 16
+
+
+def dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus segment (token-window) dedup: strip spans repeated
+    across documents, keep first occurrence — C4-style boilerplate
+    removal generalized to fixed token windows."""
+    return D.segment_dedup(_docs(spark, sf_dir), seg_tokens=SEG_TOKENS)
+
+
+def _segments_oracle() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+), segs AS (
+  SELECT doc_id,
+         (s // {SEG_TOKENS}) AS idx,
+         array_to_string(list_slice(t, s + 1, least(s + {SEG_TOKENS}, len(t))), ' ') AS seg,
+         least({SEG_TOKENS}, len(t) - s) AS seg_tokens
+  FROM toks, LATERAL (
+    SELECT UNNEST(generate_series(0, greatest(len(t) - 1, 0), {SEG_TOKENS})) AS s
+  )
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(seg) ORDER BY doc_id, idx) AS occ
+  FROM segs
+)
+SELECT doc_id,
+       COALESCE(string_agg(seg, ' ' ORDER BY idx) FILTER (occ = 1), '') AS clean_text,
+       COUNT(*) AS n_segments_total,
+       COUNT(*) FILTER (occ = 1) AS n_segments_kept,
+       COALESCE(SUM(seg_tokens) FILTER (occ = 1), 0)::BIGINT AS n_tokens_kept
+FROM ranked
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
+    "dedup_segments": (dedup_segments, _segments_oracle()),
     "dedup_exact_groups": (dedup_exact_groups, EXACT_ORACLE),
     "dedup_clusters": (dedup_clusters, _clusters_oracle()),
     "dedup_simhash_signature": (dedup_simhash_signature, _simhash_oracle()),

@@ -133,3 +133,26 @@ def test_sequence_bins_respect_budget_slack(spark):
     )
     for r in sums:
         assert r["t"] <= budget + r["mx"]
+
+
+def test_segment_dedup_removes_cross_doc_spans(spark):
+    """A span repeated across docs survives only at its first occurrence
+    (by doc id, then position); unique spans are untouched."""
+    from bruin_spark.operators.dedup import segment_dedup
+
+    boiler = " ".join(f"b{i}" for i in range(4))
+    uniq_a = " ".join(f"a{i}" for i in range(4))
+    uniq_c = " ".join(f"c{i}" for i in range(4))
+    rows = [
+        (1, f"{boiler} {uniq_a}"),       # first occurrence of boiler
+        (2, f"{boiler} {uniq_c}"),       # boiler repeated -> stripped
+        (3, boiler),                     # only boiler -> empty clean_text
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in segment_dedup(df, seg_tokens=4).collect()}
+    assert out[1]["clean_text"] == f"{boiler} {uniq_a}"
+    assert out[2]["clean_text"] == uniq_c
+    assert out[3]["clean_text"] == ""
+    assert out[3]["n_segments_total"] == 1 and out[3]["n_segments_kept"] == 0
+    assert out[2]["n_tokens_kept"] == 4
+    assert out[1]["n_segments_kept"] == 2

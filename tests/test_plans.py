@@ -322,3 +322,16 @@ def test_shingle_tokenization_bound_once(spark):
     for df in (minhash_signature(docs), chunk_documents(docs)):
         plan = df._jdf.queryExecution().optimizedPlan().toString()
         assert plan.count("split(lower(trim") == 1
+
+
+def test_segment_dedup_two_shuffles_no_python(spark):
+    """segment_dedup: map-only chunking, ONE shuffle for the
+    first-occurrence window (keyed on segment md5), one groupBy on the
+    doc id for reassembly — and no Python anywhere."""
+    from bruin_spark.operators.dedup import segment_dedup
+
+    docs = read_parquet(spark, f"{SF}/documents.parquet")
+    plan = plan_of(segment_dedup(docs))
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SinglePartition" not in plan
