@@ -22,6 +22,7 @@ tests/test_format.py on the repo's own fixture pipelines.
 from __future__ import annotations
 
 import os
+import re
 
 import yaml
 
@@ -116,18 +117,30 @@ def _dump_yaml(d: dict) -> str:
     return yaml.safe_dump(d, sort_keys=False, default_flow_style=False, width=100)
 
 
+_JINJA_SPAN = re.compile(r"\{\{.*?\}\}|\{%.*?%\}|\{#.*?#\}", re.DOTALL)
+
+
 def normalize_sql_body(sql: str) -> str:
     """Uppercase bare SQL keywords; strip trailing whitespace per line;
-    single trailing newline.  Strings / quoted identifiers / comments /
-    jinja expressions pass through verbatim (the tokenizer treats ``{{``
-    as symbols, which are never keyword words)."""
+    single trailing newline.  Strings / quoted identifiers / comments
+    pass through verbatim, and jinja spans (``{{ }}``, ``{% %}``,
+    ``{# #}``) are masked before keyword-casing — jinja is
+    case-sensitive, so ``{% if a and b %}`` must NOT become ``AND``."""
+    spans: list[str] = []
+
+    def _mask(m: re.Match) -> str:
+        spans.append(m.group(0))
+        return f"\x00J{len(spans) - 1}\x00"
+
+    masked = _JINJA_SPAN.sub(_mask, sql)
     parts = []
-    for kind, text, _s in _tokens(sql):
+    for kind, text, _s in _tokens(masked):
         if kind == "word" and text.lower() in _SQL_KEYWORDS:
             parts.append(text.upper())
         else:
             parts.append(text)
     out = "".join(parts)
+    out = re.sub(r"\x00J(\d+)\x00", lambda m: spans[int(m.group(1))], out)
     lines = [ln.rstrip() for ln in out.split("\n")]
     return "\n".join(lines).strip() + "\n"
 

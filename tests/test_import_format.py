@@ -158,3 +158,24 @@ def test_format_idempotent_on_init_scaffold(tmp_path):
     assert changed == [] and errors == [], (changed, errors)
     names_after = sorted(a.name for a in load_pipeline(dst).assets)
     assert names_before == names_after
+
+
+def test_format_preserves_jinja_spans(tmp_path):
+    """Jinja is case-sensitive: keyword-casing must never reach inside
+    {{ }} / {% %} / {# #} spans."""
+    from bruin_spark.model.formatter import normalize_sql_body
+
+    src = (
+        "select x from t\n"
+        "{% if ds and run_id %}\n"
+        "where d between '{{ start_date }}' and '{{ end_date | date_add(1) }}'\n"
+        "{% endif %}\n"
+        "{# a comment with and or not #}\n"
+    )
+    out = normalize_sql_body(src)
+    assert "{% if ds and run_id %}" in out          # jinja untouched
+    assert "{{ end_date | date_add(1) }}" in out
+    assert "{# a comment with and or not #}" in out
+    assert out.startswith("SELECT x FROM t")         # SQL still cased
+    assert "BETWEEN" in out and "AND '{{" in out     # sql AND outside jinja
+    assert normalize_sql_body(out) == out            # idempotent
