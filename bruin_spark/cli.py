@@ -47,6 +47,36 @@ def _context(args) -> "RenderContext":
     )
 
 
+def parse_var_overrides(raw: list[str] | None) -> dict:
+    """Parse repeatable ``--var`` values (ref: cmd/const.go:194-220
+    parseVariable): each is either a JSON object or ``key=value`` with a
+    JSON-encoded value.  Raises ValueError on malformed input."""
+    import json
+
+    out: dict = {}
+    for s in raw or []:
+        s = s.strip()
+        try:
+            v = json.loads(s)
+        except json.JSONDecodeError:
+            v = None
+        if isinstance(v, dict):
+            out.update(v)
+            continue
+        if s.startswith("{"):
+            raise ValueError(f"invalid variable override {s!r}")
+        key, sep, val = s.partition("=")
+        if not sep:
+            raise ValueError(f"variable must be of form key=value: {s!r}")
+        try:
+            out[key.strip()] = json.loads(val)
+        except json.JSONDecodeError as e:
+            raise ValueError(
+                f"invalid variable override value {val!r} (must be JSON)"
+            ) from e
+    return out
+
+
 def cmd_run(args) -> int:
     from bruin_spark import get_spark
     from bruin_spark.lint import lint_pipeline
@@ -68,12 +98,24 @@ def cmd_run(args) -> int:
     ctx = _context(args)
     ctx.pipeline_name = pipe.name
     ctx.variables = dict(pipe.variables)
+    variant_keys: set = set()
     if getattr(args, "variant", None):
         overrides = pipe.variants.get(args.variant)
         if overrides is None:
             print(f"unknown variant: {args.variant}", file=sys.stderr)
             return 2
-        ctx.variables.update(overrides.get("variables", overrides))
+        variant_vals = overrides.get("variables", overrides)
+        variant_keys = set(variant_vals)
+        ctx.variables.update(variant_vals)
+    try:
+        var_overrides = parse_var_overrides(getattr(args, "var", None))
+    except ValueError as e:
+        print(str(e), file=sys.stderr)
+        return 2
+    # a selected variant's keys win over --var (ref cmd/const.go:179-185)
+    for k in variant_keys:
+        var_overrides.pop(k, None)
+    ctx.variables.update(var_overrides)
     environment = None
     env_name = getattr(args, "environment", None)
     if not env_name:
@@ -541,6 +583,11 @@ def cmd_unit_test(args) -> int:
     ctx = _context(args)
     ctx.pipeline_name = pipe.name
     ctx.variables = dict(pipe.variables)
+    try:
+        ctx.variables.update(parse_var_overrides(getattr(args, "var", None)))
+    except ValueError as e:
+        print(str(e), file=sys.stderr)
+        return 2
     failed = 0
     for asset in assets:
         ctx.this = asset.name
@@ -888,6 +935,7 @@ def main(argv: list[str] | None = None) -> int:
     pu.add_argument("--asset", help="only this asset's tests")
     pu.add_argument("--start")
     pu.add_argument("--end")
+    pu.add_argument("--var", action="append", help="override pipeline variables")
     pu.set_defaults(fn=cmd_unit_test)
 
     pcn = sub.add_parser(
@@ -951,6 +999,12 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--state")
     pr.add_argument("--tables-dir", help="register parquet tables from this dir as views")
     pr.add_argument("--variant", help="apply a named variable override set")
+    pr.add_argument(
+        "--var",
+        action="append",
+        help="override pipeline variables: key=value (JSON value) or a "
+        "JSON object; repeatable (ref run --var)",
+    )
     pr.add_argument(
         "--environment",
         help="run in a named environment from pipeline.yml (schema_prefix rewriting)",

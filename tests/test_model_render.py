@@ -132,3 +132,79 @@ def test_start_timestamp_has_utc_suffix():
     tz = timezone(timedelta(hours=5, minutes=30))
     ctx2 = RenderContext(start=datetime(2024, 1, 1, tzinfo=tz), end=datetime(2024, 1, 2, tzinfo=tz))
     assert render_sql("{{ start_timestamp }}", ctx2) == "2024-01-01T00:00:00.000000+05:30"
+
+
+# ---------- --var overrides (ref cmd/const.go parseVariable) ----------
+
+
+def test_parse_var_overrides():
+    import pytest
+
+    from bruin_spark.cli import parse_var_overrides
+
+    assert parse_var_overrides(None) == {}
+    assert parse_var_overrides(['{"forecast_days": 14, "region": "eu"}']) == {
+        "forecast_days": 14,
+        "region": "eu",
+    }
+    assert parse_var_overrides(["min_signups=5", 'name="ada"', "flag=true"]) == {
+        "min_signups": 5,
+        "name": "ada",
+        "flag": True,
+    }
+    # later values win
+    assert parse_var_overrides(["x=1", "x=2"]) == {"x": 2}
+    with pytest.raises(ValueError, match="key=value"):
+        parse_var_overrides(["novalue"])
+    with pytest.raises(ValueError, match="must be JSON"):
+        parse_var_overrides(["x=notjson"])
+    with pytest.raises(ValueError, match="invalid variable override"):
+        parse_var_overrides(['{"broken": '])
+
+
+def test_run_var_overrides_and_variant_precedence(spark, tmp_path):
+    """--var applies to rendering; a selected variant's keys win over
+    overlapping --var keys (ref cmd/const.go:179-185)."""
+    from types import SimpleNamespace
+
+    from bruin_spark.cli import cmd_run
+
+    d = tmp_path / "varpipe"
+    (d / "assets").mkdir(parents=True)
+    (d / "pipeline.yml").write_text(
+        "name: varpipe\n"
+        "variables:\n"
+        "  days: {type: integer, default: 1}\n"
+        "  label: {type: string, default: base}\n"
+        "variants:\n"
+        "  weekly:\n"
+        "    variables: {days: 7}\n"
+    )
+    (d / "assets" / "vout.sql").write_text(
+        "/* @bruin\nname: vout\ntype: spark.sql\nmaterialization:\n"
+        "  type: table\n@bruin */\n"
+        "SELECT {{ var.days }} AS days, '{{ var.label }}' AS label\n"
+    )
+
+    def run(**kw):
+        args = SimpleNamespace(
+            pipeline=str(d), asset=None, select=None, downstream=False, only=None,
+            tag=[], exclude_tag=[], full_refresh=False, apply_interval_modifiers=False,
+            workers=1, start=None, end=None, run_id=None, state=str(d / "s.json"),
+            tables_dir=None, variant=None, environment=None, push_metadata=False,
+            sensor_mode=None, continue_run=False, stream=None, var=None,
+        )
+        for k, v in kw.items():
+            setattr(args, k, v)
+        return cmd_run(args)
+
+    spark.sql("DROP TABLE IF EXISTS vout")
+    assert run(var=["days=3", 'label="override"']) == 0
+    row = spark.table("vout").collect()[0]
+    assert (row["days"], row["label"]) == (3, "override")
+    # variant wins on overlap; non-overlapping --var still applies
+    spark.sql("DROP TABLE IF EXISTS vout")
+    assert run(variant="weekly", var=["days=99", 'label="kept"']) == 0
+    row = spark.table("vout").collect()[0]
+    assert (row["days"], row["label"]) == (7, "kept")
+    spark.sql("DROP TABLE IF EXISTS vout")
