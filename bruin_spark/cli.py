@@ -685,6 +685,13 @@ def cmd_render(args) -> int:
     if asset is None:
         print(f"asset not found: {args.asset}", file=sys.stderr)
         return 2
+    if getattr(args, "ddl", False):
+        # ref cmd/render_ddl.go:158 — force the DDL strategy so the output
+        # is the CREATE TABLE schema derived from the declared columns
+        from bruin_spark.model.pipeline import MaterializationType, Strategy
+
+        asset.materialization.type = MaterializationType.TABLE
+        asset.materialization.strategy = Strategy.DDL
     ctx = _context(args)
     ctx.pipeline_name, ctx.this = pipe.name, asset.name
     sql = render_asset_query(asset, ctx)
@@ -1029,6 +1036,12 @@ def main(argv: list[str] | None = None) -> int:
     pd.add_argument("--start")
     pd.add_argument("--end")
     pd.add_argument("--full-refresh", action="store_true")
+    pd.add_argument(
+        "--ddl",
+        action="store_true",
+        help="render the asset as CREATE TABLE DDL from its declared "
+        "columns (ref: bruin render-ddl)",
+    )
     pd.set_defaults(fn=cmd_render)
 
     pq = sub.add_parser("query", help="run an ad-hoc query or an asset's rendered query")

@@ -208,3 +208,30 @@ def test_run_var_overrides_and_variant_precedence(spark, tmp_path):
     row = spark.table("vout").collect()[0]
     assert (row["days"], row["label"]) == (7, "kept")
     spark.sql("DROP TABLE IF EXISTS vout")
+
+
+def test_render_ddl_flag(tmp_path, capsys):
+    """render --ddl forces the DDL strategy: output is CREATE TABLE from
+    the declared columns (ref cmd/render_ddl.go)."""
+    from types import SimpleNamespace
+
+    from bruin_spark.cli import cmd_render
+
+    d = tmp_path / "ddlpipe"
+    (d / "assets").mkdir(parents=True)
+    (d / "pipeline.yml").write_text("name: ddlpipe\n")
+    (d / "assets" / "t.sql").write_text(
+        "/* @bruin\nname: sch.t\ntype: spark.sql\ncolumns:\n"
+        "  - name: id\n    type: bigint\n"
+        "  - name: amount\n    type: decimal(10, 2)\n@bruin */\n\n"
+        "SELECT 1 AS id\n"
+    )
+    args = SimpleNamespace(
+        pipeline=str(d), asset="sch.t", start=None, end=None,
+        full_refresh=False, ddl=True,
+    )
+    assert cmd_render(args) == 0
+    out = capsys.readouterr().out
+    assert "CREATE TABLE IF NOT EXISTS" in out
+    assert "`id` bigint" in out and "`amount` decimal(10, 2)" in out
+    assert "SELECT 1" not in out  # DDL renders schema, not the query
