@@ -149,6 +149,8 @@ def format_content(path: str, content: str) -> str:
     """Return the canonical form of one asset file's content."""
     if path.endswith((".asset.yml", ".asset.yaml", ".yml", ".yaml")):
         d = yaml.safe_load(content) or {}
+        if not isinstance(d, dict):
+            return content  # not an asset mapping; leave untouched
         query = d.pop("query", None)
         d = _canonical_meta(d)
         if query is not None:
