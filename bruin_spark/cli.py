@@ -648,6 +648,45 @@ def cmd_connections(args) -> int:
     return 0
 
 
+def cmd_ingestr_uri(args) -> int:
+    """Resolve a named connection to its source URI and write it to a
+    file (ref: cmd/ingestr_uri.go — plaintext credentials, 0600 perms,
+    refuses an existing output path, no trailing newline; --cdc
+    rewrites onto the change-data-capture scheme)."""
+    from bruin_spark.projectconfig import load_config
+    from bruin_spark.sources.connections import environment_connections
+
+    cfg = load_config(args.config_file or os.getcwd())
+    env = args.environment or cfg.default_environment or "default"
+    conns = environment_connections(cfg, env)
+    uri = conns.get(args.connection)
+    if uri is None:
+        print(
+            f"unknown connection {args.connection!r} in environment {env!r}",
+            file=sys.stderr,
+        )
+        return 2
+    if args.cdc:
+        from bruin_spark.sources.uri import to_cdc
+
+        try:
+            uri = to_cdc(uri)
+        except ValueError as exc:
+            print(str(exc), file=sys.stderr)
+            return 2
+    if os.path.exists(args.output):
+        print(
+            f"refusing to overwrite existing file: {args.output}", file=sys.stderr
+        )
+        return 2
+    # O_EXCL so the 0600 mode applies from creation (the URI holds
+    # plaintext credentials); deleting it after use is the caller's job.
+    fd = os.open(args.output, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o600)
+    with os.fdopen(fd, "w") as fh:
+        fh.write(uri)
+    return 0
+
+
 def cmd_clean(args) -> int:
     """Remove run artifacts: pipeline state files and (with --sinks)
     leftover stream sink tables (ref: cmd/clean.go removes cached
@@ -966,6 +1005,21 @@ def main(argv: list[str] | None = None) -> int:
     pcd.add_argument("--config-file")
     pcd.set_defaults(fn=cmd_connections, output="plain")
 
+    piu = sub.add_parser(
+        "ingestr-uri",
+        help="resolve a connection name to a source URI and write it to a file",
+    )
+    piu.add_argument("output", help="output file (created 0600; must not exist)")
+    piu.add_argument("connection", help="connection name in the active environment")
+    piu.add_argument("--config-file")
+    piu.add_argument("--environment", "--env")
+    piu.add_argument(
+        "--cdc",
+        action="store_true",
+        help="rewrite the URI onto its change-data-capture scheme",
+    )
+    piu.set_defaults(fn=cmd_ingestr_uri)
+
     pf = sub.add_parser("format", help="canonicalize asset definition files")
     pf.add_argument("path", nargs="?", default=".", help="pipeline dir or one asset file")
     pf.add_argument(
@@ -1085,6 +1139,9 @@ def main(argv: list[str] | None = None) -> int:
         help="EXPLAIN custom-check/hook SQL against a live session",
     )
     pl.set_defaults(fn=cmd_lint)
+
+    pver = sub.add_parser("version", help="print the engine version")
+    pver.set_defaults(fn=lambda a: (print(f"bruin_spark {__import__('bruin_spark').__version__}"), 0)[1])
 
     args = p.parse_args(argv)
     return args.fn(args)

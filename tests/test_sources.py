@@ -376,3 +376,46 @@ def test_run_resolves_source_connection_from_bruin_yml(spark, tmp_path):
     rows = sorted((r["id"], r["name"]) for r in spark.table("conn_users").collect())
     assert rows == [(1, "ada"), (2, "grace")]
     spark.sql("DROP TABLE IF EXISTS conn_users")
+
+
+def test_ingestr_uri_command(tmp_path, capsys):
+    """`ingestr-uri OUT NAME` writes the resolved URI (no trailing
+    newline, 0600 perms, refuses existing paths, --cdc rewrites the
+    scheme) — ref cmd/ingestr_uri.go."""
+    import os
+    from types import SimpleNamespace
+
+    from bruin_spark.cli import cmd_ingestr_uri
+
+    (tmp_path / ".bruin.yml").write_text(
+        "default_environment: local\n"
+        "environments:\n"
+        "  local:\n"
+        "    connections:\n"
+        "      pg_main:\n"
+        "        type: postgres\n"
+        "        host: db.example.com\n"
+        "        port: 5432\n"
+        "        username: u\n"
+        "        password: p\n"
+        "        database: app\n"
+    )
+
+    def ns(output, cdc=False, connection="pg_main"):
+        return SimpleNamespace(
+            output=str(output), connection=connection, cdc=cdc,
+            config_file=str(tmp_path), environment=None,
+        )
+
+    out = tmp_path / "uri.txt"
+    assert cmd_ingestr_uri(ns(out)) == 0
+    assert out.read_text() == "postgres://u:p@db.example.com:5432/app"
+    assert (os.stat(out).st_mode & 0o777) == 0o600
+    # refuses to overwrite
+    assert cmd_ingestr_uri(ns(out)) == 2
+    # --cdc rewrites the scheme
+    out2 = tmp_path / "uri_cdc.txt"
+    assert cmd_ingestr_uri(ns(out2, cdc=True)) == 0
+    assert out2.read_text().startswith("postgres+cdc://")
+    # unknown connection
+    assert cmd_ingestr_uri(ns(tmp_path / "x.txt", connection="nope")) == 2
