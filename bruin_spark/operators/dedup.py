@@ -159,6 +159,47 @@ def minhash_signature(
     return sh_rows.groupBy("id").agg(*aggs)
 
 
+def lsh_band_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """The persistable LSH index of a corpus: one (id, band, band_key)
+    row per document per band.
+
+    This is the signature store of an INCREMENTAL dedup pipeline: write
+    it once per corpus (append each ingested batch's rows), then dedup
+    a new batch by joining the batch's band rows against it — the
+    historical corpus is never re-shingled. At scale, materialize it
+    bucketed by ``band_key`` (mat strategies' ``bucket_by``) so each
+    incremental join is shuffle-free on the corpus side.
+
+    One pass: signature computed once per row, bands exploded from an
+    inline array (a union of per-band selects would re-evaluate the
+    whole signature expression once per band).
+    """
+    assert k % bands == 0
+    r = k // bands
+    sig = minhash_signature(df, id_col, text_col, k, n)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws("|", *[F.col(f"mh_{i}") for i in range(b * r, (b + 1) * r)])
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select("id", F.explode(band_structs).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -173,26 +214,7 @@ def minhash_lsh_candidates(
     Returns (id_a, id_b, n_bands_shared). The band key join is the only
     shuffle and is keyed on a short md5 — uniform by construction.
     """
-    assert k % bands == 0
-    r = k // bands
-    sig = minhash_signature(df, id_col, text_col, k, n)
-    # One pass: signature computed once per row, bands exploded from an
-    # inline array (a union of per-band selects re-evaluates the whole
-    # signature expression once per band).
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws("|", *[F.col(f"mh_{i}") for i in range(b * r, (b + 1) * r)])
-                ).alias("band_key"),
-            )
-            for b in range(bands)
-        ]
-    )
-    band_rows = sig.select("id", F.explode(band_structs).alias("bk")).select(
-        "id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
-    )
+    band_rows = lsh_band_index(df, id_col, text_col, k, bands, n)
 
     # merge-join hint: a broadcast self-join would evaluate the signature
     # pipeline twice (once to build the hash relation, once to stream);
@@ -264,6 +286,103 @@ def minhash_dedup_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
     return verified.select("id_a", "id_b", "jaccard")
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    corpus_index: DataFrame,
+    corpus_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """Dedup a NEW batch of documents against an EXISTING corpus without
+    re-processing the corpus — the standard shape of continuous corpus
+    curation at 100 TB: each ingested batch is matched against the
+    persisted ``lsh_band_index`` of everything before it, and only the
+    few corpus docs that collide on a band are ever re-read.
+
+    Inputs: ``batch`` (today's docs), ``corpus_index`` (the persisted
+    (id, band, band_key) store), ``corpus_docs`` (the corpus text, read
+    only for verification of matched ids — a semi-join sliver).
+
+    Plan shape: the batch's band rows BROADCAST against the corpus index
+    (the index side never shuffles — with a ``bucket_by(band_key)``
+    layout it never even re-sorts); verification shingles only the batch
+    plus the matched corpus docs; best-match selection windows over the
+    verified candidate set only.
+
+    Returns one row per batch doc: (doc_id, is_dup, match_id, jaccard)
+    where match_id is the corpus doc with the highest verified Jaccard
+    (ties → smallest id) and NULL when nothing clears ``threshold``.
+    """
+    from pyspark.sql import Window
+
+    bidx = lsh_band_index(batch, id_col, text_col, k, bands, n)
+    if broadcast_batch:
+        bidx = F.broadcast(bidx)
+    cands = (
+        bidx.alias("b")
+        .join(
+            corpus_index.alias("c"),
+            (F.col("b.band") == F.col("c.band"))
+            & (F.col("b.band_key") == F.col("c.band_key")),
+        )
+        .select(F.col("b.id").alias("batch_id"), F.col("c.id").alias("corpus_id"))
+        .distinct()
+        .localCheckpoint(eager=True)  # referenced twice below (semi-join + verify)
+    )
+    bsh = batch.select(
+        F.col(id_col).alias("batch_id"),
+        F.array_distinct(shingles(text_col, n)).alias("sh_b"),
+    )
+    csh = (
+        corpus_docs.join(
+            cands.select("corpus_id").distinct(),
+            F.col(id_col) == F.col("corpus_id"),
+            "left_semi",
+        )
+        .select(
+            F.col(id_col).alias("corpus_id"),
+            F.array_distinct(shingles(text_col, n)).alias("sh_c"),
+        )
+    )
+    verified = (
+        cands.join(bsh, "batch_id")
+        .join(csh, "corpus_id")
+        .withColumn("n_common", F.size(F.array_intersect("sh_b", "sh_c")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.size("sh_b") + F.size("sh_c") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    w = Window.partitionBy("batch_id").orderBy(
+        F.col("jaccard").desc(), F.col("corpus_id").asc()
+    )
+    best = (
+        verified.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("batch_id", "corpus_id", "jaccard")
+    )
+    return (
+        batch.select(F.col(id_col).alias("doc_id"))
+        .join(best, F.col("doc_id") == F.col("batch_id"), "left")
+        .select(
+            "doc_id",
+            F.col("batch_id").isNotNull().alias("is_dup"),
+            F.col("corpus_id").alias("match_id"),
+            "jaccard",
+        )
+    )
 
 
 # -- SimHash -------------------------------------------------------------

@@ -31,6 +31,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "sample_stratified_quota",
     # --- new this round (needs a first verdict) ---
     "dedup_segments",
+    "dedup_incremental",
     # --- sentinels: every entry last verified in r01/r02 (not r03),
     # so after r04 every registry entry has a verdict <= 2 rounds old ---
     "q3_shipping_priority",
@@ -76,9 +77,9 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_simhash_signature",
     "dedup_simhash_pairs",
     "dedup_exact_survivors",
-    "dedup_ngram_jaccard",
-    # dedup_minhash_signature displaced by dedup_segments (window cap 50);
-    # it keeps its green r02 verdict
+    # dedup_minhash_signature / dedup_ngram_jaccard displaced by
+    # dedup_segments / dedup_incremental (window cap 50); both keep their
+    # green r02 verdicts
 )
 
 

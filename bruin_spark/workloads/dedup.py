@@ -222,6 +222,75 @@ SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u
 """
 
 
+# -- incremental dedup (new batch vs persisted corpus index) -------------------
+
+BATCH_FRACTION = 0.2  # deterministic id-hash split: 20% "new batch", 80% corpus
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-curation shape: dedup a new batch against the LSH band
+    index of the existing corpus (corpus never re-shingled; only matched
+    corpus docs re-read for Jaccard verification)."""
+    from bruin_spark.operators.sampling import N_BUCKETS, hash_bucket
+
+    docs = _docs(spark, sf_dir)
+    cut = int(BATCH_FRACTION * N_BUCKETS)
+    bucket = hash_bucket("doc_id", "incr")
+    batch = docs.filter(bucket < cut)
+    corpus = docs.filter(bucket >= cut)
+    idx = D.lsh_band_index(corpus, k=MINHASH_K, bands=LSH_BANDS, n=NGRAM)
+    return D.incremental_dedup(
+        batch, idx, corpus, k=MINHASH_K, bands=LSH_BANDS, n=NGRAM, threshold=JACCARD_T
+    )
+
+
+def _incremental_oracle() -> str:
+    from bruin_spark.operators.sampling import N_BUCKETS, bucket_sql
+
+    cut = int(BATCH_FRACTION * N_BUCKETS)
+    r = MINHASH_K // LSH_BANDS
+    sig = ", ".join(
+        f"list_min([md5(concat('{i}:', s)) FOR s IN sh]) AS mh_{i}" for i in range(MINHASH_K)
+    )
+    def bands_of(src: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT id, {b} AS band, md5(concat_ws('|', {', '.join(f'mh_{i}' for i in range(b * r, (b + 1) * r))})) AS band_key FROM {src}"
+            for b in range(LSH_BANDS)
+        )
+    return f"""
+WITH b AS (SELECT * FROM documents WHERE {bucket_sql('doc_id', 'incr')} < {cut}),
+c AS (SELECT * FROM documents WHERE {bucket_sql('doc_id', 'incr')} >= {cut}),
+shb AS (SELECT doc_id AS id, {_DUCK_SHINGLES} AS sh FROM b),
+shc AS (SELECT doc_id AS id, {_DUCK_SHINGLES} AS sh FROM c),
+sigb AS (SELECT id, {sig} FROM shb),
+sigc AS (SELECT id, {sig} FROM shc),
+bandsb AS ({bands_of('sigb')}),
+bandsc AS ({bands_of('sigc')}),
+cands AS (
+  SELECT DISTINCT x.id AS batch_id, y.id AS corpus_id
+  FROM bandsb x JOIN bandsc y ON x.band = y.band AND x.band_key = y.band_key
+),
+ver AS (
+  SELECT batch_id, corpus_id,
+         ROUND(len(list_intersect(sa.sh, sb.sh))
+               / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
+  FROM cands
+  JOIN shb sa ON sa.id = batch_id
+  JOIN shc sb ON sb.id = corpus_id
+),
+best AS (
+  SELECT batch_id, corpus_id, jaccard,
+         ROW_NUMBER() OVER (PARTITION BY batch_id ORDER BY jaccard DESC, corpus_id) AS rn
+  FROM ver WHERE jaccard >= {JACCARD_T}
+)
+SELECT b.doc_id,
+       best.batch_id IS NOT NULL AS is_dup,
+       best.corpus_id AS match_id,
+       best.jaccard
+FROM b LEFT JOIN best ON best.batch_id = b.doc_id AND best.rn = 1
+"""
+
+
 SEG_TOKENS = 16
 
 
@@ -259,6 +328,7 @@ GROUP BY doc_id
 
 
 QUERIES = {
+    "dedup_incremental": (dedup_incremental, _incremental_oracle()),
     "dedup_segments": (dedup_segments, _segments_oracle()),
     "dedup_exact_groups": (dedup_exact_groups, EXACT_ORACLE),
     "dedup_clusters": (dedup_clusters, _clusters_oracle()),

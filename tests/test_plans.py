@@ -335,3 +335,48 @@ def test_segment_dedup_two_shuffles_no_python(spark):
     assert plan.count("Exchange hashpartitioning") == 2
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_incremental_dedup_broadcasts_batch_and_finds_known_dup(spark):
+    """incremental_dedup: the batch band rows broadcast against the
+    corpus index (the persisted-index side must never shuffle), and a
+    verbatim copy planted in the batch is flagged against its corpus
+    original."""
+    from pyspark.sql import functions as F
+
+    from bruin_spark.operators.dedup import incremental_dedup, lsh_band_index
+
+    corpus = spark.createDataFrame(
+        [(i, f"the quick brown fox jumps over dog number {i} " * 3) for i in range(40)],
+        "doc_id long, text string",
+    )
+    # batch doc 100 duplicates corpus doc 7; 101 is novel
+    batch = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over dog number 7 " * 3),
+            (101, "completely unrelated fresh content about spark plans"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = lsh_band_index(corpus)
+    # The candidate join runs eagerly (localCheckpoint) inside
+    # incremental_dedup, so gate its shape separately: batch side
+    # broadcast, corpus-index side free of shuffle exchanges.
+    from pyspark.sql import functions as SF
+
+    bidx = SF.broadcast(lsh_band_index(batch))
+    cand_plan = plan_of(
+        bidx.alias("b").join(
+            idx.alias("c"),
+            (SF.col("b.band") == SF.col("c.band"))
+            & (SF.col("b.band_key") == SF.col("c.band_key")),
+        )
+    )
+    assert "BroadcastHashJoin" in cand_plan
+    assert "CartesianProduct" not in cand_plan
+    out = incremental_dedup(batch, idx, corpus)
+    assert "CartesianProduct" not in plan_of(out)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[100]["is_dup"] and rows[100]["match_id"] == 7
+    assert rows[100]["jaccard"] == 1.0
+    assert not rows[101]["is_dup"] and rows[101]["match_id"] is None
