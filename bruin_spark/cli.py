@@ -714,6 +714,31 @@ def cmd_clean(args) -> int:
     return 0
 
 
+def cmd_optimize(args) -> int:
+    """Compact a table's small files and optionally refresh CBO stats
+    (Spark-first maintenance — the analog of Delta OPTIMIZE / Iceberg
+    rewrite_data_files for the parquet warehouse this engine manages)."""
+    import json
+
+    from bruin_spark import get_spark
+    from bruin_spark.mat.maintenance import analyze_table, compact_table
+
+    spark = get_spark("bruin:optimize")
+    if not spark.catalog.tableExists(args.table):
+        print(f"unknown table: {args.table}", file=sys.stderr)
+        return 2
+    rep = compact_table(
+        spark,
+        args.table,
+        target_file_mb=args.target_file_mb,
+        dry_run=args.dry_run,
+    )
+    if args.analyze:
+        rep["analyze"] = analyze_table(spark, args.table, args.columns or None)
+    print(json.dumps(rep))
+    return 0
+
+
 def cmd_render(args) -> int:
     from bruin_spark.mat.strategies import render_materialization
     from bruin_spark.model import load_pipeline
@@ -1139,6 +1164,16 @@ def main(argv: list[str] | None = None) -> int:
         help="EXPLAIN custom-check/hook SQL against a live session",
     )
     pl.set_defaults(fn=cmd_lint)
+
+    po = sub.add_parser(
+        "optimize", help="compact a table's small files and refresh statistics"
+    )
+    po.add_argument("table")
+    po.add_argument("--target-file-mb", type=int, default=128)
+    po.add_argument("--dry-run", action="store_true")
+    po.add_argument("--analyze", action="store_true", help="ANALYZE TABLE after compaction")
+    po.add_argument("--columns", nargs="*", help="columns for ANALYZE ... FOR COLUMNS")
+    po.set_defaults(fn=cmd_optimize)
 
     pver = sub.add_parser("version", help="print the engine version")
     pver.set_defaults(fn=lambda a: (print(f"bruin_spark {__import__('bruin_spark').__version__}"), 0)[1])

@@ -1,0 +1,179 @@
+"""Table maintenance: small-file compaction + table/column statistics.
+
+Incremental strategies (append / merge / delete+insert / streaming
+foreachBatch) fragment a table into ever more small files; at 100 TB
+the file count — not the byte count — becomes the bottleneck: every
+query pays listing + task-scheduling overhead per file, and tiny row
+groups defeat parquet's columnar encoding. Warehouses the reference
+targets handle this internally (BigQuery auto-reclusters, Delta has
+OPTIMIZE, Iceberg rewrite_data_files); a Spark-parquet warehouse needs
+an explicit maintenance pass, so this engine ships one.
+
+Design:
+- ``table_file_stats`` is metadata-only (driver-side Hadoop FS listing,
+  no executor job) — cheap enough to run before every compaction to
+  decide whether it is worth it.
+- ``compact_table`` rewrites through a staged table and the same
+  crash-safe rename-to-backup -> rename-stage-in -> drop-backup swap as
+  the CDC applier (streaming/streaming.py), so the target always exists
+  and a crash is recoverable; a recovery sweep at entry restores a
+  mid-swap backup and drops orphaned stage tables.
+- ``analyze_table`` wraps ``ANALYZE TABLE ... COMPUTE STATISTICS`` so
+  Catalyst's CBO sees row counts / NDVs and can pick broadcast joins on
+  its own at real scale.
+"""
+
+from __future__ import annotations
+
+import math
+import uuid
+
+from pyspark.sql import SparkSession
+
+MB = 1024 * 1024
+
+
+def _qual_parts(table: str) -> tuple[str, str]:
+    """(schema-or-empty, base) of a possibly qualified table name."""
+    parts = table.split(".")
+    return (".".join(parts[:-1]), parts[-1])
+
+
+def table_file_stats(spark: SparkSession, table: str) -> dict:
+    """File-level stats of a catalog table: metadata-only, no Spark job.
+
+    Walks the driver-side Hadoop FileSystem over ``df.inputFiles()`` —
+    O(n_files) on the driver, which is the same cost every query's scan
+    planning already pays to list the table.
+    """
+    df = spark.table(table)
+    files = df.inputFiles()
+    hconf = spark._jsc.hadoopConfiguration()
+    jvm = spark._jvm
+    fs = None
+    total = 0
+    for f in files:
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        if fs is None:
+            fs = p.getFileSystem(hconf)
+        total += fs.getFileStatus(p).getLen()
+    n = len(files)
+    return {
+        "table": table,
+        "n_files": n,
+        "total_bytes": total,
+        "avg_file_bytes": total // n if n else 0,
+    }
+
+
+def _recover_orphans(spark: SparkSession, table: str) -> None:
+    """Restore a mid-swap backup; drop stage/backup leftovers."""
+    schema, base = _qual_parts(table)
+    prefix = f"{schema}." if schema else ""
+    names = [t.name for t in spark.catalog.listTables(schema or None)]
+    backups = sorted(n for n in names if n.startswith(f"{base}__opt_backup_"))
+    if base not in names and backups:
+        spark.sql(f"ALTER TABLE {prefix}{backups[-1]} RENAME TO {table}")
+        if any(c.isPartition for c in spark.catalog.listColumns(table)):
+            spark.sql(f"MSCK REPAIR TABLE {table} SYNC PARTITIONS")
+        backups = backups[:-1]
+    def _safe_drop(name: str) -> None:
+        # A leftover backup's stale partition locations can point at the
+        # live target's directory (see compact_table); SYNC before DROP
+        # so the drop only ever deletes the orphan's own files.
+        if any(c.isPartition for c in spark.catalog.listColumns(name)):
+            spark.sql(f"MSCK REPAIR TABLE {name} SYNC PARTITIONS")
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+    for n in backups:
+        _safe_drop(f"{prefix}{n}")
+    for n in names:
+        if n.startswith(f"{base}__opt_stage_"):
+            _safe_drop(f"{prefix}{n}")
+
+
+def compact_table(
+    spark: SparkSession,
+    table: str,
+    target_file_mb: int = 128,
+    min_files_saved: int = 4,
+    dry_run: bool = False,
+) -> dict:
+    """Rewrite ``table`` into ~``target_file_mb``-sized files.
+
+    Skips (report only) unless the rewrite would eliminate at least
+    ``min_files_saved`` files — compaction reads and rewrites every
+    byte, so it must pay for itself. Partitioned tables repartition on
+    their partition columns (each task writes whole partitions, so the
+    per-partition file count collapses); unpartitioned tables
+    repartition to the computed file count.
+
+    Returns a report dict: before/after stats + ``compacted`` flag.
+    """
+    _recover_orphans(spark, table)
+    before = table_file_stats(spark, table)
+    target_files = max(1, math.ceil(before["total_bytes"] / (target_file_mb * MB)))
+    report = {
+        "before": before,
+        "target_files": target_files,
+        "compacted": False,
+    }
+    if before["n_files"] - target_files < min_files_saved:
+        return report
+    if dry_run:
+        report["compacted"] = "dry_run"
+        return report
+
+    part_cols = [
+        c.name for c in spark.catalog.listColumns(table) if c.isPartition
+    ]
+    df = spark.table(table)
+    if part_cols:
+        df = df.repartition(target_files, *part_cols)
+    else:
+        df = df.repartition(target_files)
+
+    token = uuid.uuid4().hex[:8]
+    stage = f"{table}__opt_stage_{token}"
+    backup = f"{table}__opt_backup_{token}"
+    writer = df.write.format("parquet")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.saveAsTable(stage)
+    # Crash-safe swap: target always exists under every prefix of this
+    # sequence; _recover_orphans undoes a partial swap on the next run.
+    spark.sql(f"ALTER TABLE {table} RENAME TO {backup}")
+    spark.sql(f"ALTER TABLE {stage} RENAME TO {table}")
+    if part_cols:
+        # RENAME moves the data directory but leaves per-partition catalog
+        # locations pointing at the old path; SYNC re-discovers them. The
+        # backup MUST be repaired before DROP — its stale partition
+        # locations point at the directory that is now the live target,
+        # and DROP would otherwise delete the fresh data through them.
+        spark.sql(f"MSCK REPAIR TABLE {table} SYNC PARTITIONS")
+        spark.sql(f"MSCK REPAIR TABLE {backup} SYNC PARTITIONS")
+    spark.sql(f"DROP TABLE IF EXISTS {backup}")
+    report["after"] = table_file_stats(spark, table)
+    report["compacted"] = True
+    return report
+
+
+def analyze_table(
+    spark: SparkSession, table: str, columns: list[str] | None = None
+) -> dict:
+    """Compute table (and optionally column) statistics for the CBO.
+
+    Row counts + sizes let Catalyst auto-broadcast genuinely small
+    tables; column NDV/min/max feed join reordering and selectivity
+    estimates. At 100 TB this is the difference between the optimizer
+    guessing and knowing.
+    """
+    spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
+    if columns:
+        cols = ", ".join(columns)
+        spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS {cols}")
+    described = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    stats = next(
+        (r.data_type for r in described if r.col_name.strip() == "Statistics"), ""
+    )
+    return {"table": table, "statistics": stats, "columns": columns or []}

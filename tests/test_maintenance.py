@@ -1,0 +1,96 @@
+"""Small-file compaction + statistics maintenance (mat/maintenance.py)."""
+
+from pyspark.sql import functions as F
+
+from bruin_spark.mat.maintenance import (
+    analyze_table,
+    compact_table,
+    table_file_stats,
+)
+
+
+def _fragmented_table(spark, name, n_files=24, rows=2400, partitioned=False):
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    df = spark.range(rows).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("int").alias("grp"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    )
+    w = df.repartition(n_files).write.format("parquet")
+    if partitioned:
+        w = w.partitionBy("grp")
+    w.saveAsTable(name)
+
+
+def test_compact_unpartitioned_reduces_files_preserves_rows(spark):
+    _fragmented_table(spark, "opt_t1")
+    before = table_file_stats(spark, "opt_t1")
+    assert before["n_files"] >= 20
+    checksum = spark.table("opt_t1").agg(
+        F.count("*").alias("n"), F.sum(F.crc32("payload")).alias("ck")
+    ).collect()[0]
+    rep = compact_table(spark, "opt_t1", target_file_mb=128)
+    assert rep["compacted"] is True
+    assert rep["after"]["n_files"] < before["n_files"]
+    assert rep["after"]["n_files"] <= rep["target_files"] + 1
+    after = spark.table("opt_t1").agg(
+        F.count("*").alias("n"), F.sum(F.crc32("payload")).alias("ck")
+    ).collect()[0]
+    assert (after["n"], after["ck"]) == (checksum["n"], checksum["ck"])
+    # no stage/backup leftovers
+    names = [t.name for t in spark.catalog.listTables()]
+    assert not any("__opt_" in n for n in names)
+    spark.sql("DROP TABLE opt_t1")
+
+
+def test_compact_partitioned_preserves_partitioning(spark):
+    _fragmented_table(spark, "opt_t2", partitioned=True)
+    rep = compact_table(spark, "opt_t2", target_file_mb=128)
+    assert rep["compacted"] is True
+    part_cols = [c.name for c in spark.catalog.listColumns("opt_t2") if c.isPartition]
+    assert part_cols == ["grp"]
+    counts = {
+        r["grp"]: r["n"]
+        for r in spark.table("opt_t2").groupBy("grp").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {0: 800, 1: 800, 2: 800}
+    spark.sql("DROP TABLE opt_t2")
+
+
+def test_compact_skips_when_not_worth_it(spark):
+    spark.sql("DROP TABLE IF EXISTS opt_t3")
+    spark.range(10).coalesce(1).write.format("parquet").saveAsTable("opt_t3")
+    rep = compact_table(spark, "opt_t3")
+    assert rep["compacted"] is False
+    assert "after" not in rep
+    spark.sql("DROP TABLE opt_t3")
+
+
+def test_compact_dry_run_changes_nothing(spark):
+    _fragmented_table(spark, "opt_t4")
+    before = table_file_stats(spark, "opt_t4")
+    rep = compact_table(spark, "opt_t4", dry_run=True)
+    assert rep["compacted"] == "dry_run"
+    assert table_file_stats(spark, "opt_t4")["n_files"] == before["n_files"]
+    spark.sql("DROP TABLE opt_t4")
+
+
+def test_recovery_sweep_restores_backup(spark):
+    """A crash between the two renames leaves only the backup; the next
+    compaction must restore the target before doing anything else."""
+    _fragmented_table(spark, "opt_t5", n_files=6, rows=60)
+    spark.sql("ALTER TABLE opt_t5 RENAME TO opt_t5__opt_backup_deadbeef")
+    rep = compact_table(spark, "opt_t5")  # sweep restores, then evaluates
+    assert spark.catalog.tableExists("opt_t5")
+    assert spark.table("opt_t5").count() == 60
+    assert not any(
+        "__opt_" in t.name for t in spark.catalog.listTables()
+    ), rep
+    spark.sql("DROP TABLE opt_t5")
+
+
+def test_analyze_table_records_stats(spark):
+    _fragmented_table(spark, "opt_t6", n_files=2, rows=100)
+    out = analyze_table(spark, "opt_t6", columns=["id"])
+    assert "100 rows" in out["statistics"]
+    spark.sql("DROP TABLE opt_t6")
