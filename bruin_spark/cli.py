@@ -714,6 +714,90 @@ def cmd_clean(args) -> int:
     return 0
 
 
+#: curl's own template variables ({{name}} / {{name:trim:url}} chains)
+#: must survive rendering untouched (ref cmd/curl.go
+#: curlVariableExpression) — they are curl --variable substitutions,
+#: not Jinja.
+_CURL_VAR_RE = None
+
+
+def render_curl_args(curl_args, lookup) -> list[str]:
+    """Jinja-render each curl argument; ``bruin.connection(name)``
+    exposes a named connection's fields (ref cmd/curl.go
+    renderCurlArgs). Raises ValueError on an unknown connection."""
+    import re
+    import uuid
+
+    from bruin_spark.render.jinja import _ENV
+
+    global _CURL_VAR_RE
+    if _CURL_VAR_RE is None:
+        _CURL_VAR_RE = re.compile(r"\{\{[A-Za-z0-9_]+(?::[A-Za-z0-9_,]+)*\}\}")
+
+    cache: dict = {}
+
+    def connection(name: str):
+        if name not in cache:
+            cache[name] = lookup(name)
+        return cache[name]
+
+    rendered = []
+    for i, arg in enumerate(curl_args):
+        protected = arg
+        placeholders = []
+        for v in _CURL_VAR_RE.findall(arg):
+            ph = f"__bruin_curl_var_{uuid.uuid4().hex}__"
+            placeholders.append((ph, v))
+            protected = protected.replace(v, ph, 1)
+        try:
+            out = _ENV.from_string(protected).render(bruin={"connection": connection})
+        except ValueError:
+            raise
+        except Exception as exc:
+            raise ValueError(f"failed to render curl argument {i + 1}: {exc}") from exc
+        for ph, v in placeholders:
+            out = out.replace(ph, v)
+        rendered.append(out)
+    return rendered
+
+
+def cmd_curl(args) -> int:
+    """Proxy to the installed curl after rendering each argument with
+    Jinja + connection context (ref cmd/curl.go). curl owns stdout;
+    engine diagnostics go to stderr only, and curl's own exit code is
+    propagated (128+signal when signalled)."""
+    import subprocess
+
+    curl_args = list(args.curl_args or [])
+    if curl_args and curl_args[0] == "--":
+        curl_args = curl_args[1:]
+    if not curl_args:
+        print("at least one curl option or URL is required after --", file=sys.stderr)
+        return 1
+
+    def lookup(name: str):
+        from bruin_spark.projectconfig import load_config
+        from bruin_spark.sources.connections import (
+            connection_fields,
+            environment_connection_specs,
+        )
+
+        cfg = load_config(args.config_file or os.getcwd())
+        env = args.environment or cfg.default_environment or "default"
+        specs = environment_connection_specs(cfg, env)
+        if name not in specs:
+            raise ValueError(f"unknown connection {name!r} in environment {env!r}")
+        return connection_fields(specs[name])
+
+    try:
+        rendered = render_curl_args(curl_args, lookup)
+    except ValueError as exc:
+        print(str(exc), file=sys.stderr)
+        return 1
+    rc = subprocess.run([args.curl_path, *rendered]).returncode
+    return rc if rc >= 0 else 128 - rc
+
+
 def cmd_optimize(args) -> int:
     """Compact a table's small files and optionally refresh CBO stats
     (Spark-first maintenance — the analog of Delta OPTIMIZE / Iceberg
@@ -1164,6 +1248,19 @@ def main(argv: list[str] | None = None) -> int:
         help="EXPLAIN custom-check/hook SQL against a live session",
     )
     pl.set_defaults(fn=cmd_lint)
+
+    pcu = sub.add_parser(
+        "curl", help="run curl with arguments rendered from named connections"
+    )
+    pcu.add_argument("--config-file")
+    pcu.add_argument("--environment", "--env")
+    pcu.add_argument("--curl-path", default="curl", help=argparse.SUPPRESS)
+    pcu.add_argument(
+        "curl_args",
+        nargs=argparse.REMAINDER,
+        help="everything after -- goes to curl verbatim (post-render)",
+    )
+    pcu.set_defaults(fn=cmd_curl)
 
     po = sub.add_parser(
         "optimize", help="compact a table's small files and refresh statistics"

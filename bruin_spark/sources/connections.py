@@ -66,15 +66,16 @@ def connection_uri(spec) -> str:
     return f"{typ}://{host}{query}"
 
 
-def environment_connections(cfg, env_name: str) -> dict[str, str]:
-    """All named connections of one environment, rendered to URIs.
+def environment_connection_specs(cfg, env_name: str) -> dict:
+    """All named connections of one environment, as raw specs (URI
+    string or typed mapping).
 
     Accepts both layouts: a flat ``connections: {name: spec}`` map and
     the reference's grouped ``connections: {type: [specs-with-name]}``.
     """
     spec = (cfg.environments or {}).get(env_name, {}) or {}
     raw = spec.get("connections", {}) or {}
-    out: dict[str, str] = {}
+    out: dict = {}
     for key, val in raw.items():
         if isinstance(val, list):  # reference layout: type -> [ {name: ...} ]
             for item in val:
@@ -83,7 +84,27 @@ def environment_connections(cfg, env_name: str) -> dict[str, str]:
                 if not name:
                     continue
                 item.setdefault("type", key)
-                out[name] = connection_uri(item)
+                out[name] = item
         else:  # flat layout: name -> uri-string | typed mapping
-            out[str(key)] = connection_uri(val)
+            out[str(key)] = val
     return out
+
+
+def connection_fields(spec) -> dict:
+    """A connection spec as a template-visible field mapping
+    (``{{ bruin.connection("name").host }}`` in `bruin curl`, ref
+    cmd/curl.go connectionFields): typed mappings expose their fields
+    plus the rendered ``uri``; URI strings expose just ``uri``."""
+    if isinstance(spec, str):
+        return {"uri": spec}
+    out = dict(spec)
+    out["uri"] = connection_uri(spec)
+    return out
+
+
+def environment_connections(cfg, env_name: str) -> dict[str, str]:
+    """All named connections of one environment, rendered to URIs."""
+    return {
+        name: connection_uri(spec)
+        for name, spec in environment_connection_specs(cfg, env_name).items()
+    }

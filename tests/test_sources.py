@@ -419,3 +419,50 @@ def test_ingestr_uri_command(tmp_path, capsys):
     assert out2.read_text().startswith("postgres+cdc://")
     # unknown connection
     assert cmd_ingestr_uri(ns(tmp_path / "x.txt", connection="nope")) == 2
+
+
+def test_curl_command_renders_connection_args(tmp_path, capfd):
+    """`curl` renders {{ bruin.connection(name).field }} into the args,
+    leaves curl's own {{var}}/{{var:fn}} variables untouched, and
+    propagates the executable's exit code (ref cmd/curl.go)."""
+    from types import SimpleNamespace
+
+    from bruin_spark.cli import cmd_curl
+
+    (tmp_path / ".bruin.yml").write_text(
+        "default_environment: local\n"
+        "environments:\n"
+        "  local:\n"
+        "    connections:\n"
+        "      api:\n"
+        "        type: httpapi\n"
+        "        host: api.example.com\n"
+        "        token: sekrit\n"
+    )
+    fake = tmp_path / "fakecurl"
+    fake.write_text('#!/bin/sh\nprintf "%s|" "$@"\nexit 7\n')
+    fake.chmod(0o755)
+
+    def ns(*curl_args):
+        return SimpleNamespace(
+            curl_args=["--", *curl_args], config_file=str(tmp_path),
+            environment=None, curl_path=str(fake),
+        )
+
+    rc = cmd_curl(
+        ns(
+            "-H",
+            'Authorization: Bearer {{ bruin.connection("api").token }}',
+            'https://{{ bruin.connection("api").host }}/v1/{{path:url}}',
+        )
+    )
+    out = capfd.readouterr().out
+    assert rc == 7  # exit code propagated from curl
+    assert "Authorization: Bearer sekrit|" in out
+    assert "https://api.example.com/v1/{{path:url}}|" in out
+    # unknown connection -> diagnostic on stderr, exit 1, curl not run
+    rc = cmd_curl(ns("https://{{ bruin.connection('nope').host }}/"))
+    err = capfd.readouterr().err
+    assert rc == 1 and "unknown connection 'nope'" in err
+    # no args after --
+    assert cmd_curl(SimpleNamespace(curl_args=["--"], config_file=None, environment=None, curl_path="curl")) == 1
