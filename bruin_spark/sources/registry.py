@@ -127,6 +127,8 @@ STREAM_SCHEMES = {"kafka", "kinesis", "rabbitmq"}
 API_SOURCES: dict[str, tuple[str, ...]] = {
     "adapty": ("api_key",),
     "adjust": ("api_key",),
+    "adls": ("account_name",),  # Azure Data Lake gen2 (ref pkg/adls/config.go:38)
+    "amplitude": ("api_key", "secret_key"),
     "airtable": ("access_token", "base_id"),
     "allium": ("api_key",),
     "anthropic": ("api_key",),
@@ -182,6 +184,7 @@ API_SOURCES: dict[str, tuple[str, ...]] = {
     "mixpanel": ("project_id",),
     "monday": ("api_token",),
     "notion": ("api_key",),
+    "onelake": ("tenant_id", "client_id", "client_secret"),  # ref pkg/onelake/config.go:32
     "paddle": ("api_key",),
     "payrails": (),
     "personio": ("client_id", "client_secret"),
