@@ -66,6 +66,39 @@ def table_file_stats(spark: SparkSession, table: str) -> dict:
     }
 
 
+def _is_partitioned(spark: SparkSession, table: str) -> bool:
+    return any(c.isPartition for c in spark.catalog.listColumns(table))
+
+
+def sync_partitions(spark: SparkSession, table: str) -> None:
+    """Re-discover a partitioned table's per-partition locations.
+
+    ``ALTER TABLE ... RENAME`` moves the data directory but leaves the
+    catalog's per-partition locations pointing at the old path; until a
+    SYNC the table reads empty, and a DROP would follow the stale
+    pointers and delete files that now belong to ANOTHER table. Every
+    rename/drop of a possibly-partitioned table must go through here.
+    """
+    if _is_partitioned(spark, table):
+        spark.sql(f"MSCK REPAIR TABLE {table} SYNC PARTITIONS")
+
+
+def safe_drop(spark: SparkSession, table: str) -> None:
+    """DROP that can never delete another table's files through stale
+    partition locations (see ``sync_partitions``)."""
+    sync_partitions(spark, table)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def safe_swap(spark: SparkSession, target: str, stage: str, backup: str) -> None:
+    """Crash-safe table swap: target always exists under every prefix of
+    the sequence, and partitioned metadata is repaired before any drop."""
+    spark.sql(f"ALTER TABLE {target} RENAME TO {backup}")
+    spark.sql(f"ALTER TABLE {stage} RENAME TO {target}")
+    sync_partitions(spark, target)
+    safe_drop(spark, backup)
+
+
 def _recover_orphans(spark: SparkSession, table: str) -> None:
     """Restore a mid-swap backup; drop stage/backup leftovers."""
     schema, base = _qual_parts(table)
@@ -74,22 +107,13 @@ def _recover_orphans(spark: SparkSession, table: str) -> None:
     backups = sorted(n for n in names if n.startswith(f"{base}__opt_backup_"))
     if base not in names and backups:
         spark.sql(f"ALTER TABLE {prefix}{backups[-1]} RENAME TO {table}")
-        if any(c.isPartition for c in spark.catalog.listColumns(table)):
-            spark.sql(f"MSCK REPAIR TABLE {table} SYNC PARTITIONS")
+        sync_partitions(spark, table)
         backups = backups[:-1]
-    def _safe_drop(name: str) -> None:
-        # A leftover backup's stale partition locations can point at the
-        # live target's directory (see compact_table); SYNC before DROP
-        # so the drop only ever deletes the orphan's own files.
-        if any(c.isPartition for c in spark.catalog.listColumns(name)):
-            spark.sql(f"MSCK REPAIR TABLE {name} SYNC PARTITIONS")
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-
     for n in backups:
-        _safe_drop(f"{prefix}{n}")
+        safe_drop(spark, f"{prefix}{n}")
     for n in names:
         if n.startswith(f"{base}__opt_stage_"):
-            _safe_drop(f"{prefix}{n}")
+            safe_drop(spark, f"{prefix}{n}")
 
 
 def compact_table(
@@ -142,17 +166,7 @@ def compact_table(
     writer.saveAsTable(stage)
     # Crash-safe swap: target always exists under every prefix of this
     # sequence; _recover_orphans undoes a partial swap on the next run.
-    spark.sql(f"ALTER TABLE {table} RENAME TO {backup}")
-    spark.sql(f"ALTER TABLE {stage} RENAME TO {table}")
-    if part_cols:
-        # RENAME moves the data directory but leaves per-partition catalog
-        # locations pointing at the old path; SYNC re-discovers them. The
-        # backup MUST be repaired before DROP — its stale partition
-        # locations point at the directory that is now the live target,
-        # and DROP would otherwise delete the fresh data through them.
-        spark.sql(f"MSCK REPAIR TABLE {table} SYNC PARTITIONS")
-        spark.sql(f"MSCK REPAIR TABLE {backup} SYNC PARTITIONS")
-    spark.sql(f"DROP TABLE IF EXISTS {backup}")
+    safe_swap(spark, table, stage, backup)
     report["after"] = table_file_stats(spark, table)
     report["compacted"] = True
     return report

@@ -340,18 +340,21 @@ def apply_cdc_stream(
         Handles schema-qualified targets (``db.tbl``): the sweep lists
         the table's own database, and rename/drop statements stay
         qualified."""
+        from bruin_spark.mat.maintenance import safe_drop, sync_partitions
+
         db, _, base = target.rpartition(".")
         names = {t.name for t in spark.catalog.listTables(db or None)}
         qual = (lambda n: f"{db}.{n}") if db else (lambda n: n)
         backups = sorted(n for n in names if n.startswith(f"{base}__cdc_backup_"))
         if base not in names and backups:
             spark.sql(f"ALTER TABLE {qual(backups[-1])} RENAME TO {target}")
+            sync_partitions(spark, target)
             backups = backups[:-1]
         for n in backups:
-            spark.sql(f"DROP TABLE IF EXISTS {qual(n)}")
+            safe_drop(spark, qual(n))
         for n in names:
             if n.startswith(f"{base}__cdc_stage_"):
-                spark.sql(f"DROP TABLE IF EXISTS {qual(n)}")
+                safe_drop(spark, qual(n))
 
     def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -375,15 +378,25 @@ def apply_cdc_stream(
         if not spark.catalog.tableExists(target):
             upserts.write.saveAsTable(target)
             return
+        from bruin_spark.mat.maintenance import safe_swap
+
         remaining = spark.table(target).join(keys, pks, "left_anti")
         new_state = remaining.unionByName(upserts)
         token = _uuid.uuid4().hex[:8]
         stage = f"{target}__cdc_stage_{token}"
         backup = f"{target}__cdc_backup_{token}"
-        new_state.write.saveAsTable(stage)
-        spark.sql(f"ALTER TABLE {target} RENAME TO {backup}")
-        spark.sql(f"ALTER TABLE {stage} RENAME TO {target}")
-        spark.sql(f"DROP TABLE IF EXISTS {backup}")
+        # Preserve the target's partition layout on the rebuilt state —
+        # and make the swap safe for partitioned targets (safe_swap
+        # repairs stale per-partition locations before the backup drop;
+        # dropping through them would delete the fresh data).
+        part_cols = [
+            c.name for c in spark.catalog.listColumns(target) if c.isPartition
+        ]
+        writer = new_state.write
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.saveAsTable(stage)
+        safe_swap(spark, target, stage, backup)
 
     cp = checkpoint or tempfile.mkdtemp(prefix=f"bruin_cdc_{target}_")
     writer = sdf.writeStream.foreachBatch(apply_batch).option("checkpointLocation", cp)

@@ -417,3 +417,43 @@ def test_apply_cdc_stream_qualified_target(spark, tmp_path):
         for t in spark.catalog.listTables("cdcdb"):
             spark.sql(f"DROP TABLE IF EXISTS cdcdb.{t.name}")
         spark.sql("DROP DATABASE IF EXISTS cdcdb")
+
+
+def test_apply_cdc_stream_partitioned_target(spark, tmp_path):
+    """CDC apply onto a PARTITIONED target: the rebuilt state keeps the
+    partition layout, and the staged swap must not delete the fresh data
+    through the backup's stale per-partition locations."""
+    import json
+
+    from bruin_spark.streaming.streaming import apply_cdc_stream
+
+    src = tmp_path / "cdcp_src"
+    src.mkdir()
+    cp = str(tmp_path / "cdcp_ckpt")
+    schema = "op string, id bigint, region string, val string, ts bigint"
+
+    spark.sql("DROP TABLE IF EXISTS cdcp_target")
+    spark.createDataFrame(
+        [(1, "eu", "a", 1), (2, "us", "b", 1)],
+        "id bigint, region string, val string, ts bigint",
+    ).write.partitionBy("region").saveAsTable("cdcp_target")
+
+    (src / "b1.json").write_text(
+        "\n".join(
+            json.dumps(e)
+            for e in [
+                {"op": "u", "id": 1, "region": "eu", "val": "a2", "ts": 2},
+                {"op": "c", "id": 3, "region": "ap", "val": "c", "ts": 3},
+                {"op": "d", "id": 2, "region": "us", "val": None, "ts": 4},
+            ]
+        )
+    )
+    sdf = spark.readStream.schema(schema).json(str(src))
+    apply_cdc_stream(spark, sdf, "cdcp_target", pks=["id"], ts_col="ts", checkpoint=cp)
+
+    rows = {r["id"]: (r["region"], r["val"]) for r in spark.table("cdcp_target").collect()}
+    assert rows == {1: ("eu", "a2"), 3: ("ap", "c")}
+    part_cols = [c.name for c in spark.catalog.listColumns("cdcp_target") if c.isPartition]
+    assert part_cols == ["region"]
+    assert not any("__cdc_" in t.name for t in spark.catalog.listTables())
+    spark.sql("DROP TABLE cdcp_target")
