@@ -656,16 +656,28 @@ def cmd_ingestr_uri(args) -> int:
     from bruin_spark.projectconfig import load_config
     from bruin_spark.sources.connections import environment_connections
 
-    cfg = load_config(args.config_file or os.getcwd())
-    env = args.environment or cfg.default_environment or "default"
-    conns = environment_connections(cfg, env)
-    uri = conns.get(args.connection)
-    if uri is None:
-        print(
-            f"unknown connection {args.connection!r} in environment {env!r}",
-            file=sys.stderr,
-        )
-        return 2
+    from bruin_spark.secretsbackend import lookup_connection, selected_backend
+
+    backend = selected_backend(getattr(args, "secrets_backend", None))
+    if backend:
+        from bruin_spark.sources.connections import connection_uri
+
+        try:
+            uri = connection_uri(lookup_connection(backend, args.connection))
+        except (ValueError, NotImplementedError) as exc:
+            print(str(exc), file=sys.stderr)
+            return 2
+    else:
+        cfg = load_config(args.config_file or os.getcwd())
+        env = args.environment or cfg.default_environment or "default"
+        conns = environment_connections(cfg, env)
+        uri = conns.get(args.connection)
+        if uri is None:
+            print(
+                f"unknown connection {args.connection!r} in environment {env!r}",
+                file=sys.stderr,
+            )
+            return 2
     if args.cdc:
         from bruin_spark.sources.uri import to_cdc
 
@@ -777,11 +789,15 @@ def cmd_curl(args) -> int:
 
     def lookup(name: str):
         from bruin_spark.projectconfig import load_config
+        from bruin_spark.secretsbackend import lookup_connection, selected_backend
         from bruin_spark.sources.connections import (
             connection_fields,
             environment_connection_specs,
         )
 
+        backend = selected_backend(getattr(args, "secrets_backend", None))
+        if backend:
+            return connection_fields(lookup_connection(backend, name))
         cfg = load_config(args.config_file or os.getcwd())
         env = args.environment or cfg.default_environment or "default"
         specs = environment_connection_specs(cfg, env)
@@ -1123,6 +1139,11 @@ def main(argv: list[str] | None = None) -> int:
     piu.add_argument("--config-file")
     piu.add_argument("--environment", "--env")
     piu.add_argument(
+        "--secrets-backend",
+        help="resolve the connection from a secrets store instead of .bruin.yml "
+        "(env, vault, doppler, aws, azure); also via BRUIN_SECRETS_BACKEND",
+    )
+    piu.add_argument(
         "--cdc",
         action="store_true",
         help="rewrite the URI onto its change-data-capture scheme",
@@ -1254,6 +1275,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     pcu.add_argument("--config-file")
     pcu.add_argument("--environment", "--env")
+    pcu.add_argument("--secrets-backend")
     pcu.add_argument("--curl-path", default="curl", help=argparse.SUPPRESS)
     pcu.add_argument(
         "curl_args",

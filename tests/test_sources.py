@@ -466,3 +466,56 @@ def test_curl_command_renders_connection_args(tmp_path, capfd):
     assert rc == 1 and "unknown connection 'nope'" in err
     # no args after --
     assert cmd_curl(SimpleNamespace(curl_args=["--"], config_file=None, environment=None, curl_path="curl")) == 1
+
+
+def test_secrets_backends(tmp_path, monkeypatch, capsys):
+    """Secrets backends: 'env' resolves BRUIN_CONNECTION_<NAME> vars
+    (URI or JSON spec); vault/doppler/aws/azure validate the reference's
+    BRUIN_* env config and gate the fetch (ref cmd/secrets_backend.go,
+    pkg/secrets/*.go)."""
+    import json
+    from types import SimpleNamespace
+
+    import pytest
+
+    from bruin_spark.cli import cmd_ingestr_uri
+    from bruin_spark.secretsbackend import (
+        SecretsBackendUnavailable,
+        lookup_connection,
+        selected_backend,
+    )
+
+    # env backend: URI string and JSON typed-mapping forms
+    monkeypatch.setenv("BRUIN_CONNECTION_PG_MAIN", "postgres://u:p@h:5432/db")
+    monkeypatch.setenv(
+        "BRUIN_CONNECTION_WAREHOUSE",
+        json.dumps({"type": "snowflake", "host": "acct", "username": "u", "password": "p"}),
+    )
+    assert lookup_connection("env", "pg_main") == "postgres://u:p@h:5432/db"
+    assert lookup_connection("env", "warehouse")["type"] == "snowflake"
+    with pytest.raises(ValueError, match="unknown connection"):
+        lookup_connection("env", "nope")
+
+    # flag wins over BRUIN_SECRETS_BACKEND
+    monkeypatch.setenv("BRUIN_SECRETS_BACKEND", "vault")
+    assert selected_backend("env") == "env"
+    assert selected_backend(None) == "vault"
+
+    # vault: missing config is a config error; complete config gates the fetch
+    with pytest.raises(ValueError, match="BRUIN_VAULT_HOST"):
+        lookup_connection("vault", "x")
+    for v in ("BRUIN_VAULT_HOST", "BRUIN_VAULT_PATH", "BRUIN_VAULT_MOUNT_PATH"):
+        monkeypatch.setenv(v, "v")
+    with pytest.raises(SecretsBackendUnavailable):
+        lookup_connection("vault", "x")
+    with pytest.raises(ValueError, match="unknown secrets backend"):
+        lookup_connection("wat", "x")
+
+    # ingestr-uri integration: env backend bypasses .bruin.yml entirely
+    out = tmp_path / "uri.txt"
+    args = SimpleNamespace(
+        output=str(out), connection="pg_main", cdc=False,
+        config_file=str(tmp_path), environment=None, secrets_backend="env",
+    )
+    assert cmd_ingestr_uri(args) == 0
+    assert out.read_text() == "postgres://u:p@h:5432/db"
