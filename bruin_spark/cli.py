@@ -145,12 +145,22 @@ def cmd_run(args) -> int:
     # back-fill the pipeline's own map (ref: connection resolution order,
     # cmd/run.go + pkg/connection); pipeline.yml keys win on collision
     from bruin_spark.projectconfig import load_config
-    from bruin_spark.sources.connections import environment_connections
+    from bruin_spark.sources.connections import (
+        connection_uri,
+        environment_connection_specs,
+    )
 
     _cfg = load_config(args.pipeline)
     _conn_env = env_name or _cfg.default_environment
     if _conn_env:
-        for _name, _uri in environment_connections(_cfg, _conn_env).items():
+        for _name, _spec in environment_connection_specs(_cfg, _conn_env).items():
+            try:
+                _uri = connection_uri(_spec)
+            except ValueError as e:
+                # a malformed spec only matters if an asset uses it —
+                # warn, don't kill the whole run
+                print(f"warning: skipping connection {_name!r}: {e}", file=sys.stderr)
+                continue
             pipe.default_connections.setdefault(_name, _uri)
     stream_target = getattr(args, "stream", None)
     if stream_target and getattr(args, "sensor_mode", None):
@@ -607,40 +617,74 @@ def cmd_connections(args) -> int:
     import json
 
     from bruin_spark.projectconfig import CONFIG_FILENAME, load_config, save_config
-    from bruin_spark.sources.connections import environment_connections
+    from bruin_spark.sources.connections import (
+        connection_uri,
+        environment_connection_specs,
+    )
 
     cfg = load_config(args.config_file or os.getcwd())
     env = args.environment or cfg.default_environment or "default"
+
+    def _render_all(env_name: str) -> dict[str, str]:
+        # per-connection tolerance: one malformed spec must not hide the
+        # rest of the listing
+        out = {}
+        for name, spec in environment_connection_specs(cfg, env_name).items():
+            try:
+                out[name] = connection_uri(spec)
+            except ValueError as e:
+                out[name] = f"<invalid: {e}>"
+        return out
+
     if args.conncommand == "list":
         if args.output == "json":
-            print(
-                json.dumps(
-                    {
-                        e: environment_connections(cfg, e)
-                        for e in (cfg.environments or {})
-                    }
-                )
-            )
+            print(json.dumps({e: _render_all(e) for e in (cfg.environments or {})}))
         else:
-            conns = environment_connections(cfg, env)
+            conns = _render_all(env)
             if not conns:
                 print(f"no connections in environment {env!r}")
             for name, uri in conns.items():
                 scheme = uri.split("://", 1)[0]
                 print(f"{name} ({scheme})")
         return 0
+    from bruin_spark.sources.connections import environment_connection_specs
+
     envs = cfg.environments.setdefault(env, {})
     conns = envs.setdefault("connections", {})
+    # flattened view covers BOTH layouts (flat name->spec and the
+    # reference's grouped type->[specs-with-name])
+    flat_names = set(environment_connection_specs(cfg, env))
     if args.conncommand == "add":
-        if args.name in conns:
+        if args.name in flat_names:
             print(f"connection {args.name!r} already exists in {env!r}", file=sys.stderr)
             return 2
         conns[args.name] = args.uri
     elif args.conncommand == "delete":
-        if args.name not in conns:
+        if args.name in conns and not isinstance(conns[args.name], list):
+            del conns[args.name]
+        elif args.name in flat_names:
+            # grouped layout: remove the single named entry from its
+            # type list (never silently delete a whole group)
+            for type_key, val in list(conns.items()):
+                if isinstance(val, list):
+                    kept = [i for i in val if (i or {}).get("name") != args.name]
+                    if len(kept) != len(val):
+                        if kept:
+                            conns[type_key] = kept
+                        else:
+                            del conns[type_key]
+                        break
+        elif args.name in conns:  # a type key holding a group
+            n = len(conns[args.name])
+            print(
+                f"{args.name!r} is a connection type grouping {n} connection(s); "
+                f"delete them by name",
+                file=sys.stderr,
+            )
+            return 2
+        else:
             print(f"unknown connection {args.name!r} in {env!r}", file=sys.stderr)
             return 2
-        del conns[args.name]
     path = cfg.path or args.config_file or os.path.join(os.getcwd(), CONFIG_FILENAME)
     save_config(cfg, path)
     verb = "added" if args.conncommand == "add" else "deleted"
@@ -710,13 +754,18 @@ def cmd_clean(args) -> int:
         removed.append(state)
     if args.sinks:
         from bruin_spark import get_spark
+        from bruin_spark.mat.maintenance import sweep_orphans
 
         spark = get_spark("bruin:clean")
+        # Swap-family orphans (__cdc_*/__opt_*) go through the recovery
+        # sweep, NOT a plain DROP: after a mid-swap crash the backup is
+        # the only copy of the target (restore it), and a leftover
+        # backup's stale partition locations can point at the live
+        # table's files (safe_drop repairs before dropping).
+        for action in sweep_orphans(spark):
+            removed.append(f"table:{action}")
         for t in spark.catalog.listTables():
-            orphan = t.name.startswith("stream_sink_") or (
-                "__cdc_stage_" in t.name or "__cdc_backup_" in t.name
-            )
-            if orphan and t.tableType != "TEMPORARY":
+            if t.name.startswith("stream_sink_") and t.tableType != "TEMPORARY":
                 spark.sql(f"DROP TABLE IF EXISTS {t.name}")
                 removed.append(f"table:{t.name}")
     for r in removed:

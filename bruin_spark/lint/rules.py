@@ -550,7 +550,11 @@ def _valid_ingestr(p: Pipeline, a: Asset) -> list[Issue]:
         # +driver suffix first (uri.go:118-149 scheme algebra)
         from bruin_spark.sources.registry import all_known_schemes
 
-        scheme = uri.split("://", 1)[0].split("+", 1)[0]
+        scheme = uri.split("://", 1)[0].split("+", 1)[0].lower()
+        if scheme.startswith("jdbc:"):
+            # raw jdbc:<subprotocol>://... URIs pass through to the JDBC
+            # reader verbatim (sources/ingest.py:122)
+            scheme = "jdbc"
         if scheme and scheme not in all_known_schemes():
             issues.append(
                 Issue(

@@ -99,6 +99,54 @@ def safe_swap(spark: SparkSession, target: str, stage: str, backup: str) -> None
     safe_drop(spark, backup)
 
 
+_ORPHAN_RE = None
+
+
+def sweep_orphans(spark: SparkSession, database: str | None = None) -> list[str]:
+    """Catalog-wide stage/backup orphan sweep for both swap families
+    (``__cdc_*`` from the streaming applier, ``__opt_*`` from
+    compaction). For each family: if the base table is MISSING and a
+    backup exists, the newest backup IS the data — restore it; then
+    safe-drop the remaining orphans. A plain DROP here would lose data
+    twice over: dropping the only backup of a crashed swap, or deleting
+    the live table's files through a backup's stale partition locations.
+    Returns a list of ``restored:``/``dropped:`` actions.
+    """
+    import re
+
+    global _ORPHAN_RE
+    if _ORPHAN_RE is None:
+        _ORPHAN_RE = re.compile(
+            r"^(?P<base>.+)__(?P<fam>cdc|opt)_(?P<kind>stage|backup)_(?P<token>[0-9a-zA-Z]+)$"
+        )
+    names = [
+        t.name
+        for t in spark.catalog.listTables(database)
+        if t.tableType != "TEMPORARY"
+    ]
+    nameset = set(names)
+    prefix = f"{database}." if database else ""
+    groups: dict = {}
+    for n in names:
+        m = _ORPHAN_RE.match(n)
+        if m:
+            groups.setdefault((m["base"], m["fam"]), []).append((m["kind"], n))
+    actions: list[str] = []
+    for (base, _fam), items in sorted(groups.items()):
+        backups = sorted(n for k, n in items if k == "backup")
+        if base not in nameset and backups:
+            latest = backups[-1]
+            spark.sql(f"ALTER TABLE {prefix}{latest} RENAME TO {prefix}{base}")
+            sync_partitions(spark, f"{prefix}{base}")
+            nameset.add(base)
+            actions.append(f"restored:{base}<-{latest}")
+            backups = backups[:-1]
+        for n in backups + [n for k, n in items if k == "stage"]:
+            safe_drop(spark, f"{prefix}{n}")
+            actions.append(f"dropped:{n}")
+    return actions
+
+
 def _recover_orphans(spark: SparkSession, table: str) -> None:
     """Restore a mid-swap backup; drop stage/backup leftovers."""
     schema, base = _qual_parts(table)

@@ -91,9 +91,11 @@ def stratified_quota_sample(
 
     With ``two_phase`` (the default) the exact rank window only ever
     sees ~``oversample × quota`` rows per stratum: a first cheap pass
-    collects per-stratum row counts (partial-agg shuffle, #strata output
-    rows), a broadcast-joined per-stratum hash threshold then cuts each
-    stratum map-side BEFORE the window, and a verification count
+    finds the strata that need cutting (n > oversample×quota; the
+    aggregate-side filter means only genuinely-hot strata reach the
+    driver, never the full stratum cardinality), a broadcast-joined
+    per-stratum hash threshold then cuts each hot stratum map-side
+    BEFORE the window, and a verification count
     guarantees at least ``min(quota, stratum_size)`` survivors per
     stratum (doubling any undershooting threshold — vanishingly rare at
     oversample=4, but the guarantee is what keeps the output
@@ -117,18 +119,19 @@ def stratified_quota_sample(
     bucket = hash_bucket(id_col, salt)
     w = Window.partitionBy(stratum_col).orderBy(bucket, F.col(id_col))
 
-    if not two_phase:
-        quota_expr = None
-        for stratum, q in quotas.items():
-            cond = F.col(stratum_col) == stratum
-            quota_expr = (
-                F.when(cond, q) if quota_expr is None else quota_expr.when(cond, q)
-            )
+    quota_expr = None
+    for stratum, q in quotas.items():
+        cond = F.col(stratum_col) == stratum
         quota_expr = (
-            quota_expr.otherwise(default_quota)
-            if quota_expr is not None
-            else F.lit(default_quota)
+            F.when(cond, q) if quota_expr is None else quota_expr.when(cond, q)
         )
+    quota_expr = (
+        quota_expr.otherwise(default_quota)
+        if quota_expr is not None
+        else F.lit(default_quota)
+    )
+
+    if not two_phase:
         return (
             df.withColumn("_qrank", F.row_number().over(w))
             .filter(F.col("_qrank") <= quota_expr)
@@ -136,46 +139,69 @@ def stratified_quota_sample(
         )
 
     spark = df.sparkSession
-    sizes = {r[0]: r[1] for r in df.groupBy(stratum_col).count().collect()}
-
-    def _threshold(n: int, q: int) -> int:
-        if q <= 0:
-            return 0
-        if n <= oversample * q:
-            return N_BUCKETS
-        return min(N_BUCKETS, int(math.ceil(oversample * q / n * N_BUCKETS)))
+    # Only strata that actually NEED a cut (n > oversample × quota, with
+    # a positive quota) come back to the driver — the aggregate-side
+    # filter keeps the collected set at the number of genuinely-hot
+    # strata, not the stratum cardinality (a high-cardinality stratum
+    # column would otherwise be a driver OOM).
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_n"))
+    cut_rows = counts.filter(
+        (quota_expr > 0) & (F.col("_n") > F.lit(float(oversample)) * quota_expr)
+    ).collect()
+    sizes = {r[0]: r[1] for r in cut_rows}
+    if not sizes:
+        # nothing is hot: the plain single-window form, no extra scans
+        return (
+            df.withColumn("_qrank", F.row_number().over(w))
+            .filter(F.col("_qrank") <= quota_expr)
+            .drop("_qrank")
+        )
 
     thr = {
-        s: _threshold(n, quotas.get(s, default_quota)) for s, n in sizes.items()
+        s: min(
+            N_BUCKETS,
+            int(
+                math.ceil(
+                    oversample * quotas.get(s, default_quota) / n * N_BUCKETS
+                )
+            ),
+        )
+        for s, n in sizes.items()
     }
     stratum_type = df.schema[stratum_col].dataType
     tschema = StructType(
         [
             StructField("_stratum", stratum_type, True),
             StructField("_thr", LongType(), False),
-            StructField("_quota", LongType(), False),
         ]
     )
 
     def _filtered(cur_thr: dict) -> DataFrame:
-        rows = [
-            (s, int(cur_thr[s]), int(quotas.get(s, default_quota))) for s in sizes
-        ]
+        # left-join thresholds for the cut strata only; everything else
+        # passes through untouched (_thr null)
+        rows = [(s, int(t)) for s, t in cur_thr.items()]
         tdf = spark.createDataFrame(rows, tschema)
         joined = df.join(
-            F.broadcast(tdf), df[stratum_col].eqNullSafe(tdf["_stratum"]), "inner"
+            F.broadcast(tdf), df[stratum_col].eqNullSafe(tdf["_stratum"]), "left"
         ).drop("_stratum")
-        return joined.filter(bucket < F.col("_thr"))
+        return joined.filter(F.col("_thr").isNull() | (bucket < F.col("_thr")))
 
-    # Verify the cut left >= min(quota, stratum_size) survivors wherever it
-    # actually cut (threshold strictly between 0 and N_BUCKETS); double any
-    # undershooting threshold.  Each iteration is one map-side-combined
-    # count; with oversample=4 the first pass succeeds essentially always.
+    # Verify the cut left >= quota survivors wherever it actually cut
+    # (threshold < N_BUCKETS); double any undershooting threshold.  Each
+    # iteration counts ONLY the cut strata (map-side-combined); with
+    # oversample=4 the first pass succeeds essentially always.
     while True:
-        cut_strata = {s for s, t in thr.items() if 0 < t < N_BUCKETS}
+        cut_strata = {s for s, t in thr.items() if t < N_BUCKETS}
         if not cut_strata:
             break
-        surv = {r[0]: r[1] for r in _filtered(thr).groupBy(stratum_col).count().collect()}
+        surv = {
+            r[0]: r[1]
+            for r in _filtered(thr)
+            .filter(F.col("_thr").isNotNull())
+            .groupBy(stratum_col)
+            .count()
+            .collect()
+        }
         bad = [
             s
             for s in cut_strata
@@ -189,8 +215,8 @@ def stratified_quota_sample(
     return (
         _filtered(thr)
         .withColumn("_qrank", F.row_number().over(w))
-        .filter(F.col("_qrank") <= F.col("_quota"))
-        .drop("_qrank", "_thr", "_quota")
+        .filter(F.col("_qrank") <= quota_expr)
+        .drop("_qrank", "_thr")
     )
 
 

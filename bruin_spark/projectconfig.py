@@ -90,6 +90,10 @@ def save_config(cfg: ProjectConfig, path: str | None = None) -> str:
     path = path or cfg.path
     if not path:
         raise ValueError("no config path to save to")
+    if os.path.isdir(path):
+        # callers pass directories wherever load_config accepts them
+        # (it walks up from a dir); save into the dir's .bruin.yml
+        path = os.path.join(path, CONFIG_FILENAME)
     with open(path, "w", encoding="utf-8") as f:
         yaml.safe_dump(cfg.to_dict(), f, sort_keys=False, default_flow_style=False)
     cfg.path = path

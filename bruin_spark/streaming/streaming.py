@@ -357,6 +357,11 @@ def apply_cdc_stream(
                 safe_drop(spark, qual(n))
 
     def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        # Recovery must run even for empty batches: after a mid-swap
+        # crash the target exists only as a backup, and a quiet source
+        # (heartbeat-only feed) would otherwise leave it missing
+        # indefinitely while the stream reports healthy.
+        _recover_and_sweep()
         if batch_df.isEmpty():
             return
         if ts_col:
@@ -374,7 +379,6 @@ def apply_cdc_stream(
         )
         upserts = latest.filter(F.col(op_col) != "d").drop(op_col)
         keys = latest.select(*pks)
-        _recover_and_sweep()
         if not spark.catalog.tableExists(target):
             upserts.write.saveAsTable(target)
             return

@@ -252,3 +252,75 @@ def test_run_under_two_named_environments(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS dev_envsch.tot")
         spark.sql("DROP DATABASE IF EXISTS envsch")
         spark.sql("DROP DATABASE IF EXISTS dev_envsch")
+
+
+def test_connections_delete_grouped_layout(tmp_path, capsys):
+    """Grouped .bruin.yml layout (type -> [specs-with-name]): delete by
+    NAME removes the one entry; deleting a type key is refused."""
+    from types import SimpleNamespace
+
+    from bruin_spark.cli import cmd_connections
+    from bruin_spark.projectconfig import load_config
+
+    (tmp_path / ".bruin.yml").write_text(
+        "default_environment: local\n"
+        "environments:\n"
+        "  local:\n"
+        "    connections:\n"
+        "      postgres:\n"
+        "        - name: pg_main\n"
+        "          host: h1\n"
+        "        - name: pg_replica\n"
+        "          host: h2\n"
+    )
+
+    def ns(command, name):
+        return SimpleNamespace(
+            conncommand=command, name=name, environment=None,
+            config_file=str(tmp_path), output="plain", uri="x://y",
+        )
+
+    # deleting the type key is refused (would drop the whole group)
+    assert cmd_connections(ns("delete", "postgres")) == 2
+    assert "connection type grouping 2" in capsys.readouterr().err
+    # deleting by name removes exactly that entry
+    assert cmd_connections(ns("delete", "pg_main")) == 0
+    cfg = load_config(str(tmp_path))
+    group = cfg.environments["local"]["connections"]["postgres"]
+    assert [i["name"] for i in group] == ["pg_replica"]
+    # add refuses a name that exists inside a group
+    assert cmd_connections(ns("add", "pg_replica")) == 2
+
+
+def test_connections_list_tolerates_malformed_spec(tmp_path, capsys):
+    """One typo'd spec must not crash listing (or runs that merely load
+    the config) — it renders as <invalid: ...>."""
+    from types import SimpleNamespace
+
+    from bruin_spark.cli import cmd_connections
+
+    (tmp_path / ".bruin.yml").write_text(
+        "default_environment: local\n"
+        "environments:\n"
+        "  local:\n"
+        "    connections:\n"
+        "      ok: csv:///tmp/x.csv\n"
+        "      bad:\n"
+        "        host: h\n"  # missing type
+    )
+    args = SimpleNamespace(
+        conncommand="list", environment=None, config_file=str(tmp_path),
+        output="plain", name="",
+    )
+    assert cmd_connections(args) == 0
+    out = capsys.readouterr().out
+    assert "ok (csv)" in out and "bad (<invalid" in out
+
+
+def test_save_config_accepts_directory_path(tmp_path):
+    from bruin_spark.projectconfig import ProjectConfig, load_config, save_config
+
+    cfg = ProjectConfig(default_environment="dev", environments={"dev": {}})
+    path = save_config(cfg, str(tmp_path))
+    assert path.endswith(".bruin.yml")
+    assert load_config(str(tmp_path)).default_environment == "dev"

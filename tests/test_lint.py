@@ -490,3 +490,19 @@ def test_lint_flags_unknown_source_uri_scheme():
         "s3://bucket/k.parquet", "trino://h:8080/c",
     ):
         assert not issues_for(uri), uri
+
+
+def test_ingestr_raw_jdbc_uri_not_flagged():
+    """Raw jdbc:subprotocol:// URIs are supported by the reader and must
+    not trip the unknown-scheme rule; uppercase schemes normalize."""
+    from bruin_spark.lint.rules import lint_pipeline
+    from bruin_spark.model.pipeline import Asset, Pipeline
+
+    def issues_for(uri):
+        a = Asset(name="a", type="ingestr", parameters={"source_uri": uri})
+        pipe = Pipeline(name="p", assets=[a])
+        return [i for i in lint_pipeline(pipe) if i.rule == "valid-ingestr"]
+
+    assert issues_for("jdbc:postgresql://h:5432/db") == []
+    assert issues_for("Postgres://h/db") == []
+    assert len(issues_for("wat://h/db")) == 1

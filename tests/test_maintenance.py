@@ -94,3 +94,26 @@ def test_analyze_table_records_stats(spark):
     out = analyze_table(spark, "opt_t6", columns=["id"])
     assert "100 rows" in out["statistics"]
     spark.sql("DROP TABLE opt_t6")
+
+
+def test_sweep_orphans_restores_cdc_backup_and_drops_stages(spark):
+    """clean --sinks path: a __cdc_backup_ whose base table is missing is
+    the only copy of the data — the sweep must RESTORE it, not drop it;
+    orphan stages are dropped."""
+    from bruin_spark.mat.maintenance import sweep_orphans
+
+    for t in ("swp_t", "swp_t__cdc_backup_aa11", "swp_t__cdc_stage_bb22", "swp_u__opt_backup_cc33"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    spark.range(7).write.saveAsTable("swp_t__cdc_backup_aa11")  # crash left only the backup
+    spark.range(1).write.saveAsTable("swp_t__cdc_stage_bb22")
+    spark.range(3).write.saveAsTable("swp_u__opt_backup_cc33")
+    spark.range(9).write.saveAsTable("swp_u")  # live target: its backup is a leftover
+
+    actions = sweep_orphans(spark)
+    assert "restored:swp_t<-swp_t__cdc_backup_aa11" in actions
+    assert spark.table("swp_t").count() == 7
+    assert spark.table("swp_u").count() == 9  # leftover backup drop didn't touch it
+    names = [t.name for t in spark.catalog.listTables()]
+    assert not any("__cdc_" in n or "__opt_" in n for n in names)
+    spark.sql("DROP TABLE swp_t")
+    spark.sql("DROP TABLE swp_u")
