@@ -73,7 +73,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _quality_oracle() -> str:
+def _quality_oracle(src: str = "documents") -> str:
     en = ", ".join(f"'{w}'" for w in T.STOPWORDS["en"])
     toks = _duck_tokens()
     return f"""
@@ -93,7 +93,7 @@ FROM (
          len({toks}) AS n_tokens_q,
          length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS punct,
          len(list_filter({toks}, t -> t IN ({en}))) AS stop_en
-  FROM documents
+  FROM {src}
 )
 """
 
@@ -131,24 +131,28 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "top1_token_frac", "top_2gram_frac")
 
 
-REPETITION_ORACLE = f"""
+def _repetition_oracle(src: str = "documents") -> str:
+    return f"""
 WITH t1 AS (
   SELECT doc_id, ROUND(1.0 * MAX(c) / SUM(c), 6) AS top1_token_frac FROM (
     SELECT doc_id, tok, COUNT(*) AS c
-    FROM (SELECT doc_id, UNNEST({_duck_tokens()}) AS tok FROM documents)
+    FROM (SELECT doc_id, UNNEST({_duck_tokens()}) AS tok FROM {src})
     GROUP BY 1, 2
   ) GROUP BY 1
 ),
 t2 AS (
   SELECT doc_id, ROUND(1.0 * MAX(c) / SUM(c), 6) AS top_2gram_frac FROM (
     SELECT doc_id, g, COUNT(*) AS c
-    FROM (SELECT doc_id, UNNEST({_duck_shingles_all(2)}) AS g FROM documents)
+    FROM (SELECT doc_id, UNNEST({_duck_shingles_all(2)}) AS g FROM {src})
     GROUP BY 1, 2
   ) GROUP BY 1
 )
 SELECT d.doc_id, t1.top1_token_frac, t2.top_2gram_frac
-FROM documents d LEFT JOIN t1 USING (doc_id) LEFT JOIN t2 USING (doc_id)
+FROM {src} d LEFT JOIN t1 USING (doc_id) LEFT JOIN t2 USING (doc_id)
 """
+
+
+REPETITION_ORACLE = _repetition_oracle()
 
 
 # -- PII redaction ----------------------------------------------------------------
@@ -317,7 +321,78 @@ FROM binned GROUP BY 1, 2
 """
 
 
+# -- curation funnel (all pre-filters fused into one decision table) -------------
+
+_CUR_MIN_TOKENS, _CUR_MIN_QUALITY, _CUR_MAX_T2 = 20, 0.5, 0.1
+
+
+def text_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep/drop decision per corpus doc with sorted drop reasons:
+    too_short / low_quality / repetitive / exact_duplicate /
+    contaminated (vs the deterministic eval split)."""
+    from bruin_spark.operators.curation import curation_decisions
+
+    docs = _docs(spark, sf_dir)
+    is_test = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    return curation_decisions(
+        docs.filter(~is_test),
+        docs.filter(is_test),
+        min_tokens=_CUR_MIN_TOKENS,
+        min_quality=_CUR_MIN_QUALITY,
+        max_top2gram=_CUR_MAX_T2,
+        decon_n=_DECON_N,
+    )
+
+
+def _curation_oracle() -> str:
+    sh = f"list_distinct({_duck_shingles_all(_DECON_N)})"
+    return f"""
+WITH corpus AS (SELECT * FROM documents WHERE NOT ({_TEST_PRED})),
+test AS (SELECT * FROM documents WHERE {_TEST_PRED}),
+q AS (SELECT doc_id, n_tokens_q, quality_score FROM ({_quality_oracle('corpus')})),
+rep AS (SELECT doc_id, top_2gram_frac FROM ({_repetition_oracle('corpus')})),
+fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS f
+  FROM corpus
+),
+canon AS (
+  SELECT doc_id, doc_id <> MIN(doc_id) OVER (PARTITION BY f) AS is_dup FROM fp
+),
+tsh AS (SELECT DISTINCT UNNEST({sh}) AS shingle FROM test),
+csh AS (SELECT doc_id, UNNEST({sh}) AS shingle FROM corpus),
+hits AS (
+  SELECT csh.doc_id, COUNT(*) AS n_hits FROM csh JOIN tsh USING (shingle) GROUP BY 1
+),
+signals AS (
+  SELECT q.doc_id, q.n_tokens_q, q.quality_score, rep.top_2gram_frac,
+         canon.is_dup, COALESCE(hits.n_hits, 0) >= 1 AS contaminated
+  FROM q
+  JOIN rep USING (doc_id)
+  JOIN canon USING (doc_id)
+  LEFT JOIN hits USING (doc_id)
+)
+SELECT doc_id,
+       n_tokens_q AS n_tokens,
+       quality_score,
+       top_2gram_frac,
+       COALESCE(array_to_string(list_sort(list_filter([
+         CASE WHEN n_tokens_q < {_CUR_MIN_TOKENS} THEN 'too_short' END,
+         CASE WHEN quality_score < {_CUR_MIN_QUALITY} THEN 'low_quality' END,
+         CASE WHEN top_2gram_frac > {_CUR_MAX_T2} THEN 'repetitive' END,
+         CASE WHEN is_dup THEN 'exact_duplicate' END,
+         CASE WHEN contaminated THEN 'contaminated' END
+       ], x -> x IS NOT NULL)), ','), '') AS drop_reasons,
+       (n_tokens_q >= {_CUR_MIN_TOKENS}
+        AND quality_score >= {_CUR_MIN_QUALITY}
+        AND top_2gram_frac <= {_CUR_MAX_T2}
+        AND NOT is_dup AND NOT contaminated) AS keep
+FROM signals
+"""
+
+
 QUERIES = {
+    "text_curation_funnel": (text_curation_funnel, _curation_oracle()),
     "text_token_count": (text_token_count, TOKEN_ORACLE),
     "text_chunks": (text_chunks, CHUNKS_ORACLE),
     "text_sequence_packing": (text_sequence_packing, SEQPACK_ORACLE),

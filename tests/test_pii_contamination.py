@@ -144,3 +144,42 @@ def test_sequence_bins_budget_and_determinism(spark):
         per_bucket.setdefault(r["seq_bucket"], set()).add(r["seq_bin"])
     for bins in per_bucket.values():
         assert bins == set(range(len(bins)))
+
+
+def test_curation_decisions_all_reasons(spark):
+    """Every drop reason fires on a crafted corpus; reasons are sorted
+    and independent; the canonical copy of a duplicate group is kept."""
+    from bruin_spark.operators.curation import curation_decisions
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then runs far away "
+        "to find some good food for the long cold winter days ahead of it "
+        "while the sun shines over all of the green hills in the valley"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, good),                      # keep
+            (2, good),                      # exact duplicate of 1 (non-canonical)
+            (3, "tiny doc"),               # too_short (+low quality)
+            (4, "spam spam " * 30),        # repetitive
+            (5, good + " secret eval marker phrase here now"),  # contaminated
+        ],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, "the secret eval marker phrase here now indeed")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in curation_decisions(corpus, eval_docs, min_tokens=10).collect()
+    }
+    assert out[1]["keep"] and out[1]["drop_reasons"] == ""
+    assert out[2]["drop_reasons"] == "exact_duplicate"
+    assert "too_short" in out[3]["drop_reasons"]
+    assert "repetitive" in out[4]["drop_reasons"]
+    assert "contaminated" in out[5]["drop_reasons"]
+    # reasons sorted alphabetically for stable comparison
+    for r in out.values():
+        parts = r["drop_reasons"].split(",") if r["drop_reasons"] else []
+        assert parts == sorted(parts)
