@@ -553,7 +553,16 @@ class Scheduler:
             return run_python_asset(self.spark, asset, ctx)
         if asset.type == "ingestr":
             from bruin_spark.sources.ingest import run_ingestr_asset
+            from bruin_spark.sources.uri import is_streaming_asset
 
+            if self.stream_mode and is_streaming_asset(asset):
+                # `run --stream <asset>`: execute the streaming query
+                # itself (availableNow drains the backlog then stops —
+                # the managed never-terminating form belongs to a
+                # supervisor, not a batch scheduler run)
+                from bruin_spark.streaming.streaming import run_streaming_asset
+
+                return run_streaming_asset(self.spark, asset, self.pipeline)
             # streaming ingestr assets were routed out of the batch DAG
             # by _skip_streaming_assets; only one-shot loads reach here
             return run_ingestr_asset(self.spark, asset, self.pipeline)

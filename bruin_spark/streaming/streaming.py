@@ -432,3 +432,93 @@ def run_stream_to_table(
         q.awaitTermination()
     else:
         writer.start()
+
+
+#: file-stream schemes -> Spark streaming file format
+_STREAM_FILE_FMTS = {
+    "csv": "csv",
+    "json": "json",
+    "jsonl": "json",
+    "ndjson": "json",
+    "parquet": "parquet",
+}
+
+
+def run_streaming_asset(
+    spark: SparkSession,
+    asset,
+    pipeline=None,
+    available_now: bool = True,
+    checkpoint: str | None = None,
+) -> None:
+    """Execute a streaming ingestr asset — the ``run --stream <asset>``
+    path.  The reference runs streaming assets as a managed,
+    never-terminating ingestr process (pkg/ingestr/operator.go:596-609;
+    routed out of the batch DAG at cmd/run.go:3147-3170); on Spark the
+    analog is a Structured Streaming query.  ``available_now=True``
+    drains the current backlog and stops (the test / catch-up trigger);
+    ``False`` leaves the query running like the reference's managed
+    process.
+
+    - file-dir sources (``json://dir``, ``csv://...``, ``parquet://...``)
+      stream file-by-file with exactly-once checkpointing;
+    - ``kafka://`` builds the kafka reader (connector jar + broker at
+      runtime);
+    - CDC assets (``scheme+cdc`` / ``cdc: true``) apply the op/upsert
+      envelope onto the target via :func:`apply_cdc_stream`;
+    - plain streams append into the asset's catalog table.
+    """
+    from bruin_spark.sources.ingest import resolve_ingestr_plan
+    from bruin_spark.sources.uri import parse_uri
+
+    uri, _strategy, params = resolve_ingestr_plan(asset, pipeline)
+    p = parse_uri(uri)
+    base = p.scheme.split("+", 1)[0].lower()
+    is_cdc = p.scheme.endswith("+cdc") or str(params.get("cdc", "")).lower() in (
+        "true",
+        "1",
+    )
+
+    if base == "kafka":
+        sdf = stream_kafka_source(spark, uri=uri, topic=params.get("source_table"))
+    elif base in _STREAM_FILE_FMTS or base == "file":
+        path = (p.netloc + p.path) or p.path
+        fmt = _STREAM_FILE_FMTS.get(base) or _STREAM_FILE_FMTS.get(
+            str(params.get("file_type", "")).lower(), "parquet"
+        )
+        sdf = stream_file_source(
+            spark, path, schema=params.get("schema"), fmt=fmt
+        )
+    else:
+        raise ValueError(
+            f"{p.scheme}:// is not a streamable source; streaming assets "
+            "take kafka:// or a file-directory URI (json/csv/parquet)"
+        )
+
+    if is_cdc:
+        pks = [
+            c.name for c in getattr(asset, "columns", []) if getattr(c, "primary_key", False)
+        ] or [str(k) for k in params.get("primary_keys", [])]
+        if not pks:
+            raise ValueError(
+                f"streaming CDC asset {asset.name}: primary keys required "
+                "(declare primary_key: true on columns)"
+            )
+        apply_cdc_stream(
+            spark,
+            sdf,
+            asset.name,
+            pks=pks,
+            ts_col=str(params.get("incremental_key", "") or ""),
+            checkpoint=checkpoint,
+            available_now=available_now,
+        )
+        return
+
+    cp = checkpoint or tempfile.mkdtemp(prefix=f"bruin_stream_{asset.name}_")
+    writer = sdf.writeStream.outputMode("append").option("checkpointLocation", cp)
+    if available_now:
+        q = writer.trigger(availableNow=True).toTable(asset.name)
+        q.awaitTermination()
+    else:
+        writer.toTable(asset.name)
