@@ -273,29 +273,110 @@ def materialize():
 '''
 
 
+_INIT_DOCS_SEED_YML = """name: raw_documents
+type: spark.seed
+parameters:
+  path: documents.csv
+columns:
+  - name: doc_id
+    type: bigint
+    checks: [{name: not_null}, {name: unique}]
+  - name: text
+    type: string
+    checks: [{name: not_null}]
+"""
+
+_INIT_DOCS_CSV = """doc_id,text
+1,"the quick brown fox jumps over the lazy dog while the sun shines over the green hills of the quiet valley and the river runs to the sea"
+2,"the quick brown fox jumps over the lazy dog while the sun shines over the green hills of the quiet valley and the river runs to the sea"
+3,"tiny doc"
+4,"spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam"
+5,"a perfectly ordinary document about data pipelines that describes how the quality of each record is measured and how the duplicates are removed from the corpus before training"
+"""
+
+_INIT_CURATION_PY = '''""" @bruin
+name: curated_docs
+type: python
+depends: [raw_documents]
+materialization:
+  type: table
+  strategy: create+replace
+@bruin """
+
+def materialize():
+    # one keep/drop decision per doc with machine-readable reasons
+    from bruin_spark.operators.curation import curation_decisions
+
+    return curation_decisions(spark.table("raw_documents"), min_tokens=5)
+'''
+
+_INIT_STREAM_ASSET = """name: events_stream
+type: ingestr
+parameters:
+  source_uri: json://{root}/stream_input
+  source_table: events
+  stream: true
+  schema: "event_id bigint, page string"
+"""
+
+_INIT_STREAM_SAMPLE = """{"event_id": 1, "page": "/home"}
+{"event_id": 2, "page": "/docs"}
+{"event_id": 3, "page": "/home"}
+"""
+
+
 def cmd_init(args) -> int:
-    """Scaffold a runnable starter pipeline (ref: cmd/init.go + the
-    templates/default layout: pipeline.yml + seed + SQL + Python asset,
-    re-expressed for the Spark backend)."""
+    """Scaffold a runnable starter pipeline (ref: cmd/init.go +
+    templates/; the reference's ~40 warehouse-specific templates
+    collapse into Spark-backend ones: default, empty, curation —
+    the training-data funnel — and streaming)."""
     root = args.dir
     assets = os.path.join(root, "assets")
     if os.path.exists(os.path.join(root, "pipeline.yml")):
         print(f"{root} already contains a pipeline.yml", file=sys.stderr)
         return 2
-    os.makedirs(assets, exist_ok=True)
     name = args.name or os.path.basename(os.path.abspath(root)) or "my_pipeline"
+    abs_root = os.path.abspath(root)
+    template = getattr(args, "template", None) or "default"
+    templates: dict[str, list[tuple[str, str]]] = {
+        "default": [
+            ("raw_events.asset.yml", _INIT_SEED_YML),
+            ("events.csv", _INIT_SEED_CSV),
+            ("user_totals.sql", _INIT_SQL),
+            ("user_report.py", _INIT_PY),
+        ],
+        "empty": [],
+        "curation": [
+            ("raw_documents.asset.yml", _INIT_DOCS_SEED_YML),
+            ("documents.csv", _INIT_DOCS_CSV),
+            ("curated_docs.py", _INIT_CURATION_PY),
+        ],
+        "streaming": [
+            ("events_stream.asset.yml", _INIT_STREAM_ASSET.format(root=abs_root)),
+        ],
+    }
+    if template not in templates:
+        print(
+            f"unknown template {template!r}; available: {', '.join(sorted(templates))}",
+            file=sys.stderr,
+        )
+        return 2
+    os.makedirs(assets, exist_ok=True)
     with open(os.path.join(root, "pipeline.yml"), "w") as f:
         f.write(_INIT_PIPELINE_YML.format(name=name))
-    for fn, content in (
-        ("raw_events.asset.yml", _INIT_SEED_YML),
-        ("events.csv", _INIT_SEED_CSV),
-        ("user_totals.sql", _INIT_SQL),
-        ("user_report.py", _INIT_PY),
-    ):
+    for fn, content in templates[template]:
         with open(os.path.join(assets, fn), "w") as f:
             f.write(content)
-    print(f"initialized pipeline {name!r} in {root}")
-    print(f"run it:  python -m bruin_spark run {root}")
+    if template == "streaming":
+        stream_dir = os.path.join(root, "stream_input")
+        os.makedirs(stream_dir, exist_ok=True)
+        with open(os.path.join(stream_dir, "sample.json"), "w") as f:
+            f.write(_INIT_STREAM_SAMPLE)
+    print(f"initialized pipeline {name!r} in {root} (template {template})")
+    if template == "streaming":
+        print(f"run it:  python -m bruin_spark run {root} --stream events_stream")
+    else:
+        print(f"run it:  python -m bruin_spark run {root}")
     return 0
 
 
@@ -1111,6 +1192,11 @@ def main(argv: list[str] | None = None) -> int:
     pi = sub.add_parser("init", help="scaffold a runnable starter pipeline")
     pi.add_argument("dir")
     pi.add_argument("--name", help="pipeline name (default: directory name)")
+    pi.add_argument(
+        "--template",
+        default="default",
+        help="pipeline template: default, empty, curation, streaming",
+    )
     pi.set_defaults(fn=cmd_init)
 
     pim = sub.add_parser(

@@ -303,3 +303,61 @@ def test_docs_generation(pipeline_dir, tmp_path, capsys):
     assert "strategy: `merge`" in doc
     assert "| product_id | bigint | ✓ " in doc
     assert "depends: `shop_inventory`" in doc
+
+
+def _run_args(pipeline_dir, **kw):
+    from types import SimpleNamespace
+
+    base = dict(
+        pipeline=str(pipeline_dir), asset=None, select=None, downstream=False,
+        only=None, tag=[], exclude_tag=[], full_refresh=False,
+        apply_interval_modifiers=False, workers=1, start=None, end=None,
+        run_id=None, state=str(pipeline_dir / ".s.json"), tables_dir=None,
+        variant=None, environment=None, push_metadata=False, sensor_mode=None,
+        continue_run=False, stream=None, var=None,
+    )
+    base.update(kw)
+    return SimpleNamespace(**base)
+
+
+def test_init_curation_template_runs(spark, tmp_path):
+    """init --template curation scaffolds a pipeline that runs the
+    curation funnel end-to-end: seed docs -> decision table."""
+    from types import SimpleNamespace
+
+    from bruin_spark.cli import cmd_init, cmd_run
+
+    d = tmp_path / "curpipe"
+    assert cmd_init(SimpleNamespace(dir=str(d), name=None, template="curation")) == 0
+    spark.sql("DROP TABLE IF EXISTS raw_documents")
+    spark.sql("DROP TABLE IF EXISTS curated_docs")
+    assert cmd_run(_run_args(d)) == 0
+    out = {r["doc_id"]: r for r in spark.table("curated_docs").collect()}
+    assert len(out) == 5
+    assert out[2]["drop_reasons"] == "exact_duplicate"  # doc 2 duplicates doc 1
+    assert "repetitive" in out[4]["drop_reasons"]
+    assert out[5]["keep"]
+    spark.sql("DROP TABLE raw_documents")
+    spark.sql("DROP TABLE curated_docs")
+
+
+def test_init_streaming_template_runs(spark, tmp_path):
+    from types import SimpleNamespace
+
+    from bruin_spark.cli import cmd_init, cmd_run
+
+    d = tmp_path / "strpipe"
+    assert cmd_init(SimpleNamespace(dir=str(d), name=None, template="streaming")) == 0
+    spark.sql("DROP TABLE IF EXISTS events_stream")
+    assert cmd_run(_run_args(d, stream="events_stream")) == 0
+    assert spark.table("events_stream").count() == 3
+    spark.sql("DROP TABLE events_stream")
+
+
+def test_init_unknown_template_rejected(tmp_path, capsys):
+    from types import SimpleNamespace
+
+    from bruin_spark.cli import cmd_init
+
+    assert cmd_init(SimpleNamespace(dir=str(tmp_path / "x"), name=None, template="wat")) == 2
+    assert "unknown template" in capsys.readouterr().err
