@@ -162,6 +162,22 @@ def cmd_run(args) -> int:
                 print(f"warning: skipping connection {_name!r}: {e}", file=sys.stderr)
                 continue
             pipe.default_connections.setdefault(_name, _uri)
+    # a selected secrets backend resolves any connection name the assets
+    # use that .bruin.yml / pipeline.yml did not define (ref: secrets
+    # backend overrides config, cmd/secrets_backend.go)
+    from bruin_spark.secretsbackend import lookup_connection, selected_backend
+
+    _backend = selected_backend(getattr(args, "secrets_backend", None))
+    if _backend:
+        for _a in pipe.assets:
+            _cn = str((_a.parameters or {}).get("source_connection", "") or "")
+            if _cn and _cn not in pipe.default_connections:
+                try:
+                    pipe.default_connections[_cn] = connection_uri(
+                        lookup_connection(_backend, _cn)
+                    )
+                except (ValueError, NotImplementedError) as e:
+                    print(f"warning: secrets backend: {e}", file=sys.stderr)
     stream_target = getattr(args, "stream", None)
     if stream_target and getattr(args, "sensor_mode", None):
         # ref cmd/run.go:939 rejects combining --stream with --sensor-mode:
@@ -1336,6 +1352,11 @@ def main(argv: list[str] | None = None) -> int:
         help="run in a named environment from pipeline.yml (schema_prefix rewriting)",
     )
     pr.add_argument("--push-metadata", action="store_true")
+    pr.add_argument(
+        "--secrets-backend",
+        help="resolve asset connections from a secrets store "
+        "(env, vault, doppler, aws, azure); also via BRUIN_SECRETS_BACKEND",
+    )
     pr.add_argument(
         "--sensor-mode",
         choices=["wait", "once", "skip"],

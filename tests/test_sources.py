@@ -519,3 +519,35 @@ def test_secrets_backends(tmp_path, monkeypatch, capsys):
     )
     assert cmd_ingestr_uri(args) == 0
     assert out.read_text() == "postgres://u:p@h:5432/db"
+
+
+def test_run_resolves_connection_from_secrets_backend(spark, tmp_path, monkeypatch):
+    """An asset's source_connection that exists ONLY in the env secrets
+    backend resolves during `run --secrets-backend env`."""
+    from types import SimpleNamespace
+
+    from bruin_spark.cli import cmd_run
+
+    csv = tmp_path / "users.csv"
+    csv.write_text("id,name\n1,ada\n")
+    monkeypatch.setenv("BRUIN_CONNECTION_SECRET_USERS", f"csv://{csv}")
+    d = tmp_path / "sbpipe"
+    (d / "assets").mkdir(parents=True)
+    (d / "pipeline.yml").write_text("name: sbpipe\n")
+    (d / "assets" / "sb_users.asset.yml").write_text(
+        "name: sb_users\ntype: ingestr\nparameters:\n"
+        "  source_connection: secret_users\n  source_table: ignored\n"
+        "  incremental_strategy: replace\n"
+    )
+    spark.sql("DROP TABLE IF EXISTS sb_users")
+    args = SimpleNamespace(
+        pipeline=str(d), asset=None, select=None, downstream=False, only=None,
+        tag=[], exclude_tag=[], full_refresh=False, apply_interval_modifiers=False,
+        workers=1, start=None, end=None, run_id=None, state=str(d / "s.json"),
+        tables_dir=None, variant=None, environment=None, push_metadata=False,
+        sensor_mode=None, continue_run=False, stream=None, var=None,
+        secrets_backend="env",
+    )
+    assert cmd_run(args) == 0
+    assert spark.table("sb_users").count() == 1
+    spark.sql("DROP TABLE sb_users")
