@@ -162,22 +162,35 @@ def cmd_run(args) -> int:
                 print(f"warning: skipping connection {_name!r}: {e}", file=sys.stderr)
                 continue
             pipe.default_connections.setdefault(_name, _uri)
-    # a selected secrets backend resolves any connection name the assets
-    # use that .bruin.yml / pipeline.yml did not define (ref: secrets
-    # backend overrides config, cmd/secrets_backend.go)
-    from bruin_spark.secretsbackend import lookup_connection, selected_backend
+    # a selected secrets backend is the source of truth for connection
+    # names (ref cmd/secrets_backend.go: the backend REPLACES the config
+    # manager) — its value overrides any .bruin.yml/pipeline.yml copy;
+    # names it can't resolve fall back to config with a warning
+    from bruin_spark.secretsbackend import (
+        KNOWN_BACKENDS,
+        lookup_connection,
+        selected_backend,
+    )
 
     _backend = selected_backend(getattr(args, "secrets_backend", None))
     if _backend:
+        if _backend not in KNOWN_BACKENDS:
+            print(
+                f"unknown secrets backend {_backend!r}; expected one of: "
+                f"{', '.join(sorted(KNOWN_BACKENDS))}",
+                file=sys.stderr,
+            )
+            return 2
         for _a in pipe.assets:
             _cn = str((_a.parameters or {}).get("source_connection", "") or "")
-            if _cn and _cn not in pipe.default_connections:
-                try:
-                    pipe.default_connections[_cn] = connection_uri(
-                        lookup_connection(_backend, _cn)
-                    )
-                except (ValueError, NotImplementedError) as e:
-                    print(f"warning: secrets backend: {e}", file=sys.stderr)
+            if not _cn:
+                continue
+            try:
+                pipe.default_connections[_cn] = connection_uri(
+                    lookup_connection(_backend, _cn)
+                )
+            except (ValueError, NotImplementedError) as e:
+                print(f"warning: secrets backend: {e}", file=sys.stderr)
     stream_target = getattr(args, "stream", None)
     if stream_target and getattr(args, "sensor_mode", None):
         # ref cmd/run.go:939 rejects combining --stream with --sensor-mode:
@@ -744,8 +757,6 @@ def cmd_connections(args) -> int:
                 scheme = uri.split("://", 1)[0]
                 print(f"{name} ({scheme})")
         return 0
-    from bruin_spark.sources.connections import environment_connection_specs
-
     envs = cfg.environments.setdefault(env, {})
     conns = envs.setdefault("connections", {})
     # flattened view covers BOTH layouts (flat name->spec and the
@@ -754,6 +765,15 @@ def cmd_connections(args) -> int:
     if args.conncommand == "add":
         if args.name in flat_names:
             print(f"connection {args.name!r} already exists in {env!r}", file=sys.stderr)
+            return 2
+        if args.name in conns and isinstance(conns[args.name], list):
+            # a type key holding a grouped list — assigning would clobber
+            # every connection in the group
+            print(
+                f"{args.name!r} is a connection type grouping "
+                f"{len(conns[args.name])} connection(s); pick another name",
+                file=sys.stderr,
+            )
             return 2
         conns[args.name] = args.uri
     elif args.conncommand == "delete":
@@ -849,6 +869,12 @@ def cmd_clean(args) -> int:
     if os.path.exists(state):
         os.remove(state)
         removed.append(state)
+    ckpts = os.path.join(args.pipeline, ".bruin_checkpoints")
+    if os.path.isdir(ckpts):
+        import shutil
+
+        shutil.rmtree(ckpts, ignore_errors=True)
+        removed.append(ckpts)
     if args.sinks:
         from bruin_spark import get_spark
         from bruin_spark.mat.maintenance import sweep_orphans

@@ -139,6 +139,11 @@ def stratified_quota_sample(
         )
 
     spark = df.sparkSession
+    # Zero-quota strata contribute nothing to the output: cut them
+    # map-side up front so they never reach the rank window (a huge
+    # unlisted stratum under default_quota=0 would otherwise be fully
+    # sorted just to be discarded by `_qrank <= 0`).
+    df = df.filter(quota_expr > 0)
     # Only strata that actually NEED a cut (n > oversample × quota, with
     # a positive quota) come back to the driver — the aggregate-side
     # filter keeps the collected set at the number of genuinely-hot

@@ -49,6 +49,10 @@ _BACKEND_ENV: dict[str, tuple[tuple[str, ...], tuple[str, ...]]] = {
 }
 
 
+#: every valid --secrets-backend value
+KNOWN_BACKENDS = frozenset({"env", *_BACKEND_ENV})
+
+
 class SecretsBackendUnavailable(NotImplementedError):
     """The backend's configuration validated, but the store client /
     network is not available in this deployment."""

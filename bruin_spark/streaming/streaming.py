@@ -17,6 +17,7 @@ code path scales to a continuous trigger in production.
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -472,6 +473,16 @@ def run_streaming_asset(
     from bruin_spark.sources.uri import parse_uri
 
     uri, _strategy, params = resolve_ingestr_plan(asset, pipeline)
+    if checkpoint is None:
+        # exactly-once across reruns needs a STABLE checkpoint: a fresh
+        # temp dir per invocation would re-read the whole source and
+        # duplicate rows on every `run --stream`. Anchor it to the
+        # pipeline dir (next to .bruin_state.json) when known.
+        pipe_dir = getattr(pipeline, "path", "") or ""
+        if pipe_dir:
+            checkpoint = os.path.join(
+                pipe_dir, ".bruin_checkpoints", asset.name
+            )
     p = parse_uri(uri)
     base = p.scheme.split("+", 1)[0].lower()
     is_cdc = p.scheme.endswith("+cdc") or str(params.get("cdc", "")).lower() in (
@@ -482,7 +493,7 @@ def run_streaming_asset(
     if base == "kafka":
         sdf = stream_kafka_source(spark, uri=uri, topic=params.get("source_table"))
     elif base in _STREAM_FILE_FMTS or base == "file":
-        path = (p.netloc + p.path) or p.path
+        path = p.netloc + p.path
         fmt = _STREAM_FILE_FMTS.get(base) or _STREAM_FILE_FMTS.get(
             str(params.get("file_type", "")).lower(), "parquet"
         )
@@ -496,9 +507,11 @@ def run_streaming_asset(
         )
 
     if is_cdc:
-        pks = [
-            c.name for c in getattr(asset, "columns", []) if getattr(c, "primary_key", False)
-        ] or [str(k) for k in params.get("primary_keys", [])]
+        pks = (
+            asset.primary_keys()
+            if hasattr(asset, "primary_keys")
+            else []
+        ) or [str(k) for k in params.get("primary_keys", [])]
         if not pks:
             raise ValueError(
                 f"streaming CDC asset {asset.name}: primary keys required "

@@ -494,6 +494,11 @@ def test_run_stream_executes_file_streaming_asset(spark, tmp_path):
     )
     assert cmd_run(args) == 0
     assert spark.table("clicks_stream").count() == 6
+    # rerun: the stable per-asset checkpoint (pipeline dir) means the
+    # already-processed files are NOT re-read — no duplicated rows
+    assert cmd_run(args) == 0
+    assert spark.table("clicks_stream").count() == 6
+    assert (d / ".bruin_checkpoints" / "clicks_stream").is_dir()
     # without --stream the same pipeline skips the streaming asset
     spark.sql("DROP TABLE IF EXISTS clicks_stream")
     args.stream = None
