@@ -227,15 +227,36 @@ def cmd_run(args) -> int:
     state_path = args.state or os.path.join(args.pipeline, ".bruin_state.json")
     if args.continue_run and os.path.exists(state_path):
         sched.restore(PipelineState.load(state_path))
-    res = sched.run(state_path=state_path)
-    for iid in res.succeeded:
-        print(f"ok   {iid}")
-    for iid in res.skipped:
-        print(f"skip {iid}")
-    for iid in res.upstream_failed:
-        print(f"up!  {iid}")
-    for iid in res.failed:
-        print(f"FAIL {iid}: {sched.instances[iid].error.splitlines()[0] if sched.instances[iid].error else ''}")
+    # Mask credential values in everything the run prints (ref pkg/mask
+    # + cmd/run.go logOutput): secrets harvested from every configured
+    # connection, replaced in any escaped/base64 form they can take.
+    from bruin_spark.maskout import Masker, connection_secrets
+
+    _secret_vals: list[str] = []
+    for _v in pipe.default_connections.values():
+        _secret_vals += connection_secrets(_v)
+    if _conn_env:
+        for _spec in environment_connection_specs(_cfg, _conn_env).values():
+            _secret_vals += connection_secrets(_spec)
+    masker = Masker(_secret_vals) if _secret_vals else None
+    old_out, old_err = sys.stdout, sys.stderr
+    if masker:
+        sys.stdout, sys.stderr = masker.wrap(old_out), masker.wrap(old_err)
+    try:
+        res = sched.run(state_path=state_path)
+        for iid in res.succeeded:
+            print(f"ok   {iid}")
+        for iid in res.skipped:
+            print(f"skip {iid}")
+        for iid in res.upstream_failed:
+            print(f"up!  {iid}")
+        for iid in res.failed:
+            print(f"FAIL {iid}: {sched.instances[iid].error.splitlines()[0] if sched.instances[iid].error else ''}")
+    finally:
+        if masker:
+            sys.stdout.flush()
+            sys.stderr.flush()
+            sys.stdout, sys.stderr = old_out, old_err
     return 0 if res.ok else 1
 
 

@@ -1,0 +1,139 @@
+"""Secret masking of run output (ref: pkg/mask/mask.go + the logOutput
+sink wiring in cmd/run.go:1223,2786-2812): every credential value a run
+could print — in any of the forms it can appear as — is replaced with
+``****`` before it reaches the terminal or the log file.
+
+Forms per secret (mask.go:19-45): the {raw, base64} × {plain,
+query-escaped, path-escaped} matrix, so a password is masked whether it
+is printed bare, inside a URI, or base64'd.
+
+Secrets are harvested from connection specs (mask.go's
+credentialKeyMarkers matching with separators stripped; values shorter
+than 8 chars are skipped so common words are never redacted,
+mask.go:117-121) and from URI userinfo/query credentials.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+from urllib.parse import quote, quote_plus
+
+MASK = "****"
+
+#: option keys whose values are secrets, matched with separators removed
+#: (mask.go credentialKeyMarkers)
+_CREDENTIAL_MARKERS = (
+    "password", "passwd", "pwd", "passphrase", "secret", "token", "credential",
+    "apikey", "accountkey", "accesskey", "privatekey", "sessionkey", "signature",
+)
+
+#: shortest value treated as a secret (mask.go minCredentialLength)
+MIN_CREDENTIAL_LENGTH = 8
+
+
+def secret_forms(secret: str) -> list[str]:
+    """Distinct string forms one secret can appear as in output."""
+    out: list[str] = []
+    seen: set[str] = set()
+
+    def add(s: str) -> None:
+        if s and s not in seen:
+            seen.add(s)
+            out.append(s)
+
+    b64 = base64.b64encode(secret.encode()).decode()
+    for v in (secret, b64):
+        add(v)
+        add(quote_plus(v))
+        add(quote(v, safe=""))
+    return out
+
+
+def _credential_key(key: str) -> bool:
+    flat = "".join(ch for ch in key.lower() if ch.isalnum())
+    return any(m in flat for m in _CREDENTIAL_MARKERS)
+
+
+def connection_secrets(spec) -> list[str]:
+    """Secret values inside one connection spec (URI string or typed
+    mapping): the URI password/credential query params, or mapping
+    values under credential-shaped keys."""
+    out: list[str] = []
+    if isinstance(spec, str):
+        if "://" not in spec:
+            return out
+        try:
+            from bruin_spark.sources.uri import parse_uri
+
+            p = parse_uri(spec)
+        except ValueError:
+            return out
+        if "@" in p.netloc:
+            userinfo = p.netloc.rsplit("@", 1)[0]
+            if ":" in userinfo:
+                out.append(userinfo.split(":", 1)[1])
+        for k, v in p.query:
+            if _credential_key(k) and len(v) >= MIN_CREDENTIAL_LENGTH:
+                out.append(v)
+        return out
+    if isinstance(spec, dict):
+        for k, v in spec.items():
+            if not isinstance(v, str):
+                continue
+            if k.lower() == "password" or (
+                _credential_key(k) and len(v) >= MIN_CREDENTIAL_LENGTH
+            ):
+                out.append(v)
+    return out
+
+
+class Masker:
+    """Replaces every form of every secret with ``****``; longest form
+    first so substrings of longer secrets don't leave fragments."""
+
+    def __init__(self, values: list[str]):
+        forms: list[str] = []
+        seen: set[str] = set()
+        for v in values:
+            for f in secret_forms(v):
+                if f not in seen:
+                    seen.add(f)
+                    forms.append(f)
+        self._forms = sorted(forms, key=len, reverse=True)
+
+    def mask(self, text: str) -> str:
+        for f in self._forms:
+            if f in text:
+                text = text.replace(f, MASK)
+        return text
+
+    def wrap(self, stream) -> "LineMaskingWriter":
+        return LineMaskingWriter(self, stream)
+
+
+class LineMaskingWriter(io.TextIOBase):
+    """Line-buffering writer: masks complete lines before forwarding, so
+    a secret split across two ``write()`` calls is still caught
+    (mask.go LineWriter)."""
+
+    def __init__(self, masker: Masker, sink):
+        self._masker = masker
+        self._sink = sink
+        self._buf = ""
+
+    def write(self, s: str) -> int:
+        self._buf += s
+        while "\n" in self._buf:
+            line, self._buf = self._buf.split("\n", 1)
+            self._sink.write(self._masker.mask(line) + "\n")
+        return len(s)
+
+    def flush(self) -> None:
+        if self._buf:
+            self._sink.write(self._masker.mask(self._buf))
+            self._buf = ""
+        self._sink.flush()
+
+    def writable(self) -> bool:
+        return True

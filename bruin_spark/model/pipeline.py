@@ -138,6 +138,7 @@ class Column:
     length: int | None = None
     datavault_role: str = ""  # hash_key|business_key|load_datetime|record_source|link_hash_key|hash_diff
     extends: str = ""  # "Entity.attribute" glossary inheritance (ref: pipeline.go:1747-1784)
+    mask: str = ""  # ingestion masking rule/method (ref: pipeline.go:850, docs/assets/columns.md)
 
     def sql_type(self) -> str:
         """Render the declared type with precision/scale/length.
@@ -174,6 +175,7 @@ class Column:
             length=d.get("length"),
             datavault_role=d.get("datavault_role", "") or "",
             extends=d.get("extends", "") or d.get("entity_attribute", "") or "",
+            mask=d.get("mask", "") or "",
         )
 
 

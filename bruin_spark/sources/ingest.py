@@ -319,9 +319,13 @@ def ingest(
     partition_by: str = "",
     schema: str | None = None,
     file_type: str | None = None,
+    mask_rules: list[tuple[str, str]] | None = None,
 ) -> None:
     """One-shot ingest: read source, write with the named strategy
-    (the `bruin run` path for ingestr assets, minus the subprocess)."""
+    (the `bruin run` path for ingestr assets, minus the subprocess).
+    ``mask_rules`` apply between read and write, so masked columns
+    never persist raw (sources/masking.py; ref --mask flags,
+    pkg/python/helper.go:138-176)."""
     strat = STRATEGY_MAP.get(strategy)
     if strat is None:
         raise ValueError(f"unknown strategy {strategy!r}; one of {sorted(STRATEGY_MAP)}")
@@ -333,6 +337,10 @@ def ingest(
         schema=schema,
         file_type=file_type,
     )
+    if mask_rules:
+        from bruin_spark.sources.masking import apply_masks
+
+        df = apply_masks(df, mask_rules)
     pks = set(primary_keys or [])
     # non-PK columns update on merge (the reference leaves this per-column;
     # for ingestion "merge" means upsert the whole row)
@@ -398,12 +406,15 @@ def run_ingestr_asset(spark: SparkSession, asset, pipeline=None) -> None:
     write with the asset's incremental strategy.  (Streaming ingestr
     assets never reach here — the scheduler routes them out of the batch
     DAG, cmd/run.go:3147-3170.)"""
+    from bruin_spark.sources.masking import collect_mask_rules
+
     uri, strategy, params = resolve_ingestr_plan(asset, pipeline)
     pks = [c.name for c in asset.columns if getattr(c, "primary_key", False)]
     ingest(
         spark,
         uri,
         dest_table=asset.name,
+        mask_rules=collect_mask_rules(asset),
         source_table=params.get("source_table"),
         source_query=params.get("source_query"),
         strategy=strategy,
