@@ -1,0 +1,88 @@
+"""BM25 ranked retrieval over a document corpus.
+
+The lexical-relevance workhorse of corpus curation: score documents
+against a term query (quality-filter a crawl against a topic profile,
+retrieve near-topic documents for targeted dataset construction, or
+build the sparse side of a hybrid sparse+dense retriever next to the
+ANN operators in similarity.py).
+
+Plan shape at 100 TB:
+- document lengths and the corpus aggregate (N, avgdl) are one
+  map-side-combined aggregation each; the aggregate row is
+  broadcast-cross-joined (one row — never a shuffle);
+- term frequencies explode only tokens MATCHING the query terms (the
+  filter lands inside the explode projection, so the shuffle carries
+  |matching tokens| rows, not the corpus token count);
+- document frequencies per term are a tiny per-term aggregate,
+  broadcast back;
+- the final top-k is sort-free: ``orderBy(...).limit(k)`` plans as
+  TakeOrderedAndProject — per-partition heaps + one k-row merge on the
+  driver, no global sort shuffle.
+
+Reference parity: none (bruin delegates query execution); part of the
+training-data surface this engine adds (SURVEY.md §2 extras).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from bruin_spark.operators.text import tokens
+
+K1 = 1.2
+B = 0.75
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = K1,
+    b: float = B,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top ``top_k`` documents by BM25 score against ``query_terms``.
+
+    Okapi BM25 with the standard +1 idf smoothing:
+    ``idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1)``;
+    ``score = Σ_t idf · tf(k1+1) / (tf + k1(1 - b + b·dl/avgdl))``.
+    Scores round to 6 decimals and ties break on the doc id, so the
+    cutoff is deterministic across engines.
+    """
+    toks = tokens(text_col)
+    lens = docs.select(F.col(id_col).alias("id"), F.size(toks).alias("dl"))
+    gstats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        docs.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
+        .filter(F.col("tok").isin(list(query_terms)))
+        .groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    joined = (
+        tf.join(F.broadcast(df_t), "tok")
+        .join(lens, "id")
+        .crossJoin(F.broadcast(gstats))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    term_score = idf * (
+        F.col("tf")
+        * F.lit(k1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scores = joined.groupBy("id").agg(F.round(F.sum(term_score), 6).alias("bm25"))
+    return (
+        scores.orderBy(F.col("bm25").desc(), F.col("id").asc())
+        .limit(top_k)
+        .select(F.col("id").alias(id_col), "bm25")
+    )

@@ -321,6 +321,50 @@ FROM binned GROUP BY 1, 2
 """
 
 
+# -- BM25 ranked retrieval --------------------------------------------------------
+
+_BM25_TERMS = ("join", "filter", "batch")
+_BM25_K = 20
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 docs by Okapi BM25 against a fixed term query — sparse
+    lexical retrieval next to the dense ANN operators."""
+    from bruin_spark.operators.ranking import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), list(_BM25_TERMS), top_k=_BM25_K)
+
+
+def _bm25_oracle() -> str:
+    from bruin_spark.operators.ranking import B, K1
+
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+WITH toks AS (SELECT doc_id, {_duck_tokens()} AS t FROM documents),
+lens AS (SELECT doc_id, len(t) AS dl FROM toks),
+g AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM lens),
+tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf
+  FROM (SELECT doc_id, UNNEST(t) AS tok FROM toks)
+  WHERE tok IN ({terms})
+  GROUP BY 1, 2
+),
+dft AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1)
+SELECT doc_id,
+       ROUND(SUM(
+         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+         * tf * {K1 + 1.0} / (tf + {K1} * ({1.0 - B} + {B} * dl / avgdl))
+       ), 6) AS bm25
+FROM tf
+JOIN dft USING (tok)
+JOIN lens USING (doc_id)
+CROSS JOIN g
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT {_BM25_K}
+"""
+
+
 # -- curation funnel (all pre-filters fused into one decision table) -------------
 
 _CUR_MIN_TOKENS, _CUR_MIN_QUALITY, _CUR_MAX_T2 = 20, 0.5, 0.1
@@ -393,6 +437,7 @@ FROM signals
 
 QUERIES = {
     "text_curation_funnel": (text_curation_funnel, _curation_oracle()),
+    "text_bm25_topk": (text_bm25_topk, _bm25_oracle()),
     "text_token_count": (text_token_count, TOKEN_ORACLE),
     "text_chunks": (text_chunks, CHUNKS_ORACLE),
     "text_sequence_packing": (text_sequence_packing, SEQPACK_ORACLE),

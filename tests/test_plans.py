@@ -380,3 +380,17 @@ def test_incremental_dedup_broadcasts_batch_and_finds_known_dup(spark):
     assert rows[100]["is_dup"] and rows[100]["match_id"] == 7
     assert rows[100]["jaccard"] == 1.0
     assert not rows[101]["is_dup"] and rows[101]["match_id"] is None
+
+
+def test_bm25_topk_take_ordered_no_global_sort(spark):
+    """bm25_topk's final top-k must plan as TakeOrderedAndProject
+    (per-partition heaps), not a global Sort+Exchange; term filtering
+    happens before the tf shuffle."""
+    from bruin_spark.operators.ranking import bm25_topk
+
+    docs = read_parquet(spark, f"{SF}/documents.parquet")
+    out = bm25_topk(docs, ["join", "filter"], top_k=10)
+    plan = plan_of(out)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan  # the 1-row stats join broadcasts
+    assert "pythonUDF" not in plan.lower()
