@@ -407,3 +407,57 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "nn_id", "cosine", "rank")
     )
+
+
+def projection_signs(dim_in: int, dim_out: int, salt: str = "rp") -> list[list[float]]:
+    """The deterministic ±1 sign matrix: md5(salt:i:j) parity. Computed
+    once at plan-build time and inlined as literals — the matrix is the
+    broadcast side of the projection, engine-portable bit-for-bit."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{salt}:{i}:{j}".encode()).hexdigest()[:2], 16) % 2 == 0
+            else -1.0
+            for i in range(dim_in)
+        ]
+        for j in range(dim_out)
+    ]
+
+
+def random_projection(
+    df: DataFrame,
+    dim_in: int = 64,
+    dim_out: int = 16,
+    vec_col: str = "embedding",
+    salt: str = "rp",
+    prefix: str = "c",
+) -> DataFrame:
+    """Johnson-Lindenstrauss sign random projection: dense dim-reduction
+    ``dim_in -> dim_out`` preserving pairwise distances within
+    ``O(sqrt(log n / dim_out))`` — the standard pre-step that makes
+    brute-force / LSH similarity 4x cheaper per vector at 100 TB.
+
+    Map-only: each output component is a literal-signed sum over the
+    input components (one flat codegen expression per component, summed
+    left-to-right so the float result is engine-exact), scaled by
+    ``1/sqrt(dim_out)`` and rounded to 6 decimals. No shuffle, no
+    Python, no data-dependent hashing.
+    """
+    signs = projection_signs(dim_in, dim_out, salt)
+    scale = 1.0 / (dim_out ** 0.5)
+    out = df
+    for j in range(dim_out):
+        acc = None
+        for i in range(dim_in):
+            term = F.element_at(F.col(vec_col), i + 1).cast("double")
+            if signs[j][i] < 0:
+                term = -term
+            acc = term if acc is None else acc + term
+        out = out.withColumn(f"{prefix}{j}", F.round(acc * F.lit(scale), 6))
+    norm = None
+    for j in range(dim_out):
+        sq = F.col(f"{prefix}{j}") * F.col(f"{prefix}{j}")
+        norm = sq if norm is None else norm + sq
+    return out.withColumn("proj_norm", F.round(F.sqrt(norm), 6))

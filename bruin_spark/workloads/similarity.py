@@ -273,3 +273,42 @@ FROM q
 """
 
 QUERIES["emb_quantize_stats"] = (emb_quantize_stats, QUANTIZE_ORACLE)
+
+
+RP_DIM_OUT = 16
+
+
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL sign projection 64 -> 16 per vector, map-only, plus the
+    projected norm; deterministic literal sign matrix."""
+    from bruin_spark.operators.similarity import random_projection
+
+    out = random_projection(_emb(spark, sf_dir), dim_in=64, dim_out=RP_DIM_OUT)
+    return out.select(
+        "vec_id", *[f"c{j}" for j in range(RP_DIM_OUT)], "proj_norm"
+    )
+
+
+def _rp_oracle() -> str:
+    from bruin_spark.operators.similarity import projection_signs
+
+    signs = projection_signs(64, RP_DIM_OUT)
+    scale = 1.0 / (RP_DIM_OUT ** 0.5)
+    comps = []
+    for j in range(RP_DIM_OUT):
+        terms = []
+        for i in range(64):
+            t = f"embedding[{i + 1}]::DOUBLE"
+            terms.append(f"- {t}" if signs[j][i] < 0 else f"+ {t}")
+        # left-to-right sum, identical association to the Spark side
+        expr = " ".join(terms).lstrip("+ ")
+        comps.append(f"ROUND(({expr}) * {scale!r}, 6) AS c{j}")
+    norm = " + ".join(f"c{j} * c{j}" for j in range(RP_DIM_OUT))
+    cols = ", ".join(f"c{j}" for j in range(RP_DIM_OUT))
+    return f"""
+WITH proj AS (SELECT vec_id, {', '.join(comps)} FROM embeddings)
+SELECT vec_id, {cols}, ROUND(SQRT({norm}), 6) AS proj_norm FROM proj
+"""
+
+
+QUERIES["emb_random_projection"] = (emb_random_projection, _rp_oracle())

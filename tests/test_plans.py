@@ -394,3 +394,15 @@ def test_bm25_topk_take_ordered_no_global_sort(spark):
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan  # the 1-row stats join broadcasts
     assert "pythonUDF" not in plan.lower()
+
+
+def test_random_projection_map_only(spark):
+    """random_projection is a pure projection: no exchange, no Python,
+    one scan — the whole 64->16 matrix multiply stays in codegen."""
+    from bruin_spark.operators.similarity import random_projection
+
+    emb = read_parquet(spark, f"{SF}/embeddings.parquet")
+    plan = plan_of(random_projection(emb))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("Scan parquet") == 1
