@@ -156,3 +156,78 @@ def test_segment_dedup_removes_cross_doc_spans(spark):
     assert out[3]["n_segments_total"] == 1 and out[3]["n_segments_kept"] == 0
     assert out[2]["n_tokens_kept"] == 4
     assert out[1]["n_segments_kept"] == 2
+
+
+def test_incremental_dedup_invariants(spark):
+    """Every batch doc appears exactly once in the output; matches point
+    into the corpus with jaccard >= threshold; a batch doc identical to
+    a corpus doc is always flagged with jaccard 1.0."""
+    from pyspark.sql import functions as F
+
+    from bruin_spark.operators.dedup import incremental_dedup, lsh_band_index
+
+    base = "w{0} common phrase tokens flow through here number {0} " * 2
+    corpus = spark.createDataFrame(
+        [(i, base.format(i)) for i in range(30)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(100 + i, base.format(i)) for i in range(5)]  # exact dups of 0..4
+        + [(200, "entirely novel content with no overlap whatsoever")],
+        "doc_id long, text string",
+    )
+    idx = lsh_band_index(corpus)
+    out = incremental_dedup(batch, idx, corpus).collect()
+    assert sorted(r["doc_id"] for r in out) == [100, 101, 102, 103, 104, 200]
+    by_id = {r["doc_id"]: r for r in out}
+    corpus_ids = set(range(30))
+    for i in range(5):
+        r = by_id[100 + i]
+        assert r["is_dup"] and r["jaccard"] == 1.0 and r["match_id"] == i
+        assert r["match_id"] in corpus_ids
+    assert not by_id[200]["is_dup"] and by_id[200]["jaccard"] is None
+
+
+def test_bm25_scoring_properties(spark):
+    """Score increases with term frequency (same length), decreases with
+    document length (same tf), and docs without any query term never
+    appear."""
+    from bruin_spark.operators.ranking import bm25_topk
+
+    pad = lambda n: " ".join(f"x{i}" for i in range(n))
+    docs = spark.createDataFrame(
+        [
+            (1, "join join join " + pad(10)),   # tf=3
+            (2, "join " + pad(12)),             # tf=1, same length
+            (3, "join " + pad(40)),             # tf=1, longer
+            (4, pad(13)),                       # no query term
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["bm25"] for r in bm25_topk(docs, ["join"], top_k=10).collect()}
+    assert 4 not in out
+    assert out[1] > out[2] > out[3] > 0
+
+
+def test_random_projection_preserves_scaled_norms(spark):
+    """JL property sanity: projected norms are positive and within a
+    loose factor of the input norms; identical inputs project
+    identically."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from bruin_spark.operators.similarity import random_projection
+
+    rng = random.Random(7)
+    vecs = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(20)]
+    vecs.append(list(vecs[0]))  # duplicate of vec 0
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in random_projection(df).collect()}
+    for i, v in enumerate(vecs):
+        in_norm = math.sqrt(sum(x * x for x in v))
+        assert 0 < rows[i]["proj_norm"] < 4 * in_norm
+    assert [rows[0][f"c{j}"] for j in range(16)] == [rows[20][f"c{j}"] for j in range(16)]
