@@ -81,7 +81,6 @@ def cmd_run(args) -> int:
     from bruin_spark import get_spark
     from bruin_spark.lint import lint_pipeline
     from bruin_spark.model import load_pipeline
-    from bruin_spark.scheduler import PipelineState, Scheduler
 
     pipe = load_pipeline(args.pipeline)
     errors = [i for i in lint_pipeline(pipe) if i.severity == "error"]
@@ -145,23 +144,51 @@ def cmd_run(args) -> int:
     # back-fill the pipeline's own map (ref: connection resolution order,
     # cmd/run.go + pkg/connection); pipeline.yml keys win on collision
     from bruin_spark.projectconfig import load_config
-    from bruin_spark.sources.connections import (
-        connection_uri,
-        environment_connection_specs,
-    )
+    from bruin_spark.sources.connections import environment_connection_specs
 
     _cfg = load_config(args.pipeline)
     _conn_env = env_name or _cfg.default_environment
-    if _conn_env:
-        for _name, _spec in environment_connection_specs(_cfg, _conn_env).items():
-            try:
-                _uri = connection_uri(_spec)
-            except ValueError as e:
-                # a malformed spec only matters if an asset uses it —
-                # warn, don't kill the whole run
-                print(f"warning: skipping connection {_name!r}: {e}", file=sys.stderr)
-                continue
-            pipe.default_connections.setdefault(_name, _uri)
+    _conn_specs = (
+        environment_connection_specs(_cfg, _conn_env) if _conn_env else {}
+    )
+    # Secret masking (ref pkg/mask + cmd/run.go logOutput) is installed
+    # BEFORE any connection resolution output: a malformed-spec warning
+    # can embed credential values, so the masker must already be on the
+    # streams when the first warning prints.
+    from bruin_spark.maskout import Masker, connection_secrets
+
+    _secret_vals: list[str] = []
+    for _v in list(pipe.default_connections.values()) + list(_conn_specs.values()):
+        _secret_vals += connection_secrets(_v)
+    masker = Masker(_secret_vals) if _secret_vals else None
+    _old_out, _old_err = sys.stdout, sys.stderr
+    if masker:
+        sys.stdout, sys.stderr = masker.wrap(_old_out), masker.wrap(_old_err)
+    try:
+        return _cmd_run_resolved(args, pipe, ctx, environment, _conn_specs, masker)
+    finally:
+        if masker:
+            sys.stdout.flush()
+            sys.stderr.flush()
+            sys.stdout, sys.stderr = _old_out, _old_err
+
+
+def _cmd_run_resolved(args, pipe, ctx, environment, _conn_specs, masker) -> int:
+    from bruin_spark import get_spark
+    from bruin_spark.maskout import connection_secrets
+    from bruin_spark.scheduler import PipelineState, Scheduler
+    from bruin_spark.sources.connections import connection_uri
+
+    spark = get_spark(f"bruin:{pipe.name}")
+    for _name, _spec in _conn_specs.items():
+        try:
+            _uri = connection_uri(_spec)
+        except ValueError as e:
+            # a malformed spec only matters if an asset uses it —
+            # warn, don't kill the whole run
+            print(f"warning: skipping connection {_name!r}: {e}", file=sys.stderr)
+            continue
+        pipe.default_connections.setdefault(_name, _uri)
     # a selected secrets backend is the source of truth for connection
     # names (ref cmd/secrets_backend.go: the backend REPLACES the config
     # manager) — its value overrides any .bruin.yml/pipeline.yml copy;
@@ -186,11 +213,13 @@ def cmd_run(args) -> int:
             if not _cn:
                 continue
             try:
-                pipe.default_connections[_cn] = connection_uri(
-                    lookup_connection(_backend, _cn)
-                )
+                _uri = connection_uri(lookup_connection(_backend, _cn))
             except (ValueError, NotImplementedError) as e:
                 print(f"warning: secrets backend: {e}", file=sys.stderr)
+                continue
+            pipe.default_connections[_cn] = _uri
+            if masker:
+                masker.extend(connection_secrets(_uri))
     stream_target = getattr(args, "stream", None)
     if stream_target and getattr(args, "sensor_mode", None):
         # ref cmd/run.go:939 rejects combining --stream with --sensor-mode:
@@ -227,36 +256,16 @@ def cmd_run(args) -> int:
     state_path = args.state or os.path.join(args.pipeline, ".bruin_state.json")
     if args.continue_run and os.path.exists(state_path):
         sched.restore(PipelineState.load(state_path))
-    # Mask credential values in everything the run prints (ref pkg/mask
-    # + cmd/run.go logOutput): secrets harvested from every configured
-    # connection, replaced in any escaped/base64 form they can take.
-    from bruin_spark.maskout import Masker, connection_secrets
-
-    _secret_vals: list[str] = []
-    for _v in pipe.default_connections.values():
-        _secret_vals += connection_secrets(_v)
-    if _conn_env:
-        for _spec in environment_connection_specs(_cfg, _conn_env).values():
-            _secret_vals += connection_secrets(_spec)
-    masker = Masker(_secret_vals) if _secret_vals else None
-    old_out, old_err = sys.stdout, sys.stderr
-    if masker:
-        sys.stdout, sys.stderr = masker.wrap(old_out), masker.wrap(old_err)
-    try:
-        res = sched.run(state_path=state_path)
-        for iid in res.succeeded:
-            print(f"ok   {iid}")
-        for iid in res.skipped:
-            print(f"skip {iid}")
-        for iid in res.upstream_failed:
-            print(f"up!  {iid}")
-        for iid in res.failed:
-            print(f"FAIL {iid}: {sched.instances[iid].error.splitlines()[0] if sched.instances[iid].error else ''}")
-    finally:
-        if masker:
-            sys.stdout.flush()
-            sys.stderr.flush()
-            sys.stdout, sys.stderr = old_out, old_err
+    # (the caller already wrapped stdout/stderr in the secret masker)
+    res = sched.run(state_path=state_path)
+    for iid in res.succeeded:
+        print(f"ok   {iid}")
+    for iid in res.skipped:
+        print(f"skip {iid}")
+    for iid in res.upstream_failed:
+        print(f"up!  {iid}")
+    for iid in res.failed:
+        print(f"FAIL {iid}: {sched.instances[iid].error.splitlines()[0] if sched.instances[iid].error else ''}")
     return 0 if res.ok else 1
 
 

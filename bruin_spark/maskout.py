@@ -58,8 +58,23 @@ def _credential_key(key: str) -> bool:
 def connection_secrets(spec) -> list[str]:
     """Secret values inside one connection spec (URI string or typed
     mapping): the URI password/credential query params, or mapping
-    values under credential-shaped keys."""
+    values under credential-shaped keys.
+
+    Every harvested value respects ``MIN_CREDENTIAL_LENGTH``: masking is
+    plain find-and-replace over the whole run output, so a short
+    password like ``pg`` would scrub that substring out of every asset
+    name and SQL line (mask.go:117-121). URI passwords are harvested
+    percent-DECODED — that is the form drivers receive and echo in
+    errors; ``secret_forms`` re-derives the escaped variants.
+    """
+    from urllib.parse import unquote
+
     out: list[str] = []
+
+    def add(v: str) -> None:
+        if len(v) >= MIN_CREDENTIAL_LENGTH:
+            out.append(v)
+
     if isinstance(spec, str):
         if "://" not in spec:
             return out
@@ -72,19 +87,15 @@ def connection_secrets(spec) -> list[str]:
         if "@" in p.netloc:
             userinfo = p.netloc.rsplit("@", 1)[0]
             if ":" in userinfo:
-                out.append(userinfo.split(":", 1)[1])
+                add(unquote(userinfo.split(":", 1)[1]))
         for k, v in p.query:
-            if _credential_key(k) and len(v) >= MIN_CREDENTIAL_LENGTH:
-                out.append(v)
+            if _credential_key(k):
+                add(unquote(v))
         return out
     if isinstance(spec, dict):
         for k, v in spec.items():
-            if not isinstance(v, str):
-                continue
-            if k.lower() == "password" or (
-                _credential_key(k) and len(v) >= MIN_CREDENTIAL_LENGTH
-            ):
-                out.append(v)
+            if isinstance(v, str) and (k.lower() == "password" or _credential_key(k)):
+                add(v)
     return out
 
 
@@ -93,14 +104,19 @@ class Masker:
     first so substrings of longer secrets don't leave fragments."""
 
     def __init__(self, values: list[str]):
-        forms: list[str] = []
-        seen: set[str] = set()
+        self._seen: set[str] = set()
+        self._forms: list[str] = []
+        self.extend(values)
+
+    def extend(self, values: list[str]) -> None:
+        """Add more secrets (e.g. resolved later from a secrets backend);
+        already-wrapped streams pick them up immediately."""
         for v in values:
             for f in secret_forms(v):
-                if f not in seen:
-                    seen.add(f)
-                    forms.append(f)
-        self._forms = sorted(forms, key=len, reverse=True)
+                if f not in self._seen:
+                    self._seen.add(f)
+                    self._forms.append(f)
+        self._forms.sort(key=len, reverse=True)
 
     def mask(self, text: str) -> str:
         for f in self._forms:
@@ -115,25 +131,33 @@ class Masker:
 class LineMaskingWriter(io.TextIOBase):
     """Line-buffering writer: masks complete lines before forwarding, so
     a secret split across two ``write()`` calls is still caught
-    (mask.go LineWriter)."""
+    (mask.go LineWriter). Lock-guarded: scheduler worker threads share
+    the wrapped stream, and an unsynchronized buffer could interleave
+    another thread's newline into the middle of a secret — leaving
+    fragments no mask form matches."""
 
     def __init__(self, masker: Masker, sink):
+        import threading
+
         self._masker = masker
         self._sink = sink
         self._buf = ""
+        self._lock = threading.Lock()
 
     def write(self, s: str) -> int:
-        self._buf += s
-        while "\n" in self._buf:
-            line, self._buf = self._buf.split("\n", 1)
-            self._sink.write(self._masker.mask(line) + "\n")
+        with self._lock:
+            self._buf += s
+            while "\n" in self._buf:
+                line, self._buf = self._buf.split("\n", 1)
+                self._sink.write(self._masker.mask(line) + "\n")
         return len(s)
 
     def flush(self) -> None:
-        if self._buf:
-            self._sink.write(self._masker.mask(self._buf))
-            self._buf = ""
-        self._sink.flush()
+        with self._lock:
+            if self._buf:
+                self._sink.write(self._masker.mask(self._buf))
+                self._buf = ""
+            self._sink.flush()
 
     def writable(self) -> bool:
         return True

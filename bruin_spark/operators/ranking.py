@@ -50,6 +50,9 @@ def bm25_topk(
     Scores round to 6 decimals and ties break on the doc id, so the
     cutoff is deterministic across engines.
     """
+    # tokens() lowercases the corpus; match the query to it so an
+    # uppercase term can't silently contribute zero matches
+    query_terms = [t.lower() for t in query_terms]
     toks = tokens(text_col)
     lens = docs.select(F.col(id_col).alias("id"), F.size(toks).alias("dl"))
     gstats = lens.agg(

@@ -45,7 +45,11 @@ def connection_uri(spec) -> str:
     d = dict(spec)
     typ = str(d.get("type", "") or "")
     if not typ:
-        raise ValueError(f"connection spec needs a 'type' (or be a URI string): {spec}")
+        # keys only — the values can hold credentials and this message
+        # may be printed in warnings
+        raise ValueError(
+            f"connection spec needs a 'type' (or be a URI string); keys: {sorted(d)}"
+        )
     extras = {k: v for k, v in d.items() if k not in _STRUCTURAL and v is not None}
     query = f"?{urlencode(extras)}" if extras else ""
     if typ in ("duckdb", "sqlite"):

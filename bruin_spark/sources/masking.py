@@ -44,7 +44,11 @@ def collect_mask_rules(asset) -> list[tuple[str, str]]:
             col, method = default_col, rule
         col, method = col.strip(), method.strip().lower()
         if not col:
-            return
+            # an unqualified asset-level rule has no column to attach to;
+            # silently dropping it would leave PII unmasked
+            raise ValueError(
+                f"asset-level mask rule {rule!r} must be 'column:method'"
+            )
         if method not in MASK_METHODS:
             raise ValueError(
                 f"unknown mask method {method!r} for column {col!r}; "
@@ -56,7 +60,9 @@ def collect_mask_rules(asset) -> list[tuple[str, str]]:
             rules.append(key)
 
     params = getattr(asset, "parameters", None) or {}
-    add(str(params.get("mask", "") or ""))
+    raw = params.get("mask") or ""
+    for rule in raw if isinstance(raw, list) else [raw]:
+        add(str(rule))
     for c in getattr(asset, "columns", None) or []:
         mask = str(getattr(c, "mask", "") or "")
         if mask:

@@ -623,10 +623,16 @@ def test_maskout_masker_forms_and_line_writer():
     assert MASK in m.mask("b64: " + base64.b64encode(secret.encode()).decode())
 
     # connection_secrets: URI password + credential query params + dict keys
-    assert connection_secrets("postgres://u:sekrit@h:5432/db") == ["sekrit"]
+    assert connection_secrets("postgres://u:sekrit123@h:5432/db") == ["sekrit123"]
+    # percent-encoded URI passwords harvest DECODED (drivers echo the
+    # decoded form); secret_forms re-derives the escaped variant
+    assert connection_secrets("postgres://u:p%40ssw0rd123@h/db") == ["p@ssw0rd123"]
     assert connection_secrets("stripe://?api_key=sk_live_12345678") == ["sk_live_12345678"]
-    assert connection_secrets({"type": "snowflake", "password": "hunter2!", "host": "h"}) == ["hunter2!"]
-    # short values under credential-ish keys are NOT harvested (except password)
+    assert connection_secrets({"type": "snowflake", "password": "hunter234", "host": "h"}) == ["hunter234"]
+    # short values never harvested (a 2-char password would scrub that
+    # substring from every output line), nor non-credential keys
+    assert connection_secrets("postgres://u:pg@h/db") == []
+    assert connection_secrets({"password": "short"}) == []
     assert connection_secrets({"api_token_enabled": "true"}) == []
 
     # line writer: secret split across two writes still masked
