@@ -1034,6 +1034,7 @@ def cmd_optimize(args) -> int:
         args.table,
         target_file_mb=args.target_file_mb,
         dry_run=args.dry_run,
+        zorder_by=args.zorder or None,
     )
     if args.analyze:
         rep["analyze"] = analyze_table(spark, args.table, args.columns or None)
@@ -1502,6 +1503,13 @@ def main(argv: list[str] | None = None) -> int:
     po.add_argument("table")
     po.add_argument("--target-file-mb", type=int, default=128)
     po.add_argument("--dry-run", action="store_true")
+    po.add_argument(
+        "--zorder",
+        nargs="*",
+        help="cluster the rewrite on a Morton key over these columns "
+        "(Delta OPTIMIZE ZORDER BY analog; tightens per-file min/max "
+        "stats for data skipping)",
+    )
     po.add_argument("--analyze", action="store_true", help="ANALYZE TABLE after compaction")
     po.add_argument("--columns", nargs="*", help="columns for ANALYZE ... FOR COLUMNS")
     po.set_defaults(fn=cmd_optimize)

@@ -164,12 +164,62 @@ def _recover_orphans(spark: SparkSession, table: str) -> None:
             safe_drop(spark, f"{prefix}{n}")
 
 
+Z_BITS = 16  # per-dimension resolution of the z-value (interleaved bits)
+
+
+def zorder_column(df, cols: list[str], out: str = "_zval"):
+    """Add a Morton/Z-order key interleaving each column's rank bucket.
+
+    Each column is normalized to a ``Z_BITS``-bit bucket over its
+    [min, max] range (one cheap global agg, broadcast as literals), and
+    the bucket bits of all columns are interleaved so sorting by the key
+    clusters rows that are close in EVERY dimension. After a
+    range-repartition + within-partition sort on this key, each parquet
+    file's min/max stats cover a tight hyper-rectangle — point and range
+    predicates on ANY of the z-ordered columns skip most row groups,
+    the same data-skipping mechanism as Delta's OPTIMIZE ZORDER BY.
+    """
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(F.col(c).cast("double")).alias(f"_mn_{c}"))
+        aggs.append(F.max(F.col(c).cast("double")).alias(f"_mx_{c}"))
+    stats = df.agg(*aggs).collect()[0]
+
+    max_bucket = (1 << Z_BITS) - 1
+    bucket_cols = []
+    for c in cols:
+        mn, mx = stats[f"_mn_{c}"], stats[f"_mx_{c}"]
+        if mn is None or mx is None or mx == mn:
+            bucket_cols.append(F.lit(0))
+            continue
+        scaled = (F.col(c).cast("double") - F.lit(float(mn))) / F.lit(
+            float(mx - mn)
+        )
+        bucket_cols.append(
+            F.least(
+                F.lit(max_bucket),
+                F.floor(scaled * F.lit(float(max_bucket + 1))).cast("long"),
+            )
+        )
+    # interleave: output bit (b*n_cols + i) = bit b of column i's bucket
+    z = F.lit(0).cast("long")
+    n = len(cols)
+    for b in range(Z_BITS):
+        for i, bc in enumerate(bucket_cols):
+            bit = F.shiftright(bc, b).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, b * n + i)
+    return df.withColumn(out, z)
+
+
 def compact_table(
     spark: SparkSession,
     table: str,
-    target_file_mb: int = 128,
+    target_file_mb: float = 128,
     min_files_saved: int = 4,
     dry_run: bool = False,
+    zorder_by: list[str] | None = None,
 ) -> dict:
     """Rewrite ``table`` into ~``target_file_mb``-sized files.
 
@@ -179,6 +229,12 @@ def compact_table(
     their partition columns (each task writes whole partitions, so the
     per-partition file count collapses); unpartitioned tables
     repartition to the computed file count.
+
+    ``zorder_by`` additionally clusters the rewrite on a Morton key over
+    the given columns (``zorder_column``): a z-ordered rewrite ALWAYS
+    runs (it changes layout, not just file count), range-repartitioned
+    so files hold contiguous z-ranges and each file's min/max stats are
+    tight on every clustered column.
 
     Returns a report dict: before/after stats + ``compacted`` flag.
     """
@@ -190,7 +246,7 @@ def compact_table(
         "target_files": target_files,
         "compacted": False,
     }
-    if before["n_files"] - target_files < min_files_saved:
+    if not zorder_by and before["n_files"] - target_files < min_files_saved:
         return report
     if dry_run:
         report["compacted"] = "dry_run"
@@ -200,7 +256,15 @@ def compact_table(
         c.name for c in spark.catalog.listColumns(table) if c.isPartition
     ]
     df = spark.table(table)
-    if part_cols:
+    if zorder_by:
+        df = zorder_column(df, zorder_by)
+        df = (
+            df.repartitionByRange(target_files, "_zval")
+            .sortWithinPartitions("_zval")
+            .drop("_zval")
+        )
+        report["zorder_by"] = list(zorder_by)
+    elif part_cols:
         df = df.repartition(target_files, *part_cols)
     else:
         df = df.repartition(target_files)

@@ -117,3 +117,48 @@ def test_sweep_orphans_restores_cdc_backup_and_drops_stages(spark):
     assert not any("__cdc_" in n or "__opt_" in n for n in names)
     spark.sql("DROP TABLE swp_t")
     spark.sql("DROP TABLE swp_u")
+
+
+def test_zorder_compaction_tightens_file_stats(spark):
+    """compact --zorder: after the clustered rewrite, each parquet file
+    covers a tight range of BOTH clustered columns (data-skipping
+    evidence), and the data itself is unchanged."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from bruin_spark.mat.maintenance import compact_table
+
+    spark.sql("DROP TABLE IF EXISTS opt_z")
+    n = 8000
+    # two correlated-free dimensions, written in random-ish order
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 6), 16, 10) % 1000)
+        .cast("long")
+        .alias("x"),
+        (F.conv(F.substring(F.md5(F.col("id").cast("string")), 7, 6), 16, 10) % 1000)
+        .cast("long")
+        .alias("y"),
+    )
+    df.repartition(8).write.format("parquet").saveAsTable("opt_z")
+
+    def avg_x_span(table):
+        spans = []
+        for f in spark.table(table).inputFiles():
+            meta = pq.read_metadata(f.replace("file:", ""))
+            mn = min(meta.row_group(i).column(1).statistics.min for i in range(meta.num_row_groups))
+            mx = max(meta.row_group(i).column(1).statistics.max for i in range(meta.num_row_groups))
+            spans.append(mx - mn)
+        return sum(spans) / len(spans)
+
+    before_span = avg_x_span("opt_z")  # random layout: ~full [0,1000) range per file
+    checksum = spark.table("opt_z").agg(F.sum(F.col("x") * F.col("y"))).collect()[0][0]
+    rep = compact_table(spark, "opt_z", target_file_mb=0.02, zorder_by=["x", "y"])
+    assert rep["compacted"] is True and rep["zorder_by"] == ["x", "y"]
+    after = spark.table("opt_z")
+    assert after.count() == n
+    assert after.agg(F.sum(F.col("x") * F.col("y"))).collect()[0][0] == checksum
+    assert len(after.inputFiles()) > 1  # fractional target => several files
+    after_span = avg_x_span("opt_z")
+    assert after_span < before_span * 0.8  # files now cover tight x ranges
+    spark.sql("DROP TABLE opt_z")
