@@ -1,0 +1,92 @@
+"""Distributed BPE merge learning: train a byte-pair-encoding tokenizer
+vocabulary from a corpus.
+
+The 100 TB shape: the ONLY corpus-scale pass is the word count (one
+explode + map-side-combined aggregation). Everything after runs on the
+compressed vocabulary table (|V| rows — millions at web scale, versus
+trillions of tokens), exactly how production BPE trainers work: pair
+statistics are weighted by word frequency, so the corpus never needs a
+second read. Each merge iteration is one small aggregation over the
+vocab plus a literal string replace; the learned merge table (the
+tokenizer artifact) is tiny.
+
+Determinism: the best pair is (count DESC, pair ASC) — reproducible
+across engines and runs; symbol replacement uses literal non-overlapping
+left-to-right ``replace``, which Spark and DuckDB (and every libc)
+implement identically, so the DuckDB oracle unrolls the same iterations
+stage by stage and matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from bruin_spark.operators.text import tokens
+
+
+def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(w, freq) over the corpus — the single corpus-scale pass."""
+    return (
+        docs.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def bpe_learn_merges(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges; returns the merge table
+    (step, merge_left, merge_right, pair_count).
+
+    Word representations start as space-delimited characters wrapped in
+    sentinel spaces (`` a b c ``); each iteration counts adjacent symbol
+    pairs weighted by word frequency, picks the (count DESC, pair ASC)
+    best, and rewrites `` left right `` -> `` leftright `` across the
+    vocab. ``localCheckpoint`` cuts the per-iteration lineage so the
+    plan doesn't grow with the merge count.
+    """
+    spark = docs.sparkSession
+    words = word_frequencies(docs, text_col).withColumn(
+        "repr",
+        F.concat(F.lit(" "), F.concat_ws(" ", F.split(F.col("w"), "")), F.lit(" ")),
+    )
+    words = words.localCheckpoint(eager=True)
+
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        pc = (
+            words.withColumn("s", F.split(F.trim(F.col("repr")), " "))
+            .filter(F.size("s") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(s) - 1),"
+                        " i -> concat(element_at(s, i), ' ', element_at(s, i + 1)))"
+                    )
+                ).alias("pair"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pc.orderBy(F.col("cnt").desc(), F.col("pair").asc()).limit(1).collect()
+        if not best:
+            break
+        pair, cnt = best[0]["pair"], int(best[0]["cnt"])
+        left, right = pair.split(" ")
+        merges.append((step, left, right, cnt))
+        words = words.withColumn(
+            "repr",
+            F.replace(
+                F.col("repr"),
+                F.lit(f" {left} {right} "),
+                F.lit(f" {left}{right} "),
+            ),
+        ).localCheckpoint(eager=True)
+
+    return spark.createDataFrame(
+        merges, "step int, merge_left string, merge_right string, pair_count bigint"
+    )

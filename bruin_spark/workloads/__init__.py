@@ -35,6 +35,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "text_curation_funnel",
     "text_bm25_topk",
     "emb_random_projection",
+    "text_bpe_merges",
     # --- sentinels: every entry last verified in r01/r02 (not r03),
     # so after r04 every registry entry has a verdict <= 2 rounds old ---
     "q3_shipping_priority",
@@ -76,12 +77,11 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "mat_datavault_hub",
     "mat_datavault_link",
     "mat_datavault_satellite",
-    "dedup_exact_groups",
     # dedup_minhash_signature / dedup_ngram_jaccard / dedup_exact_survivors /
-    # dedup_simhash_pairs / dedup_simhash_signature displaced by
-    # dedup_segments / dedup_incremental / text_curation_funnel /
-    # text_bm25_topk / emb_random_projection (window cap 50); all keep
-    # green r02/r03 verdicts
+    # dedup_simhash_pairs / dedup_simhash_signature / dedup_exact_groups
+    # displaced by dedup_segments / dedup_incremental / text_curation_funnel /
+    # text_bm25_topk / emb_random_projection / text_bpe_merges (window cap
+    # 50); all keep green r02/r03 verdicts
 )
 
 

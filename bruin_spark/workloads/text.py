@@ -448,3 +448,60 @@ QUERIES = {
     "text_pii_redact": (text_pii_redact, _pii_oracle()),
     "text_decontaminate": (text_decontaminate, _decon_oracle()),
 }
+
+
+# -- BPE merge learning -----------------------------------------------------------
+
+_BPE_MERGES = 8
+
+
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training: 8 learned merges from the
+    corpus (one corpus-scale wordcount; iterations on the vocab)."""
+    from bruin_spark.operators.tokenizer import bpe_learn_merges
+
+    return bpe_learn_merges(_docs(spark, sf_dir), n_merges=_BPE_MERGES)
+
+
+def _bpe_oracle() -> str:
+    """The same iterations unrolled: stage k counts adjacent symbol
+    pairs of w{k-1}, b{k} picks (count DESC, pair ASC), w{k} rewrites
+    the vocab with the literal replace both engines share."""
+    stages = []
+    finals = []
+    for k in range(1, _BPE_MERGES + 1):
+        prev = f"w{k - 1}"
+        stages.append(f"""
+p{k} AS (
+  SELECT pair, SUM(freq) AS cnt FROM (
+    SELECT freq, s[i] || ' ' || s[i + 1] AS pair
+    FROM (SELECT freq, string_split(trim(repr), ' ') AS s FROM {prev}),
+         UNNEST(generate_series(1, len(s) - 1)) AS t(i)
+    WHERE len(s) >= 2
+  ) GROUP BY 1
+),
+b{k} AS (SELECT pair, cnt FROM p{k} ORDER BY cnt DESC, pair LIMIT 1),
+w{k} AS (
+  SELECT w, freq,
+         replace(repr, ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ') AS repr
+  FROM {prev} CROSS JOIN b{k}
+)""")
+        finals.append(
+            f"SELECT {k} AS step, split_part(pair, ' ', 1) AS merge_left, "
+            f"split_part(pair, ' ', 2) AS merge_right, cnt::BIGINT AS pair_count FROM b{k}"
+        )
+    return f"""
+WITH words AS (
+  SELECT tok AS w, COUNT(*) AS freq
+  FROM (SELECT UNNEST({_duck_tokens()}) AS tok FROM documents)
+  GROUP BY 1
+),
+w0 AS (
+  SELECT w, freq, ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS repr
+  FROM words
+),{','.join(stages)}
+{' UNION ALL '.join(finals)}
+"""
+
+
+QUERIES["text_bpe_merges"] = (text_bpe_merges, _bpe_oracle())

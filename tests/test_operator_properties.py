@@ -231,3 +231,21 @@ def test_random_projection_preserves_scaled_norms(spark):
         in_norm = math.sqrt(sum(x * x for x in v))
         assert 0 < rows[i]["proj_norm"] < 4 * in_norm
     assert [rows[0][f"c{j}"] for j in range(16)] == [rows[20][f"c{j}"] for j in range(16)]
+
+
+def test_bpe_learns_expected_merges(spark):
+    """On a corpus where 'ab' dominates, the first merge is a+b; merged
+    symbols participate in later merges (a+b then ab+c)."""
+    from bruin_spark.operators.tokenizer import bpe_learn_merges
+
+    docs = spark.createDataFrame(
+        [(1, "abc abc abc abc ax"), (2, "abc abc bc ax")],
+        "doc_id long, text string",
+    )
+    merges = bpe_learn_merges(docs, n_merges=2).collect()
+    # frequency-weighted pairs: b-c = 6 ('abc') + 1 ('bc') = 7 beats
+    # a-b = 6; the second merge then uses the MERGED 'bc' symbol
+    assert (merges[0]["merge_left"], merges[0]["merge_right"]) == ("b", "c")
+    assert merges[0]["pair_count"] == 7
+    assert (merges[1]["merge_left"], merges[1]["merge_right"]) == ("a", "bc")
+    assert merges[1]["pair_count"] == 6
