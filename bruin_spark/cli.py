@@ -1505,7 +1505,7 @@ def main(argv: list[str] | None = None) -> int:
     po.add_argument("--dry-run", action="store_true")
     po.add_argument(
         "--zorder",
-        nargs="*",
+        nargs="+",
         help="cluster the rewrite on a Morton key over these columns "
         "(Delta OPTIMIZE ZORDER BY analog; tightens per-file min/max "
         "stats for data skipping)",

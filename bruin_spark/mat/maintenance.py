@@ -170,43 +170,64 @@ Z_BITS = 16  # per-dimension resolution of the z-value (interleaved bits)
 def zorder_column(df, cols: list[str], out: str = "_zval"):
     """Add a Morton/Z-order key interleaving each column's rank bucket.
 
-    Each column is normalized to a ``Z_BITS``-bit bucket over its
-    [min, max] range (one cheap global agg, broadcast as literals), and
-    the bucket bits of all columns are interleaved so sorting by the key
-    clusters rows that are close in EVERY dimension. After a
-    range-repartition + within-partition sort on this key, each parquet
-    file's min/max stats cover a tight hyper-rectangle — point and range
-    predicates on ANY of the z-ordered columns skip most row groups,
-    the same data-skipping mechanism as Delta's OPTIMIZE ZORDER BY.
+    Each column is normalized to a per-dimension bucket over its
+    NaN-free [min, max] range (one cheap global agg, broadcast as
+    literals), and the bucket bits of all columns are interleaved so
+    sorting by the key clusters rows that are close in EVERY dimension.
+    After a range-repartition + within-partition sort on this key, each
+    parquet file's min/max stats cover a tight hyper-rectangle — point
+    and range predicates on ANY of the z-ordered columns skip most row
+    groups, the same data-skipping mechanism as Delta's OPTIMIZE ZORDER.
+
+    The per-dimension resolution shrinks with the column count so the
+    interleaved key always fits 63 bits (``min(Z_BITS, 63 // n)`` —
+    Java's shiftleft masks shift counts mod 64, so overflowing bit
+    positions would silently wrap onto low bits and corrupt the key).
+    NULL and NaN values bucket to 0 — co-located with the range minimum
+    rather than silently poisoning every row's key through NaN min/max.
     """
     from pyspark.sql import functions as F
 
+    if not cols:
+        raise ValueError("zorder needs at least one column")
+    n = len(cols)
+    bits = min(Z_BITS, 63 // n)
+    if bits == 0:
+        raise ValueError(f"too many zorder columns ({n}); max 63")
+
     aggs = []
     for c in cols:
-        aggs.append(F.min(F.col(c).cast("double")).alias(f"_mn_{c}"))
-        aggs.append(F.max(F.col(c).cast("double")).alias(f"_mx_{c}"))
+        d = F.col(c).cast("double")
+        clean = F.when(~F.isnan(d), d)  # NULL for both null and NaN
+        aggs.append(F.min(clean).alias(f"_mn_{c}"))
+        aggs.append(F.max(clean).alias(f"_mx_{c}"))
     stats = df.agg(*aggs).collect()[0]
 
-    max_bucket = (1 << Z_BITS) - 1
+    max_bucket = (1 << bits) - 1
     bucket_cols = []
     for c in cols:
         mn, mx = stats[f"_mn_{c}"], stats[f"_mx_{c}"]
         if mn is None or mx is None or mx == mn:
-            bucket_cols.append(F.lit(0))
+            bucket_cols.append(F.lit(0).cast("long"))
             continue
-        scaled = (F.col(c).cast("double") - F.lit(float(mn))) / F.lit(
-            float(mx - mn)
-        )
+        d = F.col(c).cast("double")
+        scaled = (d - F.lit(float(mn))) / F.lit(float(mx - mn))
         bucket_cols.append(
-            F.least(
-                F.lit(max_bucket),
-                F.floor(scaled * F.lit(float(max_bucket + 1))).cast("long"),
+            F.when(d.isNull() | F.isnan(d), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(max_bucket),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor(scaled * F.lit(float(max_bucket + 1))).cast("long"),
+                    ),
+                )
             )
+            .cast("long")
         )
-    # interleave: output bit (b*n_cols + i) = bit b of column i's bucket
+    # interleave: output bit (b*n + i) = bit b of column i's bucket
     z = F.lit(0).cast("long")
-    n = len(cols)
-    for b in range(Z_BITS):
+    for b in range(bits):
         for i, bc in enumerate(bucket_cols):
             bit = F.shiftright(bc, b).bitwiseAND(F.lit(1))
             z = z + F.shiftleft(bit, b * n + i)
@@ -257,11 +278,20 @@ def compact_table(
     ]
     df = spark.table(table)
     if zorder_by:
-        df = zorder_column(df, zorder_by)
+        # uniquified key name: a user column literally named _zval must
+        # survive the rewrite untouched
+        zcol = f"_zval_{uuid.uuid4().hex[:8]}"
+        df = zorder_column(df, zorder_by, out=zcol)
+        # On a hive-partitioned table the range partitioning must lead
+        # with the partition columns: each task then holds few hive
+        # partitions, so partitionBy on write doesn't split every task
+        # into every partition (file-count explosion) and z-clustering
+        # stays contiguous WITHIN each partition.
+        range_cols = [*part_cols, zcol]
         df = (
-            df.repartitionByRange(target_files, "_zval")
-            .sortWithinPartitions("_zval")
-            .drop("_zval")
+            df.repartitionByRange(target_files, *range_cols)
+            .sortWithinPartitions(*range_cols)
+            .drop(zcol)
         )
         report["zorder_by"] = list(zorder_by)
     elif part_cols:

@@ -11,10 +11,18 @@ vocab plus a literal string replace; the learned merge table (the
 tokenizer artifact) is tiny.
 
 Determinism: the best pair is (count DESC, pair ASC) — reproducible
-across engines and runs; symbol replacement uses literal non-overlapping
-left-to-right ``replace``, which Spark and DuckDB (and every libc)
-implement identically, so the DuckDB oracle unrolls the same iterations
-stage by stage and matches bit-for-bit.
+across engines and runs. Symbol replacement applies literal
+non-overlapping ``replace`` REPEATEDLY (``REPLACE_PASSES`` nested
+applications): a single string-level pass under-merges runs like
+``a b a b a b`` because the trailing space of one match is the leading
+space of the next, while iterating to fixpoint is exactly canonical
+(Sennrich) symbol-wise merging — a merge never creates a new
+occurrence of its own pair (``left+right`` can equal neither ``left``
+nor ``right``), so repetition can only complete the canonical set,
+never over-merge. Each pass halves the longest unresolved run, so
+``REPLACE_PASSES`` covers runs up to ``2^REPLACE_PASSES`` pairs. Spark
+and DuckDB implement ``replace`` identically, so the DuckDB oracle
+unrolls the same stages and matches bit-for-bit.
 """
 
 from __future__ import annotations
@@ -22,6 +30,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from bruin_spark.operators.text import tokens
+
+#: nested replace applications per merge: covers same-pair runs up to
+#: 2^7 = 128 consecutive pairs (= 256-char single-character runs)
+REPLACE_PASSES = 7
 
 
 def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -78,14 +90,16 @@ def bpe_learn_merges(
         pair, cnt = best[0]["pair"], int(best[0]["cnt"])
         left, right = pair.split(" ")
         merges.append((step, left, right, cnt))
-        words = words.withColumn(
-            "repr",
-            F.replace(
-                F.col("repr"),
-                F.lit(f" {left} {right} "),
-                F.lit(f" {left}{right} "),
-            ),
-        ).localCheckpoint(eager=True)
+        new_repr = F.col("repr")
+        for _ in range(REPLACE_PASSES):
+            new_repr = F.replace(
+                new_repr, F.lit(f" {left} {right} "), F.lit(f" {left}{right} ")
+            )
+        prev = words
+        words = words.withColumn("repr", new_repr).localCheckpoint(eager=True)
+        # free the previous iteration's pinned blocks; without this the
+        # executors hold O(n_merges * |V|) checkpointed copies
+        prev.unpersist()
 
     return spark.createDataFrame(
         merges, "step int, merge_left string, merge_right string, pair_count bigint"

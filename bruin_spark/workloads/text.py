@@ -466,11 +466,17 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bpe_oracle() -> str:
     """The same iterations unrolled: stage k counts adjacent symbol
     pairs of w{k-1}, b{k} picks (count DESC, pair ASC), w{k} rewrites
-    the vocab with the literal replace both engines share."""
+    the vocab with REPLACE_PASSES nested literal replaces (canonical
+    symbol-wise merging; see operators/tokenizer.py)."""
+    from bruin_spark.operators.tokenizer import REPLACE_PASSES
+
     stages = []
     finals = []
     for k in range(1, _BPE_MERGES + 1):
         prev = f"w{k - 1}"
+        repl = "repr"
+        for _ in range(REPLACE_PASSES):
+            repl = f"replace({repl}, ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ')"
         stages.append(f"""
 p{k} AS (
   SELECT pair, SUM(freq) AS cnt FROM (
@@ -482,8 +488,7 @@ p{k} AS (
 ),
 b{k} AS (SELECT pair, cnt FROM p{k} ORDER BY cnt DESC, pair LIMIT 1),
 w{k} AS (
-  SELECT w, freq,
-         replace(repr, ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ') AS repr
+  SELECT w, freq, {repl} AS repr
   FROM {prev} CROSS JOIN b{k}
 )""")
         finals.append(

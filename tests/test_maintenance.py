@@ -162,3 +162,53 @@ def test_zorder_compaction_tightens_file_stats(spark):
     after_span = avg_x_span("opt_z")
     assert after_span < before_span * 0.8  # files now cover tight x ranges
     spark.sql("DROP TABLE opt_z")
+
+
+def test_zorder_edge_cases(spark):
+    """4+ columns stay within 63 key bits; NaN/NULL rows bucket low
+    instead of poisoning the key; a user column named _zval survives;
+    partitioned tables keep their layout without a file-count blowup."""
+    from pyspark.sql import functions as F
+
+    from bruin_spark.mat.maintenance import compact_table, zorder_column
+
+    # 4-column key: bits shrink to 63//4=15 per dim; all z-values >= 0
+    df = spark.range(100).select(
+        "id", (F.col("id") % 7).alias("a"), (F.col("id") % 11).alias("b"),
+        (F.col("id") % 13).alias("c"), (F.col("id") % 17).alias("d"),
+    )
+    z = zorder_column(df, ["a", "b", "c", "d"]).agg(
+        F.min("_zval").alias("mn"), F.max("_zval").alias("mx")
+    ).collect()[0]
+    assert 0 <= z["mn"] <= z["mx"] < (1 << 63)
+
+    # NaN in one column: other column still drives the key
+    dfn = spark.createDataFrame(
+        [(1, float("nan"), 1.0), (2, 2.0, 100.0), (3, 3.0, 200.0)],
+        "id long, x double, y double",
+    )
+    rows = {r["id"]: r["_zval"] for r in zorder_column(dfn, ["x", "y"]).collect()}
+    assert rows[3] > rows[2] > rows[1] >= 0  # y still separates the rows
+
+    # user column literally named _zval is preserved through the rewrite
+    spark.sql("DROP TABLE IF EXISTS opt_zuser")
+    spark.range(3000).select("id", (F.col("id") % 5).alias("x"), F.lit(42).alias("_zval")) \
+        .repartition(6).write.format("parquet").saveAsTable("opt_zuser")
+    rep = compact_table(spark, "opt_zuser", target_file_mb=1, zorder_by=["x"])
+    assert rep["compacted"] is True
+    assert spark.table("opt_zuser").filter(F.col("_zval") == 42).count() == 3000
+    spark.sql("DROP TABLE opt_zuser")
+
+    # partitioned table: zorder rewrite keeps partitioning and REDUCES files
+    spark.sql("DROP TABLE IF EXISTS opt_zpart")
+    spark.range(6000).select(
+        "id", (F.col("id") % 3).cast("int").alias("grp"), (F.col("id") % 97).alias("x")
+    ).repartition(10).write.format("parquet").partitionBy("grp").saveAsTable("opt_zpart")
+    before = len(spark.table("opt_zpart").inputFiles())
+    rep = compact_table(spark, "opt_zpart", target_file_mb=1, zorder_by=["x"])
+    after = len(spark.table("opt_zpart").inputFiles())
+    assert rep["compacted"] is True and after < before
+    assert spark.table("opt_zpart").count() == 6000
+    part_cols = [c.name for c in spark.catalog.listColumns("opt_zpart") if c.isPartition]
+    assert part_cols == ["grp"]
+    spark.sql("DROP TABLE opt_zpart")

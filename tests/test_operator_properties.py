@@ -249,3 +249,16 @@ def test_bpe_learns_expected_merges(spark):
     assert merges[0]["pair_count"] == 7
     assert (merges[1]["merge_left"], merges[1]["merge_right"]) == ("a", "bc")
     assert merges[1]["pair_count"] == 6
+
+
+def test_bpe_merges_repeated_pair_runs_canonically(spark):
+    """'ababab' must merge to [ab, ab, ab] (canonical BPE), not leave an
+    unmerged middle pair from single-pass string replace."""
+    from pyspark.sql import functions as F
+
+    from bruin_spark.operators.tokenizer import bpe_learn_merges, word_frequencies
+
+    docs = spark.createDataFrame([(1, "ababab ababab")], "doc_id long, text string")
+    merges = bpe_learn_merges(docs, n_merges=1).collect()
+    assert (merges[0]["merge_left"], merges[0]["merge_right"]) == ("a", "b")
+    assert merges[0]["pair_count"] == 6  # 3 occurrences x freq 2
