@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
 import uuid
 from datetime import datetime, timezone
 
@@ -43,6 +44,10 @@ from bruin_spark.mat.strategies import (
 )
 
 _OPEN_END = datetime(9999, 12, 31)
+
+#: serializes INSERT OVERWRITE writes: partitionOverwriteMode is a
+#: session conf shared by all scheduler worker threads
+_OVERWRITE_MODE_LOCK = threading.Lock()
 
 
 class Materializer:
@@ -79,9 +84,18 @@ class Materializer:
                 self.spark.sql(stmt)
             return
         if mat.type == MaterializationType.VIEW:
-            self.spark.sql(
-                f"CREATE OR REPLACE TEMPORARY VIEW {quote_ident(asset.name)} AS\n{rendered_query.rstrip(';')}"
-            )
+            if "." in asset.name:
+                # temp views cannot be schema-qualified; a dotted name
+                # gets the reference's persistent CREATE OR REPLACE VIEW
+                # (sail:58-61) in its schema
+                self._ensure_schema(asset.name)
+                self.spark.sql(
+                    f"CREATE OR REPLACE VIEW {quote_ident(asset.name)} AS\n{rendered_query.rstrip(';')}"
+                )
+            else:
+                self.spark.sql(
+                    f"CREATE OR REPLACE TEMPORARY VIEW {quote_ident(asset.name)} AS\n{rendered_query.rstrip(';')}"
+                )
             return
 
         strategy = mat.strategy or Strategy.CREATE_REPLACE
@@ -144,18 +158,53 @@ class Materializer:
         if not warehouse:
             return
         parts = name.lower().split(".")
-        rel = f"{parts[0]}.db/{parts[1]}" if len(parts) == 2 else parts[-1]
+        if len(parts) == 2:
+            rel = f"{parts[0]}.db/{parts[1]}"
+        elif len(parts) == 3:  # catalog.db.tbl — catalog is not a dir level
+            rel = f"{parts[1]}.db/{parts[2]}"
+        else:
+            rel = parts[-1]  # default-db managed table
         path = os.path.join(warehouse, rel)
         if os.path.isdir(path):
             shutil.rmtree(path, ignore_errors=True)
 
-    def _insert_into(self, name: str, df: DataFrame, overwrite: bool) -> None:
+    def _insert_into(
+        self, name: str, df: DataFrame, overwrite: bool, dynamic: bool = False
+    ) -> None:
         """insertInto is positional; align to the target's column order
-        (partitioned tables store partition columns last)."""
+        (partitioned tables store partition columns last). Matching is
+        case-INSENSITIVE like Spark's own resolution — a case-mismatched
+        source would otherwise skip the reorder and write columns into
+        the wrong positions.
+
+        Overwrite mode: ``partitionOverwriteMode`` only takes effect as
+        a session conf for insertInto (the writer-level option is
+        ignored), and the scheduler runs writes from several worker
+        threads on ONE session — so every overwrite write pins the mode
+        it needs under a process-wide lock. Without the lock, one
+        thread's dynamic overwrite would silently turn another thread's
+        truncate+insert into a partial overwrite (and vice versa)."""
         target_cols = self.spark.table(quote_ident(name)).columns
-        if set(target_cols) == set(df.columns) and target_cols != df.columns:
-            df = df.select(*target_cols)
-        df.write.insertInto(name, overwrite=overwrite)
+        by_lower = {c.lower(): c for c in df.columns}
+        same_set = set(by_lower) == {c.lower() for c in target_cols}
+        same_order = [c.lower() for c in target_cols] == [c.lower() for c in df.columns]
+        if same_set and not same_order:
+            df = df.select(*[by_lower[c.lower()] for c in target_cols])
+        if not overwrite:
+            df.write.insertInto(name, overwrite=False)
+            return
+        mode = "dynamic" if dynamic else "static"
+        with _OVERWRITE_MODE_LOCK:
+            prev = self.spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
+            )
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", mode)
+            try:
+                df.write.insertInto(name, overwrite=True)
+            finally:
+                self.spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev
+                )
 
     def _writer(self, asset: Asset, df: DataFrame):
         mat = asset.materialization
@@ -191,14 +240,25 @@ class Materializer:
         if not self._exists(name):
             self._save_new(asset, df)
             return
-        stage = f"{name.replace('.', '_')}__bruin_stage_{uuid.uuid4().hex[:8]}"
+        # stage lives in the TARGET's database: ALTER TABLE RENAME cannot
+        # cross databases, and a cross-db stage would force the fallback
+        db, _, base = name.rpartition(".")
+        prefix = f"{db}." if db else ""
+        stage = f"{prefix}{base}__bruin_stage_{uuid.uuid4().hex[:8]}"
         self._writer(asset, df).saveAsTable(stage)
         try:
             self.spark.sql(f"DROP TABLE IF EXISTS {quote_ident(name)}")
             self.spark.sql(f"ALTER TABLE {quote_ident(stage)} RENAME TO {quote_ident(name)}")
+            # RENAME moves the data dir but leaves a partitioned table's
+            # per-partition catalog locations at the old stage path
+            from bruin_spark.mat.maintenance import sync_partitions
+
+            sync_partitions(self.spark, quote_ident(name))
         except Exception:
-            # catalogs without managed-table RENAME: copy + drop stage
-            self.spark.table(quote_ident(stage)).write.saveAsTable(name)
+            # catalogs without managed-table RENAME: copy (through the
+            # SAME layout-preserving writer — a plain write would drop
+            # partitioning/bucketing) + drop stage
+            self._writer(asset, self.spark.table(quote_ident(stage))).saveAsTable(name)
             self.spark.sql(f"DROP TABLE IF EXISTS {quote_ident(stage)}")
 
     # -- strategies ----------------------------------------------------------
@@ -233,13 +293,10 @@ class Materializer:
         return bool(mat.partition_by) and mat.partition_by == mat.incremental_key
 
     def _dynamic_overwrite(self, asset: Asset, df: DataFrame) -> None:
-        """Rewrite only the partitions present in the source (scale path)."""
-        prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            self._insert_into(asset.name, df, overwrite=True)
-        finally:
-            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        """Rewrite only the partitions present in the source (scale path).
+        Per-write option, NOT session conf: other scheduler workers'
+        concurrent overwrites keep their own semantics."""
+        self._insert_into(asset.name, df, overwrite=True, dynamic=True)
 
     def _delete_insert(self, asset: Asset, query: str) -> None:
         mat = asset.materialization
@@ -406,6 +463,27 @@ class Materializer:
         if not self._exists(asset.name):
             return self._scd2_full_refresh(
                 asset, query, Strategy.SCD2_BY_TIME if by_time else Strategy.SCD2_BY_COLUMN
+            )
+
+        # Same cardinality guard as _merge: duplicate source PKs would
+        # match one current target row twice — duplicated expired rows
+        # and several _is_current versions per key, silently. Real MERGE
+        # (and the reference's MERGE-based SCD2) errors; so do we.
+        from pyspark.sql import Window
+
+        dup = (
+            src.withColumn(
+                "_bruin_pk_cnt", F.count(F.lit(1)).over(Window.partitionBy(*pks))
+            )
+            .filter(F.col("_bruin_pk_cnt") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            key_desc = ", ".join(f"{k}={dup[0][k]!r}" for k in pks)
+            raise MaterializationError(
+                f"scd2 source has multiple rows for primary key ({key_desc}); "
+                "deduplicate the query (e.g. latest row per key)"
             )
 
         if by_time or mat.incremental_key:

@@ -83,10 +83,16 @@ class RunResult:
     upstream_failed: list[str]
     skipped: list[str]
     check_results: list[CheckResult]
+    #: failed instances that are warn-only (non-blocking checks): they
+    #: appear in ``failed`` for visibility but do not flip ``ok`` — a
+    #: warn-only failure must not halt a backfill or fail the run
+    #: (checks.py's raise_on_failure applies the same rule)
+    warn_only_failed: list[str] = field(default_factory=list)
 
     @property
     def ok(self) -> bool:
-        return not self.failed and not self.upstream_failed
+        hard = set(self.failed) - set(self.warn_only_failed)
+        return not hard and not self.upstream_failed
 
 
 @dataclass
@@ -107,7 +113,7 @@ class PipelineState:
         return cls(run_id=d["run_id"], statuses=d["statuses"])
 
 
-_REF_JINJA = "{{"
+_REF_JINJA = ("{{", "{%", "{#")
 
 
 def _match_selector(asset: Asset, only: set[str] | None, tags: set[str], exclude_tags: set[str]) -> bool:
@@ -161,6 +167,10 @@ class Scheduler:
         self.instances: dict[str, TaskInstance] = {}
         self._check_batches: dict[str, dict[tuple[str, str], CheckResult]] = {}
         self._batch_lock = threading.Lock()
+        # per-asset locks held across the fused check scan: sibling check
+        # instances dispatched together must WAIT for the one scan, not
+        # each run their own (the one-scan-per-asset design)
+        self._check_scan_locks: dict[str, threading.Lock] = {}
         # user-supplied interval overrides are honored; everything else is
         # recomputed per run so a reused Pipeline (e.g. backfill chunks)
         # never inherits a previous run's bounds
@@ -279,6 +289,11 @@ class Scheduler:
                 children: dict[str, list[str]] = {}
                 for a in self.pipeline.assets:
                     for up in a.depends:
+                        # symbolic edges are lineage-only: the scheduler
+                        # creates no execution edge for them, so
+                        # downstream expansion must not follow them
+                        if getattr(up, "mode", "full") == "symbolic":
+                            continue
                         children.setdefault(up.value, []).append(a.name)
                 while frontier:
                     cur = frontier.pop()
@@ -458,6 +473,12 @@ class Scheduler:
             upstream_failed=sorted(by_status[InstanceStatus.UPSTREAM_FAILED]),
             skipped=sorted(by_status[InstanceStatus.SKIPPED]),
             check_results=check_results,
+            warn_only_failed=sorted(
+                i
+                for i in by_status[InstanceStatus.FAILED]
+                if self.instances[i].type is not InstanceType.MAIN
+                and not self.instances[i].blocking
+            ),
         )
 
     # -- operators -----------------------------------------------------------------
@@ -594,12 +615,25 @@ class Scheduler:
         return res
 
     def _check_batch(self, asset: Asset) -> dict[tuple[str, str], CheckResult]:
-        """Run the asset's fused check scan once; memoize per asset."""
+        """Run the asset's fused check scan once; memoize per asset.
+
+        The per-asset scan lock is held ACROSS the scan: sibling check
+        instances dispatched together block on it and then read the
+        memoized result — without it, N workers each miss the cache and
+        run N full scans, defeating the one-scan-per-asset design."""
+        with self._batch_lock:
+            scan_lock = self._check_scan_locks.setdefault(
+                asset.name, threading.Lock()
+            )
+        with scan_lock:
+            return self._check_batch_locked(asset)
+
+    def _check_batch_locked(self, asset: Asset) -> dict[tuple[str, str], CheckResult]:
         with self._batch_lock:
             cached = self._check_batches.get(asset.name)
             if cached is not None:
                 return cached
-        if any(_REF_JINJA in c.query for c in asset.custom_checks):
+        if any(m in c.query for c in asset.custom_checks for m in _REF_JINJA):
             # custom-check SQL is Jinja-rendered with the run context
             # (ref: pkg/ansisql/checks.go:283-315)
             import dataclasses

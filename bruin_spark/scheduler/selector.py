@@ -103,6 +103,10 @@ class _Resolver:
             for up in a.depends:
                 if getattr(up, "type", "asset") not in ("", "asset"):
                     continue
+                # symbolic edges are lineage-only: the scheduler creates
+                # no execution edge, so selector expansion must agree
+                if getattr(up, "mode", "full") == "symbolic":
+                    continue
                 parent = by_name.get(up.value)
                 if parent is None:
                     continue

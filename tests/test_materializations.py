@@ -363,3 +363,95 @@ def test_bucketed_create_replace_sql_golden():
     assert stmts[0] == "DROP TABLE IF EXISTS `b`.`t`"
     assert "USING parquet" in stmts[1]
     assert "CLUSTERED BY (`k`) SORTED BY (`k`) INTO 16 BUCKETS" in stmts[1]
+
+
+def test_save_full_dotted_name_preserves_partitioning(spark):
+    """create+replace on a schema-qualified PARTITIONED asset: the stage
+    rename stays within the schema (no cross-db fallback), so the
+    rewritten table keeps its partition layout — a later dynamic
+    overwrite must only touch matching partitions."""
+    from bruin_spark.mat.executor import Materializer
+    from bruin_spark.model.pipeline import (
+        Asset, Materialization, MaterializationType, Strategy,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS msch.t_dot")
+    a = Asset(
+        name="msch.t_dot",
+        materialization=Materialization(
+            type=MaterializationType.TABLE,
+            strategy=Strategy.CREATE_REPLACE,
+            partition_by="d",
+        ),
+    )
+    m = Materializer(spark)
+    m.run(a, "SELECT * FROM VALUES ('2024-01-01', 1), ('2024-01-02', 2) AS t(d, v)")
+    m.run(a, "SELECT * FROM VALUES ('2024-01-01', 9), ('2024-01-03', 3) AS t(d, v)")
+    part_cols = [c.name for c in spark.catalog.listColumns("msch.t_dot") if c.isPartition]
+    assert part_cols == ["d"]
+    got = sorted((r["d"], r["v"]) for r in spark.table("msch.t_dot").collect())
+    assert got == [("2024-01-01", 9), ("2024-01-03", 3)]
+    spark.sql("DROP TABLE msch.t_dot")
+
+
+def test_view_with_dotted_name(spark):
+    from bruin_spark.mat.executor import Materializer
+    from bruin_spark.model.pipeline import Asset, Materialization, MaterializationType
+
+    a = Asset(
+        name="msch.v_dot",
+        materialization=Materialization(type=MaterializationType.VIEW),
+    )
+    spark.sql("DROP VIEW IF EXISTS msch.v_dot")
+    Materializer(spark).run(a, "SELECT 1 AS x")
+    assert spark.table("msch.v_dot").collect()[0]["x"] == 1
+    spark.sql("DROP VIEW msch.v_dot")
+
+
+def test_scd2_rejects_duplicate_source_pks(spark):
+    import pytest
+
+    from bruin_spark.mat.executor import Materializer
+    from bruin_spark.mat.strategies import MaterializationError
+    from bruin_spark.model.pipeline import (
+        Asset, Column, Materialization, MaterializationType, Strategy,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS t_scd2dup")
+    a = Asset(
+        name="t_scd2dup",
+        materialization=Materialization(
+            type=MaterializationType.TABLE, strategy=Strategy.SCD2_BY_COLUMN
+        ),
+        columns=[Column(name="id", type="bigint", primary_key=True),
+                 Column(name="v", type="string")],
+    )
+    m = Materializer(spark)
+    m.run(a, "SELECT * FROM VALUES (1, 'a') AS t(id, v)")  # initial load
+    with pytest.raises(MaterializationError, match="multiple rows for primary key"):
+        m.run(a, "SELECT * FROM VALUES (1, 'b'), (1, 'c') AS t(id, v)")
+    spark.sql("DROP TABLE t_scd2dup")
+
+
+def test_insert_into_case_insensitive_alignment(spark):
+    """A source with case-mismatched column names still reorders to the
+    target's positional layout (Spark resolution is case-insensitive)."""
+    from bruin_spark.mat.executor import Materializer
+    from bruin_spark.model.pipeline import (
+        Asset, Materialization, MaterializationType, Strategy,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS t_case")
+    a = Asset(
+        name="t_case",
+        materialization=Materialization(
+            type=MaterializationType.TABLE, strategy=Strategy.APPEND
+        ),
+    )
+    m = Materializer(spark)
+    m.run(a, "SELECT 1 AS id, 'x' AS val")
+    # second append: different order AND different case
+    m.run(a, "SELECT 'y' AS VAL, 2 AS ID")
+    got = sorted((r["id"], r["val"]) for r in spark.table("t_case").collect())
+    assert got == [(1, "x"), (2, "y")]
+    spark.sql("DROP TABLE t_case")

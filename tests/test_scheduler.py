@@ -467,3 +467,44 @@ def test_interval_modifiers_gating(spark):
     assert on._mods(a) == {"start": "-2h"}
     assert off._mods(a) == {}
     assert fr._mods(a) == {}
+
+
+def test_concurrent_check_instances_share_one_scan(spark):
+    """Sibling check instances dispatched together must share ONE fused
+    scan (the per-asset scan lock), not each run their own."""
+    from unittest.mock import patch
+
+    import bruin_spark.scheduler.scheduler as sched_mod
+    from bruin_spark.scheduler import Scheduler
+
+    src = sql_asset("scan_once", "SELECT id AS v FROM RANGE(50)")
+    src.columns = [
+        Column(name="v", checks=[ColumnCheck(name="not_null"), ColumnCheck(name="unique"),
+                                 ColumnCheck(name="non_negative")]),
+    ]
+    pipe = Pipeline(name="p", assets=[src])
+    calls = []
+    real = sched_mod.run_asset_checks
+
+    def counted(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    with patch.object(sched_mod, "run_asset_checks", side_effect=counted):
+        res = Scheduler(spark, pipe, workers=8).run()
+    assert res.ok
+    assert len(calls) == 1  # one fused scan for all three checks
+
+
+def test_non_blocking_check_failure_warn_only_run_ok(spark):
+    """A failed non-blocking check shows in res.failed (visible) but is
+    warn-only at run level: res.ok stays True, backfills continue."""
+    src = sql_asset("src_wo", "SELECT CAST(NULL AS INT) AS v")
+    src.columns = [Column(name="v", checks=[ColumnCheck(name="not_null", blocking=False)])]
+    down = sql_asset("down_wo", "SELECT 1 AS x", deps=["src_wo"])
+    pipe = Pipeline(name="p", assets=[src, down])
+    res = Scheduler(spark, pipe, workers=2).run()
+    assert "src_wo:check:v:not_null" in res.failed
+    assert "src_wo:check:v:not_null" in res.warn_only_failed
+    assert "down_wo" in res.succeeded  # not gated
+    assert res.ok  # warn-only: run still green
