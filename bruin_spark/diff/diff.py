@@ -155,7 +155,10 @@ def diff_tables(a: DataFrame, b: DataFrame, tolerance: float = 0.0) -> DiffResul
                 diffs.append((col, stat, va, vb))
                 continue
             va_f, vb_f = float(va), float(vb)
-            if isinstance(va, int) and isinstance(vb, int) and tolerance == 0.0:
+            if isinstance(va, int) and isinstance(vb, int):
+                # counts compare exactly REGARDLESS of tolerance: the
+                # tolerance exists for float aggregates (avg/stddev),
+                # not to mask added/removed rows or null drift
                 if va != vb:
                     diffs.append((col, stat, va_f, vb_f))
             else:

@@ -284,16 +284,24 @@ class _Parser:
                 ak, at = toks[j + 1]
                 if ak in ("word", "dq", "bq"):
                     return at.strip('"`'), toks[:j]
-        # implicit alias: trailing identifier not part of a qualified chain
+        # implicit alias: trailing identifier not part of a qualified
+        # chain AND not the right operand of a binary operator — in
+        # `price + tax` the `tax` is an operand, not an alias (the
+        # previous token must END an expression: identifier, literal,
+        # `)`, or `*`-as-operand is excluded separately)
         if len(toks) >= 2:
             lk, lt = toks[-1]
             pk, pt = toks[-2]
+            prev_ends_expr = (
+                pk in ("word", "dq", "bq", "num", "str") and pt != "."
+            ) or pt == ")"
             if (
                 lk in ("word", "dq", "bq")
                 and lt.lower() not in _EXPR_KEYWORDS
                 and lt.lower() not in _TYPE_WORDS
-                and pt != "."
                 and pt != "*"
+                and prev_ends_expr
+                and (pk != "word" or pt.lower() not in _EXPR_KEYWORDS)
             ):
                 return lt.strip('"`'), toks[:-1]
         return None, toks
@@ -389,6 +397,11 @@ def _expr_refs(toks: list[tuple[str, str]]) -> tuple[list[tuple[str | None, str]
             # function call: identifier immediately followed by '('
             if i + 1 < n and toks[i + 1][1] == "(":
                 i += 2
+                # COUNT(*)-style aggregate star: consumed here so it is
+                # neither a wildcard (which would expand the select item
+                # to every source column) nor a column ref
+                if i < n and toks[i][1] == "*":
+                    i += 1
                 continue
             parts = [t.strip('"`')]
             j = i + 1
@@ -512,9 +525,12 @@ class _Resolver:
             for src in sources:
                 if src.key.lower() == low:
                     return src
-            # 2/3-part qualified column against an unaliased 2/3-part table
+            # 2/3-part qualified column against an unaliased 2/3-part
+            # table — match whole name parts only ('users' must not
+            # match 'myusers')
             for src in sources:
-                if src.physical and src.physical.lower().endswith(low):
+                phys = (src.physical or "").lower()
+                if phys and (phys == low or phys.endswith("." + low)):
                     return src
             return None
 

@@ -18,7 +18,7 @@ _TOKEN = re.compile(
     (?P<ws>\s+)
   | (?P<lcomment>--[^\n]*)
   | (?P<bcomment>/\*.*?\*/)
-  | (?P<str>'(?:[^']|'')*')
+  | (?P<str>'(?:[^'\\]|''|\\.)*')
   | (?P<dq>"(?:[^"]|"")*")
   | (?P<bq>`(?:[^`]|``)*`)
   | (?P<word>[A-Za-z_][A-Za-z0-9_$]*)
@@ -339,7 +339,14 @@ def select_from_cte(sql: str, cte_name: str) -> str:
         kept.append(f"{name} AS ({body})")
         if name == cte_name:
             break
-    return "WITH " + ", ".join(kept) + f" SELECT * FROM {cte_name}"
+    # preserve RECURSIVE: without it a self-referencing CTE is invalid
+    import re as _re
+
+    recursive = bool(
+        _re.match(r"\s*with\s+recursive\b", sql, _re.IGNORECASE)
+    )
+    prefix = "WITH RECURSIVE " if recursive else "WITH "
+    return prefix + ", ".join(kept) + f" SELECT * FROM {cte_name}"
 
 
 def prepend_ctes(sql: str, fixtures: dict[str, str]) -> str:

@@ -6,6 +6,7 @@ string in the same shape bruin templates expect.
 
 from __future__ import annotations
 
+import re
 from datetime import date, datetime, timedelta
 
 
@@ -29,15 +30,22 @@ def _parse(v):
 
 
 def _fmt_like(v, dt: datetime) -> str:
-    """Echo back in the same textual shape the input had."""
+    """Echo back in the same textual shape the input had — including any
+    timezone suffix: dropping a trailing 'Z'/offset would make the
+    filtered literal parse in session-local time, shifting incremental
+    window boundaries by the UTC offset."""
     s = str(v)
     if len(s) == 10 and s[4] == "-":
         return dt.strftime("%Y-%m-%d")
     if len(s) == 8 and s.isdigit():
         return dt.strftime("%Y%m%d")
+    suffix = ""
+    m = re.search(r"(Z|[+-]\d{2}:\d{2})$", s)
+    if m:
+        suffix = m.group(1)
     if "." in s:
-        return dt.strftime("%Y-%m-%dT%H:%M:%S.%f")
-    return dt.strftime("%Y-%m-%dT%H:%M:%S")
+        return dt.strftime("%Y-%m-%dT%H:%M:%S.%f") + suffix
+    return dt.strftime("%Y-%m-%dT%H:%M:%S") + suffix
 
 
 def add_days(v, n: int) -> str:

@@ -185,8 +185,10 @@ class SemanticEngine:
             if f.operator not in ops:
                 raise SemanticError(f"invalid filter operator {f.operator!r}")
         for s in q.sort:
-            if s.name not in self.metrics and not self._sortable_dim(q, s.name):
-                raise SemanticError(f"sort field not found: {s.name}")
+            if s.name not in q.metrics and not self._sortable_dim(q, s.name):
+                # sorting by a metric that isn't in the select list would
+                # emit ORDER BY on a nonexistent output column
+                raise SemanticError(f"sort field not in query output: {s.name}")
 
     def _ref_for_alias(self, alias: str) -> DimensionRef | None:
         """Reverse an output alias to a DimensionRef (granularity-aware)."""
@@ -217,6 +219,14 @@ class SemanticEngine:
                     rels.add(ref.split(".", 1)[0])
             if f.dimension and "." in f.dimension:
                 rels.add(f.dimension.split(".", 1)[0])
+        # segments are model-defined filters: their {relation.dim} refs
+        # need the same joins as ad-hoc filters
+        for name in q.segments:
+            seg = self.segments.get(name)
+            if seg is not None:
+                for ref in _REF.findall(seg.filter or ""):
+                    if "." in ref:
+                        rels.add(ref.split(".", 1)[0])
         joins = [j for j in self.model.joins if j.name in rels]
         missing = rels - {j.name for j in joins}
         if missing:
@@ -325,6 +335,10 @@ class SemanticEngine:
             return f"base.{name}"
 
         def resolve(ref: str) -> str:
+            if ref in self.dims or "." in ref:
+                # dimension reference: the wrapped base subquery selects
+                # it under its alias (same fallback _expand_simple has)
+                return f"base.{self._dim_alias(DimensionRef(ref))}"
             expanded = self._expand_outer(ref, visited | {name})
             return f"({expanded})" if _OPERATOR.search(expanded) else expanded
 

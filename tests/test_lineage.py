@@ -183,3 +183,32 @@ def test_schema_qualified_tables():
 def test_parse_error_is_reported_not_raised():
     res = get_column_lineage("DELETE FROM t WHERE x = 1")
     assert res["columns"] == [] and res["errors"]
+
+
+def test_binary_expression_not_mistaken_for_alias():
+    """`a + b` has no implicit alias; both operands are upstreams."""
+    from bruin_spark.parser.lineage import get_column_lineage
+
+    r = get_column_lineage("SELECT price + tax FROM items", {"items": ["price", "tax"]})
+    [col] = r["columns"]
+    assert {u["column"] for u in col["upstream"]} == {"price", "tax"}
+    # implicit alias after a complete expression still works
+    r = get_column_lineage("SELECT price p FROM items", {"items": ["price", "tax"]})
+    assert r["columns"][0]["name"] == "p"
+
+
+def test_count_star_keeps_alias():
+    from bruin_spark.parser.lineage import get_column_lineage
+
+    r = get_column_lineage("SELECT count(*) AS n FROM items", {"items": ["price", "tax"]})
+    assert [c["name"] for c in r["columns"]] == ["n"]
+    assert r["errors"] == []
+
+
+def test_qualifier_requires_part_boundary():
+    from bruin_spark.parser.lineage import get_column_lineage
+
+    r = get_column_lineage(
+        "SELECT users.id FROM myusers, orders", {"myusers": ["id"], "orders": ["id"]}
+    )
+    assert any("unknown table or alias" in e for e in r["errors"])

@@ -159,3 +159,17 @@ def test_column_lineage_case_expression():
     assert out[0]["name"] == "picked"
     cols = {u["column"] for u in out[0]["upstream"]}
     assert cols == {"status", "a", "b"}
+
+
+def test_split_statements_backslash_escaped_quote():
+    from bruin_spark.parser.sqlutil import split_statements
+
+    assert split_statements(r"SELECT 'a\'b;c' AS x") == [r"SELECT 'a\'b;c' AS x"]
+
+
+def test_select_from_cte_preserves_recursive():
+    from bruin_spark.parser.sqlutil import select_from_cte
+
+    sql = "WITH RECURSIVE r AS (SELECT 1 AS n UNION ALL SELECT n+1 FROM r WHERE n < 3) SELECT max(n) FROM r"
+    out = select_from_cte(sql, "r")
+    assert out.upper().startswith("WITH RECURSIVE")

@@ -157,3 +157,46 @@ def test_unknown_metric_rejected():
 def test_empty_query_rejected():
     with pytest.raises(SemanticError):
         make_engine().generate_sql(Query())
+
+
+def test_segment_over_joined_model_emits_join():
+    """A segment referencing a joined relation must pull in the JOIN."""
+    from bruin_spark.semantic.engine import SemanticEngine
+    from bruin_spark.semantic.model import (
+        Dimension, Join, Metric, Model, Query, Segment,
+    )
+
+    customers = Model(
+        name="customers", table="db.customers", primary_key="c_id",
+        dimensions=[Dimension(name="region", type="string")],
+    )
+    orders = Model(
+        name="orders", table="db.orders", primary_key="o_id",
+        dimensions=[Dimension(name="status", type="string")],
+        metrics=[Metric(name="revenue", expression="SUM(amount)")],
+        joins=[Join(name="customers", relationship="many_to_one", foreign_key="customer_id")],
+        segments=[Segment(name="emea", filter="{customers.region} = 'EMEA'")],
+    )
+    eng = SemanticEngine(orders, others=[customers])
+    sql = eng.generate_sql(Query(dimensions=["status"], metrics=["revenue"], segments=["emea"]))
+    assert "LEFT JOIN db.customers AS customers" in sql
+    assert "customers.region = 'EMEA'" in sql
+
+
+def test_sort_requires_selected_metric():
+    import pytest
+
+    from bruin_spark.semantic.engine import SemanticEngine, SemanticError
+    from bruin_spark.semantic.model import Dimension, Metric, Model, Query, SortSpec
+
+    m = Model(
+        name="orders", table="db.orders", primary_key="o_id",
+        dimensions=[Dimension(name="status", type="string")],
+        metrics=[Metric(name="revenue", expression="SUM(amount)"),
+                 Metric(name="qty", expression="SUM(quantity)")],
+    )
+    eng = SemanticEngine(m)
+    with pytest.raises(SemanticError, match="sort field not in query output"):
+        eng.generate_sql(
+            Query(dimensions=["status"], metrics=["revenue"], sort=[SortSpec("qty")])
+        )
