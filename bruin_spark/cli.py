@@ -96,7 +96,9 @@ def cmd_run(args) -> int:
         load_tables(spark, args.tables_dir)
     ctx = _context(args)
     ctx.pipeline_name = pipe.name
-    ctx.variables = dict(pipe.variables)
+    from bruin_spark.model.pipeline import resolve_variables
+
+    ctx.variables = resolve_variables(pipe.variables)
     variant_keys: set = set()
     if getattr(args, "variant", None):
         overrides = pipe.variants.get(args.variant)

@@ -38,6 +38,7 @@ from typing import Any, Callable
 import yaml
 
 from bruin_spark.lint.rules import Issue
+from bruin_spark.model.pipeline import resolve_variables as _resolve_variables
 from bruin_spark.model.pipeline import Asset, Pipeline
 
 _RULE_NAME_RE = re.compile(r"^[A-Za-z0-9\-]+$")
@@ -200,6 +201,13 @@ def _query_matches_columns(p: Pipeline, a: Asset) -> str | None:
             m = re.search(r"([A-Za-z_][A-Za-z0-9_]*)\s*$", item)
             if m:
                 out.add(m.group(1).lower())
+            elif (bq := re.search(r"`([^`]+)`\s*$", item)) is not None:
+                out.add(bq.group(1).lower())
+            else:
+                # unaliased expression (ends in ')' etc.): the output
+                # name is not statically known — bail rather than
+                # false-error on declared columns
+                return None
     except Exception:
         return None
     if not out:
@@ -278,6 +286,18 @@ def _validate_criteria_ast(rule_name: str, criteria: str) -> ast.Expression:
                 f"rule {rule_name}: underscore name {node.id!r} "
                 "is not allowed in criteria"
             )
+        if isinstance(node, ast.Attribute) and node.attr in (
+            "format",
+            "format_map",
+        ):
+            # '{0.__class__}'.format(x) traverses dunders at RUNTIME,
+            # inside the format string — the AST underscore ban never
+            # sees them, so the methods themselves are off limits
+            raise PolicyError(
+                f"rule {rule_name}: str.{node.attr} is not allowed in "
+                "criteria (format-string attribute traversal bypasses "
+                "the sandbox); use f-string-free comparisons instead"
+            )
     return tree
 
 
@@ -309,7 +329,7 @@ class RuleDefinition:
         env = {
             "asset": asset,
             "pipeline": pipeline,
-            "var": dict(pipeline.variables or {}),
+            "var": _resolve_variables(pipeline.variables or {}),
             "len": len, "any": any, "all": all, "str": str, "set": set,
             "sorted": sorted, "min": min, "max": max, "sum": sum,
             "re": re,

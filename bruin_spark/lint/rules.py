@@ -150,6 +150,17 @@ def rule_ids() -> list[str]:
 # -- pipeline-level rules ----------------------------------------------------
 
 
+@pipeline_rule("asset-is-loadable")
+def _asset_is_loadable(p: Pipeline) -> list[Issue]:
+    """Asset files that failed to parse (bad strategy/type enums, missing
+    required keys) — recorded at load time so one typo'd file produces a
+    named lint error, not an unloadable pipeline."""
+    return [
+        Issue("asset-is-loadable", "<pipeline>", msg)
+        for msg in getattr(p, "load_errors", []) or []
+    ]
+
+
 @pipeline_rule("valid-pipeline-name")
 def _valid_pipeline_name(p: Pipeline) -> list[Issue]:
     if not p.name:
@@ -577,7 +588,7 @@ def _valid_ingestr(p: Pipeline, a: Asset) -> list[Issue]:
     strategy = str(params.get("incremental_strategy", "") or "")
     if strategy and strategy not in ("replace", "append", "merge", "delete+insert"):
         issues.append(Issue("valid-ingestr", a.name, f"unsupported incremental_strategy {strategy!r}"))
-    if str(params.get("cdc", "")) == "true" and strategy and strategy != "merge":
+    if str(params.get("cdc", "")).lower() == "true" and strategy and strategy != "merge":
         issues.append(Issue("valid-ingestr", a.name, "CDC ingestr assets require incremental strategy 'merge'"))
     mode = params.get("cdc_mode")
     if mode is not None and str(mode) not in ("stream", "batch"):
@@ -587,7 +598,7 @@ def _valid_ingestr(p: Pipeline, a: Asset) -> list[Issue]:
         issues.append(Issue("valid-ingestr", a.name, f"invalid version {v!r}"))
     if any(c.update_on_merge for c in a.columns):
         issues.append(Issue("valid-ingestr", a.name, "ingestr assets do not support update_on_merge"))
-    if strategy == "merge" and str(params.get("cdc", "")) != "true" and not a.primary_keys():
+    if strategy == "merge" and str(params.get("cdc", "")).lower() != "true" and not a.primary_keys():
         issues.append(Issue("valid-ingestr", a.name, "merge strategy requires a primary_key column"))
     return issues
 
@@ -596,7 +607,7 @@ def _valid_ingestr(p: Pipeline, a: Asset) -> list[Issue]:
 def _ingestr_cdc_deprecated(p: Pipeline, a: Asset) -> list[Issue]:
     if a.type != "ingestr":
         return []
-    if str(a.parameters.get("cdc", "")) == "true" and "cdc_mode" in a.parameters:
+    if str(a.parameters.get("cdc", "")).lower() == "true" and "cdc_mode" in a.parameters:
         return [
             Issue(
                 "ingestr-cdc-mode-deprecated",

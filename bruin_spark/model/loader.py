@@ -144,7 +144,14 @@ def load_pipeline(path: str) -> Pipeline:
         for root, _dirs, files in os.walk(assets_dir):
             for fn in sorted(files):
                 if fn.endswith(ASSET_SUFFIXES):
-                    pipe.assets.append(load_asset_file(os.path.join(root, fn)))
+                    fpath = os.path.join(root, fn)
+                    try:
+                        pipe.assets.append(load_asset_file(fpath))
+                    except (ValueError, KeyError) as exc:
+                        # a typo'd strategy/type in ONE asset must not make
+                        # the whole pipeline unloadable — record it so lint
+                        # reports a named issue instead of a traceback
+                        pipe.load_errors.append(f"{fpath}: {exc}")
     macros_dir = os.path.join(path, "macros")
     if os.path.isdir(macros_dir):
         parts = []

@@ -179,6 +179,24 @@ class Column:
         )
 
 
+def resolve_variables(variables: dict) -> dict:
+    """Collapse JSON-Schema-shaped variable specs to their values.
+
+    The reference's pipeline variables are JSON-Schema specs with
+    defaults (pkg/pipeline/variables.go:17-48; lint's valid-variables
+    mandates the spec form) — template rendering must see the DEFAULT,
+    not the spec dict. Plain values pass through; a spec without a
+    default resolves to None (an override must supply it).
+    """
+    out: dict = {}
+    for k, v in (variables or {}).items():
+        if isinstance(v, dict) and "type" in v and isinstance(v["type"], str):
+            out[k] = v.get("default")
+        else:
+            out[k] = v
+    return out
+
+
 @dataclass
 class Upstream:
     """DAG edge (ref: pipeline.go:1155-1161).
@@ -293,6 +311,9 @@ class Pipeline:
     assets: list[Asset] = field(default_factory=list)
     variables: dict[str, Any] = field(default_factory=dict)
     variants: dict[str, dict[str, Any]] = field(default_factory=dict)  # named variable override sets
+    #: per-asset-file load failures (bad enum values etc.) — surfaced by
+    #: lint as asset-is-loadable errors instead of crashing the loader
+    load_errors: list[str] = field(default_factory=list)
     macros: str = ""  # concatenated Jinja macro defs from macros/
     default_connections: dict[str, str] = field(default_factory=dict)
     concurrency: int = 16

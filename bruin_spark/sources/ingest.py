@@ -212,6 +212,37 @@ def _fetch_http(uri: str) -> str:
     return local
 
 
+#: replication-feed query params set by apply_cdc_parameters — they
+#: configure the CDC FEED and must not leak into a snapshot read
+_CDC_FEED_PARAMS = {
+    "publication", "slot", "grpc_port", "grpc_host", "grpc_tls",
+    "server_id", "tls", "capture_instance", "poll_interval",
+    "max_await_time", "schema_sample_size", "dest_schema", "state_id",
+}
+
+
+def snapshot_source_uri(uri: str) -> str:
+    """Base-connection form of a CDC feed URI.
+
+    A BATCH run of a CDC asset is the initial snapshot: it reads the
+    base connection (ingestr's first CDC run snapshots the same way).
+    The ``+cdc``/``+ct`` scheme suffix and the feed-only query params
+    (publication/slot/...) configure replication, not the snapshot, so
+    both are stripped before reader dispatch. Non-CDC URIs pass through
+    unchanged.
+    """
+    scheme = uri.split("://", 1)[0] if "://" in uri else ""
+    base, sep, suffix = scheme.partition("+")
+    if not sep or suffix not in ("cdc", "ct"):
+        return uri
+    from bruin_spark.sources.uri import parse_uri
+
+    p = parse_uri(uri)
+    p.scheme = base
+    p.query = [(k, v) for k, v in p.query if k not in _CDC_FEED_PARAMS]
+    return p.render()
+
+
 def read_source(
     spark: SparkSession,
     uri: str,
@@ -238,6 +269,7 @@ def read_source(
         connector_read_options,
     )
 
+    uri = snapshot_source_uri(uri)
     scheme = uri.split("://", 1)[0] if "://" in uri else ""
     path = uri.split("://", 1)[1] if "://" in uri else uri
 
@@ -295,6 +327,30 @@ def read_source(
             con.close()
     if scheme in _JDBC_SUBPROTOCOL or uri.startswith("jdbc:"):
         opts = jdbc_options(uri, table, query)
+        if partition_column and num_partitions:
+            # Spark requires ALL of partitionColumn/lowerBound/upperBound/
+            # numPartitions; when the caller gave no bounds (URI query
+            # params may carry them), probe them with one tiny bounds
+            # query over the same connection — the standard pattern for
+            # range-partitioned JDBC extraction.
+            if "lowerBound" not in opts or "upperBound" not in opts:
+                src = f"({query}) AS _b" if query else table
+                b_opts = {
+                    k: v for k, v in opts.items() if k not in ("dbtable", "query")
+                }
+                b_opts["query"] = (
+                    f"SELECT MIN({partition_column}) AS mn, "
+                    f"MAX({partition_column}) AS mx FROM {src}"
+                )
+                b_reader = spark.read.format("jdbc")
+                for k, v in b_opts.items():
+                    b_reader = b_reader.option(k, v)
+                row = b_reader.load().collect()[0]
+                if row["mn"] is None or row["mx"] is None:
+                    partition_column = None  # empty table: single read
+                else:
+                    opts["lowerBound"] = str(row["mn"])
+                    opts["upperBound"] = str(row["mx"])
         reader = spark.read.format("jdbc")
         for k, v in opts.items():
             reader = reader.option(k, v)
@@ -320,6 +376,8 @@ def ingest(
     schema: str | None = None,
     file_type: str | None = None,
     mask_rules: list[tuple[str, str]] | None = None,
+    partition_column: str | None = None,
+    num_partitions: int | None = None,
 ) -> None:
     """One-shot ingest: read source, write with the named strategy
     (the `bruin run` path for ingestr assets, minus the subprocess).
@@ -336,6 +394,8 @@ def ingest(
         query=source_query,
         schema=schema,
         file_type=file_type,
+        partition_column=partition_column,
+        num_partitions=num_partitions,
     )
     if mask_rules:
         from bruin_spark.sources.masking import apply_masks
@@ -417,6 +477,8 @@ def run_ingestr_asset(spark: SparkSession, asset, pipeline=None) -> None:
         mask_rules=collect_mask_rules(asset),
         source_table=params.get("source_table"),
         source_query=params.get("source_query"),
+        partition_column=params.get("partition_column"),
+        num_partitions=int(params["num_partitions"]) if params.get("num_partitions") else None,
         strategy=strategy,
         incremental_key=params.get("incremental_key", ""),
         primary_keys=pks or [str(k) for k in params.get("primary_keys", [])],

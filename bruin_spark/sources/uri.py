@@ -20,7 +20,12 @@ from urllib.parse import parse_qsl, quote, urlencode, urlparse
 
 
 def normalize(uri: str) -> str:
-    """``scheme:rest`` -> ``scheme://rest`` (already-``//`` left alone)."""
+    """``scheme:rest`` -> ``scheme://rest`` (already-``//`` left alone).
+    Raw ``jdbc:<subprotocol>://...`` URIs pass through VERBATIM — they
+    are already in the form the JDBC reader wants, and inserting ``//``
+    after ``jdbc`` would corrupt them."""
+    if uri.startswith("jdbc:"):
+        return uri
     parts = uri.split(":", 1)
     if len(parts) != 2 or parts[1].startswith("//"):
         return uri
@@ -74,6 +79,14 @@ def parse_uri(uri: str) -> SourceURI:
 
 _CDC_PREFIXES = ("mysql", "mariadb", "vitess", "ps_mysql", "mongodb", "mssql", "sqlserver")
 
+#: sources that carry a CDC op ENVELOPE in their payload rather than a
+#: database replication feed — cdc: true passes through unchanged
+_ENVELOPE_SCHEMES = {
+    "csv", "json", "jsonl", "ndjson", "parquet", "avro", "file",
+    "kafka", "kinesis", "rabbitmq",
+    "s3", "s3a", "gs", "gcs", "abfss", "wasbs", "http", "https",
+}
+
 
 def cdc_scheme(scheme: str) -> tuple[str, bool]:
     """CDC counterpart of a scheme (uri.go:118-132). Returns
@@ -120,7 +133,16 @@ def apply_cdc_parameters(source_uri: str, params: dict) -> tuple[str, dict]:
 
     p = parse_uri(normalize(source_uri))
     base_scheme = p.scheme
-    p.scheme, _ = cdc_scheme(base_scheme)  # unsupported left alone, rejected downstream
+    p.scheme, _supported = cdc_scheme(base_scheme)
+    if not _supported and base_scheme.split("+")[0] not in _ENVELOPE_SCHEMES:
+        # a DATABASE scheme without CDC support would silently degrade
+        # to a plain full-table read while the user believes they
+        # configured change data capture; file/stream sources instead
+        # carry the op envelope themselves and pass through unchanged
+        raise ValueError(
+            f"cdc: true on scheme {base_scheme!r}, which does not support "
+            "change data capture"
+        )
 
     # SQL Server Change Tracking is selected per-asset; the +ct source
     # takes no query parameters

@@ -198,7 +198,7 @@ def run_unit_tests(
             actual = [list(r) for r in df.collect()]
         except Exception as exc:  # noqa: BLE001 - surface as failure
             out.append(
-                UnitTestResult(asset.name, name, False, f"query error: {exc}", spec.get("cte", ""))
+                UnitTestResult(asset.name, name, False, f"query error: {exc}", q)
             )
             continue
 

@@ -506,3 +506,50 @@ def test_ingestr_raw_jdbc_uri_not_flagged():
     assert issues_for("jdbc:postgresql://h:5432/db") == []
     assert issues_for("Postgres://h/db") == []
     assert len(issues_for("wat://h/db")) == 1
+
+
+def test_cdc_lint_handles_boolean_yaml_value():
+    """`cdc: true` (YAML boolean) must engage the CDC lint rules exactly
+    like the string form the runtime lowercases."""
+    from bruin_spark.lint.rules import lint_pipeline
+    from bruin_spark.model.pipeline import Asset, Pipeline
+
+    a = Asset(
+        name="a", type="ingestr",
+        parameters={"source_uri": "postgres://h/db", "source_table": "t",
+                    "cdc": True, "incremental_strategy": "append"},
+    )
+    issues = [i for i in lint_pipeline(Pipeline(name="p", assets=[a]))
+              if i.rule == "valid-ingestr"]
+    assert any("merge" in i.message for i in issues)
+
+
+def test_unloadable_asset_becomes_lint_error(tmp_path):
+    """A typo'd strategy in ONE asset file yields a named lint issue,
+    not an unloadable pipeline."""
+    from bruin_spark.lint.rules import lint_pipeline
+    from bruin_spark.model import load_pipeline
+
+    d = tmp_path / "badpipe"
+    (d / "assets").mkdir(parents=True)
+    (d / "pipeline.yml").write_text("name: badpipe\n")
+    (d / "assets" / "ok.sql").write_text(
+        "/* @bruin\nname: ok\ntype: spark.sql\n@bruin */\nSELECT 1 AS x\n"
+    )
+    (d / "assets" / "bad.asset.yml").write_text(
+        "name: bad\ntype: spark.sql\nquery: SELECT 1\n"
+        "materialization:\n  type: table\n  strategy: craete+replace\n"
+    )
+    pipe = load_pipeline(str(d))
+    assert [a.name for a in pipe.assets] == ["ok"]
+    issues = [i for i in lint_pipeline(pipe) if i.rule == "asset-is-loadable"]
+    assert len(issues) == 1 and "bad.asset.yml" in issues[0].message
+
+
+def test_policy_sandbox_blocks_format_bypass(tmp_path):
+    import pytest
+
+    from bruin_spark.lint.policy import PolicyError, _validate_criteria_ast
+
+    with pytest.raises(PolicyError, match="format"):
+        _validate_criteria_ast("r", '"{0.__class__}".format(asset) != ""')

@@ -235,3 +235,18 @@ def test_render_ddl_flag(tmp_path, capsys):
     assert "CREATE TABLE IF NOT EXISTS" in out
     assert "`id` bigint" in out and "`amount` decimal(10, 2)" in out
     assert "SELECT 1" not in out  # DDL renders schema, not the query
+
+
+def test_variable_specs_resolve_to_defaults():
+    """JSON-Schema-shaped variable specs (the reference's format) render
+    their DEFAULT, not the spec dict (pkg/pipeline/variables.go)."""
+    from bruin_spark.model.pipeline import resolve_variables
+    from bruin_spark.render.jinja import RenderContext, render_sql
+
+    vars_ = resolve_variables(
+        {"env": {"type": "string", "default": "prod"}, "plain": 7}
+    )
+    assert vars_ == {"env": "prod", "plain": 7}
+    ctx = RenderContext()
+    ctx.variables = vars_
+    assert render_sql("SELECT '{{ var.env }}', {{ var.plain }}", ctx) == "SELECT 'prod', 7"

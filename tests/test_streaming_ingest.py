@@ -544,3 +544,43 @@ def test_run_streaming_asset_cdc_file_source(spark, tmp_path):
     rows = {r["id"]: r["v"] for r in spark.table("cdc_stream_tgt").collect()}
     assert rows == {1: "a2"}
     spark.sql("DROP TABLE cdc_stream_tgt")
+
+
+def test_batch_cdc_snapshot_uri_strips_feed_config():
+    """A batch run of a CDC asset reads the BASE connection: the +cdc
+    scheme and replication-feed params are stripped for the snapshot,
+    while ordinary connection params survive."""
+    from bruin_spark.sources.ingest import snapshot_source_uri
+
+    assert (
+        snapshot_source_uri(
+            "postgres+cdc://u@h:5432/db?publication=pub&slot=s1&sslmode=require"
+        )
+        == "postgres://u@h:5432/db?sslmode=require"
+    )
+    assert (
+        snapshot_source_uri("mssql+ct://h/db") == "mssql://h/db"
+    )
+    # non-CDC URIs pass through untouched
+    assert snapshot_source_uri("mysql://h/db?tls=1") == "mysql://h/db?tls=1"
+
+
+def test_cdc_on_unsupported_database_scheme_errors():
+    import pytest
+
+    from bruin_spark.sources.uri import apply_cdc_parameters
+
+    with pytest.raises(ValueError, match="does not support"):
+        apply_cdc_parameters("snowflake://acct/db", {"cdc": "true"})
+    # boolean-typed YAML `cdc: true` engages CDC too
+    uri, params = apply_cdc_parameters("postgres://h/db", {"cdc": True})
+    assert uri.startswith("postgres+cdc://")
+
+
+def test_normalize_leaves_raw_jdbc_uris_alone():
+    from bruin_spark.sources.ingest import jdbc_options
+    from bruin_spark.sources.uri import normalize
+
+    raw = "jdbc:postgresql://host:5432/db"
+    assert normalize(raw) == raw
+    assert jdbc_options(raw, table="t")["url"] == raw
