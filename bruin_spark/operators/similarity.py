@@ -125,7 +125,13 @@ def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
 
 def lsh_bucket(df: DataFrame, vec_col: str = "embedding", n_planes: int = 8, out: str = "bucket") -> DataFrame:
     """Random-hyperplane LSH bucket id (0..2^n_planes-1), map-only."""
-    dim = len(df.select(vec_col).first()[0])
+    probe = df.select(vec_col).first()
+    if probe is None or probe[0] is None:
+        raise ValueError(
+            f"cannot infer embedding dimension: {vec_col!r} is empty or "
+            "NULL in the first row (filter nulls upstream)"
+        )
+    dim = len(probe[0])
     planes = _hyperplanes(dim, n_planes)
     bucket = F.lit(0)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
@@ -333,16 +339,21 @@ def kmeans_train(
                     F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda x: x["m"]
                 ).alias("_mean_vec")
             )
+            .withColumn("_mean_norm", _norm(F.col("_mean_vec")))
             .withColumn(
                 "_new_vec",
                 # zero-mean guard (opposing members cancel exactly): keep
                 # the raw mean instead of dividing to NaN, matching
-                # with_unit_vectors' zero-norm behavior
+                # with_unit_vectors' zero-norm behavior. The norm is
+                # materialized as a COLUMN first: an aggregate HOF nested
+                # inside the transform lambda would re-sum the whole
+                # vector per element (O(dim^2)) and trips ANSI-mode
+                # codegen (same hazard with_unit_vectors documents).
                 F.transform(
                     F.col("_mean_vec"),
-                    lambda v: F.when(
-                        _norm(F.col("_mean_vec")) == 0.0, v
-                    ).otherwise(v / _norm(F.col("_mean_vec"))),
+                    lambda v: F.when(F.col("_mean_norm") == 0.0, v).otherwise(
+                        v / F.col("_mean_norm")
+                    ),
                 ),
             )
         )

@@ -40,8 +40,16 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join where `big` has skewed join keys.
 
-    Salt columns are internal and dropped from the result.
+    Salt columns are internal and dropped from the result. Only inner
+    and left joins are supported: under right/full outer, an unmatched
+    small-side row survives once PER SALT replica — ``salts`` duplicate
+    rows after the salt column drops.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins, not {how!r} "
+            "(outer joins would duplicate unmatched small-side rows per salt)"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     b = with_salt(big, salts)
     s = replicate_with_salts(small, salts)

@@ -176,7 +176,7 @@ def chunk_documents(
         f"""
         transform(array(split(lower(trim({text_col})), '\\\\s+')), toks ->
           transform(
-            sequence(0, greatest(size(toks) - 1, 0), {stride}),
+            sequence(0, greatest(size(toks) - {overlap} - 1, 0), {stride}),
             s -> struct(
               s AS start,
               concat_ws(' ', slice(toks, s + 1, {chunk_tokens})) AS chunk_text,

@@ -69,7 +69,10 @@ def _nano_columns(path: str) -> set[str]:
     candidates = (
         [path]
         if os.path.isfile(path)
-        else sorted(glob.glob(os.path.join(path, "*.parquet")))
+        else sorted(
+            glob.glob(os.path.join(path, "*.parquet"))
+            or glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
     )
     for f in candidates:
         try:
@@ -248,10 +251,20 @@ def stateful_running_counts(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    out_schema = f"{key} bigint, n_events_total bigint"
+    key_type = dict(stream.dtypes)[key]  # keep the caller's key type
+    out_schema = f"{key} {key_type}, n_events_total bigint"
     state_schema = "n bigint"
 
     def update(key_tuple, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            # the timer fired with no new data: emit the final count and
+            # REMOVE the state — re-arming here would keep every key's
+            # state alive forever, unbounded growth the timeout exists
+            # to prevent
+            n = state.get[0] if state.exists else 0
+            state.remove()
+            yield pd.DataFrame({key: [key_tuple[0]], "n_events_total": [n]})
+            return
         n = state.get[0] if state.exists else 0
         for pdf in pdf_iter:
             n += len(pdf)
@@ -378,7 +391,11 @@ def apply_cdc_stream(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        upserts = latest.filter(F.col(op_col) != "d").drop(op_col)
+        # a missing/NULL op is a plain insert — `op != 'd'` alone would
+        # evaluate NULL and silently drop the row
+        upserts = latest.filter(
+            F.coalesce(F.col(op_col), F.lit("c")) != "d"
+        ).drop(op_col)
         keys = latest.select(*pks)
         if not spark.catalog.tableExists(target):
             upserts.write.saveAsTable(target)
@@ -419,14 +436,19 @@ def run_stream_to_table(
     output_mode: str = "append",
     available_now: bool = True,
 ) -> None:
-    """Run a streaming DataFrame into a table and (for availableNow)
-    wait for completion — exactly-once via the checkpoint."""
-    cp = checkpoint or tempfile.mkdtemp(prefix=f"bruin_ckpt_{table}_")
+    """Run a streaming DataFrame into a NAMED IN-MEMORY SINK (a
+    driver-local temp view queryable as ``table``) — the
+    test/inspection sink, which also supports the complete/update
+    output modes the workload oracles use. It is NOT durable and does
+    not recover from the checkpoint; for exactly-once delivery into a
+    real catalog table use ``writeStream.toTable`` (the
+    ``run_streaming_asset`` path)."""
+    cp = checkpoint or tempfile.mkdtemp(prefix="bruin_ckpt_")
     writer = (
         sdf.writeStream.outputMode(output_mode)
         .option("checkpointLocation", cp)
         .format("memory")
-        .queryName(table)
+        .queryName(table.replace(".", "_"))  # temp views cannot be dotted
     )
     if available_now:
         q = writer.trigger(availableNow=True).start()
@@ -491,7 +513,27 @@ def run_streaming_asset(
     )
 
     if base == "kafka":
-        sdf = stream_kafka_source(spark, uri=uri, topic=params.get("source_table"))
+        # kafka_reader_options wants the plain kafka:// form (a
+        # kafka+cdc:// spelling would be rejected as 'not a kafka URI')
+        kp = parse_uri(uri)
+        kp.scheme = "kafka"
+        sdf = stream_kafka_source(
+            spark, uri=kp.render(), topic=params.get("source_table")
+        )
+        value_schema = params.get("schema")
+        if value_schema:
+            # decode the binary value envelope into typed columns — the
+            # CDC applier (and any typed append) needs the op/pk fields,
+            # not kafka's raw bytes
+            sdf = parse_kafka_json_values(sdf, value_schema).drop(
+                "_key", "_kafka_ts"
+            )
+        elif is_cdc:
+            raise ValueError(
+                f"streaming CDC asset {asset.name}: kafka sources need a "
+                "'schema' parameter (DDL of the op envelope) to decode "
+                "the value bytes"
+            )
     elif base in _STREAM_FILE_FMTS or base == "file":
         path = p.netloc + p.path
         fmt = _STREAM_FILE_FMTS.get(base) or _STREAM_FILE_FMTS.get(

@@ -279,7 +279,7 @@ SELECT doc_id,
        array_to_string(list_slice(toks, s + 1, s + {_CHUNK}), ' ') AS chunk_text,
        LEAST({_CHUNK}, len(toks) - s)::INT AS chunk_n_tokens
 FROM (SELECT doc_id, {_duck_tokens()} AS toks FROM documents),
-     UNNEST(generate_series(0, GREATEST(len(toks) - 1, 0), {_STRIDE})) AS t(s)
+     UNNEST(generate_series(0, GREATEST(len(toks) - {_OVERLAP} - 1, 0), {_STRIDE})) AS t(s)
 """
 
 

@@ -94,8 +94,12 @@ def test_chunk_documents_shapes_and_overlap(spark):
     by_doc = {}
     for d, i, n, t in rows:
         by_doc.setdefault(d, []).append((i, n, t))
-    # 100 tokens, stride 30: starts 0,30,60,90 -> sizes 40,40,40,10
-    assert [(i, n) for i, n, _ in by_doc[1]] == [(0, 40), (1, 40), (2, 40), (3, 10)]
+    # 100 tokens, stride 30: starts 0,30,60 -> sizes 40,40,40; the
+    # start-90 tail (tokens 91-100) is fully inside chunk 2 (61-100)
+    # and must NOT be emitted as a duplicate
+    assert [(i, n) for i, n, _ in by_doc[1]] == [(0, 40), (1, 40), (2, 40)]
+    # every token is still covered exactly by the emitted chunks
+    assert by_doc[1][-1][2].split(" ")[-1] == "w99"
     # overlap: chunk 1 starts at token 30
     assert by_doc[1][1][2].split(" ")[0] == "w30"
     assert by_doc[1][0][2].split(" ")[-1] == "w39"
