@@ -47,6 +47,19 @@ def _context(args) -> "RenderContext":
     )
 
 
+def _pipeline_context(args, pipe) -> "RenderContext":
+    """A fully-populated render context for ``pipe``: interval bounds,
+    RESOLVED variables (spec defaults collapsed), and the pipeline's
+    macros — so render/query/unit-test see exactly what `run` sees."""
+    from bruin_spark.model.pipeline import resolve_variables
+
+    ctx = _context(args)
+    ctx.pipeline_name = pipe.name
+    ctx.variables = resolve_variables(pipe.variables)
+    ctx.macros = pipe.macros
+    return ctx
+
+
 def parse_var_overrides(raw: list[str] | None) -> dict:
     """Parse repeatable ``--var`` values (ref: cmd/const.go:194-220
     parseVariable): each is either a JSON object or ``key=value`` with a
@@ -162,17 +175,17 @@ def cmd_run(args) -> int:
     _secret_vals: list[str] = []
     for _v in list(pipe.default_connections.values()) + list(_conn_specs.values()):
         _secret_vals += connection_secrets(_v)
-    masker = Masker(_secret_vals) if _secret_vals else None
+    # ALWAYS installed (even with zero config secrets): a secrets
+    # backend can resolve credentials later and extend() the live masker
+    masker = Masker(_secret_vals)
     _old_out, _old_err = sys.stdout, sys.stderr
-    if masker:
-        sys.stdout, sys.stderr = masker.wrap(_old_out), masker.wrap(_old_err)
+    sys.stdout, sys.stderr = masker.wrap(_old_out), masker.wrap(_old_err)
     try:
         return _cmd_run_resolved(args, pipe, ctx, environment, _conn_specs, masker)
     finally:
-        if masker:
-            sys.stdout.flush()
-            sys.stderr.flush()
-            sys.stdout, sys.stderr = _old_out, _old_err
+        sys.stdout.flush()
+        sys.stderr.flush()
+        sys.stdout, sys.stderr = _old_out, _old_err
 
 
 def _cmd_run_resolved(args, pipe, ctx, environment, _conn_specs, masker) -> int:
@@ -571,10 +584,13 @@ def cmd_patch(args) -> int:
             )
             if not missing:
                 continue
-            new_deps = sorted(declared | set(missing))
 
-            def set_deps(meta, new_deps=new_deps):
-                meta["depends"] = new_deps
+            def set_deps(meta, missing=missing):
+                # APPEND to the existing list: rewriting it from asset
+                # names would flatten structured entries (mode: symbolic,
+                # type: uri) into plain full-mode asset deps
+                deps = meta.setdefault("depends", [])
+                deps.extend(missing)
 
             if rewrite_meta(a, set_deps):
                 patched.append((a.name, missing))
@@ -671,12 +687,37 @@ def cmd_environments(args) -> int:
     cfg = load_config(args.config_file or os.getcwd())
     if args.envcommand == "list":
         if args.output == "json":
+            from bruin_spark.maskout import MASK, _credential_key
+
+            def scrub(v):
+                # credential values never reach stdout (CI logs capture
+                # this JSON); structure and non-secret fields survive
+                if isinstance(v, dict):
+                    return {
+                        k: (
+                            MASK
+                            if isinstance(x, str)
+                            and (k.lower() == "password" or _credential_key(k))
+                            else scrub(x)
+                        )
+                        for k, x in v.items()
+                    }
+                if isinstance(v, list):
+                    return [scrub(x) for x in v]
+                if isinstance(v, str) and "://" in v and "@" in v:
+                    from bruin_spark.maskout import connection_secrets
+
+                    for secret in connection_secrets(v):
+                        v = v.replace(secret, MASK)
+                return v
+
             print(
                 json.dumps(
                     {
                         "selected_environment": cfg.default_environment,
                         "environments": [
-                            {"name": n, **spec} for n, spec in cfg.environments.items()
+                            {"name": n, **scrub(spec)}
+                            for n, spec in cfg.environments.items()
                         ],
                     }
                 )
@@ -732,9 +773,7 @@ def cmd_unit_test(args) -> int:
         print("no unit tests declared in this pipeline")
         return 0
     spark = get_spark(f"bruin:unit-test:{pipe.name}")
-    ctx = _context(args)
-    ctx.pipeline_name = pipe.name
-    ctx.variables = dict(pipe.variables)
+    ctx = _pipeline_context(args, pipe)
     try:
         ctx.variables.update(parse_var_overrides(getattr(args, "var", None)))
     except ValueError as e:
@@ -861,15 +900,26 @@ def cmd_ingestr_uri(args) -> int:
             print(str(exc), file=sys.stderr)
             return 2
     else:
+        from bruin_spark.sources.connections import (
+            connection_uri as _conn_uri,
+            environment_connection_specs,
+        )
+
         cfg = load_config(args.config_file or os.getcwd())
         env = args.environment or cfg.default_environment or "default"
-        conns = environment_connections(cfg, env)
-        uri = conns.get(args.connection)
-        if uri is None:
+        # render ONLY the requested spec: an unrelated malformed
+        # connection elsewhere in the env must not crash this command
+        specs = environment_connection_specs(cfg, env)
+        if args.connection not in specs:
             print(
                 f"unknown connection {args.connection!r} in environment {env!r}",
                 file=sys.stderr,
             )
+            return 2
+        try:
+            uri = _conn_uri(specs[args.connection])
+        except ValueError as exc:
+            print(str(exc), file=sys.stderr)
             return 2
     if args.cdc:
         from bruin_spark.sources.uri import to_cdc
@@ -1061,8 +1111,8 @@ def cmd_render(args) -> int:
 
         asset.materialization.type = MaterializationType.TABLE
         asset.materialization.strategy = Strategy.DDL
-    ctx = _context(args)
-    ctx.pipeline_name, ctx.this = pipe.name, asset.name
+    ctx = _pipeline_context(args, pipe)
+    ctx.this = asset.name
     sql = render_asset_query(asset, ctx)
     for stmt in render_materialization(asset, sql, args.full_refresh):
         print(stmt.rstrip(";") + ";")
@@ -1111,11 +1161,17 @@ def cmd_query(args) -> int:
         if asset is None:
             print(f"asset not found: {args.asset}", file=sys.stderr)
             return 2
-        ctx = _context(args)
-        ctx.pipeline_name, ctx.this, ctx.macros = pipe.name, asset.name, pipe.macros
+        ctx = _pipeline_context(args, pipe)
+        ctx.this = asset.name
         query = render_asset_query(asset, ctx)
     else:
         query = args.query
+    if not query:
+        print(
+            "one of --query, --asset, or --semantic-model is required",
+            file=sys.stderr,
+        )
+        return 2
 
     spark = get_spark("bruin:query")
     if args.sf_dir:

@@ -65,8 +65,10 @@ def deduplicate(table: str, keys: Iterable[str] | str, order_by: str) -> str:
     if isinstance(keys, str):
         keys = [keys]
     ks = ", ".join(keys)
+    # EXCEPT drops the helper column: leaking `_rn` into the result
+    # would add a surprise column to every materialized SELECT *
     return (
-        f"(SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY {ks} "
+        f"(SELECT * EXCEPT (_rn) FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY {ks} "
         f"ORDER BY {order_by}) AS _rn FROM {table}) WHERE _rn = 1)"
     )
 
@@ -76,10 +78,19 @@ def generate_series(start: str, stop: str, step: str = "1") -> str:
 
 
 def date_spine(datepart: str, start_date: str, end_date: str) -> str:
-    """Date scaffold: one row per <datepart> between the bounds (exclusive end)."""
+    """Date scaffold: one row per <datepart> between the bounds
+    (exclusive end). Day-and-coarser parts step over DATE operands;
+    sub-day parts (hour/minute/second) step over TIMESTAMP with the
+    exclusive end backed off by one <datepart>, not one day."""
+    if datepart.lower() in ("day", "week", "month", "quarter", "year"):
+        return (
+            f"(SELECT EXPLODE(SEQUENCE(CAST({start_date} AS DATE), "
+            f"CAST({end_date} AS DATE) - INTERVAL 1 DAY, INTERVAL 1 {datepart})) AS date_{datepart})"
+        )
     return (
-        f"(SELECT EXPLODE(SEQUENCE(CAST({start_date} AS DATE), "
-        f"CAST({end_date} AS DATE) - INTERVAL 1 DAY, INTERVAL 1 {datepart})) AS date_{datepart})"
+        f"(SELECT EXPLODE(SEQUENCE(CAST({start_date} AS TIMESTAMP), "
+        f"CAST({end_date} AS TIMESTAMP) - INTERVAL 1 {datepart}, "
+        f"INTERVAL 1 {datepart})) AS date_{datepart})"
     )
 
 

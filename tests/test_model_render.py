@@ -250,3 +250,48 @@ def test_variable_specs_resolve_to_defaults():
     ctx = RenderContext()
     ctx.variables = vars_
     assert render_sql("SELECT '{{ var.env }}', {{ var.plain }}", ctx) == "SELECT 'prod', 7"
+
+
+def test_render_and_query_resolve_variables_and_macros(tmp_path, capsys):
+    """render/query/unit-test see the same context run sees: resolved
+    variable defaults and pipeline macros (shared _pipeline_context)."""
+    from types import SimpleNamespace
+
+    from bruin_spark.cli import cmd_render
+
+    d = tmp_path / "ctxpipe"
+    (d / "assets").mkdir(parents=True)
+    (d / "macros").mkdir()
+    (d / "pipeline.yml").write_text(
+        "name: ctxpipe\nvariables:\n  lim:\n    type: integer\n    default: 7\n"
+    )
+    (d / "macros" / "m.sql").write_text(
+        "{% macro double(x) %}({{ x }} * 2){% endmacro %}"
+    )
+    (d / "assets" / "a.sql").write_text(
+        "/* @bruin\nname: a\ntype: spark.sql\n@bruin */\n"
+        "SELECT {{ double(var.lim) }} AS v\n"
+    )
+    args = SimpleNamespace(
+        pipeline=str(d), asset="a", start=None, end=None, run_id=None,
+        full_refresh=False, ddl=False,
+    )
+    assert cmd_render(args) == 0
+    out = capsys.readouterr().out
+    assert "(7 * 2)" in out
+
+
+def test_deduplicate_builtin_hides_helper_column(spark):
+    from bruin_spark.render.builtins import deduplicate
+
+    spark.range(5).selectExpr("id % 2 AS k", "id AS v").createOrReplaceTempView("dd_t")
+    df = spark.sql(f"SELECT * FROM {deduplicate('dd_t', 'k', 'v DESC')}")
+    assert df.columns == ["k", "v"]  # no _rn leak
+    assert {(r["k"], r["v"]) for r in df.collect()} == {(0, 4), (1, 3)}
+
+
+def test_date_spine_subday(spark):
+    from bruin_spark.render.builtins import date_spine
+
+    df = spark.sql(f"SELECT * FROM {date_spine('hour', chr(39)+'2024-01-01'+chr(39), chr(39)+'2024-01-02'+chr(39))}")
+    assert df.count() == 24  # exclusive end, hourly
