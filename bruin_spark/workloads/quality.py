@@ -39,19 +39,15 @@ def quality_violation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         chk = ColumnCheck(name=name, value=value)
         aggs.append(violation_expr(col, chk).cast("bigint").alias(f"v{i}"))
     row = li.agg(*aggs)
-    rows = []
-    for i, (name, col, _value) in enumerate(CHECKS):
-        rows.append(
-            row.select(
-                F.lit(name).alias("check_name"),
-                F.lit(col).alias("column_name"),
-                F.col(f"v{i}").alias("violations"),
-            )
-        )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    # one stack projection over the single aggregate row: a 9-way union
+    # of selects would rely on runtime exchange reuse to keep the claim
+    # of one fused scan; stack expresses the unpivot in ONE plan
+    stack_args = ", ".join(
+        f"'{name}', '{col}', v{i}" for i, (name, col, _v) in enumerate(CHECKS)
+    )
+    return row.selectExpr(
+        f"stack({len(CHECKS)}, {stack_args}) AS (check_name, column_name, violations)"
+    )
 
 
 def _probe(name: str, col: str, value) -> str:

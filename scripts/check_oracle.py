@@ -40,11 +40,13 @@ def norm(v):
     import numpy as np
     import pandas as pd
 
+    # every branch returns a ("tag", payload) 2-tuple so mixed columns
+    # (NULL next to floats, etc.) stay mutually comparable under sorted()
     if v is None or v is pd.NaT:
-        return None
+        return ("0null", "")
     if isinstance(v, (float, np.floating)):
         if math.isnan(v):
-            return "nan"
+            return ("f", float("inf"))  # nan sorts deterministically last
         return ("f", round(float(v), 6))
     if isinstance(v, (bool, np.bool_)):
         return ("b", bool(v))
@@ -57,10 +59,10 @@ def norm(v):
     if isinstance(v, (datetime.datetime, datetime.date)):
         return ("t", str(pd.Timestamp(v)))
     if isinstance(v, (list, tuple, np.ndarray)):
-        return tuple(norm(x) for x in v)
+        return ("list", tuple(norm(x) for x in v))
     if isinstance(v, bytes):
         return ("bytes", v)
-    return v
+    return ("s", str(v))
 
 
 def pdf_to_rows(pdf):
@@ -77,8 +79,15 @@ def main():
     sf_dir = SF_DIR
     if "--sf" in argv:
         i = argv.index("--sf")
+        if i + 1 >= len(argv):
+            print("usage: check_oracle.py [substring ...] [--sf DIR]")
+            return 2
         sf_dir = argv[i + 1]
         argv = argv[:i] + argv[i + 2 :]
+    unknown = [a for a in argv if a.startswith("--")]
+    if unknown:
+        print(f"unknown flag(s): {' '.join(unknown)}")
+        return 2
     args = [a for a in argv if not a.startswith("--")]
 
     import duckdb
