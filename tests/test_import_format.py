@@ -179,3 +179,33 @@ def test_format_preserves_jinja_spans(tmp_path):
     assert out.startswith("SELECT x FROM t")         # SQL still cased
     assert "BETWEEN" in out and "AND '{{" in out     # sql AND outside jinja
     assert normalize_sql_body(out) == out            # idempotent
+
+
+def test_format_idempotent_on_init_templates(tmp_path, capsys):
+    """`format` must be a no-op fixpoint on every pipeline `init`
+    scaffolds (CI hook contract: --fail-if-changed passes right after
+    an initial format)."""
+    from types import SimpleNamespace
+
+    from bruin_spark.cli import cmd_format, cmd_init
+
+    for template in ("default", "curation", "streaming"):
+        d = tmp_path / f"fmt_{template}"
+        assert cmd_init(SimpleNamespace(dir=str(d), name=None, template=template)) == 0
+        # first pass may canonicalize; second pass must change nothing
+        cmd_format(SimpleNamespace(path=str(d), fail_if_changed=False))
+        rc = cmd_format(SimpleNamespace(path=str(d), fail_if_changed=True))
+        assert rc == 0, f"format not idempotent for template {template}"
+
+
+def test_docs_over_curation_template(tmp_path, capsys):
+    from types import SimpleNamespace
+
+    from bruin_spark.cli import cmd_docs, cmd_init
+
+    d = tmp_path / "docpipe"
+    assert cmd_init(SimpleNamespace(dir=str(d), name=None, template="curation")) == 0
+    out_md = tmp_path / "docs.md"
+    assert cmd_docs(SimpleNamespace(pipeline=str(d), output=str(out_md))) == 0
+    text = out_md.read_text()
+    assert "curated_docs" in text and "raw_documents" in text
