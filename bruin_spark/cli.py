@@ -704,7 +704,11 @@ def cmd_environments(args) -> int:
                     }
                 if isinstance(v, list):
                     return [scrub(x) for x in v]
-                if isinstance(v, str) and "://" in v and "@" in v:
+                # no '@' requirement: a URI's only credential may live in
+                # the query string (stripe://?api_key=... — the standard
+                # form for the SaaS schemes); connection_secrets already
+                # harvests query-param credentials
+                if isinstance(v, str) and "://" in v:
                     from bruin_spark.maskout import connection_secrets
 
                     for secret in connection_secrets(v):
@@ -952,16 +956,26 @@ def cmd_clean(args) -> int:
         os.remove(state)
         removed.append(state)
     ckpts = os.path.join(args.pipeline, ".bruin_checkpoints")
-    if os.path.isdir(ckpts):
-        import shutil
-
-        shutil.rmtree(ckpts, ignore_errors=True)
-        removed.append(ckpts)
     if args.sinks:
         from bruin_spark import get_spark
         from bruin_spark.mat.maintenance import sweep_orphans
 
         spark = get_spark("bruin:clean")
+        # A streaming checkpoint and its target table are one unit:
+        # deleting the checkpoint while the table survives means the next
+        # `run --stream` re-reads the whole source backlog into the
+        # existing table — duplicate rows, exactly-once broken. So the
+        # checkpoint dir is only removed here, under --sinks, and each
+        # per-asset checkpoint's target table (same name) is dropped
+        # alongside it.
+        if os.path.isdir(ckpts):
+            import shutil
+
+            for asset_name in sorted(os.listdir(ckpts)):
+                spark.sql(f"DROP TABLE IF EXISTS {asset_name}")
+                removed.append(f"table:{asset_name}")
+            shutil.rmtree(ckpts, ignore_errors=True)
+            removed.append(ckpts)
         # Swap-family orphans (__cdc_*/__opt_*) go through the recovery
         # sweep, NOT a plain DROP: after a mid-swap crash the backup is
         # the only copy of the target (restore it), and a leftover

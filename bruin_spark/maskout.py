@@ -110,13 +110,23 @@ class Masker:
 
     def extend(self, values: list[str]) -> None:
         """Add more secrets (e.g. resolved later from a secrets backend);
-        already-wrapped streams pick them up immediately."""
+        already-wrapped streams pick them up immediately. Safe against
+        concurrent ``mask()`` from scheduler worker threads: the form
+        list is rebuilt and swapped atomically (a single reference
+        assignment), never sorted in place under an iterating reader —
+        an in-place mutate could make the reader skip a form and let a
+        secret fragment through."""
+        new_forms = None
         for v in values:
             for f in secret_forms(v):
                 if f not in self._seen:
                     self._seen.add(f)
-                    self._forms.append(f)
-        self._forms.sort(key=len, reverse=True)
+                    if new_forms is None:
+                        new_forms = list(self._forms)
+                    new_forms.append(f)
+        if new_forms is not None:
+            new_forms.sort(key=len, reverse=True)
+            self._forms = new_forms
 
     def mask(self, text: str) -> str:
         for f in self._forms:

@@ -83,6 +83,19 @@ def sync_partitions(spark: SparkSession, table: str) -> None:
         spark.sql(f"MSCK REPAIR TABLE {table} SYNC PARTITIONS")
 
 
+def swap_token() -> str:
+    """Stage/backup name token for crash-safe swaps. The recovery sweeps
+    pick the 'newest' backup as ``sorted(backups)[-1]``, so the token
+    MUST sort lexicographically by creation time — a bare random hex
+    would let a stale leftover backup win the restore and lose the
+    newest data. Zero-padded epoch-millis prefix (fixed 13 digits until
+    year 2286) + a uuid suffix for collision safety within one millis."""
+    import time as _time
+    import uuid as _uuid
+
+    return f"{int(_time.time() * 1000):013d}{_uuid.uuid4().hex[:6]}"
+
+
 def safe_drop(spark: SparkSession, table: str) -> None:
     """DROP that can never delete another table's files through stale
     partition locations (see ``sync_partitions``)."""
@@ -299,7 +312,7 @@ def compact_table(
     else:
         df = df.repartition(target_files)
 
-    token = uuid.uuid4().hex[:8]
+    token = swap_token()
     stage = f"{table}__opt_stage_{token}"
     backup = f"{table}__opt_backup_{token}"
     writer = df.write.format("parquet")

@@ -213,10 +213,15 @@ def _fetch_http(uri: str) -> str:
 
 
 #: replication-feed query params set by apply_cdc_parameters — they
-#: configure the CDC FEED and must not leak into a snapshot read
+#: configure the CDC FEED and must not leak into a snapshot read.
+#: Transport-level options (``tls`` and sslmode-style keys) are NOT in
+#: this set: on mysql-family sources ``tls`` is also a legitimate base
+#: connection option, and stripping it would silently downgrade the
+#: snapshot connection's transport security relative to what the user
+#: configured. Only feed-exclusive params are stripped.
 _CDC_FEED_PARAMS = {
     "publication", "slot", "grpc_port", "grpc_host", "grpc_tls",
-    "server_id", "tls", "capture_instance", "poll_interval",
+    "server_id", "capture_instance", "poll_interval",
     "max_await_time", "schema_sample_size", "dest_schema", "state_id",
 }
 

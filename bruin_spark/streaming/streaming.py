@@ -344,8 +344,6 @@ def apply_cdc_stream(
     (single atomic commit) with the same plan shape (one shuffle on the
     PKs, batch side tiny).
     """
-    import uuid as _uuid
-
     from pyspark.sql import Window
 
     def _recover_and_sweep() -> None:
@@ -400,11 +398,11 @@ def apply_cdc_stream(
         if not spark.catalog.tableExists(target):
             upserts.write.saveAsTable(target)
             return
-        from bruin_spark.mat.maintenance import safe_swap
+        from bruin_spark.mat.maintenance import safe_swap, swap_token
 
         remaining = spark.table(target).join(keys, pks, "left_anti")
         new_state = remaining.unionByName(upserts)
-        token = _uuid.uuid4().hex[:8]
+        token = swap_token()
         stage = f"{target}__cdc_stage_{token}"
         backup = f"{target}__cdc_backup_{token}"
         # Preserve the target's partition layout on the rebuilt state —

@@ -215,10 +215,23 @@ def test_clean_removes_state_and_sinks(spark, tmp_path):
     d = tmp_path / "p"
     d.mkdir()
     (d / ".bruin_state.json").write_text("{}")
+    # a streaming asset's checkpoint + target table pair: they must only
+    # ever be removed TOGETHER (checkpoint gone + table kept would make
+    # the next run --stream re-append the whole backlog)
+    ckpt = d / ".bruin_checkpoints" / "stream_tbl_cleanme"
+    ckpt.mkdir(parents=True)
+    spark.sql("CREATE TABLE IF NOT EXISTS stream_tbl_cleanme (x INT) USING parquet")
     spark.sql("CREATE TABLE IF NOT EXISTS stream_sink_cleanme (x INT) USING parquet")
-    rc = cli_main(["clean", str(d), "--sinks"])
+    rc = cli_main(["clean", str(d)])
     assert rc == 0
     assert not (d / ".bruin_state.json").exists()
+    # without --sinks the checkpoint/table pair survives intact
+    assert ckpt.is_dir()
+    assert spark.catalog.tableExists("stream_tbl_cleanme")
+    rc = cli_main(["clean", str(d), "--sinks"])
+    assert rc == 0
+    assert not (d / ".bruin_checkpoints").exists()
+    assert not spark.catalog.tableExists("stream_tbl_cleanme")
     assert not spark.catalog.tableExists("stream_sink_cleanme")
     rc = cli_main(["clean", str(d)])
     assert rc == 0  # idempotent
