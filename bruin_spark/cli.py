@@ -57,6 +57,30 @@ def _pipeline_context(args, pipe) -> "RenderContext":
     ctx.pipeline_name = pipe.name
     ctx.variables = resolve_variables(pipe.variables)
     ctx.macros = pipe.macros
+    # active environment's schema_prefix as {{ schema_prefix }}
+    # (ref: jinja.go:293); flag first, then project default
+    try:
+        from bruin_spark.devenv import default_environment_name, load_environment
+
+        search = getattr(args, "pipeline", None) or pipe.path or "."
+        env_name = getattr(args, "environment", None) or default_environment_name(
+            search
+        )
+        if env_name:
+            ctx.schema_prefix = load_environment(
+                pipe, env_name, search_dir=search
+            ).schema_prefix
+    except (ValueError, OSError):
+        pass
+    # --var overrides are TOP-LEVEL context keys here, matching the
+    # reference's query/render path (cmd/fetch.go SetContextValue);
+    # they also update var.* so both spellings see the override
+    try:
+        overrides = parse_var_overrides(getattr(args, "var", None))
+    except ValueError as e:
+        raise SystemExit(str(e)) from e
+    ctx.variables.update(overrides)
+    ctx.extra.update(overrides)
     return ctx
 
 
@@ -147,6 +171,7 @@ def cmd_run(args) -> int:
             print(str(e), file=sys.stderr)
             return 2
         apply_dev_environment(pipe, environment)
+        ctx.schema_prefix = environment.schema_prefix  # {{ schema_prefix }}
         if environment.tables_dir and not args.tables_dir:
             from bruin_spark.session import load_tables
 
@@ -1221,6 +1246,23 @@ def cmd_parse(args) -> int:
     from bruin_spark.model import load_pipeline
 
     pipe = load_pipeline(args.pipeline)
+    if getattr(args, "column_lineage", False):
+        # fold column lineage into the model before dumping (ref:
+        # `bruin internal parse-pipeline -c`, pkg/lineage/lineage.go)
+        from bruin_spark.model.pipeline import resolve_variables
+        from bruin_spark.parser.pipeline_lineage import extract_pipeline_lineage
+        from bruin_spark.render import RenderContext, render_asset_query
+
+        ctx = RenderContext(
+            pipeline_name=pipe.name,
+            variables=resolve_variables(pipe.variables),
+            macros=pipe.macros,
+        )
+        issues = extract_pipeline_lineage(
+            pipe, render=lambda a: render_asset_query(a, ctx)
+        )
+        for issue in issues:
+            print(f"lineage: {issue}", file=sys.stderr)
 
     def clean(obj):
         if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
@@ -1511,6 +1553,11 @@ def main(argv: list[str] | None = None) -> int:
         help="render the asset as CREATE TABLE DDL from its declared "
         "columns (ref: bruin render-ddl)",
     )
+    pd.add_argument(
+        "--var",
+        action="append",
+        help="set top-level Jinja variables for rendering (key=value or JSON)",
+    )
     pd.set_defaults(fn=cmd_render)
 
     pq = sub.add_parser("query", help="run an ad-hoc query or an asset's rendered query")
@@ -1528,6 +1575,11 @@ def main(argv: list[str] | None = None) -> int:
     pq.add_argument("--metric", action="append", help="semantic metric (repeatable)")
     pq.add_argument("--dimension", action="append", help="semantic dimension, optionally name:granularity (repeatable)")
     pq.add_argument("--segment", action="append", help="semantic segment (repeatable)")
+    pq.add_argument(
+        "--var",
+        action="append",
+        help="set top-level Jinja variables for rendering (key=value or JSON)",
+    )
     pq.set_defaults(fn=cmd_query)
 
     pli = sub.add_parser("lineage", help="best-effort column lineage for an asset")
@@ -1544,6 +1596,12 @@ def main(argv: list[str] | None = None) -> int:
 
     pp = sub.add_parser("parse", help="dump the parsed pipeline as JSON")
     pp.add_argument("pipeline")
+    pp.add_argument(
+        "-c",
+        "--column-lineage",
+        action="store_true",
+        help="fold column lineage into the dump (ref: parse-pipeline -c)",
+    )
     pp.set_defaults(fn=cmd_parse)
 
     pl = sub.add_parser("lint", help="lint a pipeline")

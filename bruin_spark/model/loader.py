@@ -43,7 +43,18 @@ def parse_embedded_block(content: str) -> tuple[dict, str]:
     m = _BLOCK_RE.search(content)
     if m:
         block = m.group("sql") or m.group("py") or ""
-        meta = yaml.safe_load(block) or {}
+        try:
+            meta = yaml.safe_load(block) or {}
+        except yaml.YAMLError as exc:
+            raise ValueError(f"invalid @bruin block: {exc}") from exc
+        if not isinstance(meta, dict):
+            # a malformed block can parse to a YAML scalar/list — surface
+            # a named lint error, not an AttributeError deep in from_dict
+            # (the reference's faulty-pipeline fixture exercises this)
+            raise ValueError(
+                f"invalid @bruin block: expected a YAML mapping, got "
+                f"{type(meta).__name__}"
+            )
         body = (content[: m.start()] + content[m.end() :]).strip()
 
     for lm in _LINE_RE.finditer(body):
@@ -67,7 +78,10 @@ def load_asset_file(path: str) -> Asset:
     else:
         meta, body = parse_embedded_block(content)
         asset = Asset.from_dict(meta, query=body, file_path=path)
-        if not asset.type:
+        if not meta.get("type"):
+            # from_dict defaults absent types to spark.sql; the file
+            # extension is the real signal here (a .py asset with no
+            # declared type is a python asset, pipeline.go:315)
             asset.type = "spark.sql" if path.endswith(".sql") else "python"
 
     if not asset.name:

@@ -208,6 +208,9 @@ class Upstream:
     value: str
     type: str = "asset"  # "asset" | "uri"
     mode: str = "full"  # "full" | "symbolic"
+    # per-edge column usage records filled by the lineage fold
+    # (ref: pipeline.go:1155-1161 DependsColumn {name, usage})
+    columns: list[dict[str, str]] = field(default_factory=list)
 
     @classmethod
     def from_obj(cls, obj: Any) -> "Upstream":
@@ -217,6 +220,12 @@ class Upstream:
             value=obj.get("value") or obj.get("asset") or "",
             type=obj.get("type", "asset"),
             mode=obj.get("mode", "full"),
+            columns=[
+                {"name": c["name"], "usage": c.get("usage", "")}
+                if isinstance(c, dict)
+                else {"name": str(c), "usage": ""}
+                for c in obj.get("columns", []) or []
+            ],
         )
 
 
@@ -262,7 +271,14 @@ class Asset:
         hooks: dict[str, list[str]] = {}
         for phase in ("pre", "post"):
             raw = (d.get("hooks") or {}).get(phase) or []
-            hooks[phase] = [h["sql"] if isinstance(h, dict) else str(h) for h in raw]
+            # reference hook entries are {query: "..."} (pipeline.go:1360
+            # Hook struct yaml tag); 'sql' kept as a lenient alias
+            hooks[phase] = [
+                str(h.get("query") or h.get("sql") or "")
+                if isinstance(h, dict)
+                else str(h)
+                for h in raw
+            ]
         return cls(
             name=d.get("name", "") or "",
             type=d.get("type", "spark.sql") or "spark.sql",
@@ -291,8 +307,20 @@ class Asset:
             hooks=hooks,
             unit_tests=d.get("unit_tests", []) or [],
             uri=d.get("uri", "") or "",
+            # YAML spells these {key, inject_as}; the IR normalizes to
+            # {secret_key, injected_key} (ref: pipeline.go:1057-1076
+            # SecretMapping + MarshalYAML alias). Accept both spellings.
             secrets=[
-                s if isinstance(s, dict) else {"secret_key": str(s)}
+                {
+                    "secret_key": s.get("key") or s.get("secret_key") or "",
+                    "injected_key": s.get("inject_as")
+                    or s.get("injected_key")
+                    or s.get("key")
+                    or s.get("secret_key")
+                    or "",
+                }
+                if isinstance(s, dict)
+                else {"secret_key": str(s), "injected_key": str(s)}
                 for s in d.get("secrets", []) or []
             ],
             notifications=d.get("notifications", {}) or {},

@@ -134,7 +134,7 @@ def _context_env(asset: Asset, ctx: RenderContext | None) -> dict[str, str]:
         val = os.environ.get(key)
         if val is None:
             raise ValueError(f"there's no secret with the name {key!r}")
-        env[s.get("inject_as") or key] = val
+        env[s.get("injected_key") or s.get("inject_as") or key] = val
     return env
 
 

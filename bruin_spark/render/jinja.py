@@ -68,13 +68,33 @@ class RenderContext:
     # Jinja macro definitions from the pipeline's macros/ dir
     # (ref: pkg/jinja/jinja.go:37-68) — prepended to every template
     macros: str = ""
+    # active environment's schema prefix, exposed as {{ schema_prefix }}
+    # (ref: jinja.go:167 default "", :293 env override)
+    schema_prefix: str = ""
+    commit_hash: str = ""  # ref: jinja.go:166, pipe.Commit
+    # extra TOP-LEVEL context keys — `query --var k=v` injects k at the
+    # top level, not under var.* (ref: cmd/fetch.go:549-560
+    # SetContextValue), which is how `{{ greeting }}` resolves in the
+    # reference's query-var-pipeline fixture
+    extra: dict[str, Any] = field(default_factory=dict)
 
     def with_modifiers(self, modifiers: dict[str, str]) -> "RenderContext":
+        def resolve(mod: str) -> str:
+            # A modifier may itself be a Jinja template ('{{ "-1d" }}',
+            # or a var-driven shift) — the reference stores those
+            # unparsed and renders them against the asset's context
+            # before parsing (pipeline.go:1387-1403 UnmarshalYAML,
+            # 1459-1476 ResolveTemplateToNew). Rendered against the
+            # UNMODIFIED interval, like the reference's renderer.
+            if "{{" in mod or "{%" in mod:
+                return _ENV.from_string(mod).render(**self.to_jinja()).strip()
+            return mod
+
         start, end = self.start, self.end
         if modifiers.get("start"):
-            start = apply_interval_modifier(start, modifiers["start"])
+            start = apply_interval_modifier(start, resolve(modifiers["start"]))
         if modifiers.get("end"):
-            end = apply_interval_modifier(end, modifiers["end"])
+            end = apply_interval_modifier(end, resolve(modifiers["end"]))
         out = RenderContext(**{**self.__dict__})
         out.start, out.end = start, end
         return out
@@ -108,7 +128,10 @@ class RenderContext:
             full_refresh=self.full_refresh,
             this=self.this,
             var=dict(self.variables),
+            schema_prefix=self.schema_prefix,
+            commit_hash=self.commit_hash,
         )
+        ctx.update(self.extra)
         return ctx
 
 

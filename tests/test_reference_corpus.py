@@ -1,0 +1,242 @@
+"""Hardening sweep over the reference's own integration-test corpus.
+
+The reference ships 78 pipeline directories under
+``integration-tests/test-pipelines/`` (its e2e suite, SURVEY §5). This
+module drives OUR loader / renderer / parser services / lineage resolver
+over every one of them — the broadest real-world input set available —
+and pins the lineage fold against the reference's own golden
+expectations (``parse-lineage-pipeline/expectations/lineage.json``,
+``parse-whole-pipeline/expectations/pipeline.yml.json``).
+
+No SparkSession needed: everything here is model + string work.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from datetime import datetime
+
+import pytest
+
+from bruin_spark.model.loader import load_pipeline
+from bruin_spark.model.pipeline import resolve_variables
+from bruin_spark.parser import sqlutil
+from bruin_spark.parser.lineage import get_column_lineage
+from bruin_spark.parser.pipeline_lineage import extract_pipeline_lineage
+from bruin_spark.render.jinja import RenderContext, render_asset_query
+
+CORPUS = "/root/reference/integration-tests/test-pipelines"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(CORPUS), reason="reference corpus not present"
+)
+
+#: fixtures that are DESIGNED to fail, with the failure we expect
+#: (the reference's own suite asserts these produce errors)
+EXPECTED_BROKEN = {
+    # malformed @bruin block: yaml parses to a scalar, not a mapping
+    "faulty-pipeline": "invalid @bruin block",
+    # macros/macro.sql calls {{ some_macro() }} which is never defined;
+    # the reference only ever parses this pipeline, never renders it
+    "parse-whole-pipeline": "some_macro",
+}
+
+#: context parameters certain fixtures are invoked with in the
+#: reference's own e2e suite (integration_test.go)
+PIPELINE_VARS = {
+    "query-var-pipeline": {"greeting": "hello-world"},  # query --var
+}
+
+
+def _pipeline_dirs() -> list[str]:
+    return sorted(
+        d for d in glob.glob(os.path.join(CORPUS, "*")) if os.path.isdir(d)
+    )
+
+
+def test_corpus_is_present_and_sized():
+    dirs = _pipeline_dirs()
+    assert len(dirs) >= 70, f"corpus shrank? {len(dirs)} pipelines"
+
+
+@pytest.mark.parametrize(
+    "pipedir", _pipeline_dirs(), ids=[os.path.basename(d) for d in _pipeline_dirs()]
+)
+def test_corpus_pipeline_loads_renders_and_parses(pipedir):
+    """Every reference pipeline loads; every SQL asset renders under the
+    pipeline's context and survives every parser service + the lineage
+    resolver without an exception. Known-broken fixtures must fail with
+    the SPECIFIC error the reference expects — not a traceback."""
+    short = os.path.basename(pipedir)
+    pipe = load_pipeline(pipedir)
+
+    if short in EXPECTED_BROKEN and short == "faulty-pipeline":
+        assert pipe.load_errors, "faulty-pipeline must record a load error"
+        assert EXPECTED_BROKEN[short] in pipe.load_errors[0]
+        return
+    assert not pipe.load_errors, f"unexpected load errors: {pipe.load_errors}"
+
+    ctx = RenderContext(
+        start=datetime(2024, 1, 1),
+        end=datetime(2024, 1, 2),
+        pipeline_name=pipe.name,
+        variables=resolve_variables(pipe.variables),
+        macros=pipe.macros,
+        extra=dict(PIPELINE_VARS.get(short, {})),
+    )
+    for asset in pipe.assets:
+        if not (asset.file_path or "").endswith(".sql"):
+            continue
+        try:
+            sql = render_asset_query(asset, ctx)
+        except Exception as exc:
+            expected = EXPECTED_BROKEN.get(short)
+            assert expected and expected in str(exc), (
+                f"{short}/{asset.name}: unexpected render failure: {exc!r}"
+            )
+            continue
+        # parser services: none may raise on rendered reference SQL
+        stmts = sqlutil.split_statements(sql)
+        if not sql.strip():
+            # ddl-strategy assets are columns-only with an empty body
+            continue
+        assert stmts, f"{short}/{asset.name}: no statements"
+        sqlutil.used_tables(sql)
+        single = sqlutil.is_single_select(sql)
+        sqlutil.extract_ctes(sql)
+        sqlutil.freeze_time(sql, "2024-01-01 00:00:00")
+        if single:
+            limited = sqlutil.add_limit(sql, 7)
+            assert "7" in limited
+        lineage = get_column_lineage(sql)
+        assert isinstance(lineage["columns"], list)
+
+
+def _lineage_view(columns, upstreams):
+    """Normalized (order-preserving) view of the fields the reference's
+    lineage golden pins: column name/type/pk/description/upstreams and
+    per-edge usage columns."""
+    return {
+        "columns": [
+            {
+                "name": c["name"] if isinstance(c, dict) else c.name,
+                "type": c["type"] if isinstance(c, dict) else c.type,
+                "primary_key": c["primary_key"]
+                if isinstance(c, dict)
+                else c.primary_key,
+                "description": (
+                    c.get("description") if isinstance(c, dict) else c.description
+                )
+                or "",
+                "upstreams": [
+                    {"column": u["column"], "table": u["table"]}
+                    for u in (
+                        (c.get("upstreams") if isinstance(c, dict) else c.upstreams)
+                        or []
+                    )
+                ],
+            }
+            for c in columns
+        ],
+        "upstreams": [
+            {
+                "value": u["value"] if isinstance(u, dict) else u.value,
+                "columns": [
+                    {"name": cc["name"]}
+                    for cc in (
+                        (u.get("columns") if isinstance(u, dict) else u.columns)
+                        or []
+                    )
+                ],
+            }
+            for u in upstreams
+        ],
+    }
+
+
+# parse-asset-lineage-pipeline's golden is intentionally not pinned: its
+# SQL is identical to parse-lineage-pipeline's, but its expectation file
+# records the EDGE usage column under the output alias (updated_at)
+# where parse-lineage-pipeline's records the upstream column
+# (created_at) — the two reference goldens disagree with each other
+# (generated by different commands/versions). We match the current
+# pkg/lineage/lineage.go behavior, which is the parse-lineage golden.
+@pytest.mark.parametrize("fixture", ["parse-lineage-pipeline"])
+def test_lineage_fold_matches_reference_golden(fixture):
+    """The pipeline-level lineage fold reproduces the reference's own
+    expectations byte-for-value: inferred columns inherit type and
+    description from their upstream, star-expansion copies the upstream
+    column set, primary keys do not propagate, and every DAG edge gets
+    usage records for the upstream columns the query touches
+    (pkg/lineage/lineage.go golden at expectations/lineage.json)."""
+    pipedir = os.path.join(CORPUS, fixture)
+    golden = json.load(open(os.path.join(pipedir, "expectations", "lineage.json")))
+
+    pipe = load_pipeline(pipedir)
+    extract_pipeline_lineage(pipe)
+
+    ours = {a.name: a for a in pipe.assets}
+    assert set(ours) == {a["name"] for a in golden["assets"]}
+    for ga in golden["assets"]:
+        a = ours[ga["name"]]
+        got = _lineage_view(a.columns, a.depends)
+        want = _lineage_view(ga["columns"], ga["upstreams"])
+        assert got == want, f"{fixture}/{ga['name']} lineage mismatch"
+
+
+def test_parse_whole_pipeline_golden():
+    """Field-for-field compatibility with the reference's own parse IR
+    contract (parse-whole-pipeline/expectations/pipeline.yml.json):
+    asset names, types, upstream edges, declared columns with their
+    checks, custom checks, and materialization survive our loader
+    unchanged."""
+    pipedir = os.path.join(CORPUS, "parse-whole-pipeline")
+    golden = json.load(
+        open(os.path.join(pipedir, "expectations", "pipeline.yml.json"))
+    )
+    pipe = load_pipeline(pipedir)
+
+    assert pipe.name == golden["name"]
+    ours = {a.name: a for a in pipe.assets}
+    assert set(ours) == {a["name"] for a in golden["assets"]}
+
+    for ga in golden["assets"]:
+        a = ours[ga["name"]]
+        assert a.type == ga["type"], ga["name"]
+        assert [
+            {"type": u.type, "value": u.value, "mode": u.mode} for u in a.depends
+        ] == [
+            {"type": u["type"], "value": u["value"], "mode": u["mode"]}
+            for u in ga["upstreams"]
+        ], ga["name"]
+        gmat = ga["materialization"]
+        if gmat is None:
+            assert not a.materialization.type or a.materialization.type == ""
+        else:
+            assert a.materialization.type == (gmat["type"] or "")
+            assert (a.materialization.strategy or "") == (gmat["strategy"] or "")
+        assert [c.name for c in a.columns] == [c["name"] for c in ga["columns"]]
+        for c, gc in zip(a.columns, ga["columns"]):
+            assert c.type == gc["type"], f"{ga['name']}.{c.name}"
+            assert c.primary_key == gc["primary_key"]
+            assert [(ch.name, ch.blocking) for ch in c.checks] == [
+                (ch["name"], ch.get("blocking", True)) for ch in gc["checks"]
+            ], f"{ga['name']}.{c.name} checks"
+        assert [cc.name for cc in a.custom_checks] == [
+            cc["name"] for cc in ga["custom_checks"]
+        ]
+        # secrets round-trip (the python asset declares KEY1->INJECTED1)
+        gsec = [
+            {"secret_key": s["secret_key"], "injected_key": s["injected_key"]}
+            for s in ga.get("secrets", [])
+        ]
+        osec = [
+            {
+                "secret_key": s.get("secret_key", ""),
+                "injected_key": s.get("injected_key", s.get("secret_key", "")),
+            }
+            for s in a.secrets
+        ]
+        assert osec == gsec, f"{ga['name']} secrets"
