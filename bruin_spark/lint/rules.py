@@ -95,7 +95,7 @@ KNOWN_ASSET_FIELDS = {
     "custom_checks", "depends", "parameters", "tags", "owner", "tier",
     "interval_modifiers", "hooks", "unit_tests", "uri", "secrets",
     "notifications", "image", "instance", "connection", "connections",
-    "domains", "meta",
+    "domains", "meta", "rerun_cooldown",
 }
 
 _SCHEDULE_PRESETS = {
@@ -143,8 +143,20 @@ def asset_rule(rid: str):
     return deco
 
 
+#: rule ids emitted outside the decorated registries: the EXPLAIN-based
+#: dry-run rules (session-gated, ``dry_run_rules``), the warning id the
+#: hooks rule shares, and the pipeline-SET-level URI-dependency rule
+#: (``lint_pipelines``). Listed so ``rule_ids`` reports the full surface.
+EXTRA_RULE_IDS = {
+    "custom-check-query-dry-run",
+    "hook-query-dry-run",
+    "asset-hooks-applicable-type-ignored",
+    "cross-pipeline-uri-dependencies",
+}
+
+
 def rule_ids() -> list[str]:
-    return sorted(set(PIPELINE_RULES) | set(ASSET_RULES))
+    return sorted(set(PIPELINE_RULES) | set(ASSET_RULES) | EXTRA_RULE_IDS)
 
 
 # -- pipeline-level rules ----------------------------------------------------
@@ -872,6 +884,27 @@ def dry_run_rules(p: Pipeline, spark, context=None) -> list[Issue]:
                 err = _explain_ok(spark, rendered)
                 if err:
                     issues.append(Issue("hook-query-dry-run", a.name, f"{ph} hook: {err}"))
+    return issues
+
+
+@pipeline_rule("valid-parent-domains")
+def _valid_parent_domains(p: Pipeline) -> list[Issue]:
+    """Every glossary domain's parent_domain must itself exist in the
+    glossary (ref: EnsureParentDomainsExistInGlossary,
+    pkg/lint/rules.go:2167-2198)."""
+    domains = getattr(p, "glossary_domains", {}) or {}
+    issues = []
+    for name, spec in domains.items():
+        parent = (spec or {}).get("parent_domain")
+        if parent and parent not in domains:
+            issues.append(
+                Issue(
+                    "valid-parent-domains",
+                    "<glossary>",
+                    f"parent domain {parent!r} for domain {name!r} does not "
+                    "exist in the glossary",
+                )
+            )
     return issues
 
 

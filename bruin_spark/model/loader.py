@@ -94,21 +94,34 @@ def load_asset_file(path: str) -> Asset:
     return asset
 
 
-def load_glossary(path: str) -> dict[str, dict[str, dict]]:
-    """glossary.yml entities: {Entity: {attribute: {type, description}}}
-    (ref: pkg/glossary/entity.go:28-34)."""
+def _read_glossary_yaml(path: str) -> dict:
     for fn in ("glossary.yml", "glossary.yaml"):
         p = os.path.join(path, fn)
         if os.path.exists(p):
             with open(p, encoding="utf-8") as f:
-                d = yaml.safe_load(f) or {}
-            out = {}
-            for ent, spec in (d.get("entities") or {}).items():
-                out[ent] = {
-                    a: (aspec or {}) for a, aspec in (spec.get("attributes") or {}).items()
-                }
-            return out
+                return yaml.safe_load(f) or {}
     return {}
+
+
+def load_glossary(path: str) -> dict[str, dict[str, dict]]:
+    """glossary.yml entities: {Entity: {attribute: {type, description}}}
+    (ref: pkg/glossary/entity.go:28-34)."""
+    d = _read_glossary_yaml(path)
+    out = {}
+    for ent, spec in (d.get("entities") or {}).items():
+        out[ent] = {
+            a: (aspec or {}) for a, aspec in (spec.get("attributes") or {}).items()
+        }
+    return out
+
+
+def load_glossary_domains(path: str) -> dict[str, dict]:
+    """glossary.yml ``domains:`` map, name -> spec (description, owners,
+    tags, parent_domain) (ref: pkg/glossary/entity.go:22,59-97)."""
+    d = _read_glossary_yaml(path)
+    return {
+        name: (spec or {}) for name, spec in (d.get("domains") or {}).items()
+    }
 
 
 def apply_glossary(pipe: Pipeline, glossary: dict[str, dict[str, dict]]) -> None:
@@ -166,6 +179,17 @@ def load_pipeline(path: str) -> Pipeline:
                         # the whole pipeline unloadable — record it so lint
                         # reports a named issue instead of a traceback
                         pipe.load_errors.append(f"{fpath}: {exc}")
+    # pipeline-level `default:` block: assets with no explicit
+    # rerun_cooldown inherit the pipeline default when it is positive
+    # (ref: pipeline.go:3303-3305; -1 on the asset opts out)
+    default_values = d.get("default") or {}
+    if isinstance(default_values, dict):
+        default_cooldown = default_values.get("rerun_cooldown")
+        if default_cooldown is not None and int(default_cooldown) > 0:
+            for asset in pipe.assets:
+                if asset.rerun_cooldown is None:
+                    asset.rerun_cooldown = int(default_cooldown)
+
     macros_dir = os.path.join(path, "macros")
     if os.path.isdir(macros_dir):
         parts = []
@@ -177,4 +201,5 @@ def load_pipeline(path: str) -> Pipeline:
     glossary = load_glossary(path)
     if glossary:
         apply_glossary(pipe, glossary)
+    pipe.glossary_domains = load_glossary_domains(path)
     return pipe

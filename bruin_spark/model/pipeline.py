@@ -252,10 +252,25 @@ class Asset:
     # bruin_spark.unittests
     unit_tests: list[dict[str, Any]] = field(default_factory=list)
     uri: str = ""  # cross-pipeline address (ref: pipeline.go Asset.URI)
+    # seconds to wait before re-running a failed attempt; -1 means
+    # explicitly none even when the pipeline default sets one
+    # (ref: pipeline.go:1332 RerunCooldown, translation to retries_delay
+    # at :3994-4005, pipeline-default inheritance at :3303)
+    rerun_cooldown: int | None = None
     secrets: list[dict[str, str]] = field(default_factory=list)  # {secret_key, inject_as}
     notifications: dict[str, Any] = field(default_factory=dict)
     # raw parsed YAML/frontmatter, kept for unknown-field linting
     raw: dict[str, Any] = field(default_factory=dict, repr=False)
+
+    def retries_delay_s(self) -> int | None:
+        """Seconds to wait between retry attempts, or None.
+
+        Ref: pipeline.go:3994-4005 — ``rerun_cooldown > 0`` is the delay,
+        ``-1`` explicitly disables any inherited delay (maps to 0).
+        """
+        if self.rerun_cooldown is None:
+            return None
+        return self.rerun_cooldown if self.rerun_cooldown > 0 else 0
 
     def primary_keys(self) -> list[str]:
         return [c.name for c in self.columns if c.primary_key]
@@ -304,6 +319,10 @@ class Asset:
             owner=d.get("owner", "") or "",
             tier=str(d.get("tier", "") or ""),
             interval_modifiers=d.get("interval_modifiers", {}) or {},
+            rerun_cooldown=(
+                int(d["rerun_cooldown"]) if d.get("rerun_cooldown") is not None
+                else None
+            ),
             hooks=hooks,
             unit_tests=d.get("unit_tests", []) or [],
             uri=d.get("uri", "") or "",
@@ -350,6 +369,9 @@ class Pipeline:
     notifications: dict[str, Any] = field(default_factory=dict)
     metadata_push: dict[str, Any] = field(default_factory=dict)
     max_active_steps: int | None = None
+    # glossary.yml `domains:` map (name -> spec incl. parent_domain),
+    # used by the valid-parent-domains lint rule
+    glossary_domains: dict[str, dict[str, Any]] = field(default_factory=dict)
     # raw parsed pipeline.yml, kept for unknown-field linting
     raw: dict[str, Any] = field(default_factory=dict, repr=False)
 

@@ -442,6 +442,13 @@ class Scheduler:
                     else:
                         inst.attempts += 1
                         if inst.attempts <= self.retries:
+                            # rerun_cooldown: wait before the re-attempt
+                            # (ref: pipeline.go rerun_cooldown ->
+                            # retries_delay; the reference parses it,
+                            # we also honor it at run time)
+                            delay = inst.asset.retries_delay_s()
+                            if delay:
+                                done_event.wait(delay)
                             inst.status = InstanceStatus.PENDING  # retry
                         else:
                             inst.status = InstanceStatus.FAILED

@@ -546,6 +546,27 @@ def test_unloadable_asset_becomes_lint_error(tmp_path):
     assert len(issues) == 1 and "bad.asset.yml" in issues[0].message
 
 
+def test_valid_parent_domains(tmp_path):
+    """Glossary domains with a missing parent_domain are flagged (ref:
+    EnsureParentDomainsExistInGlossary, pkg/lint/rules.go:2167)."""
+    from bruin_spark.lint.rules import lint_pipeline, rule_ids
+    from bruin_spark.model import load_pipeline
+
+    assert len(rule_ids()) >= 45, rule_ids()
+    d = tmp_path / "gp"
+    (d / "assets").mkdir(parents=True)
+    (d / "pipeline.yml").write_text("name: gp\n")
+    (d / "glossary.yml").write_text(
+        "domains:\n"
+        "  sales:\n    description: sales\n"
+        "  emea-sales:\n    parent_domain: sales\n"
+        "  orphan:\n    parent_domain: nonexistent\n"
+    )
+    pipe = load_pipeline(str(d))
+    issues = [i for i in lint_pipeline(pipe) if i.rule == "valid-parent-domains"]
+    assert len(issues) == 1 and "nonexistent" in issues[0].message
+
+
 def test_policy_sandbox_blocks_format_bypass(tmp_path):
     import pytest
 

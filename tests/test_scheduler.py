@@ -129,6 +129,64 @@ def test_retries(spark):
     assert attempts["n"] == 3
 
 
+def test_rerun_cooldown_delays_retry(spark):
+    """rerun_cooldown is honored between retry attempts (ref:
+    pipeline.go rerun_cooldown -> retries_delay; test-rerun-cooldown
+    fixture): a 1s cooldown makes the second attempt start >= 1s after
+    the first failure; -1 opts out of any delay."""
+    import time as _time
+
+    stamps: list[float] = []
+
+    def flaky_op(s, asset, ctx):
+        stamps.append(_time.monotonic())
+        if len(stamps) < 2:
+            raise RuntimeError("flaky")
+
+    a = sql_asset("cool", "SELECT 1")
+    a.rerun_cooldown = 1
+    pipe = make_pipeline([a])
+    res = Scheduler(spark, pipe, retries=1, operators={"spark.sql": flaky_op}).run()
+    assert res.ok and len(stamps) == 2
+    assert stamps[1] - stamps[0] >= 1.0
+
+    stamps.clear()
+    b = sql_asset("nocool", "SELECT 1")
+    b.rerun_cooldown = -1
+    t0 = _time.monotonic()
+    res = Scheduler(
+        spark, make_pipeline([b]), retries=1, operators={"spark.sql": flaky_op}
+    ).run()
+    assert res.ok and len(stamps) == 2
+    assert stamps[1] - t0 < 1.0  # no cooldown applied
+
+
+def test_rerun_cooldown_pipeline_default_inheritance(tmp_path):
+    """Assets inherit the pipeline `default: rerun_cooldown:` unless they
+    set their own; -1 maps to an explicit zero delay
+    (ref: test-rerun-cooldown fixture, pipeline.go:3303,3994-4005)."""
+    from bruin_spark.model import load_pipeline
+
+    d = tmp_path / "cooldown"
+    (d / "assets").mkdir(parents=True)
+    (d / "pipeline.yml").write_text(
+        "name: cooldown\ndefault:\n  rerun_cooldown: 300\n"
+    )
+    (d / "assets" / "own.sql").write_text(
+        "/* @bruin\nname: own\ntype: spark.sql\nrerun_cooldown: 600\n@bruin */\nSELECT 1"
+    )
+    (d / "assets" / "inherits.sql").write_text(
+        "/* @bruin\nname: inherits\ntype: spark.sql\n@bruin */\nSELECT 2"
+    )
+    (d / "assets" / "optout.sql").write_text(
+        "/* @bruin\nname: optout\ntype: spark.sql\nrerun_cooldown: -1\n@bruin */\nSELECT 3"
+    )
+    pipe = load_pipeline(str(d))
+    assert pipe.asset("own").retries_delay_s() == 600
+    assert pipe.asset("inherits").retries_delay_s() == 300
+    assert pipe.asset("optout").retries_delay_s() == 0
+
+
 def test_failure_propagates_transitively(spark):
     def boom(s, asset, ctx):
         if asset.name == "x1":
