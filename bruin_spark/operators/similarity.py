@@ -123,15 +123,27 @@ def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
     return planes
 
 
-def lsh_bucket(df: DataFrame, vec_col: str = "embedding", n_planes: int = 8, out: str = "bucket") -> DataFrame:
-    """Random-hyperplane LSH bucket id (0..2^n_planes-1), map-only."""
-    probe = df.select(vec_col).first()
-    if probe is None or probe[0] is None:
-        raise ValueError(
-            f"cannot infer embedding dimension: {vec_col!r} is empty or "
-            "NULL in the first row (filter nulls upstream)"
-        )
-    dim = len(probe[0])
+def lsh_bucket(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    out: str = "bucket",
+    dim: int | None = None,
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id (0..2^n_planes-1), map-only.
+
+    Pass ``dim`` (the embedding dimensionality) to keep plan building
+    action-free; without it a one-row probe infers it — a driver
+    round-trip per plan build that a pipeline on a busy cluster should
+    avoid."""
+    if dim is None:
+        probe = df.select(vec_col).first()
+        if probe is None or probe[0] is None:
+            raise ValueError(
+                f"cannot infer embedding dimension: {vec_col!r} is empty or "
+                "NULL in the first row (filter nulls upstream, or pass dim=)"
+            )
+        dim = len(probe[0])
     planes = _hyperplanes(dim, n_planes)
     bucket = F.lit(0)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
@@ -150,16 +162,17 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     n_planes: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors in the query's bucket.
 
     With b buckets this cuts scored candidates ~b×; recall is tunable via
     n_planes (fewer planes → bigger buckets → higher recall).
     """
-    corpus = lsh_bucket(with_unit_vectors(df, vec_col), vec_col, n_planes).select(
+    corpus = lsh_bucket(with_unit_vectors(df, vec_col), vec_col, n_planes, dim=dim).select(
         F.col(id_col).alias("nn_id"), F.col("unit_vec").alias("cv"), "bucket"
     )
-    qs = lsh_bucket(with_unit_vectors(queries, vec_col), vec_col, n_planes).select(
+    qs = lsh_bucket(with_unit_vectors(queries, vec_col), vec_col, n_planes, dim=dim).select(
         F.col(query_id_col).alias("query_id"), F.col("unit_vec").alias("qv"), "bucket"
     )
     scored = (
@@ -182,6 +195,7 @@ def embedding_near_dup(
     threshold: float = 0.95,
     n_planes: int = 4,
     exact: bool = False,
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine ≥ threshold).
 
@@ -193,7 +207,7 @@ def embedding_near_dup(
     """
     if exact:
         return cosine_pairs(df, id_col, vec_col, threshold)
-    u = lsh_bucket(with_unit_vectors(df, vec_col), vec_col, n_planes).select(
+    u = lsh_bucket(with_unit_vectors(df, vec_col), vec_col, n_planes, dim=dim).select(
         F.col(id_col).alias("id"), "unit_vec", "bucket"
     )
     return (

@@ -248,6 +248,37 @@ def snapshot_source_uri(uri: str) -> str:
     return p.render()
 
 
+def _read_api_fixture(
+    spark: SparkSession, scheme: str, table: str | None, schema: str | None
+) -> DataFrame | None:
+    """Replay mode for the network-gated SaaS sources: when
+    ``BRUIN_SOURCE_FIXTURE_DIR`` is set, a SaaS read resolves to recorded
+    data at ``<dir>/<scheme>/<table>.{parquet,json,csv}`` (or
+    ``<dir>/<scheme>.<ext>`` when table-agnostic) — the same rows a real
+    ``ingestr`` extract would land (ref: pkg/ingestr/operator.go:184-437
+    produces a table per --source-table). Returns None when no fixture
+    directory is configured or no file matches, in which case the caller
+    raises the usual ApiSourceUnavailable."""
+    fdir = os.environ.get("BRUIN_SOURCE_FIXTURE_DIR")
+    if not fdir:
+        return None
+    candidates = []
+    if table:
+        candidates += [os.path.join(fdir, scheme, table)]
+    candidates += [os.path.join(fdir, scheme)]
+    for base in candidates:
+        for ext, fmt in (
+            (".parquet", "parquet"),
+            (".json", "json"),
+            (".jsonl", "json"),
+            (".csv", "csv"),
+        ):
+            path = base + ext
+            if os.path.exists(path):
+                return _read_file_format(spark, fmt, path, schema)
+    return None
+
+
 def read_source(
     spark: SparkSession,
     uri: str,
@@ -297,8 +328,14 @@ def read_source(
                 f"the cluster (options constructed: {sorted(opts)})"
             ) from e
     if scheme in API_SOURCES:
-        # validates + constructs options; fetch is stubbed (registry.py)
-        raise ApiSourceUnavailable(scheme, api_source_options(uri))
+        # validates + constructs options first: a misconfigured URI must
+        # fail the same way with or without a fixture directory
+        opts = api_source_options(uri)
+        fixture = _read_api_fixture(spark, scheme, table, schema)
+        if fixture is not None:
+            return fixture
+        # fetch itself is stubbed — no network (registry.py)
+        raise ApiSourceUnavailable(scheme, opts)
     if scheme in ("http", "https"):
         local = _fetch_http(uri)
         resolved = resolve_file_source(local, file_type)

@@ -49,6 +49,49 @@ def ingest_sqlite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQLITE_ORACLE = "SELECT r_regionkey, r_name FROM region"
 
 
+_FIXTURED: dict[str, str] = {}
+
+
+def _saas_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the nation dimension as a recorded stripe://invoices extract
+    (BRUIN_SOURCE_FIXTURE_DIR replay layout: <dir>/<scheme>/<table>.parquet)."""
+    if sf_dir not in _FIXTURED:
+        from bruin_spark.session import read_parquet
+
+        d = tempfile.mkdtemp(prefix="bruin_saas_fixture_")
+        os.makedirs(os.path.join(d, "stripe"), exist_ok=True)
+        read_parquet(spark, os.path.join(sf_dir, "nation.parquet")).coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(d, "stripe", "invoices.parquet"))
+        _FIXTURED[sf_dir] = d
+    return _FIXTURED[sf_dir]
+
+
+def ingest_saas_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SaaS-source fixture replay end-to-end: a stripe:// read (normally
+    network-gated behind ApiSourceUnavailable) resolves to the recorded
+    extract under BRUIN_SOURCE_FIXTURE_DIR; rows must match the staged
+    source bit-exact (ref: pkg/ingestr/operator.go:184-437 — ingestr
+    lands the same per-source-table rows)."""
+    fdir = _saas_fixture_dir(spark, sf_dir)
+    old = os.environ.get("BRUIN_SOURCE_FIXTURE_DIR")
+    os.environ["BRUIN_SOURCE_FIXTURE_DIR"] = fdir
+    try:
+        df = read_source(
+            spark, "stripe://?api_key=sk_test_fixture", table="invoices"
+        )
+    finally:
+        if old is None:
+            os.environ.pop("BRUIN_SOURCE_FIXTURE_DIR", None)
+        else:
+            os.environ["BRUIN_SOURCE_FIXTURE_DIR"] = old
+    return df.select("n_nationkey", "n_name", "n_regionkey")
+
+
+SAAS_ORACLE = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+
+
 QUERIES = {
     "ingest_sqlite_roundtrip": (ingest_sqlite_roundtrip, SQLITE_ORACLE),
+    "ingest_saas_fixture": (ingest_saas_fixture, SAAS_ORACLE),
 }

@@ -17,6 +17,7 @@ K = 5
 QUERY_MOD = 100  # vec_id % 100 == 0 → query set
 THRESHOLD = 0.55
 N_PLANES = 4
+DIM = 64  # driver testdata embedding dimensionality (TESTDATA.md)
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -75,7 +76,7 @@ def sim_lsh_bucket_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH bucket histogram — verifies the bucketing function itself."""
     from pyspark.sql import functions as F
 
-    b = S.lsh_bucket(_emb(spark, sf_dir), n_planes=N_PLANES)
+    b = S.lsh_bucket(_emb(spark, sf_dir), n_planes=N_PLANES, dim=DIM)
     return b.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_vectors"), F.min("vec_id").alias("min_vec_id")
     )
@@ -100,7 +101,7 @@ GROUP BY 1
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     queries = emb.filter(f"vec_id % {QUERY_MOD} = 0").withColumnRenamed("vec_id", "query_id")
-    return S.lsh_topk(emb, queries, k=K, n_planes=N_PLANES)
+    return S.lsh_topk(emb, queries, k=K, n_planes=N_PLANES, dim=DIM)
 
 
 def _lsh_topk_oracle() -> str:

@@ -267,6 +267,47 @@ def test_read_source_api_scheme_raises_unavailable_with_options(spark):
         read_source(spark, "stripe://")
 
 
+def test_saas_fixture_replay(spark, tmp_path, monkeypatch):
+    """BRUIN_SOURCE_FIXTURE_DIR replay: network-gated SaaS schemes read
+    recorded extracts (<dir>/<scheme>/<table>.<ext>), covering parquet,
+    json and csv fixture formats and the scheme-level fallback; config
+    validation still runs first, and a missing fixture still raises the
+    ApiSourceUnavailable stub."""
+    import pytest
+
+    from bruin_spark.sources.ingest import read_source
+    from bruin_spark.sources.registry import ApiSourceUnavailable
+
+    monkeypatch.setenv("BRUIN_SOURCE_FIXTURE_DIR", str(tmp_path))
+    # parquet fixture, per-table
+    (tmp_path / "shopify").mkdir()
+    spark.range(3).selectExpr("id AS order_id", "id * 10 AS total").write.parquet(
+        str(tmp_path / "shopify" / "orders.parquet")
+    )
+    df = read_source(spark, "shopify://?api_key=x", table="orders")
+    assert df.count() == 3 and set(df.columns) == {"order_id", "total"}
+
+    # jsonl fixture, per-table
+    (tmp_path / "notion").mkdir()
+    (tmp_path / "notion" / "pages.jsonl").write_text(
+        '{"page_id": 1, "title": "a"}\n{"page_id": 2, "title": "b"}\n'
+    )
+    df = read_source(spark, "notion://?api_key=secret", table="pages")
+    assert df.count() == 2 and "title" in df.columns
+
+    # csv fixture, scheme-level fallback (no table match)
+    (tmp_path / "zendesk.csv").write_text("ticket_id,status\n7,open\n8,closed\n")
+    df = read_source(spark, "zendesk://", table="tickets")
+    assert df.count() == 2 and "status" in df.columns
+
+    # config validation precedes fixture resolution
+    with pytest.raises(ValueError, match="api_key"):
+        read_source(spark, "shopify://", table="orders")
+    # no fixture for this scheme -> the stub still raises
+    with pytest.raises(ApiSourceUnavailable):
+        read_source(spark, "stripe://?api_key=sk_test", table="charges")
+
+
 def test_read_source_rejects_all_stream_schemes(spark):
     import pytest
 
@@ -519,6 +560,98 @@ def test_secrets_backends(tmp_path, monkeypatch, capsys):
     )
     assert cmd_ingestr_uri(args) == 0
     assert out.read_text() == "postgres://u:p@h:5432/db"
+
+
+def test_vault_and_doppler_live_fetch(monkeypatch):
+    """Live fetch path for the vault + doppler backends against a local
+    HTTP fixture, validating the reference's wire contract: vault KV-v2
+    GET /v1/<mount>/data/<path>/<name> with X-Vault-Token returning
+    {data:{data:{type, details}}} (pkg/secrets/vault.go:446-466), and
+    doppler's secrets/download with a Bearer token returning a flat map
+    whose values are JSON strings (pkg/secrets/doppler.go:31-74)."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    import pytest
+
+    from bruin_spark.secretsbackend import lookup_connection
+
+    seen: dict[str, str] = {}
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802
+            if self.path.startswith("/v1/kv/data/bruin/"):
+                name = self.path.rsplit("/", 1)[1]
+                seen["vault_token"] = self.headers.get("X-Vault-Token", "")
+                if name == "missing":
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                body = {
+                    "data": {
+                        "data": {
+                            "type": "postgres",
+                            "details": {"host": "db1", "username": "u", "password": "pw"},
+                        }
+                    }
+                }
+                if name == "malformed":
+                    body = {"data": {"data": {"nope": 1}}}
+                payload = json.dumps(body).encode()
+            elif self.path.startswith("/configs/config/secrets/download"):
+                seen["doppler_auth"] = self.headers.get("Authorization", "")
+                seen["doppler_qs"] = self.path.split("?", 1)[1]
+                payload = json.dumps(
+                    {"warehouse": json.dumps({"type": "snowflake", "account": "ac"})}
+                ).encode()
+            else:
+                self.send_response(404)
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_port}"
+        monkeypatch.setenv("BRUIN_VAULT_HOST", base)
+        monkeypatch.setenv("BRUIN_VAULT_MOUNT_PATH", "kv")
+        monkeypatch.setenv("BRUIN_VAULT_PATH", "bruin")
+        monkeypatch.setenv("BRUIN_VAULT_TOKEN", "tok-123")
+        spec = lookup_connection("vault", "pg_main")
+        assert spec == {
+            "type": "postgres",
+            "host": "db1",
+            "username": "u",
+            "password": "pw",
+        }
+        assert seen["vault_token"] == "tok-123"
+        with pytest.raises(ValueError, match="not found in Vault"):
+            lookup_connection("vault", "missing")
+        with pytest.raises(ValueError, match="'type'.*'details'"):
+            lookup_connection("vault", "malformed")
+
+        monkeypatch.setenv("BRUIN_DOPPLER_TOKEN", "dp-tok")
+        monkeypatch.setenv("BRUIN_DOPPLER_PROJECT", "proj")
+        monkeypatch.setenv("BRUIN_DOPPLER_CONFIG", "prd")
+        monkeypatch.setenv("BRUIN_DOPPLER_API_URL", base)
+        spec = lookup_connection("doppler", "warehouse")
+        assert spec == {"type": "snowflake", "account": "ac"}
+        assert seen["doppler_auth"] == "Bearer dp-tok"
+        assert "project=proj" in seen["doppler_qs"]
+        with pytest.raises(ValueError, match="not found in Doppler"):
+            lookup_connection("doppler", "nope")
+    finally:
+        srv.shutdown()
+        srv.server_close()
 
 
 def test_run_resolves_connection_from_secrets_backend(spark, tmp_path, monkeypatch):
