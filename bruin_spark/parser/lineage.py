@@ -59,11 +59,15 @@ _TYPE_WORDS = {
 
 @dataclass
 class _Rel:
-    """A FROM-clause source: physical table, CTE reference, or subquery."""
+    """A FROM-clause source: physical table, CTE reference, subquery, or
+    inline VALUES table."""
 
     name: str = ""
     alias: str = ""
     sub: "_Query | None" = None
+    # declared column names of a (VALUES ...) AS v(c1, c2) inline table;
+    # literal rows have no upstream lineage
+    values_cols: "list[str] | None" = None
 
 
 @dataclass
@@ -352,6 +356,23 @@ class _Parser:
     def _parse_relation(self) -> _Rel:
         if self._text() == "(":
             self._expect("(")
+            if self._kw("values"):
+                # inline literal table: (VALUES (...), ...) AS v(c1, c2)
+                depth = 1
+                while self.i < len(self.t) and depth > 0:
+                    t = self._text()
+                    if t == "(":
+                        depth += 1
+                    elif t == ")":
+                        depth -= 1
+                    self.i += 1
+                self._kw("as")
+                alias = self._ident() or ""
+                cols: list[str] = []
+                if self._text() == "(":
+                    inner = self._skip_parens()
+                    cols = [t.strip('"`') for k, t in inner if k in ("word", "dq", "bq")]
+                return _Rel(alias=alias, values_cols=cols)
             sub = self.parse_query()
             self._expect(")")
             self._kw("as")
@@ -373,12 +394,43 @@ class _Parser:
 # -- reference extraction from expression tokens ------------------------------
 
 
+def _mask_subqueries(toks: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """Drop tokens inside nested ``(SELECT ...)`` / ``(VALUES ...)``
+    regions: their references live in the SUBQUERY's scope, and resolving
+    them in the enclosing scope either errors on the inner aliases
+    (correlated EXISTS) or misattributes inner columns. A full nested
+    resolve is sqlglot territory; masking keeps the outer lineage sound."""
+    out: list[tuple[str, str]] = []
+    i, n = 0, len(toks)
+    while i < n:
+        k, t = toks[i]
+        if (
+            t == "("
+            and i + 1 < n
+            and toks[i + 1][0] == "word"
+            and toks[i + 1][1].lower() in ("select", "values")
+        ):
+            depth = 1
+            i += 1
+            while i < n and depth > 0:
+                if toks[i][1] == "(":
+                    depth += 1
+                elif toks[i][1] == ")":
+                    depth -= 1
+                i += 1
+            continue
+        out.append((k, t))
+        i += 1
+    return out
+
+
 def _expr_refs(toks: list[tuple[str, str]]) -> tuple[list[tuple[str | None, str]], bool]:
     """Column references in an expression: [(qualifier|None, column)].
 
     Returns (refs, has_bare_star).  ``alias.*`` comes back as
     (alias, "*"); a lone ``*`` sets has_bare_star.
     """
+    toks = _mask_subqueries(toks)
     refs: list[tuple[str | None, str]] = []
     star = False
     i = 0
@@ -505,7 +557,15 @@ class _Resolver:
     def _resolve_select(self, s: _Select, env: dict[str, _Output]) -> _Output:
         sources: list[_Source] = []
         for rel in s.relations:
-            if rel.sub is not None:
+            if rel.values_cols is not None:
+                # literal rows: declared names, no upstream lineage
+                sources.append(
+                    _Source(
+                        key=rel.alias,
+                        output=_Output([(c, set()) for c in rel.values_cols]),
+                    )
+                )
+            elif rel.sub is not None:
                 out = self.resolve_query(rel.sub, env)
                 sources.append(_Source(key=rel.alias, output=out))
             elif rel.name.lower() in env:
@@ -538,6 +598,20 @@ class _Resolver:
             if qualifier:
                 src = find_source(qualifier)
                 if src is None:
+                    # struct-field path: u.profile.email — the longest
+                    # prefix that names a source wins, and the NEXT part
+                    # is the column (the rest are struct fields), like
+                    # sqlglot's qualify resolution
+                    parts = qualifier.split(".")
+                    for cut in range(len(parts) - 1, 0, -1):
+                        s2 = find_source(".".join(parts[:cut]))
+                        if s2 is not None:
+                            return s2.resolve_col(parts[cut])
+                    # unqualified struct path: profile.email where
+                    # 'profile' is a known column of exactly one source
+                    owners = [s2 for s2 in sources if s2.has_col(parts[0])]
+                    if len(owners) == 1:
+                        return owners[0].resolve_col(parts[0])
                     self.errors.append(f"unknown table or alias {qualifier!r}")
                     return {("", col)}
                 return src.resolve_col(col)

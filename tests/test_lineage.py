@@ -212,3 +212,45 @@ def test_qualifier_requires_part_boundary():
         "SELECT users.id FROM myusers, orders", {"myusers": ["id"], "orders": ["id"]}
     )
     assert any("unknown table or alias" in e for e in r["errors"])
+
+
+def test_struct_field_refs_resolve_to_top_field():
+    """u.profile.email: longest source-matching prefix wins, the next
+    part is the COLUMN (rest are struct fields) — sqlglot's behavior."""
+    r = get_column_lineage("SELECT u.profile.email AS email, u.id FROM users u")
+    assert _cols(r)["email"] == [{"column": "profile", "table": "users"}]
+    assert r["errors"] == []
+    # unqualified struct path resolves when the schema knows the column
+    r = get_column_lineage(
+        "SELECT profile.email AS email FROM users", {"users": ["id", "profile"]}
+    )
+    assert _cols(r)["email"] == [{"column": "profile", "table": "users"}]
+    assert r["errors"] == []
+
+
+def test_values_inline_table():
+    """(VALUES ...) AS v(c1, c2): declared names, no upstream lineage."""
+    r = get_column_lineage("SELECT * FROM (VALUES (1, 'a'), (2, 'b')) AS v(id, name)")
+    assert [c["name"] for c in r["columns"]] == ["id", "name"]
+    assert all(c["upstream"] == [] for c in r["columns"])
+    assert r["errors"] == []
+    r = get_column_lineage(
+        "SELECT t.x, v.name FROM t JOIN (VALUES (1,'a')) AS v(id, name) ON t.id = v.id"
+    )
+    assert _cols(r)["x"] == [{"column": "x", "table": "t"}]
+    assert _cols(r)["name"] == []
+    assert r["errors"] == []
+
+
+def test_subquery_refs_stay_in_their_scope():
+    """Correlated/scalar/IN subqueries must not leak their inner aliases
+    into the outer scope (no spurious unknown-alias errors, no
+    misattributed upstreams)."""
+    r = get_column_lineage(
+        "SELECT o.id FROM orders o WHERE EXISTS "
+        "(SELECT 1 FROM lineitem l WHERE l.oid = o.id)"
+    )
+    assert _cols(r)["id"] == [{"column": "id", "table": "orders"}]
+    assert r["errors"] == []
+    r = get_column_lineage("SELECT id, (SELECT max(x) FROM t2) AS m FROM t1")
+    assert _cols(r)["m"] == [] and r["errors"] == []
