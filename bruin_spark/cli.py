@@ -1264,18 +1264,28 @@ def cmd_parse(args) -> int:
         for issue in issues:
             print(f"lineage: {issue}", file=sys.stderr)
 
-    def clean(obj):
-        if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
-            return {k: clean(v) for k, v in dataclasses.asdict(obj).items()}
-        if isinstance(obj, dict):
-            return {k: clean(v) for k, v in obj.items()}
-        if isinstance(obj, (list, tuple)):
-            return [clean(v) for v in obj]
-        if hasattr(obj, "value"):
-            return obj.value
-        return obj
+    if getattr(args, "internal", False):
+        # raw dataclass dump (debugging aid; not the compat contract)
+        def clean(obj):
+            if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
+                return {k: clean(v) for k, v in dataclasses.asdict(obj).items()}
+            if isinstance(obj, dict):
+                return {k: clean(v) for k, v in obj.items()}
+            if isinstance(obj, (list, tuple)):
+                return [clean(v) for v in obj]
+            if hasattr(obj, "value"):
+                return obj.value
+            return obj
 
-    print(json.dumps(clean(pipe), indent=2, default=str))
+        print(json.dumps(clean(pipe), indent=2, default=str))
+        return 0
+
+    # default: the reference's parse-pipeline IR shape (what the VS Code
+    # extension and the reference's own golden tests consume)
+    from bruin_spark.model.refjson import pipeline_to_reference_json
+
+    base = os.path.dirname(os.path.abspath(args.pipeline))
+    print(json.dumps(pipeline_to_reference_json(pipe, base_dir=base), indent=2))
     return 0
 
 
@@ -1601,6 +1611,11 @@ def main(argv: list[str] | None = None) -> int:
         "--column-lineage",
         action="store_true",
         help="fold column lineage into the dump (ref: parse-pipeline -c)",
+    )
+    pp.add_argument(
+        "--internal",
+        action="store_true",
+        help="dump the internal dataclass shape instead of the reference IR",
     )
     pp.set_defaults(fn=cmd_parse)
 

@@ -179,7 +179,7 @@ def test_parse_pipeline_json_golden(pipeline_dir, capsys):
     by_name = {a["name"]: a for a in doc["assets"]}
     assert set(by_name) == {"shop_products", "shop_inventory", "shop_summary", "shop_flags"}
     assert by_name["shop_inventory"]["materialization"]["strategy"] == "merge"
-    assert [u["value"] for u in by_name["shop_summary"]["depends"]] == ["shop_inventory"]
+    assert [u["value"] for u in by_name["shop_summary"]["upstreams"]] == ["shop_inventory"]
     inv_cols = {c["name"]: c for c in by_name["shop_inventory"]["columns"]}
     assert inv_cols["product_id"]["primary_key"] is True
     assert by_name["shop_flags"]["type"] == "python"

@@ -186,6 +186,50 @@ def test_lineage_fold_matches_reference_golden(fixture):
         assert got == want, f"{fixture}/{ga['name']} lineage mismatch"
 
 
+def test_parse_ir_json_matches_reference_golden_byte_level():
+    """The serialized parse IR (model/refjson.py) deep-equals the
+    reference's own pipeline.yml.json golden — ids included (asset id =
+    sha256(name), check id = sha256(asset-column-check)) — modulo file
+    paths, which both sides reduce to their trailing components, and the
+    handful of reference fields with no single-platform meaning."""
+    pipedir = os.path.join(CORPUS, "parse-whole-pipeline")
+    golden = json.load(
+        open(os.path.join(pipedir, "expectations", "pipeline.yml.json"))
+    )
+    from bruin_spark.model.refjson import pipeline_to_reference_json
+
+    ours = pipeline_to_reference_json(load_pipeline(pipedir), base_dir=CORPUS)
+
+    def norm(doc):
+        def fix_paths(obj):
+            if isinstance(obj, dict):
+                out = {}
+                for k, v in obj.items():
+                    if k in ("path",) and isinstance(v, str):
+                        out[k] = "/".join(v.split("/")[-2:])
+                    else:
+                        out[k] = fix_paths(v)
+                return out
+            if isinstance(obj, list):
+                return [fix_paths(x) for x in obj]
+            return obj
+
+        doc = fix_paths(doc)
+        # fields whose value is platform- or invocation-specific in the
+        # reference (git commit, CLI snapshot mode, variant selection)
+        for k in ("commit", "snapshot", "agent", "selected_variant", "macros"):
+            doc.pop(k, None)
+        for a in doc.get("assets", []):
+            # the reference embeds per-platform option blocks and the
+            # python env spec; ours collapses platforms to Spark
+            for k in ("snowflake", "athena", "bigquery", "metadata", "image",
+                      "instance", "parameters", "connection"):
+                a.pop(k, None)
+        return doc
+
+    assert norm(ours) == norm(golden)
+
+
 def test_parse_whole_pipeline_golden():
     """Field-for-field compatibility with the reference's own parse IR
     contract (parse-whole-pipeline/expectations/pipeline.yml.json):
