@@ -378,26 +378,106 @@ def _scd2_by_time(asset: Asset, query: str) -> list[str]:
 # semantics ref: pkg/duckdb/datavault_materialization.go:11-237
 
 
-def _dv_col(asset: Asset, role: str):
-    cols = [c for c in asset.columns if c.datavault_role == role]
+def _dv_by_roles(asset: Asset, roles: list[str], exclude: list = ()):
+    ex = {id(c) for c in exclude}
+    return [
+        c for c in asset.columns if c.datavault_role in roles and id(c) not in ex
+    ]
+
+
+def _dv_by_suffix(asset: Asset, suffix: str, exclude: list = ()):
+    """Columns matching a name-convention suffix, minus exclusions."""
+    ex = {id(c) for c in exclude}
+    return [
+        c
+        for c in asset.columns
+        if c.name.lower().endswith(suffix) and id(c) not in ex
+    ]
+
+
+def _dv_hash_key(asset: Asset, roles: list[str], preferred: str):
+    """Hash-key resolution, reference order (datavault_materialization.go
+    :476-498): explicit role → the single primary_key (ambiguous with
+    several) → a UNIQUE ``_hk`` name suffix."""
+    tagged = _dv_by_roles(asset, roles)
+    if tagged:
+        return tagged[0]
+    pks = [c for c in asset.columns if c.primary_key]
+    if len(pks) > 1:
+        raise MaterializationError(
+            f"datavault cannot determine which of the primary key columns "
+            f"({', '.join(c.name for c in pks)}) is the hash key; mark it "
+            f"with datavault_role: {preferred}"
+        )
+    if pks:
+        return pks[0]
+    by_suffix = _dv_by_suffix(asset, "_hk")
+    if len(by_suffix) == 1:
+        return by_suffix[0]
+    raise MaterializationError(
+        f"datavault requires a hash key column with datavault_role: "
+        f"{preferred} or primary_key: true"
+    )
+
+
+def _dv_single(asset: Asset, roles: list[str], names: list[str], what: str):
+    """Role first, then exact-name convention (load_dts / record_source /
+    hashdiff — datavault_materialization.go:459-474,310-316)."""
+    tagged = _dv_by_roles(asset, roles)
+    if tagged:
+        return tagged[0]
+    for c in asset.columns:
+        if c.name.lower() in names:
+            return c
+    raise MaterializationError(
+        f"datavault requires a {what} column with datavault_role: {roles[0]}"
+    )
+
+
+def _dv_multi(asset: Asset, roles: list[str], suffix: str, exclude: list, what: str):
+    """Role-tagged columns plus suffix-convention fallbacks
+    (datavault_materialization.go:521-547)."""
+    cols = _dv_by_roles(asset, roles, exclude)
+    seen = {c.name.lower() for c in cols}
+    for c in _dv_by_suffix(asset, suffix, exclude):
+        if c.name.lower() not in seen:
+            seen.add(c.name.lower())
+            cols.append(c)
+    if not cols:
+        raise MaterializationError(
+            f"datavault requires at least one {what} column with "
+            f"datavault_role: {roles[0]}"
+        )
     return cols
-
-
-def _dv_require(asset: Asset, role: str, what: str):
-    cols = _dv_col(asset, role)
-    if len(cols) != 1:
-        raise MaterializationError(f"datavault {what} requires exactly one {role} column")
-    return cols[0]
 
 
 def _datavault_hub_link(asset: Asset, query: str, key_role: str) -> list[str]:
     if not asset.columns:
         raise MaterializationError("datavault strategies require the `columns` field to be set")
     kind = "hub" if key_role == "hash_key" else "link"
-    hash_key = _dv_require(asset, key_role, kind)
-    load_dt = _dv_require(asset, "load_datetime", kind)
-    record_src = _dv_require(asset, "record_source", kind)
-    related = _dv_col(asset, "business_key" if kind == "hub" else "hash_key")
+    if kind == "hub":
+        hash_key = _dv_hash_key(asset, ["hash_key", "hub_hash_key"], "hash_key")
+        related = _dv_multi(
+            asset, ["business_key"], "_bk", [hash_key], "business key"
+        )
+    else:
+        hash_key = _dv_hash_key(asset, ["link_hash_key", "hash_key"], "link_hash_key")
+        related = _dv_multi(
+            asset,
+            ["hub_hash_key", "parent_hash_key", "foreign_hash_key"],
+            "_hk",
+            [hash_key],
+            "related hash key",
+        )
+    load_dt = _dv_single(
+        asset,
+        ["load_datetime", "load_dts"],
+        ["load_dts", "load_datetime", "loaded_at"],
+        "load datetime",
+    )
+    record_src = _dv_single(
+        asset, ["record_source"], ["record_source"], "record source"
+    )
 
     mandatory = [hash_key, load_dt, record_src] + related
     all_cols = ", ".join(quote_ident(c.name) for c in asset.columns)
@@ -436,10 +516,21 @@ WHERE NOT EXISTS (
 def _datavault_satellite(asset: Asset, query: str) -> list[str]:
     if not asset.columns:
         raise MaterializationError("datavault strategies require the `columns` field to be set")
-    hash_key = _dv_require(asset, "hash_key", "satellite")
-    hash_diff = _dv_require(asset, "hash_diff", "satellite")
-    load_dt = _dv_require(asset, "load_datetime", "satellite")
-    record_src = _dv_require(asset, "record_source", "satellite")
+    hash_key = _dv_hash_key(
+        asset, ["parent_hash_key", "hub_hash_key", "hash_key"], "parent_hash_key"
+    )
+    hash_diff = _dv_single(
+        asset, ["hashdiff", "hash_diff"], ["hashdiff", "hash_diff"], "hashdiff"
+    )
+    load_dt = _dv_single(
+        asset,
+        ["load_datetime", "load_dts"],
+        ["load_dts", "load_datetime", "loaded_at"],
+        "load datetime",
+    )
+    record_src = _dv_single(
+        asset, ["record_source"], ["record_source"], "record source"
+    )
 
     mandatory = [hash_key, hash_diff, load_dt, record_src]
     all_cols = ", ".join(quote_ident(c.name) for c in asset.columns)

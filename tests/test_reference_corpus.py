@@ -112,6 +112,55 @@ def test_corpus_pipeline_loads_renders_and_parses(pipedir):
             assert "7" in limited
         lineage = get_column_lineage(sql)
         assert isinstance(lineage["columns"], list)
+        # the materializer must render every reference (type, strategy)
+        # combination without raising; unsupported configs raise
+        # ValueError at LOAD time, never here
+        from bruin_spark.mat.strategies import render_materialization
+
+        if asset.materialization.type:
+            stmts2 = render_materialization(asset, sql)
+            assert stmts2 and all(isinstance(x, str) for x in stmts2)
+
+
+def test_corpus_format_roundtrip_preserves_model(tmp_path):
+    """Canonical re-serialization (`format`) of every corpus asset must
+    re-parse to the same reference-IR JSON — formatting can change
+    bytes, never meaning (ref: cmd/format.go + parse golden)."""
+    import shutil
+
+    from bruin_spark.model.formatter import format_asset_file
+    from bruin_spark.model.loader import load_asset_file
+    from bruin_spark.model.refjson import asset_to_reference_json
+
+    checked = 0
+    for pipedir in _pipeline_dirs():
+        short = os.path.basename(pipedir)
+        if short in EXPECTED_BROKEN:
+            continue
+        for root, _dirs, files in os.walk(os.path.join(pipedir, "assets")):
+            for fn in sorted(files):
+                if not fn.endswith((".sql", ".asset.yml")):
+                    continue
+                src = os.path.join(root, fn)
+                try:
+                    before = asset_to_reference_json(load_asset_file(src))
+                except (ValueError, KeyError):
+                    continue  # not loadable standalone (covered above)
+                # keep the FILENAME: nameless assets derive their name
+                # from it, so renaming would change the model
+                sub = tmp_path / str(checked)
+                sub.mkdir()
+                dst = sub / fn
+                shutil.copy(src, dst)
+                format_asset_file(str(dst), write=True)
+                after = asset_to_reference_json(load_asset_file(str(dst)))
+                # path-bearing fields differ by construction
+                for d in (before, after):
+                    d.pop("executable_file", None)
+                    d.pop("definition_file", None)
+                assert after == before, f"{short}/{fn} changed meaning on format"
+                checked += 1
+    assert checked >= 100, f"only {checked} assets checked"
 
 
 def _lineage_view(columns, upstreams):
