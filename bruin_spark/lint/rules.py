@@ -406,9 +406,22 @@ def _name_component_count(p: Pipeline, a: Asset) -> list[Issue]:
     return []
 
 
+#: the reference's type grammar is `<platform>.<kind>` for ~40 platforms
+#: (pipeline.go:35-169); every platform collapses to the one Spark
+#: backend here, so any platform-prefixed sql/seed/sensor type is valid
+_PLATFORM_TYPE_RE = re.compile(
+    r"^[a-z][a-z0-9_]*\.(sql|seed|source|sensor\.(query|table))$"
+)
+
+
 @asset_rule("valid-task-type")
 def _valid_task_type(p: Pipeline, a: Asset) -> list[Issue]:
-    if a.type and a.type not in _VALID_TYPES and not a.type.endswith(".source"):
+    if (
+        a.type
+        and a.type not in _VALID_TYPES
+        and not a.type.endswith(".source")
+        and not _PLATFORM_TYPE_RE.match(a.type)
+    ):
         return [Issue("valid-task-type", a.name, f"unknown type {a.type!r}")]
     return []
 

@@ -147,6 +147,20 @@ class Column:
         parser accepts the same strings (decimal(10,2), varchar(n), ...).
         """
         t = self.type or "string"
+        # cross-platform aliases Spark's DDL parser rejects or needs a
+        # size for: bare VARCHAR/CHAR (DATATYPE_MISSING_SIZE), TEXT,
+        # DATETIME — sized declarations (varchar(10)) pass through
+        low = t.strip().lower()
+        if "(" not in low:
+            alias = {
+                "varchar": "string",
+                "char": "string",
+                "text": "string",
+                "nvarchar": "string",
+                "datetime": "timestamp",
+            }.get(low)
+            if alias and self.length is None and self.precision is None:
+                t = alias
         if "(" in t:
             return t
         if self.precision is not None and self.scale is not None:

@@ -505,7 +505,9 @@ class Scheduler:
         op = self.operators.get(asset.type)
         if op is not None:
             return op(self.spark, asset, self.context)
-        if asset.type in ("spark.sql", "sql"):
+        # platform collapse: `<platform>.sql` from any of the reference's
+        # ~40 platforms executes on the one Spark backend (SURVEY §1.1)
+        if asset.type in ("spark.sql", "sql") or asset.type.endswith(".sql"):
             # interval modifiers are applied exactly ONCE, inside
             # render_asset_query; `ctx` here stays unshifted and the
             # time_interval bounds are derived from the same single
@@ -552,7 +554,9 @@ class Scheduler:
 
                 push_metadata(self.spark, asset)
             return None
-        if asset.type in ("spark.sensor.query", "spark.sensor.table", "spark.sensor.path"):
+        if asset.type in (
+            "spark.sensor.query", "spark.sensor.table", "spark.sensor.path"
+        ) or asset.type.endswith((".sensor.query", ".sensor.table")):
             from bruin_spark.operators import sensors
 
             kind = asset.type.rsplit(".", 1)[1]
@@ -569,7 +573,7 @@ class Scheduler:
             if kind == "table":
                 return sensors.table_sensor(self.spark, params["table"], **kwargs)
             return sensors.path_sensor(self.spark, params["path"], **kwargs)
-        if asset.type in ("spark.seed", "seed"):
+        if asset.type in ("spark.seed", "seed") or asset.type.endswith(".seed"):
             from bruin_spark.operators.assets_ops import run_seed
 
             return run_seed(self.spark, asset, self.context)

@@ -1,0 +1,256 @@
+"""Execute the reference's own materialization e2e fixtures on Spark.
+
+The reference's integration suite (integration_test.go) drives each
+``duckdb-materialization-*`` / ``duckdb-scd2-tests/*`` /
+``duckdb-datavault-materialization`` pipeline through a copy-asset →
+run → query → compare-CSV workflow against DuckDB. This module replays
+the same workflow against OUR engine: same pipeline dirs, same asset
+versions from ``resources/``, same verification queries, same golden
+CSVs — the strongest end-to-end statement that a reference user's
+pipelines produce identical tables here.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import shutil
+
+import pytest
+
+from bruin_spark.cli import main as cli_main
+
+CORPUS = "/root/reference/integration-tests/test-pipelines"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(CORPUS), reason="reference corpus not present"
+)
+
+
+def _golden_rows(path: str) -> list[list[str]]:
+    with open(path, newline="") as f:
+        return [row for row in csv.reader(f) if row]
+
+
+def _query_rows(spark, sql: str) -> list[list[str]]:
+    df = spark.sql(sql.rstrip(";"))
+
+    def cell(v) -> str:
+        if v is None:
+            return ""
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, float) and v == int(v):
+            return str(int(v))
+        return str(v)
+
+    return [list(df.columns)] + [[cell(v) for v in row] for row in df.collect()]
+
+
+_TS_RE = None
+
+
+def _norm(rows: list[list[str]]) -> list[list[str]]:
+    import re
+
+    global _TS_RE
+    if _TS_RE is None:
+        _TS_RE = re.compile(
+            r"^(\d{4}-\d{2}-\d{2})[T ](\d{2}:\d{2}:\d{2})(\.\d+)?(Z|\+00:?00)?$"
+        )
+    out = [[c.strip().lower() for c in rows[0]]]
+    for r in rows[1:]:
+        norm_r = []
+        for c in r:
+            c = c.strip()
+            m = _TS_RE.match(c)
+            if m:
+                # 2024-01-02T00:00:00Z == 2024-01-02 00:00:00(.000000)
+                norm_r.append(f"{m.group(1)} {m.group(2)}")
+                continue
+            try:
+                # 12.50 == 12.5 == 12.500000 (csv goldens vs Spark types)
+                norm_r.append(repr(float(c)))
+            except ValueError:
+                norm_r.append(c)
+        out.append(norm_r)
+    return out
+
+
+#: (fixture dir, asset file, [version files], verify query,
+#:  [expected csv per phase]) — straight from integration_test.go's
+#: per-fixture workflows
+MAT_CASES = [
+    (
+        "duckdb-materialization-merge",
+        "inventory.sql",
+        ["inventory_v1.sql", "inventory_v2.sql"],
+        "SELECT * FROM test.inventory ORDER BY item_id",
+        ["initial.csv", "after_merge.csv"],
+    ),
+    (
+        "duckdb-materialization-create-replace",
+        "orders.sql",
+        ["orders_v1.sql", "orders_v2.sql"],
+        "SELECT * FROM test.orders ORDER BY order_id",
+        ["initial.csv", "replaced.csv"],
+    ),
+    (
+        "duckdb-materialization-append",
+        "logs.sql",
+        ["logs_v1.sql", "logs_v2.sql"],
+        "SELECT * FROM test.logs ORDER BY log_id",
+        ["initial.csv", "after_append.csv"],
+    ),
+    (
+        "duckdb-materialization-delete-insert",
+        "products.sql",
+        ["products_v1.sql", "products_v2.sql"],
+        "SELECT * FROM test.products ORDER BY product_id",
+        ["initial.csv", "after_delete_insert.csv"],
+    ),
+    (
+        "duckdb-materialization-truncate-insert",
+        "books.sql",
+        ["books_v1.sql", "books_v2.sql"],
+        "SELECT * FROM test.books ORDER BY book_id",
+        ["initial.csv", "after_truncate.csv"],
+    ),
+]
+
+
+def _stage(tmp_path, fixture: str, sub: str | None = None):
+    src = os.path.join(CORPUS, fixture)
+    dst = tmp_path / os.path.basename(fixture)
+    shutil.copytree(src, dst)
+    return dst
+
+
+def _run(d, *extra) -> int:
+    return cli_main(
+        ["run", str(d), "--start", "2024-01-01", "--end", "2024-01-02", *extra]
+    )
+
+
+@pytest.mark.parametrize(
+    "fixture,asset,versions,query,goldens",
+    MAT_CASES,
+    ids=[c[0] for c in MAT_CASES],
+)
+def test_reference_materialization_fixture(
+    spark, tmp_path, fixture, asset, versions, query, goldens
+):
+    d = _stage(tmp_path, fixture)
+    table = query.split("FROM ", 1)[1].split()[0]
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    for phase, (version, golden) in enumerate(zip(versions, goldens)):
+        shutil.copy(d / "resources" / version, d / "assets" / asset)
+        rc = _run(d, *(["--full-refresh"] if phase == 0 else []))
+        assert rc == 0, f"{fixture} phase {phase} run failed"
+        got = _norm(_query_rows(spark, query))
+        want = _norm(_golden_rows(os.path.join(CORPUS, fixture, "expectations", golden)))
+        assert got == want, f"{fixture} phase {phase} ({golden}) mismatch"
+
+
+@pytest.mark.parametrize(
+    "fixture,query,goldens",
+    [
+        (
+            "duckdb-scd2-tests/scd2-by-column-pipeline",
+            "SELECT ID, Name, Price, _is_current FROM test.menu ORDER BY ID, _valid_from",
+            [
+                "scd2_by_col_expected_initial.csv",
+                "scd2_by_col_expected_updated_01.csv",
+                "scd2_by_col_expected_updated_02.csv",
+            ],
+        ),
+        (
+            "duckdb-scd2-tests/scd2-by-time-pipeline",
+            "SELECT product_id, product_name, stock, _is_current, _valid_from "
+            "FROM test.products ORDER BY product_id, _valid_from",
+            [
+                "scd2_by_time_expected_initial.csv",
+                "scd2_by_time_expected_update_01.csv",
+                "scd2_by_time_expected_update_02.csv",
+            ],
+        ),
+    ],
+    ids=["scd2-by-column", "scd2-by-time"],
+)
+def test_reference_scd2_fixture(spark, tmp_path, fixture, query, goldens):
+    d = _stage(tmp_path, fixture)
+    asset = next(f for f in os.listdir(d / "assets") if f.endswith(".sql"))
+    resources = os.path.join(CORPUS, "duckdb-scd2-tests", "resources")
+    stem = os.path.splitext(asset)[0]
+    versions = [None] + [
+        os.path.join(resources, f)
+        for f in sorted(os.listdir(resources))
+        if f.startswith(stem + "_updated")
+    ]
+    table = query.split("FROM ", 1)[1].split()[0]
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    assert len(versions) == len(goldens), (versions, goldens)
+    for phase, (version, golden) in enumerate(zip(versions, goldens)):
+        if version is not None:
+            shutil.copy(version, d / "assets" / asset)
+        rc = _run(d, *(["--full-refresh"] if phase == 0 else []))
+        assert rc == 0, f"{fixture} phase {phase} run failed"
+        got = _norm(_query_rows(spark, query))
+        want = _norm(
+            _golden_rows(os.path.join(CORPUS, fixture, "expectations", golden))
+        )
+        assert got == want, f"{fixture} phase {phase} ({golden}) mismatch"
+
+
+def test_reference_datavault_fixture(spark, tmp_path):
+    """Two-phase Data Vault load (hub + link + satellite fed by a staged
+    orders view), verified against the reference's final_* goldens."""
+    fixture = "duckdb-datavault-materialization"
+    d = _stage(tmp_path, fixture)
+    for t in (
+        "rdv.hub_customer",
+        "rdv.link_customer_order",
+        "rdv.sat_customer_details",
+        "stg.customer_orders",
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        spark.sql(f"DROP VIEW IF EXISTS {t}")
+    for phase, version in enumerate(["customer_orders_v1.sql", "customer_orders_v2.sql"]):
+        shutil.copy(d / "resources" / version, d / "assets" / "customer_orders.sql")
+        rc = _run(d, *(["--full-refresh"] if phase == 0 else []))
+        assert rc == 0, f"datavault phase {phase} run failed"
+    checks = [
+        (
+            "SELECT customer_hk, customer_bk, date_format(load_dts, "
+            "'yyyy-MM-dd HH:mm:ss') AS load_dts, record_source "
+            "FROM rdv.hub_customer ORDER BY customer_hk",
+            "final_hub.csv",
+        ),
+        (
+            "SELECT customer_order_hk, customer_hk, order_hk "
+            "FROM rdv.link_customer_order ORDER BY customer_order_hk",
+            "final_link.csv",
+        ),
+    ]
+    for query, golden in checks:
+        got = _norm(_query_rows(spark, query))
+        want = _norm(
+            _golden_rows(os.path.join(CORPUS, fixture, "expectations", golden))
+        )
+        assert got == want, f"datavault {golden} mismatch"
+
+
+def test_reference_hooks_fixture(spark, tmp_path):
+    """Pre/post hooks run around the main write in declared order
+    (hook_log.csv golden)."""
+    d = _stage(tmp_path, "duckdb-hooks-pipeline")
+    spark.sql("DROP TABLE IF EXISTS hooks_test.hook_log")
+    rc = _run(d)
+    assert rc == 0
+    got = _norm(_query_rows(spark, "SELECT step FROM hooks_test.hook_log ORDER BY step"))
+    want = _norm(
+        _golden_rows(
+            os.path.join(CORPUS, "duckdb-hooks-pipeline", "expectations", "hook_log.csv")
+        )
+    )
+    assert got == want
