@@ -141,6 +141,109 @@ def apply_glossary(pipe: Pipeline, glossary: dict[str, dict[str, dict]]) -> None
                 col.description = spec["description"]
 
 
+def _is_sql_type(t: str) -> bool:
+    return t in ("spark.sql", "sql") or t.endswith(".sql")
+
+
+def _apply_asset_defaults(asset, dv: dict) -> None:
+    """Apply the pipeline-level ``default:`` block to one asset
+    (ref: pipeline.go:3220-3310 SetupDefaults): every field fills only
+    when the asset doesn't set it; hooks only reach SQL assets."""
+    declared_type = bool((asset.raw or {}).get("type"))
+    ext_inferred = (asset.file_path or "").endswith((".sql", ".py"))
+    if dv.get("type") and not declared_type and not ext_inferred:
+        asset.type = str(dv["type"])
+    if dv.get("owner") and not asset.owner:
+        asset.owner = str(dv["owner"])
+    if dv.get("tier") and not asset.tier:
+        asset.tier = str(dv["tier"])
+    for k, v in (dv.get("parameters") or {}).items():
+        asset.parameters.setdefault(k, v)
+    for tag in dv.get("tags") or []:
+        if tag not in asset.tags:
+            asset.tags.append(tag)
+    have_secrets = {s.get("secret_key") for s in asset.secrets}
+    for s in dv.get("secrets") or []:
+        key = (s.get("key") or s.get("secret_key") or "") if isinstance(s, dict) else str(s)
+        if key and key not in have_secrets:
+            have_secrets.add(key)
+            asset.secrets.append(
+                {
+                    "secret_key": key,
+                    "injected_key": (
+                        s.get("inject_as") or s.get("injected_key") or key
+                    )
+                    if isinstance(s, dict)
+                    else key,
+                }
+            )
+    hooks_dv = dv.get("hooks") or {}
+    if _is_sql_type(asset.type):
+        for ph in ("pre", "post"):
+            if not asset.hooks.get(ph) and hooks_dv.get(ph):
+                asset.hooks[ph] = [
+                    str(h.get("query") or h.get("sql") or "")
+                    if isinstance(h, dict)
+                    else str(h)
+                    for h in hooks_dv[ph]
+                ]
+    for side in ("start", "end"):
+        mods = dv.get("interval_modifiers") or {}
+        if mods.get(side) and not (asset.interval_modifiers or {}).get(side):
+            asset.interval_modifiers[side] = mods[side]
+    # rerun_cooldown: positive default inherits; -1 on the asset opts out
+    # (ref: pipeline.go:3303-3305)
+    dc = dv.get("rerun_cooldown")
+    if dc is not None and int(dc) > 0 and asset.rerun_cooldown is None:
+        asset.rerun_cooldown = int(dc)
+
+
+def find_glossary_dir(path: str) -> str | None:
+    """Nearest directory at-or-above ``path`` holding a glossary.yml —
+    the reference resolves the glossary from the repo root, not only the
+    pipeline dir (pkg/glossary GetGlossary walks to the repo root)."""
+    cur = os.path.abspath(path)
+    while True:
+        for fn in ("glossary.yml", "glossary.yaml"):
+            if os.path.exists(os.path.join(cur, fn)):
+                return cur
+        if os.path.isdir(os.path.join(cur, ".git")):
+            return None
+        parent = os.path.dirname(cur)
+        if parent == cur:
+            return None
+        cur = parent
+
+
+def expand_entity_extends(pipe: Pipeline, glossary: dict[str, dict[str, dict]]) -> None:
+    """Asset-level ``extends: [Entity]``: each entity attribute that no
+    declared column already covers (via column-level ``extends:
+    Entity.attr``) is appended as a column, attributes in sorted order,
+    inheriting type/description (ref: pipeline.go:4015-4061 +
+    EnrichFromEntityAttributes 1747-1784)."""
+    from bruin_spark.model.pipeline import Column
+
+    for asset in pipe.assets:
+        if not asset.extends:
+            continue
+        covered = {c.extends for c in asset.columns if c.extends}
+        for entity in asset.extends:
+            attrs = glossary.get(entity, {})
+            for attr in sorted(attrs):
+                ref = f"{entity}.{attr}"
+                if ref in covered:
+                    continue
+                spec = attrs[attr] or {}
+                asset.columns.append(
+                    Column(
+                        name=attr,
+                        type=spec.get("type", "") or "",
+                        description=spec.get("description", "") or "",
+                        extends=ref,
+                    )
+                )
+
+
 def load_pipeline(path: str) -> Pipeline:
     """Load a pipeline directory: pipeline.yml + assets/** (+glossary)."""
     pipeline_yml = os.path.join(path, "pipeline.yml")
@@ -179,16 +282,10 @@ def load_pipeline(path: str) -> Pipeline:
                         # the whole pipeline unloadable — record it so lint
                         # reports a named issue instead of a traceback
                         pipe.load_errors.append(f"{fpath}: {exc}")
-    # pipeline-level `default:` block: assets with no explicit
-    # rerun_cooldown inherit the pipeline default when it is positive
-    # (ref: pipeline.go:3303-3305; -1 on the asset opts out)
     default_values = d.get("default") or {}
-    if isinstance(default_values, dict):
-        default_cooldown = default_values.get("rerun_cooldown")
-        if default_cooldown is not None and int(default_cooldown) > 0:
-            for asset in pipe.assets:
-                if asset.rerun_cooldown is None:
-                    asset.rerun_cooldown = int(default_cooldown)
+    if isinstance(default_values, dict) and default_values:
+        for asset in pipe.assets:
+            _apply_asset_defaults(asset, default_values)
 
     macros_dir = os.path.join(path, "macros")
     if os.path.isdir(macros_dir):
@@ -198,8 +295,11 @@ def load_pipeline(path: str) -> Pipeline:
                 with open(os.path.join(macros_dir, fn), encoding="utf-8") as f:
                     parts.append(f.read())
         pipe.macros = "\n".join(parts)
-    glossary = load_glossary(path)
-    if glossary:
-        apply_glossary(pipe, glossary)
-    pipe.glossary_domains = load_glossary_domains(path)
+    gdir = find_glossary_dir(path)
+    if gdir is not None:
+        glossary = load_glossary(gdir)
+        if glossary:
+            expand_entity_extends(pipe, glossary)
+            apply_glossary(pipe, glossary)
+        pipe.glossary_domains = load_glossary_domains(gdir)
     return pipe

@@ -266,6 +266,10 @@ class Asset:
     # bruin_spark.unittests
     unit_tests: list[dict[str, Any]] = field(default_factory=list)
     uri: str = ""  # cross-pipeline address (ref: pipeline.go Asset.URI)
+    start_date: str = ""  # per-asset start date (ref: pipeline.go Asset)
+    # asset-level glossary entity inheritance: every attribute of each
+    # listed entity becomes a column (ref: pipeline.go:4015-4061)
+    extends: list[str] = field(default_factory=list)
     # seconds to wait before re-running a failed attempt; -1 means
     # explicitly none even when the pipeline default sets one
     # (ref: pipeline.go:1332 RerunCooldown, translation to retries_delay
@@ -333,6 +337,8 @@ class Asset:
             owner=d.get("owner", "") or "",
             tier=str(d.get("tier", "") or ""),
             interval_modifiers=d.get("interval_modifiers", {}) or {},
+            start_date=str(d.get("start_date", "") or ""),
+            extends=[str(e) for e in d.get("extends", []) or []],
             rerun_cooldown=(
                 int(d["rerun_cooldown"]) if d.get("rerun_cooldown") is not None
                 else None

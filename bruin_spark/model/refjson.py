@@ -37,9 +37,16 @@ def _relpath(path: str, base: str | None) -> str:
     return path
 
 
+def _entity_attribute(c: Column):
+    if not c.extends or "." not in c.extends:
+        return None
+    entity, attr = c.extends.split(".", 1)
+    return {"entity": entity, "attribute": attr}
+
+
 def _column_json(asset: Asset, c: Column) -> dict[str, Any]:
     return {
-        "entity_attribute": None,
+        "entity_attribute": _entity_attribute(c),
         "name": c.name,
         "source_column": "",
         "type": c.type,
@@ -103,7 +110,7 @@ def asset_to_reference_json(asset: Asset, base_dir: str | None = None) -> dict[s
         "name": asset.name,
         "type": asset.type,
         "description": asset.description,
-        "start_date": "",
+        "start_date": asset.start_date,
         "connection": str(
             asset.parameters.get("connection", "")
             or (asset.raw or {}).get("connection", "")
@@ -140,7 +147,7 @@ def asset_to_reference_json(asset: Asset, base_dir: str | None = None) -> dict[s
             }
             for s in asset.secrets
         ],
-        "extends": None,
+        "extends": list(asset.extends) or None,
         "columns": [_column_json(asset, c) for c in asset.columns],
         "custom_checks": [
             {
@@ -172,6 +179,50 @@ def asset_to_reference_json(asset: Asset, base_dir: str | None = None) -> dict[s
             dict(asset.interval_modifiers) if asset.interval_modifiers else None
         ),
         "retries": None,
+    }
+
+
+def _default_block_json(dv) -> dict[str, Any] | None:
+    """The pipeline `default:` block in the IR's shape (note the golden's
+    Go-cased secret keys — SecretMapping has no json tags in this
+    position)."""
+    if not isinstance(dv, dict) or not dv:
+        return None
+    hooks = dv.get("hooks") or {}
+    return {
+        "type": str(dv.get("type", "") or ""),
+        "materialization": dv.get("materialization"),
+        "parameters": {
+            k: str(v) for k, v in (dv.get("parameters") or {}).items()
+        },
+        "secrets": [
+            {
+                "SecretKey": s.get("key") or s.get("secret_key") or "",
+                "InjectedKey": s.get("inject_as")
+                or s.get("injected_key")
+                or s.get("key")
+                or "",
+            }
+            if isinstance(s, dict)
+            else {"SecretKey": str(s), "InjectedKey": str(s)}
+            for s in dv.get("secrets") or []
+        ]
+        or None,
+        "hooks": {
+            ph: [
+                {"query": str(h.get("query") or h.get("sql") or "")}
+                if isinstance(h, dict)
+                else {"query": str(h)}
+                for h in hooks[ph]
+            ]
+            for ph in ("pre", "post")
+            if hooks.get(ph)
+        }
+        or None,
+        "snowflake": None,
+        "athena": None,
+        "bigquery": None,
+        "interval_modifiers": dv.get("interval_modifiers"),
     }
 
 
@@ -215,6 +266,12 @@ def pipeline_to_reference_json(
         "agent": False,
         "variables": raw.get("variables"),
         "selected_variant": "",
+        # key present only when the pipeline sets one (omitempty)
+        **(
+            {"default": _default_block_json(raw.get("default"))}
+            if isinstance(raw.get("default"), dict) and raw.get("default")
+            else {}
+        ),
         "macros": macros,
         "assets": [
             asset_to_reference_json(a, base_dir) for a in pipe.assets

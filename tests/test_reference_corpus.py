@@ -235,16 +235,25 @@ def test_lineage_fold_matches_reference_golden(fixture):
         assert got == want, f"{fixture}/{ga['name']} lineage mismatch"
 
 
-def test_parse_ir_json_matches_reference_golden_byte_level():
+@pytest.mark.parametrize(
+    "fixture,expfile",
+    [
+        ("parse-whole-pipeline", "pipeline.yml.json"),
+        ("parse-happy-path", "pipeline.yml.json"),
+        ("parse-default-option", "pipeline.yml.json"),
+        ("parse-asset-extends", "pipeline.json"),
+    ],
+)
+def test_parse_ir_json_matches_reference_golden_byte_level(fixture, expfile):
     """The serialized parse IR (model/refjson.py) deep-equals the
-    reference's own pipeline.yml.json golden — ids included (asset id =
+    reference's own parse goldens — ids included (asset id =
     sha256(name), check id = sha256(asset-column-check)) — modulo file
     paths, which both sides reduce to their trailing components, and the
-    handful of reference fields with no single-platform meaning."""
-    pipedir = os.path.join(CORPUS, "parse-whole-pipeline")
-    golden = json.load(
-        open(os.path.join(pipedir, "expectations", "pipeline.yml.json"))
-    )
+    handful of reference fields with no single-platform meaning. Covers
+    the `default:` block fan-out, asset-level glossary `extends`, and
+    per-asset start_date fixtures."""
+    pipedir = os.path.join(CORPUS, fixture)
+    golden = json.load(open(os.path.join(pipedir, "expectations", expfile)))
     from bruin_spark.model.refjson import pipeline_to_reference_json
 
     ours = pipeline_to_reference_json(load_pipeline(pipedir), base_dir=CORPUS)
