@@ -240,6 +240,72 @@ def test_reference_datavault_fixture(spark, tmp_path):
         assert got == want, f"datavault {golden} mismatch"
 
 
+def test_reference_interval_modifiers_fixture(spark, tmp_path):
+    """--apply-interval-modifiers shifts the window by each asset's
+    modifiers (-2h/-2h here): with a 09:30-11:30 run window only the
+    08:00 and 09:00 rows survive (final_expected.json golden)."""
+    import json as _json
+
+    d = _stage(tmp_path, "interval-modifiers-pipeline")
+    spark.sql("DROP TABLE IF EXISTS products")
+    rc = cli_main(
+        [
+            "run",
+            str(d),
+            "--start",
+            "2025-04-02T09:30:00",
+            "--end",
+            "2025-04-02T11:30:00",
+            "--apply-interval-modifiers",
+        ]
+    )
+    assert rc == 0
+    golden = _json.load(
+        open(
+            os.path.join(
+                CORPUS,
+                "interval-modifiers-pipeline",
+                "expectations",
+                "final_expected.json",
+            )
+        )
+    )
+    rows = _query_rows(spark, "SELECT * FROM products ORDER BY product_id")
+    want = [[str(c).lower() for c in [col["name"] for col in golden["columns"]]]] + [
+        [str(v) for v in r] for r in golden["rows"]
+    ]
+    assert _norm(rows) == _norm(want)
+
+
+def test_reference_decimal_fixture(spark, tmp_path):
+    """Decimal literals keep scale/precision through a view
+    materialization (expected.json golden)."""
+    import json as _json
+
+    d = _stage(tmp_path, "duckdb-decimal-pipeline")
+    rc = _run(d)
+    assert rc == 0
+    golden = _json.load(
+        open(
+            os.path.join(
+                CORPUS, "duckdb-decimal-pipeline", "expectations", "expected.json"
+            )
+        )
+    )
+    rows = _query_rows(spark, "SELECT * FROM simple_decimal_test")
+    def cell(v) -> str:
+        if v is None:
+            return ""
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        return str(v)
+
+    want = [[c["name"] for c in golden["columns"]]] + [
+        [cell(v) for v in r] for r in golden["rows"]
+    ]
+    assert _norm(rows) == _norm(want)
+
+
 def test_reference_hooks_fixture(spark, tmp_path):
     """Pre/post hooks run around the main write in declared order
     (hook_log.csv golden)."""
