@@ -145,8 +145,14 @@ class SemanticEngine:
         return self.model, "", dim
 
     def _dim_alias(self, ref: DimensionRef) -> str:
+        """Output alias: the dimension name itself. The granularity
+        suffix appears only on joined (dotted) refs — a same-model time
+        dimension at month grain still aliases as its own name
+        (ref: graph.go:278-295 bindDimension)."""
         base = ref.name.replace(".", "_")
-        return f"{base}_{ref.granularity}" if ref.granularity else base
+        if ref.granularity and "." in ref.name:
+            return f"{base}_{ref.granularity}"
+        return base
 
     def _dim_sql(self, ref: DimensionRef) -> str:
         model, rel, dim = self._resolve_dim(ref)
@@ -234,8 +240,21 @@ class SemanticEngine:
         self._has_joins_cache = bool(joins)
         return joins
 
+    @staticmethod
+    def _rel_sql(table: str, alias: str) -> str:
+        """A FROM-clause relation. A source may be a full derived table
+        ('(SELECT ... ) AS x' — the reference's semantic fixtures inline
+        data this way); wrapping it in SELECT * keeps OUR alias valid
+        regardless of any alias the source text already carries
+        (graph.go:197-215 wraps the same way)."""
+        import re as _re
+
+        if _re.search(r"[\s()]", table.strip()):
+            return f"(SELECT * FROM {table}) AS {alias}"
+        return f"{table} AS {alias}"
+
     def _from_sql(self, joins) -> str:
-        out = f" FROM {self.model.table} AS {self.model.name}"
+        out = f" FROM {self._rel_sql(self.model.table, self.model.name)}"
         for j in joins:
             target = self.models[j.target_model]
             if j.sql:
@@ -243,7 +262,7 @@ class SemanticEngine:
             else:
                 tk = j.target_key or target.primary_key
                 on = f"{self.model.name}.{j.foreign_key} = {j.name}.{tk}"
-            out += f" LEFT JOIN {target.table} AS {j.name} ON {on}"
+            out += f" LEFT JOIN {self._rel_sql(target.table, j.name)} ON {on}"
         return out
 
     # -- metric expansion ----------------------------------------------------
@@ -344,13 +363,26 @@ class SemanticEngine:
 
         return self._expand_refs(m.expression, resolve)
 
+    def _window_col(self, col: str) -> str:
+        """Canonical inner alias for a window partition/order column:
+        metric names and live aliases pass through; a granularity-
+        suffixed dimension spelling ('created_day') maps to the
+        dimension's output alias."""
+        base = col.split()[0] if col else ""
+        if not base or base in self.metrics or base in self.dims:
+            return col
+        ref = self._ref_for_alias(base)
+        if ref is not None:
+            return col.replace(base, self._dim_alias(ref), 1)
+        return col
+
     def _window_sql(self, m: Metric) -> str:
         w = m.window
         refs = _REF.findall(m.expression)
         ref = refs[0] if refs else ""
-        parts = ", ".join(f"base.{p}" for p in w.partition_by)
+        parts = ", ".join(f"base.{self._window_col(p)}" for p in w.partition_by)
         partition = f"PARTITION BY {parts} " if parts else ""
-        order = f"base.{w.order_by}"
+        order = f"base.{self._window_col(w.order_by)}"
         if w.type == "running_total":
             return f"SUM(base.{ref}) OVER ({partition}ORDER BY {order} ROWS UNBOUNDED PRECEDING)"
         if w.type == "lag":
@@ -527,12 +559,17 @@ class SemanticEngine:
                 if not col or col in aliases or col in inner_metric_names:
                     continue
                 # granularity aliases ("order_date_month") resolve back to
-                # the (dimension, granularity) pair they name
+                # the (dimension, granularity) pair they name; their
+                # CANONICAL alias may already be selected (the reference
+                # aliases same-model grains by dimension name alone)
                 ref = self._ref_for_alias(col)
                 if ref is None:
                     raise SemanticError(f"window column not found: {col}")
+                ralias = self._dim_alias(ref)
+                if ralias in aliases:
+                    continue
                 inner_dims.append(ref)
-                aliases.add(col)
+                aliases.add(ralias)
 
         sel, group = [], []
         for i, d in enumerate(inner_dims):

@@ -66,7 +66,7 @@ ORDERS_MODEL = Model(
         Metric(
             name="running_revenue",
             expression="{revenue}",
-            window=WindowSpec(type="running_total", order_by="order_date_month"),
+            window=WindowSpec(type="running_total", order_by="order_date"),
         ),
         Metric(
             name="revenue_rank",
@@ -76,7 +76,7 @@ ORDERS_MODEL = Model(
         Metric(
             name="prev_month_revenue",
             expression="{revenue}",
-            window=WindowSpec(type="lag", order_by="order_date_month", offset=1),
+            window=WindowSpec(type="lag", order_by="order_date", offset=1),
         ),
         Metric(
             name="revenue_share",
@@ -144,7 +144,7 @@ def _q_monthly_window() -> Query:
     return Query(
         dimensions=[DimensionRef("order_date", granularity="month")],
         metrics=["revenue", "running_revenue", "prev_month_revenue", "revenue_share"],
-        sort=[SortSpec("order_date_month")],
+        sort=[SortSpec("order_date")],
     )
 
 

@@ -306,6 +306,92 @@ def test_reference_decimal_fixture(spark, tmp_path):
     assert _norm(rows) == _norm(want)
 
 
+def test_reference_semantic_query_goldens(spark):
+    """The reference's semantic-query fixtures (self-contained models
+    with inline data under integration-tests/semantic/) through OUR
+    loader + compiler, pinned to the reference's four expectation files:
+    month-grain + filter + segment, window metric over day grain,
+    single-model sort, and a joined-entity dimension."""
+    import json as _json
+
+    from bruin_spark.semantic import SemanticEngine
+    from bruin_spark.semantic.loader import load_semantic_dir
+    from bruin_spark.semantic.model import DimensionRef, Filter, Query, SortSpec
+
+    sem_dir = "/root/reference/integration-tests/semantic"
+    models = load_semantic_dir(sem_dir)
+    model = models["orders"]
+    others = [m for m in models.values() if m.name != "orders"]
+
+    def run(q):
+        return SemanticEngine(model, others).generate_sql(q)
+
+    exp_dir = os.path.join(CORPUS, "semantic-query-pipeline", "expectations")
+
+    # 1. cli-flags: month grain + structured filter + segment + sort
+    sql = run(
+        Query(
+            dimensions=[DimensionRef("order_date", granularity="month")],
+            metrics=["revenue", "avg_order_value"],
+            segments=["completed"],
+            filters=[Filter(dimension="country", operator="equals", value="US")],
+            sort=[SortSpec("order_date")],
+        )
+    )
+    golden = _json.load(open(os.path.join(exp_dir, "expected-cli-flags.json")))
+    got = _norm(_query_rows(spark, sql))
+    want = _norm(
+        [[c["name"] for c in golden["columns"]]]
+        + [[str(v) for v in r] for r in golden["rows"]]
+    )
+    assert got == want
+
+    # 2. window metric (running_total partitioned by country, day grain)
+    sql = run(
+        Query(
+            dimensions=[DimensionRef("country"), DimensionRef("order_date", granularity="day")],
+            metrics=["revenue", "running_revenue"],
+            segments=["completed"],
+            sort=[SortSpec("country"), SortSpec("order_date")],
+        )
+    )
+    golden = _json.load(open(os.path.join(exp_dir, "expected-window.json")))
+    got = _norm(_query_rows(spark, sql))
+    want = _norm(
+        [[c["name"] for c in golden["columns"]]]
+        + [[str(v) for v in r] for r in golden["rows"]]
+    )
+    assert got == want
+
+    # 3. single-model country revenue (CSV golden)
+    sql = run(
+        Query(
+            dimensions=[DimensionRef("country")],
+            metrics=["revenue"],
+            segments=["completed"],
+            sort=[SortSpec("revenue", "desc")],
+        )
+    )
+    got = _norm(_query_rows(spark, sql))
+    want = _norm(_golden_rows(os.path.join(exp_dir, "expected-country.csv")))
+    assert got == want
+
+    # 4. joined entity-graph dimension (customers.country)
+    sql = run(
+        Query(
+            dimensions=[DimensionRef("customers.country")],
+            metrics=["revenue"],
+            segments=["completed"],
+            sort=[SortSpec("revenue", "desc")],
+        )
+    )
+    got = _norm(_query_rows(spark, sql))
+    want = _norm(
+        _golden_rows(os.path.join(exp_dir, "expected-customer-country.csv"))
+    )
+    assert got == want
+
+
 def test_reference_hooks_fixture(spark, tmp_path):
     """Pre/post hooks run around the main write in declared order
     (hook_log.csv golden)."""

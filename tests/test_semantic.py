@@ -123,7 +123,7 @@ def test_granularity():
     sql = make_engine().generate_sql(
         Query(dimensions=[DimensionRef("created", granularity="day")], metrics=["n"])
     )
-    assert "CAST(created_at AS DATE) AS created_day" in sql
+    assert "CAST(created_at AS DATE) AS created" in sql  # same-model grain aliases by dim name (graph.go:278-295)
 
 
 def test_granularity_on_non_time_rejected():
@@ -137,8 +137,8 @@ def test_window_wraps_two_level():
     sql = make_engine().generate_sql(
         Query(dimensions=[DimensionRef("created", granularity="day")], metrics=["revenue", "run"])
     )
-    assert sql.startswith("SELECT base.created_day, base.revenue AS revenue, SUM(base.revenue) OVER (")
-    assert "FROM (SELECT CAST(created_at AS DATE) AS created_day, SUM(amount) AS revenue" in sql
+    assert sql.startswith("SELECT base.created, base.revenue AS revenue, SUM(base.revenue) OVER (")
+    assert "FROM (SELECT CAST(created_at AS DATE) AS created, SUM(amount) AS revenue" in sql
     assert "ROWS UNBOUNDED PRECEDING) AS run" in sql
 
 
