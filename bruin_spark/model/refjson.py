@@ -111,11 +111,7 @@ def asset_to_reference_json(asset: Asset, base_dir: str | None = None) -> dict[s
         "type": asset.type,
         "description": asset.description,
         "start_date": asset.start_date,
-        "connection": str(
-            asset.parameters.get("connection", "")
-            or (asset.raw or {}).get("connection", "")
-            or ""
-        ),
+        "connection": str((asset.raw or {}).get("connection", "") or ""),
         "tags": list(asset.tags),
         "domains": [],
         "meta": {},
@@ -137,9 +133,7 @@ def asset_to_reference_json(asset: Asset, base_dir: str | None = None) -> dict[s
         "owner": asset.owner,
         "executable_file": {"name": fname, "path": fpath, "content": ""},
         "definition_file": {"name": fname, "path": fpath, "type": def_type},
-        "parameters": {
-            k: v for k, v in asset.parameters.items() if k != "connection"
-        },
+        "parameters": {k: str(v) for k, v in asset.parameters.items()},
         "secrets": [
             {
                 "secret_key": s.get("secret_key", ""),
