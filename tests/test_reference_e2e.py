@@ -392,6 +392,77 @@ def test_reference_semantic_query_goldens(spark):
     assert got == want
 
 
+def test_reference_custom_check_count_fixtures(spark, tmp_path, capsys):
+    """custom check count mode: passing fixture exits 0; failing fixture
+    exits 1 and reports actual-vs-expected (ref integration suite
+    custom-check-count-{true,false})."""
+    d = _stage(tmp_path, "custom-check-count-true")
+    spark.sql("DROP TABLE IF EXISTS products")
+    assert _run(d) == 0
+    capsys.readouterr()
+    d = _stage(tmp_path, "custom-check-count-false")
+    spark.sql("DROP TABLE IF EXISTS products")
+    rc = _run(d)
+    out = capsys.readouterr()
+    assert rc == 1
+    joined = out.out + out.err
+    assert "row_count" in joined and "7" in joined and "4" in joined
+
+
+def test_reference_malformed_sql_fixture(spark, tmp_path, capsys):
+    """A syntax error in one asset fails the run (exit 1) with the engine
+    parser's diagnostic, not a traceback (run-malformed-pipeline)."""
+    d = _stage(tmp_path, "run-malformed-pipeline")
+    rc = _run(d)
+    out = capsys.readouterr()
+    assert rc == 1
+    assert "S_ELECT_" in (out.out + out.err)
+
+
+def test_reference_empty_py_asset_fixture(spark, tmp_path):
+    """An empty python asset runs as a no-op success (empty-py-asset)."""
+    d = _stage(tmp_path, "empty-py-asset")
+    assert _run(d) == 0
+
+
+def test_reference_render_template_this_fixture(tmp_path, capsys):
+    """{{ this }} + {{ full_refresh }} branch rendering
+    (render-template-this-pipeline expectations)."""
+    d = _stage(tmp_path, "render-template-this-pipeline")
+    rc = cli_main(
+        [
+            "render",
+            str(d),
+            "render_this.test_full_refresh",
+            "--start",
+            "2024-01-15",
+            "--end",
+            "2024-01-31",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "'render_this.test_full_refresh' AS asset_name" in out
+    assert "'INCREMENTAL_MODE' AS refresh_mode" in out
+    assert "'2024-01-15' AS start_date" in out
+    rc = cli_main(
+        [
+            "render",
+            str(d),
+            "render_this.test_full_refresh",
+            "--full-refresh",
+            "--start",
+            "2024-01-15",
+            "--end",
+            "2024-01-31",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "'FULL_REFRESH_MODE' AS refresh_mode" in out
+    assert "'2020-01-01' AS start_date" in out
+
+
 def test_reference_hooks_fixture(spark, tmp_path):
     """Pre/post hooks run around the main write in declared order
     (hook_log.csv golden)."""
