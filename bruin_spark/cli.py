@@ -305,7 +305,16 @@ def _cmd_run_resolved(args, pipe, ctx, environment, _conn_specs, masker) -> int:
     for iid in res.upstream_failed:
         print(f"up!  {iid}")
     for iid in res.failed:
-        print(f"FAIL {iid}: {sched.instances[iid].error.splitlines()[0] if sched.instances[iid].error else ''}")
+        err = sched.instances[iid].error or ""
+        # first MEANINGFUL line: Spark parse/analysis exceptions start
+        # with an empty line after the class name, so taking line 0
+        # verbatim would drop the actual diagnostic ('syntax error at or
+        # near ...') the user needs
+        lines = [ln.strip() for ln in err.splitlines() if ln.strip()]
+        head = lines[0] if lines else ""
+        if head.endswith(":") and len(lines) > 1:
+            head = f"{head} {lines[1]}"
+        print(f"FAIL {iid}: {head}")
     return 0 if res.ok else 1
 
 
