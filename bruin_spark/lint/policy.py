@@ -259,6 +259,64 @@ _ALLOWED_NODES: tuple[type, ...] = (
 )
 
 
+def _to_snake(name: str) -> str:
+    return re.sub(r"(?<!^)(?=[A-Z])", "_", name).lower()
+
+
+class _DualCase:
+    """expr-lang compatibility view over a model object: policy files
+    written for the reference address Go-cased fields (``asset.Name``,
+    ``asset.Columns``, ``asset.Tags`` — pkg/lint/policy.go evaluates
+    expr-lang against the Go structs), while Python-dialect criteria use
+    snake_case. Exact attribute first, CamelCase→snake_case fallback;
+    nested model objects and lists wrap recursively. The sandbox's
+    underscore ban keeps the wrapped object itself unreachable."""
+
+    def __init__(self, obj):
+        object.__setattr__(self, "_obj", obj)
+
+    def __getattr__(self, name):
+        obj = object.__getattribute__(self, "_obj")
+        if hasattr(obj, name):
+            return _dual_wrap(getattr(obj, name))
+        snake = _to_snake(name)
+        if hasattr(obj, snake):
+            return _dual_wrap(getattr(obj, snake))
+        raise AttributeError(name)
+
+
+def _dual_wrap(v):
+    import dataclasses as _dc
+
+    if _dc.is_dataclass(v) and not isinstance(v, type):
+        return _DualCase(v)
+    if isinstance(v, list):
+        return [_dual_wrap(x) for x in v]
+    return v
+
+
+class _VarView(dict):
+    """Pipeline variables addressable both ways: ``var['message']`` and
+    ``var.message`` (the reference's expr env exposes map fields as
+    attributes)."""
+
+    def __getattr__(self, name):
+        try:
+            return self[name]
+        except KeyError as exc:
+            raise AttributeError(name) from exc
+
+
+def _index_of(seq, item) -> int:
+    """expr-lang's indexOf: position or -1 (strings and lists)."""
+    if isinstance(seq, str):
+        return seq.find(str(item))
+    try:
+        return list(seq).index(item)
+    except ValueError:
+        return -1
+
+
 def _validate_criteria_ast(rule_name: str, criteria: str) -> ast.Expression:
     """Parse and sandbox-check a criteria expression.
 
@@ -327,12 +385,13 @@ class RuleDefinition:
 
     def evaluate(self, pipeline: Pipeline, asset: Asset | None) -> bool:
         env = {
-            "asset": asset,
-            "pipeline": pipeline,
-            "var": _resolve_variables(pipeline.variables or {}),
+            "asset": _DualCase(asset) if asset is not None else None,
+            "pipeline": _DualCase(pipeline),
+            "var": _VarView(_resolve_variables(pipeline.variables or {})),
             "len": len, "any": any, "all": all, "str": str, "set": set,
             "sorted": sorted, "min": min, "max": max, "sum": sum,
             "re": re,
+            "indexOf": _index_of,
         }
         # the compiled AST was validated by _validate_criteria_ast, so
         # eval here executes only whitelisted expression nodes with no
@@ -355,9 +414,15 @@ class RuleSet:
         if not self.rules:
             raise PolicyError(f"ruleset {self.name}: no rules specified")
 
-    def matches(self, asset: Asset | None) -> bool:
+    def matches(self, asset: Asset | None, pipeline: Pipeline | None = None) -> bool:
         """All selector entries must match (asset-level matchers pass
         trivially at pipeline level, mirroring withSelector)."""
+        for sel in self.selector:
+            # pipeline-name selector applies at both levels
+            if "pipeline" in sel and not re.fullmatch(
+                sel["pipeline"], pipeline.name if pipeline else ""
+            ):
+                return False
         if asset is None:
             return not any("asset" in s or "path" in s or "tag" in s for s in self.selector)
         for sel in self.selector:
@@ -398,12 +463,23 @@ class PolicySpecification:
 
     @classmethod
     def load(cls, pipeline_path: str) -> "PolicySpecification | None":
-        for fn in ("policy.yml", "policy.yaml"):
-            p = os.path.join(pipeline_path, fn)
-            if os.path.exists(p):
-                with open(p, encoding="utf-8") as f:
-                    return cls.from_dict(yaml.safe_load(f) or {})
-        return None
+        """Nearest policy.yml at-or-above the pipeline dir — the
+        reference keeps one policy file at the repo root governing every
+        pipeline below it (pkg/lint/policy.go resolves upward); stop at
+        a .git boundary."""
+        cur = os.path.abspath(pipeline_path)
+        while True:
+            for fn in ("policy.yml", "policy.yaml"):
+                p = os.path.join(cur, fn)
+                if os.path.exists(p):
+                    with open(p, encoding="utf-8") as f:
+                        return cls.from_dict(yaml.safe_load(f) or {})
+            if os.path.isdir(os.path.join(cur, ".git")):
+                return None
+            parent = os.path.dirname(cur)
+            if parent == cur:
+                return None
+            cur = parent
 
     def init(self) -> dict[str, RuleDefinition]:
         compiled: dict[str, RuleDefinition] = {}
@@ -434,7 +510,7 @@ class PolicySpecification:
                 else:
                     targets = [None] + list(pipeline.assets)
                 for a in targets:
-                    if not rs.matches(a):
+                    if not rs.matches(a, pipeline):
                         continue
                     if custom is not None:
                         try:

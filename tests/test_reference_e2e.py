@@ -463,6 +463,38 @@ def test_reference_render_template_this_fixture(tmp_path, capsys):
     assert "'2020-01-01' AS start_date" in out
 
 
+def test_reference_policy_fixtures():
+    """The reference's OWN policy.yml (repo-root placement, expr-lang
+    criteria with Go-cased fields, indexOf, var.attr access, pipeline
+    selectors) evaluates through our policy engine with the exact
+    outcomes its integration suite asserts: compliant fixtures clean,
+    non-compliant yields its three named failures, and the variables
+    rule flips under a --var override."""
+    from bruin_spark.lint.policy import PolicySpecification
+    from bruin_spark.model import load_pipeline
+
+    def errors(fx, var_override=None):
+        pd = os.path.join(CORPUS, fx)
+        spec = PolicySpecification.load(pd)
+        assert spec is not None, f"policy.yml not found above {fx}"
+        pipe = load_pipeline(pd)
+        if var_override:
+            pipe.variables = {**pipe.variables, **var_override}
+        return [i for i in spec.lint(pipe) if i.severity == "error"]
+
+    for fx in ("policies-builtin", "policies-custom", "policies-selector",
+               "policies-variables"):
+        assert errors(fx) == [], fx
+    bad = errors("policies-non-compliant")
+    assert {(i.rule.rsplit(":", 1)[1], i.asset) for i in bad} == {
+        ("asset-has-three-columns", "non_compliant.primary"),
+        ("asset-name-contains-public", "non_compliant.secondary"),
+        ("asset-has-owner", "non_compliant.tertiary"),
+    }
+    flipped = errors("policies-variables", {"message": "This should fail"})
+    assert len(flipped) == 1 and "message" in flipped[0].message
+
+
 def test_reference_hooks_fixture(spark, tmp_path):
     """Pre/post hooks run around the main write in declared order
     (hook_log.csv golden)."""
