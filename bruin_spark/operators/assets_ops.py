@@ -97,6 +97,9 @@ def run_python_asset(
                 f"python asset {asset.name}: strategy {strategy.value} not supported"
             )
         df = _to_spark_df(spark, fn())
+        if df is None:
+            print("materialize() returned None, skipping materialization")
+            return None
         _write_df(spark, asset, df)
         return None
     finally:
@@ -138,42 +141,70 @@ def _context_env(asset: Asset, ctx: RenderContext | None) -> dict[str, str]:
     return env
 
 
-def _to_spark_df(spark: SparkSession, result: Any) -> DataFrame:
-    if isinstance(result, DataFrame):
-        return result
-    try:
-        import pandas as pd
+def _chunk_frame(chunk: Any):
+    """Normalize ONE materialize() chunk to a pandas DataFrame.
 
-        if isinstance(result, pd.DataFrame):
-            return spark.createDataFrame(result)
-    except ImportError:
-        pass
+    The protocol accepts pandas/pyarrow/polars frames, single row dicts,
+    and lists of row dicts (ref: pkg/python/uv.go:371-530 — ingestr
+    normalizes the same shapes from the Arrow IPC stream). Returns None
+    for empty chunks.
+    """
+    import pandas as pd
+
     try:
         import pyarrow as pa
 
-        if isinstance(result, pa.Table):
-            return spark.createDataFrame(result.to_pandas())
+        if isinstance(chunk, pa.Table):
+            return chunk.to_pandas()
     except ImportError:
         pass
-    if hasattr(result, "__iter__") and not isinstance(result, (str, bytes, dict)):
-        import pandas as pd
-
-        frames = []
-        for chunk in result:
-            try:
-                import pyarrow as pa
-
-                if isinstance(chunk, pa.Table):
-                    chunk = chunk.to_pandas()
-            except ImportError:
-                pass
-            frames.append(chunk)
-        if not frames:
-            raise ValueError("materialize() generator yielded nothing")
-        return spark.createDataFrame(pd.concat(frames, ignore_index=True))
+    if isinstance(chunk, pd.DataFrame):
+        return chunk
+    # polars (duck-typed; the lib isn't a dependency here)
+    if type(chunk).__module__.split(".")[0] == "polars" and hasattr(chunk, "to_pandas"):
+        return chunk.to_pandas()
+    if isinstance(chunk, dict):
+        return pd.DataFrame([chunk])
+    if isinstance(chunk, list):
+        if not chunk:
+            return None
+        return pd.DataFrame(chunk)
     raise TypeError(
-        f"materialize() must return pandas/pyarrow/Spark data, got {type(result).__name__}"
+        f"materialize() must return/yield pandas/pyarrow/polars data, "
+        f"dicts, or lists of dicts; got {type(chunk).__name__}"
     )
+
+
+def _to_spark_df(spark: SparkSession, result: Any) -> DataFrame | None:
+    """Normalize a materialize() result to a Spark DataFrame.
+
+    Returns None when there is nothing to write (None return, empty
+    list, generator that yields nothing) — the reference skips the
+    materialization and the asset still succeeds
+    ('materialize() returned None, skipping materialization')."""
+    import pandas as pd
+
+    if result is None:
+        return None
+    if isinstance(result, DataFrame):
+        return result
+    if hasattr(result, "__iter__") and not isinstance(
+        result, (str, bytes, dict, list, pd.DataFrame)
+    ) and type(result).__module__.split(".")[0] not in ("pyarrow", "polars"):
+        frames = [f for f in (_chunk_frame(c) for c in result) if f is not None]
+        if not frames:
+            return None
+        # mixed-batch schema reconciliation: a null-only column in an
+        # early dict chunk takes its type from a later typed chunk
+        # (table_after_dict / nullable_dicts fixtures); object columns
+        # left over from None-buffering re-infer after the concat
+        merged = pd.concat(frames, ignore_index=True)
+        merged = merged.infer_objects()
+        return spark.createDataFrame(merged)
+    frame = _chunk_frame(result)
+    if frame is None or len(frame.columns) == 0:
+        return None
+    return spark.createDataFrame(frame)
 
 
 def _write_df(spark: SparkSession, asset: Asset, df: DataFrame) -> None:

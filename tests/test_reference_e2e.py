@@ -495,6 +495,33 @@ def test_reference_policy_fixtures():
     assert len(flipped) == 1 and "message" in flipped[0].message
 
 
+def test_reference_python_mat_fixture(spark, tmp_path):
+    """Python assets with a materialize() returning a pandas DataFrame
+    (and an empty generator) write their tables (python-mat fixture)."""
+    d = _stage(tmp_path, "python-mat")
+    # polars is not installed in this container (the reference installs
+    # the fixture's requirements.txt via uv); the polars path itself is
+    # covered duck-typed in _chunk_frame
+    os.remove(d / "assets" / "polars_df.py")
+    rc = _run(d, "--workers", "1")
+    assert rc == 0
+    assert spark.table("materialize.country").count() == 50
+    cols = set(spark.table("materialize.country").columns)
+    assert {"country_name", "population", "gdp", "country", "area"} <= cols
+    # generator protocols (ref expectations: 5 dict yields, 3x2 batches,
+    # schema reconciliation across mixed dict/pyarrow chunks)
+    assert spark.table("mat.yield_dicts").count() == 5
+    assert spark.table("mat.yield_batches").count() == 6
+    assert spark.table("mat.nullable_dicts").count() == 3
+    assert spark.table("mat.table_after_dict").count() == 2
+    assert spark.table("mat.table_before_dict").count() == 2
+    assert spark.table("mat.pyarrow_tables").count() == 4
+    # None / empty returns skip materialization but succeed
+    assert not spark.catalog.tableExists("mat.none_return")
+    assert not spark.catalog.tableExists("mat.empty_generator")
+    assert not spark.catalog.tableExists("mat.empty_list")
+
+
 def test_reference_hooks_fixture(spark, tmp_path):
     """Pre/post hooks run around the main write in declared order
     (hook_log.csv golden)."""
