@@ -522,6 +522,49 @@ def test_reference_python_mat_fixture(spark, tmp_path):
     assert not spark.catalog.tableExists("mat.empty_list")
 
 
+def test_reference_symbolic_dependency_fixture(spark, tmp_path, capsys):
+    """Symbolic upstreams are lineage-only: `example` must RUN (and
+    finish) even though its symbolic upstream `my-other-asset` fails —
+    while the failure still fails the run overall
+    (run-non-wait-symbolic; ref scheduler.go:810-817)."""
+    d = _stage(tmp_path, "run-non-wait-symbolic")
+    rc = _run(d)
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "FAIL my-other-asset" in out
+    assert "FAIL example" not in out and "SKIP example" not in out.upper()
+
+
+def test_reference_continue_fixture(spark, tmp_path, capsys):
+    """The reference's continue-pipeline flow: broken asset fails the
+    first run; after fixing the file, --continue re-runs only the
+    failures and succeeds."""
+    d = _stage(tmp_path, "continue-pipeline")
+    for t in ("products", "product_categories", "product_price_summary", "shipping_providers"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    shutil.copy(
+        d / "resources" / "shipping_providers_broken.sql",
+        d / "assets" / "shipping_providers.sql",
+    )
+    rc = _run(d)
+    assert rc == 1
+    capsys.readouterr()
+    shutil.copy(
+        d / "resources" / "shipping_providers_corrected.sql",
+        d / "assets" / "shipping_providers.sql",
+    )
+    # tracer row: if --continue wrongly re-materialized the healthy
+    # asset (create+replace), this row would vanish
+    n_before = spark.table("products").count()
+    spark.sql(
+        "INSERT INTO products SELECT * FROM products LIMIT 1"
+    )
+    rc = _run(d, "--continue")
+    assert rc == 0
+    assert spark.table("products").count() == n_before + 1
+    assert spark.table("shipping_providers").count() > 0
+
+
 def test_reference_hooks_fixture(spark, tmp_path):
     """Pre/post hooks run around the main write in declared order
     (hook_log.csv golden)."""
