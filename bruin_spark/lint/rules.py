@@ -95,7 +95,7 @@ KNOWN_ASSET_FIELDS = {
     "custom_checks", "depends", "parameters", "tags", "owner", "tier",
     "interval_modifiers", "hooks", "unit_tests", "uri", "secrets",
     "notifications", "image", "instance", "connection", "connections",
-    "domains", "meta", "rerun_cooldown",
+    "domains", "meta", "rerun_cooldown", "timeout", "start_date", "extends",
 }
 
 _SCHEDULE_PRESETS = {
@@ -554,11 +554,14 @@ def _valid_sensor_timeout(p: Pipeline, a: Asset) -> list[Issue]:
 
 @asset_rule("valid-timeout")
 def _valid_timeout(p: Pipeline, a: Asset) -> list[Issue]:
-    raw = a.parameters.get("asset_timeout")
-    if raw is None:
+    raw = a.timeout or a.parameters.get("asset_timeout")
+    if not raw:
         return []
-    s = str(raw).strip()
-    if not _DURATION_RE.match(s) and not s.replace(".", "", 1).isdigit():
+    from bruin_spark.model.pipeline import parse_duration_s
+
+    try:
+        parse_duration_s(str(raw))
+    except ValueError:
         return [Issue("valid-timeout", a.name, f"timeout {raw!r} is invalid")]
     return []
 

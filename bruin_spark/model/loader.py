@@ -191,6 +191,8 @@ def _apply_asset_defaults(asset, dv: dict) -> None:
         mods = dv.get("interval_modifiers") or {}
         if mods.get(side) and not (asset.interval_modifiers or {}).get(side):
             asset.interval_modifiers[side] = mods[side]
+    if dv.get("timeout") and not asset.timeout:
+        asset.timeout = str(dv["timeout"])
     # rerun_cooldown: positive default inherits; -1 on the asset opts out
     # (ref: pipeline.go:3303-3305)
     dc = dv.get("rerun_cooldown")

@@ -193,6 +193,28 @@ class Column:
         )
 
 
+def parse_duration_s(text: str) -> float:
+    """Go-style duration string -> seconds ("2s", "1m30s", "500ms",
+    "1h"); bare numbers are seconds. Raises ValueError on junk."""
+    import re as _re
+
+    s = str(text).strip()
+    try:
+        return float(s)
+    except ValueError:
+        pass
+    units = {"ms": 0.001, "s": 1.0, "m": 60.0, "h": 3600.0, "d": 86400.0}
+    total, pos = 0.0, 0
+    for m in _re.finditer(r"(\d+(?:\.\d+)?)(ms|s|m|h|d)", s):
+        if m.start() != pos:
+            raise ValueError(f"invalid duration: {text!r}")
+        total += float(m.group(1)) * units[m.group(2)]
+        pos = m.end()
+    if pos != len(s) or pos == 0:
+        raise ValueError(f"invalid duration: {text!r}")
+    return total
+
+
 def resolve_variables(variables: dict) -> dict:
     """Collapse JSON-Schema-shaped variable specs to their values.
 
@@ -270,6 +292,10 @@ class Asset:
     # asset-level glossary entity inheritance: every attribute of each
     # listed entity becomes a column (ref: pipeline.go:4015-4061)
     extends: list[str] = field(default_factory=list)
+    # wall-clock budget for one attempt, Go-style duration string
+    # ("2s", "1m30s", "500ms"); "" = unlimited (ref: pipeline.go
+    # Asset.Timeout, test-pipelines/asset-timeout)
+    timeout: str = ""
     # seconds to wait before re-running a failed attempt; -1 means
     # explicitly none even when the pipeline default sets one
     # (ref: pipeline.go:1332 RerunCooldown, translation to retries_delay
@@ -279,6 +305,12 @@ class Asset:
     notifications: dict[str, Any] = field(default_factory=dict)
     # raw parsed YAML/frontmatter, kept for unknown-field linting
     raw: dict[str, Any] = field(default_factory=dict, repr=False)
+
+    def timeout_s(self) -> float | None:
+        """Parsed per-attempt timeout in seconds, None for unlimited."""
+        if not self.timeout:
+            return None
+        return parse_duration_s(self.timeout)
 
     def retries_delay_s(self) -> int | None:
         """Seconds to wait between retry attempts, or None.
@@ -339,6 +371,7 @@ class Asset:
             interval_modifiers=d.get("interval_modifiers", {}) or {},
             start_date=str(d.get("start_date", "") or ""),
             extends=[str(e) for e in d.get("extends", []) or []],
+            timeout=str(d.get("timeout", "") or ""),
             rerun_cooldown=(
                 int(d["rerun_cooldown"]) if d.get("rerun_cooldown") is not None
                 else None

@@ -427,7 +427,7 @@ class Scheduler:
                 inst.status = InstanceStatus.RUNNING
                 t0 = time.perf_counter()
                 try:
-                    res = self._execute(inst)
+                    res = self._execute_with_timeout(inst)
                     if isinstance(res, CheckResult):
                         with lock:
                             check_results.append(res)
@@ -489,6 +489,45 @@ class Scheduler:
         )
 
     # -- operators -----------------------------------------------------------------
+
+    def _execute_with_timeout(self, inst: TaskInstance):
+        """Enforce the asset's per-attempt ``timeout:`` (Go duration
+        string; pipeline ``default: timeout:`` inherits — ref
+        test-pipelines/asset-timeout). The attempt runs in a watcher
+        thread; on expiry its Spark job group is cancelled (the JVM-side
+        work actually stops) and the attempt fails with the reference's
+        message. A pure-Python busy attempt cannot be killed in-process
+        — its thread is abandoned as a daemon, which matches the
+        reference's behavior of abandoning the asset process."""
+        timeout = inst.asset.timeout_s()
+        if not timeout:
+            return self._execute(inst)
+        import threading as _threading
+
+        box: dict = {}
+        group = f"bruin-timeout-{inst.id}"
+
+        def target() -> None:
+            try:
+                self.spark.sparkContext.setJobGroup(group, inst.id, True)
+                box["res"] = self._execute(inst)
+            except BaseException as exc:  # noqa: BLE001 - re-raised below
+                box["exc"] = exc
+
+        t = _threading.Thread(target=target, daemon=True)
+        t.start()
+        t.join(timeout)
+        if t.is_alive():
+            try:
+                self.spark.sparkContext.cancelJobGroup(group)
+            except Exception:  # noqa: BLE001 - cancellation is best-effort
+                pass
+            raise TimeoutError(
+                f'asset "{inst.asset.name}" timed out after {inst.asset.timeout}'
+            )
+        if "exc" in box:
+            raise box["exc"]
+        return box.get("res")
 
     def _execute(self, inst: TaskInstance):
         if inst.type == InstanceType.MAIN:

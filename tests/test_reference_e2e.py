@@ -565,6 +565,27 @@ def test_reference_continue_fixture(spark, tmp_path, capsys):
     assert spark.table("shipping_providers").count() > 0
 
 
+def test_reference_asset_timeout_fixture(spark, tmp_path, capsys):
+    """Per-asset `timeout:` (explicit or via the pipeline `default:`
+    block) fails a stuck attempt with the reference's message
+    (asset-timeout fixture; assets sleep 15s against 2s/1s budgets).
+    The fixture's sleeps are trimmed so the test stays fast."""
+    d = _stage(tmp_path, "asset-timeout")
+    for fn in ("explicit.py", "from_default.py"):
+        p = d / "assets" / fn
+        p.write_text(p.read_text().replace("time.sleep(15)", "time.sleep(10)"))
+    import time as _time
+
+    t0 = _time.monotonic()
+    rc = _run(d)
+    elapsed = _time.monotonic() - t0
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert 'asset "asset_timeout.explicit" timed out after 2s' in out
+    assert 'asset "asset_timeout.from_default" timed out after 1s' in out
+    assert elapsed < 9, f"timeouts did not cut the 10s sleeps ({elapsed:.1f}s)"
+
+
 def test_reference_hooks_fixture(spark, tmp_path):
     """Pre/post hooks run around the main write in declared order
     (hook_log.csv golden)."""
