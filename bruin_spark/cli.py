@@ -1255,6 +1255,13 @@ def cmd_parse(args) -> int:
     from bruin_spark.model import load_pipeline
 
     pipe = load_pipeline(args.pipeline)
+    if getattr(args, "variant", None):
+        overrides = pipe.variants.get(args.variant)
+        if overrides is None:
+            print(f"unknown variant: {args.variant}", file=sys.stderr)
+            return 2
+        for k, v in overrides.get("variables", overrides).items():
+            pipe.variables[k] = v
     if getattr(args, "column_lineage", False):
         # fold column lineage into the model before dumping (ref:
         # `bruin internal parse-pipeline -c`, pkg/lineage/lineage.go)
@@ -1626,6 +1633,7 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="dump the internal dataclass shape instead of the reference IR",
     )
+    pp.add_argument("--variant", help="apply a named variable-override set")
     pp.set_defaults(fn=cmd_parse)
 
     pl = sub.add_parser("lint", help="lint a pipeline")

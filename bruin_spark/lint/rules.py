@@ -96,6 +96,7 @@ KNOWN_ASSET_FIELDS = {
     "interval_modifiers", "hooks", "unit_tests", "uri", "secrets",
     "notifications", "image", "instance", "connection", "connections",
     "domains", "meta", "rerun_cooldown", "timeout", "start_date", "extends",
+    "enabled",
 }
 
 _SCHEDULE_PRESETS = {

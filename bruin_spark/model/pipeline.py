@@ -193,6 +193,32 @@ class Column:
         )
 
 
+def asset_enabled(asset: "Asset", variables: dict | None = None) -> bool:
+    """Resolve an asset's ``enabled:`` value (ref: TemplatedBool,
+    pipeline.go:1343-1358): None -> enabled; bool -> itself; a string is
+    Jinja-rendered against the pipeline variables then parsed as a bool.
+    Unresolvable values raise ValueError (the reference errors too)."""
+    v = asset.enabled
+    if v is None:
+        return True
+    if isinstance(v, bool):
+        return v
+    s = str(v)
+    if "{{" in s or "{%" in s:
+        import jinja2
+
+        env = jinja2.Environment(undefined=jinja2.StrictUndefined)
+        s = env.from_string(s).render(var=dict(variables or {}))
+    s = s.strip().lower()
+    if s in ("true", "1", "yes"):
+        return True
+    if s in ("false", "0", "no"):
+        return False
+    raise ValueError(
+        f"asset {asset.name!r}: enabled resolved to {s!r}, expected a boolean"
+    )
+
+
 def parse_duration_s(text: str) -> float:
     """Go-style duration string -> seconds ("2s", "1m30s", "500ms",
     "1h"); bare numbers are seconds. Raises ValueError on junk."""
@@ -292,6 +318,10 @@ class Asset:
     # asset-level glossary entity inheritance: every attribute of each
     # listed entity becomes a column (ref: pipeline.go:4015-4061)
     extends: list[str] = field(default_factory=list)
+    # templated on/off switch (ref: pipeline.go:1302 TemplatedBool):
+    # literal bool, or a Jinja template over pipeline vars ("{{ var.x }}");
+    # None = enabled. Disabled assets are skipped, satisfying downstreams.
+    enabled: Any = None
     # wall-clock budget for one attempt, Go-style duration string
     # ("2s", "1m30s", "500ms"); "" = unlimited (ref: pipeline.go
     # Asset.Timeout, test-pipelines/asset-timeout)
@@ -372,6 +402,7 @@ class Asset:
             start_date=str(d.get("start_date", "") or ""),
             extends=[str(e) for e in d.get("extends", []) or []],
             timeout=str(d.get("timeout", "") or ""),
+            enabled=d.get("enabled"),
             rerun_cooldown=(
                 int(d["rerun_cooldown"]) if d.get("rerun_cooldown") is not None
                 else None

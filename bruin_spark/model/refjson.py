@@ -100,7 +100,18 @@ def _materialization_json(asset: Asset) -> dict[str, Any] | None:
     }
 
 
-def asset_to_reference_json(asset: Asset, base_dir: str | None = None) -> dict[str, Any]:
+def _resolved_enabled(asset: Asset, variables: dict | None):
+    from bruin_spark.model.pipeline import asset_enabled
+
+    try:
+        return asset_enabled(asset, variables)
+    except ValueError:
+        return str(asset.enabled)
+
+
+def asset_to_reference_json(
+    asset: Asset, base_dir: str | None = None, variables: dict | None = None
+) -> dict[str, Any]:
     fname = os.path.basename(asset.file_path) if asset.file_path else ""
     fpath = _relpath(asset.file_path, base_dir)
     def_type = "yaml" if fname.endswith((".yml", ".yaml")) else "comment"
@@ -142,6 +153,12 @@ def asset_to_reference_json(asset: Asset, base_dir: str | None = None) -> dict[s
             for s in asset.secrets
         ],
         "extends": list(asset.extends) or None,
+        # emitted only when declared (TemplatedBool pointer, omitempty)
+        **(
+            {"enabled": _resolved_enabled(asset, variables)}
+            if asset.enabled is not None
+            else {}
+        ),
         "columns": [_column_json(asset, c) for c in asset.columns],
         "custom_checks": [
             {
@@ -220,6 +237,12 @@ def _default_block_json(dv) -> dict[str, Any] | None:
     }
 
 
+def _resolve_vars(pipe: Pipeline) -> dict:
+    from bruin_spark.model.pipeline import resolve_variables
+
+    return resolve_variables(pipe.variables or {})
+
+
 def pipeline_to_reference_json(
     pipe: Pipeline, base_dir: str | None = None
 ) -> dict[str, Any]:
@@ -268,6 +291,9 @@ def pipeline_to_reference_json(
         ),
         "macros": macros,
         "assets": [
-            asset_to_reference_json(a, base_dir) for a in pipe.assets
+            asset_to_reference_json(
+                a, base_dir, variables=_resolve_vars(pipe)
+            )
+            for a in pipe.assets
         ],
     }

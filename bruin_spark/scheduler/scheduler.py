@@ -384,8 +384,29 @@ class Scheduler:
                     check.status = InstanceStatus.SKIPPED
         return skipped
 
+    def _skip_disabled_assets(self) -> int:
+        """Assets whose ``enabled:`` resolves false are marked SKIPPED
+        (checks too) before execution; skip satisfies downstreams
+        (ref: cmd/run.go SkipDisabledAssets + TemplatedBool,
+        pipeline.go:1302,1343-1358)."""
+        from bruin_spark.model.pipeline import asset_enabled
+
+        skipped = 0
+        for a in self.pipeline.assets:
+            if asset_enabled(a, self.context.variables):
+                continue
+            inst = self.instances[a.name]
+            if inst.status is InstanceStatus.PENDING:
+                inst.status = InstanceStatus.SKIPPED
+                skipped += 1
+            for check in self._check_instances_of(a.name):
+                if check.status is InstanceStatus.PENDING:
+                    check.status = InstanceStatus.SKIPPED
+        return skipped
+
     def run(self, state_path: str = "") -> RunResult:
         self._skip_streaming_assets()
+        self._skip_disabled_assets()
         work: queue.Queue[TaskInstance | None] = queue.Queue()
         lock = threading.Lock()
         done_event = threading.Event()

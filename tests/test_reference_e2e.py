@@ -586,6 +586,29 @@ def test_reference_asset_timeout_fixture(spark, tmp_path, capsys):
     assert elapsed < 9, f"timeouts did not cut the 10s sleeps ({elapsed:.1f}s)"
 
 
+def test_reference_enabled_template_fixture(spark, tmp_path, capsys):
+    """Templated `enabled:` (enabled-template-pipeline): under the
+    'disabled' variant the upstream is SKIPPED (its broken SELECT never
+    runs) while the downstream still materializes; the parse IR resolves
+    the templated bool per variant."""
+    import json as _json
+
+    d = _stage(tmp_path, "enabled-template-pipeline")
+    spark.sql("DROP TABLE IF EXISTS templated_downstream")
+    rc = _run(d, "--variant", "disabled")
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "skip templated_upstream" in out
+    assert spark.table("templated_downstream").count() == 1
+
+    for variant, want in (("disabled", False), ("enabled", True)):
+        rc = cli_main(["parse", str(d), "--variant", variant])
+        doc = _json.loads(capsys.readouterr().out)
+        assert rc == 0
+        up = [a for a in doc["assets"] if a["name"] == "templated_upstream"][0]
+        assert up["enabled"] is want, variant
+
+
 def test_reference_hooks_fixture(spark, tmp_path):
     """Pre/post hooks run around the main write in declared order
     (hook_log.csv golden)."""
