@@ -105,7 +105,7 @@ def _resolved_enabled(asset: Asset, variables: dict | None):
 
     try:
         return asset_enabled(asset, variables)
-    except ValueError:
+    except Exception:  # noqa: BLE001 - unresolvable template (missing var)
         return str(asset.enabled)
 
 
