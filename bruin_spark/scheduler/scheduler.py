@@ -617,6 +617,7 @@ class Scheduler:
         if asset.type in (
             "spark.sensor.query", "spark.sensor.table", "spark.sensor.path"
         ) or asset.type.endswith((".sensor.query", ".sensor.table")):
+            from bruin_spark.model.pipeline import parse_duration_s
             from bruin_spark.operators import sensors
 
             kind = asset.type.rsplit(".", 1)[1]
@@ -626,7 +627,12 @@ class Scheduler:
                 # mode (ref cmd/run.go:607 --sensor-mode)
                 mode=self.sensor_mode or params.get("mode", "wait"),
                 poke_interval_s=float(params.get("poke_interval", 30)),
-                timeout_s=float(params["timeout"]) if params.get("timeout") else None,
+                # accepts bare seconds or Go duration strings ("3s")
+                timeout_s=(
+                    parse_duration_s(str(params["timeout"]))
+                    if params.get("timeout")
+                    else None
+                ),
             )
             if kind == "query":
                 return sensors.query_sensor(self.spark, params["query"], **kwargs)

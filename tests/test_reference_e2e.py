@@ -609,6 +609,22 @@ def test_reference_enabled_template_fixture(spark, tmp_path, capsys):
         assert up["enabled"] is want, variant
 
 
+def test_reference_sensor_timeout_fixture(spark, tmp_path, capsys):
+    """A query sensor that never turns true times out after its declared
+    duration and fails the run (duckdb-sensor-timeout: SELECT FALSE,
+    poke 1s, timeout 3s)."""
+    import time as _time
+
+    d = _stage(tmp_path, "duckdb-sensor-timeout")
+    t0 = _time.monotonic()
+    rc = _run(d, "--sensor-mode", "wait")
+    elapsed = _time.monotonic() - t0
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "timed out after 3" in out.lower()
+    assert elapsed < 30
+
+
 def test_reference_hooks_fixture(spark, tmp_path):
     """Pre/post hooks run around the main write in declared order
     (hook_log.csv golden)."""
