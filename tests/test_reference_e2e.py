@@ -13,6 +13,7 @@ pipelines produce identical tables here.
 from __future__ import annotations
 
 import csv
+import re
 import os
 import shutil
 
@@ -67,6 +68,11 @@ def _norm(rows: list[list[str]]) -> list[list[str]]:
             if m:
                 # 2024-01-02T00:00:00Z == 2024-01-02 00:00:00(.000000)
                 norm_r.append(f"{m.group(1)} {m.group(2)}")
+                continue
+            if re.fullmatch(r"\d{4}-\d{2}-\d{2}", c):
+                # a DATE and its midnight-timestamp rendering are the
+                # same value (DuckDB exports DATE as ...T00:00:00Z)
+                norm_r.append(f"{c} 00:00:00")
                 continue
             try:
                 # 12.50 == 12.5 == 12.500000 (csv goldens vs Spark types)
@@ -623,6 +629,65 @@ def test_reference_sensor_timeout_fixture(spark, tmp_path, capsys):
     assert rc == 1
     assert "timed out after 3" in out.lower()
     assert elapsed < 30
+
+
+def test_reference_seed_fixture(spark, tmp_path):
+    """CSV seed with declared schema + checks (run-seed-data): loads
+    with the declared varchar types and passes its not_null /
+    accepted_values checks."""
+    d = _stage(tmp_path, "run-seed-data")
+    spark.sql("DROP TABLE IF EXISTS seed.raw")
+    rc = _run(d)
+    assert rc == 0
+    rows = _query_rows(spark, "SELECT * FROM seed.raw ORDER BY name")
+    assert rows[0] == ["name", "networking_through", "position", "contact_date"]
+    assert [r[0] for r in rows[1:]] == ["B", "Y"]
+
+
+def test_reference_query_asset_and_export_fixtures(spark, tmp_path, capsys):
+    """`query --asset` renders + runs an asset's SQL and returns the
+    golden rows (asset-query-pipeline/expected.json); --export writes
+    the CSV golden (query-export-pipeline/expected.csv)."""
+    import json as _json
+
+    d = _stage(tmp_path, "asset-query-pipeline")
+    rc = cli_main(
+        ["query", "--pipeline", str(d), "--asset", "products", "--json"]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    golden = _json.load(
+        open(os.path.join(CORPUS, "asset-query-pipeline", "expected.json"))
+    )
+    got = _json.loads(out)
+    got_rows = [[str(v) for v in r.values()] for r in got] if isinstance(got, list) else None
+    want_rows = [[str(v) for v in r] for r in golden["rows"]]
+    assert _norm([["c"] * 4] + got_rows)[1:] == _norm([["c"] * 4] + want_rows)[1:]
+
+    d = _stage(tmp_path, "query-export-pipeline")
+    export = tmp_path / "out.csv"
+    rc = cli_main(
+        [
+            "query",
+            "--pipeline",
+            str(d),
+            "--asset",
+            "products",
+            "--export",
+            str(export),
+        ]
+    )
+    capsys.readouterr()
+    assert rc == 0
+    got = _norm(
+        [ln.split(",") for ln in export.read_text().strip().splitlines()]
+    )
+    want = _norm(
+        _golden_rows(os.path.join(CORPUS, "query-export-pipeline", "expected.csv"))
+    )
+    # column order and values match; row order follows product_id
+    assert sorted(map(tuple, got[1:])) == sorted(map(tuple, want[1:]))
+    assert got[0] == want[0]
 
 
 def test_reference_hooks_fixture(spark, tmp_path):
