@@ -59,19 +59,21 @@ def _pipeline_context(args, pipe) -> "RenderContext":
     ctx.macros = pipe.macros
     # active environment's schema_prefix as {{ schema_prefix }}
     # (ref: jinja.go:293); flag first, then project default
-    try:
-        from bruin_spark.devenv import default_environment_name, load_environment
+    from bruin_spark.devenv import default_environment_name, load_environment
 
-        search = getattr(args, "pipeline", None) or pipe.path or "."
-        env_name = getattr(args, "environment", None) or default_environment_name(
-            search
-        )
+    search = getattr(args, "pipeline", None) or pipe.path or "."
+    explicit_env = getattr(args, "environment", None)
+    try:
+        env_name = explicit_env or default_environment_name(search)
         if env_name:
             ctx.schema_prefix = load_environment(
                 pipe, env_name, search_dir=search
             ).schema_prefix
-    except (ValueError, OSError):
-        pass
+    except (ValueError, OSError) as e:
+        # an environment the user EXPLICITLY asked for must not silently
+        # degrade to no-prefix (that would point a dev query at prod)
+        if explicit_env:
+            raise SystemExit(str(e)) from e
     # --var overrides are TOP-LEVEL context keys here, matching the
     # reference's query/render path (cmd/fetch.go SetContextValue);
     # they also update var.* so both spellings see the override
@@ -1262,6 +1264,7 @@ def cmd_parse(args) -> int:
             return 2
         for k, v in overrides.get("variables", overrides).items():
             pipe.variables[k] = v
+        pipe.raw["selected_variant"] = args.variant
     if getattr(args, "column_lineage", False):
         # fold column lineage into the model before dumping (ref:
         # `bruin internal parse-pipeline -c`, pkg/lineage/lineage.go)

@@ -468,18 +468,22 @@ class PolicySpecification:
         pipeline below it (pkg/lint/policy.go resolves upward); stop at
         a .git boundary."""
         cur = os.path.abspath(pipeline_path)
-        while True:
+        home = os.path.expanduser("~")
+        for _ in range(16):  # bounded: never scan arbitrary ancestors
             for fn in ("policy.yml", "policy.yaml"):
                 p = os.path.join(cur, fn)
                 if os.path.exists(p):
                     with open(p, encoding="utf-8") as f:
                         return cls.from_dict(yaml.safe_load(f) or {})
-            if os.path.isdir(os.path.join(cur, ".git")):
+            # a repo root or the home dir bounds the project — a policy
+            # above either belongs to someone else
+            if os.path.isdir(os.path.join(cur, ".git")) or cur == home:
                 return None
             parent = os.path.dirname(cur)
             if parent == cur:
                 return None
             cur = parent
+        return None
 
     def init(self) -> dict[str, RuleDefinition]:
         compiled: dict[str, RuleDefinition] = {}

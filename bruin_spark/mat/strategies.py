@@ -398,10 +398,19 @@ def _dv_by_suffix(asset: Asset, suffix: str, exclude: list = ()):
 def _dv_hash_key(asset: Asset, roles: list[str], preferred: str):
     """Hash-key resolution, reference order (datavault_materialization.go
     :476-498): explicit role → the single primary_key (ambiguous with
-    several) → a UNIQUE ``_hk`` name suffix."""
-    tagged = _dv_by_roles(asset, roles)
-    if tagged:
-        return tagged[0]
+    several) → a UNIQUE ``_hk`` name suffix.
+
+    Role candidates are checked in PRIORITY order (link_hash_key beats
+    hash_key for a link) rather than declaration order — the reference
+    takes the first declared column matching ANY candidate role, which
+    silently keys a link on a hub's hash_key when both are tagged; the
+    priority scan picks the explicitly intended column in that case and
+    is identical whenever roles are unambiguous (the documented form).
+    """
+    for role in roles:
+        tagged = _dv_by_roles(asset, [role])
+        if tagged:
+            return tagged[0]
     pks = [c for c in asset.columns if c.primary_key]
     if len(pks) > 1:
         raise MaterializationError(

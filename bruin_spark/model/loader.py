@@ -205,16 +205,20 @@ def find_glossary_dir(path: str) -> str | None:
     the reference resolves the glossary from the repo root, not only the
     pipeline dir (pkg/glossary GetGlossary walks to the repo root)."""
     cur = os.path.abspath(path)
-    while True:
+    home = os.path.expanduser("~")
+    for _ in range(16):  # bounded: never scan arbitrary ancestors
         for fn in ("glossary.yml", "glossary.yaml"):
             if os.path.exists(os.path.join(cur, fn)):
                 return cur
-        if os.path.isdir(os.path.join(cur, ".git")):
+        # a repo root or the home dir bounds the project — a glossary
+        # above either belongs to someone else
+        if os.path.isdir(os.path.join(cur, ".git")) or cur == home:
             return None
         parent = os.path.dirname(cur)
         if parent == cur:
             return None
         cur = parent
+    return None
 
 
 def expand_entity_extends(pipe: Pipeline, glossary: dict[str, dict[str, dict]]) -> None:

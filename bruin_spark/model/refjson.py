@@ -250,6 +250,7 @@ def pipeline_to_reference_json(
     raw = pipe.raw or {}
     macros = [pipe.macros] if pipe.macros else []
     pyml = os.path.join(pipe.path, "pipeline.yml") if pipe.path else ""
+    variables = _resolve_vars(pipe)
     return {
         "legacy_id": "",
         "name": pipe.name,
@@ -281,8 +282,14 @@ def pipeline_to_reference_json(
         "commit": "",
         "snapshot": "",
         "agent": False,
-        "variables": raw.get("variables"),
-        "selected_variant": "",
+        # post-override values when a variant was applied, else the raw
+        # spec block — the dump must reflect what enabled:/templates saw
+        "variables": (
+            dict(pipe.variables)
+            if raw.get("selected_variant")
+            else raw.get("variables")
+        ),
+        "selected_variant": str(raw.get("selected_variant", "") or ""),
         # key present only when the pipeline sets one (omitempty)
         **(
             {"default": _default_block_json(raw.get("default"))}
@@ -291,9 +298,7 @@ def pipeline_to_reference_json(
         ),
         "macros": macros,
         "assets": [
-            asset_to_reference_json(
-                a, base_dir, variables=_resolve_vars(pipe)
-            )
+            asset_to_reference_json(a, base_dir, variables=variables)
             for a in pipe.assets
         ],
     }

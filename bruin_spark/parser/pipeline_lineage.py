@@ -197,7 +197,7 @@ def extract_pipeline_lineage(pipe: Pipeline, render=None) -> list[str]:
             ua = pipe.asset(up.value)
             if ua is not None:
                 walk(ua)
-        if not asset.type.endswith(".sql"):
+        if asset.type != "sql" and not asset.type.endswith(".sql"):
             return
         schema = {
             ua.name: [c.name for c in ua.columns]

@@ -37,6 +37,11 @@ from bruin_spark.model.pipeline import Asset, Pipeline
 from bruin_spark.render.jinja import RenderContext, render_asset_query
 
 
+class AssetTimeout(TimeoutError):
+    """Per-attempt `timeout:` expiry. Never retried: the abandoned
+    attempt's thread may outlive the cancellation and race a retry."""
+
+
 class InstanceType(str, enum.Enum):
     MAIN = "main"
     COLUMN_CHECK = "column_check"
@@ -393,7 +398,16 @@ class Scheduler:
 
         skipped = 0
         for a in self.pipeline.assets:
-            if asset_enabled(a, self.context.variables):
+            try:
+                if asset_enabled(a, self.context.variables):
+                    continue
+            except Exception as exc:  # noqa: BLE001 - bad template/value
+                # an unresolvable enabled: template fails the ASSET with
+                # a named error, not the whole run with a traceback
+                # (ref: SkipDisabledAssets error wrapping, cmd/run.go)
+                inst = self.instances[a.name]
+                inst.status = InstanceStatus.FAILED
+                inst.error = f"failed to resolve enabled for asset {a.name!r}: {exc}"
                 continue
             inst = self.instances[a.name]
             if inst.status is InstanceStatus.PENDING:
@@ -462,7 +476,15 @@ class Scheduler:
                         inst.status = InstanceStatus.SKIPPED
                     else:
                         inst.attempts += 1
-                        if inst.attempts <= self.retries:
+                        if isinstance(exc, AssetTimeout):
+                            # never RETRY a timed-out attempt: the
+                            # abandoned thread may still be alive and
+                            # could submit new Spark jobs (cancelJobGroup
+                            # only stops RUNNING jobs) — a retry would
+                            # race it on the same target table
+                            inst.status = InstanceStatus.FAILED
+                            inst.error = str(exc)
+                        elif inst.attempts <= self.retries:
                             # rerun_cooldown: wait before the re-attempt
                             # (ref: pipeline.go rerun_cooldown ->
                             # retries_delay; the reference parses it,
@@ -543,7 +565,7 @@ class Scheduler:
                 self.spark.sparkContext.cancelJobGroup(group)
             except Exception:  # noqa: BLE001 - cancellation is best-effort
                 pass
-            raise TimeoutError(
+            raise AssetTimeout(
                 f'asset "{inst.asset.name}" timed out after {inst.asset.timeout}'
             )
         if "exc" in box:
