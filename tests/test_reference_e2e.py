@@ -690,6 +690,33 @@ def test_reference_query_asset_and_export_fixtures(spark, tmp_path, capsys):
     assert got[0] == want[0]
 
 
+def test_reference_run_filters_and_downstream_fixtures(spark, tmp_path, capsys):
+    """--tag/--exclude-tag selection and --asset --downstream expansion,
+    with the reference's own fixtures and expectations."""
+    d = _stage(tmp_path, "run-with-filters-pipeline")
+    for t in ("products", "product_categories", "product_price_summary", "shipping_providers"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    rc = _run(d, "--tag", "include", "--exclude-tag", "exclude")
+    out = capsys.readouterr().out
+    assert rc == 0
+    # tagged include minus exclude: products + shipping run; the
+    # include+exclude-tagged summary and the untagged categories don't
+    assert "ok   products" in out and "ok   shipping_providers" in out
+    assert "product_price_summary" not in out.replace("skip product_price_summary", "")
+    assert "ok   product_categories" not in out
+
+    d = _stage(tmp_path, "run-with-downstream-pipeline")
+    for t in ("products", "product_categories", "product_price_summary", "shipping_providers"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    rc = _run(d, "--asset", "products", "--downstream")
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "ok   products" in out
+    assert "ok   product_price_summary" in out
+    assert "ok   products:check:price:positive" in out
+    assert "ok   shipping_providers" not in out
+
+
 def test_reference_hooks_fixture(spark, tmp_path):
     """Pre/post hooks run around the main write in declared order
     (hook_log.csv golden)."""
