@@ -134,6 +134,11 @@ def cmd_run(args) -> int:
 
         load_tables(spark, args.tables_dir)
     ctx = _context(args)
+    if ctx.start > ctx.end:
+        # ref: ValidateRunConfig (cmd/run.go:1798-1809) rejects inverted
+        # intervals before any work happens
+        print("Start date cannot be after end date.", file=sys.stderr)
+        return 1
     ctx.pipeline_name = pipe.name
     from bruin_spark.model.pipeline import resolve_variables
 

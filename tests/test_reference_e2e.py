@@ -717,6 +717,16 @@ def test_reference_run_filters_and_downstream_fixtures(spark, tmp_path, capsys):
     assert "ok   shipping_providers" not in out
 
 
+def test_reference_date_validation_fixture(tmp_path, capsys):
+    """An inverted interval is rejected before any work happens
+    (date-validation-test; ref ValidateRunConfig)."""
+    d = _stage(tmp_path, "date-validation-test")
+    rc = cli_main(["run", str(d), "--start", "2024-01-31", "--end", "2024-01-15"])
+    err = capsys.readouterr().err
+    assert rc == 1
+    assert "Start date cannot be after end date" in err
+
+
 def test_reference_hooks_fixture(spark, tmp_path):
     """Pre/post hooks run around the main write in declared order
     (hook_log.csv golden)."""
