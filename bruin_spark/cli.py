@@ -1644,7 +1644,9 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--variant", help="apply a named variable-override set")
     pp.set_defaults(fn=cmd_parse)
 
-    pl = sub.add_parser("lint", help="lint a pipeline")
+    # `validate` is the reference's name for the same command (cmd/lint.go
+    # registers it as "validate"); both spellings work here
+    pl = sub.add_parser("lint", aliases=["validate"], help="lint a pipeline")
     pl.add_argument("pipeline")
     pl.add_argument(
         "--dry-run",

@@ -767,18 +767,41 @@ def _hooks_applicable(p: Pipeline, a: Asset) -> list[Issue]:
 
 @asset_rule("valid-time-interval")
 def _valid_time_interval(p: Pipeline, a: Asset) -> list[Issue]:
-    """interval_modifiers must parse (ref: EnsureTimeIntervalIsValidForAsset)."""
-    from bruin_spark.render.jinja import apply_interval_modifier
+    """interval_modifiers must parse AND must not invert the run window
+    (ref: EnsureTimeIntervalIsValidForAsset + the
+    validate-asset-time-interval fixture's 'start date is after end
+    date' expectation). Jinja-templated modifiers are resolved against
+    the pipeline variables before checking."""
+    from bruin_spark.model.pipeline import resolve_variables
+    from bruin_spark.render.jinja import RenderContext
 
+    mods = a.interval_modifiers or {}
+    if not mods:
+        return []
     issues = []
-    for side, mod in (a.interval_modifiers or {}).items():
+    for side in mods:
         if side not in ("start", "end"):
             issues.append(Issue("valid-time-interval", a.name, f"unknown interval modifier side {side!r}"))
-            continue
-        try:
-            apply_interval_modifier(datetime(2024, 1, 1), str(mod))
-        except ValueError as e:
-            issues.append(Issue("valid-time-interval", a.name, str(e)))
+            return issues
+    ctx = RenderContext(
+        start=datetime(2024, 1, 1),
+        end=datetime(2024, 1, 2),
+        pipeline_name=p.name,
+        variables=resolve_variables(p.variables or {}),
+    )
+    try:
+        shifted = ctx.with_modifiers(mods)
+    except Exception as e:  # noqa: BLE001 - bad modifier or template
+        return [Issue("valid-time-interval", a.name, str(e))]
+    if shifted.start > shifted.end:
+        issues.append(
+            Issue(
+                "valid-time-interval",
+                a.name,
+                f"interval modifiers make the start date {shifted.start} "
+                f"come after the end date {shifted.end} for asset {a.name}",
+            )
+        )
     return issues
 
 

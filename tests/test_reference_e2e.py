@@ -727,6 +727,23 @@ def test_reference_date_validation_fixture(tmp_path, capsys):
     assert "Start date cannot be after end date" in err
 
 
+def test_reference_validate_time_interval_fixture(tmp_path, capsys):
+    """`validate` flags interval modifiers that invert the window —
+    including Jinja-templated ones — and passes the valid ones
+    (validate-asset-time-interval: expects exactly 2 issues, for
+    invalid_jinja.example and invalid_modifiers.example)."""
+    d = _stage(tmp_path, "validate-asset-time-interval")
+    rc = cli_main(["validate", str(d)])
+    out = capsys.readouterr().out
+    assert rc == 1
+    bad = [ln for ln in out.splitlines() if "valid-time-interval" in ln]
+    assert len(bad) == 2, out
+    assert any("(invalid_jinja.example)" in ln for ln in bad)
+    assert any("(invalid_modifiers.example)" in ln for ln in bad)
+    assert not any("(valid_jinja.example)" in ln for ln in bad)
+    assert not any("(valid_modifiers.example)" in ln for ln in bad)
+
+
 def test_reference_hooks_fixture(spark, tmp_path):
     """Pre/post hooks run around the main write in declared order
     (hook_log.csv golden)."""
