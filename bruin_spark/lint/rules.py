@@ -805,6 +805,30 @@ def _valid_time_interval(p: Pipeline, a: Asset) -> list[Issue]:
     return issues
 
 
+@asset_rule("valid-parameters")
+def _valid_parameters(p: Pipeline, a: Asset) -> list[Issue]:
+    """Asset parameters must Jinja-render against the asset context —
+    notably there is NO ``parameters`` self-reference variable
+    (ref: cmd/const.go renderAssetParamsMutator; fixture
+    nested-params-no-jinja-access expects 'error rendering parameter
+    "nested"' + \"missing variable 'parameters'\")."""
+    if not a.parameters:
+        return []
+    from bruin_spark.model.pipeline import resolve_variables
+    from bruin_spark.render.jinja import RenderContext, render_parameters
+
+    ctx = RenderContext(
+        pipeline_name=p.name, variables=resolve_variables(p.variables or {})
+    )
+    try:
+        render_parameters(a, ctx)
+    except ValueError as e:
+        return [Issue("valid-parameters", a.name, str(e))]
+    except Exception as e:  # noqa: BLE001 - template syntax errors etc.
+        return [Issue("valid-parameters", a.name, f"error rendering parameters: {e}")]
+    return []
+
+
 @asset_rule("valid-entity-references")
 def _valid_entity_references(p: Pipeline, a: Asset) -> list[Issue]:
     """Columns extending glossary entities must reference ones that exist

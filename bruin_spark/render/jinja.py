@@ -175,6 +175,42 @@ def render_sql(template: str, ctx: RenderContext) -> str:
     return _ENV.from_string(template).render(**ctx.to_jinja())
 
 
+def render_parameters(asset, ctx: RenderContext) -> dict:
+    """Jinja-render an asset's ``parameters`` recursively (strings are
+    rendered + trimmed; lists/maps recurse) against the asset's own
+    context — ref: cmd/const.go renderAssetParamsMutator /
+    renderParameterValue. The context has no ``parameters`` variable, so
+    self-references fail, reported as ``missing variable 'x'`` like the
+    reference's renderer."""
+    import re as _re
+
+    actx = ctx.with_modifiers(asset.interval_modifiers or {})
+    actx.this = asset.name
+    env_ctx = actx.to_jinja()
+
+    def render_value(value):
+        if isinstance(value, str):
+            try:
+                return _ENV.from_string(value).render(**env_ctx).strip()
+            except jinja2.UndefinedError as exc:
+                m = _re.search(r"'([^']+)'", str(exc))
+                name = m.group(1) if m else str(exc)
+                raise ValueError(f"missing variable {name!r}") from exc
+        if isinstance(value, list):
+            return [render_value(v) for v in value]
+        if isinstance(value, dict):
+            return {k: render_value(v) for k, v in value.items()}
+        return value
+
+    out = {}
+    for key, value in (asset.parameters or {}).items():
+        try:
+            out[key] = render_value(value)
+        except ValueError as exc:
+            raise ValueError(f"error rendering parameter {key!r}: {exc}") from exc
+    return out
+
+
 def render_asset_query(asset, ctx: RenderContext) -> str:
     """Render an asset's query with its interval modifiers + `this` bound."""
     actx = ctx.with_modifiers(asset.interval_modifiers or {})

@@ -643,7 +643,12 @@ class Scheduler:
             from bruin_spark.operators import sensors
 
             kind = asset.type.rsplit(".", 1)[1]
-            params = asset.parameters
+            # sensor parameters are Jinja-rendered against the asset's
+            # context (a sensor query may reference {{ start_date }} —
+            # ref cmd/const.go renderAssetParamsMutator)
+            from bruin_spark.render.jinja import render_parameters
+
+            params = render_parameters(asset, self.context)
             kwargs = dict(
                 # a run-level sensor_mode overrides every sensor's own
                 # mode (ref cmd/run.go:607 --sensor-mode)
@@ -684,8 +689,18 @@ class Scheduler:
 
                 return run_streaming_asset(self.spark, asset, self.pipeline)
             # streaming ingestr assets were routed out of the batch DAG
-            # by _skip_streaming_assets; only one-shot loads reach here
-            return run_ingestr_asset(self.spark, asset, self.pipeline)
+            # by _skip_streaming_assets; only one-shot loads reach here.
+            # Parameters render against the asset's context (interval
+            # templates in source URIs / table names) on a COPY — the
+            # shared Asset must not carry one run's rendered values.
+            import dataclasses as _dc
+
+            from bruin_spark.render.jinja import render_parameters
+
+            rendered = _dc.replace(
+                asset, parameters=render_parameters(asset, self.context)
+            )
+            return run_ingestr_asset(self.spark, rendered, self.pipeline)
         if asset.type == "r":
             from bruin_spark.operators.r_ops import run_r_asset
 

@@ -744,6 +744,24 @@ def test_reference_validate_time_interval_fixture(tmp_path, capsys):
     assert not any("(valid_modifiers.example)" in ln for ln in bad)
 
 
+def test_reference_nested_params_fixtures(tmp_path, capsys):
+    """Nested asset parameters Jinja-render recursively with the asset
+    context, and a parameters self-reference is an error
+    (nested-params-rendering valid / nested-params-no-jinja-access
+    invalid, with the reference's exact diagnostics)."""
+    d = _stage(tmp_path, "nested-params-rendering")
+    rc = cli_main(["validate", str(d)])
+    capsys.readouterr()
+    assert rc == 0
+
+    d = _stage(tmp_path, "nested-params-no-jinja-access")
+    rc = cli_main(["validate", str(d)])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "error rendering parameter 'nested'" in out
+    assert "missing variable 'parameters'" in out
+
+
 def test_reference_hooks_fixture(spark, tmp_path):
     """Pre/post hooks run around the main write in declared order
     (hook_log.csv golden)."""
