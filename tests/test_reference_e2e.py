@@ -762,6 +762,39 @@ def test_reference_nested_params_fixtures(tmp_path, capsys):
     assert "missing variable 'parameters'" in out
 
 
+def test_reference_time_materialization_fixture(spark, tmp_path):
+    """time_interval strategy, the reference's two-phase fixture: full
+    load, then an update run whose delete window replaces only the rows
+    inside the interval (initial/final JSON goldens)."""
+    import json as _json
+
+    d1 = _stage(tmp_path, "time-materialization-pipeline")
+    spark.sql("DROP TABLE IF EXISTS products")
+    rc = cli_main(["run", str(d1), "--full-refresh"])
+    assert rc == 0
+    exp = os.path.join(CORPUS, "time-materialization-pipeline", "expectations")
+    golden = _json.load(open(os.path.join(exp, "initial_expected.json")))
+    got = _norm(_query_rows(spark, "SELECT * FROM products ORDER BY product_id"))
+    want = _norm(
+        [[c["name"] for c in golden["columns"]]]
+        + [[str(v) for v in r] for r in golden["rows"]]
+    )
+    assert got == want, "initial load mismatch"
+
+    d2 = _stage(tmp_path, "time-materialization-update-pipeline")
+    rc = cli_main(
+        ["run", str(d2), "--start", "2025-03-01", "--end", "2025-03-31"]
+    )
+    assert rc == 0
+    golden = _json.load(open(os.path.join(exp, "final_expected.json")))
+    got = _norm(_query_rows(spark, "SELECT * FROM products ORDER BY product_id"))
+    want = _norm(
+        [[c["name"] for c in golden["columns"]]]
+        + [[str(v) for v in r] for r in golden["rows"]]
+    )
+    assert got == want, "post-update state mismatch"
+
+
 def test_reference_hooks_fixture(spark, tmp_path):
     """Pre/post hooks run around the main write in declared order
     (hook_log.csv golden)."""
