@@ -1380,9 +1380,29 @@ def cmd_lint(args) -> int:
         from bruin_spark import get_spark
 
         spark = get_spark("bruin:lint")
-    issues = lint_with_policies(load_pipeline(args.pipeline), spark=spark)
-    for i in issues:
-        print(str(i))
+    pipe = load_pipeline(args.pipeline)
+    issues = lint_with_policies(pipe, spark=spark)
+    if getattr(args, "output", "plain") == "json":
+        # the reference's `validate -o json` issues document
+        # (golden: missing-upstream-pipeline/expectations/*.json)
+        by_asset: dict[str, list[dict]] = {}
+        for i in issues:
+            by_asset.setdefault(i.asset, []).append(
+                {
+                    "asset": i.asset,
+                    "description": i.message,
+                    "context": [],
+                    "severity": "critical" if i.severity == "error" else "warning",
+                }
+            )
+        print(
+            json.dumps(
+                [{"pipeline": pipe.name, "issues": by_asset}], indent=2
+            )
+        )
+    else:
+        for i in issues:
+            print(str(i))
     return 1 if any(i.severity == "error" for i in issues) else 0
 
 
@@ -1648,6 +1668,7 @@ def main(argv: list[str] | None = None) -> int:
     # registers it as "validate"); both spellings work here
     pl = sub.add_parser("lint", aliases=["validate"], help="lint a pipeline")
     pl.add_argument("pipeline")
+    pl.add_argument("--output", "-o", default="plain", choices=["plain", "json"])
     pl.add_argument(
         "--dry-run",
         action="store_true",

@@ -435,7 +435,8 @@ def _dependency_exists(p: Pipeline, a: Asset) -> list[Issue]:
         if getattr(up, "type", "asset") == "uri":
             continue
         if up.value not in names:
-            issues.append(Issue("dependency-exists", a.name, f"unknown upstream {up.value!r}"))
+            s = up.value
+            issues.append(Issue("dependency-exists", a.name, f"Dependency '{s}' does not exist"))
     return issues
 
 

@@ -795,6 +795,32 @@ def test_reference_time_materialization_fixture(spark, tmp_path):
     assert got == want, "post-update state mismatch"
 
 
+def test_reference_missing_upstream_json_golden(tmp_path, capsys):
+    """`validate -o json` emits the reference's issues document shape,
+    with the same dependency diagnostic (missing-upstream-pipeline
+    golden)."""
+    import json as _json
+
+    d = _stage(tmp_path, "missing-upstream-pipeline")
+    rc = cli_main(["validate", str(d), "-o", "json"])
+    out = capsys.readouterr().out
+    assert rc == 1
+    doc = _json.loads(out)
+    golden = _json.load(
+        open(
+            os.path.join(
+                CORPUS,
+                "missing-upstream-pipeline",
+                "expectations",
+                "missing_upstream.json",
+            )
+        )
+    )
+    want = golden[0]["issues"]["nonexistent"][0]
+    got = doc[0]["issues"]["nonexistent"][0]
+    assert got == want
+
+
 def test_reference_hooks_fixture(spark, tmp_path):
     """Pre/post hooks run around the main write in declared order
     (hook_log.csv golden)."""
