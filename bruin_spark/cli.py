@@ -1010,11 +1010,25 @@ def cmd_clean(args) -> int:
         # per-asset checkpoint's target table (same name) is dropped
         # alongside it.
         if os.path.isdir(ckpts):
+            import re
             import shutil
 
+            # Checkpoint dir entries are untrusted filesystem names
+            # (editor temp files, partial dirs, renamed-asset leftovers
+            # can appear): only entries shaped like table identifiers
+            # are dropped, quoted, and one bad entry never aborts the
+            # sweep of the rest.
+            ident = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)?$")
             for asset_name in sorted(os.listdir(ckpts)):
-                spark.sql(f"DROP TABLE IF EXISTS {asset_name}")
-                removed.append(f"table:{asset_name}")
+                if not ident.match(asset_name):
+                    print(f"skipping non-table checkpoint entry {asset_name!r}")
+                    continue
+                quoted = ".".join(f"`{p}`" for p in asset_name.split("."))
+                try:
+                    spark.sql(f"DROP TABLE IF EXISTS {quoted}")
+                    removed.append(f"table:{asset_name}")
+                except Exception as e:  # noqa: BLE001 - keep sweeping
+                    print(f"failed to drop {asset_name}: {e}")
             shutil.rmtree(ckpts, ignore_errors=True)
             removed.append(ckpts)
         # Swap-family orphans (__cdc_*/__opt_*) go through the recovery

@@ -30,6 +30,7 @@ safe to run on untrusted pipelines even when ``run`` is not.
 from __future__ import annotations
 
 import ast
+import logging
 import os
 import re
 from dataclasses import dataclass, field
@@ -467,17 +468,30 @@ class PolicySpecification:
         reference keeps one policy file at the repo root governing every
         pipeline below it (pkg/lint/policy.go resolves upward); stop at
         a .git boundary."""
-        cur = os.path.abspath(pipeline_path)
+        start = os.path.abspath(pipeline_path)
+        cur = start
         home = os.path.expanduser("~")
         for _ in range(16):  # bounded: never scan arbitrary ancestors
             for fn in ("policy.yml", "policy.yaml"):
                 p = os.path.join(cur, fn)
                 if os.path.exists(p):
+                    if cur != start:
+                        # an ancestor pickup changes lint results vs a
+                        # pipeline-dir-only lookup — make it visible
+                        logging.getLogger("bruin_spark.lint").info(
+                            "policy resolved from ancestor: %s", p
+                        )
                     with open(p, encoding="utf-8") as f:
                         return cls.from_dict(yaml.safe_load(f) or {})
-            # a repo root or the home dir bounds the project — a policy
-            # above either belongs to someone else
-            if os.path.isdir(os.path.join(cur, ".git")) or cur == home:
+            # a repo root, a project root (.bruin.yml), or the home dir
+            # bounds the project — a policy above any belongs to someone
+            # else
+            if (
+                os.path.isdir(os.path.join(cur, ".git"))
+                or os.path.exists(os.path.join(cur, ".bruin.yml"))
+                or os.path.exists(os.path.join(cur, ".bruin.yaml"))
+                or cur == home
+            ):
                 return None
             parent = os.path.dirname(cur)
             if parent == cur:

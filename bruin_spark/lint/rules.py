@@ -780,9 +780,13 @@ def _valid_time_interval(p: Pipeline, a: Asset) -> list[Issue]:
     if not mods:
         return []
     issues = []
+    # report every bad side in one pass, not just the first
     for side in mods:
         if side not in ("start", "end"):
             issues.append(Issue("valid-time-interval", a.name, f"unknown interval modifier side {side!r}"))
+    if issues:
+        mods = {k: v for k, v in mods.items() if k in ("start", "end")}
+        if not mods:
             return issues
     ctx = RenderContext(
         start=datetime(2024, 1, 1),
@@ -793,7 +797,8 @@ def _valid_time_interval(p: Pipeline, a: Asset) -> list[Issue]:
     try:
         shifted = ctx.with_modifiers(mods)
     except Exception as e:  # noqa: BLE001 - bad modifier or template
-        return [Issue("valid-time-interval", a.name, str(e))]
+        issues.append(Issue("valid-time-interval", a.name, str(e)))
+        return issues
     if shifted.start > shifted.end:
         issues.append(
             Issue(

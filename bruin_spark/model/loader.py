@@ -204,15 +204,29 @@ def find_glossary_dir(path: str) -> str | None:
     """Nearest directory at-or-above ``path`` holding a glossary.yml —
     the reference resolves the glossary from the repo root, not only the
     pipeline dir (pkg/glossary GetGlossary walks to the repo root)."""
-    cur = os.path.abspath(path)
+    start = os.path.abspath(path)
+    cur = start
     home = os.path.expanduser("~")
     for _ in range(16):  # bounded: never scan arbitrary ancestors
         for fn in ("glossary.yml", "glossary.yaml"):
             if os.path.exists(os.path.join(cur, fn)):
+                if cur != start:
+                    import logging
+
+                    logging.getLogger("bruin_spark.model").info(
+                        "glossary resolved from ancestor: %s",
+                        os.path.join(cur, fn),
+                    )
                 return cur
-        # a repo root or the home dir bounds the project — a glossary
-        # above either belongs to someone else
-        if os.path.isdir(os.path.join(cur, ".git")) or cur == home:
+        # a repo root, a project root (.bruin.yml), or the home dir
+        # bounds the project — a glossary above any belongs to someone
+        # else
+        if (
+            os.path.isdir(os.path.join(cur, ".git"))
+            or os.path.exists(os.path.join(cur, ".bruin.yml"))
+            or os.path.exists(os.path.join(cur, ".bruin.yaml"))
+            or cur == home
+        ):
             return None
         parent = os.path.dirname(cur)
         if parent == cur:

@@ -26,6 +26,20 @@ def _sha(s: str) -> str:
     return hashlib.sha256(s.encode()).hexdigest()
 
 
+def _param_str(v) -> str:
+    """YAML-scalar spellings for map[string]string parameters: the
+    reference unmarshals YAML into Go strings, so bools are
+    "true"/"false", null is "", floats keep their YAML repr — Python's
+    str() would emit "True"/"None"."""
+    if v is None:
+        return ""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        return repr(v)
+    return str(v)
+
+
 def _relpath(path: str, base: str | None) -> str:
     if not path:
         return ""
@@ -144,7 +158,7 @@ def asset_to_reference_json(
         "owner": asset.owner,
         "executable_file": {"name": fname, "path": fpath, "content": ""},
         "definition_file": {"name": fname, "path": fpath, "type": def_type},
-        "parameters": {k: str(v) for k, v in asset.parameters.items()},
+        "parameters": {k: _param_str(v) for k, v in asset.parameters.items()},
         "secrets": [
             {
                 "secret_key": s.get("secret_key", ""),
