@@ -310,6 +310,31 @@ class _Parser:
                 return lt.strip('"`'), toks[:-1]
         return None, toks
 
+    def _parse_lateral_view(self, s: _Select) -> None:
+        """LATERAL VIEW [OUTER] fn(args) tableAlias [AS col [, col]*] —
+        registered as an inline table (the generator columns have no
+        physical upstream); the function arguments are enclosing-scope
+        refs and feed the non-selected set (Spark SQL ref:
+        select-lateral-view)."""
+        self.i += 2  # LATERAL VIEW
+        self._kw("outer")
+        self._qualified()  # generator function name
+        if self._text() == "(":
+            s.cond_toks.append(self._skip_parens())
+        alias = self._ident() or ""
+        cols: list[str] = []
+        if self._kw("as"):
+            while True:
+                c = self._ident()
+                if c is None:
+                    break
+                cols.append(c)
+                if self._text() == ",":
+                    self.i += 1
+                    continue
+                break
+        s.relations.append(_Rel(alias=alias, values_cols=cols))
+
     def _parse_from(self, s: _Select) -> None:
         s.relations.append(self._parse_relation())
         while True:
@@ -320,6 +345,9 @@ class _Parser:
             if t == ",":
                 self.i += 1
                 s.relations.append(self._parse_relation())
+                continue
+            if p[0] == "word" and t == "lateral" and self._text(1) == "view":
+                self._parse_lateral_view(s)
                 continue
             if p[0] == "word" and t in _JOIN_KW:
                 while self._kw(*(_JOIN_KW - {"join"})):

@@ -122,54 +122,81 @@ def _cte_names(toks, code) -> set[str]:
     return names
 
 
+#: functions whose argument list contains a non-relational FROM keyword
+#: (EXTRACT(day FROM x), SUBSTRING(s FROM 1), TRIM(BOTH ' ' FROM s), ...)
+_FROM_ARG_FNS = {"extract", "substring", "trim", "position", "overlay"}
+
+#: keywords that end a FROM list at the current nesting depth
+_FROM_ENDERS = {
+    "where", "group", "order", "having", "limit", "select", "union",
+    "intersect", "except", "on", "using", "lateral", "window", "qualify",
+    "set", "when", "then", "else", "end", "values",
+}
+
+
 def _table_refs(sql: str):
-    """-> [(qualified_name, first_tok_idx, last_tok_idx)] of FROM/JOIN refs."""
+    """-> [(qualified_name, first_tok_idx, last_tok_idx)] of FROM/JOIN refs.
+
+    Depth-tracking scan: a FROM/JOIN keyword opens a table-ref position,
+    and a ',' while the current depth is still inside a FROM list opens
+    another (mixed `FROM a, (SELECT..) b, c` lists resolve all physical
+    names). FROMs inside EXTRACT/SUBSTRING/TRIM/POSITION/OVERLAY argument
+    lists are expression syntax, not relations, and are ignored.
+    """
     toks = _tokens(sql)
     code = _code_tokens(toks)
     refs = []
+    in_from: dict[int, bool] = {}  # depth -> inside a FROM list
+    special: list[bool] = []  # paren stack: inside a FROM-arg function call
+    depth = 0
+    prev_word = ""
+
+    def read_ref(j: int) -> int:
+        """Try to read a qualified table name at code index j; -> next j."""
+        if j >= len(code):
+            return j
+        kj, tj, _ = toks[code[j]]
+        if kj not in ("word", "dq", "bq") or tj.lower() in _STOPPERS:
+            return j
+        first = j
+        name_parts = [tj.strip('"`')]
+        j += 1
+        while (
+            j + 1 < len(code)
+            and toks[code[j]][1] == "."
+            and toks[code[j + 1]][0] in ("word", "dq", "bq")
+        ):
+            name_parts.append(toks[code[j + 1]][1].strip('"`'))
+            j += 2
+        refs.append((".".join(name_parts), code[first], code[j - 1]))
+        return j
+
     i = 0
     while i < len(code):
         k, t, _ = toks[code[i]]
-        if k == "word" and t.lower() in _FROMISH:
-            j = i + 1
-            while True:
-                if j >= len(code):
-                    break
-                kj, tj, _ = toks[code[j]]
-                if tj == "(":  # subquery — its FROMs hit on later iterations
-                    break
-                if kj not in ("word", "dq", "bq") or tj.lower() in _STOPPERS:
-                    break
-                # qualified name
-                first = j
-                name_parts = [tj.strip('"`')]
-                j += 1
-                while (
-                    j + 1 < len(code)
-                    and toks[code[j]][1] == "."
-                    and toks[code[j + 1]][0] in ("word", "dq", "bq")
-                ):
-                    name_parts.append(toks[code[j + 1]][1].strip('"`'))
-                    j += 2
-                refs.append((".".join(name_parts), code[first], code[j - 1]))
-                # skip alias
-                if j < len(code) and toks[code[j]][0] == "word" and toks[code[j]][1].lower() == "as":
-                    j += 1
-                if (
-                    j < len(code)
-                    and toks[code[j]][0] in ("word", "dq", "bq")
-                    and toks[code[j]][1].lower() not in _STOPPERS
-                    and toks[code[j]][1].lower() not in _FROMISH
-                ):
-                    j += 1
-                # comma-separated FROM list
-                if j < len(code) and toks[code[j]][1] == ",":
-                    j += 1
-                    continue
-                break
-            i = j
-        else:
-            i += 1
+        low = t.lower() if k == "word" else ""
+        if t == "(":
+            special.append(prev_word in _FROM_ARG_FNS)
+            depth += 1
+        elif t == ")":
+            in_from.pop(depth, None)
+            depth -= 1
+            if special:
+                special.pop()
+        elif k == "word" and low in _FROMISH:
+            if not (special and special[-1]):
+                in_from[depth] = True
+                i = read_ref(i + 1)
+                prev_word = low
+                continue
+        elif k == "word" and low in _FROM_ENDERS:
+            in_from[depth] = False
+        elif t == "," and in_from.get(depth):
+            i = read_ref(i + 1)
+            prev_word = ""
+            continue
+        prev_word = low
+        i += 1
     return toks, refs
 
 
@@ -274,11 +301,13 @@ def is_single_select(sql: str) -> bool:
     return first in ("select", "with", "values")
 
 
-def extract_ctes(sql: str) -> dict[str, str]:
-    """-> {cte_name: body_sql} for the statement's top-level WITH clause."""
+def _cte_parts(sql: str) -> list[tuple[str, str | None, str]]:
+    """-> [(name, column_list_text_or_None, body_sql)] for the
+    statement's top-level WITH clause. The column list text is the
+    original ``(c1, c2)`` span so rebuilders preserve output renames."""
     toks = _tokens(sql)
     code = _code_tokens(toks)
-    out: dict[str, str] = {}
+    out: list[tuple[str, str | None, str]] = []
     if not code or toks[code[0]][1].lower() != "with":
         return out
     j = 1
@@ -291,14 +320,17 @@ def extract_ctes(sql: str) -> dict[str, str]:
             break
         name = tj.strip('"`')
         j += 1
+        col_list: str | None = None
         if j < len(code) and toks[code[j]][1] == "(":  # column list
             depth = 0
+            start = toks[code[j]][2]
             while j < len(code):
                 if toks[code[j]][1] == "(":
                     depth += 1
                 elif toks[code[j]][1] == ")":
                     depth -= 1
                     if depth == 0:
+                        col_list = sql[start : toks[code[j]][2] + 1]
                         j += 1
                         break
                 j += 1
@@ -316,7 +348,7 @@ def extract_ctes(sql: str) -> dict[str, str]:
                 elif tok[1] == ")":
                     depth -= 1
                     if depth == 0:
-                        out[name] = sql[body_start : tok[2]].strip()
+                        out.append((name, col_list, sql[body_start : tok[2]].strip()))
                         j += 1
                         break
                 j += 1
@@ -327,16 +359,21 @@ def extract_ctes(sql: str) -> dict[str, str]:
     return out
 
 
+def extract_ctes(sql: str) -> dict[str, str]:
+    """-> {cte_name: body_sql} for the statement's top-level WITH clause."""
+    return {name: body for name, _cols, body in _cte_parts(sql)}
+
+
 def select_from_cte(sql: str, cte_name: str) -> str:
     """Rewrite so the query returns the named CTE's rows (unit-test
     per-CTE assertions): keep the WITH prefix up to and including that
     CTE, select * from it."""
-    ctes = extract_ctes(sql)
-    if cte_name not in ctes:
+    parts = _cte_parts(sql)
+    if cte_name not in {n for n, _c, _b in parts}:
         raise ValueError(f"CTE not found: {cte_name}")
     kept = []
-    for name, body in ctes.items():
-        kept.append(f"{name} AS ({body})")
+    for name, cols, body in parts:
+        kept.append(f"{name}{cols or ''} AS ({body})")
         if name == cte_name:
             break
     # preserve RECURSIVE: without it a self-referencing CTE is invalid
@@ -359,14 +396,18 @@ def prepend_ctes(sql: str, fixtures: dict[str, str]) -> str:
     if len(stmts) != 1:
         raise ValueError("prepend_ctes requires a single statement")
     stmt = stmts[0]
-    own = extract_ctes(stmt)
+    own = _cte_parts(stmt)
+    # a shadowed CTE's declared column list is preserved around the
+    # fixture body so downstream references to the renamed outputs hold
+    col_lists = {n: c for n, c, _b in own}
     fixture_part = ", ".join(
-        f"{name} AS ({body.rstrip().rstrip(';')})" for name, body in fixtures.items()
+        f"{name}{col_lists.get(name) or ''} AS ({body.rstrip().rstrip(';')})"
+        for name, body in fixtures.items()
     )
     if not own:
         return f"WITH {fixture_part} {stmt}"
     # merge: fixtures first, then non-shadowed originals, then the body
-    own_parts = [f"{n} AS ({b})" for n, b in own.items() if n not in fixtures]
+    own_parts = [f"{n}{c or ''} AS ({b})" for n, c, b in own if n not in fixtures]
     body_after = _after_with_clause(stmt)
     all_parts = [fixture_part] + own_parts if own_parts else [fixture_part]
     return "WITH " + ", ".join(all_parts) + " " + body_after
