@@ -1,0 +1,270 @@
+"""Differential test: the RENDERED DML statement lists
+(`mat/strategies.py`) executed on DuckDB must produce exactly the same
+table state as the executor's DataFrame rewrite path
+(`mat/executor.py`).
+
+Closes the "rendered MERGE/DELETE SQL is golden-tested text that never
+executed" gap as far as the sandbox allows (no ACID jar for Spark; the
+reference executes this SQL against a warehouse —
+pkg/spark/materialization.go:122-176). Each scenario:
+
+  t0: executor materializes the initial state on Spark; the state is
+      copied verbatim into DuckDB.
+  t1: the executor runs the DataFrame path on Spark, while the RENDERED
+      statements for the same (asset, query) run on DuckDB through the
+      dialect translator + MERGE interpreter (tests/duckdb_dml.py).
+  assert: full table contents match row-for-row.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import duckdb
+import pytest
+
+from bruin_spark.mat.executor import Materializer
+from bruin_spark.mat.strategies import render_materialization
+from bruin_spark.model.pipeline import Asset
+from tests.duckdb_dml import run_statements
+
+NOW = datetime(2024, 6, 2, 12, 0, 0)
+NOW_STR = "2024-06-02 12:00:00"
+
+
+@pytest.fixture()
+def con():
+    c = duckdb.connect()
+    yield c
+    c.close()
+
+
+def _sync_to_duck(spark, con, name: str, tmp_path) -> None:
+    # parquet hop: pandas ns-timestamps overflow on the SCD2 9999-12-31
+    # sentinel, parquet micros don't
+    path = str(tmp_path / f"sync_{name}")
+    spark.table(name).coalesce(1).write.mode("overwrite").parquet(path)
+    con.execute(f'DROP TABLE IF EXISTS "{name}"')
+    con.execute(
+        f'CREATE TABLE "{name}" AS SELECT * FROM read_parquet(\'{path}/*.parquet\')'
+    )
+
+
+def _register_source(spark, con, name: str, sql: str, tmp_path) -> None:
+    spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {sql}")
+    path = str(tmp_path / f"src_{name}")
+    spark.table(name).coalesce(1).write.mode("overwrite").parquet(path)
+    con.execute(f'DROP TABLE IF EXISTS "{name}"')
+    con.execute(
+        f'CREATE TABLE "{name}" AS SELECT * FROM read_parquet(\'{path}/*.parquet\')'
+    )
+
+
+def _assert_same(spark, con, name: str) -> None:
+    sp_cols = spark.table(name).columns
+    duck_cols = [d[0] for d in con.execute(f'SELECT * FROM "{name}" LIMIT 0').description]
+    assert sorted(sp_cols) == sorted(duck_cols), name
+    cols = sorted(sp_cols)
+    got_spark = sorted(
+        tuple(r)
+        for r in spark.table(name)
+        .selectExpr(*[f"CAST(`{c}` AS STRING) AS `{c}`" for c in cols])
+        .collect()
+    )
+    got_duck = sorted(
+        map(
+            tuple,
+            con.execute(
+                "SELECT " + ", ".join(f'CAST("{c}" AS VARCHAR)' for c in cols) + f' FROM "{name}"'
+            ).fetchall(),
+        )
+    )
+    assert got_spark == got_duck, f"{name}:\nspark={got_spark}\nduck={got_duck}"
+
+
+def _differential(
+    spark, con, asset: Asset, t0_sql: str, t1_sql: str, tmp_path, params: dict | None = None
+):
+    """Run t0 via executor both sides (copied), t1 differentially."""
+    mat = Materializer(spark, now=NOW)
+    name = asset.name
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    for p, v in (params or {}).items():
+        asset.parameters[p] = v
+    mat.run(asset, t0_sql)
+    _sync_to_duck(spark, con, name, tmp_path)
+
+    _register_source(spark, con, f"src_{name}", t1_sql, tmp_path)
+    src_query = f"SELECT * FROM src_{name}"
+    rendered = render_materialization(asset, src_query)
+    jinja = {}
+    if params:
+        jinja = {
+            "start_date": params.get("_interval_start", ""),
+            "end_date": params.get("_interval_end", ""),
+            "start_timestamp": params.get("_interval_start", ""),
+            "end_timestamp": params.get("_interval_end", ""),
+        }
+    run_statements(con, rendered, NOW_STR, jinja)
+    mat.run(asset, src_query)
+    _assert_same(spark, con, name)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_rendered_delete_insert(spark, con, tmp_path):
+    a = Asset.from_dict(
+        {
+            "name": "rdml_di",
+            "materialization": {"type": "table", "strategy": "delete+insert", "incremental_key": "d"},
+        }
+    )
+    _differential(
+        spark,
+        con,
+        a,
+        "SELECT * FROM VALUES ('2024-01-01', 'eu', 10.0), ('2024-01-01', 'us', 20.0), "
+        "('2024-01-02', 'eu', 30.0) AS t(d, region, amount)",
+        "SELECT * FROM VALUES ('2024-01-01', 'eu', 11.0) AS t(d, region, amount)",
+        tmp_path,
+    )
+
+
+def test_rendered_time_interval(spark, con, tmp_path):
+    a = Asset.from_dict(
+        {
+            "name": "rdml_ti",
+            "materialization": {
+                "type": "table",
+                "strategy": "time_interval",
+                "incremental_key": "d",
+                "time_granularity": "date",
+            },
+        }
+    )
+    _differential(
+        spark,
+        con,
+        a,
+        "SELECT CAST(d AS DATE) AS d, amount FROM VALUES ('2024-01-01', 1.0), "
+        "('2024-01-02', 2.0), ('2024-01-03', 3.0) AS t(d, amount)",
+        "SELECT CAST('2024-01-01' AS DATE) AS d, 9.0 AS amount",
+        tmp_path,
+        params={"_interval_start": "2024-01-01", "_interval_end": "2024-01-02"},
+    )
+
+
+def test_rendered_merge(spark, con, tmp_path):
+    a = Asset.from_dict(
+        {
+            "name": "rdml_merge",
+            "materialization": {"type": "table", "strategy": "merge"},
+            "columns": [
+                {"name": "item_id", "type": "int", "primary_key": True},
+                {"name": "item_name", "type": "string", "update_on_merge": True},
+                {"name": "stock", "type": "int", "merge_sql": "target.stock + source.stock"},
+                {"name": "unit_price", "type": "double"},
+            ],
+        }
+    )
+    _differential(
+        spark,
+        con,
+        a,
+        "SELECT * FROM VALUES (1, 'a', 10, 1.5), (2, 'b', 20, 2.5) "
+        "AS t(item_id, item_name, stock, unit_price)",
+        "SELECT * FROM VALUES (2, 'B2', 5, 9.9), (3, 'c', 30, 3.5) "
+        "AS t(item_id, item_name, stock, unit_price)",
+        tmp_path,
+    )
+
+
+def test_rendered_merge_incremental_predicate(spark, con, tmp_path):
+    a = Asset.from_dict(
+        {
+            "name": "rdml_mip",
+            "materialization": {
+                "type": "table",
+                "strategy": "merge",
+                "incremental_predicate": "source.stock > 3",
+            },
+            "columns": [
+                {"name": "item_id", "type": "int", "primary_key": True},
+                {"name": "stock", "type": "int", "update_on_merge": True},
+            ],
+        }
+    )
+    _differential(
+        spark,
+        con,
+        a,
+        "SELECT * FROM VALUES (1, 10), (2, 20) AS t(item_id, stock)",
+        "SELECT * FROM VALUES (1, 2), (2, 25), (3, 30) AS t(item_id, stock)",
+        tmp_path,
+    )
+
+
+def test_rendered_scd2_by_column(spark, con, tmp_path):
+    a = Asset.from_dict(
+        {
+            "name": "rdml_s2c",
+            "materialization": {"type": "table", "strategy": "scd2_by_column"},
+            "columns": [
+                {"name": "product_id", "type": "int", "primary_key": True},
+                {"name": "price", "type": "double"},
+            ],
+        }
+    )
+    # t1: change on 1, unchanged 2, id 3 absent (expires), new id 4
+    _differential(
+        spark,
+        con,
+        a,
+        "SELECT * FROM VALUES (1, 10.0), (2, 20.0), (3, 30.0) AS t(product_id, price)",
+        "SELECT * FROM VALUES (1, 11.0), (2, 20.0), (4, 40.0) AS t(product_id, price)",
+        tmp_path,
+    )
+
+
+def test_rendered_scd2_by_time(spark, con, tmp_path):
+    a = Asset.from_dict(
+        {
+            "name": "rdml_s2t",
+            "materialization": {
+                "type": "table",
+                "strategy": "scd2_by_time",
+                "incremental_key": "updated_at",
+            },
+            "columns": [
+                {"name": "product_id", "type": "int", "primary_key": True},
+                {"name": "price", "type": "double"},
+                {"name": "updated_at", "type": "timestamp"},
+            ],
+        }
+    )
+    _differential(
+        spark,
+        con,
+        a,
+        "SELECT product_id, price, CAST(updated_at AS TIMESTAMP) AS updated_at FROM VALUES "
+        "(1, 10.0, '2024-01-01 00:00:00'), (2, 20.0, '2024-01-01 00:00:00') "
+        "AS t(product_id, price, updated_at)",
+        "SELECT product_id, price, CAST(updated_at AS TIMESTAMP) AS updated_at FROM VALUES "
+        "(1, 11.0, '2024-02-01 00:00:00'), (2, 20.0, '2024-01-01 00:00:00'), "
+        "(3, 33.0, '2024-03-01 00:00:00') AS t(product_id, price, updated_at)",
+        tmp_path,
+    )
+
+
+def test_rendered_append_and_truncate(spark, con, tmp_path):
+    for strategy, name in (("append", "rdml_app"), ("truncate+insert", "rdml_tr")):
+        a = Asset.from_dict(
+            {"name": name, "materialization": {"type": "table", "strategy": strategy}}
+        )
+        _differential(
+            spark,
+            con,
+            a,
+            "SELECT * FROM VALUES (1, 'x'), (2, 'y') AS t(id, v)",
+            "SELECT * FROM VALUES (3, 'z') AS t(id, v)",
+            tmp_path,
+        )
