@@ -78,6 +78,11 @@ SCALE_ENTRIES = [
     "dedup_clusters",
     "sim_ivf_topk",
     "dedup_incremental",
+    # r6: the previously-unfitted heavy tail
+    "dedup_simhash_pairs",
+    "dedup_segments",
+    "text_curation_funnel",
+    "emb_kmeans_step",
 ]
 SCALE_FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "8"))
 
@@ -115,6 +120,131 @@ def _ivf_serving_stress(spark, sf_dir: str):
 #: stress-shape overrides: entries whose oracle form couples two
 #: corpus-sized inputs get the production-shaped variant here
 STRESS_VARIANTS = {"sim_ivf_topk": _ivf_serving_stress}
+
+#: quality gates: iterative/approximate operators get a correctness-shaped
+#: bound alongside their wall-time — a convergence or recall regression
+#: can hide inside wall-time noise (the r05 dedup_clusters +8% wobble
+#: was noise; these numbers would have said so directly)
+CC_MAX_ROUNDS = 12  # alternating-star rounds on the bench pair graph
+#: recall@K floor, 64-query batch vs exact brute force. The synthetic
+#: embeddings are near-random, which caps IVF recall structurally
+#: (measured 0.52-0.64 across sf0.001-0.1 at n_probe=2/8 cells ≈ 25% of
+#: the corpus scanned); the gate is regression-shaped — a broken cell
+#: assignment or probe ranking craters recall to ~0.1, well below this.
+IVF_MIN_RECALL = 0.45
+
+
+def synthetic_dag(width: int = 100, depth: int = 10):
+    """width×depth layered DAG: node (d, w) depends on (d-1, w) and
+    (d-1, w-1) — every layer fans in, so the frontier stays wide and the
+    Tick-loop/ready-queue machinery is the thing measured. Timeouts and
+    cooldowns are set on every asset so their bookkeeping (watcher
+    thread, cooldown clock) is included in the per-instance overhead.
+    Tier pools alternate to exercise fair-scheduler pool routing."""
+    from bruin_spark.model.pipeline import Asset, Pipeline, Upstream
+
+    assets = []
+    for d in range(depth):
+        for w in range(width):
+            deps = []
+            if d > 0:
+                deps.append(f"n_{d - 1}_{w}")
+                if w > 0:
+                    deps.append(f"n_{d - 1}_{w - 1}")
+            assets.append(
+                Asset(
+                    name=f"n_{d}_{w}",
+                    type="noop",
+                    timeout="60s",
+                    rerun_cooldown=1,
+                    tier=f"tier-{w % 3}",
+                    depends=[Upstream(value=x) for x in deps],
+                )
+            )
+    return Pipeline(name="sched_stress", assets=assets, concurrency=16)
+
+
+def _scheduler_stress(spark) -> dict:
+    """1000-asset DAG through the real Scheduler with no-op operators:
+    wall time IS the scheduling overhead (build + tick + dispatch +
+    timeout-watcher + state bookkeeping), reference behavior
+    pkg/scheduler/scheduler.go:836-1140."""
+    import threading
+    import time as _time
+
+    from bruin_spark.scheduler import Scheduler
+
+    pipe = synthetic_dag()
+    done: list[str] = []
+    lock = threading.Lock()
+
+    def noop(s, asset, ctx):
+        with lock:
+            done.append(asset.name)
+
+    t0 = _time.perf_counter()
+    sched = Scheduler(spark, pipe, operators={"noop": noop})
+    build_s = _time.perf_counter() - t0
+    t1 = _time.perf_counter()
+    res = sched.run()
+    run_s = _time.perf_counter() - t1
+    n = len(sched.instances)
+    return {
+        "assets": len(pipe.assets),
+        "instances": n,
+        "ok": res.ok,
+        "completed": len(done),
+        "build_s": round(build_s, 3),
+        "run_s": round(run_s, 3),
+        "overhead_ms_per_instance": round(run_s / max(n, 1) * 1000, 3),
+    }
+
+
+def _quality_gates(spark) -> dict:
+    """Round-count gate for connected components and recall@K gate for
+    IVF, both on the bench inputs."""
+    from bruin_spark.operators import dedup as D
+    from bruin_spark.operators import similarity as S
+    from bruin_spark.workloads.dedup import JACCARD_T, LSH_BANDS, MINHASH_K, NGRAM, _docs
+    from bruin_spark.workloads.similarity import K, N_CENTROIDS, N_PROBE, QUERY_MOD, _emb
+
+    out: dict = {}
+    # connected-components convergence on the bench LSH pair graph
+    stats: dict = {}
+    pairs = D.minhash_dedup_pairs(
+        _docs(spark, SF_DIR), k=MINHASH_K, bands=LSH_BANDS, n=NGRAM, threshold=JACCARD_T
+    )
+    D.connected_components(pairs, "id_a", "id_b", stats=stats).count()
+    out["cc_rounds"] = {
+        "rounds": stats.get("rounds"),
+        "max": CC_MAX_ROUNDS,
+        "pass": (stats.get("rounds") or CC_MAX_ROUNDS + 1) <= CC_MAX_ROUNDS,
+    }
+
+    # IVF recall@K vs exact brute force on the fixed 64-query batch
+    emb = _emb(spark, SF_DIR)
+    queries = (
+        emb.filter(f"vec_id % {QUERY_MOD} = 0")
+        .orderBy("vec_id")
+        .limit(64)
+        .withColumnRenamed("vec_id", "query_id")
+    )
+    exact = S.cosine_topk(emb, queries, k=K).select("query_id", "nn_id")
+    approx = S.ivf_topk(
+        emb, queries, k=K, n_centroids=N_CENTROIDS, n_probe=N_PROBE
+    ).select("query_id", "nn_id")
+    hit = approx.join(exact, ["query_id", "nn_id"]).count()
+    total = exact.count()
+    recall = round(hit / total, 4) if total else 1.0
+    out["ivf_recall_at_k"] = {
+        "k": K,
+        "n_probe": N_PROBE,
+        "n_centroids": N_CENTROIDS,
+        "recall": recall,
+        "min": IVF_MIN_RECALL,
+        "pass": recall >= IVF_MIN_RECALL,
+    }
+    return out
 
 
 def _build_scaled_dir(spark, base_dir: str, factor: int) -> str:
@@ -384,6 +514,20 @@ def main() -> int:
     sidecar = {**out, "plan_hashes": plan_hashes}
     if scale_stress:
         sidecar["scale_stress"] = scale_stress
+    if want_stress:
+        try:
+            gates = _quality_gates(spark)
+            sidecar["quality_gates"] = gates
+            for gname, g in gates.items():
+                print(f"# quality-gate {gname}: {g}", file=sys.stderr)
+        except Exception as e:  # gates must never sink the bench contract
+            print(f"# quality-gates failed: {e}", file=sys.stderr)
+        try:
+            ss = _scheduler_stress(spark)
+            sidecar["scheduler_stress"] = ss
+            print(f"# scheduler-stress: {ss}", file=sys.stderr)
+        except Exception as e:
+            print(f"# scheduler-stress failed: {e}", file=sys.stderr)
     sidecar_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_details.json"
     )

@@ -549,6 +549,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 30,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over a pair graph -> (node, component).
 
@@ -564,6 +565,10 @@ def connected_components(
     truncated per round with localCheckpoint (swap for checkpoint(dir)
     on a real cluster).  Raises after ``max_iter`` non-converged rounds.
 
+    ``stats``: optional dict; on return, ``stats["rounds"]`` holds the
+    number of star rounds executed — the bench's convergence-regression
+    gate (wall-time alone cannot tell a slow round from an extra round).
+
     Reference has no analog (its dedup ends at the warehouse); SURVEY
     §2 training-data design slot.
     """
@@ -573,6 +578,8 @@ def connected_components(
         .distinct()
     )
     if e.isEmpty():
+        if stats is not None:
+            stats["rounds"] = 0
         schema = "node bigint, component bigint"
         return e.sparkSession.createDataFrame([], schema)
 
@@ -587,14 +594,18 @@ def connected_components(
 
     e = e.localCheckpoint(eager=True)
     prev = _fingerprint(e)
+    rounds = 0
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        rounds += 1
         cur = _fingerprint(e)
         if cur == prev:
             break
         prev = cur
     else:
         raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+    if stats is not None:
+        stats["rounds"] = rounds
 
     # converged star edges: (node, root); roots map to themselves
     roots = e.select(F.col("v").alias("u"), F.col("v").alias("v")).distinct()

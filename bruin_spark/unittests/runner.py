@@ -24,11 +24,14 @@ Test spec (YAML under the asset's ``unit_tests:``):
           types: [bigint, double]               # optional, default inferred
           rows: [[1, 10.0], [2, 20.5]]
       expected:
-        columns: [id, total]
-        rows: [[1, 10.0], [2, 20.5]]
-      match: exact | subset        (default exact)
-      order: any | strict          (default any)
-      expected_count: 2            (alternative to expected rows)
+        columns: [id, total]                    # positional-row mode
+        rows: [[1, 10.0], [2, 20.5]]            # or map rows, partial cols
+        count: 2                                # independent of rows
+        match: exact | subset      (default subset — reference default)
+        order: any | strict        (default any)
+        ctes:                                   # per-CTE assertions
+          some_cte: {rows: [...], match: exact}
+      expected_count: 2            (legacy alias for expected.count)
       cte: some_cte_name           (assert that CTE instead of the query)
 """
 
@@ -112,74 +115,154 @@ def build_test_query(asset_query: str, spec: dict[str, Any]) -> str:
     return sql
 
 
-# -- comparison ----------------------------------------------------------------
+# -- comparison (reference semantics: pkg/unittest/compare.go:23-211) ----------
 
 
-def _norm_cell(v: Any) -> Any:
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return v
-    try:
-        import decimal
+def _go_str(v: Any) -> str:
+    # Go fmt %v spells bools lowercase; fixture "true" matches engine TRUE
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
 
-        if isinstance(v, decimal.Decimal):
-            return float(v)
-    except ImportError:
-        pass
+
+def _to_float(v: Any) -> float | None:
+    """compare.go toFloat: ints/floats/Decimals and NUMERIC STRINGS
+    (Snowflake returns NUMBER as "5.000000") coerce; bools do not."""
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, (int, float)):
+        return float(v)
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, str):
+        try:
+            return float(v.strip())
+        except ValueError:
+            return None
+    return None
+
+
+def _to_time(v: Any):
+    """compare.go toTime: datetimes/dates, or strings in the recognized
+    layouts (RFC3339, space- or T-separated, date-only), normalized to a
+    UTC instant. Non-date strings return None."""
     import datetime
 
-    if isinstance(v, (datetime.datetime, datetime.date)):
-        return str(v)
-    return v
+    utc = datetime.timezone.utc
+    if isinstance(v, datetime.datetime):
+        return v if v.tzinfo else v.replace(tzinfo=utc)
+    if isinstance(v, datetime.date):
+        return datetime.datetime(v.year, v.month, v.day, tzinfo=utc)
+    if isinstance(v, str):
+        try:
+            t = datetime.datetime.fromisoformat(v.strip().replace("Z", "+00:00"))
+        except ValueError:
+            return None
+        return t if t.tzinfo else t.replace(tzinfo=utc)
+    return None
 
 
-def _cells_equal(a: Any, b: Any, rel_tol: float = 1e-9) -> bool:
-    a, b = _norm_cell(a), _norm_cell(b)
-    if isinstance(a, (int, float)) and isinstance(b, (int, float)) and not isinstance(a, bool) and not isinstance(b, bool):
-        return math.isclose(float(a), float(b), rel_tol=rel_tol, abs_tol=1e-9)
-    return a == b
+def _values_equal(want: Any, got: Any) -> bool:
+    """compare.go valuesEqual: numeric by value with relative tolerance,
+    dates/timestamps by instant across representations, bytes decoded,
+    everything else by (Go-spelled) string form."""
+    if isinstance(want, (bytes, bytearray)):
+        want = bytes(want).decode("utf-8", "replace")
+    if isinstance(got, (bytes, bytearray)):
+        got = bytes(got).decode("utf-8", "replace")
+    if want is None or got is None:
+        return want is None and got is None
+    wf, gf = _to_float(want), _to_float(got)
+    if wf is not None and gf is not None:
+        # representation-noise tolerance: 0.1 + 0.2 matches 0.3
+        return wf == gf or abs(wf - gf) <= 1e-9 * max(1.0, abs(wf), abs(gf))
+    wt, gt = _to_time(want), _to_time(got)
+    if wt is not None and gt is not None:
+        return wt == gt
+    return _go_str(want) == _go_str(got)
 
 
-def _rows_equal(a: list, b: list, rel_tol: float = 1e-9) -> bool:
-    return len(a) == len(b) and all(_cells_equal(x, y, rel_tol) for x, y in zip(a, b))
+def _row_matches(expected_row: dict, actual_row: dict) -> bool:
+    """Every asserted column must match; actual may carry extra columns
+    (partial assertions). Keys are compared case-insensitively."""
+    for k, want in expected_row.items():
+        lk = str(k).lower()
+        if lk not in actual_row or not _values_equal(want, actual_row[lk]):
+            return False
+    return True
+
+
+def _as_row_dicts(rows: list, columns: list[str] | None) -> list[dict]:
+    """Normalize rows to {lower_col: value} dicts. Map rows pass through
+    (the reference YAML shape); positional lists zip with ``columns``, or
+    fall back to positional keys when no columns are known."""
+    out = []
+    for row in rows:
+        if isinstance(row, dict):
+            out.append({str(k).lower(): v for k, v in row.items()})
+        elif columns:
+            out.append({str(c).lower(): v for c, v in zip(columns, row)})
+        else:
+            out.append({str(i): v for i, v in enumerate(row)})
+    return out
 
 
 def compare_rows(
     actual: list[list[Any]],
     expected: list[list[Any]],
-    match: str = "exact",
+    match: str = "subset",
     order: str = "any",
+    actual_columns: list[str] | None = None,
+    expected_columns: list[str] | None = None,
+    count: int | None = None,
 ) -> str:
-    """'' when rows satisfy the expectation, else a failure message."""
-    if order == "strict":
-        if match == "exact":
-            if len(actual) != len(expected):
-                return f"row count {len(actual)} != expected {len(expected)}"
-            for i, (a, e) in enumerate(zip(actual, expected)):
-                if not _rows_equal(a, e):
-                    return f"row {i} differs: {a} != {e}"
-            return ""
-        # subset + strict: expected must appear in order within actual
-        it = iter(actual)
-        for e in expected:
-            for a in it:
-                if _rows_equal(a, e):
-                    break
-            else:
-                return f"expected row not found in order: {e}"
+    """'' when rows satisfy the expectation, else a failure message.
+
+    Reference semantics (compare.go compareRowSet/compareRows): ``count``
+    and rows are independent assertions; default match is SUBSET (extra
+    actual rows allowed) and default order is any; strict order compares
+    positionally (expected must be a prefix of actual); unordered mode
+    binds expected rows to distinct actual rows with a maximum bipartite
+    matching so a broad partial row never steals the only actual row a
+    narrower one needs.
+    """
+    act = _as_row_dicts(actual, actual_columns)
+    exp = _as_row_dicts(expected, expected_columns or actual_columns)
+
+    if count is not None and len(act) != count:
+        return f"expected {count} row(s), got {len(act)}"
+    m = (match or "").lower()
+    if m not in ("", "subset", "exact"):
+        return f'unknown match mode "{match}" (use "subset" or "exact")'
+    exact = m == "exact"
+    if exact and len(exp) != len(act):
+        return f"expected exactly {len(exp)} row(s), got {len(act)}"
+    if (order or "").lower() == "strict":
+        if len(act) < len(exp):
+            return f"expected at least {len(exp)} row(s), got {len(act)}"
+        for i, e in enumerate(exp):
+            if not _row_matches(e, act[i]):
+                return f"row {i} mismatch\n  expected: {e}\n  actual:   {act[i]}"
         return ""
-    # order any: multiset match
-    remaining = list(actual)
-    for e in expected:
-        for i, a in enumerate(remaining):
-            if _rows_equal(a, e):
-                del remaining[i]
-                break
-        else:
-            return f"expected row not found: {e}"
-    if match == "exact" and remaining:
-        return f"{len(remaining)} unexpected extra rows, first: {remaining[0]}"
+
+    # maximum bipartite matching (augmenting paths), as in compare.go
+    matched_by = [-1] * len(act)
+
+    def augment(ei: int, seen: list[bool]) -> bool:
+        for ai in range(len(act)):
+            if seen[ai] or not _row_matches(exp[ei], act[ai]):
+                continue
+            seen[ai] = True
+            if matched_by[ai] == -1 or augment(matched_by[ai], seen):
+                matched_by[ai] = ei
+                return True
+        return False
+
+    for ei in range(len(exp)):
+        if not augment(ei, [False] * len(act)):
+            return f"expected row not found: {exp[ei]}\nactual rows: {act}"
     return ""
 
 
@@ -202,22 +285,51 @@ def run_unit_tests(
             )
             continue
 
+        exp = spec.get("expected") or {}
+        # count and rows are independent assertions (compare.go:43-47):
+        # either or both may be set, and both must hold
+        count = exp.get("count")
+        if count is None and "expected_count" in spec:
+            count = spec["expected_count"]
         msg = ""
-        if "expected_count" in spec:
-            if len(actual) != spec["expected_count"]:
-                msg = f"count {len(actual)} != expected {spec['expected_count']}"
-        elif "expected" in spec:
-            exp = spec["expected"]
-            exp_cols = exp.get("columns")
-            if exp_cols:
-                if [c.lower() for c in actual_cols] != [c.lower() for c in exp_cols]:
-                    msg = f"columns {actual_cols} != expected {exp_cols}"
-            if not msg:
-                msg = compare_rows(
-                    actual,
-                    exp.get("rows", []),
-                    match=spec.get("match", "exact"),
-                    order=spec.get("order", "any"),
-                )
+        exp_cols = exp.get("columns")
+        if exp_cols and [c.lower() for c in actual_cols] != [
+            c.lower() for c in exp_cols
+        ]:
+            msg = f"columns {actual_cols} != expected {exp_cols}"
+        if not msg and (exp.get("rows") is not None or count is not None):
+            msg = compare_rows(
+                actual,
+                exp.get("rows") or [],
+                match=exp.get("match") or spec.get("match", "subset"),
+                order=exp.get("order") or spec.get("order", "any"),
+                actual_columns=actual_cols,
+                expected_columns=exp_cols,
+                count=count,
+            )
+        # per-CTE expectations: expected.ctes.{name} asserts one named
+        # intermediate CTE with the same row/count/match/order semantics
+        # (pipeline.go UnitTestCTEExpected)
+        for cte_name, cte_exp in (exp.get("ctes") or {}).items():
+            if msg:
+                break
+            try:
+                cq = build_test_query(base, {**spec, "cte": cte_name})
+                cdf = spark.sql(cq)
+                c_actual = [list(r) for r in cdf.collect()]
+            except Exception as exc:  # noqa: BLE001 - surface as failure
+                msg = f"cte {cte_name}: query error: {exc}"
+                break
+            c_msg = compare_rows(
+                c_actual,
+                cte_exp.get("rows") or [],
+                match=cte_exp.get("match", "subset"),
+                order=cte_exp.get("order", "any"),
+                actual_columns=cdf.columns,
+                expected_columns=cte_exp.get("columns"),
+                count=cte_exp.get("count"),
+            )
+            if c_msg:
+                msg = f"cte {cte_name}: {c_msg}"
         out.append(UnitTestResult(asset.name, name, msg == "", msg, q))
     return out

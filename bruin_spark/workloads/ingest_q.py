@@ -91,7 +91,57 @@ def ingest_saas_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 SAAS_ORACLE = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
 
 
+_CSV_FIXTURED: dict[str, str] = {}
+
+
+def _saas_csv_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the region dimension as a recorded shopify://products CSV
+    extract — a second scheme AND a second on-disk shape (csv, not
+    parquet) through the same replay layout."""
+    if sf_dir not in _CSV_FIXTURED:
+        from bruin_spark.session import read_parquet
+
+        d = tempfile.mkdtemp(prefix="bruin_saas_csv_fixture_")
+        os.makedirs(os.path.join(d, "shopify"), exist_ok=True)
+        pdf = read_parquet(spark, os.path.join(sf_dir, "region.parquet")).toPandas()
+        pdf[["r_regionkey", "r_name"]].to_csv(
+            os.path.join(d, "shopify", "products.csv"), index=False
+        )
+        _CSV_FIXTURED[sf_dir] = d
+    return _CSV_FIXTURED[sf_dir]
+
+
+def ingest_saas_fixture_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second SaaS replay entry (different scheme + file shape than
+    ingest_saas_fixture, so at least one lands in any driver correctness
+    window): shopify://products resolves to a recorded CSV extract; rows
+    must match the staged source (ref: pkg/ingestr/operator.go:184-437)."""
+    from pyspark.sql import functions as F
+
+    fdir = _saas_csv_fixture_dir(spark, sf_dir)
+    old = os.environ.get("BRUIN_SOURCE_FIXTURE_DIR")
+    os.environ["BRUIN_SOURCE_FIXTURE_DIR"] = fdir
+    try:
+        df = read_source(
+            spark, "shopify://?api_key=shpat_fixture", table="products"
+        )
+    finally:
+        if old is None:
+            os.environ.pop("BRUIN_SOURCE_FIXTURE_DIR", None)
+        else:
+            os.environ["BRUIN_SOURCE_FIXTURE_DIR"] = old
+    # CSV lands untyped; surface typed columns like an ingestr extract
+    return df.select(
+        F.col("r_regionkey").cast("bigint").alias("r_regionkey"),
+        F.col("r_name").cast("string").alias("r_name"),
+    )
+
+
+SAAS_CSV_ORACLE = "SELECT r_regionkey, r_name FROM region"
+
+
 QUERIES = {
     "ingest_sqlite_roundtrip": (ingest_sqlite_roundtrip, SQLITE_ORACLE),
     "ingest_saas_fixture": (ingest_saas_fixture, SAAS_ORACLE),
+    "ingest_saas_fixture_csv": (ingest_saas_fixture_csv, SAAS_CSV_ORACLE),
 }

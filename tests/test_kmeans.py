@@ -100,3 +100,33 @@ def test_quantize_embeddings_roundtrip_error_bound(spark):
     # map-only plan
     plan = quantize_embeddings(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_ivf_recall_gate(spark, sf_dir):
+    """IVF quality gate: recall@K vs exact brute force on the serving
+    batch must clear the bench floor (bench.IVF_MIN_RECALL). The floor
+    is regression-shaped — near-random synthetic embeddings cap the
+    ceiling, but a broken cell assignment craters recall to ~0.1."""
+    import bench
+    from bruin_spark.operators import similarity as S
+    from bruin_spark.workloads.similarity import (
+        K,
+        N_CENTROIDS,
+        N_PROBE,
+        QUERY_MOD,
+        _emb,
+    )
+
+    emb = _emb(spark, sf_dir)
+    queries = (
+        emb.filter(f"vec_id % {QUERY_MOD} = 0")
+        .orderBy("vec_id")
+        .limit(64)
+        .withColumnRenamed("vec_id", "query_id")
+    )
+    exact = S.cosine_topk(emb, queries, k=K).select("query_id", "nn_id")
+    approx = S.ivf_topk(
+        emb, queries, k=K, n_centroids=N_CENTROIDS, n_probe=N_PROBE
+    ).select("query_id", "nn_id")
+    recall = approx.join(exact, ["query_id", "nn_id"]).count() / exact.count()
+    assert recall >= bench.IVF_MIN_RECALL, recall

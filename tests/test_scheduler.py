@@ -566,3 +566,39 @@ def test_non_blocking_check_failure_warn_only_run_ok(spark):
     assert "src_wo:check:v:not_null" in res.warn_only_failed
     assert "down_wo" in res.succeeded  # not gated
     assert res.ok  # warn-only: run still green
+
+
+def test_thousand_asset_dag_stress(spark):
+    """1000-asset width-100/depth-10 DAG with per-asset timeouts,
+    cooldowns, and tier pools active: every instance succeeds, dependency
+    order holds (a node completes only after its upstream completed), and
+    scheduling overhead stays bounded (ref behavior:
+    pkg/scheduler/scheduler.go:836-1140)."""
+    import time
+
+    import bench
+
+    pipe = bench.synthetic_dag(width=100, depth=10)
+    finished = {}
+    lock = threading.Lock()
+
+    def noop(s, asset, ctx):
+        with lock:
+            finished[asset.name] = len(finished)
+
+    t0 = time.perf_counter()
+    sched = Scheduler(spark, pipe, operators={"noop": noop})
+    res = sched.run()
+    wall = time.perf_counter() - t0
+
+    assert res.ok
+    assert len(finished) == 1000
+    statuses = {i.status for i in sched.instances.values()}
+    assert statuses == {InstanceStatus.SUCCEEDED}
+    # dependency order: completion index of a node is after its upstreams
+    for a in pipe.assets:
+        for up in a.depends:
+            assert finished[up.value] < finished[a.name], (up.value, a.name)
+    # overhead gate: generous bound; a Tick-loop regression (e.g.
+    # quadratic ready-scan) blows through this immediately
+    assert wall / len(finished) < 0.05, f"{wall:.1f}s for 1000 instances"

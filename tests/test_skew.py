@@ -102,3 +102,33 @@ def test_connected_components_matches_union_find(spark):
     pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
     got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
     assert got == expected
+
+
+def test_connected_components_round_count_gate(spark, sf_dir):
+    """Convergence-regression gate: wall-time noise can hide an extra
+    star round (r05 saw a +8% wobble under an identical plan hash); the
+    round COUNT cannot wobble. Chain graphs converge logarithmically and
+    the bench LSH pair graph converges within the bench gate bound."""
+    from bruin_spark.operators.dedup import connected_components
+    from bruin_spark.workloads.dedup import (
+        JACCARD_T,
+        LSH_BANDS,
+        MINHASH_K,
+        NGRAM,
+        _docs,
+    )
+    import bench
+    from bruin_spark.operators.dedup import minhash_dedup_pairs
+
+    stats = {}
+    chain = [(i, i + 1) for i in range(0, 64)]
+    pairs = spark.createDataFrame(chain, "id_a bigint, id_b bigint")
+    connected_components(pairs, stats=stats).count()
+    assert 1 <= stats["rounds"] <= 8  # O(log n) on a 64-node path
+
+    stats = {}
+    lsh_pairs = minhash_dedup_pairs(
+        _docs(spark, sf_dir), k=MINHASH_K, bands=LSH_BANDS, n=NGRAM, threshold=JACCARD_T
+    )
+    connected_components(lsh_pairs, stats=stats).count()
+    assert stats["rounds"] <= bench.CC_MAX_ROUNDS

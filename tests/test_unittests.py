@@ -32,7 +32,10 @@ def test_build_query_freezes_time():
 def test_compare_modes():
     assert compare_rows([[1], [2]], [[2], [1]], "exact", "any") == ""
     assert compare_rows([[1], [2]], [[2], [1]], "exact", "strict") != ""
-    assert compare_rows([[1], [2], [3]], [[1], [3]], "subset", "strict") == ""
+    # strict order is POSITIONAL (reference compare.go:70-80): expected
+    # must be a prefix of actual, not merely an ordered subsequence
+    assert compare_rows([[1], [2], [3]], [[1], [2]], "subset", "strict") == ""
+    assert compare_rows([[1], [2], [3]], [[1], [3]], "subset", "strict") != ""
     assert compare_rows([[1], [2], [3]], [[3], [1]], "subset", "strict") != ""
     assert compare_rows([[1], [2]], [[1]], "exact", "any") != ""  # extra row
     assert compare_rows([[1.0000000001]], [[1.0]], "exact", "any") == ""  # tolerance
@@ -156,3 +159,106 @@ def test_unit_test_cli_command(spark, tmp_path, capsys):
     # asset filter + all-green exit
     args = SimpleNamespace(pipeline=str(d), asset="nope", start=None, end=None)
     assert cmd_unit_test(args) == 2
+
+
+# -- the reference's compare.go test table (pkg/unittest/compare_test.go) ------
+
+
+class TestCompareGoTable:
+    """Port of TestCompareExpectation/TestCompareResult: the tolerance
+    matrix and matching semantics the reference's comparator guarantees."""
+
+    ONE = [{"revenue": 100}]
+    TWO = [{"x": 1}, {"x": 2}]
+
+    def test_subset_passes_int_vs_int64(self):
+        assert compare_rows(self.ONE, [{"revenue": 100}]) == ""
+
+    def test_subset_fails_shows_expected_and_actual(self):
+        msg = compare_rows(self.ONE, [{"revenue": 999}])
+        assert "999" in msg and "100" in msg and "actual rows" in msg
+
+    def test_count_matches(self):
+        assert compare_rows(self.ONE, [], count=1) == ""
+        assert compare_rows(self.ONE, [], count=2) != ""
+
+    def test_count_and_rows_both_enforced(self):
+        assert compare_rows(self.TWO, [{"x": 1}], count=2) == ""
+        msg = compare_rows(self.TWO, [{"x": 1}], count=1)
+        assert "expected 1 row(s), got 2" in msg
+        msg = compare_rows(self.TWO, [{"x": 99}], count=2)
+        assert "expected row not found" in msg
+
+    def test_dates_compare_by_instant_across_forms(self):
+        import datetime
+
+        actual = [{"d": "2024-01-15T00:00:00Z"}]
+        assert compare_rows(actual, [{"d": "2024-01-15"}]) == ""
+        assert (
+            compare_rows(
+                actual, [{"d": datetime.datetime(2024, 1, 15, tzinfo=datetime.timezone.utc)}]
+            )
+            == ""
+        )
+        assert compare_rows(actual, [{"d": "2024-01-16"}]) != ""
+        # BigQuery T-separated zoneless datetime matches space-separated
+        assert (
+            compare_rows([{"ts": "2024-01-15T09:30:00"}], [{"ts": "2024-01-15 09:30:00"}])
+            == ""
+        )
+
+    def test_float_tolerates_representation_noise(self):
+        assert compare_rows([{"v": 0.1 + 0.2}], [{"v": 0.3}]) == ""
+
+    def test_subset_ignores_extra_rows_exact_does_not(self):
+        assert compare_rows(self.TWO, [{"x": 1}]) == ""
+        assert compare_rows(self.TWO, [{"x": 1}], match="exact") != ""
+
+    def test_ordered_strict_respects_row_order(self):
+        assert compare_rows(self.TWO, [{"x": 2}, {"x": 1}], order="strict") != ""
+        assert compare_rows(self.TWO, [{"x": 1}, {"x": 2}], order="strict") == ""
+
+    def test_overlapping_partial_rows_use_maximum_matching(self):
+        actual = [
+            {"id": 1, "status": "paid"},
+            {"id": 1, "status": "refunded"},
+        ]
+        # greedy binding would let {id:1} consume the paid row and fail
+        assert compare_rows(actual, [{"id": 1}, {"id": 1, "status": "paid"}]) == ""
+        # but two rows both needing the single paid row still fail
+        assert compare_rows(actual, [{"status": "paid"}, {"status": "paid"}]) != ""
+
+    def test_case_insensitive_columns_numeric_string_engine(self):
+        # engine returns upper-cased column and numeric-as-string value
+        assert (
+            compare_rows(
+                [["5.000000"]], [{"revenue": 5}], actual_columns=["REVENUE"]
+            )
+            == ""
+        )
+
+    def test_decimal_compares_numerically(self):
+        import decimal
+
+        assert (
+            compare_rows(
+                [[decimal.Decimal("12.48")]],
+                [{"avg_unit": 12.48}],
+                actual_columns=["avg_unit"],
+            )
+            == ""
+        )
+
+    def test_bytes_text_decoded_to_string(self):
+        assert (
+            compare_rows([[b"alice"]], [{"name": "alice"}], actual_columns=["name"])
+            == ""
+        )
+
+    def test_unknown_match_mode_rejected(self):
+        msg = compare_rows(self.ONE, [{"revenue": 100}], match="fuzzy")
+        assert "unknown match mode" in msg
+
+    def test_bool_spelling_matches_go(self):
+        assert compare_rows([[True]], [{"ok": "true"}], actual_columns=["ok"]) == ""
+        assert compare_rows([[False]], [{"ok": "true"}], actual_columns=["ok"]) != ""
