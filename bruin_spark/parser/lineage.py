@@ -46,6 +46,9 @@ _EXPR_KEYWORDS = {
     "select", "where", "having", "limit", "union", "intersect", "except",
     "on", "using", "join", "inner", "left", "right", "full", "cross",
     "outer", "date", "timestamp", "time", "both", "leading", "trailing",
+    # SUBSTRING(x FROM 1 FOR 3) / paren-less niladic functions
+    "for", "current_timestamp", "current_date", "current_time",
+    "localtime", "localtimestamp",
 }
 
 # SQL type names that appear as bare words inside CAST(x AS type)
@@ -75,6 +78,12 @@ class _Select:
     items: list[tuple[str | None, list[tuple[str, str]]]] = field(default_factory=list)
     relations: list[_Rel] = field(default_factory=list)
     cond_toks: list[list[tuple[str, str]]] = field(default_factory=list)
+    # GROUP BY kept separate: ordinals there resolve through the select
+    # list (GROUP BY 1 references item 1's source columns)
+    group_toks: list[list[tuple[str, str]]] = field(default_factory=list)
+    # JOIN ... USING(col): the column exists in BOTH sides; unqualified
+    # refs and * expansion merge instead of reporting ambiguity
+    using_cols: set[str] = field(default_factory=set)
 
 
 @dataclass
@@ -218,7 +227,7 @@ class _Parser:
             elif word == "group":
                 self.i += 1
                 self._kw("by")
-                s.cond_toks.append(self._clause_tokens())
+                s.group_toks.append(self._clause_tokens())
             elif word in ("order", "window", "limit", "distribute", "sort", "cluster"):
                 self.i += 1
                 self._kw("by")
@@ -360,6 +369,11 @@ class _Parser:
                 elif self._kw("using"):
                     inner = self._skip_parens()
                     s.cond_toks.append(inner)
+                    s.using_cols |= {
+                        t.strip('"`').lower()
+                        for k, t in inner
+                        if k in ("word", "dq", "bq")
+                    }
                 continue
             break
 
@@ -450,6 +464,50 @@ def _mask_subqueries(toks: list[tuple[str, str]]) -> list[tuple[str, str]]:
         out.append((k, t))
         i += 1
     return out
+
+
+def _subquery_regions(toks: list[tuple[str, str]]) -> list[list[tuple[str, str]]]:
+    """Token lists of each nested ``(SELECT ...)`` region (the regions
+    that _mask_subqueries drops), for correlated-subquery resolution."""
+    out: list[list[tuple[str, str]]] = []
+    i, n = 0, len(toks)
+    while i < n:
+        if (
+            toks[i][1] == "("
+            and i + 1 < n
+            and toks[i + 1][0] == "word"
+            and toks[i + 1][1].lower() == "select"
+        ):
+            depth = 1
+            i += 1
+            region: list[tuple[str, str]] = []
+            while i < n and depth > 0:
+                if toks[i][1] == "(":
+                    depth += 1
+                elif toks[i][1] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                region.append(toks[i])
+                i += 1
+            out.append(region)
+        i += 1
+    return out
+
+
+def _split_top_commas(toks: list[tuple[str, str]]) -> list[list[tuple[str, str]]]:
+    parts: list[list[tuple[str, str]]] = [[]]
+    depth = 0
+    for k, t in toks:
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif t == "," and depth == 0:
+            parts.append([])
+            continue
+        parts[-1].append((k, t))
+    return [p for p in parts if p]
 
 
 def _expr_refs(toks: list[tuple[str, str]]) -> tuple[list[tuple[str | None, str]], bool]:
@@ -556,7 +614,7 @@ class _Resolver:
         self.errors: list[str] = []
         self.non_selected: list[tuple[str, str, str]] = []  # (as_written, leaf_table, leaf_col)
 
-    def resolve_query(self, q: _Query, env: dict[str, _Output]) -> _Output:
+    def resolve_query(self, q: _Query, env: dict[str, _Output], outer=None) -> _Output:
         env = dict(env)
         for name, declared_cols, body in q.ctes:
             out = self.resolve_query(body, env)
@@ -566,9 +624,9 @@ class _Resolver:
                      for i, (n, ups) in enumerate(out.columns)]
                 )
             env[name.lower()] = out
-        first = self._resolve_operand(q.select, env)
+        first = self._resolve_operand(q.select, env, outer)
         for br in q.branches:
-            other = self._resolve_operand(br, env)
+            other = self._resolve_operand(br, env, outer)
             # set ops combine positionally; names come from the first branch
             merged = []
             for i, (n, ups) in enumerate(first.columns):
@@ -577,12 +635,12 @@ class _Resolver:
             first = _Output(merged)
         return first
 
-    def _resolve_operand(self, op: "_Select | _Query", env: dict[str, _Output]) -> _Output:
+    def _resolve_operand(self, op: "_Select | _Query", env: dict[str, _Output], outer=None) -> _Output:
         if isinstance(op, _Query):
-            return self.resolve_query(op, env)
-        return self._resolve_select(op, env)
+            return self.resolve_query(op, env, outer)
+        return self._resolve_select(op, env, outer)
 
-    def _resolve_select(self, s: _Select, env: dict[str, _Output]) -> _Output:
+    def _resolve_select(self, s: _Select, env: dict[str, _Output], outer=None) -> _Output:
         sources: list[_Source] = []
         for rel in s.relations:
             if rel.values_cols is not None:
@@ -622,7 +680,8 @@ class _Resolver:
                     return src
             return None
 
-        def resolve_ref(qualifier: str | None, col: str) -> set[tuple[str, str]]:
+        def try_resolve(qualifier: str | None, col: str) -> set[tuple[str, str]] | None:
+            """Local-scope resolution; None when this scope cannot bind it."""
             if qualifier:
                 src = find_source(qualifier)
                 if src is None:
@@ -640,8 +699,7 @@ class _Resolver:
                     owners = [s2 for s2 in sources if s2.has_col(parts[0])]
                     if len(owners) == 1:
                         return owners[0].resolve_col(parts[0])
-                    self.errors.append(f"unknown table or alias {qualifier!r}")
-                    return {("", col)}
+                    return None
                 return src.resolve_col(col)
             if len(sources) == 1:
                 return sources[0].resolve_col(col)
@@ -652,23 +710,75 @@ class _Resolver:
             if len(owners) == 0 and len(unknowns) == 1:
                 return unknowns[0].resolve_col(col)
             if len(owners) > 1:
+                # a JOIN ... USING column genuinely lives in both sides:
+                # merge, don't report ambiguity (compare sqlglot qualify)
+                merged = set().union(*(o.resolve_col(col) for o in owners))
+                if col.lower() in s.using_cols:
+                    return merged
                 self.errors.append(f"ambiguous column {col!r}")
-                return set().union(*(o.resolve_col(col) for o in owners))
+                return merged
+            return None
+
+        def resolve_ref(qualifier: str | None, col: str) -> set[tuple[str, str]]:
+            got = try_resolve(qualifier, col)
+            if got is not None:
+                return got
+            if outer is not None:
+                # correlated subquery: fall back to the enclosing scope
+                got = outer(qualifier, col)
+                if got is not None:
+                    return got
+            if qualifier:
+                self.errors.append(f"unknown table or alias {qualifier!r}")
             return {("", col)}
+
+        def outer_chain(qualifier: str | None, col: str):
+            got = try_resolve(qualifier, col)
+            if got is None and outer is not None:
+                return outer(qualifier, col)
+            return got
+
+        def expand_all_sources() -> list[tuple[str, set[tuple[str, str]]]]:
+            """`*` over every source; JOIN..USING columns appear once
+            with merged upstreams (SQL semantics: USING coalesces)."""
+            cols_out: list[tuple[str, set[tuple[str, str]]]] = []
+            seen_using: dict[str, int] = {}
+            for src in sources:
+                cols = src.all_columns()
+                if cols is None:
+                    self.errors.append(
+                        f"cannot expand * on {src.physical or src.key!r} without schema"
+                    )
+                    cols_out.append(("*", {(src.physical, "*")}))
+                    continue
+                for n, ups in cols:
+                    low = n.lower()
+                    if low in s.using_cols:
+                        if low in seen_using:
+                            prev_n, prev_ups = cols_out[seen_using[low]]
+                            cols_out[seen_using[low]] = (prev_n, prev_ups | ups)
+                            continue
+                        seen_using[low] = len(cols_out)
+                    cols_out.append((n, ups))
+            return cols_out
 
         out_cols: list[tuple[str, set[tuple[str, str]]]] = []
         for alias, toks in s.items:
             refs, bare_star = _expr_refs(toks)
+            # correlated scalar subqueries in the select list resolve in a
+            # child scope that falls back to THIS scope (compare.go has no
+            # analog; sqlglot lineage resolves them — main.py:301-344)
+            sub_ups: set[tuple[str, str]] = set()
+            for sub in _subquery_regions(toks):
+                try:
+                    sq = _Parser(sub).parse_query()
+                except _ParseError:
+                    continue
+                sub_out = self.resolve_query(sq, env, outer_chain)
+                for _n, ups in sub_out.columns:
+                    sub_ups |= ups
             if bare_star and not refs:
-                for src in sources:
-                    cols = src.all_columns()
-                    if cols is None:
-                        self.errors.append(
-                            f"cannot expand * on {src.physical or src.key!r} without schema"
-                        )
-                        out_cols.append(("*", {(src.physical, "*")}))
-                    else:
-                        out_cols.extend(cols)
+                out_cols.extend(expand_all_sources())
                 continue
             star_refs = [r for r in refs if r[1] == "*"]
             if star_refs and len(refs) == len(star_refs):
@@ -686,7 +796,7 @@ class _Resolver:
                     else:
                         out_cols.extend(cols)
                 continue
-            ups: set[tuple[str, str]] = set()
+            ups: set[tuple[str, str]] = set(sub_ups)
             for qualifier, col in refs:
                 ups |= resolve_ref(qualifier, col)
             if alias:
@@ -697,7 +807,7 @@ class _Resolver:
                 name = "".join(t for _k, t in toks).strip()
             out_cols.append((name, ups))
 
-        # non-selected: WHERE / JOIN ON|USING / GROUP BY / HAVING / QUALIFY
+        # non-selected: WHERE / JOIN ON|USING / HAVING / QUALIFY
         for ctoks in s.cond_toks:
             refs, _ = _expr_refs(ctoks)
             for qualifier, col in refs:
@@ -706,6 +816,30 @@ class _Resolver:
                 for table, leaf_col in resolve_ref(qualifier, col):
                     if table:
                         self.non_selected.append((col, table, leaf_col))
+        # GROUP BY: an ordinal references a select item — its SOURCE
+        # columns are the non-selected refs (GROUP BY 1 over
+        # `t.location_code AS location` records location_code)
+        for gtoks in s.group_toks:
+            for part in _split_top_commas(gtoks):
+                code = [p for p in part if p[0] not in ("ws",)]
+                if len(code) == 1 and code[0][0] == "num":
+                    idx = int(float(code[0][1])) - 1
+                    if 0 <= idx < len(s.items):
+                        irefs, _ = _expr_refs(s.items[idx][1])
+                        for qualifier, col in irefs:
+                            if col == "*":
+                                continue
+                            for table, leaf_col in resolve_ref(qualifier, col):
+                                if table:
+                                    self.non_selected.append((col, table, leaf_col))
+                    continue
+                refs, _ = _expr_refs(part)
+                for qualifier, col in refs:
+                    if col == "*":
+                        continue
+                    for table, leaf_col in resolve_ref(qualifier, col):
+                        if table:
+                            self.non_selected.append((col, table, leaf_col))
         return _Output(out_cols)
 
 
@@ -739,7 +873,14 @@ def get_column_lineage(query: str, schema: dict | None = None) -> dict:
     out = resolver.resolve_query(q, {})
 
     columns = []
+    seen_names: set[str] = set()
     for name, ups in out.columns:
+        # duplicate output names keep the FIRST occurrence, matching the
+        # reference's sqlglot lineage (main_test.py dashboard.report:
+        # t1.col1 and t4.col1 both emit col1; table1 wins)
+        if name.lower() in seen_names:
+            continue
+        seen_names.add(name.lower())
         upstream = [{"column": c, "table": t} for t, c in sorted(ups, key=lambda x: (x[1].lower(), x[0]))]
         columns.append({"name": name, "upstream": upstream, "type": ""})
     columns.sort(key=lambda c: c["name"].lower())

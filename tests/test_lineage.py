@@ -252,5 +252,14 @@ def test_subquery_refs_stay_in_their_scope():
     )
     assert _cols(r)["id"] == [{"column": "id", "table": "orders"}]
     assert r["errors"] == []
+    # a scalar subquery's OWN refs resolve in its own scope and become
+    # the item's upstream (reference main_test.py "subquery in select":
+    # avg_salary <- salaries.salary); correlated refs resolve outward
     r = get_column_lineage("SELECT id, (SELECT max(x) FROM t2) AS m FROM t1")
-    assert _cols(r)["m"] == [] and r["errors"] == []
+    assert _cols(r)["m"] == [{"column": "x", "table": "t2"}] and r["errors"] == []
+    r = get_column_lineage(
+        "SELECT emp_id, (SELECT AVG(salary) FROM salaries s "
+        "WHERE s.emp_id = employees.emp_id) AS avg_salary FROM employees"
+    )
+    assert _cols(r)["avg_salary"] == [{"column": "salary", "table": "salaries"}]
+    assert r["errors"] == []
