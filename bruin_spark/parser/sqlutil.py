@@ -151,8 +151,16 @@ def _table_refs(sql: str):
     depth = 0
     prev_word = ""
 
-    def read_ref(j: int) -> int:
+    def read_ref(j: int, skip_if_exists: bool = False) -> int:
         """Try to read a qualified table name at code index j; -> next j."""
+        if skip_if_exists:
+            # DDL targets: CREATE TABLE IF NOT EXISTS x / DROP TABLE IF EXISTS x
+            while (
+                j < len(code)
+                and toks[code[j]][0] == "word"
+                and toks[code[j]][1].lower() in ("if", "not", "exists")
+            ):
+                j += 1
         if j >= len(code):
             return j
         kj, tj, _ = toks[code[j]]
@@ -187,6 +195,15 @@ def _table_refs(sql: str):
             if not (special and special[-1]):
                 in_from[depth] = True
                 i = read_ref(i + 1)
+                prev_word = low
+                continue
+        elif k == "word" and low in ("table", "into"):
+            # DDL/DML targets count as used tables, matching the
+            # reference's sqlglot find_all(exp.Table) behavior
+            # (pkg/sqlparser/parser_test.go "transaction" case):
+            # CREATE TABLE x AS / DROP TABLE x / INSERT INTO x
+            if not (special and special[-1]):
+                i = read_ref(i + 1, skip_if_exists=True)
                 prev_word = low
                 continue
         elif k == "word" and low in _FROM_ENDERS:

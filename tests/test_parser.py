@@ -173,3 +173,59 @@ def test_select_from_cte_preserves_recursive():
     sql = "WITH RECURSIVE r AS (SELECT 1 AS n UNION ALL SELECT n+1 FROM r WHERE n < 3) SELECT max(n) FROM r"
     out = select_from_cte(sql, "r")
     assert out.upper().startswith("WITH RECURSIVE")
+
+
+def test_used_tables_reference_go_table():
+    """The reference's Go-side UsedTables cases
+    (pkg/sqlparser/parser_test.go TestSqlParser_GetTables): DDL targets
+    count, USING joins, repeated aliases, unions, case preserved."""
+    assert used_tables(
+        """
+        select * from table1
+        join (select * from (select * from table2) t2) t3 using(a)
+        """
+    ) == ["table1", "table2"]
+    assert used_tables(
+        """
+        select * from table1
+        join (select * from (select * from table2) t2) t2 using(a)
+        join (select * from (select * from table3) t2) t3 using(b)
+        """
+    ) == ["table1", "table2", "table3"]
+    assert used_tables(
+        "select * from table1 union all select * from table2 "
+        "union all select * from table3"
+    ) == ["table1", "table2", "table3"]
+    assert used_tables(
+        """with t1 as (select * from table1 join table2 using(a)),
+        t2 as (select * from table2 left join table1 using(a))
+        select t1.*, t2.b as b2 from t1 join t2 using(a)"""
+    ) == ["table1", "table2"]
+    assert used_tables(
+        """SELECT * from raw.Bookings as bookings
+        inner join raw.Sessions as sessions on bookings.SessionId = sessions.Id
+        inner join dashboard.users as coaches on Coaches.Id = bookings.CoachId
+        inner join raw.Languages as languages on bookings.LanguageId = languages.Id
+        inner join raw.Programmes as programmes on Bookings.ProgrammeId = Programmes.Id
+        inner join dashboard.organizations as organizations on Programmes.OrganizationId = Organizations.Id
+        left join dashboard.users as users on Users.Id = bookings.UserId
+        left join raw.Teams teams on teams.Id = bookings.TeamId"""
+    ) == [
+        "dashboard.organizations",
+        "dashboard.users",
+        "raw.Bookings",
+        "raw.Languages",
+        "raw.Programmes",
+        "raw.Sessions",
+        "raw.Teams",
+    ]
+    # DDL/DML targets are used tables (the "transaction" case)
+    assert used_tables(
+        """BEGIN TRANSACTION;
+        DROP TABLE IF EXISTS public.example;
+        CREATE TABLE public.example AS SELECT 1 as id, 'Spain' as country
+        union all SELECT 2 as id, 'Germany' as country;
+        COMMIT;"""
+    ) == ["public.example"]
+    assert used_tables("INSERT INTO sink SELECT * FROM src") == ["sink", "src"]
+    assert used_tables("CREATE TABLE IF NOT EXISTS t (a INT)") == ["t"]
