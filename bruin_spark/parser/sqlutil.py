@@ -151,9 +151,9 @@ def _table_refs(sql: str):
     depth = 0
     prev_word = ""
 
-    def read_ref(j: int, skip_if_exists: bool = False) -> int:
+    def read_ref(j: int, kind: str = "from") -> int:
         """Try to read a qualified table name at code index j; -> next j."""
-        if skip_if_exists:
+        if kind == "ddl":
             # DDL targets: CREATE TABLE IF NOT EXISTS x / DROP TABLE IF EXISTS x
             while (
                 j < len(code)
@@ -176,7 +176,16 @@ def _table_refs(sql: str):
         ):
             name_parts.append(toks[code[j + 1]][1].strip('"`'))
             j += 2
-        refs.append((".".join(name_parts), code[first], code[j - 1]))
+        # does an explicit alias follow? (FROM refs only — rename uses
+        # this to keep qualified column refs valid via a back-alias)
+        has_alias = False
+        if j < len(code):
+            ka, ta, _ = toks[code[j]]
+            if ka == "word" and ta.lower() == "as":
+                has_alias = True
+            elif ka in ("word", "dq", "bq") and ta.lower() not in _STOPPERS and ta.lower() not in _FROMISH:
+                has_alias = True
+        refs.append((".".join(name_parts), code[first], code[j - 1], kind, has_alias))
         return j
 
     i = 0
@@ -203,7 +212,7 @@ def _table_refs(sql: str):
             # (pkg/sqlparser/parser_test.go "transaction" case):
             # CREATE TABLE x AS / DROP TABLE x / INSERT INTO x
             if not (special and special[-1]):
-                i = read_ref(i + 1, skip_if_exists=True)
+                i = read_ref(i + 1, kind="ddl")
                 prev_word = low
                 continue
         elif k == "word" and low in _FROM_ENDERS:
@@ -223,24 +232,39 @@ def used_tables(sql: str) -> list[str]:
     for stmt in split_statements(sql):
         toks, refs = _table_refs(stmt)
         ctes = _cte_names(toks, _code_tokens(toks))
-        for name, _a, _b in refs:
+        for name, _a, _b, _kind, _alias in refs:
             if name.split(".")[0] not in ctes and name not in ctes:
                 out.add(name)
     return sorted(out)
 
 
 def rename_tables(sql: str, mapping: dict[str, str]) -> str:
-    """Rewrite FROM/JOIN table names per mapping (CTE refs untouched)."""
+    """Rewrite FROM/JOIN/DDL-target table names per mapping (CTE refs
+    untouched).
+
+    When an UNALIASED FROM/JOIN ref's base name changes, a back-alias to
+    the original base name is added (``FROM items`` with items->new_items
+    becomes ``FROM new_items AS items``) so qualified column references
+    elsewhere in the query keep resolving — the reference's sqlglot
+    rename does the same (pkg/sqlparser/parser_test.go
+    TestSqlParser_RenameTables "simple select should get an alias").
+    DDL/DML targets (INSERT INTO x, CREATE TABLE x) never get an alias.
+    """
     toks, refs = _table_refs(sql)
     ctes = _cte_names(toks, _code_tokens(toks))
     spans = []  # (char_start, char_end, replacement)
-    for name, a, b in refs:
+    for name, a, b, kind, has_alias in refs:
         if name in ctes or name.split(".")[0] in ctes:
             continue
         if name in mapping:
             start = toks[a][2]
             end = toks[b][2] + len(toks[b][1])
-            spans.append((start, end, mapping[name]))
+            new = mapping[name]
+            old_base = name.split(".")[-1]
+            new_base = new.split(".")[-1].strip('`"')
+            if kind == "from" and not has_alias and new_base != old_base:
+                new = f"{new} AS {old_base}"
+            spans.append((start, end, new))
     for start, end, rep in sorted(spans, reverse=True):
         sql = sql[:start] + rep + sql[end:]
     return sql

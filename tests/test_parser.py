@@ -229,3 +229,38 @@ def test_used_tables_reference_go_table():
     ) == ["public.example"]
     assert used_tables("INSERT INTO sink SELECT * FROM src") == ["sink", "src"]
     assert used_tables("CREATE TABLE IF NOT EXISTS t (a INT)") == ["t"]
+
+
+def test_rename_tables_reference_go_table():
+    """Reference rename semantics (pkg/sqlparser/parser_test.go
+    TestSqlParser_RenameTables): an unaliased ref whose BASE name changes
+    gets a back-alias to the original base so qualified column refs keep
+    resolving; schema-only changes and already-aliased refs do not."""
+    assert rename_tables("SELECT * FROM items", {"items": "new_items"}) == (
+        "SELECT * FROM new_items AS items"
+    )
+    assert rename_tables("SELECT * FROM raw.items", {"raw.items": "raw_dev.items"}) == (
+        "SELECT * FROM raw_dev.items"
+    )
+    got = rename_tables(
+        "SELECT * FROM raw.items join raw.orders on items.item_id = orders.item_id",
+        {"raw.items": "t1", "orders": "raw_dev.t2"},
+    )
+    assert got == (
+        "SELECT * FROM t1 AS items join raw.orders on items.item_id = orders.item_id"
+    )
+    got = rename_tables(
+        "DELETE FROM raw.items WHERE item_id = 1; SELECT * FROM raw.items "
+        "join raw.orders as t2 on items.item_id = t2.item_id",
+        {"raw.items": "t1"},
+    )
+    assert "DELETE FROM t1 AS items" in got
+    assert "FROM t1 AS items \njoin" in got or "FROM t1 AS items join" in got
+    # aliased refs keep their alias, no back-alias added
+    assert rename_tables("SELECT * FROM raw.orders AS t2", {"raw.orders": "raw_dev.orders"}) == (
+        "SELECT * FROM raw_dev.orders AS t2"
+    )
+    # DDL/DML targets never get a back-alias
+    assert rename_tables("INSERT INTO sink SELECT 1", {"sink": "dev.sink2"}) == (
+        "INSERT INTO dev.sink2 SELECT 1"
+    )

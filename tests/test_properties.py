@@ -28,7 +28,10 @@ def test_used_tables_finds_all_from_join_refs(tables):
 def test_rename_then_limit_compose(table, new, limit):
     sql = f"SELECT a, b FROM {table} WHERE a > 0"
     out = add_limit(rename_tables(sql, {table: new}), limit)
-    assert out == f"SELECT a, b FROM {new} WHERE a > 0 LIMIT {limit}"
+    # an unaliased ref whose name changes gets a back-alias to the old
+    # name (reference rename semantics) so column refs keep resolving
+    back = f" AS {table}" if new != table else ""
+    assert out == f"SELECT a, b FROM {new}{back} WHERE a > 0 LIMIT {limit}"
     # idempotence of add_limit override
     assert add_limit(out, limit) == out
 
