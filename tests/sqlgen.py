@@ -108,11 +108,18 @@ class Gen:
         if roll < 0.92:
             return f"CAST({self.scalar(scope, 0)} AS BIGINT)"
         if depth > 0:
-            # scalar subquery over a physical table
+            # scalar subquery over a physical table; sometimes CORRELATED
+            # to the enclosing scope (exercises outer-scope fallback)
             t = self.r.choice(list(CATALOG))
             c = self.r.choice(CATALOG[t])
             self.used.add(t)
             self.leaves.add(t)
+            if scope and self.r.random() < 0.4:
+                x = self.fresh("x")
+                return (
+                    f"(SELECT MAX({x}.{c}) FROM {self.quote_table(t)} {x} "
+                    f"WHERE {x}.{c} = {self.col_ref(scope)})"
+                )
             return f"(SELECT MAX({c}) FROM {self.quote_table(t)})"
         return self.col_ref(scope) if scope else "1"
 
@@ -201,25 +208,41 @@ class Gen:
         scope: list[_Rel] = []
         frags: list[str] = []
         n_rel = 1 if depth <= 0 else self.r.choice([1, 1, 2, 2, 3])
-        f0, r0 = self.relation(depth, ctes)
-        scope.append(r0)
-        frags.append(f0)
         comma_style = self.r.random() < 0.2
-        for _ in range(n_rel - 1):
-            f, rel = self.relation(depth - 1, ctes)
-            if comma_style:
-                frags.append(f", {f}")
-            else:
-                kind = self.r.choice(_JOIN_KINDS + ["CROSS JOIN"])
-                if kind == "CROSS JOIN":
-                    frags.append(f" CROSS JOIN {f}")
+        using_join = depth > 0 and not comma_style and self.r.random() < 0.12
+        if using_join:
+            # self-join USING(col): the shared column resolves to BOTH
+            # sides (exercises the using_cols merge path in lineage)
+            t = self.r.choice(list(CATALOG))
+            self.used.add(t)
+            self.leaves.add(t)
+            a1, a2 = self.fresh("a"), self.fresh("a")
+            col = self.r.choice(CATALOG[t])
+            frags = [
+                f"{self.quote_table(t)} {a1}",
+                f" JOIN {self.quote_table(t)} {a2} USING ({col})",
+            ]
+            scope = [_Rel(a1, CATALOG[t]), _Rel(a2, CATALOG[t])]
+            n_rel = 2
+        else:
+            f0, r0 = self.relation(depth, ctes)
+            scope.append(r0)
+            frags.append(f0)
+            for _ in range(n_rel - 1):
+                f, rel = self.relation(depth - 1, ctes)
+                if comma_style:
+                    frags.append(f", {f}")
                 else:
-                    cond = (
-                        f"{scope[-1].alias}.{self.r.choice(scope[-1].cols)}"
-                        f" = {rel.alias}.{self.r.choice(rel.cols)}"
-                    )
-                    frags.append(f" {kind} {f} ON {cond}")
-            scope.append(rel)
+                    kind = self.r.choice(_JOIN_KINDS + ["CROSS JOIN"])
+                    if kind == "CROSS JOIN":
+                        frags.append(f" CROSS JOIN {f}")
+                    else:
+                        cond = (
+                            f"{scope[-1].alias}.{self.r.choice(scope[-1].cols)}"
+                            f" = {rel.alias}.{self.r.choice(rel.cols)}"
+                        )
+                        frags.append(f" {kind} {f} ON {cond}")
+                scope.append(rel)
         lateral = ""
         if self.spark_mode and n_rel == 1 and self.r.random() < 0.1:
             lv = self.fresh("lv")
@@ -260,9 +283,14 @@ class Gen:
             having = ""
             if self.r.random() < 0.4:
                 having = f" HAVING {self.r.choice(_AGGS[:3])}({self.scalar(scope, 0)}) > 0"
+            if self.r.random() < 0.3:
+                # GROUP BY ordinals (resolve through the select list)
+                group_by = ", ".join(str(i + 1) for i in range(n_keys))
+            else:
+                group_by = ", ".join(keys)
             sql = (
                 f"SELECT {', '.join(items)} {from_clause}{where} "
-                f"GROUP BY {', '.join(keys)}{having}"
+                f"GROUP BY {group_by}{having}"
             )
             return sql, out_cols
         else:
