@@ -339,7 +339,18 @@ def is_single_select(sql: str) -> bool:
     if not code:
         return False
     first = toks[code[0]][1].lower()
-    return first in ("select", "with", "values")
+    if first == "with":
+        # WITH can prefix DML (WITH ... INSERT INTO ...) — only a SELECT
+        # body counts (ref: main.py is_single_select_query checks the
+        # statement type, not the prefix)
+        body = _after_with_clause(stmts[0])
+        btoks = _tokens(body)
+        bcode = _code_tokens(btoks)
+        if not bcode:
+            return False
+        head = btoks[bcode[0]][1].lower()
+        return head in ("select", "values", "(")
+    return first in ("select", "values")
 
 
 def _cte_parts(sql: str) -> list[tuple[str, str | None, str]]:

@@ -264,3 +264,48 @@ def test_rename_tables_reference_go_table():
     assert rename_tables("INSERT INTO sink SELECT 1", {"sink": "dev.sink2"}) == (
         "INSERT INTO dev.sink2 SELECT 1"
     )
+
+
+def test_is_single_select_reference_behaviors():
+    """pythonsrc/parser/main_test.py test_is_single_select_query."""
+    assert is_single_select("SELECT * FROM users")
+    assert is_single_select(
+        "SELECT id FROM users WHERE active = true ORDER BY name LIMIT 100"
+    )
+    assert is_single_select(
+        "WITH active AS (SELECT id FROM users) SELECT * FROM active"
+    )
+    assert is_single_select("SELECT 1 UNION ALL SELECT 2")
+    assert not is_single_select("INSERT INTO users (n) VALUES ('x')")
+    assert not is_single_select("UPDATE users SET active = false WHERE id = 1")
+    assert not is_single_select("DELETE FROM users WHERE id = 1")
+    assert not is_single_select("CREATE TABLE t (id INT)")
+    assert not is_single_select("DROP TABLE users")
+    assert not is_single_select("CREATE TABLE t AS SELECT * FROM users")
+    assert not is_single_select("SELECT * FROM users; SELECT * FROM posts;")
+    assert not is_single_select("")
+    assert not is_single_select("PRAGMA table_info(users)")
+    assert not is_single_select("SHOW TABLES")
+    assert not is_single_select("DESCRIBE users")
+    # WITH-prefixed DML is not a select
+    assert not is_single_select(
+        "WITH src AS (SELECT 1 AS x) INSERT INTO t SELECT * FROM src"
+    )
+
+
+def test_add_limit_reference_behaviors():
+    """pythonsrc/parser/main_test.py add_limit cases: nested LIMITs stay,
+    only the top level is added/replaced."""
+    out = add_limit(
+        "SELECT * FROM (SELECT product_id FROM test.products LIMIT 50) AS subquery",
+        10,
+    )
+    assert out.endswith("LIMIT 10") and "LIMIT 50" in out
+    out = add_limit(
+        "SELECT * FROM (SELECT product_id FROM test.products) AS subquery", 10
+    )
+    assert out.endswith("LIMIT 10")
+    out = add_limit("SELECT CONVERT_TIMEZONE('CET', '2025-05-20T00:00:00Z') LIMIT 100", 10)
+    assert out.endswith("LIMIT 10") and "LIMIT 100" not in out
+    out = add_limit("SELECT 1 LIMIT 5;", 7)
+    assert out.endswith("LIMIT 7")
