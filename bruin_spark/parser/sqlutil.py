@@ -188,10 +188,18 @@ def _table_refs(sql: str):
         refs.append((".".join(name_parts), code[first], code[j - 1], kind, has_alias))
         return j
 
+    # in MERGE INTO t USING s, USING introduces a relation (elsewhere it
+    # is a join column list and ends the FROM list)
+    is_merge = bool(code) and toks[code[0]][1].lower() == "merge"
+
     i = 0
     while i < len(code):
         k, t, _ = toks[code[i]]
         low = t.lower() if k == "word" else ""
+        if is_merge and low == "using":
+            i = read_ref(i + 1)
+            prev_word = low
+            continue
         if t == "(":
             special.append(prev_word in _FROM_ARG_FNS)
             depth += 1

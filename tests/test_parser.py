@@ -309,3 +309,14 @@ def test_add_limit_reference_behaviors():
     assert out.endswith("LIMIT 10") and "LIMIT 100" not in out
     out = add_limit("SELECT 1 LIMIT 5;", 7)
     assert out.endswith("LIMIT 7")
+
+
+def test_used_tables_merge_statement():
+    assert used_tables(
+        "MERGE INTO tgt USING src ON tgt.id = src.id "
+        "WHEN MATCHED THEN UPDATE SET v = src.v"
+    ) == ["src", "tgt"]
+    assert used_tables(
+        "MERGE INTO tgt t USING (SELECT * FROM stage) s ON t.id = s.id "
+        "WHEN NOT MATCHED THEN INSERT (id) VALUES (s.id)"
+    ) == ["stage", "tgt"]
