@@ -44,6 +44,58 @@ SELECT * FROM (VALUES
 """
 
 
+_USING_QUERY = """
+SELECT n_regionkey,
+       COUNT(*) AS cnt,
+       MAX((SELECT MAX(s.s_acctbal) FROM supplier s
+            WHERE s.s_nationkey = a.n_nationkey)) AS top_acctbal
+FROM nation a JOIN nation b USING (n_regionkey)
+GROUP BY 1
+"""
+
+_SCHEMA = {
+    "nation": ["n_nationkey", "n_name", "n_regionkey", "n_comment"],
+    "supplier": ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+}
+
+
+def lineage_using_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-6 resolver behaviors as driver-checkable golden edges: a
+    JOIN..USING column resolves to BOTH sides without ambiguity, a
+    correlated scalar subquery contributes its own leaf upstream, and
+    GROUP BY ordinals resolve through the select list into non-selected
+    refs (reference bar: pythonsrc/parser/main_test.py nested-subqueries
+    + subquery-in-select + snowflake-ordinals cases)."""
+    res = get_column_lineage(_USING_QUERY, schema=_SCHEMA)
+    rows = sorted(
+        {
+            ("col:" + c["name"], u["table"], u["column"])
+            for c in res["columns"]
+            for u in c["upstream"]
+        }
+        | {
+            ("ns:" + c["name"], u["table"], u["column"])
+            for c in res["non_selected_columns"]
+            for u in c["upstream"]
+        }
+    )
+    return spark.createDataFrame(
+        rows, "edge string, src_table string, src_column string"
+    )
+
+
+LINEAGE_USING_ORACLE = """
+SELECT * FROM (VALUES
+  ('col:n_regionkey', 'nation', 'n_regionkey'),
+  ('col:top_acctbal', 'supplier', 's_acctbal'),
+  ('ns:n_nationkey', 'nation', 'n_nationkey'),
+  ('ns:n_regionkey', 'nation', 'n_regionkey'),
+  ('ns:s_nationkey', 'supplier', 's_nationkey')
+) AS t(edge, src_table, src_column)
+"""
+
+
 QUERIES = {
     "lineage_orders_enriched": (lineage_orders_enriched, LINEAGE_ORACLE),
+    "lineage_using_ordinals": (lineage_using_ordinals, LINEAGE_USING_ORACLE),
 }
