@@ -65,11 +65,17 @@ def _assert_same(spark, con, name: str) -> None:
     duck_cols = [d[0] for d in con.execute(f'SELECT * FROM "{name}" LIMIT 0').description]
     assert sorted(sp_cols) == sorted(duck_cols), name
     cols = sorted(sp_cols)
+    def key(row):
+        return tuple("\x00NULL" if v is None else v for v in row)
+
     got_spark = sorted(
-        tuple(r)
-        for r in spark.table(name)
-        .selectExpr(*[f"CAST(`{c}` AS STRING) AS `{c}`" for c in cols])
-        .collect()
+        (
+            tuple(r)
+            for r in spark.table(name)
+            .selectExpr(*[f"CAST(`{c}` AS STRING) AS `{c}`" for c in cols])
+            .collect()
+        ),
+        key=key,
     )
     got_duck = sorted(
         map(
@@ -77,7 +83,8 @@ def _assert_same(spark, con, name: str) -> None:
             con.execute(
                 "SELECT " + ", ".join(f'CAST("{c}" AS VARCHAR)' for c in cols) + f' FROM "{name}"'
             ).fetchall(),
-        )
+        ),
+        key=key,
     )
     assert got_spark == got_duck, f"{name}:\nspark={got_spark}\nduck={got_duck}"
 
@@ -266,5 +273,84 @@ def test_rendered_append_and_truncate(spark, con, tmp_path):
             a,
             "SELECT * FROM VALUES (1, 'x'), (2, 'y') AS t(id, v)",
             "SELECT * FROM VALUES (3, 'z') AS t(id, v)",
+            tmp_path,
+        )
+
+
+def _rand_rows(rng, pks):
+    return [(pk, rng.randint(0, 9), rng.randint(0, 9)) for pk in pks]
+
+
+def _values_sql(rows):
+    def lit(v):
+        return "NULL" if v is None else str(v)
+
+    body = ", ".join(f"({lit(a)}, {lit(b)}, {lit(c)})" for a, b, c in rows)
+    return (
+        f"SELECT CAST(item_id AS BIGINT) AS item_id, CAST(v AS BIGINT) AS v, "
+        f"CAST(w AS BIGINT) AS w FROM VALUES {body} AS t(item_id, v, w)"
+    )
+
+
+def test_rendered_merge_randomized(spark, con, tmp_path):
+    """Seeded random overlap/null-PK scenarios: the rendered MERGE on
+    DuckDB must track the executor's DataFrame path on every one."""
+    import random
+
+    for seed in range(8):
+        rng = random.Random(seed)
+        universe = list(range(1, 10))
+        t0_pks = rng.sample(universe, rng.randint(1, 6))
+        t1_pks = rng.sample(universe, rng.randint(1, 6))
+        if rng.random() < 0.4:
+            t0_pks.append(None)
+        if rng.random() < 0.4:
+            t1_pks.append(None)  # NULL pk: <=> matches a NULL target pk
+        a = Asset.from_dict(
+            {
+                "name": f"rdml_rm{seed}",
+                "materialization": {"type": "table", "strategy": "merge"},
+                "columns": [
+                    {"name": "item_id", "type": "bigint", "primary_key": True},
+                    {"name": "v", "type": "bigint", "update_on_merge": True},
+                    {"name": "w", "type": "bigint"},
+                ],
+            }
+        )
+        _differential(
+            spark,
+            con,
+            a,
+            _values_sql(_rand_rows(rng, t0_pks)),
+            _values_sql(_rand_rows(rng, t1_pks)),
+            tmp_path,
+        )
+
+
+def test_rendered_scd2_by_column_randomized(spark, con, tmp_path):
+    import random
+
+    for seed in range(6):
+        rng = random.Random(100 + seed)
+        universe = list(range(1, 8))
+        t0_pks = rng.sample(universe, rng.randint(1, 5))
+        t1_pks = rng.sample(universe, rng.randint(1, 5))
+        a = Asset.from_dict(
+            {
+                "name": f"rdml_rs{seed}",
+                "materialization": {"type": "table", "strategy": "scd2_by_column"},
+                "columns": [
+                    {"name": "item_id", "type": "bigint", "primary_key": True},
+                    {"name": "v", "type": "bigint"},
+                    {"name": "w", "type": "bigint"},
+                ],
+            }
+        )
+        _differential(
+            spark,
+            con,
+            a,
+            _values_sql(_rand_rows(rng, t0_pks)),
+            _values_sql(_rand_rows(rng, t1_pks)),
             tmp_path,
         )
