@@ -152,6 +152,29 @@ def jdbc_options(uri: str, table: str | None = None, query: str | None = None) -
     return opts
 
 
+def _pdf_to_spark(spark: SparkSession, pdf) -> DataFrame:
+    """createDataFrame that survives an EMPTY extract: Spark cannot infer
+    a schema from zero rows, so the pandas dtypes are mapped explicitly
+    (an empty source table is a normal condition for incremental loads)."""
+    if len(pdf):
+        return spark.createDataFrame(pdf)
+    fields = []
+    for col, dt in pdf.dtypes.items():
+        s = str(dt)
+        if "int" in s:
+            typ = "bigint"
+        elif "float" in s:
+            typ = "double"
+        elif "datetime" in s:
+            typ = "timestamp"
+        elif "bool" in s:
+            typ = "boolean"
+        else:
+            typ = "string"
+        fields.append(f"`{col}` {typ}")
+    return spark.createDataFrame([], ", ".join(fields) or "`_empty` string")
+
+
 def resolve_file_source(uri: str, file_type: str | None = None) -> tuple[str, str] | None:
     """``(format, load_path)`` for a file-like URI, else None.
 
@@ -353,7 +376,7 @@ def read_source(
         con = duckdb.connect(path, read_only=True)
         try:
             rel = con.execute(query or f"SELECT * FROM {table}")
-            return spark.createDataFrame(rel.fetch_arrow_table().to_pandas())
+            return _pdf_to_spark(spark, rel.fetch_arrow_table().to_pandas())
         finally:
             con.close()
     if scheme == "sqlite":
@@ -364,7 +387,7 @@ def read_source(
         con = sqlite3.connect(path)
         try:
             pdf = pd.read_sql_query(query or f"SELECT * FROM {table}", con)
-            return spark.createDataFrame(pdf)
+            return _pdf_to_spark(spark, pdf)
         finally:
             con.close()
     if scheme in _JDBC_SUBPROTOCOL or uri.startswith("jdbc:"):

@@ -29,13 +29,21 @@ _KAFKA_STAGED: dict[str, str] = {}
 
 
 def _events_path(sf_dir: str) -> str:
-    """File streaming sources need a DIRECTORY; stage a symlink dir."""
+    """File streaming sources need a DIRECTORY of data files; stage a
+    symlink dir. A single-file source links directly; a Spark-written
+    DIRECTORY source links its part files (a nested symlinked dir would
+    hide them from the non-recursive file-source listing)."""
     src = os.path.join(sf_dir, "events.parquet")
     if sf_dir not in _STAGED:
+        import glob
         import tempfile
 
         d = tempfile.mkdtemp(prefix="bruin_stream_events_")
-        os.symlink(src, os.path.join(d, "events.parquet"))
+        if os.path.isdir(src):
+            for i, part in enumerate(sorted(glob.glob(os.path.join(src, "*.parquet")))):
+                os.symlink(part, os.path.join(d, f"events_{i}.parquet"))
+        else:
+            os.symlink(src, os.path.join(d, "events.parquet"))
         _STAGED[sf_dir] = d
     return _STAGED[sf_dir]
 
