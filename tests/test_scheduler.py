@@ -602,3 +602,55 @@ def test_thousand_asset_dag_stress(spark):
     # overhead gate: generous bound; a Tick-loop regression (e.g.
     # quadratic ready-scan) blows through this immediately
     assert wall / len(finished) < 0.05, f"{wall:.1f}s for 1000 instances"
+
+
+def test_random_dag_failure_propagation_property(spark):
+    """Property over random DAGs: the set of failed-or-skipped assets is
+    exactly the union of the intrinsically-failing assets and their
+    transitive descendants; everything else succeeds and runs after its
+    upstreams (ref semantics: pkg/scheduler WillRunTaskPostFailures)."""
+    import random
+
+    for seed in range(6):
+        rng = random.Random(seed)
+        n = 30
+        deps = {i: sorted(rng.sample(range(i), min(i, rng.randint(0, 3)))) for i in range(n)}
+        failing = set(rng.sample(range(n), 4))
+        # expected: descendants of failing nodes
+        doomed = set(failing)
+        for i in range(n):  # topological: deps are lower-numbered
+            if any(d in doomed for d in deps[i]):
+                doomed.add(i)
+
+        finished = {}
+        lock = threading.Lock()
+
+        def op(s, asset, ctx, _failing=failing):
+            with lock:
+                finished[asset.name] = len(finished)
+            if int(asset.name.split("_")[1]) in _failing:
+                raise RuntimeError("boom")
+
+        pipe = make_pipeline(
+            [
+                sql_asset(f"rnd_{i}", "SELECT 1", deps=[f"rnd_{d}" for d in deps[i]])
+                for i in range(n)
+            ]
+        )
+        sched = Scheduler(spark, pipe, operators={"spark.sql": op}, retries=0)
+        res = sched.run()
+        assert not res.ok
+        got_failed = {
+            int(k.split("_")[1].split(":")[0])
+            for k, inst in sched.instances.items()
+            if inst.status in (InstanceStatus.FAILED, InstanceStatus.UPSTREAM_FAILED)
+        }
+        assert got_failed == doomed, f"seed {seed}: {sorted(got_failed)} != {sorted(doomed)}"
+        # a node RUNS iff none of its deps are doomed (a failing node
+        # with a doomed upstream is upstream_failed and never executes)
+        ran_expected = {i for i in range(n) if not any(d in doomed for d in deps[i])}
+        assert set(finished) == {f"rnd_{i}" for i in ran_expected}
+        # every executed node started after all its upstreams completed
+        for i in ran_expected:
+            for d in deps[i]:
+                assert finished[f"rnd_{d}"] < finished[f"rnd_{i}"]
