@@ -232,3 +232,106 @@ def bucket_sql(id_expr: str, salt: str = "", n_buckets: int = N_BUCKETS) -> str:
         f"(('0x' || SUBSTR(MD5('{salt}' || CAST({id_expr} AS VARCHAR)), 1, 8))::BIGINT"
         f" % {n_buckets})"
     )
+
+
+def domain_mixture_quotas(
+    df: DataFrame,
+    domain_col: str,
+    total: int,
+    temperature: float | None = None,
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """Per-domain document quotas for a target training MIXTURE -> one
+    row per domain: (domain, avail, quota).
+
+    Target weights come either from an explicit ``weights`` dict or from
+    temperature sampling over the observed counts (w_d ∝ count_d^(1/T),
+    the standard multilingual flattening — T>1 upweights low-resource
+    domains). Budget is allocated by weighted water-filling: every
+    domain gets min(avail_d, λ·w_d) with the water level λ chosen so the
+    total fills the budget — a domain that runs out of documents spills
+    its share onto the rest, proportionally.
+
+    Scale shape: one groupBy(domain) aggregate, then pure WINDOW math
+    over the k-domain table (k is small by definition) — the water level
+    is found with a prefix-scan over domains sorted by avail/weight, no
+    driver loop, no iteration. Weights/λ products round to 6 decimals
+    before flooring so the DuckDB oracle lands on identical integers.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).cast("double").alias("avail")
+    )
+    if weights is not None:
+        expr = None
+        for d, wt in weights.items():
+            cond = F.col("domain") == d
+            expr = F.when(cond, float(wt)) if expr is None else expr.when(cond, float(wt))
+        w_col = expr.otherwise(F.lit(0.0)) if expr is not None else F.lit(0.0)
+    else:
+        t = 1.0 if temperature is None else float(temperature)
+        w_col = F.round(F.pow(F.col("avail"), F.lit(1.0 / t)), 6)
+    wdf = counts.withColumn("w", w_col).filter(F.col("w") > 0)
+    wdf = wdf.withColumn("ratio", F.col("avail") / F.col("w"))
+
+    order = Window.orderBy("ratio", "domain")
+    prefix_avail = F.coalesce(
+        F.sum("avail").over(order.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0.0)
+    )
+    suffix_w = F.sum("w").over(order.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    annotated = wdf.select(
+        "domain",
+        "avail",
+        "w",
+        "ratio",
+        F.row_number().over(order).alias("rn"),
+        ((F.lit(float(total)) - prefix_avail) / suffix_w).alias("lam_cand"),
+    )
+    everything = Window.partitionBy()
+    first_valid = F.min(
+        F.when(F.col("lam_cand") <= F.col("ratio"), F.col("rn"))
+    ).over(everything)
+    lam = F.max(
+        F.when(F.col("rn") == first_valid, F.col("lam_cand"))
+    ).over(everything)
+    quota = F.when(
+        lam.isNull() | (F.col("rn") < first_valid), F.col("avail")
+    ).otherwise(F.least(F.col("avail"), F.floor(F.round(lam * F.col("w"), 6))))
+    return annotated.select(
+        "domain",
+        F.col("avail").cast("bigint").alias("avail"),
+        quota.cast("bigint").alias("quota"),
+    )
+
+
+def domain_mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    total: int,
+    temperature: float | None = None,
+    weights: dict[str, float] | None = None,
+    salt: str = "mix",
+    two_phase: bool = True,
+) -> DataFrame:
+    """Sample ~``total`` rows matching a target domain MIXTURE
+    (DoReMi/Pile-style weighted mixing, temperature flattening for
+    multilingual corpora): quotas from :func:`domain_mixture_quotas`,
+    rows chosen per-domain by the same monotone hash rank as
+    :func:`stratified_quota_sample` (which also supplies the two-phase
+    hot-domain path — the k-row quota table is the only driver-side
+    data)."""
+    qrows = domain_mixture_quotas(
+        df, domain_col, total, temperature=temperature, weights=weights
+    ).collect()  # k domains — small by definition
+    quotas = {r["domain"]: int(r["quota"]) for r in qrows}
+    return stratified_quota_sample(
+        df,
+        id_col,
+        domain_col,
+        quotas,
+        default_quota=0,
+        salt=salt,
+        two_phase=two_phase,
+    )

@@ -123,7 +123,73 @@ GROUP BY 1, 2
 """
 
 
+_MIX_TOTAL = 250
+_MIX_T = 2.0  # temperature flattening: w_d = sqrt(count_d)
+
+
+def sample_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-mixture sampling (DoReMi/Pile-style): ~250 docs at
+    temperature 2.0 over lang — low-resource languages upweighted via
+    sqrt(count) weights, budget water-filled across domains, rows picked
+    by monotone hash rank. Oracle replicates the water-fill with plain
+    window SQL."""
+    from bruin_spark.operators.sampling import domain_mixture_sample
+
+    out = domain_mixture_sample(
+        _docs(spark, sf_dir), "doc_id", "lang", _MIX_TOTAL, temperature=_MIX_T
+    )
+    return out.select("doc_id", "lang")
+
+
+_MIX_ORACLE = f"""
+WITH counts AS (
+  SELECT lang AS domain, CAST(COUNT(*) AS DOUBLE) AS avail FROM documents GROUP BY 1
+),
+wts AS (
+  SELECT domain, avail, ROUND(POWER(avail, 1.0/{_MIX_T}), 6) AS w FROM counts
+),
+ordered AS (
+  SELECT domain, avail, w, avail / w AS ratio,
+         ROW_NUMBER() OVER (ORDER BY avail / w, domain) AS rn,
+         COALESCE(SUM(avail) OVER (ORDER BY avail / w, domain
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pa,
+         SUM(w) OVER (ORDER BY avail / w, domain
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS sw
+  FROM wts
+),
+cand AS (
+  SELECT *, ({_MIX_TOTAL} - pa) / sw AS lam_cand FROM ordered
+),
+lvl0 AS (
+  SELECT *, MIN(CASE WHEN lam_cand <= ratio THEN rn END) OVER () AS first_valid
+  FROM cand
+),
+lvl AS (
+  SELECT *, MAX(CASE WHEN rn = first_valid THEN lam_cand END) OVER () AS lam
+  FROM lvl0
+),
+quotas AS (
+  SELECT domain,
+         CASE WHEN lam IS NULL OR rn < first_valid THEN CAST(avail AS BIGINT)
+              ELSE LEAST(CAST(avail AS BIGINT),
+                         CAST(FLOOR(ROUND(lam * w, 6)) AS BIGINT)) END AS quota
+  FROM lvl
+)
+SELECT doc_id, lang FROM (
+  SELECT d.doc_id, d.lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY d.lang
+           ORDER BY {bucket_sql('d.doc_id', 'mix')}, d.doc_id
+         ) AS rn
+  FROM documents d
+) d
+JOIN quotas q ON d.lang = q.domain
+WHERE d.rn <= q.quota
+"""
+
+
 QUERIES = {
+    "sample_domain_mixture": (sample_domain_mixture, _MIX_ORACLE),
     "split_counts_by_lang": (split_counts_by_lang, SPLIT_COUNTS_ORACLE),
     "split_alignment_docs_embeddings": (
         split_alignment_docs_embeddings,

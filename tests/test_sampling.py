@@ -99,3 +99,40 @@ def test_stratified_two_phase_tiny_oversample_still_exact(spark):
         df, "doc_id", "lang", {"en": 50, "fr": 100}, two_phase=False
     )
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, ref.collect()))
+
+
+def test_domain_mixture_water_filling(spark):
+    """Budget spills from exhausted domains onto the rest; temperature
+    flattening lifts low-resource domains vs proportional sampling."""
+    from bruin_spark.operators.sampling import (
+        domain_mixture_quotas,
+        domain_mixture_sample,
+    )
+
+    rows = [(f"a{i}", "big") for i in range(300)] + [
+        (f"b{i}", "small") for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "id string, dom string")
+
+    # proportional (T=1): quotas track counts
+    q1 = {r["domain"]: r["quota"] for r in domain_mixture_quotas(df, "dom", 160).collect()}
+    assert q1["big"] > q1["small"]
+    assert sum(q1.values()) <= 160 and sum(q1.values()) >= 160 - 4
+
+    # flattened (T=4): the small domain is exhausted, spill goes to big
+    q4 = {r["domain"]: r["quota"] for r in domain_mixture_quotas(df, "dom", 160, temperature=4.0).collect()}
+    assert q4["small"] == 20  # exhausted (water level above its supply)
+    assert q4["big"] >= 160 - 20 - 2
+    assert q4["small"] >= q1["small"]  # flattening never hurts low-resource
+
+    # budget >= corpus: everything kept
+    qall = {r["domain"]: r["quota"] for r in domain_mixture_quotas(df, "dom", 1000).collect()}
+    assert qall == {"big": 300, "small": 20}
+
+    # explicit weights; sampling is deterministic across calls
+    out1 = sorted(r["id"] for r in domain_mixture_sample(df, "id", "dom", 60, weights={"big": 1.0, "small": 1.0}).collect())
+    out2 = sorted(r["id"] for r in domain_mixture_sample(df, "id", "dom", 60, weights={"big": 1.0, "small": 1.0}).collect())
+    assert out1 == out2
+    n_small = sum(1 for i in out1 if i.startswith("b"))
+    assert n_small == 20  # equal weights: small exhausted, rest from big
+    assert len(out1) >= 58
