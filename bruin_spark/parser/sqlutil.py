@@ -259,20 +259,72 @@ def rename_tables(sql: str, mapping: dict[str, str]) -> str:
     DDL/DML targets (INSERT INTO x, CREATE TABLE x) never get an alias.
     """
     toks, refs = _table_refs(sql)
-    ctes = _cte_names(toks, _code_tokens(toks))
+    code = _code_tokens(toks)
+    ctes = _cte_names(toks, code)
+
+    def match_source(name: str) -> str | None:
+        """Mapping lookup with the reference's part semantics: a 1-part
+        key matches any schema's table of that base name, a 2-part key
+        matches regardless of catalog (rename.py:14-33)."""
+        if name in mapping:
+            return name
+        for k in mapping:
+            if name.endswith("." + k):
+                return k
+        return None
+
     spans = []  # (char_start, char_end, replacement)
+    renamed_tok_ranges = []  # (first_tok_idx, last_tok_idx) of table refs
+    renamed_sources = {}  # source key -> leaf name refs still resolve by
     for name, a, b, kind, has_alias in refs:
         if name in ctes or name.split(".")[0] in ctes:
             continue
-        if name in mapping:
+        renamed_tok_ranges.append((a, b))
+        key = match_source(name)
+        if key is not None:
             start = toks[a][2]
             end = toks[b][2] + len(toks[b][1])
-            new = mapping[name]
+            new = mapping[key]
             old_base = name.split(".")[-1]
             new_base = new.split(".")[-1].strip('`"')
             if kind == "from" and not has_alias and new_base != old_base:
                 new = f"{new} AS {old_base}"
+            if kind == "from":
+                renamed_sources[name] = old_base
             spans.append((start, end, new))
+
+    # a renamed table loses its original schema/catalog, so a column
+    # still qualified by the OLD schema (analytics.orders.amount) would
+    # no longer resolve — drop that qualifier to the leaf table, which
+    # stays reachable via the explicit or back-alias (rename.py:63-80)
+    if renamed_sources:
+        covered = set()
+        for a, b in renamed_tok_ranges:
+            covered.update(range(a, b + 1))
+        i = 0
+        while i < len(code):
+            ti = code[i]
+            if ti in covered or toks[ti][0] not in ("word", "dq", "bq"):
+                i += 1
+                continue
+            parts = [toks[ti][1].strip('"`')]
+            j = i
+            while (
+                j + 2 < len(code)
+                and toks[code[j + 1]][1] == "."
+                and toks[code[j + 2]][0] in ("word", "dq", "bq")
+            ):
+                parts.append(toks[code[j + 2]][1].strip('"`'))
+                j += 2
+            if len(parts) >= 3:  # schema.table.column or deeper
+                qualifier = ".".join(parts[:-1])
+                if qualifier in renamed_sources:
+                    start = toks[ti][2]
+                    last_q_tok = toks[code[j - 2]]  # last qualifier part
+                    end = last_q_tok[2] + len(last_q_tok[1])
+                    spans.append((start, end, renamed_sources[qualifier]))
+            i = j + 1 if j > i else i + 1
+
     for start, end, rep in sorted(spans, reverse=True):
         sql = sql[:start] + rep + sql[end:]
     return sql

@@ -246,8 +246,11 @@ def test_rename_tables_reference_go_table():
         "SELECT * FROM raw.items join raw.orders on items.item_id = orders.item_id",
         {"raw.items": "t1", "orders": "raw_dev.t2"},
     )
+    # a 1-part mapping key matches the schema-qualified ref by base name
+    # (reference rename.py:14-33 part semantics)
     assert got == (
-        "SELECT * FROM t1 AS items join raw.orders on items.item_id = orders.item_id"
+        "SELECT * FROM t1 AS items join raw_dev.t2 AS orders "
+        "on items.item_id = orders.item_id"
     )
     got = rename_tables(
         "DELETE FROM raw.items WHERE item_id = 1; SELECT * FROM raw.items "
@@ -320,3 +323,31 @@ def test_used_tables_merge_statement():
         "MERGE INTO tgt t USING (SELECT * FROM stage) s ON t.id = s.id "
         "WHEN NOT MATCHED THEN INSERT (id) VALUES (s.id)"
     ) == ["stage", "tgt"]
+
+
+def test_rename_tables_part_matching_and_qualifier_drop():
+    """rename.py semantics: a 1-part mapping key matches any schema's
+    table of that base name; a 2-part key matches regardless of catalog;
+    columns still qualified by the OLD schema drop to the leaf alias."""
+    got = rename_tables(
+        "SELECT * FROM raw.items join raw.orders on items.item_id = orders.item_id",
+        {"raw.items": "t1", "orders": "raw_dev.t2"},
+    )
+    assert got == (
+        "SELECT * FROM t1 AS items join raw_dev.t2 AS orders "
+        "on items.item_id = orders.item_id"
+    )
+    got = rename_tables(
+        "SELECT analytics.orders.amount FROM analytics.orders "
+        "WHERE analytics.orders.id > 1",
+        {"analytics.orders": "fixture_orders"},
+    )
+    assert got == "SELECT orders.amount FROM fixture_orders AS orders WHERE orders.id > 1"
+    # base name unchanged -> refs by `t.` still resolve, no alias needed
+    assert rename_tables("SELECT * FROM cat.sch.t", {"sch.t": "dev.t"}) == (
+        "SELECT * FROM dev.t"
+    )
+    # struct access is untouched when the qualifier is not a source
+    assert rename_tables("SELECT u.profile.email FROM users u", {"users": "u2"}) == (
+        "SELECT u.profile.email FROM u2 u"
+    )
