@@ -285,7 +285,14 @@ def rename_tables(sql: str, mapping: dict[str, str]) -> str:
             start = toks[a][2]
             end = toks[b][2] + len(toks[b][1])
             new = mapping[key]
-            old_base = name.split(".")[-1]
+            n_dest = len(new.split("."))
+            name_parts = name.split(".")
+            # a 1-part destination clears catalog AND schema (fixture CTE
+            # case); a 2-part destination replaces schema.table but keeps
+            # the ref's own catalog (rename.py:46-57)
+            if n_dest == 2 and len(name_parts) > 2:
+                new = ".".join(name_parts[:-2] + [new])
+            old_base = name_parts[-1]
             new_base = new.split(".")[-1].strip('`"')
             if kind == "from" and not has_alias and new_base != old_base:
                 new = f"{new} AS {old_base}"

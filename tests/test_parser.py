@@ -343,11 +343,58 @@ def test_rename_tables_part_matching_and_qualifier_drop():
         {"analytics.orders": "fixture_orders"},
     )
     assert got == "SELECT orders.amount FROM fixture_orders AS orders WHERE orders.id > 1"
-    # base name unchanged -> refs by `t.` still resolve, no alias needed
+    # base name unchanged -> no alias; 2-part dest keeps the ref's catalog
     assert rename_tables("SELECT * FROM cat.sch.t", {"sch.t": "dev.t"}) == (
-        "SELECT * FROM dev.t"
+        "SELECT * FROM cat.dev.t"
     )
     # struct access is untouched when the qualifier is not a source
     assert rename_tables("SELECT u.profile.email FROM users u", {"users": "u2"}) == (
         "SELECT u.profile.email FROM u2 u"
     )
+
+
+def test_rename_tables_three_part_reference_cases():
+    """rename_test.py TSQL three-part cases: schema rewrites on 3-part
+    names, partial rewrites, mixed arities, catalog preserved under
+    2-part mappings, 1-part destinations clearing catalog+schema."""
+    assert rename_tables(
+        "SELECT * FROM mydb.myschema.mytable",
+        {"mydb.myschema.mytable": "mydb.dev_myschema.mytable"},
+    ) == "SELECT * FROM mydb.dev_myschema.mytable"
+    assert rename_tables(
+        "SELECT * FROM db1.schema1.table1 t1 JOIN db1.schema2.table2 t2 ON t1.id = t2.id",
+        {
+            "db1.schema1.table1": "db1.dev_schema1.table1",
+            "db1.schema2.table2": "db1.dev_schema2.table2",
+        },
+    ) == (
+        "SELECT * FROM db1.dev_schema1.table1 t1 "
+        "JOIN db1.dev_schema2.table2 t2 ON t1.id = t2.id"
+    )
+    assert rename_tables(
+        "SELECT * FROM db1.schema1.table1 t1 JOIN db2.schema2.table2 t2 ON t1.id = t2.id",
+        {"db1.schema1.table1": "db1.dev_schema1.table1"},
+    ) == (
+        "SELECT * FROM db1.dev_schema1.table1 t1 "
+        "JOIN db2.schema2.table2 t2 ON t1.id = t2.id"
+    )
+    assert rename_tables(
+        "SELECT * FROM mydb.myschema.mytable t1 JOIN otherschema.othertable t2 ON t1.id = t2.id",
+        {
+            "mydb.myschema.mytable": "mydb.dev_myschema.mytable",
+            "otherschema.othertable": "dev_otherschema.othertable",
+        },
+    ) == (
+        "SELECT * FROM mydb.dev_myschema.mytable t1 "
+        "JOIN dev_otherschema.othertable t2 ON t1.id = t2.id"
+    )
+    # 2-part mapping does not strip the catalog from a 3-part reference
+    assert rename_tables(
+        "SELECT * FROM mydb.myschema.mytable", {"myschema.mytable": "dev_myschema.mytable"}
+    ) == "SELECT * FROM mydb.dev_myschema.mytable"
+    # 1-part destination clears stale catalog and schema entirely
+    got = rename_tables(
+        "SELECT amount FROM myproj.analytics.orders",
+        {"myproj.analytics.orders": "cte_x"},
+    )
+    assert "cte_x" in got and "myproj" not in got and "analytics" not in got
