@@ -171,7 +171,7 @@ class SemanticEngine:
                     raise SemanticError(f"granularity on non-time dimension: {d.name}")
                 if d.granularity not in dim.granularities:
                     raise SemanticError(
-                        f"invalid granularity {d.granularity!r} for dimension {d.name}"
+                        f'invalid granularity "{d.granularity}" for dimension {d.name}'
                     )
         for name in q.metrics:
             if name not in self.metrics:
@@ -194,7 +194,7 @@ class SemanticEngine:
             if s.name not in q.metrics and not self._sortable_dim(q, s.name):
                 # sorting by a metric that isn't in the select list would
                 # emit ORDER BY on a nonexistent output column
-                raise SemanticError(f"sort field not in query output: {s.name}")
+                raise SemanticError(f"sort field not found: {s.name}")
 
     def _ref_for_alias(self, alias: str) -> DimensionRef | None:
         """Reverse an output alias to a DimensionRef (granularity-aware)."""
@@ -417,7 +417,13 @@ class SemanticEngine:
     def _filter_to_sql(self, f: Filter) -> str:
         if f.expression:
             return f.expression
-        dim = self._dim_sql(DimensionRef(f.dimension))
+        if not f.dimension:
+            raise SemanticError("filter dimension is required when no expression is given")
+        try:
+            dim = self._dim_sql(DimensionRef(f.dimension))
+        except SemanticError as e:
+            # reference error spelling (engine_test.go QueryErrors table)
+            raise SemanticError(f"filter dimension not found: {f.dimension}") from e
         op, v = f.operator, f.value
         if op == "equals":
             return f"{dim} = {_fmt_value(v)}"

@@ -196,7 +196,7 @@ def test_sort_requires_selected_metric():
                  Metric(name="qty", expression="SUM(quantity)")],
     )
     eng = SemanticEngine(m)
-    with pytest.raises(SemanticError, match="sort field not in query output"):
+    with pytest.raises(SemanticError, match="sort field not found"):
         eng.generate_sql(
             Query(dimensions=["status"], metrics=["revenue"], sort=[SortSpec("qty")])
         )

@@ -1,0 +1,330 @@
+"""Run the reference semantic engine's OWN generated-SQL test table
+(semantic-engine/engine_test.go TestGenerateSQL_Cases) against this
+repo's compiler.
+
+The sqlCase literals are harvested at test time from the read-only
+reference checkout with a constrained Go-composite-literal parser (no
+code copied — the cases are compatibility DATA: query shape in,
+must/mustNot substrings out). The fixture model is a transcription of
+richTestModel() (engine_test.go:37-108)."""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pytest
+
+from bruin_spark.semantic import (
+    Dimension,
+    DimensionRef,
+    Filter,
+    Metric,
+    Model,
+    Query,
+    Segment,
+    SemanticEngine,
+    SortSpec,
+    WindowSpec,
+)
+from bruin_spark.semantic.engine import SemanticError
+
+REF = "/root/reference/semantic-engine/engine_test.go"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(REF), reason="reference checkout not present"
+)
+
+
+def rich_model() -> Model:
+    """Transcription of richTestModel() (engine_test.go:37-108)."""
+    return Model(
+        name="orders",
+        table="analytics.fct_orders",
+        dimensions=[
+            Dimension(name="order_id", type="string", hidden=True),
+            Dimension(name="status", type="string"),
+            Dimension(name="country", type="string"),
+            Dimension(name="category", type="string"),
+            Dimension(
+                name="order_date",
+                type="time",
+                granularities={
+                    "day": "date_trunc('day', order_date)",
+                    "month": "date_trunc('month', order_date)",
+                    "year": "date_trunc('year', order_date)",
+                },
+            ),
+            Dimension(name="is_first_order", type="boolean", expression="customer_order_number = 1"),
+            Dimension(
+                name="order_size",
+                type="string",
+                expression="case when amount >= 100 then 'large' else 'small' end",
+            ),
+        ],
+        metrics=[
+            Metric(name="revenue", expression="sum(amount)"),
+            Metric(name="cost", expression="sum(cogs)"),
+            Metric(name="order_count", expression="count(distinct order_id)"),
+            Metric(name="row_count", expression="count(*)"),
+            Metric(name="completed_revenue", expression="sum(amount)", filter="status = 'completed'"),
+            Metric(name="completed_count", expression="count(*)", filter="status = 'completed'"),
+            Metric(
+                name="completed_distinct_orders",
+                expression="count(distinct order_id)",
+                filter="status = 'completed'",
+            ),
+            Metric(name="profit", expression="{revenue} - {cost}"),
+            Metric(name="avg_order_value", expression="{revenue} / {order_count}"),
+            Metric(name="profit_margin", expression="{profit} / {revenue}"),
+            Metric(name="completion_rate", expression="{completed_revenue} / {revenue}"),
+            Metric(name="raw_aov", expression="sum(amount) / {order_count}"),
+            Metric(
+                name="running_revenue",
+                expression="{revenue}",
+                window=WindowSpec(type="running_total", order_by="order_date", partition_by=["category"]),
+            ),
+            Metric(
+                name="prev_revenue",
+                expression="{revenue}",
+                window=WindowSpec(type="lag", order_by="order_date", partition_by=["category"], offset=1),
+            ),
+            Metric(
+                name="next_revenue",
+                expression="{revenue}",
+                window=WindowSpec(type="lead", order_by="order_date", offset=2),
+            ),
+            Metric(
+                name="revenue_rank",
+                expression="{revenue}",
+                window=WindowSpec(type="rank", order_by="order_date"),
+            ),
+            Metric(
+                name="revenue_share",
+                expression="{revenue}",
+                window=WindowSpec(type="percent_of_total"),
+            ),
+            Metric(name="revenue_growth", expression="({revenue} - {prev_revenue}) / {prev_revenue}"),
+        ],
+        segments=[
+            Segment(name="completed", filter="status = 'completed'"),
+            Segment(name="high_value", filter="amount > 100"),
+            Segment(name="us", filter="country = 'US'"),
+        ],
+    )
+
+
+# -- constrained Go composite-literal parser -----------------------------------
+
+_GO_TOKEN = re.compile(
+    r"""
+    (?P<str>(?:"(?:[^"\\]|\\.)*")|(?:`[^`]*`))
+  | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<num>-?\d+(?:\.\d+)?)
+  | (?P<punct>[{}\[\],:&()*])
+  | (?P<ws>\s+)
+  | (?P<comment>//[^\n]*)
+    """,
+    re.VERBOSE,
+)
+
+
+def _go_tokens(src: str):
+    out = []
+    for m in _GO_TOKEN.finditer(src):
+        if m.lastgroup in ("ws", "comment"):
+            continue
+        out.append((m.lastgroup, m.group()))
+    return out
+
+
+class _GoLit:
+    """Parses the constrained literal subset used by the sqlCase table:
+    struct literals (named or implicit), slice literals, strings,
+    numbers, &Type{...} pointers."""
+
+    def __init__(self, toks):
+        self.t = toks
+        self.i = 0
+
+    def peek(self, off=0):
+        j = self.i + off
+        return self.t[j] if j < len(self.t) else (None, None)
+
+    def eat(self, text=None):
+        k, v = self.t[self.i]
+        if text is not None and v != text:
+            raise ValueError(f"expected {text!r} got {v!r} at {self.i}")
+        self.i += 1
+        return v
+
+    def value(self):
+        k, v = self.peek()
+        if k == "str":
+            self.eat()
+            if v.startswith("`"):
+                return v[1:-1]
+            return v[1:-1].encode().decode("unicode_escape")
+        if k == "num":
+            self.eat()
+            return float(v) if "." in v else int(v)
+        if v == "&":
+            self.eat()
+            return self.value()
+        if v == "[":
+            # []Type{...}
+            self.eat("[")
+            self.eat("]")
+            if self.peek()[0] == "ident":
+                self.eat()  # element type name (string/Filter/interface)
+                if self.peek()[1] == "{" and self.peek(1)[1] == "}":
+                    pass
+            if self.peek()[1] == "(":  # interface{} written as interface{}
+                raise ValueError("unexpected (")
+            return self.composite_body_as_list()
+        if k == "ident":
+            name = self.eat()
+            if name == "interface":  # []interface{} — the {} belongs to the type
+                return None  # handled by caller
+            if name in ("true", "false"):
+                return name == "true"
+            if name == "nil":
+                return None
+            if self.peek()[1] == "{":
+                return self.struct_body()
+            return name
+        raise ValueError(f"unexpected token {self.t[self.i]}")
+
+    def composite_body_as_list(self):
+        # optional {} of interface{} type: []interface{}{1, 2}
+        if self.peek()[1] == "{" and self.peek(1)[1] == "}":
+            self.eat("{")
+            self.eat("}")
+        out = []
+        self.eat("{")
+        while self.peek()[1] != "}":
+            if self.peek()[1] == "{":  # implicit element struct
+                out.append(self.struct_body())
+            else:
+                out.append(self.value())
+            if self.peek()[1] == ",":
+                self.eat(",")
+        self.eat("}")
+        return out
+
+    def struct_body(self):
+        self.eat("{")
+        d = {}
+        while self.peek()[1] != "}":
+            key = self.eat()
+            self.eat(":")
+            d[key] = self.value()
+            if self.peek()[1] == ",":
+                self.eat(",")
+        self.eat("}")
+        return d
+
+
+def _harvest_cases():
+    src = open(REF, encoding="utf-8").read()
+    start = src.index("cases := []sqlCase{")
+    # balanced-brace scan from the opening brace
+    i = src.index("{", start)
+    depth = 0
+    for j in range(i, len(src)):
+        if src[j] == "{":
+            depth += 1
+        elif src[j] == "}":
+            depth -= 1
+            if depth == 0:
+                block = src[i : j + 1]
+                break
+    toks = _go_tokens(block)
+    return _GoLit(toks).composite_body_as_list()
+
+
+def _to_query(q: dict) -> Query:
+    dims = [
+        DimensionRef(d.get("Name", ""), granularity=d.get("Granularity", ""))
+        for d in q.get("Dimensions", [])
+    ]
+    filters = [
+        Filter(
+            dimension=f.get("Dimension", ""),
+            operator=f.get("Operator", ""),
+            value=f.get("Value"),
+            expression=f.get("Expression", ""),
+        )
+        for f in q.get("Filters", [])
+    ]
+    sort = [
+        SortSpec(s.get("Name", ""), direction=s.get("Direction", "") or "asc")
+        for s in q.get("Sort", [])
+    ]
+    return Query(
+        dimensions=dims,
+        metrics=list(q.get("Metrics", [])),
+        filters=filters,
+        segments=list(q.get("Segments", [])),
+        sort=sort,
+        limit=int(q.get("Limit", 0) or 0),
+    )
+
+
+def _params():
+    if not os.path.exists(REF):
+        return []
+    return [
+        pytest.param(c, id=re.sub(r"\W+", "_", c["name"])[:60]) for c in _harvest_cases()
+    ]
+
+
+@pytest.mark.parametrize("case", _params())
+def test_reference_generate_sql_case(case):
+    engine = SemanticEngine(rich_model())
+    query = _to_query(case.get("query", {}))
+    if "wantErr" in case or case.get("err"):
+        with pytest.raises(SemanticError):
+            engine.generate_sql(query)
+        return
+    sql = engine.generate_sql(query)
+    for m in case.get("must", []) or []:
+        assert m in sql, f"missing {m!r} in:\n{sql}"
+    for m in case.get("mustNot", []) or []:
+        assert m not in sql, f"forbidden {m!r} in:\n{sql}"
+
+
+def _harvest_error_cases():
+    src = open(REF, encoding="utf-8").read()
+    anchor = src.index("TestGenerateSQL_QueryErrors")
+    start = src.index("cases := []struct {", anchor)
+    start = src.index("}{", start) + 1  # past the anonymous struct type
+    i = src.index("{", start)
+    depth = 0
+    for j in range(i, len(src)):
+        if src[j] == "{":
+            depth += 1
+        elif src[j] == "}":
+            depth -= 1
+            if depth == 0:
+                block = src[i : j + 1]
+                break
+    return _GoLit(_go_tokens(block)).composite_body_as_list()
+
+
+def _error_params():
+    if not os.path.exists(REF):
+        return []
+    return [
+        pytest.param(c, id=re.sub(r"\W+", "_", c["name"])[:60])
+        for c in _harvest_error_cases()
+    ]
+
+
+@pytest.mark.parametrize("case", _error_params())
+def test_reference_generate_sql_error_case(case):
+    engine = SemanticEngine(rich_model())
+    query = _to_query(case.get("query", {}))
+    with pytest.raises(SemanticError) as exc:
+        engine.generate_sql(query)
+    assert case["want"] in str(exc.value), str(exc.value)
