@@ -84,6 +84,20 @@ class SemanticEngine:
     # -- validation ----------------------------------------------------------
 
     def _validate_model(self) -> None:
+        # construction-time validation, message spellings per the
+        # reference's NewEngine (semantic-engine/engine_test.go
+        # TestNewEngine_ValidationErrors)
+        if not self.model.name:
+            raise SemanticError("model name is required")
+        if not self.model.table:
+            raise SemanticError("source.table is required")
+        seen: set[str] = set()
+        for n in [d.name for d in self.model.dimensions] + [
+            m.name for m in self.model.metrics
+        ]:
+            if n in seen:
+                raise SemanticError(f"duplicate name: {n}")
+            seen.add(n)
         for j in self.model.joins:
             if j.target_model not in self.models:
                 raise SemanticError(f"join target model not found: {j.target_model}")
@@ -92,18 +106,88 @@ class SemanticEngine:
             target = self.models[j.target_model]
             if not j.sql and not (j.target_key or target.primary_key):
                 raise SemanticError(f"join {j.name}: target has no key")
+        for s in self.model.segments:
+            if not s.filter:
+                raise SemanticError(f"segment {s.name}: filter is required")
         for m in self.model.metrics:
-            if m.window and m.window.type not in (
-                "running_total",
-                "lag",
-                "lead",
-                "rank",
-                "percent_of_total",
-            ):
-                raise SemanticError(f"metric {m.name}: unknown window type {m.window.type}")
-            if m.window and m.window.type != "rank" and not _REF.search(m.expression):
-                # window metrics apply over a referenced base metric
-                pass
+            if not m.expression:
+                raise SemanticError(f"metric {m.name}: expression is required")
+            for ref in _REF.findall(m.expression):
+                if ref not in self.metrics:
+                    raise SemanticError(
+                        f"metric {m.name}: references unknown metric {{{ref}}}"
+                    )
+            if m.window:
+                if m.window.type not in (
+                    "running_total",
+                    "lag",
+                    "lead",
+                    "rank",
+                    "percent_of_total",
+                ):
+                    raise SemanticError(
+                        f"metric {m.name}: unknown window.type {m.window.type}"
+                    )
+                # window metrics apply over exactly one referenced metric
+                if not re.fullmatch(r"\{[A-Za-z_][A-Za-z0-9_.]*\}", m.expression.strip()):
+                    raise SemanticError(
+                        f"metric {m.name}: window expression must be exactly "
+                        "a single {ref}"
+                    )
+                dim_names = {d.name for d in self.model.dimensions}
+                # grain-suffixed aliases of time dimensions are valid
+                # window fields too (`created_day` = created @ day)
+                for d in self.model.dimensions:
+                    for g in d.granularities:
+                        dim_names.add(f"{d.name}_{g}")
+                if m.window.order_by and m.window.order_by not in dim_names:
+                    raise SemanticError(
+                        f"metric {m.name}: window order_by references unknown "
+                        f"dimension {m.window.order_by}"
+                    )
+                for p in m.window.partition_by:
+                    if p not in dim_names:
+                        raise SemanticError(
+                            f"metric {m.name}: window partition_by references "
+                            f"unknown dimension {p}"
+                        )
+                # the referenced chain must not mix {refs} with raw
+                # aggregation (the wrapped form can only rebuild pure
+                # ref-composed or pure aggregate expressions)
+                stack = [_REF.findall(m.expression)[0]] if _REF.findall(m.expression) else []
+                walked: set[str] = set()
+                while stack:
+                    cur = stack.pop()
+                    if cur in walked or cur not in self.metrics:
+                        continue
+                    walked.add(cur)
+                    expr = self.metrics[cur].expression
+                    refs = _REF.findall(expr)
+                    stripped = _REF.sub("", expr)
+                    if refs and re.search(r"[A-Za-z_][A-Za-z0-9_]*\s*\(", stripped):
+                        raise SemanticError(
+                            f"metric {m.name}: window over metric {cur} mixes "
+                            "{refs} with raw aggregation"
+                        )
+                    stack.extend(refs)
+        # circular metric references
+        state: dict[str, int] = {}
+
+        def visit(name: str, trail: tuple[str, ...]) -> None:
+            if state.get(name) == 2:
+                return
+            if state.get(name) == 1:
+                raise SemanticError(
+                    "circular dependency: " + " -> ".join(trail + (name,))
+                )
+            state[name] = 1
+            for ref in _REF.findall(self.metrics[name].expression):
+                if ref in self.metrics:
+                    visit(ref, trail + (name,))
+            state[name] = 2
+
+        for m in self.model.metrics:
+            visit(m.name, ())
 
     # -- public API ----------------------------------------------------------
 

@@ -328,3 +328,79 @@ def test_reference_generate_sql_error_case(case):
     with pytest.raises(SemanticError) as exc:
         engine.generate_sql(query)
     assert case["want"] in str(exc.value), str(exc.value)
+
+
+def _to_model(m: dict) -> Model:
+    dims = [
+        Dimension(
+            name=d.get("Name", ""),
+            type=d.get("Type", "string"),
+            expression=d.get("Expression", ""),
+            granularities=d.get("Granularities", {}) or {},
+            hidden=bool(d.get("Hidden", False)),
+        )
+        for d in m.get("Dimensions", [])
+    ]
+    mets = []
+    for mm in m.get("Metrics", []):
+        win = mm.get("Window")
+        mets.append(
+            Metric(
+                name=mm.get("Name", ""),
+                expression=mm.get("Expression", ""),
+                filter=mm.get("Filter", ""),
+                window=WindowSpec(
+                    type=win.get("Type", ""),
+                    order_by=win.get("OrderBy", ""),
+                    partition_by=win.get("PartitionBy", []) or [],
+                    offset=int(win.get("Offset", 1) or 1),
+                )
+                if win
+                else None,
+            )
+        )
+    segs = [
+        Segment(name=sg.get("Name", ""), filter=sg.get("Filter", ""))
+        for sg in m.get("Segments", [])
+    ]
+    return Model(
+        name=m.get("Name", ""),
+        table=(m.get("Source") or {}).get("Table", ""),
+        dimensions=dims,
+        metrics=mets,
+        segments=segs,
+    )
+
+
+def _harvest_validation_cases():
+    src = open(REF, encoding="utf-8").read()
+    anchor = src.index("TestNewEngine_ValidationErrors")
+    start = src.index("cases := []struct {", anchor)
+    start = src.index("}{", start) + 1
+    i = src.index("{", start)
+    depth = 0
+    for j in range(i, len(src)):
+        if src[j] == "{":
+            depth += 1
+        elif src[j] == "}":
+            depth -= 1
+            if depth == 0:
+                block = src[i : j + 1]
+                break
+    return _GoLit(_go_tokens(block)).composite_body_as_list()
+
+
+def _validation_params():
+    if not os.path.exists(REF):
+        return []
+    return [
+        pytest.param(c, id=re.sub(r"\W+", "_", c["name"])[:60])
+        for c in _harvest_validation_cases()
+    ]
+
+
+@pytest.mark.parametrize("case", _validation_params())
+def test_reference_model_validation_case(case):
+    with pytest.raises(SemanticError) as exc:
+        SemanticEngine(_to_model(case.get("model", {})))
+    assert case["want"] in str(exc.value), str(exc.value)
