@@ -136,11 +136,19 @@ class SemanticEngine:
                     )
                 dim_names = {d.name for d in self.model.dimensions}
                 # grain-suffixed aliases of time dimensions are valid
-                # window fields too (`created_day` = created @ day)
+                # window fields too (`created_day` = created @ day), as
+                # are metric names (ORDER BY a ranked measure) with an
+                # optional ASC/DESC direction suffix
                 for d in self.model.dimensions:
                     for g in d.granularities:
                         dim_names.add(f"{d.name}_{g}")
-                if m.window.order_by and m.window.order_by not in dim_names:
+                field_names = dim_names | set(self.metrics)
+                ob = m.window.order_by
+                if ob:
+                    parts = ob.split()
+                    if len(parts) == 2 and parts[1].lower() in ("asc", "desc"):
+                        ob = parts[0]
+                if ob and ob not in field_names:
                     raise SemanticError(
                         f"metric {m.name}: window order_by references unknown "
                         f"dimension {m.window.order_by}"
