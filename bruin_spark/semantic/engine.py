@@ -674,6 +674,17 @@ class SemanticEngine:
             sel.append(f"{self._dim_sql(d)} AS {self._dim_alias(d)}")
             group.append(str(i + 1))
         for name in inner_metrics:
+            # a base metric whose own filter contains an aggregate (a
+            # {metric} ref or a raw aggregate call) cannot be built in
+            # the inner subquery: the per-row CASE WHEN can't evaluate
+            # aggregates (reference: engine_test.go
+            # TestFilterMetricFilterCannotReferenceAggregatesInWrappedQuery)
+            filt = self.metrics[name].filter if name in self.metrics else ""
+            if filt and (_REF.search(filt) or _AGG_FNS.search(filt)):
+                raise SemanticError(
+                    f"metric {name}: filter cannot reference aggregates "
+                    "in a wrapped query"
+                )
             sel.append(f"{self._expand_simple(name)} AS {name}")
         inner = "SELECT " + ", ".join(sel) + self._from_sql(joins)
         where, having = self._where_having(q)

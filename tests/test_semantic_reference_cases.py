@@ -404,3 +404,74 @@ def test_reference_model_validation_case(case):
     with pytest.raises(SemanticError) as exc:
         SemanticEngine(_to_model(case.get("model", {})))
     assert case["want"] in str(exc.value), str(exc.value)
+
+
+def test_focused_regressions_from_reference():
+    """engine_test.go focused tests: quote escaping, bool keyword,
+    calculated-dimension filters, Jinja delimiters pass-through,
+    aggregate-filter rejection in wrapped queries, auto-added inner
+    dimensions for window metrics."""
+    def mk(dims, mets):
+        return SemanticEngine(Model(name="t", table="orders", dimensions=dims, metrics=mets))
+
+    e = mk([Dimension(name="name")], [Metric(name="n", expression="count(*)")])
+    sql = e.generate_sql(
+        Query(
+            metrics=["n"],
+            filters=[
+                Filter(dimension="name", operator="equals", value="O'Brien"),
+                Filter(dimension="name", operator="in", value=["a'b", "c"]),
+            ],
+        )
+    )
+    assert "name = 'O''Brien'" in sql and "name IN ('a''b', 'c')" in sql
+
+    e = mk([Dimension(name="active", type="boolean")], [Metric(name="n", expression="count(*)")])
+    sql = e.generate_sql(
+        Query(metrics=["n"], filters=[Filter(dimension="active", operator="equals", value=True)])
+    )
+    assert "active = TRUE" in sql
+
+    e = mk(
+        [Dimension(name="is_first_order", type="boolean", expression="customer_order_number = 1")],
+        [Metric(name="n", expression="count(*)")],
+    )
+    sql = e.generate_sql(
+        Query(metrics=["n"], filters=[Filter(dimension="is_first_order", operator="equals", value=True)])
+    )
+    assert "WHERE customer_order_number = 1 = TRUE" in sql
+
+    e = mk([Dimension(name="country")], [Metric(name="n", expression="count(*)")])
+    sql = e.generate_sql(
+        Query(metrics=["n"], filters=[Filter(expression="country = '{{ filters.country }}'")])
+    )
+    assert "country = '{{ filters.country }}'" in sql
+
+    # aggregate-referencing metric filter rejected in the wrapped path
+    m = Model(
+        name="m",
+        table="t",
+        dimensions=[Dimension(name="order_date", type="time")],
+        metrics=[
+            Metric(name="rev", expression="sum(amount)"),
+            Metric(name="weird", expression="sum(amount)", filter="{rev} > 100"),
+            Metric(
+                name="running_weird",
+                expression="{weird}",
+                window=WindowSpec(type="running_total", order_by="order_date"),
+            ),
+        ],
+    )
+    e = SemanticEngine(m)
+    with pytest.raises(SemanticError, match="cannot reference aggregates"):
+        e.generate_sql(Query(dimensions=["order_date"], metrics=["running_weird"]))
+
+    # window metrics pull their partition/order dimensions into the inner query
+    e = SemanticEngine(rich_model())
+    sql = e.generate_sql(Query(metrics=["running_revenue"]))
+    assert "category AS category" in sql and "order_date AS order_date" in sql
+    assert "GROUP BY 1, 2" in sql
+    assert (
+        "SUM(base.revenue) OVER (PARTITION BY base.category "
+        "ORDER BY base.order_date ROWS UNBOUNDED PRECEDING)" in sql
+    )
