@@ -281,7 +281,7 @@ class SemanticEngine:
                 "in", "not_in", "between", "is_null", "is_not_null",
             }
             if f.operator not in ops:
-                raise SemanticError(f"invalid filter operator {f.operator!r}")
+                raise SemanticError(f'invalid filter operator "{f.operator}"')
         for s in q.sort:
             if s.name not in q.metrics and not self._sortable_dim(q, s.name):
                 # sorting by a metric that isn't in the select list would
@@ -535,9 +535,11 @@ class SemanticEngine:
             return f"{dim} NOT IN ({_fmt_list(v)})"
         if op == "between":
             if isinstance(v, dict):
-                lo, hi = v["start"], v["end"]
-            else:
+                lo, hi = v.get("start"), v.get("end")
+            elif isinstance(v, (list, tuple)) and len(v) == 2:
                 lo, hi = v
+            else:
+                raise SemanticError(f"invalid between filter value: {v!r}")
             return f"{dim} BETWEEN {_fmt_value(lo)} AND {_fmt_value(hi)}"
         if op == "is_null":
             return f"{dim} IS NULL"
@@ -625,8 +627,14 @@ class SemanticEngine:
             if m is None:
                 return
             if m.window is not None:
+                # the window's OVER references base.<ref> directly, so
+                # the referenced metric — derived or plain — must
+                # materialize in the inner query itself (reference:
+                # TestWindowMetricCanReferenceDerivedMetric)
                 for r in _REF.findall(m.expression):
-                    walk(r)
+                    if r in self.metrics and r not in out:
+                        seen.add(r)
+                        out.append(r)
                 return
             if self._is_derived(m):
                 for r in _REF.findall(m.expression):

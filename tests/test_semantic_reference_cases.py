@@ -475,3 +475,77 @@ def test_focused_regressions_from_reference():
         "SUM(base.revenue) OVER (PARTITION BY base.category "
         "ORDER BY base.order_date ROWS UNBOUNDED PRECEDING)" in sql
     )
+
+
+def test_window_over_derived_and_filter_value_errors():
+    """engine_test.go: TestWindowMetricCanReferenceDerivedMetric,
+    TestDerivedMetricOverWindowMetricCollectsWindowInputs,
+    TestPercentOfTotalUsesPartitionBy,
+    TestStructuredFilterValidationRejectsInvalidOperatorAndValue."""
+    m = Model(
+        name="m",
+        table="orders",
+        dimensions=[Dimension(name="order_date", type="time")],
+        metrics=[
+            Metric(name="revenue", expression="sum(amount)"),
+            Metric(name="cost", expression="sum(cogs)"),
+            Metric(name="profit", expression="{revenue} - {cost}"),
+            Metric(
+                name="running_profit",
+                expression="{profit}",
+                window=WindowSpec(type="running_total", order_by="order_date"),
+            ),
+        ],
+    )
+    sql = SemanticEngine(m).generate_sql(Query(metrics=["running_profit"]))
+    assert "sum(amount) - sum(cogs) AS profit" in sql
+    assert (
+        "SUM(base.profit) OVER (ORDER BY base.order_date ROWS UNBOUNDED PRECEDING)"
+        " AS running_profit" in sql
+    )
+
+    m2 = Model(
+        name="m",
+        table="orders",
+        dimensions=[Dimension(name="order_date", type="time")],
+        metrics=[
+            Metric(name="revenue", expression="sum(amount)"),
+            Metric(
+                name="running_revenue",
+                expression="{revenue}",
+                window=WindowSpec(type="running_total", order_by="order_date"),
+            ),
+            Metric(name="running_revenue_ratio", expression="{running_revenue} / 10"),
+        ],
+    )
+    sql = SemanticEngine(m2).generate_sql(Query(metrics=["running_revenue_ratio"]))
+    assert "sum(amount) AS revenue" in sql
+    assert (
+        "SUM(base.revenue) OVER (ORDER BY base.order_date ROWS UNBOUNDED PRECEDING)"
+        " / 10 AS running_revenue_ratio" in sql
+    )
+
+    m3 = rich_model()
+    for mm in m3.metrics:
+        if mm.name == "revenue_share":
+            mm.window.partition_by = ["category"]
+    sql = SemanticEngine(m3).generate_sql(
+        Query(dimensions=["category"], metrics=["revenue_share"])
+    )
+    assert (
+        "base.revenue / NULLIF(SUM(base.revenue) OVER (PARTITION BY base.category), 0)"
+        " AS revenue_share" in sql
+    )
+
+    e = SemanticEngine(rich_model())
+    with pytest.raises(SemanticError, match='invalid filter operator "equal"'):
+        e.generate_sql(
+            Query(metrics=["revenue"], filters=[Filter(dimension="country", operator="equal", value="US")])
+        )
+    with pytest.raises(SemanticError, match="invalid between filter value"):
+        e.generate_sql(
+            Query(
+                metrics=["revenue"],
+                filters=[Filter(dimension="order_date", operator="between", value=["2025-01-01"])],
+            )
+        )
