@@ -105,7 +105,10 @@ class SemanticEngine:
                 raise SemanticError(f"join {j.name}: needs foreign_key or sql")
             target = self.models[j.target_model]
             if not j.sql and not (j.target_key or target.primary_key):
-                raise SemanticError(f"join {j.name}: target has no key")
+                raise SemanticError(
+                    f'model "{self.model.name}": join "{j.name}" requires '
+                    f'target_key or primary_key on target model "{j.target_model}"'
+                )
         for s in self.model.segments:
             if not s.filter:
                 raise SemanticError(f"segment {s.name}: filter is required")
@@ -226,6 +229,7 @@ class SemanticEngine:
             join = next((j for j in self.model.joins if j.name == rel), None)
             if join is None:
                 raise SemanticError(f"unknown relation: {rel}")
+            self._check_join_safe(join)
             target = self.models[join.target_model]
             dim = next((d for d in target.dimensions if d.name == dim_name), None)
             if dim is None:
@@ -233,8 +237,34 @@ class SemanticEngine:
             return target, rel, dim
         dim = self.dims.get(ref.name)
         if dim is None:
+            # unambiguous unqualified joined dimension resolves through
+            # the join graph (reference: graph.go bindDimension /
+            # TestJoinGraphAllowsUnqualifiedDimensionWhenUnambiguous)
+            owners = []
+            for j in self.model.joins:
+                target = self.models.get(j.target_model)
+                if target is None:
+                    continue
+                d2 = next((d for d in target.dimensions if d.name == ref.name), None)
+                if d2 is not None:
+                    owners.append((target, j, d2))
+            if len(owners) == 1:
+                target, j, d2 = owners[0]
+                self._check_join_safe(j)
+                return target, j.name, d2
+            if len(owners) > 1:
+                raise SemanticError(f"ambiguous dimension: {ref.name}")
             raise SemanticError(f"dimension not found: {ref.name}")
         return self.model, "", dim
+
+    @staticmethod
+    def _check_join_safe(join) -> None:
+        """Only non-fanout paths may join into an aggregating query: a
+        one_to_many/many_to_many join duplicates base rows and silently
+        inflates every aggregate (reference: graph.go safe-path check,
+        TestJoinGraphRejectsFanoutPath)."""
+        if join.relationship not in ("many_to_one", "one_to_one"):
+            raise SemanticError(f"join not found or unsafe: {join.name}")
 
     def _dim_alias(self, ref: DimensionRef) -> str:
         """Output alias: the dimension name itself. The granularity
@@ -311,6 +341,12 @@ class SemanticEngine:
         for d in q.dimensions:
             if "." in d.name:
                 rels.add(d.name.split(".", 1)[0])
+            elif d.name not in self.dims:
+                # unqualified joined dimension: the owning relation's
+                # join is needed even without a dot in the ref
+                _m, rel, _d = self._resolve_dim(d)
+                if rel:
+                    rels.add(rel)
         for f in q.filters:
             for ref in _REF.findall(f.expression or ""):
                 if "." in ref:

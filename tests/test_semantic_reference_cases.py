@@ -19,6 +19,7 @@ from bruin_spark.semantic import (
     Dimension,
     DimensionRef,
     Filter,
+    Join,
     Metric,
     Model,
     Query,
@@ -549,3 +550,64 @@ def test_window_over_derived_and_filter_value_errors():
                 filters=[Filter(dimension="order_date", operator="between", value=["2025-01-01"])],
             )
         )
+
+
+def test_join_graph_reference_behaviors():
+    """engine_test.go JoinGraph tests: reachable joined dimensions,
+    unqualified-when-unambiguous, remote structured filters, fanout-path
+    rejection, missing-target-key spelling."""
+    def build(extra_customer_kw=None, rel="many_to_one"):
+        orders = Model(
+            name="orders",
+            table="orders",
+            joins=[Join(name="customers", relationship=rel, foreign_key="customer_id")],
+            metrics=[Metric(name="revenue", expression="sum(order_total)")],
+        )
+        customers = Model(
+            name="customers",
+            table="customers",
+            dimensions=[Dimension(name="country")],
+            **(extra_customer_kw or {"primary_key": "customer_id"}),
+        )
+        return orders, customers
+
+    orders, customers = build()
+    e = SemanticEngine(orders, [customers])
+    sql = e.generate_sql(Query(dimensions=["customers.country"], metrics=["revenue"]))
+    assert "customers.country AS customers_country" in sql
+    assert "LEFT JOIN customers AS customers ON orders.customer_id = customers.customer_id" in sql
+
+    # unqualified dim resolves through the join graph when unambiguous
+    sql = e.generate_sql(Query(dimensions=["country"], metrics=["revenue"]))
+    assert "customers.country AS country" in sql
+
+    # filter-only remote dimension still pulls the join in
+    sql = e.generate_sql(
+        Query(
+            metrics=["revenue"],
+            filters=[Filter(dimension="customers.country", operator="equals", value="US")],
+        )
+    )
+    assert "LEFT JOIN customers" in sql and "customers.country = 'US'" in sql
+
+    # fanout (one_to_many) paths are rejected — they inflate aggregates
+    oi = Model(name="order_items", table="order_items", primary_key="id",
+               dimensions=[Dimension(name="product_id")])
+    o2 = Model(
+        name="orders",
+        table="orders",
+        joins=[Join(name="order_items", relationship="one_to_many", foreign_key="order_id")],
+        metrics=[Metric(name="revenue", expression="sum(order_total)")],
+    )
+    e2 = SemanticEngine(o2, [oi])
+    with pytest.raises(SemanticError, match="join not found or unsafe: order_items"):
+        e2.generate_sql(Query(dimensions=["order_items.product_id"], metrics=["revenue"]))
+
+    # missing target key spelling
+    orders, _ = build()
+    no_key = Model(name="customers", table="customers", dimensions=[Dimension(name="country")])
+    with pytest.raises(
+        SemanticError,
+        match='model "orders": join "customers" requires target_key or primary_key',
+    ):
+        SemanticEngine(orders, [no_key])
