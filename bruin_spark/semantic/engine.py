@@ -226,10 +226,12 @@ class SemanticEngine:
         """-> (owning model, relation alias ('' = primary), Dimension)."""
         if "." in ref.name:
             rel, dim_name = ref.name.split(".", 1)
-            join = next((j for j in self.model.joins if j.name == rel), None)
-            if join is None:
+            path = self._join_path(rel)
+            if path is None:
                 raise SemanticError(f"unknown relation: {rel}")
-            self._check_join_safe(join)
+            for _owner, j in path:
+                self._check_join_safe(j)
+            join = path[-1][1]
             target = self.models[join.target_model]
             dim = next((d for d in target.dimensions if d.name == dim_name), None)
             if dim is None:
@@ -265,6 +267,29 @@ class SemanticEngine:
         TestJoinGraphRejectsFanoutPath)."""
         if join.relationship not in ("many_to_one", "one_to_one"):
             raise SemanticError(f"join not found or unsafe: {join.name}")
+
+    def _join_path(self, rel: str) -> "list[tuple[str, object]] | None":
+        """BFS through the join graph -> ordered [(owner_alias, Join)]
+        hops ending at the join named ``rel`` (multi-hop: orders ->
+        customers -> countries — reference graph.go safe-path walk /
+        TestJoinGraphSupportsMultiHopSafePath). None when unreachable."""
+        from collections import deque
+
+        start = (self.model.name, self.model)
+        q = deque([(start, [])])
+        seen = {self.model.name}
+        while q:
+            (alias, model), path = q.popleft()
+            for j in model.joins:
+                hop = path + [(alias, j)]
+                if j.name == rel:
+                    return hop
+                target = self.models.get(j.target_model)
+                if target is None or j.name in seen:
+                    continue
+                seen.add(j.name)
+                q.append(((j.name, target), hop))
+        return None
 
     def _dim_alias(self, ref: DimensionRef) -> str:
         """Output alias: the dimension name itself. The granularity
@@ -361,8 +386,18 @@ class SemanticEngine:
                 for ref in _REF.findall(seg.filter or ""):
                     if "." in ref:
                         rels.add(ref.split(".", 1)[0])
-        joins = [j for j in self.model.joins if j.name in rels]
-        missing = rels - {j.name for j in joins}
+        joins: list = []  # ordered (owner_alias, Join) hops, deduped
+        have: set[str] = set()
+        missing: list[str] = []
+        for rel in sorted(rels):
+            path = self._join_path(rel)
+            if path is None:
+                missing.append(rel)
+                continue
+            for owner, j in path:
+                if j.name not in have:
+                    have.add(j.name)
+                    joins.append((owner, j))
         if missing:
             raise SemanticError(f"unknown relations: {sorted(missing)}")
         self._has_joins_cache = bool(joins)
@@ -383,13 +418,13 @@ class SemanticEngine:
 
     def _from_sql(self, joins) -> str:
         out = f" FROM {self._rel_sql(self.model.table, self.model.name)}"
-        for j in joins:
+        for owner, j in joins:
             target = self.models[j.target_model]
             if j.sql:
                 on = j.sql
             else:
                 tk = j.target_key or target.primary_key
-                on = f"{self.model.name}.{j.foreign_key} = {j.name}.{tk}"
+                on = f"{owner}.{j.foreign_key} = {j.name}.{tk}"
             out += f" LEFT JOIN {self._rel_sql(target.table, j.name)} ON {on}"
         return out
 

@@ -611,3 +611,35 @@ def test_join_graph_reference_behaviors():
         match='model "orders": join "customers" requires target_key or primary_key',
     ):
         SemanticEngine(orders, [no_key])
+
+
+def test_join_graph_multi_hop_safe_path():
+    """TestJoinGraphSupportsMultiHopSafePath: orders -> customers ->
+    countries, each hop many_to_one, ON sides chained through the
+    intermediate alias."""
+    countries = Model(
+        name="countries", table="countries", primary_key="country_id",
+        dimensions=[Dimension(name="region")],
+    )
+    customers = Model(
+        name="customers", table="customers", primary_key="customer_id",
+        joins=[Join(name="countries", relationship="many_to_one", foreign_key="country_id")],
+    )
+    orders = Model(
+        name="orders", table="orders",
+        joins=[Join(name="customers", relationship="many_to_one", foreign_key="customer_id")],
+        metrics=[Metric(name="revenue", expression="sum(order_total)")],
+    )
+    e = SemanticEngine(orders, [customers, countries])
+    sql = e.generate_sql(Query(dimensions=["countries.region"], metrics=["revenue"]))
+    assert "LEFT JOIN customers AS customers ON orders.customer_id = customers.customer_id" in sql
+    assert "LEFT JOIN countries AS countries ON customers.country_id = countries.country_id" in sql
+    assert "countries.region AS countries_region" in sql
+    # a fanout hop anywhere on the path is rejected
+    bad_customers = Model(
+        name="customers", table="customers", primary_key="customer_id",
+        joins=[Join(name="countries", relationship="one_to_many", foreign_key="country_id")],
+    )
+    e2 = SemanticEngine(orders, [bad_customers, countries])
+    with pytest.raises(SemanticError, match="join not found or unsafe: countries"):
+        e2.generate_sql(Query(dimensions=["countries.region"], metrics=["revenue"]))
