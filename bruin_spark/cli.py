@@ -278,6 +278,20 @@ def _cmd_run_resolved(args, pipe, ctx, environment, _conn_specs, masker) -> int:
             "Warning: --apply-interval-modifiers is ignored when --full-refresh is enabled.",
             file=sys.stderr,
         )
+    # per-connection concurrency limits from the connection specs'
+    # max_concurrent_assets (ref: scheduler.go SetConnectionLimitsFromDetails
+    # reading MaxConcurrentAssetsGetter off the config connection details)
+    _limits: dict[str, int] = {}
+    for _name, _spec in _conn_specs.items():
+        if isinstance(_spec, dict) and _spec.get("max_concurrent_assets") is not None:
+            try:
+                _limits[_name] = int(_spec["max_concurrent_assets"])
+            except (TypeError, ValueError):
+                print(
+                    f"warning: connection {_name!r}: non-integer "
+                    "max_concurrent_assets ignored",
+                    file=sys.stderr,
+                )
     sched = Scheduler(
         spark,
         pipe,
@@ -289,6 +303,7 @@ def _cmd_run_resolved(args, pipe, ctx, environment, _conn_specs, masker) -> int:
         stream_mode=bool(stream_target),
         apply_interval_modifiers=args.apply_interval_modifiers,
         sensor_mode=args.sensor_mode or "",
+        connection_limits=_limits or None,
     )
     sched.apply_filters(
         # --stream <asset> runs exactly that streaming asset (ref

@@ -308,6 +308,9 @@ class Asset:
     tags: list[str] = field(default_factory=list)
     owner: str = ""
     tier: str = ""  # fair-scheduler pool routing (ref: pipeline.go tier)
+    # named connection override (ref: pipeline.go Asset.Connection); ""
+    # falls back to the pipeline's default_connections by asset type
+    connection: str = ""
     interval_modifiers: dict[str, str] = field(default_factory=dict)
     hooks: dict[str, list[str]] = field(default_factory=dict)  # {"pre": [...], "post": [...]}
     # raw unit-test specs (ref: pipeline.go:1095-1148); interpreted by
@@ -398,6 +401,7 @@ class Asset:
             tags=d.get("tags", []) or [],
             owner=d.get("owner", "") or "",
             tier=str(d.get("tier", "") or ""),
+            connection=str(d.get("connection", "") or ""),
             interval_modifiers=d.get("interval_modifiers", {}) or {},
             start_date=str(d.get("start_date", "") or ""),
             extends=[str(e) for e in d.get("extends", []) or []],

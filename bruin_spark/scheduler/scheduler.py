@@ -33,7 +33,7 @@ from pyspark.sql import SparkSession
 
 from bruin_spark.checks.checks import CheckResult, run_asset_checks
 from bruin_spark.mat.executor import Materializer
-from bruin_spark.model.pipeline import Asset, Pipeline
+from bruin_spark.model.pipeline import Asset, MaterializationType, Pipeline
 from bruin_spark.render.jinja import RenderContext, render_asset_query
 
 
@@ -148,6 +148,7 @@ class Scheduler:
         stream_mode: bool = False,
         apply_interval_modifiers: bool = True,
         sensor_mode: str = "",
+        connection_limits: dict[str, int] | None = None,
     ):
         # stream_mode=True is `bruin run --stream <asset>`: the single
         # streaming asset is the intended target, so no exclusion
@@ -168,6 +169,18 @@ class Scheduler:
             raise ValueError("sensor_mode must be one of wait|once|skip")
         self.sensor_mode = sensor_mode
         self.retries = pipeline.retries if retries is None else retries
+        # per-connection concurrency limits (ref: scheduler.go:400-520
+        # SetConnectionLimitsFromDetails + canAcquireConnectionSlots): a
+        # pending task dispatches only when EVERY limited connection it
+        # consumes has a free slot; usage counts queued+running tasks
+        self.connection_limits: dict[str, int] = {}
+        for cname, lim in (connection_limits or {}).items():
+            if int(lim) <= 0:
+                raise ValueError(
+                    f'connection "{cname}" has concurrency limit {lim}, '
+                    "must be greater than 0"
+                )
+            self.connection_limits[cname] = int(lim)
         self.operators = operators or {}
         self.instances: dict[str, TaskInstance] = {}
         self._check_batches: dict[str, dict[tuple[str, str], CheckResult]] = {}
@@ -428,8 +441,23 @@ class Scheduler:
 
         def enqueue_ready() -> None:
             self._propagate_failures()
+            usage: dict[str, int] = {}
+            if self.connection_limits:
+                for i2 in self.instances.values():
+                    if i2.status in (InstanceStatus.QUEUED, InstanceStatus.RUNNING):
+                        for c in self._limited_connections(i2):
+                            usage[c] = usage.get(c, 0) + 1
             for inst in self.instances.values():
                 if self._ready(inst):
+                    if self.connection_limits:
+                        names = self._limited_connections(inst)
+                        if any(
+                            usage.get(c, 0) >= self.connection_limits[c]
+                            for c in names
+                        ):
+                            continue  # stays PENDING; retried as slots free
+                        for c in names:
+                            usage[c] = usage.get(c, 0) + 1
                     inst.status = InstanceStatus.QUEUED
                     work.put(inst)
             statuses = [i.status for i in self.instances.values()]
@@ -530,6 +558,45 @@ class Scheduler:
                 and not self.instances[i].blocking
             ),
         )
+
+    # -- connection slots ----------------------------------------------------
+
+    def _primary_connection(self, asset: Asset) -> str:
+        """Asset override, else the pipeline default for the asset's
+        type/platform family (ref: pipeline.go GetConnectionNameForAsset)."""
+        if asset.connection:
+            return asset.connection
+        dc = self.pipeline.default_connections
+        fam = asset.type.split(".")[0] if asset.type else ""
+        return dc.get(asset.type) or dc.get(fam) or ""
+
+    def _task_connections(self, inst: TaskInstance) -> list[str]:
+        """Connection names a task consumes (ref: pipeline.go
+        GetAllConnectionNamesForAsset): main ingestr tasks hold BOTH the
+        source and destination; python tasks hold secret connections plus
+        their own/destination connection; checks hold only the primary."""
+        a = inst.asset
+        if inst.type is not InstanceType.MAIN:
+            c = self._primary_connection(a)
+            return [c] if c else []
+        if a.type == "ingestr" or "source_connection" in a.parameters:
+            src = str(a.parameters.get("source_connection", "") or "")
+            dst = self._primary_connection(a)
+            return [n for n in (dst, src) if n]
+        if a.type == "python" or a.type.endswith(".python"):
+            names = [str(sec.get("secret_key", "") or "") for sec in a.secrets]
+            if a.connection:
+                names.append(a.connection)
+            elif a.materialization.type is not MaterializationType.NONE:
+                names.append(self._primary_connection(a))
+            return [n for n in names if n]
+        c = self._primary_connection(a)
+        return [c] if c else []
+
+    def _limited_connections(self, inst: TaskInstance) -> list[str]:
+        if not self.connection_limits:
+            return []
+        return [c for c in self._task_connections(inst) if c in self.connection_limits]
 
     # -- operators -----------------------------------------------------------------
 

@@ -654,3 +654,60 @@ def test_random_dag_failure_propagation_property(spark):
         for i in ran_expected:
             for d in deps[i]:
                 assert finished[f"rnd_{d}"] < finished[f"rnd_{i}"]
+
+
+def test_connection_limits_honored(spark):
+    """Per-connection concurrency limits (ref: scheduler.go
+    canAcquireConnectionSlots): with pg_main limited to 1, the three
+    pg_main assets never overlap; the unlimited side runs freely; a
+    task consuming TWO limited connections needs capacity on both."""
+    import time
+
+    active = {"pg_main": 0, "src_db": 0}
+    peak = {"pg_main": 0, "src_db": 0}
+    lock = threading.Lock()
+
+    def op(s, asset, ctx):
+        conns = []
+        if asset.connection:
+            conns.append(asset.connection)
+        if "source_connection" in asset.parameters:
+            conns.append(asset.parameters["source_connection"])
+        with lock:
+            for c in conns:
+                if c in active:
+                    active[c] += 1
+                    peak[c] = max(peak[c], active[c])
+        time.sleep(0.05)
+        with lock:
+            for c in conns:
+                if c in active:
+                    active[c] -= 1
+
+    assets = [
+        Asset(name=f"pg_{i}", type="spark.sql", connection="pg_main") for i in range(3)
+    ] + [
+        Asset(name=f"free_{i}", type="spark.sql", connection="other") for i in range(3)
+    ] + [
+        Asset(
+            name="ingest_both",
+            type="ingestr",
+            connection="pg_main",
+            parameters={"source_connection": "src_db"},
+        )
+    ]
+    pipe = Pipeline(name="p", assets=assets, concurrency=8)
+    sched = Scheduler(
+        spark,
+        pipe,
+        operators={"spark.sql": op, "ingestr": op},
+        connection_limits={"pg_main": 1, "src_db": 1},
+    )
+    res = sched.run()
+    assert res.ok
+    assert peak["pg_main"] == 1  # never two concurrent pg_main holders
+    assert peak["src_db"] == 1
+
+    # invalid limit rejected with the reference spelling
+    with pytest.raises(ValueError, match='connection "x" has concurrency limit 0'):
+        Scheduler(spark, pipe, operators={}, connection_limits={"x": 0})
