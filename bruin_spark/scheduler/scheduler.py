@@ -536,8 +536,21 @@ class Scheduler:
         threads = [threading.Thread(target=worker, daemon=True) for _ in range(self.workers)]
         for t in threads:
             t.start()
-        for t in threads:
-            t.join()
+        try:
+            for t in threads:
+                t.join()
+        except KeyboardInterrupt:
+            # graceful cancel (ref: scheduler.go
+            # TestScheduler_RunReturnsPartialResultsOnCancellation): stop
+            # dispatching, give in-flight tasks a short drain, return
+            # partial results — pending work stays PENDING in the saved
+            # state so --continue can resume it
+            done_event.set()
+            for _ in range(self.workers):
+                work.put(None)
+            deadline = time.monotonic() + 5.0
+            for t in threads:
+                t.join(max(0.0, deadline - time.monotonic()))
 
         if state_path:
             self.state().save(state_path)
