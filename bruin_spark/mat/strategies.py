@@ -49,7 +49,15 @@ def render_materialization(asset: Asset, query: str, full_refresh: bool = False)
     """
     mat = asset.materialization
     if mat.type == MaterializationType.NONE:
-        return [s for s in (_strip(query),) if s]
+        # a raw script may hold SEVERAL statements (USE x; SET ...;
+        # SELECT ...) and trailing comments: split on top-level
+        # semicolons, strip comments, drop empties — each statement
+        # executes separately, session statements in place (reference:
+        # pkg/query SplitQueriesPreservingSessionStatements)
+        from bruin_spark.parser.sqlutil import split_statements, strip_sql_comments
+
+        stmts = [strip_sql_comments(s).strip() for s in split_statements(query)]
+        return [s for s in stmts if s]
     if mat.type == MaterializationType.VIEW:
         return [f"CREATE OR REPLACE VIEW {quote_ident(asset.name)} AS\n{_strip(query)}"]
 

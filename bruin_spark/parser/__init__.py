@@ -8,6 +8,7 @@ from bruin_spark.parser.sqlutil import (
     rename_tables,
     select_from_cte,
     split_statements,
+    strip_sql_comments,
     used_tables,
 )
 
@@ -21,5 +22,6 @@ __all__ = [
     "rename_tables",
     "select_from_cte",
     "split_statements",
+    "strip_sql_comments",
     "used_tables",
 ]

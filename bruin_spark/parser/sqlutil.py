@@ -51,6 +51,22 @@ _STOPPERS = {
 }
 
 
+def strip_sql_comments(sql: str) -> str:
+    """Remove -- line and /* block */ comments, preserving string
+    literals and quoted identifiers (a `--` inside '...'/"..."/`...` is
+    data) and keeping the newlines a block comment spanned (reference:
+    pkg/query StripSQLComments, extract_test.go TestStripSQLComments)."""
+    out = []
+    for kind, text, _start in _tokens(sql):
+        if kind == "lcomment":
+            continue
+        if kind == "bcomment":
+            out.append("\n" * text.count("\n"))
+            continue
+        out.append(text)
+    return "".join(out)
+
+
 def split_statements(sql: str) -> list[str]:
     """Split on ';' outside strings/comments; drops empty statements."""
     toks = _tokens(sql)

@@ -455,3 +455,22 @@ def test_insert_into_case_insensitive_alignment(spark):
     got = sorted((r["id"], r["val"]) for r in spark.table("t_case").collect())
     assert got == [(1, "x"), (2, "y")]
     spark.sql("DROP TABLE t_case")
+
+
+def test_raw_script_multi_statement_with_comments(spark, mat):
+    """A strategy-less raw script holds several statements plus
+    comments: each executes separately, trailing comments never reach
+    spark.sql (ref: pkg/query FileQuerySplitterExtractor behaviors)."""
+    a = Asset.from_dict({"name": "t_raw_script", "materialization": {}})
+    mat.run(
+        a,
+        """
+        -- set up the session
+        SET spark.sql.shuffle.partitions = 4;
+        CREATE OR REPLACE TEMPORARY VIEW t_raw_v AS
+        SELECT 'has; semicolon -- not a comment' AS s /* inline */;
+        -- trailing comment after the last statement
+        """,
+    )
+    rows_ = spark.table("t_raw_v").collect()
+    assert rows_[0]["s"] == "has; semicolon -- not a comment"

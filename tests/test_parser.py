@@ -398,3 +398,22 @@ def test_rename_tables_three_part_reference_cases():
         {"myproj.analytics.orders": "cte_x"},
     )
     assert "cte_x" in got and "myproj" not in got and "analytics" not in got
+
+
+def test_strip_sql_comments_reference_table():
+    """pkg/query extract_test.go TestStripSQLComments: string literals,
+    quoted/backtick identifiers, and doubled quotes protect `--` and
+    `/*`; block comments keep their newlines."""
+    from bruin_spark.parser import strip_sql_comments
+
+    assert strip_sql_comments("SELECT 1 -- pick one\nFROM t") == "SELECT 1 \nFROM t"
+    assert strip_sql_comments("SELECT /* pick\none */ 1") == "SELECT \n 1"
+    assert (
+        strip_sql_comments("INSERT INTO audit VALUES ('run -- 1')")
+        == "INSERT INTO audit VALUES ('run -- 1')"
+    )
+    assert strip_sql_comments("SELECT 'a /* b' AS c") == "SELECT 'a /* b' AS c"
+    assert strip_sql_comments("SELECT 'it''s -- fine' -- comment") == "SELECT 'it''s -- fine' "
+    assert strip_sql_comments('SELECT "a -- b" FROM t') == 'SELECT "a -- b" FROM t'
+    assert strip_sql_comments("SELECT `a -- b` FROM t") == "SELECT `a -- b` FROM t"
+    assert strip_sql_comments("SELECT 1\n-- trailing") == "SELECT 1\n"
