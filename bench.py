@@ -215,10 +215,13 @@ def _quality_gates(spark) -> dict:
         _docs(spark, SF_DIR), k=MINHASH_K, bands=LSH_BANDS, n=NGRAM, threshold=JACCARD_T
     )
     D.connected_components(pairs, "id_a", "id_b", stats=stats).count()
+    # rounds == 0 is a legitimate pass (empty pair graph), so test for
+    # None explicitly rather than truthiness
+    cc_rounds = stats.get("rounds")
     out["cc_rounds"] = {
-        "rounds": stats.get("rounds"),
+        "rounds": cc_rounds,
         "max": CC_MAX_ROUNDS,
-        "pass": (stats.get("rounds") or CC_MAX_ROUNDS + 1) <= CC_MAX_ROUNDS,
+        "pass": cc_rounds is not None and cc_rounds <= CC_MAX_ROUNDS,
     }
 
     # IVF recall@K vs exact brute force on the fixed 64-query batch

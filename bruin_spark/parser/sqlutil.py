@@ -240,8 +240,13 @@ def _table_refs(sql: str):
                 prev_word = low
                 continue
         elif k == "word" and low in _FROM_ENDERS:
-            in_from[depth] = False
+            # ON/USING suspend the FROM list but a top-level comma at the
+            # same depth resumes it (`FROM t1 JOIN t2 ON t1.x = t2.x, t3`
+            # still lists t3 — the reference's sqlglot find_all(exp.Table)
+            # returns it too); every other ender closes the list for good
+            in_from[depth] = "cond" if low in ("on", "using") else False
         elif t == "," and in_from.get(depth):
+            in_from[depth] = True
             i = read_ref(i + 1)
             prev_word = ""
             continue
@@ -309,11 +314,17 @@ def rename_tables(sql: str, mapping: dict[str, str]) -> str:
             if n_dest == 2 and len(name_parts) > 2:
                 new = ".".join(name_parts[:-2] + [new])
             old_base = name_parts[-1]
+            # the back-alias must keep the original leaf token's quoting:
+            # FROM "My Table" renames to `other AS "My Table"` — an
+            # unquoted multi-word alias would be invalid SQL (the
+            # reference's sqlglot rename re-emits a quoted alias too)
+            leaf_kind, leaf_text = toks[b][0], toks[b][1]
+            alias_txt = leaf_text if leaf_kind in ("dq", "bq") else old_base
             new_base = new.split(".")[-1].strip('`"')
             if kind == "from" and not has_alias and new_base != old_base:
-                new = f"{new} AS {old_base}"
+                new = f"{new} AS {alias_txt}"
             if kind == "from":
-                renamed_sources[name] = old_base
+                renamed_sources[name] = alias_txt
             spans.append((start, end, new))
 
     # a renamed table loses its original schema/catalog, so a column

@@ -155,6 +155,29 @@ def test_lateral_view_lineage():
     assert "e_user" in ns
 
 
+def test_comma_relation_after_join_condition():
+    # ON/USING used to close the FROM list permanently, silently
+    # dropping a comma-joined relation that follows the join condition
+    sql = "SELECT * FROM t1 JOIN t2 ON t1.x = t2.x, t3"
+    assert used_tables(sql) == ["t1", "t2", "t3"]
+    sql2 = "SELECT * FROM t1 JOIN t2 USING (a, b), t3 x WHERE x.y = 1"
+    assert used_tables(sql2) == ["t1", "t2", "t3"]
+    # other enders still close the list: GROUP BY commas are not tables
+    sql3 = "SELECT a, b FROM t1 JOIN t2 ON t1.x = t2.x GROUP BY a, b"
+    assert used_tables(sql3) == ["t1", "t2"]
+
+
+def test_rename_back_alias_preserves_quoting():
+    # a quoted multi-word source must get a QUOTED back-alias
+    out = rename_tables('SELECT * FROM "My Table"', {"My Table": "other"})
+    assert 'AS "My Table"' in out
+    out2 = rename_tables("SELECT * FROM `My Table`", {"My Table": "other"})
+    assert "AS `My Table`" in out2
+    # plain identifiers keep the unquoted alias
+    out3 = rename_tables("SELECT * FROM items", {"items": "new_items"})
+    assert "new_items AS items" in out3
+
+
 def test_cte_column_list_preserved_in_rebuilds():
     sql = (
         "WITH c1(r1, r2) AS (SELECT 1 AS a, 2 AS b), "
