@@ -32,7 +32,7 @@ _CLAUSE_KW = {
     "window", "union", "intersect", "except", "on", "using",
 }
 _JOIN_KW = {"join", "inner", "left", "right", "full", "cross", "outer", "semi", "anti", "natural", "lateral"}
-_NOT_ALIAS = _CLAUSE_KW | _JOIN_KW | {"as", "select", "with", "set", "values", "when", "then", "else", "end", "and", "or", "not", "in", "is", "like", "between", "distinct", "all", "by"}
+_NOT_ALIAS = _CLAUSE_KW | _JOIN_KW | {"as", "select", "with", "set", "values", "when", "then", "else", "end", "and", "or", "not", "in", "is", "like", "between", "distinct", "all", "by", "tablesample", "pivot", "unpivot"}
 
 _EXPR_KEYWORDS = {
     "as", "case", "when", "then", "else", "end", "cast", "try_cast", "distinct",
@@ -71,6 +71,11 @@ class _Rel:
     # declared column names of a (VALUES ...) AS v(c1, c2) inline table;
     # literal rows have no upstream lineage
     values_cols: "list[str] | None" = None
+    # trailing PIVOT/UNPIVOT modifier: ("pivot"|"unpivot", inner tokens)
+    mod: "tuple[str, list[tuple[str, str]]] | None" = None
+    # right side of a SEMI/ANTI join: referencable in the ON condition
+    # but NOT in the select list / output scope
+    cond_only: bool = False
 
 
 @dataclass
@@ -359,11 +364,19 @@ class _Parser:
                 self._parse_lateral_view(s)
                 continue
             if p[0] == "word" and t in _JOIN_KW:
-                while self._kw(*(_JOIN_KW - {"join"})):
-                    pass
+                kinds: set[str] = set()
+                while True:
+                    p2 = self._peek()
+                    if p2 and p2[0] == "word" and p2[1].lower() in _JOIN_KW - {"join"}:
+                        kinds.add(p2[1].lower())
+                        self.i += 1
+                        continue
+                    break
                 if not self._kw("join"):
                     break
-                s.relations.append(self._parse_relation())
+                rel = self._parse_relation()
+                rel.cond_only = bool(kinds & {"semi", "anti"})
+                s.relations.append(rel)
                 if self._kw("on"):
                     s.cond_toks.append(self._clause_tokens_until_join())
                 elif self._kw("using"):
@@ -395,6 +408,33 @@ class _Parser:
             self.i += 1
         return out
 
+    def _relation_suffix(self, rel: _Rel) -> _Rel:
+        """Trailing TABLESAMPLE / PIVOT / UNPIVOT modifiers + alias.
+
+        Spark grammar: relationPrimary sample? (PIVOT|UNPIVOT clause)?
+        tableAlias — the alias comes AFTER the modifiers."""
+        while self._kw("tablesample", "repeatable"):
+            if self._text() == "(":
+                self._skip_parens()
+        p = self._peek()
+        if p and p[0] == "word" and p[1].lower() in ("pivot", "unpivot"):
+            kind = p[1].lower()
+            self.i += 1
+            inner = self._skip_parens() if self._text() == "(" else []
+            rel.mod = (kind, inner)
+            self._kw("as")
+            a = self._ident()
+            if a is not None:
+                rel.alias = a
+        elif not rel.alias:
+            if self._kw("as"):
+                rel.alias = self._ident() or ""
+            else:
+                a = self._ident()
+                if a is not None:
+                    rel.alias = a
+        return rel
+
     def _parse_relation(self) -> _Rel:
         if self._text() == "(":
             self._expect("(")
@@ -419,7 +459,7 @@ class _Parser:
             self._expect(")")
             self._kw("as")
             alias = self._ident() or ""
-            return _Rel(alias=alias, sub=sub)
+            return self._relation_suffix(_Rel(alias=alias, sub=sub))
         name = self._qualified()
         if name is None:
             raise _ParseError(f"expected table reference at token {self.i}")
@@ -430,7 +470,7 @@ class _Parser:
             a = self._ident()
             if a is not None:
                 alias = a
-        return _Rel(name=name, alias=alias)
+        return self._relation_suffix(_Rel(name=name, alias=alias))
 
 
 # -- reference extraction from expression tokens ------------------------------
@@ -532,6 +572,16 @@ def _expr_refs(toks: list[tuple[str, str]]) -> tuple[list[tuple[str | None, str]
             i += 1
             continue
         if k in ("word", "dq", "bq") and t.lower() not in _EXPR_KEYWORDS and t.lower() not in _TYPE_WORDS:
+            # OVER w (named-window reference): `w` names a WINDOW-clause
+            # spec, not a column — skip it
+            if (
+                i > 0
+                and toks[i - 1][0] == "word"
+                and toks[i - 1][1].lower() == "over"
+                and not (i + 1 < n and toks[i + 1][1] == "(")
+            ):
+                i += 1
+                continue
             # function call: identifier immediately followed by '('
             if i + 1 < n and toks[i + 1][1] == "(":
                 i += 2
@@ -585,6 +635,7 @@ class _Source:
         self.physical = physical        # physical table name ("" for derived)
         self.output = output            # derived/CTE output (None for physical)
         self.schema_cols = schema_cols  # known physical columns (from schema)
+        self.cond_only = False          # SEMI/ANTI right side: not in select scope
 
     def resolve_col(self, col: str) -> set[tuple[str, str]]:
         if self.output is not None:
@@ -640,6 +691,72 @@ class _Resolver:
             return self.resolve_query(op, env, outer)
         return self._resolve_select(op, env, outer)
 
+    @staticmethod
+    def _apply_pivot_mod(src: _Source, mod: tuple[str, list[tuple[str, str]]]) -> _Source:
+        """Transform a source's output through a PIVOT/UNPIVOT modifier.
+
+        PIVOT (AGG(val) FOR key IN (v1 AS n1, ...)): output = base columns
+        minus {val, key} plus one column per IN item, each upstream of the
+        aggregated value column. UNPIVOT (val FOR name IN (c1, c2)):
+        output = base minus the IN columns, plus the name column (metadata,
+        no upstream) and the value column (upstream = union of IN columns).
+        Unknown base columns -> pass the source through unchanged (same
+        degradation as `*` without schema)."""
+        kind, inner = mod
+        base_cols = src.all_columns()
+        if base_cols is None or not inner:
+            return src
+        words = [(i, t.strip('"`')) for i, (k, t) in enumerate(inner) if k in ("word", "dq", "bq")]
+        low = [(i, w.lower()) for i, w in words]
+        try:
+            for_pos = next(j for j, (_i, w) in enumerate(low) if w == "for")
+            in_pos = next(j for j, (_i, w) in enumerate(low) if w == "in" and j > for_pos)
+        except StopIteration:
+            return src
+        if kind == "pivot":
+            # value column(s): identifier refs inside the aggregate call(s)
+            # (everything before the FOR keyword)
+            refs, _ = _expr_refs(inner[: words[for_pos][0]])
+            key_col = words[for_pos + 1][1] if for_pos + 1 < len(words) else ""
+            val_ups: set[tuple[str, str]] = set()
+            for q, c in refs:
+                if c != "*":
+                    val_ups |= src.resolve_col(c)
+            drop = {c.lower() for _q, c in refs} | {key_col.lower()}
+            kept = [(n, u) for n, u in base_cols if n.lower() not in drop]
+            # IN list: each item `lit [AS name]` contributes one output col
+            in_toks = inner[words[in_pos][0] + 1 :]
+            if in_toks and in_toks[0][1] == "(" and in_toks[-1][1] == ")":
+                in_toks = in_toks[1:-1]
+            out_names: list[str] = []
+            for part in _split_top_commas(in_toks):
+                flat = [t for t in part if t[1] not in ("(", ")")]
+                alias = None
+                for j, (k, t) in enumerate(flat):
+                    if k == "word" and t.lower() == "as" and j + 1 < len(flat):
+                        alias = flat[j + 1][1].strip('"`')
+                if alias is None and flat:
+                    alias = flat[-1][1].strip('"`') if flat[-1][0] in ("word", "dq", "bq") else flat[-1][1]
+                if alias:
+                    out_names.append(alias)
+            return _Source(
+                key=src.key,
+                output=_Output(kept + [(n, set(val_ups)) for n in out_names]),
+            )
+        # unpivot
+        val_name = words[0][1]
+        name_col = words[for_pos + 1][1] if for_pos + 1 < len(words) else ""
+        in_cols = [w for _i, w in words[in_pos + 1 :]]
+        ups: set[tuple[str, str]] = set()
+        for c in in_cols:
+            ups |= src.resolve_col(c)
+        drop = {c.lower() for c in in_cols}
+        kept = [(n, u) for n, u in base_cols if n.lower() not in drop]
+        return _Source(
+            key=src.key,
+            output=_Output(kept + [(name_col, set()), (val_name, ups)]),
+        )
+
     def _resolve_select(self, s: _Select, env: dict[str, _Output], outer=None) -> _Output:
         sources: list[_Source] = []
         for rel in s.relations:
@@ -665,6 +782,13 @@ class _Resolver:
                         schema_cols=list(cols) if cols else None,
                     )
                 )
+            if rel.mod is not None:
+                sources[-1] = self._apply_pivot_mod(sources[-1], rel.mod)
+            sources[-1].cond_only = rel.cond_only
+        # a SEMI/ANTI join's right side is referencable only inside the
+        # join condition; unqualified select-list refs and * expansion
+        # resolve over the VISIBLE sources
+        visible = [s2 for s2 in sources if not s2.cond_only] or sources
 
         def find_source(qualifier: str) -> _Source | None:
             low = qualifier.lower()
@@ -696,17 +820,17 @@ class _Resolver:
                             return s2.resolve_col(parts[cut])
                     # unqualified struct path: profile.email where
                     # 'profile' is a known column of exactly one source
-                    owners = [s2 for s2 in sources if s2.has_col(parts[0])]
+                    owners = [s2 for s2 in visible if s2.has_col(parts[0])]
                     if len(owners) == 1:
                         return owners[0].resolve_col(parts[0])
                     return None
                 return src.resolve_col(col)
-            if len(sources) == 1:
-                return sources[0].resolve_col(col)
-            owners = [s2 for s2 in sources if s2.has_col(col)]
+            if len(visible) == 1:
+                return visible[0].resolve_col(col)
+            owners = [s2 for s2 in visible if s2.has_col(col)]
             if len(owners) == 1:
                 return owners[0].resolve_col(col)
-            unknowns = [s2 for s2 in sources if s2.has_col(col) is None]
+            unknowns = [s2 for s2 in visible if s2.has_col(col) is None]
             if len(owners) == 0 and len(unknowns) == 1:
                 return unknowns[0].resolve_col(col)
             if len(owners) > 1:
@@ -743,7 +867,7 @@ class _Resolver:
             with merged upstreams (SQL semantics: USING coalesces)."""
             cols_out: list[tuple[str, set[tuple[str, str]]]] = []
             seen_using: dict[str, int] = {}
-            for src in sources:
+            for src in visible:
                 cols = src.all_columns()
                 if cols is None:
                     self.errors.append(

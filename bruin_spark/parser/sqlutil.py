@@ -192,8 +192,26 @@ def _table_refs(sql: str):
         ):
             name_parts.append(toks[code[j + 1]][1].strip('"`'))
             j += 2
+        last = j - 1  # last code index of the name itself
+        # a TABLESAMPLE clause sits between the name and any alias in
+        # Spark's grammar (relationPrimary sample? tableAlias), so skip
+        # it; a rename back-alias must then be INSERTED after the sample
+        # clause, not appended to the name span
+        insert_after = code[last]
+        while (
+            j < len(code)
+            and toks[code[j]][0] == "word"
+            and toks[code[j]][1].lower() in ("tablesample", "repeatable")
+        ):
+            j += 1
+            if j < len(code) and toks[code[j]][1] == "(":
+                j = _skip_parens(toks, code, j)
+                insert_after = code[j - 1]
         # does an explicit alias follow? (FROM refs only — rename uses
-        # this to keep qualified column refs valid via a back-alias)
+        # this to keep qualified column refs valid via a back-alias).
+        # PIVOT/UNPIVOT read as "aliased": their output relation replaces
+        # the base table, so qualified refs to it are gone anyway and a
+        # back-alias would be a syntax error before the PIVOT keyword.
         has_alias = False
         if j < len(code):
             ka, ta, _ = toks[code[j]]
@@ -201,7 +219,9 @@ def _table_refs(sql: str):
                 has_alias = True
             elif ka in ("word", "dq", "bq") and ta.lower() not in _STOPPERS and ta.lower() not in _FROMISH:
                 has_alias = True
-        refs.append((".".join(name_parts), code[first], code[j - 1], kind, has_alias))
+        refs.append(
+            (".".join(name_parts), code[first], code[last], kind, has_alias, insert_after)
+        )
         return j
 
     # in MERGE INTO t USING s, USING introduces a relation (elsewhere it
@@ -261,7 +281,7 @@ def used_tables(sql: str) -> list[str]:
     for stmt in split_statements(sql):
         toks, refs = _table_refs(stmt)
         ctes = _cte_names(toks, _code_tokens(toks))
-        for name, _a, _b, _kind, _alias in refs:
+        for name, _a, _b, _kind, _alias, _ins in refs:
             if name.split(".")[0] not in ctes and name not in ctes:
                 out.add(name)
     return sorted(out)
@@ -297,7 +317,7 @@ def rename_tables(sql: str, mapping: dict[str, str]) -> str:
     spans = []  # (char_start, char_end, replacement)
     renamed_tok_ranges = []  # (first_tok_idx, last_tok_idx) of table refs
     renamed_sources = {}  # source key -> leaf name refs still resolve by
-    for name, a, b, kind, has_alias in refs:
+    for name, a, b, kind, has_alias, ins in refs:
         if name in ctes or name.split(".")[0] in ctes:
             continue
         renamed_tok_ranges.append((a, b))
@@ -322,7 +342,14 @@ def rename_tables(sql: str, mapping: dict[str, str]) -> str:
             alias_txt = leaf_text if leaf_kind in ("dq", "bq") else old_base
             new_base = new.split(".")[-1].strip('`"')
             if kind == "from" and not has_alias and new_base != old_base:
-                new = f"{new} AS {alias_txt}"
+                if ins == b:
+                    new = f"{new} AS {alias_txt}"
+                else:
+                    # a TABLESAMPLE clause follows the name: Spark's
+                    # grammar puts the alias AFTER the sample, so insert
+                    # it there instead of extending the name span
+                    pos = toks[ins][2] + len(toks[ins][1])
+                    spans.append((pos, pos, f" AS {alias_txt}"))
             if kind == "from":
                 renamed_sources[name] = alias_txt
             spans.append((start, end, new))

@@ -173,8 +173,55 @@ class Gen:
             t = self.r.choice(list(CATALOG))
             self.used.add(t)
             self.leaves.add(t)
+            if self.r.random() < 0.1:
+                # TABLESAMPLE sits between the name and the alias
+                # (Spark grammar: relationPrimary sample? tableAlias)
+                sample = self.r.choice(["90 PERCENT", "50 PERCENT", "5 ROWS"])
+                return (
+                    f"{self.quote_table(t)} TABLESAMPLE ({sample}) {alias}",
+                    _Rel(alias, CATALOG[t]),
+                )
             sep = " AS " if self.r.random() < 0.3 else " "
             return f"{self.quote_table(t)}{sep}{alias}", _Rel(alias, CATALOG[t])
+        if roll < 0.56:
+            # PIVOT: wrapped in a subquery because Spark's PIVOT relation
+            # takes no trailing alias; output = other cols + value cols
+            t = self.r.choice([t for t, cs in CATALOG.items() if len(cs) >= 3])
+            self.used.add(t)
+            self.leaves.add(t)
+            cols = list(CATALOG[t])
+            agg_col = cols[self.r.randrange(len(cols))]
+            rest = [c for c in cols if c != agg_col]
+            for_col = rest[self.r.randrange(len(rest))]
+            others = [c for c in rest if c != for_col]
+            p0, p1 = self.fresh("pv"), self.fresh("pv")
+            frag = (
+                f"(SELECT * FROM {self.quote_table(t)} PIVOT "
+                f"({self.r.choice(_AGGS[:3])}({agg_col}) FOR {for_col} "
+                f"IN (0 AS {p0}, 1 AS {p1}))) {alias}"
+            )
+            return frag, _Rel(alias, others + [p0, p1])
+        if roll < 0.62:
+            # UNPIVOT: wrapped in a subquery — as a bare join operand the
+            # UNPIVOT suffix would bind to the WHOLE preceding join chain
+            # in Spark's grammar (relation: relationPrimary (joinRelation
+            # | pivot | unpivot)*), hiding earlier aliases. The STRING
+            # name column is excluded from the exposed scope.
+            t = self.r.choice([t for t, cs in CATALOG.items() if len(cs) >= 3])
+            self.used.add(t)
+            self.leaves.add(t)
+            cols = list(CATALOG[t])
+            n_in = self.r.choice([1, 2])
+            in_cols = self.r.sample(cols, n_in)
+            others = [c for c in cols if c not in in_cols]
+            uval, uname = self.fresh("uv"), self.fresh("un")
+            inner_alias = self.fresh("u")
+            frag = (
+                f"(SELECT {', '.join(others + [uval])} FROM {self.quote_table(t)} "
+                f"UNPIVOT ({uval} FOR {uname} IN ({', '.join(in_cols)})) "
+                f"{inner_alias}) {alias}"
+            )
+            return frag, _Rel(alias, others + [uval])
         if roll < 0.85:
             sub_sql, sub_cols = self.select(depth - 1, ctes)
             return f"({sub_sql}) AS {alias}", _Rel(alias, sub_cols)
@@ -233,7 +280,10 @@ class Gen:
                 if comma_style:
                     frags.append(f", {f}")
                 else:
-                    kind = self.r.choice(_JOIN_KINDS + ["CROSS JOIN"])
+                    kind = self.r.choice(
+                        _JOIN_KINDS
+                        + ["CROSS JOIN", "LEFT SEMI JOIN", "LEFT ANTI JOIN"]
+                    )
                     if kind == "CROSS JOIN":
                         frags.append(f" CROSS JOIN {f}")
                     else:
@@ -242,6 +292,10 @@ class Gen:
                             f" = {rel.alias}.{self.r.choice(rel.cols)}"
                         )
                         frags.append(f" {kind} {f} ON {cond}")
+                        if kind in ("LEFT SEMI JOIN", "LEFT ANTI JOIN"):
+                            # semi/anti joins filter the left side: the
+                            # right side's columns are NOT in scope after
+                            continue
                 scope.append(rel)
         lateral = ""
         if self.spark_mode and n_rel == 1 and self.r.random() < 0.1:
@@ -257,6 +311,7 @@ class Gen:
         group_by = self.r.random() < 0.3
         items: list[str] = []
         out_cols: list[str] = []
+        windows: list[tuple[str, str]] = []  # named WINDOW clause specs
         if arity is not None:
             for _ in range(arity):
                 name = self.fresh("out")
@@ -283,9 +338,29 @@ class Gen:
             having = ""
             if self.r.random() < 0.4:
                 having = f" HAVING {self.r.choice(_AGGS[:3])}({self.scalar(scope, 0)}) > 0"
-            if self.r.random() < 0.3:
+            style = self.r.random()
+            # Spark's Expand planning for CUBE/ROLLUP/GROUPING SETS
+            # mis-resolves when ANY two columns in scope share a name
+            # (self-join a1.d_id / a2.d_id): the Expand projection
+            # dedupes by name and drops one side's raw attribute, so
+            # aggregates over it fail with MISSING_ATTRIBUTES. Fall
+            # back to a plain GROUP BY whenever scope has name dupes.
+            all_cols = [c for rel in scope for c in rel.cols]
+            if len(set(all_cols)) < len(all_cols) and style >= 0.22:
+                style = 1.0
+            if style < 0.22:
                 # GROUP BY ordinals (resolve through the select list)
                 group_by = ", ".join(str(i + 1) for i in range(n_keys))
+            elif style < 0.32:
+                group_by = f"CUBE ({', '.join(keys)})"
+            elif style < 0.42:
+                group_by = f"ROLLUP ({', '.join(keys)})"
+            elif style < 0.52:
+                # GROUPING SETS: prefix subsets of the keys + grand total
+                sets = ["(" + ", ".join(keys[: i + 1]) + ")" for i in range(n_keys)]
+                if self.r.random() < 0.5:
+                    sets.append("()")
+                group_by = f"GROUPING SETS ({', '.join(sets)})"
             else:
                 group_by = ", ".join(keys)
             sql = (
@@ -323,9 +398,14 @@ class Gen:
                     frame = ""
                     if wfn.startswith("SUM") and self.r.random() < 0.4:
                         frame = " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
-                    items.append(
-                        f"{wfn} OVER (PARTITION BY {part} ORDER BY {order}{frame}) AS {name}"
-                    )
+                    spec = f"PARTITION BY {part} ORDER BY {order}{frame}"
+                    if self.r.random() < 0.35:
+                        # named WINDOW clause: OVER w ... WINDOW w AS (spec)
+                        wname = self.fresh("w")
+                        windows.append((wname, spec))
+                        items.append(f"{wfn} OVER {wname} AS {name}")
+                    else:
+                        items.append(f"{wfn} OVER ({spec}) AS {name}")
                     out_cols.append(name)
                 else:
                     name = self.fresh("out")
@@ -333,8 +413,21 @@ class Gen:
                     q = self.quote_ident(name)
                     items.append(f"{self.scalar(scope, depth)}{' ' if bare else ' AS '}{q}")
                     out_cols.append(name)
+        window_clause = ""
+        if windows:
+            window_clause = " WINDOW " + ", ".join(
+                f"{n} AS ({spec})" for n, spec in windows
+            )
+        qualify = ""
+        if not self.spark_mode and not windows and self.r.random() < 0.12:
+            # QUALIFY is DuckDB/BigQuery/Snowflake surface — Spark has no
+            # QUALIFY clause, so text-mode seeds only
+            qualify = (
+                f" QUALIFY ROW_NUMBER() OVER (PARTITION BY {self.col_ref(scope)} "
+                f"ORDER BY {self.col_ref(scope)}) = 1"
+            )
         distinct = "DISTINCT " if self.r.random() < 0.1 else ""
-        sql = f"SELECT {distinct}{', '.join(items)} {from_clause}{where}"
+        sql = f"SELECT {distinct}{', '.join(items)} {from_clause}{where}{window_clause}{qualify}"
         return sql, out_cols
 
     # -- full query ----------------------------------------------------

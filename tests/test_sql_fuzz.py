@@ -35,8 +35,8 @@ from bruin_spark.parser.sqlutil import (
 )
 from tests.sqlgen import CATALOG, generate
 
-N_TEXT = 1200  # text-only invariants (fast)
-N_SPARK = 300  # spark-analyzed invariants (per-query analysis cost)
+N_TEXT = 1600  # text-only invariants (fast)
+N_SPARK = 320  # spark-analyzed invariants (per-query analysis cost)
 
 
 # -- text-only invariants over many seeds --------------------------------------
