@@ -83,12 +83,20 @@ class _Select:
     items: list[tuple[str | None, list[tuple[str, str]]]] = field(default_factory=list)
     relations: list[_Rel] = field(default_factory=list)
     cond_toks: list[list[tuple[str, str]]] = field(default_factory=list)
+    # JOIN ON / USING conditions, kept apart from WHERE/HAVING/QUALIFY:
+    # a SEMI/ANTI right side is in scope for its ON condition but NOT
+    # for post-join clauses (Spark resolves WHERE against the join
+    # output, which drops the semi/anti right side)
+    on_toks: list[list[tuple[str, str]]] = field(default_factory=list)
     # GROUP BY kept separate: ordinals there resolve through the select
     # list (GROUP BY 1 references item 1's source columns)
     group_toks: list[list[tuple[str, str]]] = field(default_factory=list)
     # JOIN ... USING(col): the column exists in BOTH sides; unqualified
     # refs and * expansion merge instead of reporting ambiguity
     using_cols: set[str] = field(default_factory=set)
+    # WINDOW w AS (PARTITION BY ... ORDER BY ...): spec tokens by name,
+    # so OVER w references still feed the item's upstream lineage
+    window_specs: dict[str, list[tuple[str, str]]] = field(default_factory=dict)
 
 
 @dataclass
@@ -233,7 +241,27 @@ class _Parser:
                 self.i += 1
                 self._kw("by")
                 s.group_toks.append(self._clause_tokens())
-            elif word in ("order", "window", "limit", "distribute", "sort", "cluster"):
+            elif word == "window":
+                # WINDOW w AS (spec) [, w2 AS (spec2)]* — keep each spec's
+                # tokens so `OVER w` in the select list can pull the
+                # spec's PARTITION BY / ORDER BY columns into lineage
+                self.i += 1
+                for part in _split_top_commas(self._clause_tokens()):
+                    name = None
+                    as_j = None
+                    for j, (k, t) in enumerate(part):
+                        if name is None and k in ("word", "dq", "bq"):
+                            name = t.strip('"`').lower()
+                        elif k == "word" and t.lower() == "as":
+                            as_j = j
+                            break
+                    if name is None or as_j is None:
+                        continue
+                    spec = part[as_j + 1 :]
+                    if spec and spec[0][1] == "(" and spec[-1][1] == ")":
+                        spec = spec[1:-1]
+                    s.window_specs[name] = spec
+            elif word in ("order", "limit", "distribute", "sort", "cluster"):
                 self.i += 1
                 self._kw("by")
                 self._clause_tokens()  # consumed, not lineage-bearing
@@ -378,10 +406,10 @@ class _Parser:
                 rel.cond_only = bool(kinds & {"semi", "anti"})
                 s.relations.append(rel)
                 if self._kw("on"):
-                    s.cond_toks.append(self._clause_tokens_until_join())
+                    s.on_toks.append(self._clause_tokens_until_join())
                 elif self._kw("using"):
                     inner = self._skip_parens()
-                    s.cond_toks.append(inner)
+                    s.on_toks.append(inner)
                     s.using_cols |= {
                         t.strip('"`').lower()
                         for k, t in inner
@@ -420,6 +448,11 @@ class _Parser:
         if p and p[0] == "word" and p[1].lower() in ("pivot", "unpivot"):
             kind = p[1].lower()
             self.i += 1
+            # UNPIVOT [INCLUDE NULLS | EXCLUDE NULLS] ( ... ) — the NULLS
+            # modifier changes row filtering, not lineage; consume it so
+            # the '(' group is found (Spark sqlBaseParser unpivotClause)
+            if kind == "unpivot" and self._kw("include", "exclude"):
+                self._kw("nulls")
             inner = self._skip_parens() if self._text() == "(" else []
             rel.mod = (kind, inner)
             self._kw("as")
@@ -609,6 +642,25 @@ def _expr_refs(toks: list[tuple[str, str]]) -> tuple[list[tuple[str | None, str]
     return refs, star
 
 
+def _expand_window_spec(
+    name: str,
+    specs: dict[str, list[tuple[str, str]]],
+    seen: set[str] | None = None,
+) -> list[tuple[str, str]]:
+    """Tokens of a named WINDOW spec, with a leading base-window reference
+    (``WINDOW w2 AS (w1 ORDER BY y)``) expanded recursively."""
+    seen = set() if seen is None else seen
+    if name in seen:
+        return []
+    seen.add(name)
+    spec = list(specs.get(name, []))
+    if spec and spec[0][0] in ("word", "dq", "bq"):
+        base = spec[0][1].strip('"`').lower()
+        if base in specs:
+            spec = _expand_window_spec(base, specs, seen) + spec[1:]
+    return spec
+
+
 # -- scope resolution ---------------------------------------------------------
 
 
@@ -746,7 +798,20 @@ class _Resolver:
         # unpivot
         val_name = words[0][1]
         name_col = words[for_pos + 1][1] if for_pos + 1 < len(words) else ""
-        in_cols = [w for _i, w in words[in_pos + 1 :]]
+        # IN list: each top-level-comma item is `col [AS label]` (or
+        # `(c1, c2) AS label` in the multi-value form) — only the
+        # identifiers BEFORE the AS are source columns; the label names
+        # a string value of the key column, not a column
+        in_toks = inner[words[in_pos][0] + 1 :]
+        if in_toks and in_toks[0][1] == "(" and in_toks[-1][1] == ")":
+            in_toks = in_toks[1:-1]
+        in_cols: list[str] = []
+        for part in _split_top_commas(in_toks):
+            for k, t in part:
+                if k == "word" and t.lower() == "as":
+                    break
+                if k in ("word", "dq", "bq"):
+                    in_cols.append(t.strip('"`'))
         ups: set[tuple[str, str]] = set()
         for c in in_cols:
             ups |= src.resolve_col(c)
@@ -804,8 +869,15 @@ class _Resolver:
                     return src
             return None
 
-        def try_resolve(qualifier: str | None, col: str) -> set[tuple[str, str]] | None:
-            """Local-scope resolution; None when this scope cannot bind it."""
+        def try_resolve(qualifier: str | None, col: str, scope=None) -> set[tuple[str, str]] | None:
+            """Local-scope resolution; None when this scope cannot bind it.
+
+            ``scope`` is the source list unqualified refs search: the
+            VISIBLE sources for select-list items (semi/anti right sides
+            excluded), ALL sources for join conditions — Spark scopes the
+            semi-join right side INTO the ON clause, only out of the
+            select list."""
+            scope = visible if scope is None else scope
             if qualifier:
                 src = find_source(qualifier)
                 if src is None:
@@ -820,17 +892,17 @@ class _Resolver:
                             return s2.resolve_col(parts[cut])
                     # unqualified struct path: profile.email where
                     # 'profile' is a known column of exactly one source
-                    owners = [s2 for s2 in visible if s2.has_col(parts[0])]
+                    owners = [s2 for s2 in scope if s2.has_col(parts[0])]
                     if len(owners) == 1:
                         return owners[0].resolve_col(parts[0])
                     return None
                 return src.resolve_col(col)
-            if len(visible) == 1:
-                return visible[0].resolve_col(col)
-            owners = [s2 for s2 in visible if s2.has_col(col)]
+            if len(scope) == 1:
+                return scope[0].resolve_col(col)
+            owners = [s2 for s2 in scope if s2.has_col(col)]
             if len(owners) == 1:
                 return owners[0].resolve_col(col)
-            unknowns = [s2 for s2 in visible if s2.has_col(col) is None]
+            unknowns = [s2 for s2 in scope if s2.has_col(col) is None]
             if len(owners) == 0 and len(unknowns) == 1:
                 return unknowns[0].resolve_col(col)
             if len(owners) > 1:
@@ -843,8 +915,8 @@ class _Resolver:
                 return merged
             return None
 
-        def resolve_ref(qualifier: str | None, col: str) -> set[tuple[str, str]]:
-            got = try_resolve(qualifier, col)
+        def resolve_ref(qualifier: str | None, col: str, scope=None) -> set[tuple[str, str]]:
+            got = try_resolve(qualifier, col, scope)
             if got is not None:
                 return got
             if outer is not None:
@@ -923,6 +995,23 @@ class _Resolver:
             ups: set[tuple[str, str]] = set(sub_ups)
             for qualifier, col in refs:
                 ups |= resolve_ref(qualifier, col)
+            # named-window reference: `... OVER w` pulls the WINDOW
+            # clause spec's PARTITION BY / ORDER BY columns into this
+            # item's upstream, same as the inline OVER (...) form
+            if s.window_specs:
+                for j, (k, t) in enumerate(toks):
+                    if (
+                        k in ("word", "dq", "bq")
+                        and j > 0
+                        and toks[j - 1][0] == "word"
+                        and toks[j - 1][1].lower() == "over"
+                        and t.strip('"`').lower() in s.window_specs
+                    ):
+                        spec = _expand_window_spec(t.strip('"`').lower(), s.window_specs)
+                        srefs, _ = _expr_refs(spec)
+                        for wq, wc in srefs:
+                            if wc != "*":
+                                ups |= resolve_ref(wq, wc)
             if alias:
                 name = alias
             elif len(refs) == 1 and not star_refs:
@@ -931,15 +1020,19 @@ class _Resolver:
                 name = "".join(t for _k, t in toks).strip()
             out_cols.append((name, ups))
 
-        # non-selected: WHERE / JOIN ON|USING / HAVING / QUALIFY
-        for ctoks in s.cond_toks:
-            refs, _ = _expr_refs(ctoks)
-            for qualifier, col in refs:
-                if col == "*":
-                    continue
-                for table, leaf_col in resolve_ref(qualifier, col):
-                    if table:
-                        self.non_selected.append((col, table, leaf_col))
+        # non-selected: JOIN ON|USING resolve over ALL sources (a
+        # semi/anti right side is in scope for its own ON condition);
+        # WHERE / HAVING / QUALIFY / lateral-view args resolve over the
+        # VISIBLE post-join scope only
+        for scope, tok_lists in ((sources, s.on_toks), (None, s.cond_toks)):
+            for ctoks in tok_lists:
+                refs, _ = _expr_refs(ctoks)
+                for qualifier, col in refs:
+                    if col == "*":
+                        continue
+                    for table, leaf_col in resolve_ref(qualifier, col, scope=scope):
+                        if table:
+                            self.non_selected.append((col, table, leaf_col))
         # GROUP BY: an ordinal references a select item — its SOURCE
         # columns are the non-selected refs (GROUP BY 1 over
         # `t.location_code AS location` records location_code)

@@ -147,6 +147,7 @@ _FROM_ENDERS = {
     "where", "group", "order", "having", "limit", "select", "union",
     "intersect", "except", "on", "using", "lateral", "window", "qualify",
     "set", "when", "then", "else", "end", "values",
+    "distribute", "sort", "cluster",
 }
 
 

@@ -606,9 +606,15 @@ class SemanticEngine:
             return f"{dim} NOT IN ({_fmt_list(v)})"
         if op == "between":
             if isinstance(v, dict):
+                # reference raises on malformed filters rather than rendering
+                # BETWEEN NULL AND ... (semantic-engine/engine.go:790-849 filterToSQL)
                 lo, hi = v.get("start"), v.get("end")
+                if lo is None or hi is None:
+                    raise SemanticError(f"invalid between filter value: {v!r}")
             elif isinstance(v, (list, tuple)) and len(v) == 2:
                 lo, hi = v
+                if lo is None or hi is None:
+                    raise SemanticError(f"invalid between filter value: {v!r}")
             else:
                 raise SemanticError(f"invalid between filter value: {v!r}")
             return f"{dim} BETWEEN {_fmt_value(lo)} AND {_fmt_value(hi)}"

@@ -263,3 +263,110 @@ def test_subquery_refs_stay_in_their_scope():
     )
     assert _cols(r)["avg_salary"] == [{"column": "salary", "table": "salaries"}]
     assert r["errors"] == []
+
+
+# -- round-8 ADVICE regressions ------------------------------------------------
+
+
+def _ns(res):
+    return {n["name"]: n["upstream"] for n in res["non_selected_columns"]}
+
+
+def test_semi_join_on_right_side_column_resolves_to_right_table():
+    """Unqualified right-side-only columns in a SEMI/ANTI ON condition must
+    resolve to the RIGHT table: Spark scopes the semi-join right side INTO
+    the ON clause, only out of the select list."""
+    res = get_column_lineage(
+        "SELECT a FROM t1 LEFT SEMI JOIN t2 ON x = b",
+        schema={"t1": ["a", "x"], "t2": ["b", "y"]},
+    )
+    assert res["errors"] == []
+    assert _cols(res) == {"a": [{"column": "a", "table": "t1"}]}
+    assert _ns(res) == {
+        "b": [{"column": "b", "table": "t2"}],
+        "x": [{"column": "x", "table": "t1"}],
+    }
+
+
+def test_anti_join_on_condition_scope_and_select_invisibility():
+    res = get_column_lineage(
+        "SELECT a FROM t1 LEFT ANTI JOIN t2 ON a = b AND y > 5",
+        schema={"t1": ["a"], "t2": ["b", "y"]},
+    )
+    assert res["errors"] == []
+    ns = _ns(res)
+    assert ns["b"] == [{"column": "b", "table": "t2"}]
+    assert ns["y"] == [{"column": "y", "table": "t2"}]
+    # the right side stays out of the SELECT scope: `a` is t1's
+    assert _cols(res) == {"a": [{"column": "a", "table": "t1"}]}
+
+
+def test_unpivot_in_list_aliases_are_labels_not_columns():
+    res = get_column_lineage(
+        "SELECT k, v FROM t1 UNPIVOT (v FOR k IN (a AS lbl, b AS lbl2))",
+        schema={"t1": ["id", "a", "b"]},
+    )
+    assert res["errors"] == []
+    # value column upstream = only the real IN columns; the AS labels are
+    # string values of k, not columns
+    assert _cols(res) == {
+        "k": [],
+        "v": [{"column": "a", "table": "t1"}, {"column": "b", "table": "t1"}],
+    }
+
+
+def test_unpivot_include_nulls_modifier_consumed():
+    res = get_column_lineage(
+        "SELECT id, k, v FROM t1 UNPIVOT INCLUDE NULLS (v FOR k IN (a, b))",
+        schema={"t1": ["id", "a", "b"]},
+    )
+    assert res["errors"] == []
+    assert _cols(res) == {
+        "id": [{"column": "id", "table": "t1"}],
+        "k": [],
+        "v": [{"column": "a", "table": "t1"}, {"column": "b", "table": "t1"}],
+    }
+    res2 = get_column_lineage(
+        "SELECT v FROM t1 UNPIVOT EXCLUDE NULLS (v FOR k IN (a))",
+        schema={"t1": ["id", "a"]},
+    )
+    assert res2["errors"] == []
+    assert _cols(res2)["v"] == [{"column": "a", "table": "t1"}]
+
+
+def test_unpivot_multi_value_in_items_drop_all_columns():
+    res = get_column_lineage(
+        "SELECT v1, v2 FROM t1 UNPIVOT ((v1, v2) FOR k IN ((a1, a2) AS x, (b1, b2) AS y))",
+        schema={"t1": ["id", "a1", "a2", "b1", "b2"]},
+    )
+    assert res["errors"] == []
+    cols = _cols(res)
+    # all four source columns feed the value output; labels x/y do not
+    ups = {(u["table"], u["column"]) for u in cols.get("v2", cols.get("v1", []))}
+    assert ("t1", "x") not in ups and ("t1", "y") not in ups
+
+
+def test_named_window_spec_feeds_item_upstream():
+    res = get_column_lineage(
+        "SELECT sum(a) OVER w AS s FROM t1 WINDOW w AS (PARTITION BY x ORDER BY y)",
+        schema={"t1": ["a", "x", "y"]},
+    )
+    assert res["errors"] == []
+    assert _cols(res)["s"] == [
+        {"column": "a", "table": "t1"},
+        {"column": "x", "table": "t1"},
+        {"column": "y", "table": "t1"},
+    ]
+
+
+def test_named_window_base_reference_chains():
+    res = get_column_lineage(
+        "SELECT sum(a) OVER w2 AS s FROM t1 WINDOW w1 AS (PARTITION BY x), w2 AS (w1 ORDER BY y)",
+        schema={"t1": ["a", "x", "y"]},
+    )
+    assert res["errors"] == []
+    assert _cols(res)["s"] == [
+        {"column": "a", "table": "t1"},
+        {"column": "x", "table": "t1"},
+        {"column": "y", "table": "t1"},
+    ]

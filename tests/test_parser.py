@@ -417,3 +417,17 @@ def test_strip_sql_comments_reference_table():
     assert strip_sql_comments('SELECT "a -- b" FROM t') == 'SELECT "a -- b" FROM t'
     assert strip_sql_comments("SELECT `a -- b` FROM t") == "SELECT `a -- b` FROM t"
     assert strip_sql_comments("SELECT 1\n-- trailing") == "SELECT 1\n"
+
+
+def test_used_tables_distribute_sort_cluster_end_from_list():
+    # DISTRIBUTE/SORT/CLUSTER BY close the FROM list: their columns are
+    # not tables (r8 ADVICE: comma-resume after ON must not swallow them)
+    assert used_tables(
+        "SELECT * FROM t1 JOIN t2 ON t1.x = t2.x DISTRIBUTE BY a, b"
+    ) == ["t1", "t2"]
+    assert used_tables("SELECT * FROM t1, t2 SORT BY a, b") == ["t1", "t2"]
+    assert used_tables("SELECT * FROM t1 CLUSTER BY a, b") == ["t1"]
+    # and a comma after ON at the same depth still resumes the list
+    assert used_tables(
+        "SELECT * FROM t1 JOIN t2 ON t1.x = t2.x, t3 SORT BY a, b"
+    ) == ["t1", "t2", "t3"]

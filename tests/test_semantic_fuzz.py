@@ -276,6 +276,39 @@ def _norm(rows):
     return sorted(out, key=lambda t: tuple(str(x) for x in t))
 
 
+def test_fuzz_malformed_filters_always_raise():
+    """Malformed structured filters must raise SemanticError, never compile to
+    an always-false predicate (reference semantic-engine/engine.go:790-849
+    rejects malformed filters). Fuzzes between/in/comparison shapes."""
+    rng = random.Random(777)
+    n_raised = 0
+    for _ in range(200):
+        engine, _oracle, _fancy = _random_model(rng)
+        kind = rng.randrange(6)
+        if kind == 0:  # dict between missing a bound
+            v = {rng.choice(["start", "end"]): "2024-03-01"}
+            f = Filter(dimension="created", operator="between", value=v)
+        elif kind == 1:  # dict between with a None bound
+            v = {"start": "2024-01-01", "end": None}
+            if rng.random() < 0.5:
+                v = {"start": None, "end": "2024-06-01"}
+            f = Filter(dimension="created", operator="between", value=v)
+        elif kind == 2:  # list between with wrong arity
+            v = rng.choice([[], ["2024-01-01"], ["a", "b", "c"]])
+            f = Filter(dimension="created", operator="between", value=v)
+        elif kind == 3:  # list between with a None bound
+            v = rng.choice([["2024-01-01", None], [None, "2024-06-01"]])
+            f = Filter(dimension="created", operator="between", value=v)
+        elif kind == 4:  # unknown operator
+            f = Filter(dimension="status", operator=rng.choice(["equal", "betwen", "like!"]), value="done")
+        else:  # unknown dimension
+            f = Filter(dimension="no_such_dim", operator="equals", value="x")
+        with pytest.raises(SemanticError):
+            engine.generate_sql(Query(metrics=["m_rev"], filters=[f]))
+        n_raised += 1
+    assert n_raised == 200
+
+
 def test_fuzz_compiled_sql_matches_pandas_oracle(sem_tables):
     spark, orders, customers = sem_tables
     n_checked = 0

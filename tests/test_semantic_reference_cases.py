@@ -550,6 +550,39 @@ def test_window_over_derived_and_filter_value_errors():
                 filters=[Filter(dimension="order_date", operator="between", value=["2025-01-01"])],
             )
         )
+    # dict form missing start/end must raise, not render BETWEEN NULL AND ...
+    # (reference semantic-engine/engine.go:790-849 filterToSQL raises on
+    # malformed filters; an always-false predicate would be a silent wrong answer)
+    for bad in (
+        {"start": "2025-01-01"},
+        {"end": "2025-02-01"},
+        {"start": None, "end": "2025-02-01"},
+        {"start": "2025-01-01", "end": None},
+        {},
+        ["2025-01-01", None],
+        [None, "2025-02-01"],
+    ):
+        with pytest.raises(SemanticError, match="invalid between filter value"):
+            e.generate_sql(
+                Query(
+                    metrics=["revenue"],
+                    filters=[Filter(dimension="order_date", operator="between", value=bad)],
+                )
+            )
+    # well-formed dict still renders
+    sql = e.generate_sql(
+        Query(
+            metrics=["revenue"],
+            filters=[
+                Filter(
+                    dimension="order_date",
+                    operator="between",
+                    value={"start": "2025-01-01", "end": "2025-02-01"},
+                )
+            ],
+        )
+    )
+    assert "BETWEEN '2025-01-01' AND '2025-02-01'" in sql
 
 
 def test_join_graph_reference_behaviors():
