@@ -86,6 +86,14 @@ SCALE_ENTRIES = [
 ]
 SCALE_FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "8"))
 
+#: entries whose 4x->8x exponent sits near the linear boundary (0.85 on a
+#: two-point fit that cannot see curvature): they get a THIRD point at
+#: 16x, and the 8x->16x segment exponent is gated at 1.05 — if the curve
+#: is bending upward, the last segment is where it shows
+THREE_POINT_ENTRIES = {"dedup_minhash_lsh", "dedup_incremental"}
+THREE_POINT_FACTOR = 16
+THREE_POINT_MAX = 1.05
+
 
 def _ivf_serving_stress(spark, sf_dir: str):
     """sim_ivf_topk with a FIXED 64-query batch.
@@ -305,6 +313,263 @@ def _build_scaled_dir(spark, base_dir: str, factor: int) -> str:
     return out
 
 
+def _build_skewed_dir(spark, base_dir: str, factor: int) -> str:
+    """Materialize a factor× ZIPF-SKEWED documents corpus: one text
+    cluster owns ~20% of rows (identical texts — crawl boilerplate
+    shape), ~20 medium clusters own 0.5% each, ~300 small clusters own
+    0.05% each, the rest are unique.  The ``lang`` column is skewed the
+    same way ('en' ≈ 20% of rows) so stratified sampling sees a hot
+    stratum.  Everything is derived from deterministic md5 of the doc
+    id, so the corpus is identical across runs and cacheable on disk.
+
+    This is the input uniform-key replication cannot produce: LSH band
+    buckets, segment hashes, CC star roots, and sampling strata all get
+    one dominant key — the distribution that actually breaks naive
+    plans at 100 TB.
+    """
+    from pyspark.sql import functions as F
+
+    out = f"/tmp/bruin_skew{factor}v2_{os.path.basename(base_dir.rstrip('/'))}"
+    marker = os.path.join(out, "_BUILT")
+    if os.path.exists(marker):
+        return out
+    base = spark.read.parquet(os.path.join(base_dir, "documents.parquet"))
+    n_base = base.count()
+    n = n_base * factor
+    # near-dup families are FIXED SIZE (~8) with count ∝ n: true near-dup
+    # pair output stays linear in n (pair lists within a family are
+    # quadratic in FAMILY size, which does not grow)
+    n_fam = max(1, int(n * 0.25 / 8))
+    ids = spark.range(n).select(F.col("id").alias("doc_id"))
+
+    def hashu(salt: str):  # uniform [0, 1) from the doc id
+        hexpart = F.substring(
+            F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))), 1, 8
+        )
+        return F.conv(hexpart, 16, 10).cast("double") / float(16**8)
+
+    u = hashu("cl#")
+    # cluster id: 0 = the hot identical-text cluster (20% of rows);
+    # 1..n_fam = near-dup families (~25% of rows); -1 = unique tail
+    cluster = (
+        F.when(u < 0.20, F.lit(0).cast("long"))
+        .when(u < 0.45, (1 + F.floor((u - 0.20) / 0.25 * n_fam)).cast("long"))
+        .otherwise(F.lit(-1).cast("long"))
+    )
+    vary_pos = (F.col("doc_id") % 48).cast("int")
+
+    def word(seed) -> "F.Column":
+        return F.substring(F.md5(seed), 1, 7)
+
+    # hot cluster: byte-identical text.  families: family base words with
+    # ONE position replaced per doc (byte-distinct, Jaccard ~0.88 at
+    # n=3 — candidates in ~97% of band draws, verified near-dups).
+    # tail: fully unique words.
+    text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(47)),
+            lambda j: F.when(
+                F.col("_c") == 0,
+                word(F.concat(F.lit("hot#"), j.cast("string"))),
+            )
+            .when(
+                (F.col("_c") > 0) & (j == F.col("_vp")),
+                word(F.concat(F.lit("v#"), F.col("doc_id").cast("string"))),
+            )
+            .when(
+                F.col("_c") > 0,
+                word(F.concat(F.lit("f"), F.col("_c").cast("string"), F.lit("#"), j.cast("string"))),
+            )
+            .otherwise(
+                word(F.concat(F.lit("u#"), F.col("doc_id").cast("string"), F.lit("#"), j.cast("string")))
+            ),
+        ),
+        " ",
+    )
+
+    u2 = hashu("lg#")
+    docs = ids.select("doc_id", cluster.alias("_c"), vary_pos.alias("_vp")).select(
+        "doc_id",
+        text.alias("text"),
+        F.when(u2 < 0.20, "en")
+        .when(u2 < 0.28, "es")
+        .otherwise(F.concat(F.lit("l"), F.floor(u2 * 50).cast("string")))
+        .alias("lang"),
+        F.concat(F.lit("src"), (F.col("doc_id") % 20).cast("string")).alias("source"),
+    ).withColumn("n_chars", F.length("text"))
+    docs.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+    with open(marker, "w") as f:
+        f.write(str(factor))
+    return out
+
+
+def _minhash_rep_pairs_stress(spark, sf_dir: str):
+    """Production-shaped minhash-LSH pairs under duplicate skew: pairs
+    among DISTINCT texts (exact groups collapsed first).  The oracle
+    entry's all-member pair output is quadratic BY CONSTRUCTION when one
+    text owns 20% of the corpus ((0.2n choose 2) true pairs) — no
+    algorithm changes that; production pipelines run exact dedup first
+    and near-dup on the survivors, which is the path measured here."""
+    from bruin_spark.operators import dedup as D
+    from bruin_spark.workloads.dedup import JACCARD_T, LSH_BANDS, MINHASH_K, NGRAM, _docs
+
+    reps = D.collapse_exact_texts(_docs(spark, sf_dir))
+    return D.minhash_dedup_pairs(
+        reps, k=MINHASH_K, bands=LSH_BANDS, n=NGRAM, threshold=JACCARD_T
+    )
+
+
+def _cc_hub_graph_stress(spark, sf_dir: str):
+    """Connected components on a synthetic hub graph scaled to the
+    corpus size: node 0 owns ~20% of all edges (the star-root shape LSH
+    emits for boilerplate), plus a uniform random-pair tail.  Exercises
+    the star rounds' groupBy/join under one dominant key — the failure
+    mode uniform pair graphs never show."""
+    from pyspark.sql import functions as F
+
+    from bruin_spark.operators.dedup import connected_components
+
+    n_docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
+    nodes = spark.range(1, n_docs).select(F.col("id").alias("v"))
+    h = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("e#"), F.col("v").cast("string"))), 1, 8), 16, 10)
+        .cast("double")
+        / float(16**8)
+    )
+    hub = nodes.filter(h < 0.2).select(F.lit(0).cast("long").alias("id_a"), F.col("v").alias("id_b"))
+    tail = (
+        nodes.filter((h >= 0.2) & (h < 0.7))
+        .select(
+            F.col("v").alias("id_a"),
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit("t#"), F.col("v").cast("string"))), 1, 8),
+                    16,
+                    10,
+                ).cast("long")
+                % F.lit(n_docs)
+            ).alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    # sever lineage before the star rounds: the hub and tail branches
+    # both derive from the same range() scan, and the round-loop's
+    # self-unions over that shared subtree trip attribute dedup inside
+    # localCheckpoint (NoSuchElementException on the reused exprId)
+    edges = hub.union(tail).localCheckpoint(eager=True)
+    return connected_components(edges, "id_a", "id_b")
+
+
+#: skewed-key stress: gate is tighter than the uniform one (<= ~1.1) —
+#: under skew, anything super-linear means a hot key is fanning out.
+#: Per-entry (half, full) scale factors: the heavy pipelines are
+#: data-dominated by 4x/8x; the cheap map+shuffle entries need 16x/64x
+#: before data cost outweighs fixed scheduling overhead (measured: at 8x
+#: dedup_segments is ~1s of overhead on ~0.1s of data work, and the
+#: fitted exponent is pure noise)
+SKEW_ENTRIES = [
+    ("dedup_clusters", 4, 8),
+    ("dedup_minhash_lsh", 4, 8),
+    ("cc_hub_graph", 4, 8),
+    ("dedup_segments", 16, 64),
+    ("sample_stratified_quota", 16, 64),
+]
+SKEW_VARIANTS = {
+    "dedup_minhash_lsh": _minhash_rep_pairs_stress,
+    "cc_hub_graph": _cc_hub_graph_stress,
+}
+SKEW_EXPONENT_MAX = 1.1
+
+
+def _scale_stress_skewed(spark, registry) -> dict:
+    """Time SKEW_ENTRIES on the Zipf-skewed corpus at half-factor and
+    factor scale; fit the growth exponent and gate it at
+    SKEW_EXPONENT_MAX.  Same two-point protocol as the uniform stress;
+    cached per (git state, factor, sf_dir)."""
+    import math as _math
+    import time as _time
+
+    cache_path = "/tmp/bruin_scale_stress_skew_cache.json"
+    key = _stress_cache_key() + ":skew"
+    try:
+        with open(cache_path) as f:
+            cached = json.load(f)
+        if cached.get("key") == key:
+            print("# skew-stress: cached result (same commit)", file=sys.stderr)
+            return cached["result"]
+    except Exception:
+        pass
+
+    dirs = {
+        f: _build_skewed_dir(spark, SF_DIR, f)
+        for f in sorted({f for _n, h, fu in SKEW_ENTRIES for f in (h, fu)})
+    }
+    entries = {}
+    for name, half, full in SKEW_ENTRIES:
+        fn = SKEW_VARIANTS.get(name) or (registry[name][0] if name in registry else None)
+        if fn is None:
+            continue
+        spark.sparkContext.setJobDescription(f"bench-skew:{name}")
+
+        # shuffle partitions stay at the session base: the question is
+        # how the per-core data SLICE behaves as data grows (the 100 TB
+        # per-executor view); scaling partition count with the factor
+        # injects O(tasks) scheduling overhead into sub-second fits
+        def timed(sf_dir: str) -> tuple[float, int]:
+            # untimed warmup: whichever scale runs FIRST otherwise pays
+            # the one-time codegen/JIT compile (plans are identical
+            # across scales), which deflates the fitted exponent
+            spark.catalog.clearCache()
+            fn(spark, sf_dir).count()
+            times, rows = [], 0
+            for _ in range(5):
+                spark.catalog.clearCache()
+                t0 = _time.perf_counter()
+                rows = fn(spark, sf_dir).count()
+                times.append(_time.perf_counter() - t0)
+            return sorted(times)[len(times) // 2], rows
+
+        t_half, _ = timed(dirs[half])
+        t_full, n_rows = timed(dirs[full])
+        step = full / half
+        exponent = _math.log(t_full / max(t_half, 1e-9)) / _math.log(step)
+        ok = exponent <= SKEW_EXPONENT_MAX
+        entries[name] = {
+            "t_half_s": round(t_half, 3),
+            "scaled_s": round(t_full, 3),
+            "half_factor": half,
+            "full_factor": full,
+            "rows": n_rows,
+            "exponent": round(exponent, 2),
+            "gate_max": SKEW_EXPONENT_MAX,
+            "pass": ok,
+            "verdict": "sub-linear-or-linear" if ok else "HOT-KEY-FANOUT",
+        }
+        print(
+            f"# skew-stress {name}: {t_half:.2f}s @{half}x -> {t_full:.2f}s "
+            f"@{full}x (exponent {exponent:.2f}): "
+            f"{'pass' if ok else 'FAIL'}",
+            file=sys.stderr,
+        )
+    result = {
+        "skew_shape": "hot key ~20% of rows + fixed-size near-dup families + unique tail (see _build_skewed_dir)",
+        # measured r8 on this corpus WITHOUT the exact-collapse pre-pass
+        # (minhash_dedup_pairs directly): 25.8s @4x -> 91.3s @8x,
+        # exponent 1.82, 32.4M pairs at 8x — the quadratic hot-bucket
+        # blowup the collapse removes (7.1s -> 8.3s, exponent 0.22)
+        "unmitigated_reference": {
+            "minhash_all_pairs": {"t_4x_s": 25.8, "t_8x_s": 91.3, "exponent": 1.82}
+        },
+        "entries": entries,
+    }
+    try:
+        with open(cache_path, "w") as f:
+            json.dump({"key": key, "result": result}, f)
+    except Exception:
+        pass
+    return result
+
+
 def _stress_cache_key() -> str:
     import subprocess
 
@@ -379,6 +644,13 @@ def _scale_stress(spark, registry, timings: dict[str, float]) -> dict:
                 "spark.sql.shuffle.partitions", str(base_parts * factor)
             )
             try:
+                # untimed warmup first: whichever scale runs FIRST
+                # otherwise pays the one-time codegen/JIT compile (plans
+                # are identical across scales, so the later scale gets a
+                # compile-cache hit), which skews the fitted exponent
+                # downward (r8: measured up to -1.4 on sub-2s entries)
+                spark.catalog.clearCache()
+                fn(spark, sf_dir).count()
                 # MEDIAN-of-5: sub-2s measurements carry enough noise to
                 # flap the fitted exponent across the verdict boundary,
                 # and best-of-N is biased — one lucky fast run at the
@@ -414,6 +686,26 @@ def _scale_stress(spark, registry, timings: dict[str, float]) -> dict:
             "exponent": round(exponent, 2),
             "verdict": verdict,
         }
+        if name in THREE_POINT_ENTRIES and THREE_POINT_FACTOR > SCALE_FACTOR:
+            dir_hi = _build_scaled_dir(spark, SF_DIR, THREE_POINT_FACTOR)
+            t_hi, _ = timed(dir_hi, THREE_POINT_FACTOR)
+            step_hi = THREE_POINT_FACTOR / SCALE_FACTOR
+            exp_hi = _math.log(t_hi / max(t_full, 1e-9)) / _math.log(step_hi)
+            entries[name].update(
+                {
+                    "t_16x_s": round(t_hi, 3),
+                    "exponent_8_16": round(exp_hi, 2),
+                    "three_point_max": THREE_POINT_MAX,
+                    "three_point_pass": exp_hi <= THREE_POINT_MAX,
+                }
+            )
+            print(
+                f"# scale-stress {name} third point: {t_full:.2f}s @{SCALE_FACTOR}x"
+                f" -> {t_hi:.2f}s @{THREE_POINT_FACTOR}x (segment exponent"
+                f" {exp_hi:.2f}, gate {THREE_POINT_MAX}):"
+                f" {'pass' if exp_hi <= THREE_POINT_MAX else 'FAIL'}",
+                file=sys.stderr,
+            )
         print(
             f"# scale-stress {name}: {t_half:.2f}s @{half}x -> {t_full:.2f}s "
             f"@{SCALE_FACTOR}x (growth exponent {exponent:.2f}): {verdict}",
@@ -492,11 +784,16 @@ def main() -> int:
         and "--no-scale-stress" not in sys.argv
         and os.environ.get("SPARK_GRAFT_SCALE_STRESS", "1") != "0"
     )
+    scale_stress_skewed = None
     if want_stress:
         try:
             scale_stress = _scale_stress(spark, registry, timings)
         except Exception as e:  # never let the stress probe sink the bench
             print(f"# scale-stress failed: {e}", file=sys.stderr)
+        try:
+            scale_stress_skewed = _scale_stress_skewed(spark, registry)
+        except Exception as e:
+            print(f"# skew-stress failed: {e}", file=sys.stderr)
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
@@ -517,6 +814,8 @@ def main() -> int:
     sidecar = {**out, "plan_hashes": plan_hashes}
     if scale_stress:
         sidecar["scale_stress"] = scale_stress
+    if scale_stress_skewed:
+        sidecar["scale_stress_skewed"] = scale_stress_skewed
     if want_stress:
         try:
             gates = _quality_gates(spark)

@@ -614,6 +614,91 @@ def connected_components(
     )
 
 
+def exact_text_mapping(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Map every doc to the representative (min id) of its byte-identical
+    text group: (id, rep, group_n).
+
+    The skew shield of the near-dup pipeline: a boilerplate text repeated
+    100M times is ONE group here — min/count aggregate map-side, so the
+    hot key collapses before any shuffle fans it out.  Docs whose text
+    has no tokens (empty/whitespace) are NOT grouped (rep = self):
+    Jaccard between empty shingle sets is undefined (0/0), so the
+    verified-pair pipeline never links them and collapsing them would
+    invent clusters the all-pairs form does not produce.
+    """
+    key = F.when(
+        F.length(F.trim(F.col(text_col))) > 0, F.md5(F.col(text_col))
+    ).otherwise(F.concat(F.lit("__uniq:"), F.col(id_col).cast("string")))
+    mapping = df.select(F.col(id_col).alias("id"), key.alias("_tkey"))
+    groups = mapping.groupBy("_tkey").agg(
+        F.min("id").alias("rep"), F.count(F.lit(1)).alias("group_n")
+    )
+    return mapping.join(groups, "_tkey").select("id", "rep", "group_n")
+
+
+def collapse_exact_texts(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One representative row (min id) per byte-identical text."""
+    reps = (
+        exact_text_mapping(df, id_col, text_col)
+        .filter(F.col("id") == F.col("rep"))
+        .select(F.col("id").alias("_rep_id"))
+    )
+    return df.join(reps, F.col(id_col) == F.col("_rep_id"), "left_semi")
+
+
+def minhash_dedup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_iter: int = 30,
+    stats: dict | None = None,
+) -> DataFrame:
+    """MinHash-LSH near-dup clusters -> (node, component), with an
+    exact-duplicate pre-collapse that makes the pipeline skew-safe.
+
+    Output is IDENTICAL to ``connected_components(minhash_dedup_pairs(
+    df))``: byte-identical non-empty texts share every band key (same
+    signature) and verify at Jaccard 1, so each exact group is fully
+    connected through its representative, and any cross-group candidate/
+    verification decision depends only on the two texts — rep-level
+    pairs exist iff the member-level pairs do.  Component ids match too:
+    the representative IS its group's min id, so the min over
+    representatives equals the min over all expanded members.
+
+    Why collapse first: LSH candidate generation is all-pairs WITHIN a
+    band bucket.  On Zipf-skewed corpora (one text owning ~20% of rows —
+    the shape of crawl boilerplate) the hot bucket alone is O((0.2·n)²)
+    pairs; collapsing identical texts first turns that bucket into ONE
+    row, and the collapse itself is a map-side-combinable count/min
+    aggregate that no key distribution can blow up.
+    """
+    mapping = exact_text_mapping(df, id_col, text_col).localCheckpoint(eager=True)
+    reps_ids = mapping.filter(F.col("id") == F.col("rep")).select(
+        F.col("id").alias("_rep_id")
+    )
+    reps = df.join(reps_ids, F.col(id_col) == F.col("_rep_id"), "left_semi")
+    pairs = minhash_dedup_pairs(reps, id_col, text_col, k, bands, n, threshold)
+    cc = connected_components(pairs, "id_a", "id_b", max_iter, stats)
+    # expand through the exact groups: members inherit the rep's
+    # component; a >=2 group whose rep joined no near-dup pair is a
+    # component of its own (its members pairwise-verify at Jaccard 1)
+    joined = mapping.join(cc.withColumnRenamed("node", "rep"), "rep", "left")
+    return joined.filter(
+        (F.col("group_n") >= 2) | F.col("component").isNotNull()
+    ).select(
+        F.col("id").alias("node"),
+        F.coalesce(F.col("component"), F.col("rep")).alias("component"),
+    )
+
+
 # -- segment-level (cross-corpus span) dedup ----------------------------------
 
 
@@ -636,10 +721,15 @@ def segment_dedup(
     drops them).
 
     Plan (100 TB shape): chunking is a map-only explode; first-occurrence
-    selection is ONE shuffle — a row_number window keyed on the segment
-    md5 (uniform by construction; a boilerplate segment repeated 100M
-    times makes one hot key whose window only streams rank<=1, no
-    buffering); reassembly is one groupBy on the doc id.  No Python.
+    selection is a map-side-combinable ``min(struct(id, idx))`` per
+    segment hash joined back to the segment rows — NOT a row_number
+    window, which would stream every row of a hot key through ONE
+    reducer task (a boilerplate segment repeated 100M times = one task
+    owning 100M rows).  The min-aggregate collapses the hot key on the
+    map side, and the join back is a plain equi-join AQE's skew-join
+    splitting handles; the aggregate and the join shuffle on the SAME
+    key, so the exchange is reused.  Reassembly is one groupBy on the
+    doc id.  No Python.
     """
     from bruin_spark.operators.text import chunk_documents
 
@@ -654,11 +744,17 @@ def segment_dedup(
         F.col("chunk_idx").alias("idx"),
         F.col("chunk_text").alias("seg"),
         F.col("chunk_n_tokens").alias("seg_tokens"),
+        F.md5(F.col("chunk_text")).alias("_k"),
     )
-    w = Window.partitionBy(F.md5(F.col("seg"))).orderBy("id", "idx")
-    ranked = segs.withColumn("_occ", F.row_number().over(w))
+    firsts = segs.groupBy("_k").agg(
+        F.min(F.struct(F.col("id"), F.col("idx"))).alias("_f")
+    )
+    marked = segs.join(firsts, "_k").withColumn(
+        "_is_first",
+        (F.col("id") == F.col("_f.id")) & (F.col("idx") == F.col("_f.idx")),
+    )
     return (
-        ranked.groupBy(F.col("id").alias(id_col))
+        marked.groupBy(F.col("id").alias(id_col))
         .agg(
             F.concat_ws(
                 " ",
@@ -666,7 +762,7 @@ def segment_dedup(
                     F.array_sort(
                         F.collect_list(
                             F.when(
-                                F.col("_occ") == 1,
+                                F.col("_is_first"),
                                 F.struct(F.col("idx"), F.col("seg")),
                             )
                         )
@@ -675,9 +771,9 @@ def segment_dedup(
                 ),
             ).alias("clean_text"),
             F.count(F.lit(1)).alias("n_segments_total"),
-            F.count(F.when(F.col("_occ") == 1, 1)).alias("n_segments_kept"),
+            F.count(F.when(F.col("_is_first"), 1)).alias("n_segments_kept"),
             F.coalesce(
-                F.sum(F.when(F.col("_occ") == 1, F.col("seg_tokens"))), F.lit(0)
+                F.sum(F.when(F.col("_is_first"), F.col("seg_tokens"))), F.lit(0)
             ).alias("n_tokens_kept"),
         )
     )

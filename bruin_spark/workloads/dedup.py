@@ -191,13 +191,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH pairs -> large-star/small-star connected components ->
     (doc_id, cluster_id): the cluster-assignment endgame of near-dup
     dedup, oracle-checked against a recursive-CTE reachability closure
-    over the SAME deterministic pair graph."""
+    over the SAME deterministic pair graph.  Runs through the
+    exact-collapse form (skew-safe on boilerplate-heavy corpora); the
+    output is provably identical to the all-pairs pipeline the oracle
+    replays."""
     from pyspark.sql import functions as F
 
-    pairs = D.minhash_dedup_pairs(
+    cc = D.minhash_dedup_clusters(
         _docs(spark, sf_dir), k=MINHASH_K, bands=LSH_BANDS, n=NGRAM, threshold=JACCARD_T
     )
-    cc = D.connected_components(pairs, "id_a", "id_b")
     return cc.select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )

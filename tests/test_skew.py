@@ -132,3 +132,82 @@ def test_connected_components_round_count_gate(spark, sf_dir):
     )
     connected_components(lsh_pairs, stats=stats).count()
     assert stats["rounds"] <= bench.CC_MAX_ROUNDS
+
+
+# -- exact-collapse minhash clusters (r8: skew-safe near-dup pipeline) ---------
+
+
+def _skewy_docs(spark, n=400):
+    """Corpus with a hot identical-text cluster (~25%), several medium
+    clusters, near-dup (not identical) variants, empty texts, and a
+    unique tail — the Zipf shape that blows up naive LSH bucketing."""
+    rows = []
+    hot = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    for i in range(n):
+        if i % 4 == 0:
+            text = hot                                   # hot exact cluster
+        elif i % 4 == 1:
+            text = f"med{i % 7} one two three four five six seven eight nine"
+        elif i % 4 == 2 and i % 20 == 2:
+            text = ""                                    # empty: never clusters
+        elif i % 4 == 2:
+            # near-dup of hot: one word changed (high but non-1 jaccard)
+            text = hot.replace("kappa", f"kap{i % 3}")
+        else:
+            text = f"unique doc {i} with its very own words w{i} x{i} y{i} z{i}"
+        rows.append((i, text))
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_minhash_dedup_clusters_equals_allpairs_pipeline(spark):
+    """The exact-collapse pipeline must be output-identical to
+    connected_components(minhash_dedup_pairs(df)) — the invariant that
+    keeps the oracle valid while the plan becomes skew-safe."""
+    from bruin_spark.operators.dedup import (
+        connected_components,
+        minhash_dedup_clusters,
+        minhash_dedup_pairs,
+    )
+
+    docs = _skewy_docs(spark)
+    ref = connected_components(
+        minhash_dedup_pairs(docs, k=8, bands=4, threshold=0.5), "id_a", "id_b"
+    )
+    got = minhash_dedup_clusters(docs, k=8, bands=4, threshold=0.5)
+    ref_rows = sorted(map(tuple, ref.collect()))
+    got_rows = sorted(map(tuple, got.collect()))
+    assert ref_rows == got_rows
+    assert len(got_rows) > 100  # the hot+medium clusters actually exist
+
+
+def test_exact_text_mapping_groups_and_empty_guard(spark):
+    from bruin_spark.operators.dedup import collapse_exact_texts, exact_text_mapping
+
+    docs = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (5, "other"), (7, ""), (9, "")],
+        "doc_id bigint, text string",
+    )
+    m = {r["id"]: (r["rep"], r["group_n"]) for r in exact_text_mapping(docs).collect()}
+    assert m[1] == (1, 2) and m[2] == (1, 2) and m[5] == (5, 1)
+    # empty texts never group together
+    assert m[7] == (7, 1) and m[9] == (9, 1)
+    reps = sorted(r["doc_id"] for r in collapse_exact_texts(docs).collect())
+    assert reps == [1, 5, 7, 9]
+
+
+def test_segment_dedup_no_window_single_reducer(spark):
+    """The first-occurrence plan must be aggregate+join (map-side
+    combinable), not a row_number window over the raw segment rows."""
+    from bruin_spark.operators.dedup import segment_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "x y z")],
+        "doc_id bigint, text string",
+    )
+    out = segment_dedup(docs, seg_tokens=4)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "row_number" not in plan.lower()
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["n_segments_kept"] == 2 and rows[2]["n_segments_kept"] == 0
+    assert rows[2]["clean_text"] == ""
+    assert rows[3]["n_segments_kept"] == 1
