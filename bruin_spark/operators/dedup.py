@@ -687,9 +687,15 @@ def minhash_dedup_clusters(
     reps = df.join(reps_ids, F.col(id_col) == F.col("_rep_id"), "left_semi")
     pairs = minhash_dedup_pairs(reps, id_col, text_col, k, bands, n, threshold)
     cc = connected_components(pairs, "id_a", "id_b", max_iter, stats)
-    # expand through the exact groups: members inherit the rep's
-    # component; a >=2 group whose rep joined no near-dup pair is a
-    # component of its own (its members pairwise-verify at Jaccard 1)
+    return _expand_exact_clusters(mapping, cc)
+
+
+def _expand_exact_clusters(mapping: DataFrame, cc: DataFrame) -> DataFrame:
+    """Expand rep-level components through the exact groups: members
+    inherit the rep's component; a >=2 group whose rep joined no
+    near-dup pair is a component of its own.  The cc side is small (one
+    row per paired rep), so the join broadcasts — the hot group's rows
+    never reshuffle."""
     joined = mapping.join(cc.withColumnRenamed("node", "rep"), "rep", "left")
     return joined.filter(
         (F.col("group_n") >= 2) | F.col("component").isNotNull()
@@ -697,6 +703,38 @@ def minhash_dedup_clusters(
         F.col("id").alias("node"),
         F.coalesce(F.col("component"), F.col("rep")).alias("component"),
     )
+
+
+def simhash_dedup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+    max_iter: int = 30,
+    stats: dict | None = None,
+) -> DataFrame:
+    """SimHash near-dup clusters -> (node, component), exact-collapse
+    form — the SimHash sibling of :func:`minhash_dedup_clusters`.
+
+    Identical texts have identical signatures (Hamming 0 <= any
+    max_hamming), so each exact group is fully connected through its
+    representative and cross-group pairing depends only on the two
+    signatures: the output is IDENTICAL to ``connected_components(
+    simhash_near_pairs(df))`` while the hot pigeonhole block (one text
+    owning 20% of a corpus shares every chunk key) collapses to one row.
+    Unlike Jaccard, SimHash over an empty token list is well-defined, so
+    the empty-text guard in exact_text_mapping is merely conservative
+    here: ungrouped empty docs still pair through the normal block path.
+    """
+    mapping = exact_text_mapping(df, id_col, text_col).localCheckpoint(eager=True)
+    reps_ids = mapping.filter(F.col("id") == F.col("rep")).select(
+        F.col("id").alias("_rep_id")
+    )
+    reps = df.join(reps_ids, F.col(id_col) == F.col("_rep_id"), "left_semi")
+    pairs = simhash_near_pairs(reps, id_col, text_col, max_hamming, n_chunks)
+    cc = connected_components(pairs, "id_a", "id_b", max_iter, stats)
+    return _expand_exact_clusters(mapping, cc)
 
 
 # -- segment-level (cross-corpus span) dedup ----------------------------------

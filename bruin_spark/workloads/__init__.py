@@ -20,8 +20,14 @@ from pyspark.sql import DataFrame, SparkSession
 # green sentinels (at least one per workload family) to guard against
 # regressions.  Everything else keeps its module order after the window.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # Round-4 window (exactly 50; any NEW registry entry added this round
+    # Round-8 window (exactly 50; any NEW registry entry added this round
     # must be inserted HERE, near the top, displacing a sentinel below):
+    # --- new in r8 (needs a first verdict) ---
+    "dedup_simhash_clusters",
+    # --- plan changed in r8 (exact-collapse pipeline / no-window
+    # segment dedup; outputs provably identical, re-verify anyway) ---
+    "dedup_clusters",
+    "dedup_segments",
     # --- never driver-checked (r01-r03 union misses only these 3) ---
     "emb_quantize_stats",
     "split_alignment_docs_embeddings",
@@ -74,14 +80,12 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "mat_ddl",
     "mat_scd2_by_column",
     "mat_scd2_by_time",
-    "mat_datavault_hub",
-    "mat_datavault_link",
-    "mat_datavault_satellite",
-    # dedup_minhash_signature / dedup_ngram_jaccard / dedup_exact_survivors /
-    # dedup_simhash_pairs / dedup_simhash_signature / dedup_exact_groups
-    # displaced by dedup_segments / dedup_incremental / text_curation_funnel /
-    # text_bm25_topk / emb_random_projection / text_bpe_merges (window cap
-    # 50); all keep green r02/r03 verdicts
+    # mat_datavault_hub / mat_datavault_link / mat_datavault_satellite
+    # displaced in r8 by dedup_simhash_clusters / dedup_clusters /
+    # dedup_segments (window cap 50); all three keep green r07 verdicts.
+    # Earlier displacements (r04): dedup_minhash_signature /
+    # dedup_ngram_jaccard / dedup_exact_survivors / dedup_simhash_pairs /
+    # dedup_simhash_signature / dedup_exact_groups — green r02/r03.
 )
 
 

@@ -224,6 +224,35 @@ SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u
 """
 
 
+def dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup clusters through the exact-collapse pipeline
+    (skew-safe sibling of dedup_clusters); oracle is a recursive-CTE
+    reachability closure over the SAME deterministic simhash pair graph."""
+    from pyspark.sql import functions as F
+
+    cc = D.simhash_dedup_clusters(_docs(spark, sf_dir), max_hamming=3)
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+def _simhash_clusters_oracle() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_simhash_pairs_oracle()}),
+e AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(u, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM e) AS n(u)
+  UNION
+  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u
+)
+SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u
+"""
+
+
 # -- incremental dedup (new batch vs persisted corpus index) -------------------
 
 BATCH_FRACTION = 0.2  # deterministic id-hash split: 20% "new batch", 80% corpus
@@ -334,6 +363,7 @@ QUERIES = {
     "dedup_segments": (dedup_segments, _segments_oracle()),
     "dedup_exact_groups": (dedup_exact_groups, EXACT_ORACLE),
     "dedup_clusters": (dedup_clusters, _clusters_oracle()),
+    "dedup_simhash_clusters": (dedup_simhash_clusters, _simhash_clusters_oracle()),
     "dedup_simhash_signature": (dedup_simhash_signature, _simhash_oracle()),
     "dedup_simhash_pairs": (dedup_simhash_pairs, _simhash_pairs_oracle()),
     "dedup_exact_survivors": (dedup_exact_survivors, EXACT_SURVIVORS_ORACLE),

@@ -211,3 +211,16 @@ def test_segment_dedup_no_window_single_reducer(spark):
     assert rows[1]["n_segments_kept"] == 2 and rows[2]["n_segments_kept"] == 0
     assert rows[2]["clean_text"] == ""
     assert rows[3]["n_segments_kept"] == 1
+
+
+def test_simhash_dedup_clusters_equals_allpairs_pipeline(spark):
+    from bruin_spark.operators.dedup import (
+        connected_components,
+        simhash_dedup_clusters,
+        simhash_near_pairs,
+    )
+
+    docs = _skewy_docs(spark)
+    ref = connected_components(simhash_near_pairs(docs, max_hamming=3), "id_a", "id_b")
+    got = simhash_dedup_clusters(docs, max_hamming=3)
+    assert sorted(map(tuple, ref.collect())) == sorted(map(tuple, got.collect()))

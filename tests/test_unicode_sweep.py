@@ -44,6 +44,7 @@ SWEEP_ENTRIES = [
     "dedup_segments",
     "dedup_simhash_signature",
     "dedup_simhash_pairs",
+    "dedup_simhash_clusters",
     "dedup_ngram_jaccard",
 ]
 
