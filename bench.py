@@ -329,7 +329,7 @@ def _build_skewed_dir(spark, base_dir: str, factor: int) -> str:
     """
     from pyspark.sql import functions as F
 
-    out = f"/tmp/bruin_skew{factor}v2_{os.path.basename(base_dir.rstrip('/'))}"
+    out = f"/tmp/bruin_skew{factor}v3_{os.path.basename(base_dir.rstrip('/'))}"
     marker = os.path.join(out, "_BUILT")
     if os.path.exists(marker):
         return out
@@ -364,7 +364,12 @@ def _build_skewed_dir(spark, base_dir: str, factor: int) -> str:
     # hot cluster: byte-identical text.  families: family base words with
     # ONE position replaced per doc (byte-distinct, Jaccard ~0.88 at
     # n=3 — candidates in ~97% of band draws, verified near-dups).
-    # tail: fully unique words.
+    # tail: fully unique words, except ~30% of tail docs open with the
+    # SAME 8-word boilerplate prefix — a shingle shared by ~16% of the
+    # corpus, the hot posting list that blows up a naive inverted-index
+    # similarity join (prefix filtering must shed it).
+    u3 = hashu("bp#")
+    is_bp = (F.col("_c") == -1) & (u3 < 0.30)
     text = F.array_join(
         F.transform(
             F.sequence(F.lit(0), F.lit(47)),
@@ -379,6 +384,10 @@ def _build_skewed_dir(spark, base_dir: str, factor: int) -> str:
             .when(
                 F.col("_c") > 0,
                 word(F.concat(F.lit("f"), F.col("_c").cast("string"), F.lit("#"), j.cast("string"))),
+            )
+            .when(
+                is_bp & (j < 8),
+                word(F.concat(F.lit("bp#"), j.cast("string"))),
             )
             .otherwise(
                 word(F.concat(F.lit("u#"), F.col("doc_id").cast("string"), F.lit("#"), j.cast("string")))
@@ -417,6 +426,19 @@ def _minhash_rep_pairs_stress(spark, sf_dir: str):
     return D.minhash_dedup_pairs(
         reps, k=MINHASH_K, bands=LSH_BANDS, n=NGRAM, threshold=JACCARD_T
     )
+
+
+def _ngram_rep_pairs_stress(spark, sf_dir: str):
+    """Prefix-filtered exact-Jaccard pairs among distinct texts: the
+    exact-collapse pre-pass removes identical-doc skew (inherently
+    quadratic OUTPUT), so what this measures is the prefix filter
+    shedding the hot boilerplate posting list — the naive inverted
+    index's quadratic blowup."""
+    from bruin_spark.operators import dedup as D
+    from bruin_spark.workloads.dedup import JACCARD_T, NGRAM, _docs
+
+    reps = D.collapse_exact_texts(_docs(spark, sf_dir))
+    return D.ngram_jaccard_pairs(reps, n=NGRAM, threshold=JACCARD_T)
 
 
 def _cc_hub_graph_stress(spark, sf_dir: str):
@@ -470,12 +492,14 @@ def _cc_hub_graph_stress(spark, sf_dir: str):
 SKEW_ENTRIES = [
     ("dedup_clusters", 4, 8),
     ("dedup_minhash_lsh", 4, 8),
+    ("dedup_ngram_jaccard", 4, 8),
     ("cc_hub_graph", 4, 8),
     ("dedup_segments", 16, 64),
     ("sample_stratified_quota", 16, 64),
 ]
 SKEW_VARIANTS = {
     "dedup_minhash_lsh": _minhash_rep_pairs_stress,
+    "dedup_ngram_jaccard": _ngram_rep_pairs_stress,
     "cc_hub_graph": _cc_hub_graph_stress,
 }
 SKEW_EXPONENT_MAX = 1.1
@@ -553,12 +577,17 @@ def _scale_stress_skewed(spark, registry) -> dict:
         )
     result = {
         "skew_shape": "hot key ~20% of rows + fixed-size near-dup families + unique tail (see _build_skewed_dir)",
-        # measured r8 on this corpus WITHOUT the exact-collapse pre-pass
-        # (minhash_dedup_pairs directly): 25.8s @4x -> 91.3s @8x,
-        # exponent 1.82, 32.4M pairs at 8x — the quadratic hot-bucket
-        # blowup the collapse removes (7.1s -> 8.3s, exponent 0.22)
+        # measured r8 on this corpus WITHOUT the mitigations:
+        # - minhash_dedup_pairs with no exact-collapse: 25.8s @4x ->
+        #   91.3s @8x (exponent 1.82, 32.4M pairs at 8x) — the quadratic
+        #   hot-band-bucket blowup the collapse removes;
+        # - naive (unfiltered) inverted-index jaccard on collapsed reps:
+        #   8.2s @4x -> 55.1s @8x (exponent 2.75) from the boilerplate
+        #   shingle's hot posting list — prefix filtering sheds it at
+        #   IDENTICAL pair output (20357/41338 pairs both plans)
         "unmitigated_reference": {
-            "minhash_all_pairs": {"t_4x_s": 25.8, "t_8x_s": 91.3, "exponent": 1.82}
+            "minhash_all_pairs": {"t_4x_s": 25.8, "t_8x_s": 91.3, "exponent": 1.82},
+            "ngram_naive_index": {"t_4x_s": 8.2, "t_8x_s": 55.1, "exponent": 2.75},
         },
         "entries": entries,
     }

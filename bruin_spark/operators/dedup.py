@@ -90,35 +90,77 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Exact Jaccard similarity over word n-gram shingle sets.
+    """Exact Jaccard similarity over word n-gram shingle sets, via a
+    PREFIX-FILTERED inverted index (AllPairs / PPJoin family: Bayardo et
+    al., "Scaling Up All Pairs Similarity Search", WWW'07).
 
-    Inverted-index plan: explode distinct shingles, self-join on shingle,
-    |A∩B| per pair, then |A∪B| = |A|+|B|−|A∩B|. Only pairs sharing at
-    least one shingle are ever formed.
+    A naive inverted index self-joins EVERY posting list: one boilerplate
+    shingle shared by 30% of a corpus alone forms O((0.3n)²) pairs.  The
+    prefix filter indexes only each doc's first ``|x| − ⌈t·|x|⌉ + 1``
+    shingles in a global rarity order (ascending document frequency):
+    for any pair with Jaccard ≥ t, the globally-smallest shared shingle
+    provably lies in BOTH prefixes (if it lay beyond x's prefix, the
+    whole intersection would fit in x's last ⌈t·|x|⌉ − 1 positions,
+    contradicting |x∩y| ≥ t·|x|) — so the candidate set is complete and
+    the output is EXACTLY the naive plan's.  Hot common shingles sort
+    LAST and fall out of every large doc's prefix; a size filter
+    (t·|x| ≤ |y| ≤ |x|/t) prunes further.  Candidates are verified with
+    exact set intersection over only the candidate docs' shingle arrays.
     """
     sh = df.select(
         F.col(id_col).alias("id"), F.array_distinct(shingles(text_col, n)).alias("sh")
     )
-    sizes = sh.select("id", F.size("sh").alias("n_sh"))
-    inv = sh.select("id", F.explode("sh").alias("shingle"))
-
-    pairs = (
-        inv.alias("a")
+    inv = sh.select("id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
+    # global document frequency: count+min aggregate map-side, so the
+    # hot shingle collapses before it can fan out
+    dfreq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy("id").orderBy("_df", "shingle")
+    ranked = inv.join(dfreq, "shingle").withColumn("_r", F.row_number().over(w))
+    prefix = ranked.filter(
+        F.col("_r")
+        <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    ).select("id", "n_sh", "shingle")
+    cands = (
+        prefix.alias("a")
         .hint("merge")
         .join(
-            inv.alias("b").hint("merge"),
-            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")),
+            prefix.alias("b").hint("merge"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id"))
+            # size filter: J ≥ t forces t·|a| ≤ |b| and t·|b| ≤ |a|
+            & (F.col("a.n_sh") * F.lit(threshold) <= F.col("b.n_sh"))
+            & (F.col("b.n_sh") * F.lit(threshold) <= F.col("a.n_sh")),
         )
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    return _verify_jaccard_pairs(cands, sh, threshold)
+
+
+def _verify_jaccard_pairs(cands: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard verification of candidate (id_a, id_b) pairs against
+    shingle arrays ``sh(id, sh)``: only candidate docs' arrays are
+    materialized (semi-join first) — shared by the MinHash-LSH and
+    prefix-filter pipelines."""
+    cand_ids = (
+        cands.select(F.col("id_a").alias("cid"))
+        .union(cands.select(F.col("id_b").alias("cid")))
+        .distinct()
+    )
+    sh_small = sh.join(cand_ids, F.col("id") == F.col("cid"), "left_semi").localCheckpoint(
+        eager=True
     )
     return (
-        pairs.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
+        cands.join(sh_small.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh_small.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
             F.round(
-                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+                F.col("n_common")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
+                6,
             ),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -258,34 +300,13 @@ def minhash_dedup_pairs(
     # pinned data is one row per candidate PAIR — tiny next to the corpus.
     cands = minhash_lsh_candidates(df, id_col, text_col, k, bands, n).localCheckpoint(
         eager=True
-    )
-    cand_ids = (
-        cands.select(F.col("id_a").alias("cid"))
-        .union(cands.select(F.col("id_b").alias("cid")))
-        .distinct()
-    )
-    docs_small = df.join(cand_ids, F.col(id_col) == F.col("cid"), "left_semi")
-    # Same for the verification shingles (referenced as sh_a AND sh_b:
-    # two corpus semi-join scans otherwise); only candidate docs' shingle
-    # arrays are pinned.
-    sh = docs_small.select(
+    ).select("id_a", "id_b")
+    sh = df.select(
         F.col(id_col).alias("id"), F.array_distinct(shingles(text_col, n)).alias("sh")
-    ).localCheckpoint(eager=True)
-    verified = (
-        cands.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
-        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
-        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common")
-                / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
     )
-    return verified.select("id_a", "id_b", "jaccard")
+    # verification materializes only candidate docs' shingle arrays
+    # (semi-join inside the helper)
+    return _verify_jaccard_pairs(cands, sh, threshold)
 
 
 def incremental_dedup(

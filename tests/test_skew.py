@@ -224,3 +224,53 @@ def test_simhash_dedup_clusters_equals_allpairs_pipeline(spark):
     ref = connected_components(simhash_near_pairs(docs, max_hamming=3), "id_a", "id_b")
     got = simhash_dedup_clusters(docs, max_hamming=3)
     assert sorted(map(tuple, ref.collect())) == sorted(map(tuple, got.collect()))
+
+
+def test_prefix_filtered_jaccard_equals_bruteforce(spark):
+    """ngram_jaccard_pairs (prefix-filtered index) must emit EXACTLY the
+    brute-force all-pairs Jaccard >= t set — the prefix theorem's
+    completeness, checked on a corpus with boilerplate-heavy docs,
+    identical docs, near-dups, tiny docs, and empty text."""
+    import itertools
+
+    rows = []
+    bp = "common header words shared across many documents here"
+    for i in range(60):
+        if i % 5 == 0:
+            rows.append((i, bp + f" unique tail {i} alpha beta"))
+        elif i % 5 == 1:
+            rows.append((i, "identical payload text for exact duplicates"))
+        elif i % 5 == 2:
+            rows.append((i, f"doc {i} with mostly unique words w{i} x{i} y{i} z{i} q{i}"))
+        elif i % 5 == 3:
+            rows.append((i, f"near dup family text version {i % 2} stable suffix words"))
+        else:
+            rows.append((i, "tiny"))
+    rows.append((60, ""))
+    rows.append((61, ""))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    from bruin_spark.operators.dedup import ngram_jaccard_pairs
+
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+
+    def sh(text, n=3):
+        toks = text.lower().strip().split()
+        if not toks:
+            toks = [""]
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    want = {}
+    shs = {i: sh(t) for i, t in rows}
+    for a, b in itertools.combinations(sorted(shs), 2):
+        inter = len(shs[a] & shs[b])
+        if inter:
+            j = round(inter / (len(shs[a]) + len(shs[b]) - inter), 6)
+            if j >= 0.5:
+                want[(a, b)] = j
+    assert got == want
