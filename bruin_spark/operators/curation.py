@@ -11,8 +11,9 @@ Composition and plan shape:
 - quality + fingerprint signals are map-only expressions over one scan;
 - repetition is two wordcount-shaped aggregations (map-side combine
   absorbs the repetition itself);
-- exact-duplicate detection is one window over the fingerprint (the
-  canonical survivor is the min doc id, as in ``exact_dedup``);
+- exact-duplicate detection is a map-side-combinable groupBy min over
+  the fingerprint joined back (the canonical survivor is the min doc
+  id, as in ``exact_dedup``) — skew-safe on boilerplate-heavy corpora;
 - decontamination broadcasts the eval set's shingles (the eval set is
   tiny by construction) — map-side hash join, no corpus shuffle;
 - the final assembly joins on the doc id, so every shuffle in the
@@ -25,7 +26,7 @@ execution); this is part of the training-data surface this engine adds
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from bruin_spark.operators.text import (
     fingerprint,
@@ -63,10 +64,13 @@ def curation_decisions(
     r = repetition_features(docs, id_col, text_col).select(
         id_col, "top_2gram_frac"
     )
+    # canonical id per fingerprint via map-side-combinable groupBy min +
+    # join back (AQE-splittable), NOT an unbounded-frame window: a
+    # boilerplate text owning 20% of the corpus would stream every copy
+    # through one window reducer task
     fp = fingerprint(docs, text_col).select(id_col, "doc_fingerprint")
-    canon = fp.withColumn(
-        "_canonical_id", F.min(id_col).over(Window.partitionBy("doc_fingerprint"))
-    ).select(
+    mins = fp.groupBy("doc_fingerprint").agg(F.min(id_col).alias("_canonical_id"))
+    canon = fp.join(mins, "doc_fingerprint").select(
         id_col, (F.col(id_col) != F.col("_canonical_id")).alias("_is_exact_dup")
     )
 

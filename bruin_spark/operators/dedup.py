@@ -70,13 +70,19 @@ def exact_duplicates(
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Keep one row (min id) per canonical text."""
+    """Keep one row (min id) per canonical text.
+
+    ``min_by(struct(row), id)`` per fingerprint, NOT a row_number window:
+    min_by is an algebraic aggregate, so a boilerplate text repeated 100M
+    times collapses to one buffered row per map task instead of
+    streaming the whole hot key through a single window reducer.
+    """
     fp = fingerprint(df, text_col)
-    w = Window.partitionBy("doc_fingerprint").orderBy(id_col)
+    cols = [c for c in df.columns]
     return (
-        fp.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "doc_fingerprint")
+        fp.groupBy("doc_fingerprint")
+        .agg(F.min_by(F.struct(*cols), F.col(id_col)).alias("_row"))
+        .select("_row.*")
     )
 
 

@@ -25,9 +25,14 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # --- new in r8 (needs a first verdict) ---
     "dedup_simhash_clusters",
     # --- plan changed in r8 (exact-collapse pipeline / no-window
-    # segment dedup; outputs provably identical, re-verify anyway) ---
+    # segment dedup / prefix-filtered jaccard / min_by exact dedup /
+    # groupBy-join curation canon; outputs provably identical,
+    # re-verify anyway) ---
     "dedup_clusters",
     "dedup_segments",
+    "dedup_ngram_jaccard",
+    "dedup_exact_survivors",
+    "text_curation_funnel",
     # --- never driver-checked (r01-r03 union misses only these 3) ---
     "emb_quantize_stats",
     "split_alignment_docs_embeddings",
@@ -36,9 +41,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "stat_event_user_sketch",
     "sample_stratified_quota",
     # --- new this round (needs a first verdict) ---
-    "dedup_segments",
     "dedup_incremental",
-    "text_curation_funnel",
     "text_bm25_topk",
     "emb_random_projection",
     "text_bpe_merges",
@@ -79,7 +82,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "mat_time_interval",
     "mat_ddl",
     "mat_scd2_by_column",
-    "mat_scd2_by_time",
+    # mat_scd2_by_time rotated out in r8 (green r07) to fit the cap.
     # mat_datavault_hub / mat_datavault_link / mat_datavault_satellite
     # displaced in r8 by dedup_simhash_clusters / dedup_clusters /
     # dedup_segments (window cap 50); all three keep green r07 verdicts.
