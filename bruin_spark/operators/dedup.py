@@ -141,22 +141,34 @@ def ngram_jaccard_pairs(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    return _verify_jaccard_pairs(cands, sh, threshold)
+    return _verify_jaccard_pairs(cands, df, id_col, text_col, n, threshold)
 
 
-def _verify_jaccard_pairs(cands: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
-    """Exact-Jaccard verification of candidate (id_a, id_b) pairs against
-    shingle arrays ``sh(id, sh)``: only candidate docs' arrays are
-    materialized (semi-join first) — shared by the MinHash-LSH and
-    prefix-filter pipelines."""
+def _verify_jaccard_pairs(
+    cands: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate (id_a, id_b) pairs:
+    semi-join the RAW docs down to candidate ids FIRST, then compute
+    shingle arrays — shared by the MinHash-LSH and prefix-filter
+    pipelines.  Order matters: handing Catalyst `semi_join(project(
+    expensive_shingles))` does NOT push the join below the projection,
+    so the shingle expression would run over the whole corpus instead of
+    the ~|candidates| docs (measured +50% on the minhash stress when the
+    r8 refactor briefly got this wrong)."""
     cand_ids = (
         cands.select(F.col("id_a").alias("cid"))
         .union(cands.select(F.col("id_b").alias("cid")))
         .distinct()
     )
-    sh_small = sh.join(cand_ids, F.col("id") == F.col("cid"), "left_semi").localCheckpoint(
-        eager=True
-    )
+    docs_small = docs.join(cand_ids, F.col(id_col) == F.col("cid"), "left_semi")
+    sh_small = docs_small.select(
+        F.col(id_col).alias("id"), F.array_distinct(shingles(text_col, n)).alias("sh")
+    ).localCheckpoint(eager=True)
     return (
         cands.join(sh_small.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
         .join(sh_small.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
@@ -307,12 +319,9 @@ def minhash_dedup_pairs(
     cands = minhash_lsh_candidates(df, id_col, text_col, k, bands, n).localCheckpoint(
         eager=True
     ).select("id_a", "id_b")
-    sh = df.select(
-        F.col(id_col).alias("id"), F.array_distinct(shingles(text_col, n)).alias("sh")
-    )
-    # verification materializes only candidate docs' shingle arrays
-    # (semi-join inside the helper)
-    return _verify_jaccard_pairs(cands, sh, threshold)
+    # verification shingles only the candidate docs (semi-join inside
+    # the helper) — at low dup rates a tiny fraction of the corpus
+    return _verify_jaccard_pairs(cands, df, id_col, text_col, n, threshold)
 
 
 def incremental_dedup(
