@@ -493,6 +493,7 @@ SKEW_ENTRIES = [
     ("dedup_clusters", 4, 8),
     ("dedup_minhash_lsh", 4, 8),
     ("dedup_ngram_jaccard", 4, 8),
+    ("dedup_incremental", 4, 8),
     ("cc_hub_graph", 4, 8),
     ("dedup_segments", 16, 64),
     ("sample_stratified_quota", 16, 64),
@@ -600,27 +601,38 @@ def _scale_stress_skewed(spark, registry) -> dict:
 
 
 def _stress_cache_key() -> str:
+    """Cache key over the MEASURED code only (bruin_spark/ + bench.py):
+    doc/test/survey commits leave the stress verdict valid, so keying on
+    repo HEAD would throw away a ~25-min measurement for a README edit.
+    Uncommitted changes under the measured paths still invalidate."""
     import subprocess
 
     repo = os.path.dirname(os.path.abspath(__file__))
+    paths = ["bruin_spark", "bench.py"]
     try:
-        head = subprocess.run(
-            ["git", "rev-parse", "HEAD"],
+        tree = subprocess.run(
+            ["git", "ls-tree", "HEAD", "--"] + paths,
             capture_output=True, text=True, cwd=repo,
         ).stdout.strip()
-        # uncommitted changes must invalidate the cache — a stale verdict
-        # would be presented as a measurement of the edited code
+        import hashlib
+
+        key = hashlib.md5(tree.encode()).hexdigest()[:12] or "notree"
+        # uncommitted changes to measured code must invalidate — a stale
+        # verdict would be presented as a measurement of the edited code.
+        # Hash the diff CONTENT (status --porcelain lists only file
+        # names, so edit -> bench -> different edit would collide)
         diff = subprocess.run(
-            ["git", "status", "--porcelain"],
+            ["git", "diff", "HEAD", "--"] + paths,
+            capture_output=True, text=True, cwd=repo,
+        ).stdout + subprocess.run(
+            ["git", "status", "--porcelain", "--"] + paths,
             capture_output=True, text=True, cwd=repo,
         ).stdout
         if diff.strip():
-            import hashlib
-
-            head += ":" + hashlib.md5(diff.encode()).hexdigest()[:8]
+            key += ":" + hashlib.md5(diff.encode()).hexdigest()[:8]
     except Exception:
-        head = "nohead"
-    return f"{head}:{SCALE_FACTOR}:{SF_DIR}"
+        key = "nohead"
+    return f"{key}:{SCALE_FACTOR}:{SF_DIR}"
 
 
 def _scale_stress(spark, registry, timings: dict[str, float]) -> dict:

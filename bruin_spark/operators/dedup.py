@@ -355,6 +355,13 @@ def incremental_dedup(
     Returns one row per batch doc: (doc_id, is_dup, match_id, jaccard)
     where match_id is the corpus doc with the highest verified Jaccard
     (ties → smallest id) and NULL when nothing clears ``threshold``.
+
+    Skew note: build the index over ``collapse_exact_texts(corpus)``
+    representatives — identical corpus docs share every band key, so a
+    hot text makes every matching batch doc a candidate against the
+    WHOLE group (quadratic).  The collapsed index returns the identical
+    best match: ties break (jaccard DESC, id ASC), and a group's min-id
+    rep carries the same jaccard as every member it replaces.
     """
     from pyspark.sql import Window
 

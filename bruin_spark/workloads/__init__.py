@@ -33,6 +33,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "dedup_exact_survivors",
     "text_curation_funnel",
+    "dedup_incremental",
     # --- never driver-checked (r01-r03 union misses only these 3) ---
     "emb_quantize_stats",
     "split_alignment_docs_embeddings",
@@ -41,7 +42,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "stat_event_user_sketch",
     "sample_stratified_quota",
     # --- new this round (needs a first verdict) ---
-    "dedup_incremental",
     "text_bm25_topk",
     "emb_random_projection",
     "text_bpe_merges",

@@ -269,9 +269,16 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = hash_bucket("doc_id", "incr")
     batch = docs.filter(bucket < cut)
     corpus = docs.filter(bucket >= cut)
-    idx = D.lsh_band_index(corpus, k=MINHASH_K, bands=LSH_BANDS, n=NGRAM)
+    # index only exact-text representatives: identical corpus docs share
+    # every band key, so a boilerplate text owning 20% of the corpus
+    # would match every hot batch doc 0.2n times (quadratic candidates).
+    # Output is IDENTICAL: best-match order is (jaccard DESC, id ASC),
+    # and a group's min-id rep has the same jaccard as every member, so
+    # the rep is always the winner the full index would have picked.
+    corpus_reps = D.collapse_exact_texts(corpus)
+    idx = D.lsh_band_index(corpus_reps, k=MINHASH_K, bands=LSH_BANDS, n=NGRAM)
     return D.incremental_dedup(
-        batch, idx, corpus, k=MINHASH_K, bands=LSH_BANDS, n=NGRAM, threshold=JACCARD_T
+        batch, idx, corpus_reps, k=MINHASH_K, bands=LSH_BANDS, n=NGRAM, threshold=JACCARD_T
     )
 
 

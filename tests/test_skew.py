@@ -274,3 +274,26 @@ def test_prefix_filtered_jaccard_equals_bruteforce(spark):
             if j >= 0.5:
                 want[(a, b)] = j
     assert got == want
+
+
+def test_incremental_dedup_collapsed_index_equals_full_index(spark):
+    """Indexing only exact-text reps must return the identical best-match
+    table: tie order (jaccard DESC, id ASC) makes a group's min-id rep
+    the winner the full index would pick."""
+    from bruin_spark.operators.dedup import (
+        collapse_exact_texts,
+        incremental_dedup,
+        lsh_band_index,
+    )
+
+    docs = _skewy_docs(spark, n=300)
+    batch = docs.filter("doc_id % 10 < 2")
+    corpus = docs.filter("doc_id % 10 >= 2")
+    full = incremental_dedup(
+        batch, lsh_band_index(corpus, k=8, bands=4), corpus, k=8, bands=4, threshold=0.5
+    )
+    reps = collapse_exact_texts(corpus)
+    coll = incremental_dedup(
+        batch, lsh_band_index(reps, k=8, bands=4), reps, k=8, bands=4, threshold=0.5
+    )
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, coll.collect()))
