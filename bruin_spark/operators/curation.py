@@ -58,8 +58,10 @@ def curation_decisions(
     copy of each fingerprint group is kept), ``contaminated`` (shares an
     n-gram with ``eval_docs``, when given).
     """
-    q = quality_features(docs, text_col).select(
-        id_col, "n_tokens_q", "quality_score"
+    # quality + fingerprint are map-only expressions: compute them in ONE
+    # scan/projection instead of joining two per-doc side tables on id
+    base = fingerprint(quality_features(docs, text_col), text_col).select(
+        id_col, "n_tokens_q", "quality_score", "doc_fingerprint"
     )
     r = repetition_features(docs, id_col, text_col).select(
         id_col, "top_2gram_frac"
@@ -68,13 +70,17 @@ def curation_decisions(
     # join back (AQE-splittable), NOT an unbounded-frame window: a
     # boilerplate text owning 20% of the corpus would stream every copy
     # through one window reducer task
-    fp = fingerprint(docs, text_col).select(id_col, "doc_fingerprint")
-    mins = fp.groupBy("doc_fingerprint").agg(F.min(id_col).alias("_canonical_id"))
-    canon = fp.join(mins, "doc_fingerprint").select(
-        id_col, (F.col(id_col) != F.col("_canonical_id")).alias("_is_exact_dup")
+    mins = base.groupBy("doc_fingerprint").agg(
+        F.min(id_col).alias("_canonical_id")
+    )
+    canon = base.join(mins, "doc_fingerprint").select(
+        id_col,
+        "n_tokens_q",
+        "quality_score",
+        (F.col(id_col) != F.col("_canonical_id")).alias("_is_exact_dup"),
     )
 
-    out = q.join(r, id_col).join(canon, id_col)
+    out = canon.join(r, id_col)
 
     if eval_docs is not None:
         from bruin_spark.operators.contamination import ngram_overlap_contamination

@@ -657,6 +657,17 @@ def connected_components(
     )
 
 
+def _text_group_key(id_col: str, text_col: str):
+    """Grouping key for byte-identical texts.  Docs whose text has no
+    tokens (empty/whitespace) are NOT grouped (key = unique per doc):
+    Jaccard between empty shingle sets is undefined (0/0), so the
+    verified-pair pipeline never links them and collapsing them would
+    invent clusters the all-pairs form does not produce."""
+    return F.when(
+        F.length(F.trim(F.col(text_col))) > 0, F.md5(F.col(text_col))
+    ).otherwise(F.concat(F.lit("__uniq:"), F.col(id_col).cast("string")))
+
+
 def exact_text_mapping(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -665,15 +676,9 @@ def exact_text_mapping(
 
     The skew shield of the near-dup pipeline: a boilerplate text repeated
     100M times is ONE group here — min/count aggregate map-side, so the
-    hot key collapses before any shuffle fans it out.  Docs whose text
-    has no tokens (empty/whitespace) are NOT grouped (rep = self):
-    Jaccard between empty shingle sets is undefined (0/0), so the
-    verified-pair pipeline never links them and collapsing them would
-    invent clusters the all-pairs form does not produce.
+    hot key collapses before any shuffle fans it out.
     """
-    key = F.when(
-        F.length(F.trim(F.col(text_col))) > 0, F.md5(F.col(text_col))
-    ).otherwise(F.concat(F.lit("__uniq:"), F.col(id_col).cast("string")))
+    key = _text_group_key(id_col, text_col)
     mapping = df.select(F.col(id_col).alias("id"), key.alias("_tkey"))
     groups = mapping.groupBy("_tkey").agg(
         F.min("id").alias("rep"), F.count(F.lit(1)).alias("group_n")
@@ -681,14 +686,40 @@ def exact_text_mapping(
     return mapping.join(groups, "_tkey").select("id", "rep", "group_n")
 
 
+def _exact_group_rows(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One row per byte-identical text group: (_tkey, rep, group_n).
+
+    Group-level, id-only rows: small enough to localCheckpoint cheaply
+    (measured ~0.6 s/run faster at sf0.1 than carrying the group text
+    through the aggregate).  Map-side combine keeps one buffered row
+    per group per map task, so a text owning 20% of the corpus shuffles
+    as one row per task, not 0.2·n rows.
+    """
+    key = _text_group_key(id_col, text_col)
+    return (
+        df.select(F.col(id_col).alias("id"), key.alias("_tkey"))
+        .groupBy("_tkey")
+        .agg(F.min("id").alias("rep"), F.count(F.lit(1)).alias("group_n"))
+    )
+
+
 def collapse_exact_texts(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """One representative row (min id) per byte-identical text."""
+    """One representative row (min id) per byte-identical text.
+
+    The rep-id set needs only the group minimum — one map-side-
+    combinable aggregate, no per-id mapping join — then a left-semi
+    join keeps the winners' full rows.
+    """
+    key = _text_group_key(id_col, text_col)
     reps = (
-        exact_text_mapping(df, id_col, text_col)
-        .filter(F.col("id") == F.col("rep"))
-        .select(F.col("id").alias("_rep_id"))
+        df.select(F.col(id_col).alias("id"), key.alias("_tkey"))
+        .groupBy("_tkey")
+        .agg(F.min("id").alias("_rep_id"))
+        .select("_rep_id")
     )
     return df.join(reps, F.col(id_col) == F.col("_rep_id"), "left_semi")
 
@@ -723,22 +754,35 @@ def minhash_dedup_clusters(
     row, and the collapse itself is a map-side-combinable count/min
     aggregate that no key distribution can blow up.
     """
-    mapping = exact_text_mapping(df, id_col, text_col).localCheckpoint(eager=True)
-    reps_ids = mapping.filter(F.col("id") == F.col("rep")).select(
-        F.col("id").alias("_rep_id")
+    groups = _exact_group_rows(df, id_col, text_col).localCheckpoint(eager=True)
+    reps = df.join(
+        groups.select(F.col("rep").alias("_rep_id")),
+        F.col(id_col) == F.col("_rep_id"),
+        "left_semi",
     )
-    reps = df.join(reps_ids, F.col(id_col) == F.col("_rep_id"), "left_semi")
     pairs = minhash_dedup_pairs(reps, id_col, text_col, k, bands, n, threshold)
     cc = connected_components(pairs, "id_a", "id_b", max_iter, stats)
-    return _expand_exact_clusters(mapping, cc)
+    return _expand_exact_clusters(df, groups, cc, id_col, text_col)
 
 
-def _expand_exact_clusters(mapping: DataFrame, cc: DataFrame) -> DataFrame:
+def _expand_exact_clusters(
+    df: DataFrame,
+    groups: DataFrame,
+    cc: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
     """Expand rep-level components through the exact groups: members
-    inherit the rep's component; a >=2 group whose rep joined no
-    near-dup pair is a component of its own.  The cc side is small (one
-    row per paired rep), so the join broadcasts — the hot group's rows
-    never reshuffle."""
+    inherit their rep's component; a >=2 group whose rep joined no
+    near-dup pair is a component of its own.  Group metadata attaches
+    to member ids by re-keying ``df`` (a map-only md5 projection) and
+    joining the group rows on the text key; the cc side is small (one
+    row per paired rep), so that join broadcasts — the hot group's rows
+    never reshuffle on a skewed key."""
+    keyed = df.select(
+        F.col(id_col).alias("id"), _text_group_key(id_col, text_col).alias("_tkey")
+    )
+    mapping = keyed.join(groups.select("_tkey", "rep", "group_n"), "_tkey")
     joined = mapping.join(cc.withColumnRenamed("node", "rep"), "rep", "left")
     return joined.filter(
         (F.col("group_n") >= 2) | F.col("component").isNotNull()
@@ -767,17 +811,18 @@ def simhash_dedup_clusters(
     simhash_near_pairs(df))`` while the hot pigeonhole block (one text
     owning 20% of a corpus shares every chunk key) collapses to one row.
     Unlike Jaccard, SimHash over an empty token list is well-defined, so
-    the empty-text guard in exact_text_mapping is merely conservative
+    the empty-text guard in _text_group_key is merely conservative
     here: ungrouped empty docs still pair through the normal block path.
     """
-    mapping = exact_text_mapping(df, id_col, text_col).localCheckpoint(eager=True)
-    reps_ids = mapping.filter(F.col("id") == F.col("rep")).select(
-        F.col("id").alias("_rep_id")
+    groups = _exact_group_rows(df, id_col, text_col).localCheckpoint(eager=True)
+    reps = df.join(
+        groups.select(F.col("rep").alias("_rep_id")),
+        F.col(id_col) == F.col("_rep_id"),
+        "left_semi",
     )
-    reps = df.join(reps_ids, F.col(id_col) == F.col("_rep_id"), "left_semi")
     pairs = simhash_near_pairs(reps, id_col, text_col, max_hamming, n_chunks)
     cc = connected_components(pairs, "id_a", "id_b", max_iter, stats)
-    return _expand_exact_clusters(mapping, cc)
+    return _expand_exact_clusters(df, groups, cc, id_col, text_col)
 
 
 # -- segment-level (cross-corpus span) dedup ----------------------------------
@@ -802,15 +847,18 @@ def segment_dedup(
     drops them).
 
     Plan (100 TB shape): chunking is a map-only explode; first-occurrence
-    selection is a map-side-combinable ``min(struct(id, idx))`` per
-    segment hash joined back to the segment rows — NOT a row_number
-    window, which would stream every row of a hot key through ONE
-    reducer task (a boilerplate segment repeated 100M times = one task
-    owning 100M rows).  The min-aggregate collapses the hot key on the
-    map side, and the join back is a plain equi-join AQE's skew-join
-    splitting handles; the aggregate and the join shuffle on the SAME
-    key, so the exchange is reused.  Reassembly is one groupBy on the
-    doc id.  No Python.
+    selection is a map-side-combinable ``min(struct(id, idx, payload))``
+    per segment hash — NOT a row_number window, which would stream every
+    row of a hot key through ONE reducer task (a boilerplate segment
+    repeated 100M times = one task owning 100M rows), and NOT a
+    winners-join-back, which would reshuffle every segment row on the
+    skewed hash a second time.  Carrying the winning row's payload
+    inside the min-struct (decided by the unique (id, idx) prefix) means
+    the kept segments come straight out of the aggregate; reassembly is
+    a groupBy over winners only (≤ one row per DISTINCT segment) plus a
+    map-side-combinable per-doc total count, joined one-row-per-doc to
+    one-row-per-doc.  The hot segment's copies collapse on the map side
+    and never travel again.  No Python.
     """
     from bruin_spark.operators.text import chunk_documents
 
@@ -827,34 +875,35 @@ def segment_dedup(
         F.col("chunk_n_tokens").alias("seg_tokens"),
         F.md5(F.col("chunk_text")).alias("_k"),
     )
-    firsts = segs.groupBy("_k").agg(
-        F.min(F.struct(F.col("id"), F.col("idx"))).alias("_f")
-    )
-    marked = segs.join(firsts, "_k").withColumn(
-        "_is_first",
-        (F.col("id") == F.col("_f.id")) & (F.col("idx") == F.col("_f.idx")),
-    )
-    return (
-        marked.groupBy(F.col("id").alias(id_col))
+    # the (id, idx) prefix is unique per segment row, so it alone decides
+    # the struct min; seg/seg_tokens ride along as the winner's payload
+    kept = (
+        segs.groupBy("_k")
         .agg(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("_is_first"),
-                                F.struct(F.col("idx"), F.col("seg")),
-                            )
-                        )
-                    ),
-                    lambda s: s["seg"],
-                ),
-            ).alias("clean_text"),
-            F.count(F.lit(1)).alias("n_segments_total"),
-            F.count(F.when(F.col("_is_first"), 1)).alias("n_segments_kept"),
-            F.coalesce(
-                F.sum(F.when(F.col("_is_first"), F.col("seg_tokens"))), F.lit(0)
-            ).alias("n_tokens_kept"),
+            F.min(
+                F.struct(
+                    F.col("id"), F.col("idx"), F.col("seg"), F.col("seg_tokens")
+                )
+            ).alias("_f")
         )
+        .select("_f.id", "_f.idx", "_f.seg", "_f.seg_tokens")
+    )
+    kept_per_doc = kept.groupBy("id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("idx"), F.col("seg")))),
+                lambda s: s["seg"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_segments_kept"),
+        F.sum("seg_tokens").alias("n_tokens_kept"),
+    )
+    totals = segs.groupBy("id").agg(F.count(F.lit(1)).alias("n_segments_total"))
+    return totals.join(kept_per_doc, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        F.col("n_segments_total"),
+        F.coalesce(F.col("n_segments_kept"), F.lit(0)).alias("n_segments_kept"),
+        F.coalesce(F.col("n_tokens_kept"), F.lit(0)).alias("n_tokens_kept"),
     )

@@ -324,17 +324,21 @@ def test_shingle_tokenization_bound_once(spark):
         assert plan.count("split(lower(trim") == 1
 
 
-def test_segment_dedup_two_shuffles_no_python(spark):
-    """segment_dedup: map-only chunking, ONE shuffle for the
-    first-occurrence window (keyed on segment md5), one groupBy on the
-    doc id for reassembly — and no Python anywhere."""
+def test_segment_dedup_three_light_shuffles_no_python(spark):
+    """segment_dedup: map-only chunking, then exactly three exchanges —
+    map-side-combined winner structs on the segment md5, winners only
+    (≤ one row per DISTINCT segment) on the doc id, and per-doc partial
+    counts on the doc id.  No full-segment-row reshuffle (the old
+    winners-join-back re-sent every copy of a hot segment), no window
+    reducer, and no Python anywhere."""
     from bruin_spark.operators.dedup import segment_dedup
 
     docs = read_parquet(spark, f"{SF}/documents.parquet")
     plan = plan_of(segment_dedup(docs))
-    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("Exchange hashpartitioning") == 3
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "SinglePartition" not in plan
+    assert "Window" not in plan
 
 
 def test_incremental_dedup_broadcasts_batch_and_finds_known_dup(spark):
