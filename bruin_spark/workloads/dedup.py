@@ -38,6 +38,35 @@ list_distinct(
 )
 """
 
+# one-md5 minhash, bit-for-bit with operators/dedup.py:minhash_signature —
+# 60-bit hex prefix parsed to BIGINT, split into 28-bit halves, mixed by
+# the SAME fixed affine coefficients (all arithmetic stays under 2^60, so
+# BIGINT ops are exact on both engines)
+_DUCK_SHINGLE_HASHES = (
+    "list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)"
+)
+
+
+def _duck_sig_exprs() -> str:
+    m, mask = D.MINHASH_MOD, D.MINHASH_H_MASK
+    return ", ".join(
+        f"list_min([({a} * (h & {mask}) + {b} * ((h >> 28) & {mask}) + {c}) % {m}"
+        f" FOR h IN hv]) AS mh_{i}"
+        for i, (a, b, c) in enumerate(D.minhash_coeffs(MINHASH_K))
+    )
+
+
+def _duck_bands_of(src: str) -> str:
+    r = MINHASH_K // LSH_BANDS
+    return " UNION ALL ".join(
+        "SELECT id, {b} AS band, md5(concat_ws('|', {cols})) AS band_key FROM {src}".format(
+            b=b,
+            cols=", ".join(f"mh_{i}::VARCHAR" for i in range(b * r, (b + 1) * r)),
+            src=src,
+        )
+        for b in range(LSH_BANDS)
+    )
+
 
 # -- exact dedup -----------------------------------------------------------------
 
@@ -110,12 +139,10 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle() -> str:
-    sig = ", ".join(
-        f"list_min([md5(concat('{i}:', s)) FOR s IN sh]) AS mh_{i}" for i in range(MINHASH_K)
-    )
     return f"""
-WITH sh AS (SELECT doc_id AS id, {_DUCK_SHINGLES} AS sh FROM documents)
-SELECT id, {sig} FROM sh
+WITH sh AS (SELECT doc_id AS id, {_DUCK_SHINGLES} AS sh FROM documents),
+hs AS (SELECT id, {_DUCK_SHINGLE_HASHES} AS hv FROM sh)
+SELECT id, {_duck_sig_exprs()} FROM hs
 """
 
 
@@ -126,18 +153,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_lsh_oracle() -> str:
-    r = MINHASH_K // LSH_BANDS
-    sig = ", ".join(
-        f"list_min([md5(concat('{i}:', s)) FOR s IN sh]) AS mh_{i}" for i in range(MINHASH_K)
-    )
-    band_selects = " UNION ALL ".join(
-        f"SELECT id, {b} AS band, md5(concat_ws('|', {', '.join(f'mh_{i}' for i in range(b * r, (b + 1) * r))})) AS band_key FROM sig"
-        for b in range(LSH_BANDS)
-    )
     return f"""
 WITH sh AS (SELECT doc_id AS id, {_DUCK_SHINGLES} AS sh FROM documents),
-sig AS (SELECT id, {sig} FROM sh),
-bands AS ({band_selects}),
+hs AS (SELECT id, {_DUCK_SHINGLE_HASHES} AS hv FROM sh),
+sig AS (SELECT id, {_duck_sig_exprs()} FROM hs),
+bands AS ({_duck_bands_of('sig')}),
 cands AS (
   SELECT a.id AS id_a, b.id AS id_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
@@ -286,24 +306,17 @@ def _incremental_oracle() -> str:
     from bruin_spark.operators.sampling import N_BUCKETS, bucket_sql
 
     cut = int(BATCH_FRACTION * N_BUCKETS)
-    r = MINHASH_K // LSH_BANDS
-    sig = ", ".join(
-        f"list_min([md5(concat('{i}:', s)) FOR s IN sh]) AS mh_{i}" for i in range(MINHASH_K)
-    )
-    def bands_of(src: str) -> str:
-        return " UNION ALL ".join(
-            f"SELECT id, {b} AS band, md5(concat_ws('|', {', '.join(f'mh_{i}' for i in range(b * r, (b + 1) * r))})) AS band_key FROM {src}"
-            for b in range(LSH_BANDS)
-        )
     return f"""
 WITH b AS (SELECT * FROM documents WHERE {bucket_sql('doc_id', 'incr')} < {cut}),
 c AS (SELECT * FROM documents WHERE {bucket_sql('doc_id', 'incr')} >= {cut}),
 shb AS (SELECT doc_id AS id, {_DUCK_SHINGLES} AS sh FROM b),
 shc AS (SELECT doc_id AS id, {_DUCK_SHINGLES} AS sh FROM c),
-sigb AS (SELECT id, {sig} FROM shb),
-sigc AS (SELECT id, {sig} FROM shc),
-bandsb AS ({bands_of('sigb')}),
-bandsc AS ({bands_of('sigc')}),
+hsb AS (SELECT id, {_DUCK_SHINGLE_HASHES} AS hv FROM shb),
+hsc AS (SELECT id, {_DUCK_SHINGLE_HASHES} AS hv FROM shc),
+sigb AS (SELECT id, {_duck_sig_exprs()} FROM hsb),
+sigc AS (SELECT id, {_duck_sig_exprs()} FROM hsc),
+bandsb AS ({_duck_bands_of('sigb')}),
+bandsc AS ({_duck_bands_of('sigc')}),
 cands AS (
   SELECT DISTINCT x.id AS batch_id, y.id AS corpus_id
   FROM bandsb x JOIN bandsc y ON x.band = y.band AND x.band_key = y.band_key
