@@ -494,12 +494,16 @@ def simhash_sql_expr(text_col: str = "text", dialect: str = "duckdb") -> str:
     """
     if dialect == "duckdb":
         toks = f"string_split_regex(lower(trim({text_col})), '\\s+')"
+        # one md5 per token parsed to a 48-bit integer; votes are integer
+        # shift/mask — same bit semantics as the historical per-hex-digit
+        # form (digit h bit b of the hex string == integer bit
+        # 4*(11-h)+b), so signature VALUES are unchanged
+        hs = f"list_transform({toks}, t -> ('0x' || substr(md5(t), 1, 12))::BIGINT)"
 
-        def vote(h: int, p: int) -> str:
+        def vote(pos: int) -> str:
             return (
-                f"list_sum([CASE WHEN "
-                f"((position(substr(md5(t), {h + 1}, 1) IN '0123456789abcdef') - 1) // {p}) % 2 = 1 "
-                f"THEN 1 ELSE -1 END FOR t IN {toks}])"
+                f"list_sum([CASE WHEN (h >> {pos}) & 1 = 1 "
+                f"THEN 1 ELSE -1 END FOR h IN {hs}])"
             )
 
     else:
@@ -508,8 +512,9 @@ def simhash_sql_expr(text_col: str = "text", dialect: str = "duckdb") -> str:
     terms = []
     for bit in range(SIMHASH_BITS):
         h, b = bit // 4, bit % 4
+        pos = 4 * (11 - h) + b
         terms.append(
-            f"(CASE WHEN ({vote(h, 2 ** b)}) > 0 THEN CAST({2 ** bit} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            f"(CASE WHEN ({vote(pos)}) > 0 THEN CAST({2 ** bit} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
         )
     return " + ".join(terms)
 
@@ -519,26 +524,31 @@ def simhash64(
 ) -> DataFrame:
     """SimHash signature over word tokens (SIMHASH_BITS wide).
 
-    Shape chosen for codegen: explode tokens → md5 ONCE per token → 48
-    flat ``SUM(CASE ...)`` bit-vote aggregates in one groupBy. Spark's
-    higher-order array functions (transform/aggregate) are interpreted
-    (CodegenFallback), so the seemingly shuffle-free fold-over-array form
-    is ~10× slower than this explode + hash-aggregate plan; the groupBy
-    does map-side partial aggregation, so the shuffle moves only
-    48 ints per document.
+    Shape chosen for codegen: explode tokens → md5 ONCE per token,
+    parsed once to a 48-bit integer → 48 flat ``SUM(CASE ...)`` bit-vote
+    aggregates in one groupBy, each an integer shift/mask (the historical
+    per-hex-digit substr/position form did 48 string ops per token; the
+    integer form votes on the SAME bits — digit h bit b of the hex
+    string is integer bit 4*(11-h)+b — so signature values are
+    unchanged). Spark's higher-order array functions (transform/
+    aggregate) are interpreted (CodegenFallback), so the seemingly
+    shuffle-free fold-over-array form is ~10× slower than this explode +
+    hash-aggregate plan; the groupBy does map-side partial aggregation,
+    so the shuffle moves only 48 ints per document.
     """
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     tok = df.select(F.col(id_col), F.explode(toks).alias("_t")).select(
-        id_col, F.md5("_t").alias("_d")
+        id_col,
+        F.conv(F.substring(F.md5("_t"), 1, 12), 16, 10).cast("long").alias("_h"),
     )
     votes = []
     for bit in range(SIMHASH_BITS):
-        h, p = bit // 4, 2 ** (bit % 4)
-        vote = (
-            f"CASE WHEN ((position(substr(_d, {h + 1}, 1) IN '0123456789abcdef') - 1) "
-            f"DIV {p}) % 2 = 1 THEN 1 ELSE -1 END"
-        )
-        votes.append(F.sum(F.expr(vote)).alias(f"_v{bit}"))
+        h, b = bit // 4, bit % 4
+        pos = 4 * (11 - h) + b
+        vote = F.when(
+            F.shiftright(F.col("_h"), pos).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+        votes.append(F.sum(vote).alias(f"_v{bit}"))
     sig = tok.groupBy(id_col).agg(*votes)
     acc = F.lit(0).cast("bigint")
     for bit in range(SIMHASH_BITS):
