@@ -44,8 +44,18 @@ def registry():
     return entry.queries(), entry.oracle_sql()
 
 
-@pytest.mark.parametrize("name", NEVER_WINDOWED)
-def test_never_windowed_entry_matches_oracle(spark, duck, registry, name):
+#: the hash-scheme entries: the MinHash affine-permutation and SimHash
+#: bit-vote arithmetic must stay bit-identical across engines — any
+#: drift in the integer mixing (overflow, hex-parse width, coefficient
+#: table) breaks EVERY downstream LSH/cluster/incremental oracle, so the
+#: raw signatures are pinned here directly
+HASH_SCHEME = [
+    "dedup_minhash_signature",
+    "dedup_simhash_signature",
+]
+
+
+def _assert_entry_matches_oracle(spark, duck, registry, name):
     queries, oracles = registry
     assert name in queries, f"{name} dropped from the registry"
     assert name in oracles, f"{name} lost its oracle"
@@ -56,3 +66,13 @@ def test_never_windowed_entry_matches_oracle(spark, duck, registry, name):
     assert sc == dc, f"columns differ: spark={sc} duckdb={dc}"
     assert len(sr) == len(dr), f"row count: spark={len(sr)} duckdb={len(dr)}"
     assert sr == dr, f"values differ, first diffs: {[(a, b) for a, b in zip(sr, dr) if a != b][:3]}"
+
+
+@pytest.mark.parametrize("name", NEVER_WINDOWED)
+def test_never_windowed_entry_matches_oracle(spark, duck, registry, name):
+    _assert_entry_matches_oracle(spark, duck, registry, name)
+
+
+@pytest.mark.parametrize("name", HASH_SCHEME)
+def test_hash_scheme_signatures_bit_identical(spark, duck, registry, name):
+    _assert_entry_matches_oracle(spark, duck, registry, name)
