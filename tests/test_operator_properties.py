@@ -262,3 +262,53 @@ def test_bpe_merges_repeated_pair_runs_canonically(spark):
     merges = bpe_learn_merges(docs, n_merges=1).collect()
     assert (merges[0]["merge_left"], merges[0]["merge_right"]) == ("a", "b")
     assert merges[0]["pair_count"] == 6  # 3 occurrences x freq 2
+
+
+def test_minhash_scheme_statistical_quality(spark):
+    """The affine-permutation minhash must BEHAVE like random
+    permutations, not merely be deterministic: on a seeded corpus of 60
+    near-dup pairs with token-level overlap ~90% (shingle Jaccard ~0.8),
+    (a) the signature-agreement fraction estimates true Jaccard with
+    small mean error, and (b) banded LSH (k=16, b=4) catches most pairs
+    (theory at J=0.8: 1-(1-J^4)^4 ~ 0.9).  A degenerate coefficient
+    table (constant, correlated, or low-entropy mixes) stays perfectly
+    cross-engine-consistent yet fails both gates — this is the quality
+    pin the bit-parity tests cannot provide."""
+    from bruin_spark.operators.dedup import minhash_dedup_pairs, minhash_signature
+
+    rng = random.Random(SEED)
+    rows, truth = [], {}
+    vocab = [f"w{i}" for i in range(4000)]
+    for p in range(60):
+        base = [rng.choice(vocab) for _ in range(50)]
+        a = base[:]
+        b = base[:45] + [rng.choice(vocab) for _ in range(5)]
+        rows.append((2 * p, " ".join(a)))
+        rows.append((2 * p + 1, " ".join(b)))
+
+        def sh(toks):
+            return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+        sa, sb = sh(a), sh(b)
+        truth[(2 * p, 2 * p + 1)] = len(sa & sb) / len(sa | sb)
+    # distractor singletons so the LSH join has non-pair mass too
+    for d in range(120, 180):
+        rows.append((d, " ".join(rng.choice(vocab) for _ in range(50))))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    sig = {r["id"]: [r[f"mh_{i}"] for i in range(16)] for r in minhash_signature(df).collect()}
+    errs = []
+    for (ia, ib), j in truth.items():
+        agree = sum(x == y for x, y in zip(sig[ia], sig[ib])) / 16
+        errs.append(abs(agree - j))
+    mean_err = sum(errs) / len(errs)
+    assert mean_err < 0.08, f"signature agreement is a poor Jaccard estimator: {mean_err:.3f}"
+
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_dedup_pairs(df, threshold=0.5).collect()
+    }
+    catchable = [p for p, j in truth.items() if j >= 0.7]
+    assert len(catchable) >= 40  # the corpus construction really is high-overlap
+    recall = sum(p in pairs for p in catchable) / len(catchable)
+    assert recall >= 0.7, f"banded LSH recall on J>=0.7 pairs: {recall:.2f}"
