@@ -34,6 +34,13 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_exact_survivors",
     "text_curation_funnel",
     "dedup_incremental",
+    # --- values/plan changed late in r8 (one-md5 affine minhash: new
+    # signature values; simhash integer bit votes: same values, new
+    # plan; both bit-matched to the updated oracles locally + in CI) ---
+    "dedup_minhash_signature",
+    "dedup_minhash_lsh",
+    "dedup_simhash_signature",
+    "dedup_simhash_pairs",
     # --- never driver-checked (r01-r03 union misses only these 3) ---
     "emb_quantize_stats",
     "split_alignment_docs_embeddings",
@@ -78,10 +85,9 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "mat_view",
     "mat_append",
     "mat_truncate_insert",
-    "mat_delete_insert",
-    "mat_time_interval",
-    "mat_ddl",
-    "mat_scd2_by_column",
+    # mat_delete_insert / mat_time_interval / mat_ddl /
+    # mat_scd2_by_column rotated out late in r8 (all green r07) to make
+    # room for the four hash-scheme entries above.
     # mat_scd2_by_time rotated out in r8 (green r07) to fit the cap.
     # mat_datavault_hub / mat_datavault_link / mat_datavault_satellite
     # displaced in r8 by dedup_simhash_clusters / dedup_clusters /
