@@ -116,22 +116,33 @@ def ngram_jaccard_pairs(
     sh = df.select(
         F.col(id_col).alias("id"), F.array_distinct(shingles(text_col, n)).alias("sh")
     )
-    inv = sh.select("id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
+    # posting keys are 60-bit hashes of the shingle, not the string:
+    # every downstream shuffle/sort/join compares 8-byte longs instead
+    # of ~20-char strings.  A hash collision merges two posting lists,
+    # which can only ADD candidates (true common shingles always share
+    # a hash) — and the exact-intersection verification filters them —
+    # so the output is still exactly the naive plan's.
+    hkey = F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long")
+    inv = sh.select(
+        "id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
+    ).select("id", "n_sh", hkey.alias("_hs"))
     # global document frequency: count+min aggregate map-side, so the
     # hot shingle collapses before it can fan out
-    dfreq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-    w = Window.partitionBy("id").orderBy("_df", "shingle")
-    ranked = inv.join(dfreq, "shingle").withColumn("_r", F.row_number().over(w))
+    dfreq = inv.groupBy("_hs").agg(F.count(F.lit(1)).alias("_df"))
+    # rarity order (asc df, hash tiebreak): any consistent total order
+    # on posting keys satisfies the prefix theorem
+    w = Window.partitionBy("id").orderBy("_df", "_hs")
+    ranked = inv.join(dfreq, "_hs").withColumn("_r", F.row_number().over(w))
     prefix = ranked.filter(
         F.col("_r")
         <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
-    ).select("id", "n_sh", "shingle")
+    ).select("id", "n_sh", "_hs")
     cands = (
         prefix.alias("a")
         .hint("merge")
         .join(
             prefix.alias("b").hint("merge"),
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a._hs") == F.col("b._hs"))
             & (F.col("a.id") < F.col("b.id"))
             # size filter: J ≥ t forces t·|a| ≤ |b| and t·|b| ≤ |a|
             & (F.col("a.n_sh") * F.lit(threshold) <= F.col("b.n_sh"))
