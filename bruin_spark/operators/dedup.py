@@ -691,11 +691,6 @@ def connected_components(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    if e.isEmpty():
-        if stats is not None:
-            stats["rounds"] = 0
-        schema = "node bigint, component bigint"
-        return e.sparkSession.createDataFrame([], schema)
 
     def _fingerprint(df: DataFrame):
         # bit_xor: order-independent and overflow-free under ANSI mode
@@ -706,11 +701,22 @@ def connected_components(
         ).collect()[0]
         return row["n"], row["h"]
 
-    e = e.localCheckpoint(eager=True)
+    # lazy localCheckpoint: the fingerprint action both materializes the
+    # checkpoint AND reads the convergence state — ONE pass over the
+    # edges per round instead of a dedicated checkpoint job followed by
+    # a fingerprint job (at scale that is a whole extra edge scan per
+    # star round).  The checkpoint still severs lineage before the next
+    # round's plan executes.
+    e = e.localCheckpoint(eager=False)
     prev = _fingerprint(e)
+    if prev[0] == 0:
+        if stats is not None:
+            stats["rounds"] = 0
+        schema = "node bigint, component bigint"
+        return e.sparkSession.createDataFrame([], schema)
     rounds = 0
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         rounds += 1
         cur = _fingerprint(e)
         if cur == prev:
