@@ -5,17 +5,20 @@ Scale design notes (the reason each operator is shaped the way it is):
 
 - **exact**: one hash-groupBy over a canonical fingerprint — a single
   shuffle on a short string key; AQE handles skew.
-- **n-gram Jaccard**: exact pairwise similarity via an inverted index
-  (explode shingles → self-join on shingle → count per pair). The
-  shingle join is the classic O(index) plan; it never materializes the
-  full O(n²) pair space, only pairs sharing ≥1 shingle.
-- **MinHash+LSH**: the 100 TB path. Signature = k independent min-hashes;
-  hashing is ``min(md5(seed || shingle))`` — md5 is deterministic and
-  engine-portable (lexicographic min over hex strings), so oracles can
-  reproduce signatures bit-for-bit. Bands of r rows → bucket join —
+- **n-gram Jaccard**: exact pairwise similarity via a PREFIX-FILTERED
+  inverted index (AllPairs/PPJoin) keyed on 60-bit shingle hashes. It
+  never materializes the full O(n²) pair space, and hot common shingles
+  fall out of every large doc's indexed prefix.
+- **MinHash+LSH**: the 100 TB path. ONE md5 per shingle: the digest's
+  60-bit hex prefix parses to BIGINT and each of the k "permutations"
+  is an affine mix ``(a·h1 + b·h2 + c) mod 2^31−1`` over its 28-bit
+  halves — every product stays under 2^60, so 64-bit arithmetic is
+  exact and engine-portable and oracles reproduce signatures
+  bit-for-bit (pinned in CI). Bands of r rows → bucket join —
   candidate generation cost is O(n·bands), not O(n²).
-- **SimHash**: 64-bit signature from md5-derived bit votes; near-dups =
-  signatures at small Hamming distance. Map-only signature computation.
+- **SimHash**: 48-bit signature from md5-derived bit votes (digest
+  parsed once per token, shift/mask per bit); near-dups = signatures at
+  small Hamming distance. Map-only signature computation.
 - **embedding cosine**: see operators/similarity.py; near-dup = cosine
   above threshold between distinct vectors.
 """
@@ -89,6 +92,16 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 # -- n-gram Jaccard ---------------------------------------------------------
 
 
+def _md5_60bit_key(col) -> "F.Column":
+    """60-bit integer key from the md5 hex prefix — THE cross-engine
+    hash contract: Spark ``conv(substr(md5(x),1,15),16,10)`` equals
+    DuckDB ``('0x' || substr(md5(x),1,15))::BIGINT`` (see
+    workloads/dedup.py:_DUCK_SHINGLE_HASHES, which must stay the mirror
+    of this expression).  Used as the minhash input hash and as the
+    prefix-filter posting key."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -122,7 +135,7 @@ def ngram_jaccard_pairs(
     # which can only ADD candidates (true common shingles always share
     # a hash) — and the exact-intersection verification filters them —
     # so the output is still exactly the naive plan's.
-    hkey = F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long")
+    hkey = _md5_60bit_key(F.col("shingle"))
     inv = sh.select(
         "id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
     ).select("id", "n_sh", hkey.alias("_hs"))
@@ -213,8 +226,12 @@ def minhash_coeffs(k: int) -> list[tuple[int, int, int]]:
 
     Generated by a fixed-seed 64-bit LCG so they are plain integer
     literals reproducible verbatim inside the DuckDB oracle SQL;
-    a_i, b_i are odd and < 2^31, so products with 28-bit hash halves
-    stay inside 63-bit signed range.
+    a_i, b_i are odd, nonzero mod MINHASH_MOD, and < 2^31, so products
+    with 28-bit hash halves stay inside 63-bit signed range.  The |1
+    of a draw of MOD-1 would yield exactly MOD ≡ 0 (degenerating that
+    permutation to ignore one hash half); such draws are rejected —
+    deterministically, so earlier accepted draws (and therefore every
+    committed k≤16 table) are unchanged.
     """
     x = 0x5DEECE66D
     out = []
@@ -224,8 +241,14 @@ def minhash_coeffs(k: int) -> list[tuple[int, int, int]]:
         x = (6364136223846793005 * x + 1442695040888963407) % (1 << 64)
         return (x >> 33) % MINHASH_MOD
 
+    def nxt_odd_nonzero() -> int:
+        while True:
+            v = nxt() | 1
+            if v < MINHASH_MOD:
+                return v
+
     for _ in range(k):
-        out.append((nxt() | 1, nxt() | 1, nxt()))
+        out.append((nxt_odd_nonzero(), nxt_odd_nonzero(), nxt()))
     return out
 
 
@@ -255,7 +278,7 @@ def minhash_signature(
     """
     # no array_distinct: MIN is duplicate-insensitive, and the distinct
     # pass is an interpreted HOF costing ~30% of the explode stage
-    h = F.conv(F.substring(F.md5(F.col("_s")), 1, 15), 16, 10).cast("long")
+    h = _md5_60bit_key(F.col("_s"))
     sh_rows = df.select(
         F.col(id_col).alias("id"),
         F.explode(shingles(text_col, n)).alias("_s"),
@@ -735,14 +758,19 @@ def connected_components(
 
 
 def _text_group_key(id_col: str, text_col: str):
-    """Grouping key for byte-identical texts.  Docs whose text has no
-    tokens (empty/whitespace) are NOT grouped (key = unique per doc):
-    Jaccard between empty shingle sets is undefined (0/0), so the
-    verified-pair pipeline never links them and collapsing them would
-    invent clusters the all-pairs form does not produce."""
-    return F.when(
-        F.length(F.trim(F.col(text_col))) > 0, F.md5(F.col(text_col))
-    ).otherwise(F.concat(F.lit("__uniq:"), F.col(id_col).cast("string")))
+    """Grouping key for byte-identical texts: md5 over the raw bytes.
+
+    Empty/whitespace docs group too: ``shingles`` never yields an empty
+    set (the short-doc branch emits one whole-text shingle, so '' and
+    '   ' both shingle to ['']), every byte-identical pair verifies at
+    Jaccard 1 / Hamming 0, and the collapse equivalence proof applies
+    to them unchanged.  Exempting them (as an earlier revision did on
+    the false premise that empty shingle sets never link) would leave
+    100k whitespace-only crawl docs as 100k identical-signature reps —
+    exactly the quadratic LSH hot bucket the collapse exists to
+    prevent."""
+    del id_col  # kept for signature stability; the key is text-only
+    return F.md5(F.col(text_col))
 
 
 def exact_text_mapping(
@@ -782,23 +810,28 @@ def _exact_group_rows(
     )
 
 
+def _rep_rows(df: DataFrame, groups: DataFrame, id_col: str) -> DataFrame:
+    """Full rows of each exact group's representative: left-semi join
+    ``df`` against the group minima (the rep-id side is one row per
+    distinct text, so AQE broadcasts it)."""
+    return df.join(
+        groups.select(F.col("rep").alias("_rep_id")),
+        F.col(id_col) == F.col("_rep_id"),
+        "left_semi",
+    )
+
+
 def collapse_exact_texts(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """One representative row (min id) per byte-identical text.
 
     The rep-id set needs only the group minimum — one map-side-
-    combinable aggregate, no per-id mapping join — then a left-semi
-    join keeps the winners' full rows.
+    combinable aggregate (Catalyst prunes the unused group_n), no
+    per-id mapping join — then a left-semi join keeps the winners'
+    full rows.
     """
-    key = _text_group_key(id_col, text_col)
-    reps = (
-        df.select(F.col(id_col).alias("id"), key.alias("_tkey"))
-        .groupBy("_tkey")
-        .agg(F.min("id").alias("_rep_id"))
-        .select("_rep_id")
-    )
-    return df.join(reps, F.col(id_col) == F.col("_rep_id"), "left_semi")
+    return _rep_rows(df, _exact_group_rows(df, id_col, text_col), id_col)
 
 
 def minhash_dedup_clusters(
@@ -816,11 +849,13 @@ def minhash_dedup_clusters(
     exact-duplicate pre-collapse that makes the pipeline skew-safe.
 
     Output is IDENTICAL to ``connected_components(minhash_dedup_pairs(
-    df))``: byte-identical non-empty texts share every band key (same
-    signature) and verify at Jaccard 1, so each exact group is fully
-    connected through its representative, and any cross-group candidate/
-    verification decision depends only on the two texts — rep-level
-    pairs exist iff the member-level pairs do.  Component ids match too:
+    df))``: byte-identical texts share every band key (same signature)
+    and verify at Jaccard 1 (shingle sets are never empty — short and
+    even whitespace-only docs emit one whole-text shingle), so each
+    exact group is fully connected through its representative, and any
+    cross-group candidate/verification decision depends only on the two
+    texts — rep-level pairs exist iff the member-level pairs do.
+    Component ids match too:
     the representative IS its group's min id, so the min over
     representatives equals the min over all expanded members.
 
@@ -832,11 +867,7 @@ def minhash_dedup_clusters(
     aggregate that no key distribution can blow up.
     """
     groups = _exact_group_rows(df, id_col, text_col).localCheckpoint(eager=True)
-    reps = df.join(
-        groups.select(F.col("rep").alias("_rep_id")),
-        F.col(id_col) == F.col("_rep_id"),
-        "left_semi",
-    )
+    reps = _rep_rows(df, groups, id_col)
     pairs = minhash_dedup_pairs(reps, id_col, text_col, k, bands, n, threshold)
     cc = connected_components(pairs, "id_a", "id_b", max_iter, stats)
     return _expand_exact_clusters(df, groups, cc, id_col, text_col)
@@ -887,16 +918,9 @@ def simhash_dedup_clusters(
     signatures: the output is IDENTICAL to ``connected_components(
     simhash_near_pairs(df))`` while the hot pigeonhole block (one text
     owning 20% of a corpus shares every chunk key) collapses to one row.
-    Unlike Jaccard, SimHash over an empty token list is well-defined, so
-    the empty-text guard in _text_group_key is merely conservative
-    here: ungrouped empty docs still pair through the normal block path.
     """
     groups = _exact_group_rows(df, id_col, text_col).localCheckpoint(eager=True)
-    reps = df.join(
-        groups.select(F.col("rep").alias("_rep_id")),
-        F.col(id_col) == F.col("_rep_id"),
-        "left_semi",
-    )
+    reps = _rep_rows(df, groups, id_col)
     pairs = simhash_near_pairs(reps, id_col, text_col, max_hamming, n_chunks)
     cc = connected_components(pairs, "id_a", "id_b", max_iter, stats)
     return _expand_exact_clusters(df, groups, cc, id_col, text_col)

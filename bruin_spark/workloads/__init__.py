@@ -97,6 +97,14 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # dedup_simhash_signature / dedup_exact_groups — green r02/r03.
 )
 
+# the window must be EXACTLY 50 unique names: the driver samples the
+# first 50 registry entries, and a duplicate silently shrinks coverage
+# while an off-count shifts which entries get verified.  Membership in
+# the registry is asserted inside collect_queries (the registry modules
+# aren't importable yet at module top level).
+assert len(_DRIVER_WINDOW_PRIORITY) == 50, len(_DRIVER_WINDOW_PRIORITY)
+assert len(set(_DRIVER_WINDOW_PRIORITY)) == 50, "duplicate window entry"
+
 
 def collect_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
     from bruin_spark.workloads import (
@@ -142,9 +150,13 @@ def collect_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame
                 raise ValueError(f"duplicate workload query name: {name}")
             out[name] = pair
 
+    missing = [n for n in _DRIVER_WINDOW_PRIORITY if n not in out]
+    if missing:
+        # a typo here would silently shift which entries the driver's
+        # 50-entry correctness window verifies
+        raise ValueError(f"window names not in the registry: {missing}")
     ordered: dict = {}
     for name in _DRIVER_WINDOW_PRIORITY:
-        if name in out:
-            ordered[name] = out.pop(name)
+        ordered[name] = out.pop(name)
     ordered.update(out)
     return ordered

@@ -139,8 +139,11 @@ def test_connected_components_round_count_gate(spark, sf_dir):
 
 def _skewy_docs(spark, n=400):
     """Corpus with a hot identical-text cluster (~25%), several medium
-    clusters, near-dup (not identical) variants, empty texts, and a
-    unique tail — the Zipf shape that blows up naive LSH bucketing."""
+    clusters, near-dup (not identical) variants, empty AND
+    whitespace-only texts (both shingle to [''], so they cluster
+    together at Jaccard 1 — the case that must collapse, not exempt),
+    and a unique tail — the Zipf shape that blows up naive LSH
+    bucketing."""
     rows = []
     hot = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     for i in range(n):
@@ -148,8 +151,10 @@ def _skewy_docs(spark, n=400):
             text = hot                                   # hot exact cluster
         elif i % 4 == 1:
             text = f"med{i % 7} one two three four five six seven eight nine"
-        elif i % 4 == 2 and i % 20 == 2:
-            text = ""                                    # empty: never clusters
+        elif i % 4 == 2 and i % 40 == 2:
+            text = ""                                    # empty docs cluster at J=1
+        elif i % 4 == 2 and i % 40 == 22:
+            text = "   "                                 # ...with whitespace variants
         elif i % 4 == 2:
             # near-dup of hot: one word changed (high but non-1 jaccard)
             text = hot.replace("kappa", f"kap{i % 3}")
@@ -180,19 +185,25 @@ def test_minhash_dedup_clusters_equals_allpairs_pipeline(spark):
     assert len(got_rows) > 100  # the hot+medium clusters actually exist
 
 
-def test_exact_text_mapping_groups_and_empty_guard(spark):
+def test_exact_text_mapping_groups_including_empty(spark):
+    """Byte-identical texts group — INCLUDING empty/whitespace docs
+    (shingle sets are never empty: '' shingles to [''], so identical
+    empties verify at Jaccard 1 and collapsing them is output-identical;
+    leaving them ungrouped would park 100k boilerplate-empty crawl docs
+    in one quadratic LSH band bucket).  '' and '   ' are different
+    bytes, hence different groups."""
     from bruin_spark.operators.dedup import collapse_exact_texts, exact_text_mapping
 
     docs = spark.createDataFrame(
-        [(1, "same text"), (2, "same text"), (5, "other"), (7, ""), (9, "")],
+        [(1, "same text"), (2, "same text"), (5, "other"), (7, ""), (9, ""), (11, "   ")],
         "doc_id bigint, text string",
     )
     m = {r["id"]: (r["rep"], r["group_n"]) for r in exact_text_mapping(docs).collect()}
     assert m[1] == (1, 2) and m[2] == (1, 2) and m[5] == (5, 1)
-    # empty texts never group together
-    assert m[7] == (7, 1) and m[9] == (9, 1)
+    # byte-identical empty texts group; whitespace variant stays apart
+    assert m[7] == (7, 2) and m[9] == (7, 2) and m[11] == (11, 1)
     reps = sorted(r["doc_id"] for r in collapse_exact_texts(docs).collect())
-    assert reps == [1, 5, 7, 9]
+    assert reps == [1, 5, 7, 11]
 
 
 def test_segment_dedup_no_window_single_reducer(spark):
