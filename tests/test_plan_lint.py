@@ -1,0 +1,128 @@
+"""Registry-wide physical-plan lint: every lazily-built query entry is
+explained and checked against the 100 TB ground rules mechanically —
+no row-at-a-time Python, no cartesian products, Arrow batching only in
+the multimodal family, and single-partition stages only where they are
+provably bounded (a global scalar aggregate's final reduce) or
+semantics-bound (a user-requested unpartitioned window in the semantic
+layer).  Individual operators have targeted plan tests in
+test_plans.py; this sweep guards every FUTURE entry and refactor: a
+new operator that sneaks in a Python UDF or an unpartitioned window
+fails here with its name, not in a round-later bench regression.
+"""
+
+import os
+
+import pytest
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+#: entry-name prefixes whose callables only BUILD a DataFrame (mat_*,
+#: stream_*, ingest_*, unittest_* execute side effects on call and are
+#: covered by their own e2e tests instead)
+LAZY_PREFIXES = (
+    "q",
+    "dedup_",
+    "sim_",
+    "emb_",
+    "text_",
+    "rel_",
+    "sample_",
+    "split_",
+    "stat_",
+    "diff_",
+    "sem_",
+    "mm_",
+    "lineage_",
+    "quality_",
+)
+
+#: Arrow mapInPandas is the DESIGNED shape for opaque-binary multimodal
+#: decode — allowed there and nowhere else
+MAP_IN_PANDAS_OK = ("mm_",)
+
+#: broadcast nested-loop is the deliberate exact brute-force shape:
+#: one tiny broadcast side (query batch, centroid table, 1-row global
+#: stats, band edges) against the corpus — bounded by construction
+BNLJ_OK = {
+    "emb_kmeans_step",
+    "q11_important_parts",
+    "q22_inactive_customers",
+    "rel_range_price_bands",
+    "sim_ivf_topk",
+    "sim_near_dup_exact",
+    "sim_topk_bruteforce",
+    "text_bm25_topk",
+}
+
+#: SinglePartition stages allowed ONLY here:
+#: - scalar global aggregates: the final reduce of map-side partials is
+#:   one partition of k rows by definition (q6/q11/q14/q15/q17/q19/q22,
+#:   quality_violation_counts, text_bm25_topk's 1-row corpus stats)
+#: - semantic-layer windows: the reference engine emits the same
+#:   unpartitioned OVER (...) the user asked for — semantics-bound
+SINGLE_PARTITION_OK = {
+    "q6_revenue_forecast",
+    "q11_important_parts",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q22_inactive_customers",
+    "quality_violation_counts",
+    "sem_monthly_window",
+    "sem_rank_wrapped",
+    "text_bm25_topk",
+}
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    from bruin_spark.workloads import collect_queries
+
+    out = {}
+    for name, (fn, _oracle) in collect_queries().items():
+        if not name.startswith(LAZY_PREFIXES):
+            continue
+        out[name] = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    return out
+
+
+def test_sweep_covers_the_lazy_registry(plans):
+    # the sweep must not silently shrink (e.g. a prefix rename)
+    assert len(plans) >= 70, sorted(plans)
+
+
+def test_no_row_at_a_time_python_anywhere(plans):
+    bad = [n for n, p in plans.items() if "BatchEvalPython" in p or "ArrowEvalPython" in p]
+    assert bad == [], bad
+
+
+def test_arrow_batching_only_in_multimodal(plans):
+    bad = [
+        n
+        for n, p in plans.items()
+        if "MapInPandas" in p and not n.startswith(MAP_IN_PANDAS_OK)
+    ]
+    assert bad == [], bad
+    assert all("MapInPandas" in p for n, p in plans.items() if n.startswith("mm_"))
+
+
+def test_no_cartesian_product_anywhere(plans):
+    bad = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert bad == [], bad
+
+
+def test_broadcast_nested_loop_only_where_bounded(plans):
+    got = {n for n, p in plans.items() if "BroadcastNestedLoopJoin" in p}
+    assert got == BNLJ_OK, (
+        f"unexpected: {sorted(got - BNLJ_OK)}; "
+        f"stale allowlist: {sorted(BNLJ_OK - got)}"
+    )
+
+
+def test_single_partition_only_where_bounded(plans):
+    got = {n for n, p in plans.items() if "SinglePartition" in p}
+    assert got == SINGLE_PARTITION_OK, (
+        f"unexpected: {sorted(got - SINGLE_PARTITION_OK)}; "
+        f"stale allowlist: {sorted(SINGLE_PARTITION_OK - got)}"
+    )
