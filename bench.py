@@ -769,6 +769,16 @@ def main() -> int:
 
     spark = get_spark("bruin_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # plan fingerprints hash optimizedPlan().toString(): at the default
+    # maxToStringFields=25 a wide aggregate/project list prints as
+    # "... N more fields", silently blinding the hash to changes inside
+    # it — print everything.  Caveat discovered in r8: pipelines that
+    # localCheckpoint mid-build (minhash candidates, CC rounds) hash
+    # only their post-checkpoint TAIL (the earlier stages execute at
+    # build time and appear as a LogicalRDD leaf), so an unchanged hash
+    # there does not certify the upstream stages — cross-check those
+    # against the operators' plan tests in tests/test_plans.py.
+    spark.conf.set("spark.sql.debug.maxToStringFields", "10000")
     # Warmup: absorb one-time executor/codegen/broadcast init so the timed
     # section measures steady-state query cost, not JVM spin-up.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
