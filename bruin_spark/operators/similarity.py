@@ -222,6 +222,65 @@ def embedding_near_dup(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then compare vectors
+    ONLY within a cluster — a vector is a semantic duplicate when a
+    SMALLER-id vector in its cluster has cosine ≥ threshold, and the
+    min-id qualifying neighbor is recorded as its ``dup_of``.
+
+    Returns one row per vector:
+    (id, cluster_id, keep, dup_of, dup_cos) — keep=false iff dup_of set.
+
+    100 TB shape: the quadratic term is bounded by the largest CLUSTER,
+    never the corpus — production scales n_centroids with corpus size so
+    clusters stay bounded, exactly as SemDeDup does on LAION.  The
+    within-cluster self-join is a plain equi-join on cluster id (AQE
+    splits a skewed cluster), assignment is the broadcast max_by argmax
+    shared with the IVF index, and dup selection is a map-side-
+    combinable min(struct) — no windows, no driver loops.
+    """
+    u = with_unit_vectors(df, vec_col).select(F.col(id_col).alias("id"), "unit_vec")
+    cents = deterministic_centroids(u, n_centroids, id_col="id")
+    assigned = ivf_assign(u, cents, id_col="id")
+    a = assigned.select("id", "unit_vec", "centroid_id")
+    pairs = (
+        a.alias("x")
+        .join(
+            a.alias("y"),
+            (F.col("x.centroid_id") == F.col("y.centroid_id"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("y.id").alias("id"),
+            F.col("x.id").alias("cand"),
+            F.round(_dot(F.col("x.unit_vec"), F.col("y.unit_vec")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+    # min over (cand, cos): cand is unique per (id, cand) pair, so the
+    # struct min is the smallest qualifying neighbor with ITS cosine
+    dups = pairs.groupBy("id").agg(
+        F.min(F.struct(F.col("cand"), F.col("cos"))).alias("_d")
+    )
+    return (
+        assigned.join(dups, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("centroid_id").alias("cluster_id"),
+            F.col("_d").isNull().alias("keep"),
+            F.col("_d.cand").alias("dup_of"),
+            F.col("_d.cos").alias("dup_cos"),
+        )
+    )
+
+
 # -- IVF (inverted-file) ANN --------------------------------------------------
 
 

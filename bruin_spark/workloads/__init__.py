@@ -23,6 +23,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # Round-8 window (exactly 50; any NEW registry entry added this round
     # must be inserted HERE, near the top, displacing a sentinel below):
     # --- new in r8 (needs a first verdict) ---
+    "emb_semantic_dedup",
     "dedup_simhash_clusters",
     # --- plan changed in r8 (exact-collapse pipeline / no-window
     # segment dedup / prefix-filtered jaccard / min_by exact dedup /
@@ -84,10 +85,10 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "mat_create_replace",
     "mat_view",
     "mat_append",
-    "mat_truncate_insert",
-    # mat_delete_insert / mat_time_interval / mat_ddl /
-    # mat_scd2_by_column rotated out late in r8 (all green r07) to make
-    # room for the four hash-scheme entries above.
+    # mat_truncate_insert / mat_delete_insert / mat_time_interval /
+    # mat_ddl / mat_scd2_by_column rotated out late in r8 (all green
+    # r07) to make room for the four hash-scheme entries and
+    # emb_semantic_dedup above.
     # mat_scd2_by_time rotated out in r8 (green r07) to fit the cap.
     # mat_datavault_hub / mat_datavault_link / mat_datavault_satellite
     # displaced in r8 by dedup_simhash_clusters / dedup_clusters /

@@ -182,7 +182,56 @@ SELECT query_id, nn_id, cosine, rank FROM (
 """
 
 
+SEM_DEDUP_T = 0.3  # synthetic embeddings are near-random: 0.3 is the ~99th pct of within-cluster cosine, so ~1% of pairs qualify
+
+
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: cluster on the deterministic IVF
+    centroids, mark each vector whose cluster holds a smaller-id
+    neighbor at cosine >= threshold (the quadratic term stays bounded
+    by the largest cluster, never the corpus)."""
+    return S.semantic_dedup(
+        _emb(spark, sf_dir), n_centroids=N_CENTROIDS, threshold=SEM_DEDUP_T
+    )
+
+
+SEM_DEDUP_ORACLE = f"""
+WITH u AS (SELECT vec_id, {_DUCK_UNIT} AS uv FROM embeddings),
+cents AS (
+  SELECT vec_id AS centroid_id, uv AS cv FROM u ORDER BY vec_id LIMIT {N_CENTROIDS}
+),
+assigned AS (
+  SELECT vec_id, uv, centroid_id FROM (
+    SELECT v.vec_id, v.uv, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_duck_dot('v.uv', 'c.cv')} DESC, c.centroid_id
+           ) AS rn
+    FROM u v CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT y.vec_id AS vec_id, x.vec_id AS cand,
+         ROUND({_duck_dot('x.uv', 'y.uv')}, 6) AS cos
+  FROM assigned x JOIN assigned y
+    ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+  WHERE ROUND({_duck_dot('x.uv', 'y.uv')}, 6) >= {SEM_DEDUP_T}
+),
+d AS (
+  SELECT vec_id, cand, cos FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cand) AS rn
+    FROM pairs
+  ) WHERE rn = 1
+)
+SELECT a.vec_id, a.centroid_id AS cluster_id,
+       d.vec_id IS NULL AS keep,
+       d.cand AS dup_of, d.cos AS dup_cos
+FROM assigned a LEFT JOIN d ON d.vec_id = a.vec_id
+"""
+
+
 QUERIES = {
+    "emb_semantic_dedup": (emb_semantic_dedup, SEM_DEDUP_ORACLE),
     "sim_ivf_topk": (sim_ivf_topk, IVF_ORACLE),
     "sim_topk_bruteforce": (sim_topk_bruteforce, TOPK_ORACLE),
     "sim_near_dup_exact": (sim_near_dup_exact, NEAR_DUP_ORACLE),

@@ -45,6 +45,7 @@ MAP_IN_PANDAS_OK = ("mm_",)
 #: stats, band edges) against the corpus — bounded by construction
 BNLJ_OK = {
     "emb_kmeans_step",
+    "emb_semantic_dedup",  # broadcast centroid argmax (IVF assignment)
     "q11_important_parts",
     "q22_inactive_customers",
     "rel_range_price_bands",
