@@ -768,9 +768,17 @@ def _text_group_key(id_col: str, text_col: str):
     the false premise that empty shingle sets never link) would leave
     100k whitespace-only crawl docs as 100k identical-signature reps —
     exactly the quadratic LSH hot bucket the collapse exists to
-    prevent."""
+    prevent.
+
+    NULL texts get a literal sentinel key, NOT md5(NULL)=NULL: a NULL
+    key never matches itself in the downstream equi-joins, which would
+    silently DROP every NULL-text doc from the cluster output.  All
+    NULL texts form ONE group — they are byte-identical to each other,
+    and ``shingles(NULL)`` evaluates to [''] (concat_ws over a NULL
+    token array), so the all-pairs pipeline links them at Jaccard 1 and
+    merging them preserves the equivalence."""
     del id_col  # kept for signature stability; the key is text-only
-    return F.md5(F.col(text_col))
+    return F.coalesce(F.md5(F.col(text_col)), F.lit("__null__"))
 
 
 def exact_text_mapping(

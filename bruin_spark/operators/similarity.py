@@ -248,7 +248,15 @@ def semantic_dedup(
     """
     u = with_unit_vectors(df, vec_col).select(F.col(id_col).alias("id"), "unit_vec")
     cents = deterministic_centroids(u, n_centroids, id_col="id")
-    assigned = ivf_assign(u, cents, id_col="id")
+    # the assignment subtree is referenced three times below (both
+    # self-join sides + the final left join) with DIFFERENT column
+    # pruning, which defeats exchange reuse — cache it so the corpus
+    # scan and the broadcast argmax run once.  cache (not
+    # localCheckpoint) keeps the lineage visible to plan audits; Spark's
+    # CacheManager matches the canonicalized plan, so repeated calls
+    # reuse one entry.  On a real cluster this is MEMORY_AND_DISK —
+    # corpus-sized but columnar and spillable.
+    assigned = ivf_assign(u, cents, id_col="id").cache()
     a = assigned.select("id", "unit_vec", "centroid_id")
     pairs = (
         a.alias("x")

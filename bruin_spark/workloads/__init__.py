@@ -100,11 +100,15 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
 
 # the window must be EXACTLY 50 unique names: the driver samples the
 # first 50 registry entries, and a duplicate silently shrinks coverage
-# while an off-count shifts which entries get verified.  Membership in
-# the registry is asserted inside collect_queries (the registry modules
-# aren't importable yet at module top level).
-assert len(_DRIVER_WINDOW_PRIORITY) == 50, len(_DRIVER_WINDOW_PRIORITY)
-assert len(set(_DRIVER_WINDOW_PRIORITY)) == 50, "duplicate window entry"
+# while an off-count shifts which entries get verified.  Raised (not
+# assert — asserts vanish under python -O) at import time; membership
+# in the registry is checked inside collect_queries (the registry
+# modules aren't importable yet at module top level).
+if len(_DRIVER_WINDOW_PRIORITY) != 50 or len(set(_DRIVER_WINDOW_PRIORITY)) != 50:
+    raise ValueError(
+        f"driver window must be 50 unique names, got "
+        f"{len(_DRIVER_WINDOW_PRIORITY)} ({len(set(_DRIVER_WINDOW_PRIORITY))} unique)"
+    )
 
 
 def collect_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:

@@ -8,6 +8,14 @@ layer).  Individual operators have targeted plan tests in
 test_plans.py; this sweep guards every FUTURE entry and refactor: a
 new operator that sneaks in a Python UDF or an unpartitioned window
 fails here with its name, not in a round-later bench regression.
+
+KNOWN BLIND SPOT: pipelines that localCheckpoint mid-build (the
+minhash/jaccard candidate stages, CC star rounds) execute those stages
+during fn() — the sweep sees only the post-checkpoint tail behind a
+LogicalRDD leaf (and building their plans runs the upstream stages as
+a side effect).  The checkpointed stages are certified by the targeted
+plan tests in test_plans.py (segment/minhash/incremental shapes), not
+by this sweep.
 """
 
 import os

@@ -206,6 +206,42 @@ def test_exact_text_mapping_groups_including_empty(spark):
     assert reps == [1, 5, 7, 11]
 
 
+def test_null_texts_group_and_survive_cluster_expansion(spark):
+    """md5(NULL) is NULL and a NULL key never equi-joins to itself — a
+    naive text-only group key silently DROPS NULL-text docs from the
+    cluster output (found by review).  The sentinel key groups all NULL
+    texts together; shingles(NULL) = [''], so the all-pairs pipeline
+    links NULL and '' docs at Jaccard 1 and the collapsed pipeline must
+    produce the identical clusters."""
+    from bruin_spark.operators.dedup import (
+        connected_components,
+        exact_text_mapping,
+        minhash_dedup_clusters,
+        minhash_dedup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, ""), (4, None), (5, "real words here")],
+        "doc_id bigint, text string",
+    )
+    m = {r["id"]: (r["rep"], r["group_n"]) for r in exact_text_mapping(docs).collect()}
+    assert m[1] == (1, 2) and m[4] == (1, 2)  # NULLs are one group
+    assert m[2] == (2, 2) and m[3] == (2, 2)
+    ref = sorted(
+        map(
+            tuple,
+            connected_components(
+                minhash_dedup_pairs(docs, k=8, bands=4, threshold=0.5), "id_a", "id_b"
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(tuple, minhash_dedup_clusters(docs, k=8, bands=4, threshold=0.5).collect())
+    )
+    assert ref == got
+    assert (1, 1) in got and (4, 1) in got  # NULL docs present, linked
+
+
 def test_segment_dedup_no_window_single_reducer(spark):
     """The first-occurrence plan must be aggregate+join (map-side
     combinable), not a row_number window over the raw segment rows."""
