@@ -146,9 +146,17 @@ def ngram_jaccard_pairs(
     # on posting keys satisfies the prefix theorem
     w = Window.partitionBy("id").orderBy("_df", "_hs")
     ranked = inv.join(dfreq, "_hs").withColumn("_r", F.row_number().over(w))
+    # Pruning must only ever be CONSERVATIVE: verification accepts
+    # round(J, 6) >= threshold, and float products round up (0.55 * 100
+    # = 55.000000000000004, whose ceil over-shortens the prefix and
+    # whose size filter drops an exactly-at-threshold pair).  Relaxing
+    # the pruning threshold by the rounding slack (0.5 ulp of round-6)
+    # plus float epsilon can only ADD candidates — the exact-
+    # intersection verification keeps the output identical.
+    t_prune = threshold - 1e-6
     prefix = ranked.filter(
         F.col("_r")
-        <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+        <= F.col("n_sh") - F.ceil(F.lit(t_prune) * F.col("n_sh")) + 1
     ).select("id", "n_sh", "_hs")
     cands = (
         prefix.alias("a")
@@ -158,8 +166,8 @@ def ngram_jaccard_pairs(
             (F.col("a._hs") == F.col("b._hs"))
             & (F.col("a.id") < F.col("b.id"))
             # size filter: J ≥ t forces t·|a| ≤ |b| and t·|b| ≤ |a|
-            & (F.col("a.n_sh") * F.lit(threshold) <= F.col("b.n_sh"))
-            & (F.col("b.n_sh") * F.lit(threshold) <= F.col("a.n_sh")),
+            & (F.col("a.n_sh") * F.lit(t_prune) <= F.col("b.n_sh"))
+            & (F.col("b.n_sh") * F.lit(t_prune) <= F.col("a.n_sh")),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()

@@ -344,3 +344,21 @@ def test_incremental_dedup_collapsed_index_equals_full_index(spark):
         batch, lsh_band_index(reps, k=8, bands=4), reps, k=8, bands=4, threshold=0.5
     )
     assert sorted(map(tuple, full.collect())) == sorted(map(tuple, coll.collect()))
+
+
+def test_prefix_filter_keeps_exactly_at_threshold_pairs(spark):
+    """Float products round up (0.55*100 = 55.000000000000004): the
+    prefix length and size filter must prune CONSERVATIVELY or a pair
+    at exactly J = threshold is silently dropped while verification
+    (round(J,6) >= t) would accept it.  x = 102 distinct tokens (100
+    shingles), y = its 57-token prefix (55 shingles, all shared):
+    J = 55/100 = 0.55 exactly."""
+    from bruin_spark.operators.dedup import ngram_jaccard_pairs
+
+    toks = [f"w{i}" for i in range(102)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, " ".join(toks[:57]))],
+        "doc_id bigint, text string",
+    )
+    rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, threshold=0.55).collect()}
+    assert rows == {(1, 2): 0.55}, rows
