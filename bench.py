@@ -270,7 +270,18 @@ def _build_scaled_dir(spark, base_dir: str, factor: int) -> str:
     across bench runs."""
     from pyspark.sql import functions as F
 
-    out = f"/tmp/bruin_scale{factor}v3_{os.path.basename(base_dir.rstrip('/'))}"
+    # same generator-source cache key as _build_skewed_dir: corpus-shape
+    # edits must invalidate the materialized data automatically
+    import hashlib
+    import inspect
+
+    gen_ver = hashlib.md5(
+        inspect.getsource(_build_scaled_dir).encode()
+    ).hexdigest()[:8]
+    out = (
+        f"/tmp/bruin_scale{factor}g{gen_ver}_"
+        f"{os.path.basename(base_dir.rstrip('/'))}"
+    )
     marker = os.path.join(out, "_BUILT")
     if os.path.exists(marker):
         return out
@@ -329,7 +340,20 @@ def _build_skewed_dir(spark, base_dir: str, factor: int) -> str:
     """
     from pyspark.sql import functions as F
 
-    out = f"/tmp/bruin_skew{factor}v3_{os.path.basename(base_dir.rstrip('/'))}"
+    # the on-disk corpus is keyed on a hash of THIS generator's source:
+    # editing the corpus shape automatically invalidates the materialized
+    # data (previously a hand-bumped version tag, which could silently
+    # re-measure a new shape against a stale corpus)
+    import hashlib
+    import inspect
+
+    gen_ver = hashlib.md5(
+        inspect.getsource(_build_skewed_dir).encode()
+    ).hexdigest()[:8]
+    out = (
+        f"/tmp/bruin_skew{factor}g{gen_ver}_"
+        f"{os.path.basename(base_dir.rstrip('/'))}"
+    )
     marker = os.path.join(out, "_BUILT")
     if os.path.exists(marker):
         return out

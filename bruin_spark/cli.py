@@ -187,6 +187,13 @@ def cmd_run(args) -> int:
             spark.conf.set(
                 "spark.sql.shuffle.partitions", str(environment.shuffle_partitions)
             )
+        if environment.checkpoint_mode:
+            from bruin_spark.checkpointing import set_mode
+
+            set_mode(
+                environment.checkpoint_mode,
+                environment.checkpoint_dir or None,
+            )
     # named connections from the project .bruin.yml (active environment)
     # back-fill the pipeline's own map (ref: connection resolution order,
     # cmd/run.go + pkg/connection); pipeline.yml keys win on collision

@@ -39,6 +39,10 @@ class Environment:
     schema_prefix: str = ""
     tables_dir: str = ""
     shuffle_partitions: int = 0
+    # lineage-materialization strategy for the iterative pipelines
+    # (see bruin_spark.checkpointing): '' = leave the process default
+    checkpoint_mode: str = ""
+    checkpoint_dir: str = ""
 
 
 def _env_from_spec(name: str, spec: dict) -> Environment:
@@ -47,6 +51,8 @@ def _env_from_spec(name: str, spec: dict) -> Environment:
         schema_prefix=str(spec.get("schema_prefix", "") or ""),
         tables_dir=str(spec.get("tables_dir", "") or ""),
         shuffle_partitions=int(spec.get("shuffle_partitions", 0) or 0),
+        checkpoint_mode=str(spec.get("checkpoint_mode", "") or ""),
+        checkpoint_dir=str(spec.get("checkpoint_dir", "") or ""),
     )
 
 

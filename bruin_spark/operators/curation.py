@@ -69,11 +69,17 @@ def curation_decisions(
     # canonical id per fingerprint via map-side-combinable groupBy min +
     # join back (AQE-splittable), NOT an unbounded-frame window: a
     # boilerplate text owning 20% of the corpus would stream every copy
-    # through one window reducer task
-    mins = base.groupBy("doc_fingerprint").agg(
+    # through one window reducer task.  The key is COALESCEd to a sentinel
+    # because fingerprint(NULL text) is NULL, and a NULL key never
+    # equi-joins to itself — without the sentinel, NULL-text docs silently
+    # vanish from the inner join (same class as dedup._text_group_key).
+    base = base.withColumn(
+        "_fp_key", F.coalesce(F.col("doc_fingerprint"), F.lit("__null__"))
+    )
+    mins = base.groupBy("_fp_key").agg(
         F.min(id_col).alias("_canonical_id")
     )
-    canon = base.join(mins, "doc_fingerprint").select(
+    canon = base.join(mins, "_fp_key").select(
         id_col,
         "n_tokens_q",
         "quality_score",
@@ -95,7 +101,12 @@ def curation_decisions(
     reasons = F.array_sort(
         F.filter(
             F.array(
-                F.when(F.col("n_tokens_q") < min_tokens, "too_short"),
+                # NULL-safe: NULL text has NULL n_tokens_q, which must
+                # read as 0 tokens (too_short), not "no opinion"
+                F.when(
+                    F.coalesce(F.col("n_tokens_q"), F.lit(0)) < min_tokens,
+                    "too_short",
+                ),
                 F.when(F.col("quality_score") < min_quality, "low_quality"),
                 F.when(F.col("top_2gram_frac") > max_top2gram, "repetitive"),
                 F.when(F.col("_is_exact_dup"), "exact_duplicate"),

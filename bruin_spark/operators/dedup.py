@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from bruin_spark.checkpointing import materialize
 from bruin_spark.operators.text import fingerprint, shingles
 
 
@@ -131,10 +132,11 @@ def ngram_jaccard_pairs(
     )
     # posting keys are 60-bit hashes of the shingle, not the string:
     # every downstream shuffle/sort/join compares 8-byte longs instead
-    # of ~20-char strings.  A hash collision merges two posting lists,
-    # which can only ADD candidates (true common shingles always share
-    # a hash) — and the exact-intersection verification filters them —
-    # so the output is still exactly the naive plan's.
+    # of ~20-char strings.  A CROSS-doc hash collision merges two
+    # posting lists, which can only ADD candidates (true common shingles
+    # always share a hash) — the exact-intersection verification filters
+    # them.  WITHIN-doc collisions are neutralized by the dense_rank
+    # below; see the residual-probability note there.
     hkey = _md5_60bit_key(F.col("shingle"))
     inv = sh.select(
         "id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
@@ -143,9 +145,18 @@ def ngram_jaccard_pairs(
     # hot shingle collapses before it can fan out
     dfreq = inv.groupBy("_hs").agg(F.count(F.lit(1)).alias("_df"))
     # rarity order (asc df, hash tiebreak): any consistent total order
-    # on posting keys satisfies the prefix theorem
+    # on posting keys satisfies the prefix theorem.  dense_rank, NOT
+    # row_number: a within-doc 60-bit collision (two distinct shingles,
+    # one hash) yields two rows with IDENTICAL (_df, _hs) sort keys —
+    # dense_rank collapses them into one slot so later keys are never
+    # displaced past the prefix boundary (row_number would burn two
+    # slots and could drop a true candidate).  The duplicated posting
+    # rows inside the prefix only duplicate candidate pairs, which the
+    # .distinct() below removes.  Residual inexactness is now only the
+    # CROSS-doc collision lowering hash-set Jaccard below t for an
+    # exactly-at-threshold pair — probability ~|A∩B|²/2⁶¹ per pair.
     w = Window.partitionBy("id").orderBy("_df", "_hs")
-    ranked = inv.join(dfreq, "_hs").withColumn("_r", F.row_number().over(w))
+    ranked = inv.join(dfreq, "_hs").withColumn("_r", F.dense_rank().over(w))
     # Pruning must only ever be CONSERVATIVE: verification accepts
     # round(J, 6) >= threshold, and float products round up (0.55 * 100
     # = 55.000000000000004, whose ceil over-shortens the prefix and
@@ -171,8 +182,8 @@ def ngram_jaccard_pairs(
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    cands = materialize(cands, eager=True)
     return _verify_jaccard_pairs(cands, df, id_col, text_col, n, threshold)
 
 
@@ -198,9 +209,13 @@ def _verify_jaccard_pairs(
         .distinct()
     )
     docs_small = docs.join(cand_ids, F.col(id_col) == F.col("cid"), "left_semi")
-    sh_small = docs_small.select(
-        F.col(id_col).alias("id"), F.array_distinct(shingles(text_col, n)).alias("sh")
-    ).localCheckpoint(eager=True)
+    sh_small = materialize(
+        docs_small.select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(shingles(text_col, n)).alias("sh"),
+        ),
+        eager=True,
+    )
     return (
         cands.join(sh_small.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
         .join(sh_small.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
@@ -408,8 +423,8 @@ def minhash_dedup_pairs(
     # pruning defeats Spark's exchange reuse, so without this the whole
     # scan→minhash→band-join pipeline would execute three times.  The
     # pinned data is one row per candidate PAIR — tiny next to the corpus.
-    cands = minhash_lsh_candidates(df, id_col, text_col, k, bands, n).localCheckpoint(
-        eager=True
+    cands = materialize(
+        minhash_lsh_candidates(df, id_col, text_col, k, bands, n), eager=True
     ).select("id_a", "id_b")
     # verification shingles only the candidate docs (semi-join inside
     # the helper) — at low dup rates a tiny fraction of the corpus
@@ -469,8 +484,9 @@ def incremental_dedup(
         )
         .select(F.col("b.id").alias("batch_id"), F.col("c.id").alias("corpus_id"))
         .distinct()
-        .localCheckpoint(eager=True)  # referenced twice below (semi-join + verify)
     )
+    # referenced twice below (semi-join + verify)
+    cands = materialize(cands, eager=True)
     bsh = batch.select(
         F.col(id_col).alias("batch_id"),
         F.array_distinct(shingles(text_col, n)).alias("sh_b"),
@@ -707,8 +723,11 @@ def connected_components(
     dedup needs per-document cluster ids to pick survivors.
 
     ``component`` is the minimum node id of the component.  Lineage is
-    truncated per round with localCheckpoint (swap for checkpoint(dir)
-    on a real cluster).  Raises after ``max_iter`` non-converged rounds.
+    truncated per round via checkpointing.materialize — localCheckpoint
+    by default, durable checkpoint(dir) when the deployment selects
+    checkpoint mode 'reliable' (executor churn on a real cluster loses
+    localCheckpointed partitions).  Raises after ``max_iter``
+    non-converged rounds.
 
     ``stats``: optional dict; on return, ``stats["rounds"]`` holds the
     number of star rounds executed — the bench's convergence-regression
@@ -738,7 +757,7 @@ def connected_components(
     # a fingerprint job (at scale that is a whole extra edge scan per
     # star round).  The checkpoint still severs lineage before the next
     # round's plan executes.
-    e = e.localCheckpoint(eager=False)
+    e = materialize(e, eager=False, required=True)
     prev = _fingerprint(e)
     if prev[0] == 0:
         if stats is not None:
@@ -747,7 +766,7 @@ def connected_components(
         return e.sparkSession.createDataFrame([], schema)
     rounds = 0
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        e = materialize(_small_star(_large_star(e)), eager=False, required=True)
         rounds += 1
         cur = _fingerprint(e)
         if cur == prev:
@@ -882,7 +901,7 @@ def minhash_dedup_clusters(
     row, and the collapse itself is a map-side-combinable count/min
     aggregate that no key distribution can blow up.
     """
-    groups = _exact_group_rows(df, id_col, text_col).localCheckpoint(eager=True)
+    groups = materialize(_exact_group_rows(df, id_col, text_col), eager=True)
     reps = _rep_rows(df, groups, id_col)
     pairs = minhash_dedup_pairs(reps, id_col, text_col, k, bands, n, threshold)
     cc = connected_components(pairs, "id_a", "id_b", max_iter, stats)
@@ -935,7 +954,7 @@ def simhash_dedup_clusters(
     simhash_near_pairs(df))`` while the hot pigeonhole block (one text
     owning 20% of a corpus shares every chunk key) collapses to one row.
     """
-    groups = _exact_group_rows(df, id_col, text_col).localCheckpoint(eager=True)
+    groups = materialize(_exact_group_rows(df, id_col, text_col), eager=True)
     reps = _rep_rows(df, groups, id_col)
     pairs = simhash_near_pairs(reps, id_col, text_col, max_hamming, n_chunks)
     cc = connected_components(pairs, "id_a", "id_b", max_iter, stats)

@@ -18,6 +18,8 @@ import hashlib
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from bruin_spark.checkpointing import materialize
+
 
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
@@ -250,13 +252,16 @@ def semantic_dedup(
     cents = deterministic_centroids(u, n_centroids, id_col="id")
     # the assignment subtree is referenced three times below (both
     # self-join sides + the final left join) with DIFFERENT column
-    # pruning, which defeats exchange reuse — cache it so the corpus
-    # scan and the broadcast argmax run once.  cache (not
-    # localCheckpoint) keeps the lineage visible to plan audits; Spark's
-    # CacheManager matches the canonicalized plan, so repeated calls
-    # reuse one entry.  On a real cluster this is MEMORY_AND_DISK —
-    # corpus-sized but columnar and spillable.
-    assigned = ivf_assign(u, cents, id_col="id").cache()
+    # pruning, which defeats exchange reuse — materialize it so the
+    # corpus scan and the broadcast argmax run once.  materialize (not
+    # .cache()): a cache entry lives in the CacheManager until an
+    # explicit unpersist, so a long-lived session would accumulate one
+    # corpus-sized MEMORY_AND_DISK entry per distinct input, and the
+    # returned lazy plan would silently depend on the entry staying
+    # alive.  Checkpointed blocks are released by the ContextCleaner
+    # when the result is garbage collected; lineage visibility for plan
+    # audits comes from the sweep's checkpoint_scope("none") mode.
+    assigned = materialize(ivf_assign(u, cents, id_col="id"), eager=True)
     a = assigned.select("id", "unit_vec", "centroid_id")
     pairs = (
         a.alias("x")
@@ -398,13 +403,14 @@ def kmeans_train(
     mean (wordcount-shaped agg, partial map-side) -> re-assembled,
     re-normalized array.  Per-iteration cost is two shuffles whose rows
     are |corpus| and k x dim; centroids stay a k-row DataFrame,
-    localCheckpoint'd per round so plan lineage stays flat (swap for
-    checkpoint(dir) on a real cluster).  A cell that loses all members
+    materialized per round (checkpointing.materialize: localCheckpoint
+    by default, durable checkpoint(dir) in 'reliable' mode) so plan
+    lineage stays flat.  A cell that loses all members
     keeps its previous centroid (left join + coalesce), matching
     standard empty-cluster handling.
     """
-    cents = deterministic_centroids(df, n_centroids, id_col, vec_col).localCheckpoint(
-        eager=True
+    cents = materialize(
+        deterministic_centroids(df, n_centroids, id_col, vec_col), eager=True
     )
     for _ in range(n_iter):
         assigned = ivf_assign(df, cents, vec_col=vec_col, id_col=id_col)
@@ -438,15 +444,14 @@ def kmeans_train(
                 ),
             )
         )
-        cents = (
-            cents.join(means, "centroid_id", "left")
-            .select(
+        cents = materialize(
+            cents.join(means, "centroid_id", "left").select(
                 "centroid_id",
                 F.coalesce(F.col("_new_vec"), F.col("centroid_vec")).alias(
                     "centroid_vec"
                 ),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            eager=True,
         )
     return cents
 

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from bruin_spark.checkpointing import materialize
 from bruin_spark.operators.text import tokens
 
 #: nested replace applications per merge: covers same-pair runs up to
@@ -65,7 +66,7 @@ def bpe_learn_merges(
         "repr",
         F.concat(F.lit(" "), F.concat_ws(" ", F.split(F.col("w"), "")), F.lit(" ")),
     )
-    words = words.localCheckpoint(eager=True)
+    words = materialize(words, eager=True, required=True)
 
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, n_merges + 1):
@@ -96,7 +97,7 @@ def bpe_learn_merges(
                 new_repr, F.lit(f" {left} {right} "), F.lit(f" {left}{right} ")
             )
         prev = words
-        words = words.withColumn("repr", new_repr).localCheckpoint(eager=True)
+        words = materialize(words.withColumn("repr", new_repr), eager=True, required=True)
         # free the previous iteration's pinned blocks; without this the
         # executors hold O(n_merges * |V|) checkpointed copies
         prev.unpersist()

@@ -18,6 +18,9 @@ the knobs that vary between dev/staging/prod on a cluster:
         schema_prefix: dev_
         tables_dir: /root/testdata/sf0.001   # parquet tables to register
         shuffle_partitions: 8                # cluster sizing override
+      prod:
+        checkpoint_mode: reliable            # durable checkpoint(dir) for
+        checkpoint_dir: s3://bucket/ckpt     # the iterative CC/LSH pipelines
 
 Resolution order for ``--environment``: the pipeline's own
 ``pipeline.yml`` ``environments:`` block first (single-file layout),

@@ -187,3 +187,31 @@ def test_curation_decisions_all_reasons(spark):
     for r in out.values():
         parts = r["drop_reasons"].split(",") if r["drop_reasons"] else []
         assert parts == sorted(parts)
+
+
+def test_curation_decisions_null_text_rows_survive(spark):
+    """Regression (ADVICE r8): fingerprint(NULL text) is NULL, and a NULL
+    join key never equi-joins — the canonical-id join-back must COALESCE
+    the key or NULL-text docs silently vanish from the decision table.
+    NULL-text docs must come out flagged too_short, never keep=true."""
+    from bruin_spark.operators.curation import curation_decisions
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then runs far away "
+        "to find some good food for the long cold winter days ahead of it"
+    )
+    corpus = spark.createDataFrame(
+        [(1, good), (2, None), (3, None), (4, "tiny")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in curation_decisions(corpus).collect()}
+    # every input row present — nothing dropped by a NULL join key
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["keep"]
+    for i in (2, 3):
+        assert not out[i]["keep"]
+        assert "too_short" in out[i]["drop_reasons"]
+    # the two NULL texts form one fingerprint group: min id canonical
+    assert "exact_duplicate" not in out[2]["drop_reasons"]
+    assert "exact_duplicate" in out[3]["drop_reasons"]
+    assert not out[4]["keep"]

@@ -9,13 +9,14 @@ test_plans.py; this sweep guards every FUTURE entry and refactor: a
 new operator that sneaks in a Python UDF or an unpartitioned window
 fails here with its name, not in a round-later bench regression.
 
-KNOWN BLIND SPOT: pipelines that localCheckpoint mid-build (the
-minhash/jaccard candidate stages, CC star rounds) execute those stages
-during fn() — the sweep sees only the post-checkpoint tail behind a
-LogicalRDD leaf (and building their plans runs the upstream stages as
-a side effect).  The checkpointed stages are certified by the targeted
-plan tests in test_plans.py (segment/minhash/incremental shapes), not
-by this sweep.
+The sweep runs under ``checkpointing.checkpoint_scope("none")``: the
+iterative pipelines' materialize() calls become no-ops, so the FULL
+pre-checkpoint plan (minhash/jaccard candidate stages, CC star rounds,
+k-means updates) is visible to the lint instead of hiding behind a
+LogicalRDD leaf — this closed the blind spot documented through r8.
+The 'none' mode is lint/diagnostics-only (iterative plans grow without
+bound and multi-reference subtrees re-execute), which is exactly what
+a plan inspection wants.
 """
 
 import os
@@ -86,13 +87,15 @@ SINGLE_PARTITION_OK = {
 
 @pytest.fixture(scope="module")
 def plans(spark):
+    from bruin_spark.checkpointing import checkpoint_scope
     from bruin_spark.workloads import collect_queries
 
     out = {}
-    for name, (fn, _oracle) in collect_queries().items():
-        if not name.startswith(LAZY_PREFIXES):
-            continue
-        out[name] = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    with checkpoint_scope("none"):
+        for name, (fn, _oracle) in collect_queries().items():
+            if not name.startswith(LAZY_PREFIXES):
+                continue
+            out[name] = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
     return out
 
 
