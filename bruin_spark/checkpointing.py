@@ -49,6 +49,13 @@ MODES = ("local", "reliable", "none")
 #: process-wide strategy; None = fall back to the environment variables
 _mode: str | None = None
 _dir: str | None = None
+#: the raw (pre-qualification) dir we last passed to setCheckpointDir.
+#: Spark qualifies the dir (``/tmp/ck`` -> ``file:/tmp/ck/<uuid>``), so
+#: comparing the configured path against ``sc.getCheckpointDir`` never
+#: matches for schemeless paths and would re-run setCheckpointDir on
+#: every materialize(), orphaning a fresh UUID subdirectory each call.
+#: Tracking what WE set, Python-side, makes the check exact.
+_dir_set_on_context: str | None = None
 
 
 def set_mode(mode: str, checkpoint_dir: str | None = None) -> None:
@@ -114,18 +121,58 @@ def materialize(df: DataFrame, eager: bool = True, required: bool = False) -> Da
             return df
         mode = "local"
     if mode == "reliable":
+        global _dir_set_on_context
         sc = df.sparkSession.sparkContext
         want = get_checkpoint_dir()
-        # setCheckpointDir is idempotent per dir; only (re)set when the
-        # configured dir differs from the context's current one
-        current = sc._jsc.sc().getCheckpointDir()
-        current_dir = current.get() if current.isDefined() else None
-        if want and (current_dir is None or not current_dir.startswith(want)):
-            sc.setCheckpointDir(want)
-        elif current_dir is None:
+        if not want:
+            # refusing (rather than reusing whatever dir a previous
+            # checkpoint_scope left on the context) matters: that stale
+            # dir may be a deleted pytest tmp dir, and writing there
+            # fails mid-job or strands files in the wrong storage tier
             raise RuntimeError(
-                "checkpoint mode 'reliable' but no checkpoint dir is set "
-                "on the SparkContext and none is configured"
+                "checkpoint mode 'reliable' but no checkpoint_dir is "
+                "configured (set_mode(..., checkpoint_dir=...), .bruin.yml "
+                "environment key checkpoint_dir, or "
+                "$BRUIN_SPARK_CHECKPOINT_DIR)"
             )
+        # setCheckpointDir creates a fresh UUID subdir per call; re-set
+        # only when the configured dir changed or the context was
+        # replaced (a new context starts with no dir defined)
+        if _dir_set_on_context != want or not sc._jsc.sc().getCheckpointDir().isDefined():
+            sc.setCheckpointDir(want)
+            _dir_set_on_context = want
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)
+
+
+def release(df: DataFrame) -> None:
+    """Free the resources pinned by a previous ``materialize()`` result
+    once an iteration no longer needs it.
+
+    ``unpersist()`` drops block-manager storage (local checkpoints,
+    caches) but NOT reliable checkpoint files: those are only removed by
+    the ContextCleaner when ``spark.cleaner.referenceTracking.
+    cleanCheckpoints=true`` (default false) AND the RDD is GC'd — so an
+    n-round loop in 'reliable' mode would strand O(n) ``rdd-<id>``
+    file sets on the DFS.  This deletes the round's checkpoint files
+    explicitly via the RDD's own ``getCheckpointFile`` (best-effort: a
+    failure to delete is harmless leftover data, never a correctness
+    issue; local checkpoints report no file and skip the delete).
+    """
+    try:
+        jplan = df._jdf.queryExecution().analyzed()
+        if jplan.getClass().getSimpleName() == "LogicalRDD":
+            sc = df.sparkSession.sparkContext
+            jrdd = jplan.rdd()
+            cf = jrdd.getCheckpointFile()
+            if cf.isDefined():
+                path = sc._jvm.org.apache.hadoop.fs.Path(cf.get())
+                fs = path.getFileSystem(sc._jsc.sc().hadoopConfiguration())
+                fs.delete(path, True)
+            # Dataset.unpersist only clears CacheManager entries; a
+            # local checkpoint's blocks are pinned on the UNDERLYING
+            # RDD and need an RDD-level unpersist to be freed
+            jrdd.unpersist(False)
+    except Exception:  # noqa: BLE001 — cleanup must never fail the job
+        pass
+    df.unpersist()

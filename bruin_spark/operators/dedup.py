@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from bruin_spark.checkpointing import materialize
+from bruin_spark.checkpointing import materialize, release
 from bruin_spark.operators.text import fingerprint, shingles
 
 
@@ -766,9 +766,15 @@ def connected_components(
         return e.sparkSession.createDataFrame([], schema)
     rounds = 0
     for _ in range(max_iter):
+        prev_e = e
         e = materialize(_small_star(_large_star(e)), eager=False, required=True)
         rounds += 1
         cur = _fingerprint(e)
+        # the fingerprint action materialized the new round's edges, so
+        # the prior round's blocks / checkpoint files are now dead —
+        # without this a run holds O(rounds) edge-set copies (and, in
+        # 'reliable' mode, strands their files on the DFS)
+        release(prev_e)
         if cur == prev:
             break
         prev = cur

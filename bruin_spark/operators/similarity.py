@@ -18,7 +18,7 @@ import hashlib
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from bruin_spark.checkpointing import materialize
+from bruin_spark.checkpointing import materialize, release
 
 
 def _dot(a, b):
@@ -409,8 +409,14 @@ def kmeans_train(
     keeps its previous centroid (left join + coalesce), matching
     standard empty-cluster handling.
     """
+    # required=True: cents is referenced by BOTH the assignment join and
+    # the empty-cluster fallback (left join + coalesce) each round, and
+    # the loop is iterative — in 'none' checkpoint mode the uncut plan
+    # would double per iteration (the CC/BPE exponential-growth class)
     cents = materialize(
-        deterministic_centroids(df, n_centroids, id_col, vec_col), eager=True
+        deterministic_centroids(df, n_centroids, id_col, vec_col),
+        eager=True,
+        required=True,
     )
     for _ in range(n_iter):
         assigned = ivf_assign(df, cents, vec_col=vec_col, id_col=id_col)
@@ -444,6 +450,7 @@ def kmeans_train(
                 ),
             )
         )
+        prev = cents
         cents = materialize(
             cents.join(means, "centroid_id", "left").select(
                 "centroid_id",
@@ -452,7 +459,11 @@ def kmeans_train(
                 ),
             ),
             eager=True,
+            required=True,
         )
+        # drop the prior round's pinned blocks (and, in 'reliable'
+        # mode, its checkpoint files) — only the newest cents is live
+        release(prev)
     return cents
 
 

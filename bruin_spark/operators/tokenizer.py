@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from bruin_spark.checkpointing import materialize
+from bruin_spark.checkpointing import materialize, release
 from bruin_spark.operators.text import tokens
 
 #: nested replace applications per merge: covers same-pair runs up to
@@ -98,10 +98,14 @@ def bpe_learn_merges(
             )
         prev = words
         words = materialize(words.withColumn("repr", new_repr), eager=True, required=True)
-        # free the previous iteration's pinned blocks; without this the
-        # executors hold O(n_merges * |V|) checkpointed copies
-        prev.unpersist()
+        # free the previous iteration's pinned blocks — and, in
+        # 'reliable' mode, its checkpoint FILES (unpersist alone leaves
+        # O(n_merges) rdd-<id> file sets on the DFS)
+        release(prev)
 
+    # the merge table is driver-side; the last vocab round's pinned
+    # blocks / checkpoint files aren't part of the result — release them
+    release(words)
     return spark.createDataFrame(
         merges, "step int, merge_left string, merge_right string, pair_count bigint"
     )

@@ -137,6 +137,71 @@ def test_minhash_clusters_identical_in_reliable_mode(spark, tmp_path):
     assert base == rel
     assert base  # docs 1/2/3 cluster together
 
+def test_reliable_mode_reuses_one_checkpoint_dir(spark, tmp_path):
+    """Repeated materialize() calls must NOT re-run setCheckpointDir:
+    Spark qualifies the configured path (``/tmp/ck`` ->
+    ``file:/tmp/ck/<uuid>``), so a naive string comparison against
+    ``sc.getCheckpointDir`` never matches schemeless paths and every
+    call would orphan a fresh UUID subdirectory (r9 ADVICE)."""
+    ckdir = tmp_path / "ckpt"
+    with ck.checkpoint_scope("reliable", checkpoint_dir=str(ckdir)):
+        for i in range(3):
+            out = ck.materialize(spark.range(10 + i), eager=True)
+            assert out.count() == 10 + i
+    uuid_dirs = [p for p in ckdir.iterdir() if p.is_dir()]
+    assert len(uuid_dirs) == 1, f"expected one UUID subdir, got {uuid_dirs}"
+
+
+def test_reliable_mode_without_dir_raises_even_with_stale_context_dir(
+    spark, tmp_path, monkeypatch
+):
+    """checkpoint_scope restores the Python globals but not the
+    SparkContext's dir — a later 'reliable' selection with no dir
+    configured must refuse rather than silently write into the stale
+    (possibly deleted) dir (r9 ADVICE)."""
+    with ck.checkpoint_scope("reliable", checkpoint_dir=str(tmp_path / "old")):
+        ck.materialize(spark.range(5), eager=True).count()
+    # context now carries old/<uuid>; select reliable purely via env var
+    monkeypatch.setenv("BRUIN_SPARK_CHECKPOINT_MODE", "reliable")
+    monkeypatch.delenv("BRUIN_SPARK_CHECKPOINT_DIR", raising=False)
+    with pytest.raises(RuntimeError, match="no checkpoint_dir is configured"):
+        ck.materialize(spark.range(5), eager=True)
+
+
+def test_release_deletes_reliable_checkpoint_files(spark, tmp_path):
+    """ContextCleaner only deletes checkpoint files when
+    cleanCheckpoints=true (default false) — release() must do it
+    explicitly or iterative loops strand O(rounds) rdd-* file sets."""
+    ckdir = tmp_path / "ckpt"
+    with ck.checkpoint_scope("reliable", checkpoint_dir=str(ckdir)):
+        out = ck.materialize(spark.range(50), eager=True)
+        assert out.count() == 50
+
+        def rdd_dirs():
+            return [
+                os.path.join(r, d)
+                for r, ds, _ in os.walk(ckdir)
+                for d in ds
+                if d.startswith("rdd-")
+            ]
+
+        assert rdd_dirs(), "checkpoint files were never written"
+        ck.release(out)
+        assert not rdd_dirs(), "release() left checkpoint files behind"
+
+
+def test_release_frees_local_checkpoint_blocks(spark):
+    """Dataset.unpersist only clears CacheManager entries; the pinned
+    blocks of a localCheckpoint live on the underlying RDD."""
+    out = ck.materialize(spark.range(1000).repartition(4), eager=True)
+    assert out.count() == 1000
+    jrdd = out._jdf.queryExecution().analyzed().rdd()
+    assert jrdd.getStorageLevel().useMemory() or jrdd.getStorageLevel().useDisk()
+    ck.release(out)
+    lvl = jrdd.getStorageLevel()
+    assert not (lvl.useMemory() or lvl.useDisk()), "blocks still pinned"
+
+
 def test_environment_spec_carries_checkpoint_keys():
     from bruin_spark.devenv import _env_from_spec
 
