@@ -357,7 +357,7 @@ class Materializer:
             raise MaterializationError("merge strategy requires the `columns` field to be set")
         pks = asset.primary_keys()
         if not pks:
-            raise MaterializationError("merge strategy requires primary_key on at least one column")
+            raise MaterializationError("merge strategy requires the `primary_key` field on at least one column")
 
         src = self._select(query)
         if not self._exists(asset.name):

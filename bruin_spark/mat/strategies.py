@@ -191,7 +191,7 @@ def _merge(asset: Asset, query: str) -> list[str]:
         raise MaterializationError("merge strategy requires the `columns` field to be set")
     pks = asset.primary_keys()
     if not pks:
-        raise MaterializationError("merge strategy requires primary_key on at least one column")
+        raise MaterializationError("merge strategy requires the `primary_key` field on at least one column")
 
     on = [f"source.{quote_ident(k)} <=> target.{quote_ident(k)}" for k in pks]
     if asset.materialization.incremental_predicate:
@@ -227,7 +227,7 @@ def _validate_scd2(asset: Asset, require_incremental_key: bool) -> list[str]:
         raise MaterializationError("incremental_key is required for scd2_by_time strategy")
     pks = asset.primary_keys()
     if not pks:
-        raise MaterializationError("scd2 requires primary_key on at least one column")
+        raise MaterializationError("scd2 strategy requires the `primary_key` field on at least one column")
     key_found = False
     for col in asset.columns:
         if col.name.lower() in ("_valid_from", "_valid_until", "_is_current"):
