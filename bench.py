@@ -140,6 +140,29 @@ CC_MAX_ROUNDS = 12  # alternating-star rounds on the bench pair graph
 #: the corpus scanned); the gate is regression-shaped — a broken cell
 #: assignment or probe ranking craters recall to ~0.1, well below this.
 IVF_MIN_RECALL = 0.45
+#: recall@K floor on the PLANTED Gaussian-mixture fixture, where true
+#: neighbors are in-cluster by construction (r8 verdict ask: the
+#: near-random corpus gate above is a weak regression detector — a
+#: subtle cell-assignment bug could still pass 0.45). On separable
+#: data a correct IVF must recover essentially all true neighbors;
+#: measured 1.0, gated with margin for fixture tweaks.
+IVF_PLANTED_MIN_RECALL = 0.9
+
+
+def planted_mixture_embeddings(spark, n: int = 4096, n_clusters: int = 8, dim: int = 32):
+    """Deterministic Gaussian-mixture embeddings: unit-norm cluster
+    centers, sigma 0.08 noise — small against O(1) center separation,
+    so each vector's true nearest neighbors are in-cluster by
+    construction.  Fixed RandomState(42) keeps the fixture identical
+    across runs (a recall change is a code change, never data noise)."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    centers = rng.normal(0, 1, (n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = centers[np.arange(n) % n_clusters] + rng.normal(0, 0.08, (n, dim))
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
 
 def synthetic_dag(width: int = 100, depth: int = 10):
@@ -254,6 +277,27 @@ def _quality_gates(spark) -> dict:
         "recall": recall,
         "min": IVF_MIN_RECALL,
         "pass": recall >= IVF_MIN_RECALL,
+    }
+
+    # planted Gaussian mixture: true neighbors in-cluster by
+    # construction — a correct IVF recovers ~all of them; the
+    # near-random corpus above is kept as the noise-floor case
+    emb_p = planted_mixture_embeddings(spark)
+    queries_p = emb_p.filter("vec_id % 64 = 0").withColumnRenamed("vec_id", "query_id")
+    exact_p = S.cosine_topk(emb_p, queries_p, k=K).select("query_id", "nn_id")
+    approx_p = S.ivf_topk(
+        emb_p, queries_p, k=K, n_centroids=8, n_probe=2
+    ).select("query_id", "nn_id")
+    hit_p = approx_p.join(exact_p, ["query_id", "nn_id"]).count()
+    total_p = exact_p.count()
+    recall_p = round(hit_p / total_p, 4) if total_p else 0.0
+    out["ivf_recall_planted"] = {
+        "k": K,
+        "n_probe": 2,
+        "n_centroids": 8,
+        "recall": recall_p,
+        "min": IVF_PLANTED_MIN_RECALL,
+        "pass": recall_p >= IVF_PLANTED_MIN_RECALL,
     }
     return out
 

@@ -485,15 +485,21 @@ def incremental_dedup(
         .select(F.col("b.id").alias("batch_id"), F.col("c.id").alias("corpus_id"))
         .distinct()
     )
-    # referenced twice below (semi-join + verify)
+    # referenced three times below (two semi-joins + verify)
     cands = materialize(cands, eager=True)
-    bsh = batch.select(
+    # shingle ONLY docs that appear in some candidate pair — on both
+    # sides (at low dup rates that is a sliver of each input; the
+    # semi-join must come FIRST because the projection's shingle
+    # expression otherwise evaluates for every row fed into the join)
+    bsh = batch.join(
+        cands.select("batch_id"), F.col(id_col) == F.col("batch_id"), "left_semi"
+    ).select(
         F.col(id_col).alias("batch_id"),
         F.array_distinct(shingles(text_col, n)).alias("sh_b"),
     )
     csh = (
         corpus_docs.join(
-            cands.select("corpus_id").distinct(),
+            cands.select("corpus_id"),
             F.col(id_col) == F.col("corpus_id"),
             "left_semi",
         )
@@ -906,31 +912,56 @@ def minhash_dedup_clusters(
     pairs; collapsing identical texts first turns that bucket into ONE
     row, and the collapse itself is a map-side-combinable count/min
     aggregate that no key distribution can blow up.
+
+    The md5(text) corpus scan runs ONCE: the (id, _tkey) projection is
+    materialized and feeds both the group aggregate and the final
+    member expansion (the previous shape re-scanned and re-hashed the
+    whole corpus to expand — at 100 TB that is a second full pass over
+    the text payload for data the first pass already computed).
     """
-    groups = materialize(_exact_group_rows(df, id_col, text_col), eager=True)
+    keyed, groups = _keyed_and_groups(df, id_col, text_col)
     reps = _rep_rows(df, groups, id_col)
     pairs = minhash_dedup_pairs(reps, id_col, text_col, k, bands, n, threshold)
     cc = connected_components(pairs, "id_a", "id_b", max_iter, stats)
-    return _expand_exact_clusters(df, groups, cc, id_col, text_col)
+    return _expand_exact_clusters(keyed, groups, cc)
+
+
+def _keyed_and_groups(
+    df: DataFrame, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """One corpus scan: materialize the (id, _tkey) projection (~40 B/row
+    — two orders of magnitude narrower than the text it hashes), then
+    derive the per-group (rep, group_n) aggregate from the checkpointed
+    rows.  Both are multi-referenced downstream; groups is additionally
+    materialized because it is joined twice (rep semi-join + expansion)
+    and re-aggregating per consumer would double the shuffle."""
+    keyed = materialize(
+        df.select(
+            F.col(id_col).alias("id"),
+            _text_group_key(id_col, text_col).alias("_tkey"),
+        ),
+        eager=True,
+    )
+    groups = materialize(
+        keyed.groupBy("_tkey").agg(
+            F.min("id").alias("rep"), F.count(F.lit(1)).alias("group_n")
+        ),
+        eager=True,
+    )
+    return keyed, groups
 
 
 def _expand_exact_clusters(
-    df: DataFrame,
+    keyed: DataFrame,
     groups: DataFrame,
     cc: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
 ) -> DataFrame:
     """Expand rep-level components through the exact groups: members
     inherit their rep's component; a >=2 group whose rep joined no
-    near-dup pair is a component of its own.  Group metadata attaches
-    to member ids by re-keying ``df`` (a map-only md5 projection) and
-    joining the group rows on the text key; the cc side is small (one
-    row per paired rep), so that join broadcasts — the hot group's rows
-    never reshuffle on a skewed key."""
-    keyed = df.select(
-        F.col(id_col).alias("id"), _text_group_key(id_col, text_col).alias("_tkey")
-    )
+    near-dup pair is a component of its own.  ``keyed`` is the
+    already-materialized (id, _tkey) projection — no corpus re-scan —
+    and the cc side is small (one row per paired rep), so that join
+    broadcasts; the hot group's rows never reshuffle on a skewed key."""
     mapping = keyed.join(groups.select("_tkey", "rep", "group_n"), "_tkey")
     joined = mapping.join(cc.withColumnRenamed("node", "rep"), "rep", "left")
     return joined.filter(
@@ -959,12 +990,13 @@ def simhash_dedup_clusters(
     signatures: the output is IDENTICAL to ``connected_components(
     simhash_near_pairs(df))`` while the hot pigeonhole block (one text
     owning 20% of a corpus shares every chunk key) collapses to one row.
+    Shares minhash_dedup_clusters' one-scan keyed/groups structure.
     """
-    groups = materialize(_exact_group_rows(df, id_col, text_col), eager=True)
+    keyed, groups = _keyed_and_groups(df, id_col, text_col)
     reps = _rep_rows(df, groups, id_col)
     pairs = simhash_near_pairs(reps, id_col, text_col, max_hamming, n_chunks)
     cc = connected_components(pairs, "id_a", "id_b", max_iter, stats)
-    return _expand_exact_clusters(df, groups, cc, id_col, text_col)
+    return _expand_exact_clusters(keyed, groups, cc)
 
 
 # -- segment-level (cross-corpus span) dedup ----------------------------------

@@ -295,7 +295,15 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Output is IDENTICAL: best-match order is (jaccard DESC, id ASC),
     # and a group's min-id rep has the same jaccard as every member, so
     # the rep is always the winner the full index would have picked.
-    corpus_reps = D.collapse_exact_texts(corpus)
+    # materialized: corpus_reps feeds BOTH the band index and the
+    # verification text reads, and without the cut the whole collapse
+    # (corpus scan + md5 + agg + semi-join) executes once per consumer.
+    # In production this is exactly the PERSISTED state of the pipeline
+    # (the index + rep store are written once per corpus); 'none'
+    # checkpoint mode keeps the full plan visible to the lint sweep.
+    from bruin_spark.checkpointing import materialize
+
+    corpus_reps = materialize(D.collapse_exact_texts(corpus), eager=True)
     idx = D.lsh_band_index(corpus_reps, k=MINHASH_K, bands=LSH_BANDS, n=NGRAM)
     return D.incremental_dedup(
         batch, idx, corpus_reps, k=MINHASH_K, bands=LSH_BANDS, n=NGRAM, threshold=JACCARD_T
