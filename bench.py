@@ -231,6 +231,180 @@ def _scheduler_stress(spark) -> dict:
     }
 
 
+#: wall-clock ceiling for the failure-injection run. 300 no-op
+#: instances cost ~1 s of pure scheduling; add ~2 s of rerun_cooldown
+#: waits (20 flaky × 1 s across 16 workers), two 0.4 s timeout joins
+#: and retry round-trips. 25 s only trips if a failure path serializes
+#: the DAG (e.g. cooldown blocking dispatch instead of one worker).
+FAILURE_STRESS_MAX_WALL_S = 25.0
+
+# injected-failure placement in the width-50 × depth-6 DAG (layer, w).
+# All failure roots sit where no OTHER root's descendant cone reaches
+# them, so each injected behavior actually executes (an UPSTREAM_FAILED
+# main never runs its operator).
+FLAKY = {f"n_1_{w}" for w in range(20)}  # fail attempt 1, succeed attempt 2
+TIMEOUT_ASSETS = {"n_2_30", "n_2_31"}  # sleep past a 0.4s timeout:
+HARDFAIL = {"n_2_40", "n_2_41"}  # fail every attempt
+WARN_CHECK_ASSET = "n_0_45"  # failing NON-blocking custom check
+BLOCK_CHECK_ASSET = "n_0_48"  # failing BLOCKING custom check
+
+
+def synthetic_failure_dag(width: int = 50, depth: int = 6):
+    """Same layered fan-in DAG shape as :func:`synthetic_dag`, with the
+    failure classes of reference pkg/scheduler/scheduler_test.go
+    (TestScheduler_WillRunTaskAgain..., MarkTasksAsUpstreamFailed,
+    checks-blocking semantics) injected at known coordinates."""
+    from bruin_spark.model.pipeline import Asset, CustomCheck, Pipeline, Upstream
+
+    assets = []
+    for d in range(depth):
+        for w in range(width):
+            deps = []
+            if d > 0:
+                deps.append(f"n_{d - 1}_{w}")
+                if w > 0:
+                    deps.append(f"n_{d - 1}_{w - 1}")
+            name = f"n_{d}_{w}"
+            a = Asset(
+                name=name,
+                type="noop",
+                # flaky assets carry a real cooldown so the retry-delay
+                # clock is measured; everything else retries immediately
+                rerun_cooldown=1 if name in FLAKY else -1,
+                timeout="0.4s" if name in TIMEOUT_ASSETS else "60s",
+                tier=f"tier-{w % 3}",
+                depends=[Upstream(value=x) for x in deps],
+            )
+            if name == WARN_CHECK_ASSET:
+                # SELECT 1 against expected 0: fails deterministically,
+                # needs no table. Non-blocking => warn-only.
+                a.custom_checks = [
+                    CustomCheck(name="warn_probe", query="SELECT 1", value=0, blocking=False)
+                ]
+            elif name == BLOCK_CHECK_ASSET:
+                a.custom_checks = [
+                    CustomCheck(name="gate_probe", query="SELECT 1", value=0, blocking=True)
+                ]
+            assets.append(a)
+    return Pipeline(name="sched_failure_stress", assets=assets, concurrency=16)
+
+
+def expected_failure_states(width: int = 50, depth: int = 6) -> dict:
+    """Forward-propagate the injected failures through the DAG edges to
+    the exact expected final status of every MAIN instance. A blocking
+    failed check gates the check-owner's downstreams (not the owner
+    itself); FAILED and UPSTREAM_FAILED both propagate."""
+    exp: dict[str, str] = {}
+    for d in range(depth):
+        for w in range(width):
+            name = f"n_{d}_{w}"
+            parents = []
+            if d > 0:
+                parents.append(f"n_{d - 1}_{w}")
+                if w > 0:
+                    parents.append(f"n_{d - 1}_{w - 1}")
+            gated = any(
+                exp[p] in ("failed", "upstream_failed") or p == BLOCK_CHECK_ASSET
+                for p in parents
+            )
+            if gated:
+                exp[name] = "upstream_failed"
+            elif name in TIMEOUT_ASSETS or name in HARDFAIL:
+                exp[name] = "failed"
+            else:
+                exp[name] = "succeeded"
+    return exp
+
+
+def _scheduler_failure_stress(spark) -> dict:
+    """Failure-injection stress (r8 verdict ask #7): the 300-asset DAG
+    run with retries=1 and every failure class live at width — flaky
+    assets that succeed on attempt 2 after an honored rerun_cooldown,
+    per-attempt timeouts that are never retried, hard failures that
+    exhaust retries, a warn-only failed check that must not gate, and a
+    blocking failed check that must. Asserts the EXACT final status of
+    all 300 mains against a forward-propagated expectation, plus
+    attempt counts, cooldown clocks, and a wall-clock ceiling."""
+    import threading
+    import time as _time
+
+    from bruin_spark.scheduler import Scheduler
+
+    pipe = synthetic_failure_dag()
+    exp = expected_failure_states()
+    lock = threading.Lock()
+    attempts_seen: dict[str, int] = {}
+
+    def noop(s, asset, ctx):
+        with lock:
+            attempts_seen[asset.name] = attempts_seen.get(asset.name, 0) + 1
+            nth = attempts_seen[asset.name]
+        if asset.name in TIMEOUT_ASSETS:
+            _time.sleep(2.0)  # watcher fires at 0.4s; abandoned thread is daemon
+        elif asset.name in HARDFAIL:
+            raise RuntimeError(f"injected hard failure: {asset.name}")
+        elif asset.name in FLAKY and nth == 1:
+            raise RuntimeError(f"injected flaky failure: {asset.name}")
+
+    sched = Scheduler(spark, pipe, operators={"noop": noop}, retries=1)
+    t0 = _time.perf_counter()
+    res = sched.run()
+    run_s = _time.perf_counter() - t0
+
+    mains = {i.id: i for i in sched.instances.values() if ":" not in i.id}
+    actual = {name: inst.status.value for name, inst in mains.items()}
+    mismatches = sorted(n for n in exp if actual.get(n) != exp[n])
+
+    flaky_insts = [mains[n] for n in sorted(FLAKY)]
+    checks = {
+        "states_exact_match": not mismatches,
+        "flaky_all_succeeded": all(i.status.value == "succeeded" for i in flaky_insts),
+        # attempts counts the FAILED tries (incremented in the except
+        # path only), so a fail-once-then-succeed instance shows 1
+        "flaky_retried_once": all(i.attempts == 1 for i in flaky_insts),
+        # duration_s accumulates across attempts INCLUDING the cooldown
+        # wait, so >= the 1s rerun_cooldown proves the clock ran
+        "flaky_cooldown_honored": all(i.duration_s >= 1.0 for i in flaky_insts),
+        "timeout_failed_never_retried": all(
+            mains[n].status.value == "failed"
+            and mains[n].attempts == 1
+            and "timed out" in (mains[n].error or "")
+            for n in TIMEOUT_ASSETS
+        ),
+        "hardfail_exhausted_retries": all(
+            mains[n].status.value == "failed" and mains[n].attempts == 2 for n in HARDFAIL
+        ),
+        "warn_check_failed_not_gating": (
+            f"{WARN_CHECK_ASSET}:custom:warn_probe" in res.failed
+            and f"{WARN_CHECK_ASSET}:custom:warn_probe" in res.warn_only_failed
+            and actual[f"n_1_{int(WARN_CHECK_ASSET.rsplit('_', 1)[1])}"] == "succeeded"
+        ),
+        "blocking_check_failed_and_gating": (
+            f"{BLOCK_CHECK_ASSET}:custom:gate_probe" in res.failed
+            and f"{BLOCK_CHECK_ASSET}:custom:gate_probe" not in res.warn_only_failed
+        ),
+        "run_not_ok": not res.ok,  # blocking failures must sink the run
+        "wall_bounded": run_s <= FAILURE_STRESS_MAX_WALL_S,
+    }
+    by_status: dict[str, int] = {}
+    for v in actual.values():
+        by_status[v] = by_status.get(v, 0) + 1
+    return {
+        "assets": len(pipe.assets),
+        "instances": len(sched.instances),
+        "run_s": round(run_s, 3),
+        "wall_bound_s": FAILURE_STRESS_MAX_WALL_S,
+        "status_counts": by_status,
+        "expected_counts": {
+            s: sum(1 for v in exp.values() if v == s)
+            for s in ("succeeded", "failed", "upstream_failed")
+        },
+        "mismatches": mismatches[:10],
+        **checks,
+        "ok": all(checks.values()),
+    }
+
+
 def _quality_gates(spark) -> dict:
     """Round-count gate for connected components and recall@K gate for
     IVF, both on the bench inputs."""
@@ -949,6 +1123,12 @@ def main() -> int:
             print(f"# scheduler-stress: {ss}", file=sys.stderr)
         except Exception as e:
             print(f"# scheduler-stress failed: {e}", file=sys.stderr)
+        try:
+            fs = _scheduler_failure_stress(spark)
+            sidecar["scheduler_failure_stress"] = fs
+            print(f"# scheduler-failure-stress: {fs}", file=sys.stderr)
+        except Exception as e:
+            print(f"# scheduler-failure-stress failed: {e}", file=sys.stderr)
     sidecar_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_details.json"
     )
