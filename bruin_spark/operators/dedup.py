@@ -1081,3 +1081,121 @@ def segment_dedup(
         F.coalesce(F.col("n_segments_kept"), F.lit(0)).alias("n_segments_kept"),
         F.coalesce(F.col("n_tokens_kept"), F.lit(0)).alias("n_tokens_kept"),
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    win_tokens: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact duplicate-SPAN detection: find every maximal token span
+    that appears ``min_count``+ times anywhere in the corpus (across or
+    within documents), sliding-window style — the distributed analogue
+    of suffix-array exact-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better";
+    reference-adjacent behavior: the reference's quality checks flag
+    repeated content but have no span finder, so this extends the
+    family that segment_dedup started).
+
+    Unlike :func:`segment_dedup` (fixed NON-overlapping windows, so a
+    duplicated passage that straddles a chunk boundary at a different
+    alignment is missed), this hashes EVERY sliding ``win_tokens``
+    window, so any repeated run of >= win_tokens tokens is caught
+    regardless of alignment, then merges overlapping/adjacent flagged
+    windows into maximal spans per document.
+
+    Returns one row per document that contains at least one duplicated
+    span: (doc_id, total_tokens, n_dup_spans, dup_tokens, dup_ratio).
+    Removal composes downstream (filter on dup_ratio, or re-slice via
+    segment_dedup); keeping this operator annotation-shaped makes it a
+    pure two-shuffle plan.
+
+    Plan (100 TB shape): window hashing is map-only — ONE tokenization
+    per row bound via an outer transform (see shingles()), windows
+    hashed to 60-bit longs INSIDE the transform so the exploded rows
+    carry (pos int, hash long), never window strings.  Row count is
+    ~one per corpus token: linear, the unavoidable cost of exact
+    substring matching without a global suffix array (which doesn't
+    distribute).  Duplicated-hash selection is a map-side-combinable
+    groupBy(h).count — a boilerplate window repeated 100M times
+    collapses to partial counts before the shuffle.  Flagging is a
+    left-semi join on h (build side one row per duplicated hash; AQE
+    skew-split applies).  The window-hash pass deliberately runs TWICE
+    (the count side is column-pruned to h only; the flagged side
+    carries (doc_id, pos)): at corpus scale, recomputing a linear
+    map-only md5 pass is cheaper than persisting ~one 16-byte row per
+    corpus token to make one pass reusable.  Span merging is per-document: sort_array over
+    that doc's flagged positions + one JVM aggregate() pass — bounded
+    by document length, no cross-doc window function anywhere.
+
+    Cross-engine hash contract: md5-prefix 60-bit longs, identical in
+    DuckDB (workloads/dedup.py DUP_SPANS_ORACLE mirrors this
+    expression).  A 60-bit collision flags the same window in both
+    engines, so parity is collision-proof.
+    """
+    w = int(win_tokens)
+    # one tokenization per row; windows hashed to longs inside the HOF
+    st = F.expr(
+        f"""
+        transform(array(split(lower(trim({text_col})), '\\\\s+')), toks ->
+          struct(
+            size(toks) AS total_tokens,
+            CASE WHEN size(toks) >= {w}
+            THEN transform(
+              sequence(1, size(toks) - {w - 1}),
+              i -> cast(conv(substring(md5(concat_ws(' ', slice(toks, i, {w}))), 1, 15), 16, 10) AS long)
+            )
+            ELSE cast(array() AS array<long>)
+            END AS wh
+          )
+        )[0]
+        """
+    )
+    base = df.select(F.col(id_col).alias("doc_id"), st.alias("_st")).select(
+        "doc_id", F.col("_st.total_tokens").alias("total_tokens"), F.col("_st.wh").alias("wh")
+    )
+    # no size(wh) > 0 pre-filter: posexplode already emits nothing for
+    # empty/null arrays, and an explicit filter pushes through the
+    # project and re-evaluates the whole window-hash transform inside
+    # the Filter condition (verified in the physical plan)
+    wins = base.select("doc_id", "total_tokens", F.posexplode("wh").alias("pos", "h"))
+    dup = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= int(min_count))
+        .select("h")
+    )
+    flagged = wins.join(dup, "h", "left_semi")
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.max("total_tokens").alias("total_tokens"),
+        F.sort_array(F.collect_list("pos")).alias("ps"),
+    )
+    # merged maximal spans: two same-length windows [p, p+w-1] overlap or
+    # abut iff next_pos - prev_pos <= w; CASE branches keep element_at
+    # 1-based and lazily evaluated (i = 0 has no predecessor)
+    n_spans = F.expr(
+        f"""
+        size(filter(transform(ps, (p, i) ->
+          CASE WHEN i = 0 THEN 1
+               WHEN p - element_at(ps, i) > {w} THEN 1
+               ELSE 0 END), x -> x = 1))
+        """
+    ).cast("long")
+    dup_tokens = F.expr(
+        f"""
+        aggregate(transform(ps, (p, i) ->
+          CASE WHEN i = 0 THEN cast({w} AS long)
+               ELSE least(cast({w} AS long), cast(p - element_at(ps, i) AS long)) END),
+          0L, (acc, x) -> acc + x)
+        """
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        n_spans.alias("n_dup_spans"),
+        dup_tokens.alias("dup_tokens"),
+    ).withColumn(
+        "dup_ratio", F.round(F.col("dup_tokens") / F.col("total_tokens"), 6)
+    )

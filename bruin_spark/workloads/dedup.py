@@ -386,7 +386,50 @@ GROUP BY doc_id
 """
 
 
+SPAN_TOKENS = 8
+
+
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window exact duplicate-span detection (Lee et al. 2022
+    style): per-doc maximal merged spans of >= SPAN_TOKENS tokens that
+    appear 2+ times anywhere in the corpus, at any alignment."""
+    return D.duplicate_spans(_docs(spark, sf_dir), win_tokens=SPAN_TOKENS)
+
+
+def _dup_spans_oracle() -> str:
+    w = SPAN_TOKENS
+    dup_tok = f"CASE WHEN prev IS NULL THEN {w} ELSE least({w}, pos - prev) END"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+), wins AS (
+  SELECT doc_id, len(t) AS total_tokens, i - 1 AS pos,
+         ('0x' || substr(md5(array_to_string(list_slice(t, i, i + {w - 1}), ' ')), 1, 15))::BIGINT AS h
+  FROM toks, LATERAL (
+    SELECT UNNEST(generate_series(1, len(t) - {w - 1})) AS i
+  )
+  WHERE len(t) >= {w}
+), dup AS (
+  SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2
+), flagged AS (
+  SELECT w.doc_id, w.total_tokens, w.pos FROM wins w JOIN dup USING (h)
+), d AS (
+  SELECT doc_id, total_tokens, pos,
+         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM flagged
+)
+SELECT doc_id,
+       max(total_tokens)::BIGINT AS total_tokens,
+       (COUNT(*) FILTER (prev IS NULL OR pos - prev > {w}))::BIGINT AS n_dup_spans,
+       SUM({dup_tok})::BIGINT AS dup_tokens,
+       ROUND(SUM({dup_tok})::DOUBLE / max(total_tokens), 6) AS dup_ratio
+FROM d
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
+    "dedup_duplicate_spans": (dedup_duplicate_spans, _dup_spans_oracle()),
     "dedup_incremental": (dedup_incremental, _incremental_oracle()),
     "dedup_segments": (dedup_segments, _segments_oracle()),
     "dedup_exact_groups": (dedup_exact_groups, EXACT_ORACLE),

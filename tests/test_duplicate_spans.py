@@ -1,0 +1,85 @@
+"""duplicate_spans: sliding-window exact-substring dedup semantics.
+
+The property that distinguishes it from segment_dedup: a duplicated
+passage is caught at ANY alignment, and overlapping flagged windows
+merge into one maximal span whose token count equals the passage
+length. Reference behavior: Lee et al. 2022 exact-substring dedup
+(suffix-array single-node algorithm re-expressed as a linear
+shingle-index plan)."""
+
+import pytest
+
+from bruin_spark.operators.dedup import duplicate_spans
+
+W = 8
+
+
+def _words(prefix, n):
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    shared = _words("dup", 10)  # 10-token passage, > W
+    rep = _words("rep", W)  # exactly-W run repeated within one doc
+    docs = spark.createDataFrame(
+        [
+            # passage at offset 3 in a, offset 7 in b: different alignment
+            (1, _words("a", 3) + " " + shared + " " + _words("atail", 5)),
+            (2, _words("b", 7) + " " + shared + " " + _words("btail", 2)),
+            # within-doc repetition, gap of 9 unique tokens > W
+            (3, rep + " " + _words("gap", 9) + " " + rep),
+            # all-unique doc: no duplicated window
+            (4, _words("uniq", 30)),
+            # identical SHORT docs: under W tokens -> no windows, not reported
+            (5, "tiny doc same text"),
+            (6, "tiny doc same text"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = duplicate_spans(docs, win_tokens=W).collect()
+    return {r["doc_id"]: r for r in rows}
+
+
+def test_cross_alignment_passage_found_in_both(result):
+    # 3 windows fit inside the 10-token passage; merged = one span of 10
+    for doc_id, total in ((1, 18), (2, 19)):
+        r = result[doc_id]
+        assert r["n_dup_spans"] == 1
+        assert r["dup_tokens"] == 10
+        assert r["total_tokens"] == total
+        assert r["dup_ratio"] == round(10 / total, 6)
+
+
+def test_within_doc_repetition_two_spans(result):
+    r = result[3]
+    assert r["n_dup_spans"] == 2
+    assert r["dup_tokens"] == 2 * W
+
+
+def test_unique_and_short_docs_not_reported(result):
+    assert 4 not in result
+    assert 5 not in result and 6 not in result
+
+
+def test_contiguous_windows_merge_to_one_maximal_span(spark):
+    # one 16-token passage shared by two docs: 9 overlapping windows
+    # each, all merging into a single span of exactly 16 tokens
+    passage = _words("p", 16)
+    docs = spark.createDataFrame(
+        [(1, passage + " " + _words("x", 4)), (2, _words("y", 6) + " " + passage)],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in duplicate_spans(docs, win_tokens=W).collect()}
+    assert rows[1]["n_dup_spans"] == rows[2]["n_dup_spans"] == 1
+    assert rows[1]["dup_tokens"] == rows[2]["dup_tokens"] == 16
+
+
+def test_null_and_empty_text_ignored(spark):
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, _words("z", 12)), (5, _words("z", 12))],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in duplicate_spans(docs, win_tokens=W).collect()}
+    assert set(rows) == {4, 5}
+    assert rows[4]["dup_tokens"] == 12

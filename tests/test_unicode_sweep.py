@@ -46,6 +46,7 @@ SWEEP_ENTRIES = [
     "dedup_simhash_pairs",
     "dedup_simhash_clusters",
     "dedup_ngram_jaccard",
+    "dedup_duplicate_spans",
 ]
 
 _E = "é"                      # é precomposed (NFC)
