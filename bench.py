@@ -67,6 +67,7 @@ HEADLINE = [
     "dedup_clusters",
     "sim_ivf_topk",
     "emb_kmeans_step",
+    "dedup_duplicate_spans",
 ]
 
 
@@ -739,6 +740,11 @@ SKEW_ENTRIES = [
     ("cc_hub_graph", 4, 8),
     ("dedup_segments", 16, 64),
     ("sample_stratified_quota", 16, 64),
+    # sliding-window span dedup: the hot 20%-of-rows identical-text
+    # cluster makes EVERY window inside it a ~0.2n-count duplicate —
+    # the map-side-combinable groupBy(h) and linear semi-join must hold
+    # (sub-2s at sf0.1, so the larger factors per the sub-2s rule)
+    ("dedup_duplicate_spans", 16, 64),
 ]
 SKEW_VARIANTS = {
     "dedup_minhash_lsh": _minhash_rep_pairs_stress,
