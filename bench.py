@@ -762,6 +762,8 @@ def _scale_stress_skewed(spark, registry) -> dict:
     import math as _math
     import time as _time
 
+    from bruin_spark.checkpointing import pinned_scope
+
     cache_path = "/tmp/bruin_scale_stress_skew_cache.json"
     key = _stress_cache_key() + ":skew"
     try:
@@ -798,7 +800,8 @@ def _scale_stress_skewed(spark, registry) -> dict:
             for _ in range(5):
                 spark.catalog.clearCache()
                 t0 = _time.perf_counter()
-                rows = fn(spark, sf_dir).count()
+                with pinned_scope():
+                    rows = fn(spark, sf_dir).count()
                 times.append(_time.perf_counter() - t0)
             return sorted(times)[len(times) // 2], rows
 
@@ -889,6 +892,7 @@ def _scale_stress(spark, registry, timings: dict[str, float]) -> dict:
     entries ran in the main loop).  The result is cached per
     (git state, factor, sf_dir) so repeated bench invocations in one
     round pay the ~2 min probe once and reuse the measurement."""
+    from bruin_spark.checkpointing import pinned_scope
     import time as _time
 
     cache_path = "/tmp/bruin_scale_stress_cache.json"
@@ -950,7 +954,8 @@ def _scale_stress(spark, registry, timings: dict[str, float]) -> dict:
                 for _ in range(5):
                     spark.catalog.clearCache()
                     t0 = _time.perf_counter()
-                    rows = fn(spark, sf_dir).count()
+                    with pinned_scope():
+                        rows = fn(spark, sf_dir).count()
                     times.append(_time.perf_counter() - t0)
                 return sorted(times)[len(times) // 2], rows
             finally:
@@ -1012,6 +1017,7 @@ def _scale_stress(spark, registry, timings: dict[str, float]) -> dict:
 def main() -> int:
     filters = [a for a in sys.argv[1:] if not a.startswith("--")]
 
+    from bruin_spark.checkpointing import pinned_scope
     from bruin_spark.session import get_spark
     from bruin_spark.workloads import collect_queries
 
@@ -1050,8 +1056,13 @@ def main() -> int:
         for _ in range(repeats):
             spark.catalog.clearCache()  # isolate runs from accumulated state
             t0 = time.perf_counter()
-            df = fn(spark, SF_DIR)
-            n = df.count()
+            # release whatever the query pinned (localCheckpoint blocks
+            # of multi-referenced subtrees) once consumed — otherwise a
+            # full bench run accumulates one pinned block set per query
+            # per repeat (r10 review finding)
+            with pinned_scope():
+                df = fn(spark, SF_DIR)
+                n = df.count()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
         # plan fingerprint: a changed hash across rounds means the PLAN
@@ -1138,12 +1149,23 @@ def main() -> int:
     sidecar_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_details.json"
     )
-    try:
-        with open(sidecar_path, "w") as f:
-            json.dump(sidecar, f, indent=1)
-        print(f"# full diagnostics -> {sidecar_path}", file=sys.stderr)
-    except Exception as e:
-        print(f"# sidecar write failed: {e}", file=sys.stderr)
+    if filters:
+        # a filtered run carries a handful of queries and no stress /
+        # gate sections — writing it would clobber the committed
+        # full-suite artifact that cross-round regression triage diffs
+        # (r10 review finding)
+        print(
+            "# filtered run: NOT overwriting the full-suite "
+            f"{os.path.basename(sidecar_path)}",
+            file=sys.stderr,
+        )
+    else:
+        try:
+            with open(sidecar_path, "w") as f:
+                json.dump(sidecar, f, indent=1)
+            print(f"# full diagnostics -> {sidecar_path}", file=sys.stderr)
+        except Exception as e:
+            print(f"# sidecar write failed: {e}", file=sys.stderr)
     print(json.dumps(out))
     return 0
 

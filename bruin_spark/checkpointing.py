@@ -49,6 +49,10 @@ MODES = ("local", "reliable", "none")
 #: process-wide strategy; None = fall back to the environment variables
 _mode: str | None = None
 _dir: str | None = None
+#: stack of active pinned_scope buckets: materialize() registers its
+#: result in the innermost one so harnesses can free everything a query
+#: pinned once the query has been consumed
+_active_scopes: list[list[DataFrame]] = []
 #: the raw (pre-qualification) dir we last passed to setCheckpointDir.
 #: Spark qualifies the dir (``/tmp/ck`` -> ``file:/tmp/ck/<uuid>``), so
 #: comparing the configured path against ``sc.getCheckpointDir`` never
@@ -120,15 +124,31 @@ def materialize(df: DataFrame, eager: bool = True, required: bool = False) -> Da
         if not required:
             return df
         mode = "local"
+    out = _materialize(df, eager, mode)
+    if _active_scopes:
+        _active_scopes[-1].append(out)
+    return out
+
+
+def _materialize(df: DataFrame, eager: bool, mode: str) -> DataFrame:
     if mode == "reliable":
         global _dir_set_on_context
         sc = df.sparkSession.sparkContext
         want = get_checkpoint_dir()
         if not want:
-            # refusing (rather than reusing whatever dir a previous
-            # checkpoint_scope left on the context) matters: that stale
-            # dir may be a deleted pytest tmp dir, and writing there
-            # fails mid-job or strands files in the wrong storage tier
+            # A context dir that WE never set came from outside bruin —
+            # spark.checkpoint.dir in spark-defaults or embedding code
+            # calling sc.setCheckpointDir() — and is a legitimate
+            # deployment configuration: honor it.  But a defined dir
+            # when _dir_set_on_context is not None is a LEFTOVER from a
+            # previous checkpoint_scope whose Python config was restored
+            # (possibly a deleted pytest tmp dir): refusing matters,
+            # because writing there fails mid-job or strands files in
+            # the wrong storage tier.  (If an external dir existed AND a
+            # bruin scope later overwrote it, the two are no longer
+            # distinguishable — the conservative raise applies.)
+            if _dir_set_on_context is None and sc._jsc.sc().getCheckpointDir().isDefined():
+                return df.checkpoint(eager=eager)
             raise RuntimeError(
                 "checkpoint mode 'reliable' but no checkpoint_dir is "
                 "configured (set_mode(..., checkpoint_dir=...), .bruin.yml "
@@ -143,6 +163,36 @@ def materialize(df: DataFrame, eager: bool = True, required: bool = False) -> Da
             _dir_set_on_context = want
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)
+
+
+@contextmanager
+def pinned_scope():
+    """Collect every ``materialize()`` result created inside the block
+    and :func:`release` them all on exit.
+
+    The lazy-DataFrame API cannot know when a caller is done with a
+    query, so a pipeline like ``minhash_dedup_clusters`` — which pins an
+    O(corpus-rows) (id, _tkey) projection that its returned plan still
+    references — would otherwise leak one pinned block set per call in
+    a long-lived session (scheduler, bench, notebook).  Harnesses wrap
+    build+consume in this scope::
+
+        with pinned_scope():
+            df = fn(spark, sf_dir)
+            df.count()
+        # everything the query pinned is now freed
+
+    Iterative loops that already release superseded rounds themselves
+    are unaffected: release() is idempotent (deleting missing checkpoint
+    files and unpersisting unpersisted RDDs are no-ops)."""
+    bucket: list[DataFrame] = []
+    _active_scopes.append(bucket)
+    try:
+        yield bucket
+    finally:
+        _active_scopes.pop()
+        for d in bucket:
+            release(d)
 
 
 def release(df: DataFrame) -> None:

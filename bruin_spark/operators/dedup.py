@@ -850,10 +850,17 @@ def _exact_group_rows(
     as one row per task, not 0.2·n rows.
     """
     key = _text_group_key(id_col, text_col)
-    return (
-        df.select(F.col(id_col).alias("id"), key.alias("_tkey"))
-        .groupBy("_tkey")
-        .agg(F.min("id").alias("rep"), F.count(F.lit(1)).alias("group_n"))
+    return _group_agg(df.select(F.col(id_col).alias("id"), key.alias("_tkey")))
+
+
+def _group_agg(keyed: DataFrame) -> DataFrame:
+    """(rep, group_n) per ``_tkey`` from a (id, _tkey) projection — THE
+    exact-group aggregate, shared by _exact_group_rows and
+    _keyed_and_groups so the grouping semantics (NULL-sentinel key,
+    min-id representative) cannot diverge between the collapse and
+    cluster paths."""
+    return keyed.groupBy("_tkey").agg(
+        F.min("id").alias("rep"), F.count(F.lit(1)).alias("group_n")
     )
 
 
@@ -918,6 +925,14 @@ def minhash_dedup_clusters(
     member expansion (the previous shape re-scanned and re-hashed the
     whole corpus to expand — at 100 TB that is a second full pass over
     the text payload for data the first pass already computed).
+
+    Resource note: that projection (~40 B/row) and the per-group
+    aggregate stay PINNED (block-manager / checkpoint storage) as long
+    as the returned plan may execute — a lazy API cannot know when the
+    caller is done.  Long-lived sessions running many dedup calls
+    should consume each result inside ``checkpointing.pinned_scope()``
+    (as bench.py and scripts/check_oracle.py do), which frees
+    everything the call pinned on scope exit.
     """
     keyed, groups = _keyed_and_groups(df, id_col, text_col)
     reps = _rep_rows(df, groups, id_col)
@@ -942,12 +957,7 @@ def _keyed_and_groups(
         ),
         eager=True,
     )
-    groups = materialize(
-        keyed.groupBy("_tkey").agg(
-            F.min("id").alias("rep"), F.count(F.lit(1)).alias("group_n")
-        ),
-        eager=True,
-    )
+    groups = materialize(_group_agg(keyed), eager=True)
     return keyed, groups
 
 

@@ -111,8 +111,14 @@ def main():
     for name, fn in selected.items():
         t_start = time.time()
         try:
-            sdf = fn(spark, sf_dir)
-            s_pdf = sdf.toPandas()
+            # free per-query pinned blocks (localCheckpoints of
+            # multi-referenced subtrees) — 111 entries in one session
+            # otherwise accumulate them all
+            from bruin_spark.checkpointing import pinned_scope
+
+            with pinned_scope():
+                sdf = fn(spark, sf_dir)
+                s_pdf = sdf.toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:200]}")
             n_fail += 1

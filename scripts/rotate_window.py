@@ -34,9 +34,19 @@ WINDOW_SIZE = 50
 sys.path.insert(0, str(REPO))
 
 
-def last_green_rounds(repo: Path = REPO) -> tuple[dict[str, int], int]:
+def last_green_rounds(
+    repo: Path = REPO, max_round: int | None = None
+) -> tuple[dict[str, int], int]:
     """(entry -> newest round with a green driver verdict, newest round
-    seen).  Entries with no green verdict are absent from the dict."""
+    seen).  Entries with no green verdict are absent from the dict.
+
+    ``max_round`` caps which files CONTRIBUTE verdicts (the returned
+    ``basis`` still reflects the newest file on disk): the rotation test
+    replays the window against the history as of its recorded basis, and
+    an entry that went green in a NEWER round must fall back to its
+    newest verdict <= basis — not be treated as never-verified, which
+    would spuriously reorder the expected window the moment the driver
+    commits its own post-round CORRECTNESS file."""
     last: dict[str, int] = {}
     basis = 0
     for f in sorted(repo.glob("CORRECTNESS_r*.json")):
@@ -45,6 +55,8 @@ def last_green_rounds(repo: Path = REPO) -> tuple[dict[str, int], int]:
             continue
         rnd = int(m.group(1))
         basis = max(basis, rnd)
+        if max_round is not None and rnd > max_round:
+            continue
         for name, v in json.loads(f.read_text()).items():
             if v.get("hash_match") is True:
                 last[name] = max(last.get(name, 0), rnd)

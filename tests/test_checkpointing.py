@@ -211,3 +211,53 @@ def test_environment_spec_carries_checkpoint_keys():
     )
     assert env.checkpoint_mode == "reliable"
     assert env.checkpoint_dir == "/mnt/ckpt"
+
+
+def test_reliable_mode_honors_externally_set_context_dir(spark, tmp_path, monkeypatch):
+    """A checkpoint dir configured OUTSIDE bruin (spark.checkpoint.dir
+    in spark-defaults, or embedding code calling sc.setCheckpointDir)
+    is a legitimate deployment configuration: 'reliable' with no
+    bruin-side dir must use it, not raise (r10 review).  Only a
+    LEFTOVER dir from a previous bruin checkpoint_scope is refused."""
+    ext = tmp_path / "external"
+    spark.sparkContext.setCheckpointDir(str(ext))
+    # simulate a fresh process where bruin never touched the context
+    monkeypatch.setattr(ck, "_dir_set_on_context", None)
+    monkeypatch.setenv("BRUIN_SPARK_CHECKPOINT_MODE", "reliable")
+    monkeypatch.delenv("BRUIN_SPARK_CHECKPOINT_DIR", raising=False)
+    out = ck.materialize(spark.range(7), eager=True)
+    assert out.count() == 7
+    assert any(ext.iterdir())  # checkpoint files landed in the external dir
+
+
+def test_pinned_scope_releases_cluster_pipeline_blocks(spark):
+    """minhash_dedup_clusters pins an (id, _tkey) corpus projection the
+    returned plan references; without a scope each call leaks one block
+    set per call in a long-lived session (r10 review). pinned_scope
+    must return the persistent-RDD census to its baseline."""
+    from bruin_spark.operators.dedup import minhash_dedup_clusters
+
+    docs = spark.createDataFrame(
+        [(i, f"doc text number {i % 3} shared body words") for i in range(30)],
+        "doc_id long, text string",
+    )
+
+    def n_persistent() -> int:
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    base = n_persistent()
+    with ck.pinned_scope() as bucket:
+        assert minhash_dedup_clusters(docs).count() > 0
+        assert bucket  # the pipeline did register pinned results
+        assert n_persistent() > base
+    assert n_persistent() == base
+
+
+def test_pinned_scope_reliable_mode_deletes_checkpoint_files(spark, tmp_path):
+    ckdir = tmp_path / "ck"
+    with ck.checkpoint_scope("reliable", checkpoint_dir=str(ckdir)):
+        with ck.pinned_scope():
+            out = ck.materialize(spark.range(50), eager=True)
+            assert out.count() == 50
+            assert any(ckdir.rglob("rdd-*"))
+    assert not any(ckdir.rglob("rdd-*"))

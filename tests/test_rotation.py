@@ -32,18 +32,39 @@ def _workloads():
 
 def test_window_matches_rotation_of_committed_history():
     w = _workloads()
-    last_green, basis = rotate_window.last_green_rounds()
-    # the window was computed against the files present when the script
-    # last ran; only consider rounds <= the recorded basis so the
-    # driver's own post-round CORRECTNESS commit doesn't invalidate it
-    filtered = {n: r for n, r in last_green.items() if r <= w._ROTATION_BASIS}
+    # replay against the history as of the recorded basis: files newer
+    # than the basis (the driver's own post-round CORRECTNESS commit)
+    # must not contribute verdicts, but an entry green BOTH before and
+    # after the basis keeps its newest pre-basis round — dropping it
+    # entirely would recompute it as never-verified and spuriously
+    # reorder the expected window (found in r10 review)
+    last_green, _ = rotate_window.last_green_rounds(max_round=w._ROTATION_BASIS)
     expected = rotate_window.compute_window(
-        list(w.collect_registry()), w._ROTATION_PINS, filtered
+        list(w.collect_registry()), w._ROTATION_PINS, last_green
     )
     assert list(w._DRIVER_WINDOW_PRIORITY) == expected, (
         "driver window is stale — run scripts/rotate_window.py "
         "(and pin this round's plan-changed entries in _ROTATION_PINS)"
     )
+
+
+def test_post_round_correctness_commit_does_not_invalidate_window(tmp_path):
+    """The driver commits CORRECTNESS_r{N+1}.json after the round whose
+    basis is rN; entries re-verified in it must keep their newest
+    pre-basis verdict when replaying the window, not become
+    'never-verified' (the r10 review bug)."""
+    import json
+
+    g = {"hash_match": True, "rows_match": True, "schema_match": True}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({"a": g, "b": g}))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({"b": g}))
+    # post-round commit: 'a' goes green again in r03, newer than basis r02
+    (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps({"a": g}))
+    capped, basis = rotate_window.last_green_rounds(tmp_path, max_round=2)
+    assert basis == 3  # freshness check still sees the newest file
+    assert capped == {"a": 1, "b": 2}  # 'a' falls back, not dropped
+    uncapped, _ = rotate_window.last_green_rounds(tmp_path)
+    assert uncapped == {"a": 3, "b": 2}
 
 
 def test_rotation_basis_is_fresh():
