@@ -83,3 +83,67 @@ def test_null_and_empty_text_ignored(spark):
     rows = {r["doc_id"]: r for r in duplicate_spans(docs, win_tokens=W).collect()}
     assert set(rows) == {4, 5}
     assert rows[4]["dup_tokens"] == 12
+
+
+def _naive_duplicate_spans(texts: dict[int, str], w: int) -> dict[int, tuple[int, int]]:
+    """Independent Python reference: sliding windows by value (no
+    hashing), corpus-wide count >= 2, per-doc interval merge.  Returns
+    {doc_id: (n_dup_spans, dup_tokens)} for affected docs."""
+    # mirror split(lower(trim(text)), '\s+'): '' and whitespace-only -> ['']
+    toks = {
+        d: (texts[d].strip().lower().split() or [""])
+        for d in texts
+        if texts[d] is not None
+    }
+    from collections import Counter
+
+    counts: Counter = Counter()
+    wins: dict[int, list[int]] = {}
+    for d, t in toks.items():
+        wins[d] = []
+        for i in range(len(t) - w + 1):
+            counts[" ".join(t[i : i + w])] += 1
+            wins[d].append(i)
+    out: dict[int, tuple[int, int]] = {}
+    for d, t in toks.items():
+        flagged = [i for i in wins[d] if counts[" ".join(t[i : i + w])] >= 2]
+        if not flagged:
+            continue
+        spans, dup = 0, 0
+        prev = None
+        for p in flagged:
+            if prev is None or p - prev > w:
+                spans += 1
+                dup += w
+            else:
+                dup += min(w, p - prev)
+            prev = p
+        out[d] = (spans, dup)
+    return out
+
+
+def test_randomized_differential_vs_naive(spark):
+    """Randomized differential: 60 docs assembled from a small word pool
+    with planted repeated fragments, so duplicated windows arise both by
+    construction and by chance. The Spark plan must agree exactly with
+    an independent per-window-value Python implementation (which never
+    hashes, so it also cross-checks the 60-bit hash's collision-freedom
+    at this scale)."""
+    import random
+
+    rng = random.Random(421)
+    pool = [f"w{i}" for i in range(12)]  # small pool -> chance repeats
+    frags = [" ".join(rng.choice(pool) for _ in range(rng.randint(8, 14))) for _ in range(4)]
+    texts: dict[int, str] = {}
+    for d in range(60):
+        parts = []
+        for _ in range(rng.randint(0, 3)):
+            parts.append(rng.choice(frags) if rng.random() < 0.5 else " ".join(rng.choice(pool) for _ in range(rng.randint(1, 12))))
+        texts[d] = " ".join(parts)
+    df = spark.createDataFrame(list(texts.items()), "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["n_dup_spans"], r["dup_tokens"])
+        for r in duplicate_spans(df, win_tokens=W).collect()
+    }
+    want = _naive_duplicate_spans(texts, W)
+    assert got == want
