@@ -340,6 +340,12 @@ def _scheduler_failure_stress(spark) -> dict:
         with lock:
             attempts_seen[asset.name] = attempts_seen.get(asset.name, 0) + 1
             nth = attempts_seen[asset.name]
+        if asset.custom_checks:
+            # the fused check scan reads spark.table(asset.name)
+            # unconditionally — materialize a real 1-row view so the
+            # custom checks evaluate their VALUE probes (SELECT 1 vs 0),
+            # not a TABLE_OR_VIEW_NOT_FOUND analysis error
+            s.range(1).createOrReplaceTempView(asset.name)
         if asset.name in TIMEOUT_ASSETS:
             _time.sleep(2.0)  # watcher fires at 0.4s; abandoned thread is daemon
         elif asset.name in HARDFAIL:
