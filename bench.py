@@ -808,7 +808,8 @@ def _scale_stress_skewed(spark, registry) -> dict:
                 t0 = _time.perf_counter()
                 with pinned_scope():
                     rows = fn(spark, sf_dir).count()
-                times.append(_time.perf_counter() - t0)
+                    dt = _time.perf_counter() - t0
+                times.append(dt)
             return sorted(times)[len(times) // 2], rows
 
         t_half, _ = timed(dirs[half])
@@ -962,7 +963,8 @@ def _scale_stress(spark, registry, timings: dict[str, float]) -> dict:
                     t0 = _time.perf_counter()
                     with pinned_scope():
                         rows = fn(spark, sf_dir).count()
-                    times.append(_time.perf_counter() - t0)
+                        dt = _time.perf_counter() - t0
+                    times.append(dt)
                 return sorted(times)[len(times) // 2], rows
             finally:
                 spark.conf.set("spark.sql.shuffle.partitions", str(base_parts))
@@ -1065,11 +1067,15 @@ def main() -> int:
             # release whatever the query pinned (localCheckpoint blocks
             # of multi-referenced subtrees) once consumed — otherwise a
             # full bench run accumulates one pinned block set per query
-            # per repeat (r10 review finding)
+            # per repeat (r10 review finding). The timer stops BEFORE
+            # scope exit: release cost (JVM unpersist roundtrips, file
+            # deletes) is harness bookkeeping, not query cost, and r9
+            # timings were taken without it.
             with pinned_scope():
                 df = fn(spark, SF_DIR)
                 n = df.count()
-            best = min(best, time.perf_counter() - t0)
+                dt = time.perf_counter() - t0
+            best = min(best, dt)
         timings[name] = round(best, 3)
         # plan fingerprint: a changed hash across rounds means the PLAN
         # changed; an unchanged hash with a changed timing means noise /
@@ -1155,13 +1161,14 @@ def main() -> int:
     sidecar_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_details.json"
     )
-    if filters:
-        # a filtered run carries a handful of queries and no stress /
+    if filters or not want_stress:
+        # an incomplete run (name filters, --no-scale-stress,
+        # SPARK_GRAFT_SCALE_STRESS=0) lacks queries and/or the stress /
         # gate sections — writing it would clobber the committed
         # full-suite artifact that cross-round regression triage diffs
-        # (r10 review finding)
+        # (r10 review finding; guard keyed on completeness)
         print(
-            "# filtered run: NOT overwriting the full-suite "
+            "# incomplete run: NOT overwriting the full-suite "
             f"{os.path.basename(sidecar_path)}",
             file=sys.stderr,
         )

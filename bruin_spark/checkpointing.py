@@ -49,10 +49,22 @@ MODES = ("local", "reliable", "none")
 #: process-wide strategy; None = fall back to the environment variables
 _mode: str | None = None
 _dir: str | None = None
-#: stack of active pinned_scope buckets: materialize() registers its
-#: result in the innermost one so harnesses can free everything a query
-#: pinned once the query has been consumed
-_active_scopes: list[list[DataFrame]] = []
+#: per-THREAD stack of active pinned_scope buckets: materialize()
+#: registers its result in the calling thread's innermost scope so
+#: harnesses can free everything a query pinned once it is consumed.
+#: Thread-local, not global: the scheduler runs operators on worker
+#: threads, and a global stack would let thread A's scope exit release
+#: blocks thread B is still computing with (and pop B's bucket).
+import threading as _threading
+
+_scope_stacks = _threading.local()
+
+
+def _active_scopes() -> list[list[DataFrame]]:
+    stack = getattr(_scope_stacks, "stack", None)
+    if stack is None:
+        stack = _scope_stacks.stack = []
+    return stack
 #: the raw (pre-qualification) dir we last passed to setCheckpointDir.
 #: Spark qualifies the dir (``/tmp/ck`` -> ``file:/tmp/ck/<uuid>``), so
 #: comparing the configured path against ``sc.getCheckpointDir`` never
@@ -125,8 +137,9 @@ def materialize(df: DataFrame, eager: bool = True, required: bool = False) -> Da
             return df
         mode = "local"
     out = _materialize(df, eager, mode)
-    if _active_scopes:
-        _active_scopes[-1].append(out)
+    stack = _active_scopes()
+    if stack:
+        stack[-1].append(out)
     return out
 
 
@@ -184,13 +197,16 @@ def pinned_scope():
 
     Iterative loops that already release superseded rounds themselves
     are unaffected: release() is idempotent (deleting missing checkpoint
-    files and unpersisting unpersisted RDDs are no-ops)."""
+    files and unpersisting unpersisted RDDs are no-ops).  Scopes are
+    per-thread: a scope only collects (and only releases) what ITS
+    thread materialized."""
+    stack = _active_scopes()
     bucket: list[DataFrame] = []
-    _active_scopes.append(bucket)
+    stack.append(bucket)
     try:
         yield bucket
     finally:
-        _active_scopes.pop()
+        stack.remove(bucket)
         for d in bucket:
             release(d)
 
@@ -225,4 +241,10 @@ def release(df: DataFrame) -> None:
             jrdd.unpersist(False)
     except Exception:  # noqa: BLE001 — cleanup must never fail the job
         pass
-    df.unpersist()
+    try:
+        # also guarded: on a stopped SparkContext this py4j call raises,
+        # and a release inside pinned_scope's finally must not mask the
+        # query's own exception or skip the rest of the bucket
+        df.unpersist()
+    except Exception:  # noqa: BLE001
+        pass

@@ -832,10 +832,7 @@ def exact_text_mapping(
     """
     key = _text_group_key(id_col, text_col)
     mapping = df.select(F.col(id_col).alias("id"), key.alias("_tkey"))
-    groups = mapping.groupBy("_tkey").agg(
-        F.min("id").alias("rep"), F.count(F.lit(1)).alias("group_n")
-    )
-    return mapping.join(groups, "_tkey").select("id", "rep", "group_n")
+    return mapping.join(_group_agg(mapping), "_tkey").select("id", "rep", "group_n")
 
 
 def _exact_group_rows(

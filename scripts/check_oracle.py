@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import math
 import sys
+from bruin_spark.checkpointing import pinned_scope
 
 sys.path.insert(0, "/root/repo")
 
@@ -114,8 +115,6 @@ def main():
             # free per-query pinned blocks (localCheckpoints of
             # multi-referenced subtrees) — 111 entries in one session
             # otherwise accumulate them all
-            from bruin_spark.checkpointing import pinned_scope
-
             with pinned_scope():
                 sdf = fn(spark, sf_dir)
                 s_pdf = sdf.toPandas()

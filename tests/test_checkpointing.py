@@ -220,14 +220,24 @@ def test_reliable_mode_honors_externally_set_context_dir(spark, tmp_path, monkey
     bruin-side dir must use it, not raise (r10 review).  Only a
     LEFTOVER dir from a previous bruin checkpoint_scope is refused."""
     ext = tmp_path / "external"
-    spark.sparkContext.setCheckpointDir(str(ext))
+    sc = spark.sparkContext
+    jsc = sc._jsc.sc()
+    prev_dir = jsc.getCheckpointDir()  # scala Option — restored below
+    sc.setCheckpointDir(str(ext))
     # simulate a fresh process where bruin never touched the context
     monkeypatch.setattr(ck, "_dir_set_on_context", None)
     monkeypatch.setenv("BRUIN_SPARK_CHECKPOINT_MODE", "reliable")
     monkeypatch.delenv("BRUIN_SPARK_CHECKPOINT_DIR", raising=False)
-    out = ck.materialize(spark.range(7), eager=True)
-    assert out.count() == 7
-    assert any(ext.iterdir())  # checkpoint files landed in the external dir
+    try:
+        out = ck.materialize(spark.range(7), eager=True)
+        assert out.count() == 7
+        assert any(ext.iterdir())  # checkpoint files landed in the external dir
+    finally:
+        # the SparkContext is session-scoped: leaving it pointing at this
+        # test's tmp dir would make LATER reliable-mode-without-config
+        # code silently honor a dead directory (order-dependent flake) —
+        # put the previous Option[String] back on the scala var
+        getattr(jsc, "checkpointDir_$eq")(prev_dir)
 
 
 def test_pinned_scope_releases_cluster_pipeline_blocks(spark):
@@ -261,3 +271,28 @@ def test_pinned_scope_reliable_mode_deletes_checkpoint_files(spark, tmp_path):
             assert out.count() == 50
             assert any(ckdir.rglob("rdd-*"))
     assert not any(ckdir.rglob("rdd-*"))
+
+
+def test_pinned_scope_is_thread_local(spark):
+    """Scopes must not see (or release) other threads' materializations:
+    the scheduler runs operators on worker threads, and a global stack
+    would let thread A's scope exit free blocks thread B still needs
+    (r10 review)."""
+    import threading
+
+    results = {}
+    barrier = threading.Barrier(2, timeout=30)
+
+    def work(name: str, n: int):
+        with ck.pinned_scope() as bucket:
+            out = ck.materialize(spark.range(n), eager=True)
+            barrier.wait()  # both scopes open + registered concurrently
+            results[name] = (len(bucket), out.count())
+            barrier.wait()  # neither exits before both have consumed
+
+    t1 = threading.Thread(target=work, args=("a", 11))
+    t2 = threading.Thread(target=work, args=("b", 13))
+    t1.start(), t2.start()
+    t1.join(30), t2.join(30)
+    # each scope saw exactly ITS OWN materialization and its data intact
+    assert results == {"a": (1, 11), "b": (1, 13)}
