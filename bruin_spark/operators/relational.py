@@ -154,3 +154,91 @@ def session_stats(
     if value_col:
         aggs.append(F.round(F.sum(value_col), 4).alias("total_value"))
     return s.groupBy(key, "session_seq").agg(*aggs)
+
+
+def funnel_counts(
+    df: DataFrame,
+    steps: list[str],
+    key: str = "user_id",
+    type_col: str = "event_type",
+    time_col: str = "ts",
+    horizon_hours: int | None = 48,
+) -> DataFrame:
+    """First-touch ordered funnel: how many keys (users) reach each step
+    of ``steps`` in order, where each step's event must be STRICTLY
+    after the previous step's chosen event and (optionally) within
+    ``horizon_hours`` of the first step.  Step k's chosen event is the
+    earliest qualifying one (cascaded-min semantics — deterministic, so
+    it is exactly expressible in both Spark and ANSI SQL).
+
+    Returns one row per step: (step_idx 1-based, step_name, users,
+    pct_of_first).  ``users`` is monotone non-increasing.
+
+    Plan (100 TB shape): ONE shuffle.  Non-step events are filtered at
+    the scan; the per-key event list (struct(ts, step_idx), sorted) is
+    walked by a single JVM aggregate() pass whose state is
+    (level, t1, tprev) — per-key work bounded by the key's own event
+    count, no window functions, no cross-key ordering.  The step counts
+    reduce to one global row (map-side combinable sums) and the K
+    output rows explode from it — K is the funnel depth, a constant.
+    Timestamps are compared NATIVELY (x.ts > s.tprev,
+    x.ts <= s.t1 + INTERVAL) so the oracle's timestamp arithmetic
+    matches bit-for-bit with no epoch-double rounding concerns.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    ts_type = dict(df.dtypes)[time_col]
+    idx_expr = F.when(F.col(type_col) == steps[0], 0)
+    for i, s in enumerate(steps[1:], start=1):
+        idx_expr = idx_expr.when(F.col(type_col) == s, i)
+    ev = df.filter(F.col(type_col).isin(list(steps))).select(
+        F.col(key).alias("_k"),
+        F.struct(F.col(time_col).alias("ts"), idx_expr.alias("idx")).alias("_e"),
+    )
+    horizon_pred = (
+        f"AND x.ts <= s.t1 + INTERVAL '{int(horizon_hours)}' HOUR"
+        if horizon_hours is not None
+        else ""
+    )
+    walk = F.expr(
+        f"""
+        aggregate(
+          sort_array(evs),
+          named_struct('level', 0,
+                       't1', CAST(NULL AS {ts_type}),
+                       'tprev', CAST(NULL AS {ts_type})),
+          (s, x) -> CASE
+            WHEN x.idx = s.level
+                 AND (s.level = 0 OR (x.ts > s.tprev {horizon_pred}))
+            THEN named_struct('level', s.level + 1,
+                              't1', coalesce(s.t1, x.ts),
+                              'tprev', x.ts)
+            ELSE s END
+        ).level
+        """
+    )
+    levels = (
+        ev.groupBy("_k")
+        .agg(F.collect_list("_e").alias("evs"))
+        .select(walk.alias("level"))
+    )
+    counts = levels.agg(
+        *[
+            F.sum((F.col("level") >= k).cast("long")).alias(f"c{k}")
+            for k in range(1, len(steps) + 1)
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("step_idx"),
+                F.lit(steps[k - 1]).alias("step_name"),
+                F.col(f"c{k}").alias("users"),
+                F.when(
+                    F.col("c1") > 0, F.round(F.col(f"c{k}") / F.col("c1"), 4)
+                ).alias("pct_of_first"),
+            )
+            for k in range(1, len(steps) + 1)
+        ]
+    )
+    return counts.select(F.explode(rows).alias("s")).select("s.*")

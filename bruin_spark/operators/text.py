@@ -257,3 +257,40 @@ def shingles(text_col: str, n: int = 3) -> Column:
         )[0]
         """
     )
+
+
+def top_ngrams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k most frequent word n-grams corpus-wide, with total
+    occurrences and distinct-document counts — the vocabulary /
+    boilerplate-discovery probe that usually precedes dedup threshold
+    tuning (a trigram in 40% of documents IS the boilerplate the
+    segment/span dedup should strip).
+
+    Plan (100 TB shape): shingling is map-only (one tokenization per
+    row, see shingles()); the occurrence count is a map-side-combinable
+    groupBy — a hot boilerplate n-gram collapses to partial counts
+    before the shuffle; the distinct-doc count plans as Spark's
+    standard two-phase distinct aggregate keyed (ngram, doc), so even
+    the hot n-gram's rows spread over its doc ids rather than one
+    reducer.  Top-k is orderBy+limit = TakeOrdered (per-partition heap,
+    driver merges k rows), never a full sort.  Tiebreak (count desc,
+    ngram asc) makes the k-set total-ordered and deterministic.
+    """
+    grams = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("ngram")
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(
+            F.count(F.lit(1)).alias("occurrences"),
+            F.countDistinct("id").alias("n_docs"),
+        )
+        .orderBy(F.desc("occurrences"), F.asc("ngram"))
+        .limit(k)
+    )

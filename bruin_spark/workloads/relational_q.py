@@ -117,7 +117,59 @@ GROUP BY user_id, session_seq
 """
 
 
+# -- ordered funnel: view -> click -> purchase, first-touch cascade ------------
+
+FUNNEL_STEPS = ["view", "click", "purchase"]
+FUNNEL_HORIZON_H = 48
+
+
+def rel_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch ordered funnel over events: users reaching each of
+    view -> click -> purchase in order, each step strictly after the
+    previous step's earliest qualifying event and within 48h of the
+    first view (cascaded-min semantics, deterministic)."""
+    return R.funnel_counts(
+        _events(spark, sf_dir), FUNNEL_STEPS, horizon_hours=FUNNEL_HORIZON_H
+    )
+
+
+def _funnel_oracle() -> str:
+    h = FUNNEL_HORIZON_H
+    s1, s2, s3 = FUNNEL_STEPS
+    return f"""
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = '{s1}' GROUP BY user_id
+), t2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN t1 USING (user_id)
+  WHERE e.event_type = '{s2}' AND e.ts > t1.t1
+    AND e.ts <= t1.t1 + INTERVAL {h} HOUR
+  GROUP BY e.user_id
+), t3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN t2 USING (user_id) JOIN t1 USING (user_id)
+  WHERE e.event_type = '{s3}' AND e.ts > t2.t2
+    AND e.ts <= t1.t1 + INTERVAL {h} HOUR
+  GROUP BY e.user_id
+), c AS (
+  SELECT (SELECT count(*) FROM t1) AS c1,
+         (SELECT count(*) FROM t2) AS c2,
+         (SELECT count(*) FROM t3) AS c3
+)
+SELECT 1 AS step_idx, '{s1}' AS step_name, c1::BIGINT AS users,
+       CASE WHEN c1 > 0 THEN ROUND(c1::DOUBLE / c1, 4) END AS pct_of_first FROM c
+UNION ALL
+SELECT 2, '{s2}', c2::BIGINT,
+       CASE WHEN c1 > 0 THEN ROUND(c2::DOUBLE / c1, 4) END FROM c
+UNION ALL
+SELECT 3, '{s3}', c3::BIGINT,
+       CASE WHEN c1 > 0 THEN ROUND(c3::DOUBLE / c1, 4) END FROM c
+"""
+
+
 QUERIES = {
+    "rel_funnel_steps": (rel_funnel_steps, _funnel_oracle()),
     "rel_asof_purchase_login": (rel_asof_purchase_login, ASOF_ORACLE),
     "rel_range_price_bands": (rel_range_price_bands, _range_oracle()),
     "rel_sessionize": (rel_sessionize, SESSIONIZE_ORACLE),

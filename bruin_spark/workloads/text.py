@@ -510,3 +510,43 @@ w0 AS (
 
 
 QUERIES["text_bpe_merges"] = (text_bpe_merges, _bpe_oracle())
+
+# -- corpus top n-grams ------------------------------------------------------------
+
+TOPNGRAM_N = 3
+TOPNGRAM_K = 20
+
+
+def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus trigrams with occurrence and distinct-doc counts
+    (boilerplate discovery / vocab probe)."""
+    return T.top_ngrams(_docs(spark, sf_dir), n=TOPNGRAM_N, k=TOPNGRAM_K)
+
+
+def _top_ngrams_oracle() -> str:
+    n, k = TOPNGRAM_N, TOPNGRAM_K
+    toks = "string_split_regex(lower(trim(text)), '\\s+')"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {toks} AS t FROM documents
+), grams AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= {n}
+         THEN [array_to_string(list_slice(t, i, i + {n - 1}), ' ')
+               FOR i IN generate_series(1, len(t) - {n - 1})]
+         ELSE [array_to_string(t, ' ')]
+         END AS gs
+  FROM toks
+), g AS (
+  SELECT doc_id, UNNEST(gs) AS ngram FROM grams
+)
+SELECT ngram, COUNT(*)::BIGINT AS occurrences,
+       COUNT(DISTINCT doc_id)::BIGINT AS n_docs
+FROM g
+GROUP BY ngram
+ORDER BY occurrences DESC, ngram ASC
+LIMIT {k}
+"""
+
+
+QUERIES["text_top_ngrams"] = (text_top_ngrams, _top_ngrams_oracle())

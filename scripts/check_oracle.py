@@ -21,9 +21,10 @@ from __future__ import annotations
 
 import math
 import sys
-from bruin_spark.checkpointing import pinned_scope
 
 sys.path.insert(0, "/root/repo")
+
+from bruin_spark.checkpointing import pinned_scope  # noqa: E402 — needs the path above
 
 SF_DIR = "/root/testdata/sf0.01"
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()

@@ -1,0 +1,88 @@
+"""funnel_counts (first-touch ordered funnel, cascaded-min semantics)
+and top_ngrams (corpus frequency probe) — the r10 analytics additions."""
+
+from datetime import datetime
+
+from bruin_spark.operators.relational import funnel_counts
+from bruin_spark.operators.text import top_ngrams
+
+
+def _ts(h, m=0):
+    return datetime(2024, 1, 1, h, m)
+
+
+def _funnel(spark, rows, horizon_hours=48):
+    df = spark.createDataFrame(rows, "user_id int, event_type string, ts timestamp")
+    out = funnel_counts(df, ["view", "click", "purchase"], horizon_hours=horizon_hours)
+    return {r["step_name"]: r for r in out.collect()}
+
+
+def test_strict_order_and_cascade(spark):
+    rows = [
+        # u1 completes in order
+        (1, "view", _ts(1)), (1, "click", _ts(2)), (1, "purchase", _ts(3)),
+        # u2 clicks BEFORE its first view -> click doesn't count
+        (2, "click", _ts(1)), (2, "view", _ts(2)),
+        # u3 purchase before click -> stops at click
+        (3, "view", _ts(1)), (3, "purchase", _ts(2)), (3, "click", _ts(3)),
+        # u4 never views -> not even step 1
+        (4, "click", _ts(1)), (4, "purchase", _ts(2)),
+    ]
+    got = _funnel(spark, rows)
+    assert got["view"]["users"] == 3
+    assert got["click"]["users"] == 2  # u1 and u3
+    assert got["purchase"]["users"] == 1  # only u1
+    assert got["view"]["pct_of_first"] == 1.0
+    assert got["purchase"]["pct_of_first"] == round(1 / 3, 4)
+    assert [got[s]["step_idx"] for s in ("view", "click", "purchase")] == [1, 2, 3]
+
+
+def test_equal_timestamps_do_not_advance(spark):
+    # click at EXACTLY the view's time: strictly-after is required
+    rows = [(1, "view", _ts(1)), (1, "click", _ts(1)), (1, "click", _ts(2))]
+    got = _funnel(spark, rows)
+    assert got["click"]["users"] == 1  # the ts(2) click counts, ts(1) doesn't
+
+
+def test_horizon_bounds_later_steps(spark):
+    rows = [
+        # click 3h after first view: outside a 2h horizon
+        (1, "view", _ts(1)), (1, "click", _ts(4)),
+        # u2 inside the horizon
+        (2, "view", _ts(1)), (2, "click", _ts(2)),
+    ]
+    got = _funnel(spark, rows, horizon_hours=2)
+    assert got["view"]["users"] == 2
+    assert got["click"]["users"] == 1
+
+
+def test_first_touch_not_best_touch(spark):
+    """Cascaded-min anchors on the FIRST view even when a later view
+    would have completed the funnel inside the horizon."""
+    rows = [
+        (1, "view", _ts(1)),          # first touch anchors here
+        (1, "view", _ts(10)),         # a later view is NOT re-anchored
+        (1, "click", _ts(11)),        # 10h after first view: outside 2h horizon
+    ]
+    got = _funnel(spark, rows, horizon_hours=2)
+    assert got["view"]["users"] == 1
+    assert got["click"]["users"] == 0
+
+
+def test_top_ngrams_counts_and_tiebreak(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c"),     # trigrams: "a b c","b c a","c a b","a b c"
+            (2, "a b c x y z"),
+            (3, "short doc"),        # < 3 tokens -> one whole-text gram
+            (4, "short doc"),
+        ],
+        "doc_id int, text string",
+    )
+    out = top_ngrams(docs, n=3, k=3).collect()
+    assert [(r["ngram"], r["occurrences"], r["n_docs"]) for r in out] == [
+        ("a b c", 3, 2),
+        ("short doc", 2, 2),
+        # count-1 tie broken by ngram ascending
+        ("b c a", 1, 1),
+    ]

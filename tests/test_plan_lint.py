@@ -82,6 +82,10 @@ SINGLE_PARTITION_OK = {
     "sem_monthly_window",
     "sem_rank_wrapped",
     "text_bm25_topk",
+    # funnel: per-user levels reduce to ONE global count row (map-side
+    # combinable sums); the K output rows explode from that single row —
+    # bounded by construction, same class as the scalar aggregates above
+    "rel_funnel_steps",
 }
 
 

@@ -47,6 +47,7 @@ SWEEP_ENTRIES = [
     "dedup_simhash_clusters",
     "dedup_ngram_jaccard",
     "dedup_duplicate_spans",
+    "text_top_ngrams",
 ]
 
 _E = "é"                      # é precomposed (NFC)
