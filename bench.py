@@ -801,7 +801,8 @@ def _scale_stress_skewed(spark, registry) -> dict:
             # the one-time codegen/JIT compile (plans are identical
             # across scales), which deflates the fitted exponent
             spark.catalog.clearCache()
-            fn(spark, sf_dir).count()
+            with pinned_scope():
+                fn(spark, sf_dir).count()
             times, rows = [], 0
             for _ in range(5):
                 spark.catalog.clearCache()
@@ -950,7 +951,8 @@ def _scale_stress(spark, registry, timings: dict[str, float]) -> dict:
                 # compile-cache hit), which skews the fitted exponent
                 # downward (r8: measured up to -1.4 on sub-2s entries)
                 spark.catalog.clearCache()
-                fn(spark, sf_dir).count()
+                with pinned_scope():
+                    fn(spark, sf_dir).count()
                 # MEDIAN-of-5: sub-2s measurements carry enough noise to
                 # flap the fitted exponent across the verdict boundary,
                 # and best-of-N is biased — one lucky fast run at the
@@ -1161,7 +1163,7 @@ def main() -> int:
     sidecar_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_details.json"
     )
-    if filters or not want_stress:
+    if not want_stress:  # want_stress already implies no name filters
         # an incomplete run (name filters, --no-scale-stress,
         # SPARK_GRAFT_SCALE_STRESS=0) lacks queries and/or the stress /
         # gate sections — writing it would clobber the committed

@@ -206,7 +206,12 @@ def pinned_scope():
     try:
         yield bucket
     finally:
-        stack.remove(bucket)
+        # LIFO pop, NOT remove(bucket): list.remove compares by equality
+        # and all empty buckets are equal, so nested scopes could drop
+        # the OUTER bucket. Context-manager exits are LIFO per thread,
+        # so the top of this thread's stack is always ours.
+        popped = stack.pop()
+        assert popped is bucket, "pinned_scope stack corrupted"
         for d in bucket:
             release(d)
 

@@ -177,8 +177,13 @@ def funnel_counts(
     Plan (100 TB shape): ONE shuffle.  Non-step events are filtered at
     the scan; the per-key event list (struct(ts, step_idx), sorted) is
     walked by a single JVM aggregate() pass whose state is
-    (level, t1, tprev) — per-key work bounded by the key's own event
-    count, no window functions, no cross-key ordering.  The step counts
+    (level, t1, tprev) — per-key work bounded by the key's own DISTINCT
+    (ts, step) event count (exact duplicate events collapse map-side
+    before the shuffle), no window functions, no cross-key ordering.
+    Like sessionize/session_stats, the per-key buffer assumes
+    human-scale keys; a bot key with 10^8 distinct-timestamp step
+    events concentrates in one aggregation buffer — pre-filter such
+    keys (or cap events per key) upstream if the corpus has them.  The step counts
     reduce to one global row (map-side combinable sums) and the K
     output rows explode from it — K is the funnel depth, a constant.
     Timestamps are compared NATIVELY (x.ts > s.tprev,
@@ -191,7 +196,11 @@ def funnel_counts(
     idx_expr = F.when(F.col(type_col) == steps[0], 0)
     for i, s in enumerate(steps[1:], start=1):
         idx_expr = idx_expr.when(F.col(type_col) == s, i)
-    ev = df.filter(F.col(type_col).isin(list(steps))).select(
+    # NULL timestamps are excluded (the oracle's min(ts) skips NULLs; a
+    # NULL-ts event would otherwise anchor t1=NULL and stall the walk).
+    ev = df.filter(
+        F.col(type_col).isin(list(steps)) & F.col(time_col).isNotNull()
+    ).select(
         F.col(key).alias("_k"),
         F.struct(F.col(time_col).alias("ts"), idx_expr.alias("idx")).alias("_e"),
     )
@@ -217,14 +226,24 @@ def funnel_counts(
         ).level
         """
     )
+    # collect_SET, not list: the walk's decision depends only on
+    # (ts, idx), so exact duplicate events are redundant and the set's
+    # map-side partial aggregation collapses a duplicate-spamming key
+    # inside each map task, keeping the plan at ONE shuffle (a distinct()
+    # pre-pass would be a second exchange)
     levels = (
         ev.groupBy("_k")
-        .agg(F.collect_list("_e").alias("evs"))
+        .agg(F.collect_set("_e").alias("evs"))
         .select(walk.alias("level"))
     )
+    # coalesce: on step-free input `levels` is empty and sum() is NULL,
+    # but a funnel count is contractually 0 (and the oracle's count(*)
+    # says 0)
     counts = levels.agg(
         *[
-            F.sum((F.col("level") >= k).cast("long")).alias(f"c{k}")
+            F.coalesce(F.sum((F.col("level") >= k).cast("long")), F.lit(0).cast("long")).alias(
+                f"c{k}"
+            )
             for k in range(1, len(steps) + 1)
         ]
     )

@@ -282,7 +282,13 @@ def top_ngrams(
     driver merges k rows), never a full sort.  Tiebreak (count desc,
     ngram asc) makes the k-set total-ordered and deterministic.
     """
-    grams = df.select(
+    # NULL texts are excluded EXPLICITLY on both engines: Spark's
+    # shingles(NULL) evaluates to [''] (one empty gram) while the
+    # DuckDB oracle's list pipeline emits nothing for NULL — without
+    # this filter a NULL-heavy corpus pushes a phantom '' gram into the
+    # Spark top-k only (latent cross-engine divergence; empty-STRING
+    # docs still count their '' gram identically on both sides)
+    grams = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("ngram")
     )
     return (

@@ -528,7 +528,7 @@ def _top_ngrams_oracle() -> str:
     toks = "string_split_regex(lower(trim(text)), '\\s+')"
     return f"""
 WITH toks AS (
-  SELECT doc_id, {toks} AS t FROM documents
+  SELECT doc_id, {toks} AS t FROM documents WHERE text IS NOT NULL
 ), grams AS (
   SELECT doc_id,
          CASE WHEN len(t) >= {n}

@@ -296,3 +296,29 @@ def test_pinned_scope_is_thread_local(spark):
     t1.join(30), t2.join(30)
     # each scope saw exactly ITS OWN materialization and its data intact
     assert results == {"a": (1, 11), "b": (1, 13)}
+
+
+def test_pinned_scope_nesting_releases_the_right_bucket(spark):
+    """Nested scopes with an EMPTY outer bucket: list.remove(bucket)
+    compares by equality and all empty lists are equal, so the inner
+    exit used to drop the OUTER bucket (r10 review) — LIFO pop must
+    remove its own."""
+    with ck.pinned_scope() as outer:
+        with ck.pinned_scope() as inner:
+            ck.materialize(spark.range(5), eager=True).count()
+            assert len(inner) == 1 and len(outer) == 0
+        # outer scope still live and registering
+        out = ck.materialize(spark.range(6), eager=True)
+        assert out.count() == 6
+        assert len(outer) == 1  # registered into OUR bucket, not a dead one
+
+    def n_persistent() -> int:
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    # everything from both scopes is gone
+    base = n_persistent()
+    with ck.pinned_scope():
+        with ck.pinned_scope():
+            ck.materialize(spark.range(4), eager=True).count()
+        ck.materialize(spark.range(4), eager=True).count()
+    assert n_persistent() == base

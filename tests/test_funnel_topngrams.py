@@ -86,3 +86,37 @@ def test_top_ngrams_counts_and_tiebreak(spark):
         # count-1 tie broken by ngram ascending
         ("b c a", 1, 1),
     ]
+
+
+def test_funnel_empty_and_step_free_input_counts_zero(spark):
+    # no qualifying events at all: counts must be 0 (not NULL), matching
+    # the oracle's count(*) semantics
+    df = spark.createDataFrame(
+        [(1, "error", _ts(1))], "user_id int, event_type string, ts timestamp"
+    )
+    got = {r["step_name"]: r for r in funnel_counts(df, ["view", "click", "purchase"]).collect()}
+    assert [got[s]["users"] for s in ("view", "click", "purchase")] == [0, 0, 0]
+    assert all(got[s]["pct_of_first"] is None for s in ("view", "click", "purchase"))
+
+
+def test_funnel_null_ts_and_duplicate_events_ignored(spark):
+    rows = [
+        (1, "view", None),      # must not anchor t1=NULL and stall the walk
+        (1, "view", _ts(2)),
+        (1, "click", _ts(3)),
+        (1, "click", _ts(3)),   # exact duplicate: collapses in collect_set
+    ]
+    got = _funnel(spark, rows)
+    assert got["view"]["users"] == 1
+    assert got["click"]["users"] == 1
+
+
+def test_top_ngrams_null_text_excluded(spark):
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, None), (4, "x y"), (5, "")],
+        "doc_id int, text string",
+    )
+    out = {r["ngram"]: r for r in top_ngrams(docs, n=3, k=5).collect()}
+    # NULL docs contribute nothing; the empty-STRING doc's '' gram stays
+    assert set(out) == {"x y", ""}
+    assert out[""]["n_docs"] == 1
