@@ -120,3 +120,55 @@ def test_top_ngrams_null_text_excluded(spark):
     # NULL docs contribute nothing; the empty-STRING doc's '' gram stays
     assert set(out) == {"x y", ""}
     assert out[""]["n_docs"] == 1
+
+
+def test_funnel_randomized_differential_vs_naive(spark):
+    """200 users with random event streams (including ties, duplicates,
+    out-of-order steps, NULL timestamps) compared against an independent
+    Python cascaded-min walk — the same differential pattern that pins
+    duplicate_spans."""
+    import random
+    from datetime import timedelta
+
+    rng = random.Random(77)
+    steps = ["view", "click", "purchase"]
+    horizon_h = 3
+    rows = []
+    streams: dict[int, list[tuple[str, object]]] = {}
+    base = datetime(2024, 1, 1)
+    for u in range(200):
+        evs = []
+        for _ in range(rng.randint(0, 12)):
+            t = (
+                None
+                if rng.random() < 0.05
+                else base + timedelta(minutes=rng.randint(0, 600))
+            )
+            evs.append((rng.choice(steps + ["error", "signup"]), t))
+        streams[u] = evs
+        rows += [(u, et, t) for et, t in evs]
+    df = spark.createDataFrame(rows, "user_id int, event_type string, ts timestamp")
+    got = {
+        r["step_name"]: r["users"]
+        for r in funnel_counts(df, steps, horizon_hours=horizon_h).collect()
+    }
+
+    def naive_level(evs):
+        evs = sorted(
+            [(t, steps.index(et)) for et, t in evs if t is not None and et in steps]
+        )
+        level, t1, tprev = 0, None, None
+        for t, i in evs:
+            if i == level and (
+                level == 0
+                or (t > tprev and t <= t1 + timedelta(hours=horizon_h))
+            ):
+                level, t1, tprev = level + 1, t1 or t, t
+        return level
+
+    want = {s: 0 for s in steps}
+    for evs in streams.values():
+        lv = naive_level(evs)
+        for k in range(1, lv + 1):
+            want[steps[k - 1]] += 1
+    assert got == want
