@@ -1163,17 +1163,36 @@ def main() -> int:
     sidecar_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_details.json"
     )
-    if not want_stress:  # want_stress already implies no name filters
-        # an incomplete run (name filters, --no-scale-stress,
-        # SPARK_GRAFT_SCALE_STRESS=0) lacks queries and/or the stress /
-        # gate sections — writing it would clobber the committed
-        # full-suite artifact that cross-round regression triage diffs
-        # (r10 review finding; guard keyed on completeness)
+    if filters:
+        # a name-filtered run lacks most queries — writing it would
+        # clobber the committed full-suite artifact that cross-round
+        # regression triage diffs (r10 review finding)
         print(
-            "# incomplete run: NOT overwriting the full-suite "
+            "# filtered run: NOT overwriting the full-suite "
             f"{os.path.basename(sidecar_path)}",
             file=sys.stderr,
         )
+    elif not want_stress:
+        # full query sweep with stress intentionally skipped
+        # (--no-scale-stress / SPARK_GRAFT_SCALE_STRESS=0): the fresh
+        # timings + plan hashes ARE complete — merge them into the
+        # existing sidecar, preserving its committed stress / gate
+        # sections (r11 advice: timing-only refreshes were discarded)
+        try:
+            merged = {}
+            if os.path.exists(sidecar_path):
+                with open(sidecar_path) as f:
+                    merged = json.load(f)
+            merged.update(sidecar)
+            with open(sidecar_path, "w") as f:
+                json.dump(merged, f, indent=1)
+            print(
+                f"# timings merged into {os.path.basename(sidecar_path)} "
+                "(stress/gate sections preserved from previous full run)",
+                file=sys.stderr,
+            )
+        except Exception as e:
+            print(f"# sidecar merge failed: {e}", file=sys.stderr)
     else:
         try:
             with open(sidecar_path, "w") as f:

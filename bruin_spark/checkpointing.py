@@ -131,6 +131,7 @@ def materialize(df: DataFrame, eager: bool = True, required: bool = False) -> Da
     sites fall back to 'local' instead of OOMing the planner.  Their
     per-round plans get targeted lint tests instead of the sweep.
     """
+    check_not_released(df)
     mode = get_mode()
     if mode == "none":
         if not required:
@@ -199,7 +200,16 @@ def pinned_scope():
     are unaffected: release() is idempotent (deleting missing checkpoint
     files and unpersisting unpersisted RDDs are no-ops).  Scopes are
     per-thread: a scope only collects (and only releases) what ITS
-    thread materialized."""
+    thread materialized.
+
+    Do NOT keep a reference to a materialized DataFrame past the scope
+    exit: a later action on it recomputes from block-manager (local
+    mode, usually still works) but in 'reliable' mode the checkpoint
+    FILES are gone, and the action fails executor-side with an opaque
+    ``FileNotFoundException: .../rdd-<id>/part-...``.  That exception
+    means "this DataFrame was release()d" — feeding such a DataFrame
+    back into :func:`materialize` raises a descriptive error instead
+    (see :func:`check_not_released`)."""
     stack = _active_scopes()
     bucket: list[DataFrame] = []
     stack.append(bucket)
@@ -214,6 +224,36 @@ def pinned_scope():
         assert popped is bucket, "pinned_scope stack corrupted"
         for d in bucket:
             release(d)
+
+
+#: RDD ids whose checkpoint state release() has torn down.  A later
+#: action on such a DataFrame fails with an executor-side
+#: FileNotFoundException on rdd-<id> files ('reliable' mode) — hard to
+#: diagnose — so materialize() consults this set to raise a clear
+#: error instead.  Ids are ints and releases are bounded per session
+#: (one per materialize), so an unbounded plain set is fine.
+_released_rdd_ids: set[int] = set()
+
+
+def check_not_released(df: DataFrame) -> None:
+    """Raise a descriptive error if ``df`` is a checkpoint that
+    :func:`release` already tore down (its ``rdd-<id>`` files /
+    blocks are gone; any action would fail executor-side with an
+    opaque FileNotFoundException)."""
+    try:
+        jplan = df._jdf.queryExecution().analyzed()
+        if jplan.getClass().getSimpleName() != "LogicalRDD":
+            return
+        rid = jplan.rdd().id()
+    except Exception:  # noqa: BLE001 — diagnosis must never fail the job
+        return
+    if rid in _released_rdd_ids:
+        raise RuntimeError(
+            f"this DataFrame's checkpoint (rdd-{rid}) was already "
+            "release()d — typically it escaped a pinned_scope() block. "
+            "Re-run the query that produced it inside the current scope "
+            "instead of reusing the released handle."
+        )
 
 
 def release(df: DataFrame) -> None:
@@ -235,6 +275,7 @@ def release(df: DataFrame) -> None:
         if jplan.getClass().getSimpleName() == "LogicalRDD":
             sc = df.sparkSession.sparkContext
             jrdd = jplan.rdd()
+            _released_rdd_ids.add(jrdd.id())
             cf = jrdd.getCheckpointFile()
             if cf.isDefined():
                 path = sc._jvm.org.apache.hadoop.fs.Path(cf.get())

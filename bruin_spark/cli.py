@@ -1255,6 +1255,17 @@ def cmd_query(args) -> int:
         ctx = _pipeline_context(args, pipe)
         ctx.this = asset.name
         query = render_asset_query(asset, ctx)
+        # a materialization: none asset can be full DDL (CREATE ... AS
+        # SELECT / CTAS / INSERT ... SELECT) — `query --asset` runs the
+        # inner SELECT, never the DDL (ref: pkg/sqlparser ExtractSelect,
+        # parser.go:423-435).  Best-effort: a raw multi-statement script
+        # or an already-plain SELECT keeps the rendered text unchanged.
+        from bruin_spark.parser import extract_select
+
+        try:
+            query = extract_select(query)
+        except ValueError:
+            pass
     else:
         query = args.query
     if not query:

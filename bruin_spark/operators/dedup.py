@@ -1143,6 +1143,23 @@ def duplicate_spans(
     engines, so parity is collision-proof.
     """
     w = int(win_tokens)
+    wins = _span_windows(df, id_col, text_col, w)
+    dup = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= int(min_count))
+        .select("h")
+    )
+    flagged = wins.join(dup, "h", "left_semi")
+    return _merge_flagged_spans(flagged, w)
+
+
+def _span_windows(df: DataFrame, id_col: str, text_col: str, w: int) -> DataFrame:
+    """Every sliding ``w``-token window of every document, hashed:
+    (doc_id, total_tokens, pos, h) with h a 60-bit md5-prefix long.
+    Map-only; shared by :func:`duplicate_spans`, :func:`span_hash_index`
+    and :func:`incremental_duplicate_spans` so the batch/index split is
+    parity-equal with the from-scratch operator by construction."""
     # one tokenization per row; windows hashed to longs inside the HOF
     st = F.expr(
         f"""
@@ -1167,14 +1184,13 @@ def duplicate_spans(
     # empty/null arrays, and an explicit filter pushes through the
     # project and re-evaluates the whole window-hash transform inside
     # the Filter condition (verified in the physical plan)
-    wins = base.select("doc_id", "total_tokens", F.posexplode("wh").alias("pos", "h"))
-    dup = (
-        wins.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(F.col("cnt") >= int(min_count))
-        .select("h")
-    )
-    flagged = wins.join(dup, "h", "left_semi")
+    return base.select("doc_id", "total_tokens", F.posexplode("wh").alias("pos", "h"))
+
+
+def _merge_flagged_spans(flagged: DataFrame, w: int) -> DataFrame:
+    """Per-document maximal-span merge over flagged window positions:
+    (doc_id, total_tokens, pos) -> (doc_id, total_tokens, n_dup_spans,
+    dup_tokens, dup_ratio).  Per-key work bounded by document length."""
     per_doc = flagged.groupBy("doc_id").agg(
         F.max("total_tokens").alias("total_tokens"),
         F.sort_array(F.collect_list("pos")).alias("ps"),
@@ -1206,3 +1222,79 @@ def duplicate_spans(
     ).withColumn(
         "dup_ratio", F.round(F.col("dup_tokens") / F.col("total_tokens"), 6)
     )
+
+
+def span_hash_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    win_tokens: int = 8,
+) -> DataFrame:
+    """The persistable window-hash count store of a corpus: one
+    (h, cnt) row per DISTINCT sliding ``win_tokens``-window hash.
+
+    This is :func:`duplicate_spans`'s analogue of
+    :func:`lsh_band_index`: write it once per corpus (daily batches
+    append via a merge that SUMs counts on h), then span-check a new
+    batch with :func:`incremental_duplicate_spans` — the historical
+    corpus is never re-tokenized.  The count (not just membership) is
+    stored so the ``min_count`` threshold composes exactly across the
+    corpus/batch split: a window seen once in the corpus and once in
+    the batch is duplicated at min_count=2, which membership alone
+    could not decide.
+
+    Plan (100 TB shape): the map-only window-hash pass (see
+    :func:`_span_windows`) followed by a map-side-combinable
+    groupBy(h).count — a boilerplate window repeated 100M times
+    collapses to partial counts before the shuffle.  Keys are 60-bit
+    md5 prefixes: uniform by construction, so the index partitions
+    evenly.  At scale, materialize it ``bucket_by(h)`` (mat
+    strategies) so each incremental join is shuffle-free on the
+    corpus side.
+    """
+    wins = _span_windows(df, id_col, text_col, int(win_tokens))
+    return wins.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def incremental_duplicate_spans(
+    batch: DataFrame,
+    span_index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    win_tokens: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Duplicate-SPAN detection for a NEW batch against the persisted
+    :func:`span_hash_index` of an existing corpus — the daily-crawl
+    shape of exact substring dedup (Lee et al. 2022) at 100 TB: only
+    the batch is tokenized; the corpus contributes pre-aggregated
+    window counts.
+
+    A batch window is duplicated when its batch-count plus its corpus
+    index count reaches ``min_count`` — exactly the condition
+    :func:`duplicate_spans` applies to the union corpus, so
+    ``incremental_duplicate_spans(batch, span_hash_index(corpus))``
+    equals ``duplicate_spans(corpus UNION batch)`` restricted to batch
+    docs, row for row (parity-tested in tests/test_duplicate_spans.py).
+    Output schema matches :func:`duplicate_spans`.
+
+    Plan (100 TB shape): batch window hashing is map-only and runs
+    twice (count side pruned to h; flagged side carries (doc_id, pos) —
+    same recompute-over-persist tradeoff as duplicate_spans).  The
+    batch's DISTINCT hash counts join the index on h — with the index
+    bucketed by h only the batch side (a sliver of the corpus) ever
+    shuffles; keys are uniform 60-bit longs so there is no skew to
+    mitigate.  Flagging is a left-semi join on h; span merging is
+    per-document (see :func:`_merge_flagged_spans`), no cross-doc
+    window function anywhere.
+    """
+    w = int(win_tokens)
+    wins = _span_windows(batch, id_col, text_col, w)
+    bc = wins.groupBy("h").agg(F.count(F.lit(1)).alias("bcnt"))
+    dup = (
+        bc.join(span_index, "h", "left")
+        .filter(F.col("bcnt") + F.coalesce(F.col("cnt"), F.lit(0)) >= int(min_count))
+        .select("h")
+    )
+    flagged = wins.join(dup, "h", "left_semi")
+    return _merge_flagged_spans(flagged, w)

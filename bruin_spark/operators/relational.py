@@ -192,6 +192,11 @@ def funnel_counts(
     """
     if len(steps) < 2:
         raise ValueError("funnel needs at least 2 steps")
+    if len(set(steps)) != len(steps):
+        # A repeated event_type would map only to its FIRST index in the
+        # chained WHEN below, so the duplicate step (and every later one)
+        # could never be reached — reject instead of silently reporting 0.
+        raise ValueError("funnel steps must be distinct event types")
     ts_type = dict(df.dtypes)[time_col]
     idx_expr = F.when(F.col(type_col) == steps[0], 0)
     for i, s in enumerate(steps[1:], start=1):

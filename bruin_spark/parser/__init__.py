@@ -1,6 +1,7 @@
 from bruin_spark.parser.sqlutil import (
     add_limit,
     extract_ctes,
+    extract_select,
     freeze_time,
     is_single_select,
     missing_dependencies,
@@ -15,6 +16,7 @@ from bruin_spark.parser.sqlutil import (
 __all__ = [
     "add_limit",
     "extract_ctes",
+    "extract_select",
     "freeze_time",
     "is_single_select",
     "missing_dependencies",

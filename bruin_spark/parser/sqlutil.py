@@ -475,6 +475,144 @@ def is_single_select(sql: str) -> bool:
     return first in ("select", "values")
 
 
+def extract_select(sql: str) -> str:
+    """Reduce an asset statement to the read-only SELECT that produces
+    its rows (ref: pkg/sqlparser/parser.go:423-435 ExtractSelect;
+    pythonsrc/parser/main.py:604-659 extract_select — the reference's
+    own parser_test.go ExtractSelect table is harvested in
+    tests/test_parser.py).
+
+    A ``materialization: none`` asset can be full DDL/DML — ``CREATE OR
+    REPLACE VIEW x AS SELECT ...``, a CTAS, or ``INSERT INTO x SELECT
+    ...``.  ``bruin query --asset`` and the unit-test builder exercise
+    only the inner SELECT, so this unwraps the CREATE/INSERT wrapper; a
+    statement that is already a SELECT (with or without a WITH clause)
+    is returned unchanged.
+
+    This is also the read-only guarantee of `bruin test`: anything that
+    would write raises and is never executed — a top-level
+    DELETE/UPDATE/MERGE/TRUNCATE/DROP (not a query), a write hidden in
+    a data-modifying CTE or subquery, and ``SELECT ... INTO <table>``
+    (the INTO is stripped so only the read runs).
+    """
+    stmts = split_statements(sql)
+    if not stmts:
+        raise ValueError("cannot parse query")
+    if len(stmts) > 1:
+        raise ValueError("asset has multiple statements; cannot reduce to one SELECT")
+    stmt = stmts[0]
+    toks = _tokens(stmt)
+    code = _code_tokens(toks)
+    if not code:
+        raise ValueError("cannot parse query")
+    kind0, first_tok, _ = toks[code[0]]
+    first = first_tok.lower() if kind0 == "word" else first_tok
+    starters = ("select", "with", "values")
+    if first == "create":
+        # CREATE [OR REPLACE] [TEMP] [MATERIALIZED] TABLE|VIEW name
+        # [(col list)] AS <query> — the unwrap point is the first
+        # depth-0 AS whose next token opens a query (a column-list AS
+        # or alias AS never is)
+        inner_start = None
+        depth = 0
+        for pos, i in enumerate(code):
+            k, t, _s = toks[i]
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            elif depth == 0 and k == "word" and t.lower() == "as" and pos + 1 < len(code):
+                nk, nt, ns = toks[code[pos + 1]]
+                if (nk == "word" and nt.lower() in starters) or nt == "(":
+                    inner_start = ns
+                    break
+        if inner_start is None:
+            raise ValueError("asset has no SELECT to unit test")
+        inner = stmt[inner_start:]
+    elif first == "insert":
+        # INSERT [OVERWRITE] INTO tbl [(cols)] [BY NAME] <query>
+        inner_start = None
+        depth = 0
+        for pos in range(1, len(code)):
+            k, t, s = toks[code[pos]]
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            elif depth == 0 and k == "word" and t.lower() in starters:
+                inner_start = s
+                break
+        if inner_start is None:
+            raise ValueError("asset has no SELECT to unit test")
+        inner = stmt[inner_start:]
+    elif (kind0 == "word" and first in starters) or first_tok == "(":
+        inner = stmt
+    else:
+        raise ValueError(
+            "asset is not a SELECT and has no inner SELECT to unit test"
+        )
+    return _reject_writes_and_strip_into(inner)
+
+
+def _reject_writes_and_strip_into(inner: str) -> str:
+    """Read-only enforcement for :func:`extract_select`'s result: reject
+    writes hidden in a data-modifying CTE / writing subquery (keyword
+    PAIRS — 'insert into', 'delete from', 'merge into', '(update' — so
+    a column or alias merely NAMED like a verb never false-positives,
+    while 'FOR UPDATE' row locking stays legal), and strip a top-level
+    ``INTO <table>`` write target."""
+    toks = _tokens(inner)
+    code = _code_tokens(toks)
+    into_span: tuple[int, int] | None = None
+    depth = 0
+    for pos, i in enumerate(code):
+        k, t, s = toks[i]
+        if t == "(":
+            depth += 1
+            continue
+        if t == ")":
+            depth -= 1
+            continue
+        if k != "word":
+            continue
+        tl = t.lower()
+        nxt = ""
+        if pos + 1 < len(code):
+            nk, ntok, _ = toks[code[pos + 1]]
+            nxt = ntok.lower() if nk == "word" else ntok
+        prev = toks[code[pos - 1]][1] if pos > 0 else ""
+        if (
+            (tl == "insert" and nxt in ("into", "overwrite"))
+            or (tl == "delete" and nxt == "from")
+            or (tl == "merge" and nxt == "into")
+            or (tl == "update" and prev == "(")
+        ):
+            raise ValueError(
+                "asset contains a write statement and cannot be unit tested read-only"
+            )
+        if tl == "into" and depth == 0 and into_span is None and pos + 1 < len(code):
+            # SELECT ... INTO <table> — consume ONE dotted target name
+            # (name, then repeating ".part"); a bare word after it
+            # (FROM, WHERE, ...) is the query continuing, not the name
+            j = pos + 1
+            end = s + len(t)
+            jk, jt, js = toks[code[j]]
+            if jk in ("word", "dq", "bq"):
+                end = js + len(jt)
+                j += 1
+                while j + 1 < len(code) and toks[code[j]][1] == ".":
+                    jk, jt, js = toks[code[j + 1]]
+                    if jk not in ("word", "dq", "bq"):
+                        break
+                    end = js + len(jt)
+                    j += 2
+            into_span = (s, end)
+    if into_span is not None:
+        a, b = into_span
+        inner = (inner[:a].rstrip() + " " + inner[b:].lstrip()).strip()
+    return inner.strip()
+
+
 def _cte_parts(sql: str) -> list[tuple[str, str | None, str]]:
     """-> [(name, column_list_text_or_None, body_sql)] for the
     statement's top-level WITH clause. The column list text is the

@@ -44,7 +44,13 @@ from typing import Any
 from pyspark.sql import SparkSession
 
 from bruin_spark.model.pipeline import Asset
-from bruin_spark.parser import freeze_time, prepend_ctes, rename_tables, select_from_cte
+from bruin_spark.parser import (
+    extract_select,
+    freeze_time,
+    prepend_ctes,
+    rename_tables,
+    select_from_cte,
+)
 
 
 @dataclass
@@ -95,6 +101,16 @@ def _safe_name(table: str) -> str:
 def build_test_query(asset_query: str, spec: dict[str, Any]) -> str:
     """Rewrite the asset's (rendered) SQL into the pinned-input test query."""
     sql = asset_query.rstrip().rstrip(";")
+    # Reduce the asset to the SELECT that produces its rows: a
+    # materialization: none asset can be full DDL (CREATE ... AS SELECT,
+    # CTAS, INSERT ... SELECT) and the unit test exercises only the inner
+    # SELECT.  This is also the read-only guarantee — a write shape
+    # raises here and never runs (ref: pkg/unittest/warehouse.go:75-84
+    # buildInjected; errors surface as "cannot unit test this asset").
+    try:
+        sql = extract_select(sql)
+    except ValueError as exc:
+        raise ValueError(f"cannot unit test this asset: {exc}") from exc
     if spec.get("execution_time"):
         sql = freeze_time(sql, str(spec["execution_time"]))
 
@@ -274,6 +290,7 @@ def run_unit_tests(
     base = rendered_query if rendered_query is not None else asset.query
     for spec in asset.unit_tests:
         name = spec.get("name", "unnamed")
+        q = base  # so a build_test_query error still reports a query
         try:
             q = build_test_query(base, spec)
             df = spark.sql(q)

@@ -428,7 +428,68 @@ GROUP BY doc_id
 """
 
 
+def dedup_spans_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-crawl shape of duplicate-span detection: the new batch is
+    span-checked against the PERSISTED window-hash count index of the
+    existing corpus — the corpus is never re-tokenized (only its
+    pre-aggregated (h, cnt) rows are read)."""
+    from bruin_spark.operators.sampling import N_BUCKETS, hash_bucket
+
+    docs = _docs(spark, sf_dir)
+    cut = int(BATCH_FRACTION * N_BUCKETS)
+    bucket = hash_bucket("doc_id", "incr")
+    batch = docs.filter(bucket < cut)
+    corpus = docs.filter(bucket >= cut)
+    # in production span_hash_index(corpus) is a persisted bucketed-by-h
+    # table (batches append via a count-SUM merge); built in-line here —
+    # the subtree has one consumer, so no materialize cut is needed and
+    # the full plan stays visible to the lint sweep
+    idx = D.span_hash_index(corpus, win_tokens=SPAN_TOKENS)
+    return D.incremental_duplicate_spans(batch, idx, win_tokens=SPAN_TOKENS)
+
+
+def _spans_incremental_oracle() -> str:
+    """Incremental == from-scratch over the union restricted to batch
+    docs (batch and corpus partition `documents`, and a window's flag
+    depends only on its GLOBAL count), so the oracle is the full-corpus
+    duplicate-span query with the final rows filtered to the batch."""
+    from bruin_spark.operators.sampling import N_BUCKETS, bucket_sql
+
+    w = SPAN_TOKENS
+    cut = int(BATCH_FRACTION * N_BUCKETS)
+    dup_tok = f"CASE WHEN prev IS NULL THEN {w} ELSE least({w}, pos - prev) END"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+), wins AS (
+  SELECT doc_id, len(t) AS total_tokens, i - 1 AS pos,
+         ('0x' || substr(md5(array_to_string(list_slice(t, i, i + {w - 1}), ' ')), 1, 15))::BIGINT AS h
+  FROM toks, LATERAL (
+    SELECT UNNEST(generate_series(1, len(t) - {w - 1})) AS i
+  )
+  WHERE len(t) >= {w}
+), dup AS (
+  SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2
+), flagged AS (
+  SELECT w.doc_id, w.total_tokens, w.pos FROM wins w JOIN dup USING (h)
+  WHERE {bucket_sql('w.doc_id', 'incr')} < {cut}
+), d AS (
+  SELECT doc_id, total_tokens, pos,
+         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM flagged
+)
+SELECT doc_id,
+       max(total_tokens)::BIGINT AS total_tokens,
+       (COUNT(*) FILTER (prev IS NULL OR pos - prev > {w}))::BIGINT AS n_dup_spans,
+       SUM({dup_tok})::BIGINT AS dup_tokens,
+       ROUND(SUM({dup_tok})::DOUBLE / max(total_tokens), 6) AS dup_ratio
+FROM d
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
+    "dedup_spans_incremental": (dedup_spans_incremental, _spans_incremental_oracle()),
     "dedup_duplicate_spans": (dedup_duplicate_spans, _dup_spans_oracle()),
     "dedup_incremental": (dedup_incremental, _incremental_oracle()),
     "dedup_segments": (dedup_segments, _segments_oracle()),

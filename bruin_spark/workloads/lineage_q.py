@@ -95,7 +95,59 @@ SELECT * FROM (VALUES
 """
 
 
+# -- extract_select (ref pkg/sqlparser/parser.go:423-435) ------------------
+
+# a materialization: none asset body: full DDL wrapping a WITH + SELECT.
+# `query --asset` / unit tests must run ONLY the inner SELECT.
+_DDL_ASSET = """
+CREATE OR REPLACE VIEW analytics.order_priority AS
+WITH big AS (
+  SELECT o_custkey, o_orderpriority, o_totalprice
+  FROM orders
+  WHERE o_totalprice > 150000
+)
+SELECT o_orderpriority AS priority,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price,
+       COUNT(DISTINCT o_custkey) AS n_customers
+FROM big
+GROUP BY o_orderpriority
+"""
+
+
+def parser_extract_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exercises the extract_select rewrite END-TO-END: the DDL-wrapped
+    asset is reduced to its inner SELECT and that SQL is EXECUTED — a
+    rewrite bug (CREATE leaking through, WITH clause dropped, span
+    mis-sliced) is a hard failure or a value mismatch, not a silent
+    pass.  The oracle runs the SAME extracted SQL on DuckDB, so the
+    output's engine-portability is part of the contract."""
+    from bruin_spark.parser import extract_select
+    from bruin_spark.session import load_tables
+
+    load_tables(spark, sf_dir, ["orders"])
+    sql = extract_select(_DDL_ASSET)
+    df = spark.sql(sql)
+    return df.select(
+        "priority",
+        df.n_orders.cast("long").alias("n_orders"),
+        "total_price",
+        df.n_customers.cast("long").alias("n_customers"),
+    )
+
+
+def _extract_select_oracle() -> str:
+    from bruin_spark.parser import extract_select
+
+    sql = extract_select(_DDL_ASSET)
+    return (
+        "SELECT priority, n_orders::BIGINT AS n_orders, total_price, "
+        f"n_customers::BIGINT AS n_customers FROM ({sql}) q"
+    )
+
+
 QUERIES = {
     "lineage_orders_enriched": (lineage_orders_enriched, LINEAGE_ORACLE),
     "lineage_using_ordinals": (lineage_using_ordinals, LINEAGE_USING_ORACLE),
+    "parser_extract_select": (parser_extract_select, _extract_select_oracle()),
 }

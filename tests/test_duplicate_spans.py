@@ -147,3 +147,103 @@ def test_randomized_differential_vs_naive(spark):
     }
     want = _naive_duplicate_spans(texts, W)
     assert got == want
+
+
+# -- incremental (batch vs persisted index) -------------------------------
+
+
+def test_incremental_parity_with_from_scratch(spark, tmp_path):
+    """THE incremental contract: span-checking a batch against the
+    PERSISTED span_hash_index of the corpus yields exactly the
+    from-scratch duplicate_spans(corpus UNION batch) rows for batch
+    docs — including batch-internal duplicates (corpus count 0),
+    corpus-boundary duplicates (count 1 each side), and batch docs
+    whose text duplicates only WITHIN the corpus (not reported unless
+    a batch window matches).  The index round-trips through parquet to
+    prove the persisted-store shape works, not just the in-plan one."""
+    import random
+
+    from bruin_spark.operators.dedup import (
+        incremental_duplicate_spans,
+        span_hash_index,
+    )
+
+    rng = random.Random(1107)
+    pool = [f"w{i}" for i in range(12)]
+    frags = [
+        " ".join(rng.choice(pool) for _ in range(rng.randint(8, 14)))
+        for _ in range(4)
+    ]
+
+    def mk(n0, n1):
+        out = {}
+        for d in range(n0, n1):
+            parts = []
+            for _ in range(rng.randint(0, 3)):
+                parts.append(
+                    rng.choice(frags)
+                    if rng.random() < 0.5
+                    else " ".join(
+                        rng.choice(pool) for _ in range(rng.randint(1, 12))
+                    )
+                )
+            out[d] = " ".join(parts)
+        return out
+
+    corpus_texts, batch_texts = mk(0, 50), mk(50, 80)
+    # edge docs: NULL/empty in both sides; a batch doc equal to ONE
+    # corpus doc (corpus count 1 + batch count 1 -> duplicated)
+    corpus_texts[90] = None
+    corpus_texts[91] = _words("edge", 10)
+    batch_texts[92] = ""
+    batch_texts[93] = _words("edge", 10)
+    corpus = spark.createDataFrame(
+        list(corpus_texts.items()), "doc_id int, text string"
+    )
+    batch = spark.createDataFrame(
+        list(batch_texts.items()), "doc_id int, text string"
+    )
+
+    idx_path = str(tmp_path / "span_index")
+    span_hash_index(corpus, win_tokens=W).write.parquet(idx_path)
+    idx = spark.read.parquet(idx_path)
+
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in incremental_duplicate_spans(batch, idx, win_tokens=W).collect()
+    }
+    want = {
+        r["doc_id"]: r.asDict()
+        for r in duplicate_spans(corpus.unionByName(batch), win_tokens=W).collect()
+        if r["doc_id"] in batch_texts
+    }
+    assert got == want
+    assert 93 in got  # the corpus-boundary duplicate is caught
+
+
+def test_incremental_min_count_composes_across_split(spark):
+    """min_count=3: one batch occurrence + two corpus occurrences must
+    flag (3 total), while one + one must not — membership-only indexes
+    cannot express this; the count-carrying index can."""
+    from bruin_spark.operators.dedup import (
+        incremental_duplicate_spans,
+        span_hash_index,
+    )
+
+    twice, once = _words("t", W), _words("o", W)
+    corpus = spark.createDataFrame(
+        [(1, twice), (2, twice), (3, once)], "doc_id int, text string"
+    )
+    batch = spark.createDataFrame(
+        [(10, twice + " " + _words("pad", 3)), (11, once)],
+        "doc_id int, text string",
+    )
+    idx = span_hash_index(corpus, win_tokens=W)
+    rows = {
+        r["doc_id"]: r
+        for r in incremental_duplicate_spans(
+            batch, idx, win_tokens=W, min_count=3
+        ).collect()
+    }
+    assert 10 in rows and rows[10]["dup_tokens"] == W
+    assert 11 not in rows

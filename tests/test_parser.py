@@ -5,6 +5,7 @@ import pytest
 from bruin_spark.parser import (
     add_limit,
     extract_ctes,
+    extract_select,
     freeze_time,
     is_single_select,
     missing_dependencies,
@@ -431,3 +432,121 @@ def test_used_tables_distribute_sort_cluster_end_from_list():
     assert used_tables(
         "SELECT * FROM t1 JOIN t2 ON t1.x = t2.x, t3 SORT BY a, b"
     ) == ["t1", "t2", "t3"]
+
+
+# -- extract_select (ref: pkg/sqlparser/parser_test.go
+# TestSqlParser_ExtractSelect — same case table, same required behaviors) --
+
+
+def test_extract_select_plain_select_unchanged():
+    got = extract_select("SELECT id FROM orders")
+    assert "FROM orders" in got
+    assert "CREATE" not in got.upper()
+
+
+def test_extract_select_create_or_replace_view():
+    got = extract_select(
+        "CREATE OR REPLACE VIEW analytics.v AS SELECT id FROM orders"
+    )
+    assert "CREATE" not in got.upper() and "VIEW" not in got.upper()
+    assert "FROM orders" in got
+
+
+def test_extract_select_ctas():
+    got = extract_select("CREATE TABLE analytics.t AS SELECT id FROM orders")
+    assert "CREATE" not in got.upper()
+    assert "FROM orders" in got
+
+
+def test_extract_select_insert_select():
+    got = extract_select("INSERT INTO analytics.t SELECT id FROM orders")
+    assert "INSERT" not in got.upper()
+    assert "FROM orders" in got
+
+
+def test_extract_select_preserves_with_clause():
+    got = extract_select(
+        "CREATE OR REPLACE VIEW analytics.v AS "
+        "WITH e AS (SELECT id FROM orders) SELECT * FROM e"
+    )
+    assert "CREATE" not in got.upper()
+    assert "WITH" in got.upper()
+
+
+def test_extract_select_ddl_without_select_errors():
+    with pytest.raises(ValueError):
+        extract_select("CREATE TABLE analytics.t (id BIGINT, name VARCHAR)")
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        "DELETE FROM orders WHERE id IN (SELECT id FROM refunds)",
+        "UPDATE orders SET status = 'void' WHERE id = 1",
+        "MERGE INTO orders t USING staged s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET t.amount = s.amount",
+        "TRUNCATE TABLE orders",
+        "DROP TABLE orders",
+    ],
+)
+def test_extract_select_rejects_write_statements(sql):
+    with pytest.raises(ValueError):
+        extract_select(sql)
+
+
+def test_extract_select_rejects_data_modifying_cte():
+    with pytest.raises(ValueError):
+        extract_select(
+            "WITH gone AS (DELETE FROM orders WHERE status = 'void' "
+            "RETURNING id) SELECT * FROM gone"
+        )
+
+
+def test_extract_select_strips_select_into():
+    got = extract_select("SELECT id, amount INTO archive FROM orders")
+    assert "INTO" not in got.upper()
+    assert "archive" not in got
+    assert "FROM orders" in got
+
+
+# behaviors beyond the reference table (this scanner's own contracts)
+
+
+def test_extract_select_insert_with_column_list():
+    got = extract_select(
+        "INSERT INTO analytics.t (id, amount) SELECT id, amount FROM orders"
+    )
+    assert got.startswith("SELECT")
+
+
+def test_extract_select_ctas_partitioned_clause_before_as():
+    # mat strategies render CTAS with clauses between name and AS
+    got = extract_select(
+        "CREATE TABLE t USING parquet PARTITIONED BY (dt) AS SELECT * FROM o"
+    )
+    assert got == "SELECT * FROM o"
+
+
+def test_extract_select_alias_as_is_not_the_unwrap_point():
+    got = extract_select("SELECT a AS b FROM orders AS o")
+    assert got == "SELECT a AS b FROM orders AS o"
+
+
+def test_extract_select_for_update_lock_is_readonly():
+    got = extract_select("SELECT * FROM orders FOR UPDATE")
+    assert "FOR UPDATE" in got
+
+
+def test_extract_select_empty_and_multi_statement_error():
+    with pytest.raises(ValueError):
+        extract_select("   ")
+    with pytest.raises(ValueError):
+        extract_select("SELECT 1; SELECT 2")
+
+
+def test_extract_select_rejects_writing_subquery_in_create():
+    with pytest.raises(ValueError):
+        extract_select(
+            "CREATE TABLE t AS WITH w AS (INSERT INTO log SELECT 1 "
+            "RETURNING id) SELECT * FROM w"
+        )

@@ -47,6 +47,7 @@ SWEEP_ENTRIES = [
     "dedup_simhash_clusters",
     "dedup_ngram_jaccard",
     "dedup_duplicate_spans",
+    "dedup_spans_incremental",
     "text_top_ngrams",
 ]
 

@@ -262,3 +262,36 @@ class TestCompareGoTable:
     def test_bool_spelling_matches_go(self):
         assert compare_rows([[True]], [{"ok": "true"}], actual_columns=["ok"]) == ""
         assert compare_rows([[False]], [{"ok": "true"}], actual_columns=["ok"]) != ""
+
+
+class TestExtractSelectInBuilder:
+    """The builder reduces DDL-wrapped assets to their inner SELECT and
+    enforces read-only by construction (ref pkg/unittest/warehouse_test.go
+    'a DDL-wrapped asset is reduced to its inner SELECT')."""
+
+    FIXTURE = {
+        "inputs": {
+            "analytics.orders": {
+                "columns": ["id", "amount"],
+                "types": ["bigint", "double"],
+                "rows": [[1, 10.0], [2, 20.0]],
+            }
+        }
+    }
+
+    def test_ddl_wrapped_asset_reduced_to_inner_select(self):
+        q = build_test_query(
+            "CREATE OR REPLACE VIEW analytics.revenue AS "
+            "SELECT SUM(amount) AS revenue FROM analytics.orders",
+            self.FIXTURE,
+        )
+        assert "CREATE" not in q.upper()
+        assert "analytics__orders" in q  # fixture rename still applied
+
+    def test_write_asset_cannot_be_unit_tested(self):
+        import pytest
+
+        with pytest.raises(ValueError, match="cannot unit test"):
+            build_test_query(
+                "DELETE FROM analytics.orders WHERE amount < 0", self.FIXTURE
+            )
