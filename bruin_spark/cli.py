@@ -1381,6 +1381,26 @@ def cmd_data_diff(args) -> int:
         print(f"type mismatch {c}: {ta} vs {tb}")
     for c, stat, va, vb in res.stat_diffs:
         print(f"stat diff {c}.{stat}: {va} vs {vb}")
+    if getattr(args, "top_n", 0):
+        # per-string-column most-common values (ref StringStatistics
+        # MostCommon/TopNDistinct, pkg/diff/types.go:494-495): shown for
+        # both tables, diverging (value, freq) rows flagged
+        from bruin_spark.diff import top_values
+
+        n = int(args.top_n)
+        ta = {
+            (r["column_name"], r["value"]): r["cnt"]
+            for r in top_values(resolve(args.table1), n).collect()
+        }
+        tb = {
+            (r["column_name"], r["value"]): r["cnt"]
+            for r in top_values(resolve(args.table2), n).collect()
+        }
+        for key in sorted(set(ta) | set(tb), key=lambda k: (k[0], str(k[1]))):
+            col, val = key
+            fa, fb = ta.get(key), tb.get(key)
+            marker = "  " if fa == fb else "! "
+            print(f"{marker}top[{col}] {val!r}: {fa} vs {fb}")
     print("MATCH" if res.matched else "DIFFER")
     return 0 if res.matched else 1
 
@@ -1692,6 +1712,12 @@ def main(argv: list[str] | None = None) -> int:
     pdd.add_argument("table1", help="catalog table or parquet path")
     pdd.add_argument("table2")
     pdd.add_argument("--tolerance", type=float, default=0.0)
+    pdd.add_argument(
+        "--top-n",
+        type=int,
+        default=0,
+        help="also compare the N most-common values per string column",
+    )
     pdd.add_argument("--sf-dir", help="register parquet tables from this dir")
     pdd.set_defaults(fn=cmd_data_diff)
 

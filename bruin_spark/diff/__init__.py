@@ -6,6 +6,7 @@ from bruin_spark.diff.diff import (
     generate_alter_statements,
     profile,
     profile_long,
+    top_values,
     schema_diff,
 )
 
@@ -17,5 +18,6 @@ __all__ = [
     "generate_alter_statements",
     "profile",
     "profile_long",
+    "top_values",
     "schema_diff",
 ]

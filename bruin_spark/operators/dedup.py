@@ -947,12 +947,21 @@ def _keyed_and_groups(
     rows.  Both are multi-referenced downstream; groups is additionally
     materialized because it is joined twice (rep semi-join + expansion)
     and re-aggregating per consumer would double the shuffle."""
+    # keyed is LAZY (eager=False): the very next statement's eager
+    # materialization of the group aggregate is the first action that
+    # touches it, so the corpus scan, the checkpoint write and the
+    # aggregation all happen in ONE job instead of a dedicated
+    # checkpoint job followed by a checkpoint re-read (the r10 verdict's
+    # "remaining constant" on dedup_clusters).  Lazy is safe here
+    # because that first job references keyed through a single subtree;
+    # every later consumer (the expansion join) sees it already
+    # materialized.
     keyed = materialize(
         df.select(
             F.col(id_col).alias("id"),
             _text_group_key(id_col, text_col).alias("_tkey"),
         ),
-        eager=True,
+        eager=False,
     )
     groups = materialize(_group_agg(keyed), eager=True)
     return keyed, groups

@@ -88,9 +88,40 @@ def _oracle(table: str) -> str:
     return " UNION ALL ".join(branches)
 
 
+TOP_N = 5
+_TOP_COLS = ["p_brand", "p_type", "p_name"]
+
+
+def diff_top_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-string-column top-N most-common values with frequencies (the
+    reference's StringStatistics MostCommon/TopNDistinct fields,
+    pkg/diff/types.go:494-495).  The three columns span the cardinality
+    range: p_brand ~25 distinct, p_type ~150, p_name ~unique (every
+    count ties at 1 → pure value-ASC tiebreak determinism)."""
+    from bruin_spark.diff import top_values
+
+    part = read_parquet(spark, os.path.join(sf_dir, "part.parquet"))
+    return top_values(part, n=TOP_N, columns=_TOP_COLS)
+
+
+def _top_values_oracle() -> str:
+    branches = []
+    for col in _TOP_COLS:
+        branches.append(
+            f"""
+SELECT '{col}' AS column_name, value, cnt, rank FROM (
+  SELECT {col} AS value, COUNT(*) AS cnt,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, {col} ASC) AS rank
+  FROM part WHERE {col} IS NOT NULL GROUP BY {col}
+) WHERE rank <= {TOP_N}"""
+        )
+    return " UNION ALL ".join(branches)
+
+
 QUERIES = {
     "diff_profile_orders": (_profile_query("orders"), _oracle("orders")),
     "diff_profile_part": (_profile_query("part"), _oracle("part")),
+    "diff_top_values": (diff_top_values, _top_values_oracle()),
 }
 
 

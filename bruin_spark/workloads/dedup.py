@@ -303,7 +303,11 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint mode keeps the full plan visible to the lint sweep.
     from bruin_spark.checkpointing import materialize
 
-    corpus_reps = materialize(D.collapse_exact_texts(corpus), eager=True)
+    # lazy: the first action to touch corpus_reps is incremental_dedup's
+    # eager candidate materialization, which references it through one
+    # subtree (the band index) — scan + checkpoint + index build run in
+    # ONE job; the verification reads see it already materialized
+    corpus_reps = materialize(D.collapse_exact_texts(corpus), eager=False)
     idx = D.lsh_band_index(corpus_reps, k=MINHASH_K, bands=LSH_BANDS, n=NGRAM)
     return D.incremental_dedup(
         batch, idx, corpus_reps, k=MINHASH_K, bands=LSH_BANDS, n=NGRAM, threshold=JACCARD_T

@@ -86,3 +86,81 @@ def test_generate_alter_statements(spark):
 
     rev = generate_alter_statements(a, b, "t", reverse=True)
     assert rev[0] == "ALTER TABLE t ADD COLUMNS (old_col string)"
+
+
+def test_top_values_semantics(spark):
+    from bruin_spark.diff import top_values
+
+    df = spark.createDataFrame(
+        [
+            (1, "b", "x"), (2, "b", "x"), (3, "b", None),
+            (4, "a", "y"), (5, "a", "y"), (6, "c", ""),
+            (7, "c", ""), (8, "c", "z"),
+        ],
+        "id int, s string, t string",
+    )
+    rows = top_values(df, n=2).collect()
+    got = {
+        (r["column_name"], r["rank"]): (r["value"], r["cnt"]) for r in rows
+    }
+    # s: b×3 and c×3 tie at 3 -> value ASC breaks the tie; numeric id
+    # column is not profiled at all
+    assert got[("s", 1)] == ("b", 3)
+    assert got[("s", 2)] == ("c", 3)
+    # t: NULL excluded, empty string counts like any value
+    assert got[("t", 1)] == ("", 2)
+    assert got[("t", 2)] == ("x", 2)
+    assert {r["column_name"] for r in rows} == {"s", "t"}
+
+
+def test_top_values_take_ordered_plan(spark):
+    """The per-column top-k must plan as TakeOrdered (per-partition
+    local top-k, driver merge) — a global Sort would shuffle the whole
+    value domain to sort rows the limit then discards."""
+    from bruin_spark.diff import top_values
+
+    df = spark.createDataFrame([(i, f"v{i % 7}") for i in range(100)], "id int, s string")
+    plan = top_values(df, n=3)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_profile_approx_matches_exact_within_rsd(spark):
+    """approx=True estimates distinct counts via HyperLogLog++ (default
+    rsd 5%); every other stat must be bit-identical to exact mode, and
+    the approx plan must be Expand-free (the exact multi-distinct agg
+    plans an Expand that multiplies each scanned row per distinct agg)."""
+    df = spark.createDataFrame(
+        [(i, f"s{i % 37}", f"t{i % 11}") for i in range(500)],
+        "id int, s string, t string",
+    )
+    exact = {c.column: c.stats for c in profile(df)}
+    approx = {c.column: c.stats for c in profile(df, approx=True)}
+    for col, stats in exact.items():
+        for stat, ve in stats.items():
+            va = approx[col][stat]
+            if stat in ("distinct_count", "unique_count"):
+                assert abs(va - ve) <= max(0.1 * ve, 2), (col, stat, ve, va)
+            else:
+                assert va == ve, (col, stat, ve, va)
+
+
+def test_profile_approx_plan_is_expand_free(spark):
+    import bruin_spark.diff.diff as D
+    from pyspark.sql import functions as F  # noqa: F401
+
+    df = spark.createDataFrame(
+        [(1, "a", "b")], "id int, s string, t string"
+    )
+
+    def plan(approx):
+        exprs = []
+        for i, (name, dtype) in enumerate(df.dtypes):
+            cat = D._category(dtype)
+            exprs += [
+                e.alias(a)
+                for a, e in D._agg_exprs(name, cat, f"c{i}_", approx).items()
+            ]
+        return df.agg(*exprs)._jdf.queryExecution().executedPlan().toString()
+
+    assert "Expand" in plan(False)  # the documented exact-mode cost
+    assert "Expand" not in plan(True)
