@@ -68,6 +68,8 @@ HEADLINE = [
     "sim_ivf_topk",
     "emb_kmeans_step",
     "dedup_duplicate_spans",
+    "dedup_spans_incremental",
+    "diff_top_values",
 ]
 
 
@@ -780,6 +782,10 @@ SKEW_ENTRIES = [
     # the map-side-combinable groupBy(h) and linear semi-join must hold
     # (sub-2s at sf0.1, so the larger factors per the sub-2s rule)
     ("dedup_duplicate_spans", 16, 64),
+    # incremental variant: the batch's distinct-hash counts join the
+    # corpus (h, cnt) index — hot-cluster windows arrive PRE-AGGREGATED
+    # on both sides, so the join keys stay uniform 60-bit longs
+    ("dedup_spans_incremental", 16, 64),
 ]
 SKEW_VARIANTS = {
     "dedup_minhash_lsh": _minhash_rep_pairs_stress,
