@@ -1212,12 +1212,27 @@ def main() -> int:
         # (--no-scale-stress / SPARK_GRAFT_SCALE_STRESS=0): the fresh
         # timings + plan hashes ARE complete — merge them into the
         # existing sidecar, preserving its committed stress / gate
-        # sections (r11 advice: timing-only refreshes were discarded)
+        # sections (r11 advice: timing-only refreshes were discarded).
+        # Preserved sections are only meaningful at the SAME scale
+        # factor: on an sf mismatch they are dropped rather than
+        # stitched into a self-inconsistent artifact, and a corrupt
+        # existing file falls back to the fresh timings alone.
         try:
             merged = {}
-            if os.path.exists(sidecar_path):
-                with open(sidecar_path) as f:
-                    merged = json.load(f)
+            try:
+                if os.path.exists(sidecar_path):
+                    with open(sidecar_path) as f:
+                        merged = json.load(f)
+            except Exception:
+                merged = {}
+            if merged and merged.get("sf") != sidecar.get("sf"):
+                print(
+                    f"# previous sidecar is sf={merged.get('sf')}, this run "
+                    f"is sf={sidecar.get('sf')}: dropping its stress/gate "
+                    "sections instead of mixing scales",
+                    file=sys.stderr,
+                )
+                merged = {}
             merged.update(sidecar)
             with open(sidecar_path, "w") as f:
                 json.dump(merged, f, indent=1)

@@ -226,13 +226,17 @@ def pinned_scope():
             release(d)
 
 
-#: RDD ids whose checkpoint state release() has torn down.  A later
-#: action on such a DataFrame fails with an executor-side
-#: FileNotFoundException on rdd-<id> files ('reliable' mode) — hard to
-#: diagnose — so materialize() consults this set to raise a clear
-#: error instead.  Ids are ints and releases are bounded per session
-#: (one per materialize), so an unbounded plain set is fine.
-_released_rdd_ids: set[int] = set()
+#: (application id, rdd id) pairs whose checkpoint state release() has
+#: torn down.  A later action on such a DataFrame fails with an
+#: executor-side FileNotFoundException on rdd-<id> files ('reliable'
+#: mode) — hard to diagnose — so materialize() consults this set to
+#: raise a clear error instead.  Keyed per APPLICATION (rdd ids restart
+#: from 0 with a new SparkContext — a bare id would poison a fresh
+#: context's unrelated RDDs), and release() records only RDDs that
+#: actually held checkpoint files or persisted blocks (releasing a
+#: plain createDataFrame LogicalRDD is the documented no-op and must
+#: not taint it).  Entries are bounded: one per materialize call.
+_released_rdd_ids: set[tuple[str, int]] = set()
 
 
 def check_not_released(df: DataFrame) -> None:
@@ -244,12 +248,12 @@ def check_not_released(df: DataFrame) -> None:
         jplan = df._jdf.queryExecution().analyzed()
         if jplan.getClass().getSimpleName() != "LogicalRDD":
             return
-        rid = jplan.rdd().id()
+        key = (df.sparkSession.sparkContext.applicationId, jplan.rdd().id())
     except Exception:  # noqa: BLE001 — diagnosis must never fail the job
         return
-    if rid in _released_rdd_ids:
+    if key in _released_rdd_ids:
         raise RuntimeError(
-            f"this DataFrame's checkpoint (rdd-{rid}) was already "
+            f"this DataFrame's checkpoint (rdd-{key[1]}) was already "
             "release()d — typically it escaped a pinned_scope() block. "
             "Re-run the query that produced it inside the current scope "
             "instead of reusing the released handle."
@@ -275,8 +279,12 @@ def release(df: DataFrame) -> None:
         if jplan.getClass().getSimpleName() == "LogicalRDD":
             sc = df.sparkSession.sparkContext
             jrdd = jplan.rdd()
-            _released_rdd_ids.add(jrdd.id())
+            sl = jrdd.getStorageLevel()
             cf = jrdd.getCheckpointFile()
+            if cf.isDefined() or sl.useMemory() or sl.useDisk():
+                # only a df that actually held checkpoint files or
+                # persisted blocks becomes unusable after this teardown
+                _released_rdd_ids.add((sc.applicationId, jrdd.id()))
             if cf.isDefined():
                 path = sc._jvm.org.apache.hadoop.fs.Path(cf.get())
                 fs = path.getFileSystem(sc._jsc.sc().hadoopConfiguration())

@@ -1381,10 +1381,12 @@ def cmd_data_diff(args) -> int:
         print(f"type mismatch {c}: {ta} vs {tb}")
     for c, stat, va, vb in res.stat_diffs:
         print(f"stat diff {c}.{stat}: {va} vs {vb}")
+    matched = res.matched
     if getattr(args, "top_n", 0):
         # per-string-column most-common values (ref StringStatistics
         # MostCommon/TopNDistinct, pkg/diff/types.go:494-495): shown for
-        # both tables, diverging (value, freq) rows flagged
+        # both tables; a diverging histogram fails the diff like any
+        # stat difference (the exit code is the contract CI consumes)
         from bruin_spark.diff import top_values
 
         n = int(args.top_n)
@@ -1400,9 +1402,11 @@ def cmd_data_diff(args) -> int:
             col, val = key
             fa, fb = ta.get(key), tb.get(key)
             marker = "  " if fa == fb else "! "
+            if fa != fb:
+                matched = False
             print(f"{marker}top[{col}] {val!r}: {fa} vs {fb}")
-    print("MATCH" if res.matched else "DIFFER")
-    return 0 if res.matched else 1
+    print("MATCH" if matched else "DIFFER")
+    return 0 if matched else 1
 
 
 def cmd_lineage(args) -> int:

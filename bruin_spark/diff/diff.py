@@ -158,6 +158,12 @@ def top_values(
     from pyspark.sql import Window
 
     cols = columns or [name for name, dt in df.dtypes if _category(dt) == "string"]
+    if not cols:
+        # a table with no string columns has an empty (not crashing)
+        # most-common-values profile
+        return df.sparkSession.createDataFrame(
+            [], "column_name string, value string, cnt bigint, rank int"
+        )
     parts = []
     w = Window.orderBy(F.desc("cnt"), F.asc("value"))
     for name in cols:

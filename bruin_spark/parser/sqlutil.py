@@ -560,7 +560,14 @@ def _reject_writes_and_strip_into(inner: str) -> str:
     PAIRS — 'insert into', 'delete from', 'merge into', '(update' — so
     a column or alias merely NAMED like a verb never false-positives,
     while 'FOR UPDATE' row locking stays legal), and strip a top-level
-    ``INTO <table>`` write target."""
+    ``INTO <table>`` write target.  A bare ``INTO`` at any DEEPER
+    nesting level (a subquery or CTE body) is itself a write — SQL has
+    no read-only use of SELECT INTO — and is rejected rather than left
+    to run."""
+    # normalize a fully-parenthesized query — '(SELECT ... INTO t ...)'
+    # — so the top-level INTO strip sees it at depth 0 instead of the
+    # whole body hiding at depth 1 past the write checks
+    inner = _unwrap_outer_parens(inner)
     toks = _tokens(inner)
     code = _code_tokens(toks)
     into_span: tuple[int, int] | None = None
@@ -586,6 +593,7 @@ def _reject_writes_and_strip_into(inner: str) -> str:
             or (tl == "delete" and nxt == "from")
             or (tl == "merge" and nxt == "into")
             or (tl == "update" and prev == "(")
+            or (tl == "into" and depth > 0)
         ):
             raise ValueError(
                 "asset contains a write statement and cannot be unit tested read-only"
@@ -611,6 +619,27 @@ def _reject_writes_and_strip_into(inner: str) -> str:
         a, b = into_span
         inner = (inner[:a].rstrip() + " " + inner[b:].lstrip()).strip()
     return inner.strip()
+
+
+def _unwrap_outer_parens(sql: str) -> str:
+    """Strip parens that wrap the ENTIRE statement (repeatedly): the
+    first code token is '(' and its matching ')' is the last one."""
+    while True:
+        toks = _tokens(sql)
+        code = _code_tokens(toks)
+        if len(code) < 2 or toks[code[0]][1] != "(" or toks[code[-1]][1] != ")":
+            return sql
+        depth = 0
+        for pos, i in enumerate(code):
+            if toks[i][1] == "(":
+                depth += 1
+            elif toks[i][1] == ")":
+                depth -= 1
+                if depth == 0 and pos != len(code) - 1:
+                    return sql  # first '(' closes before the end
+        open_end = toks[code[0]][2] + 1
+        close_start = toks[code[-1]][2]
+        sql = sql[open_end:close_start].strip()
 
 
 def _cte_parts(sql: str) -> list[tuple[str, str | None, str]]:

@@ -322,3 +322,28 @@ def test_pinned_scope_nesting_releases_the_right_bucket(spark):
             ck.materialize(spark.range(4), eager=True).count()
         ck.materialize(spark.range(4), eager=True).count()
     assert n_persistent() == base
+
+
+def test_release_of_plain_dataframe_does_not_taint_materialize(spark):
+    """release() on a never-materialized LogicalRDD (a createDataFrame
+    result) is the documented no-op — a later materialize of the same
+    DataFrame must not raise 'already released'."""
+    from bruin_spark import checkpointing as cp
+
+    df = spark.createDataFrame([(1,), (2,)], "v int")
+    cp.release(df)
+    out = cp.materialize(df, eager=True)
+    assert out.count() == 2
+    cp.release(out)
+
+
+def test_materialize_of_released_checkpoint_raises_descriptive(spark):
+    from bruin_spark import checkpointing as cp
+
+    df = cp.materialize(spark.range(5).toDF("v"), eager=True)
+    assert df.count() == 5
+    cp.release(df)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="release"):
+        cp.materialize(df)

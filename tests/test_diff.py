@@ -164,3 +164,12 @@ def test_profile_approx_plan_is_expand_free(spark):
 
     assert "Expand" in plan(False)  # the documented exact-mode cost
     assert "Expand" not in plan(True)
+
+
+def test_top_values_no_string_columns(spark):
+    from bruin_spark.diff import top_values
+
+    df = spark.createDataFrame([(1, 2.0)], "id int, v double")
+    out = top_values(df, n=3)
+    assert out.columns == ["column_name", "value", "cnt", "rank"]
+    assert out.count() == 0

@@ -550,3 +550,25 @@ def test_extract_select_rejects_writing_subquery_in_create():
             "CREATE TABLE t AS WITH w AS (INSERT INTO log SELECT 1 "
             "RETURNING id) SELECT * FROM w"
         )
+
+
+def test_extract_select_parenthesized_into_not_bypassed():
+    # a fully-parenthesized SELECT INTO: the whole body sits at depth 1,
+    # which used to slip past both the depth-0 strip and the write
+    # rejection — the outer parens are normalized away and the INTO
+    # stripped like the unparenthesized form
+    got = extract_select("CREATE TABLE t AS (SELECT a INTO archive FROM o)")
+    assert "INTO" not in got.upper() and "archive" not in got
+    assert "FROM o" in got
+
+
+def test_extract_select_nested_select_into_rejected():
+    # SELECT INTO inside a subquery/CTE body is a write at any depth
+    with pytest.raises(ValueError, match="write"):
+        extract_select(
+            "WITH x AS (SELECT a INTO t2 FROM o) SELECT * FROM x"
+        )
+    with pytest.raises(ValueError, match="write"):
+        extract_select(
+            "SELECT * FROM o WHERE id IN (SELECT id INTO t3 FROM p)"
+        )
