@@ -670,7 +670,48 @@ def cmd_patch(args) -> int:
 
 def cmd_import(args) -> int:
     """Scaffold assets from the warehouse catalog (ref: cmd/import.go
-    ImportDatabase — here the connection is the SparkSession catalog)."""
+    ImportDatabase — here the connection is the SparkSession catalog),
+    or from a BI catalog export (--tableau / --quicksight, ref:
+    cmd/import_tableau.go / cmd/import_quicksight.go; fixture-replay —
+    this environment has no network, so the fetch reads the export dir)."""
+    if getattr(args, "tableau", False) or getattr(args, "quicksight", False):
+        from bruin_spark.model import bi_import
+
+        fixture_dir = args.fixture_dir or os.environ.get("BRUIN_BI_FIXTURE_DIR")
+        if not fixture_dir:
+            print(
+                "BI import needs --fixture-dir (or $BRUIN_BI_FIXTURE_DIR): "
+                "a directory holding tableau.json / quicksight.json exports",
+                file=sys.stderr,
+            )
+            return 2
+        try:
+            if args.tableau:
+                dashboards, site = bi_import.load_tableau_fixture(fixture_dir)
+                created, skipped = bi_import.import_tableau_dashboards(
+                    args.pipeline,
+                    dashboards,
+                    host=site["host"],
+                    site_id=site["site_id"],
+                    workbook_filter=args.workbook or "",
+                    project_filter=args.project or "",
+                )
+            else:
+                datasets, qs_dashboards = bi_import.load_quicksight_fixture(fixture_dir)
+                created, skipped = bi_import.import_quicksight_assets(
+                    args.pipeline, datasets, qs_dashboards
+                )
+        except (OSError, ValueError, KeyError, TypeError) as e:
+            print(f"BI import failed: {e}", file=sys.stderr)
+            return 2
+        for p in created:
+            print(f"created {p}")
+        for p in skipped:
+            print(f"skipped {p} (exists)")
+        if not created and not skipped:
+            print("no BI assets found in the fixture")
+        return 0
+
     from bruin_spark import get_spark
     from bruin_spark.model.importer import import_database, import_tables_dir
 
@@ -1524,6 +1565,25 @@ def main(argv: list[str] | None = None) -> int:
         "--tables-dir",
         help="import parquet tables from this directory instead of the catalog",
     )
+    pim.add_argument(
+        "--tableau",
+        action="store_true",
+        help="import Tableau dashboards/workbooks/data sources "
+        "(fixture-replay; ref: bruin import tableau)",
+    )
+    pim.add_argument(
+        "--quicksight",
+        action="store_true",
+        help="import QuickSight datasets/dashboards "
+        "(fixture-replay; ref: bruin import quicksight)",
+    )
+    pim.add_argument(
+        "--fixture-dir",
+        help="BI catalog export dir (default $BRUIN_BI_FIXTURE_DIR) — the "
+        "no-network analogue of the reference's live API fetch",
+    )
+    pim.add_argument("--workbook", help="tableau: only workbooks matching this name")
+    pim.add_argument("--project", help="tableau: only projects matching this name")
     pim.set_defaults(fn=cmd_import)
 
     pe = sub.add_parser(
