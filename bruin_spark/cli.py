@@ -674,6 +674,34 @@ def cmd_import(args) -> int:
     or from a BI catalog export (--tableau / --quicksight, ref:
     cmd/import_tableau.go / cmd/import_quicksight.go; fixture-replay —
     this environment has no network, so the fetch reads the export dir)."""
+    if getattr(args, "odi", None):
+        from xml.etree.ElementTree import ParseError
+
+        from bruin_spark.model.odi_import import odi_import
+
+        try:
+            res = odi_import(
+                args.odi,
+                args.pipeline,
+                connection=args.connection or "",
+                overwrite=args.overwrite,
+            )
+        except (OSError, ValueError, ParseError) as e:
+            print(f"ODI import failed: {e}", file=sys.stderr)
+            return 2
+        print(
+            f"parsed {res.xml_files} XML files, {res.scenarios} scenarios; "
+            f"created {res.sql_assets} SQL assets, {res.source_assets} source "
+            f"assets, {res.control_assets} control assets "
+            f"({res.skipped_assets} skipped), {res.variable_macros} variable "
+            f"macros, {res.scenario_calls_resolved} scenario calls resolved"
+        )
+        for p in res.imported_asset_paths:
+            print(f"created {p}")
+        if res.control_flow_report_written:
+            print(f"control-flow report: {res.control_flow_report_path}")
+        return 0
+
     if getattr(args, "tableau", False) or getattr(args, "quicksight", False):
         from bruin_spark.model import bi_import
 
@@ -1584,6 +1612,17 @@ def main(argv: list[str] | None = None) -> int:
     )
     pim.add_argument("--workbook", help="tableau: only workbooks matching this name")
     pim.add_argument("--project", help="tableau: only projects matching this name")
+    pim.add_argument(
+        "--odi",
+        metavar="XML_PATH",
+        help="import Oracle Data Integrator XML exports from this file/dir "
+        "(ref: bruin import odi)",
+    )
+    pim.add_argument(
+        "--connection",
+        "-c",
+        help="odi: Oracle connection name to set on imported assets",
+    )
     pim.set_defaults(fn=cmd_import)
 
     pe = sub.add_parser(

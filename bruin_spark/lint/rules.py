@@ -45,6 +45,9 @@ _VALID_TYPES = {
     "spark.sensor.path",
     "noop",
     "metadata",
+    # ref pipeline.go AssetTypeEmpty — a NoOp control node (ODI scenario
+    # calls import as these; executor/defaults.go wires it to NoOp)
+    "empty",
 }
 
 #: BI/dashboard placeholder types (ref pipeline.go:35-169): valid DAG

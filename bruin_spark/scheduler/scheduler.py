@@ -791,7 +791,7 @@ class Scheduler:
 
         if (
             asset.type.endswith(".source")
-            or asset.type in ("noop", "metadata")
+            or asset.type in ("noop", "metadata", "empty")
             or asset.type in _BI_PLACEHOLDER_TYPES
         ):
             return None  # NoOp main; checks still run (executor/defaults.go:10-95)
