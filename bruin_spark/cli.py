@@ -20,6 +20,8 @@ import os
 import sys
 from datetime import datetime, timedelta
 
+import yaml
+
 
 def _parse_date(s: str | None, default: datetime) -> datetime:
     if not s:
@@ -686,7 +688,9 @@ def cmd_import(args) -> int:
                 connection=args.connection or "",
                 overwrite=args.overwrite,
             )
-        except (OSError, ValueError, ParseError) as e:
+        except (OSError, ValueError, ParseError, yaml.YAMLError) as e:
+            # YAMLError: a malformed EXISTING pipeline.yml the variable
+            # merge reads — a user input problem, not a crash
             print(f"ODI import failed: {e}", file=sys.stderr)
             return 2
         print(
@@ -729,7 +733,7 @@ def cmd_import(args) -> int:
                 created, skipped = bi_import.import_quicksight_assets(
                     args.pipeline, datasets, qs_dashboards
                 )
-        except (OSError, ValueError, KeyError, TypeError) as e:
+        except (OSError, ValueError, KeyError, TypeError, yaml.YAMLError) as e:
             print(f"BI import failed: {e}", file=sys.stderr)
             return 2
         for p in created:

@@ -204,6 +204,21 @@ def import_tableau_dashboards(
     existing = _existing_asset_names(pipeline_path)
     created: list[str] = []
     skipped: list[str] = []
+    # DISTINCT BI objects whose names sanitize identically must not
+    # overwrite each other's files: the first occurrence keeps the
+    # canonical name (the test-table-pinned form), later ones get _2,
+    # _3, ... — and every dashboard dependency follows the per-ID map.
+    taken: set[str] = set()
+
+    def _uniq(name: str) -> str:
+        if name not in taken:
+            taken.add(name)
+            return name
+        i = 2
+        while f"{name}_{i}" in taken:
+            i += 1
+        taken.add(f"{name}_{i}")
+        return f"{name}_{i}"
 
     # unique data sources / workbooks (first occurrence wins)
     unique_ds: dict[str, dict] = {}
@@ -216,10 +231,10 @@ def import_tableau_dashboards(
 
     ds_asset_names: dict[str, str] = {}
     for ds_id, ds in unique_ds.items():
-        name = datasource_asset_name(ds.get("name", ""))
+        name = _uniq(datasource_asset_name(ds.get("name", "")))
         ds_asset_names[ds_id] = name
         full = "tableau.data_sources." + name
-        if full in existing or name in existing:
+        if full in existing:
             skipped.append(full)
             continue
         params = {
@@ -245,10 +260,10 @@ def import_tableau_dashboards(
 
     wb_asset_names: dict[str, str] = {}
     for wb_id, d in unique_wb.items():
-        name = workbook_asset_name(d.workbook_name)
+        name = _uniq(workbook_asset_name(d.workbook_name))
         wb_asset_names[wb_id] = name
         full = "tableau.workbooks." + name
-        if full in existing or name in existing:
+        if full in existing:
             skipped.append(full)
             continue
         params = {
@@ -288,6 +303,7 @@ def import_tableau_dashboards(
         if name in existing:
             skipped.append(name)
             continue
+        name = _uniq(name)
         folder = (
             os.path.join(*[sanitize_folder_name(p) for p in d.project_path])
             if d.project_path
@@ -396,13 +412,30 @@ def import_quicksight_assets(
     created: list[str] = []
     skipped: list[str] = []
 
+    # distinct datasets/dashboards whose names sanitize identically get
+    # _2, _3, ... instead of overwriting each other's files (first one
+    # keeps the canonical, test-table-pinned name)
+    taken: set[str] = set()
+
+    def _uniq(name: str) -> str:
+        if name not in taken:
+            taken.add(name)
+            return name
+        i = 2
+        while f"{name}_{i}" in taken:
+            i += 1
+        taken.add(f"{name}_{i}")
+        return f"{name}_{i}"
+
     # dataset ARN (and id) -> full asset name, for dashboard wiring
     ds_names: dict[str, str] = {}
     summaries: dict[str, QuickSightDataset] = {
         s.arn: s for s in (dataset_summaries or [])
     }
     for ds in datasets:
-        full = "quicksight.datasets." + sanitize_quicksight_name("dataset_" + ds.name)
+        full = "quicksight.datasets." + _uniq(
+            sanitize_quicksight_name("dataset_" + ds.name)
+        )
         ds_names[ds.arn] = full
         if ds.id:
             ds_names[ds.id] = full
@@ -457,10 +490,11 @@ def import_quicksight_assets(
 
     for db in dashboards:
         asset_name = sanitize_quicksight_name("dashboard_" + db.name)
-        full = "quicksight.dashboards." + asset_name
-        if full in existing:
-            skipped.append(full)
+        if "quicksight.dashboards." + asset_name in existing:
+            skipped.append("quicksight.dashboards." + asset_name)
             continue
+        asset_name = _uniq(asset_name)
+        full = "quicksight.dashboards." + asset_name
         params = {"dashboard_id": db.id, "dashboard_name": db.name}
         chart_idx = 0
         columns = []
@@ -497,8 +531,11 @@ def import_quicksight_assets(
             if arn in ds_names:
                 name = ds_names[arn]
             elif arn in summaries:
-                name = "quicksight.datasets.dataset_" + sanitize_quicksight_name(
-                    summaries[arn].name
+                # by-name reference for a dataset that was NOT selected
+                # for import — composed EXACTLY like a selected dataset's
+                # asset name, so importing it later resolves the dep
+                name = "quicksight.datasets." + sanitize_quicksight_name(
+                    "dataset_" + summaries[arn].name
                 )
             else:
                 continue

@@ -332,3 +332,61 @@ def test_cli_bi_import_fixture_replay(tmp_path, capsys):
     # missing fixture dir is a clear error, not a traceback
     rc2 = main(["import", pipe, "--quicksight"])
     assert rc2 == 2
+
+
+def test_tableau_name_collisions_uniquified(tmp_path):
+    """Two distinct workbooks (different ids) whose names sanitize
+    identically must not overwrite each other's assets; dashboard
+    dependencies follow the per-id names."""
+    pipe = _pipeline_dir(tmp_path)
+    dashboards = [
+        TableauDashboard(view_id="v1", view_name="A", workbook_id="wb1",
+                         workbook_name="Sales", data_sources=[]),
+        TableauDashboard(view_id="v2", view_name="A", workbook_id="wb2",
+                         workbook_name="Sales!", data_sources=[]),
+    ]
+    created, skipped = import_tableau_dashboards(pipe, dashboards)
+    assert not skipped and len(created) == len(set(created)) == 4
+    from bruin_spark.model import load_pipeline
+
+    loaded = load_pipeline(pipe)
+    names = {a.name for a in loaded.assets}
+    assert "tableau.workbooks.workbook_sales" in names
+    assert "tableau.workbooks.workbook_sales_2" in names
+    by_name = {a.name: a for a in loaded.assets}
+    assert [u.value for u in by_name["sales_a"].depends] == [
+        "tableau.workbooks.workbook_sales"
+    ]
+    assert [u.value for u in by_name["sales_a_2"].depends] == [
+        "tableau.workbooks.workbook_sales_2"
+    ]
+
+
+def test_quicksight_unselected_fallback_name_matches_selected_naming(tmp_path):
+    """A dashboard's by-name dep on an UNSELECTED dataset must equal the
+    name that dataset would get if imported — incl. degenerate names."""
+    pipe = _pipeline_dir(tmp_path)
+    weird = QuickSightDataset(id="dx", arn="arn:weird", name="##")
+    db = QuickSightDashboard(id="db", name="D", dataset_arns=["arn:weird"])
+    import_quicksight_assets(pipe, [], [db], dataset_summaries=[weird])
+    import_quicksight_assets(pipe, [weird], [])
+    from bruin_spark.model import load_pipeline
+
+    loaded = load_pipeline(pipe)
+    by_name = {a.name: a for a in loaded.assets}
+    dep = by_name["quicksight.dashboards.dashboard_d"].depends[0].value
+    assert dep in by_name, f"unresolved fallback dependency {dep}"
+
+
+def test_cli_bi_import_malformed_pipeline_yaml_is_clean_error(tmp_path, capsys):
+    from bruin_spark.cli import main
+
+    pipe = tmp_path / "pipe"
+    (pipe / "assets").mkdir(parents=True)
+    (pipe / "pipeline.yml").write_text("name: [unclosed\n  bad: ::::\n\tx")
+    fixdir = tmp_path / "export"
+    fixdir.mkdir()
+    (fixdir / "tableau.json").write_text(json.dumps(TABLEAU_FIXTURE))
+    rc = main(["import", str(pipe), "--tableau", "--fixture-dir", str(fixdir)])
+    assert rc == 2
+    assert "BI import failed" in capsys.readouterr().err

@@ -527,3 +527,97 @@ def test_cli_odi_import(tmp_path, capsys):
     assert "1 SQL assets" in printed
     rc2 = main(["import", out, "--odi", str(tmp_path / "missing")])
     assert rc2 == 2
+
+
+def test_multi_schema_export_file_records_every_mapping(tmp_path):
+    """A consolidated logical-schema export (several SnpLschema objects,
+    each followed by its refs) records EVERY logical->physical pair."""
+    multi = """<?xml version="1.0" encoding="ISO-8859-1"?>
+<SunopsisExport>
+  <Object class="com.sunopsis.dwg.dbobj.SnpLschema">
+    <Field name="LschemaName" type="java.lang.String"><![CDATA[ORA_TRG]]></Field>
+  </Object>
+  <Object class="com.sunopsis.dwg.dbobj.SnpFKXRef">
+    <Field name="RefKey" type="java.lang.String"><![CDATA[SNP_PSCHEMA.1]]></Field>
+    <Field name="RefObjFQName" type="java.lang.String"><![CDATA[Oracle.DWH.DWH.TRG_PROD]]></Field>
+  </Object>
+  <Object class="com.sunopsis.dwg.dbobj.SnpLschema">
+    <Field name="LschemaName" type="java.lang.String"><![CDATA[LGC_DWH]]></Field>
+  </Object>
+  <Object class="com.sunopsis.dwg.dbobj.SnpFKXRef">
+    <Field name="RefKey" type="java.lang.String"><![CDATA[SNP_PSCHEMA.2]]></Field>
+    <Field name="RefObjFQName" type="java.lang.String"><![CDATA[Oracle.DWH.DWH.DWH]]></Field>
+  </Object>
+</SunopsisExport>"""
+    src = tmp_path / "odi"
+    src.mkdir()
+    _write(src, "LSC_MULTI.xml", multi)
+    _write(src, "SCEN_TEST.xml", TEST_SCENARIO_XML)
+    res = odi_import(str(src), str(tmp_path / "out"))
+    assert res.logical_schema_mapping == {"ORA_TRG": "TRG_PROD", "LGC_DWH": "DWH"}
+
+
+def test_multiple_scenarios_in_one_file_warn(tmp_path):
+    doubled = TEST_SCENARIO_XML.replace(
+        "</SunopsisExport>",
+        """  <Object class="com.sunopsis.dwg.dbobj.SnpScen">
+    <Field name="ScenName" type="java.lang.String"><![CDATA[SECOND]]></Field>
+    <Field name="ScenVersion" type="java.lang.String"><![CDATA[001]]></Field>
+  </Object>
+</SunopsisExport>""",
+    )
+    src = tmp_path / "odi"
+    src.mkdir()
+    _write(src, "SCEN_DOUBLE.xml", doubled)
+    res = odi_import(str(src), str(tmp_path / "out"))
+    kinds = [w.kind for w in res.control_flow_warnings]
+    assert "multiple_scenarios" in kinds
+
+
+def test_explicit_zero_default_not_clobbered_by_valueless_declaration(tmp_path):
+    """Scenario A sets GLOBAL.VAR_FLAG explicitly to 0; scenario B
+    declares the same variable valueless as a string — the explicit
+    integer 0 must survive."""
+    def scen(name, extra):
+        return f"""<?xml version="1.0" encoding="ISO-8859-1"?>
+<SunopsisExport>
+  <Object class="com.sunopsis.dwg.dbobj.SnpScen">
+    <Field name="ScenName" type="java.lang.String"><![CDATA[{name}]]></Field>
+    <Field name="ScenVersion" type="java.lang.String"><![CDATA[001]]></Field>
+  </Object>
+{extra}
+</SunopsisExport>"""
+
+    a = scen("A_SCEN", """  <Object class="com.sunopsis.dwg.dbobj.SnpVarScen">
+    <Field name="VarName" type="java.lang.String"><![CDATA[GLOBAL.VAR_FLAG]]></Field>
+    <Field name="VarDatatype" type="java.lang.String"><![CDATA[N]]></Field>
+    <Field name="DefN" type="com.sunopsis.sql.DbInt"><![CDATA[0]]></Field>
+  </Object>""")
+    b = scen("B_SCEN", """  <Object class="com.sunopsis.dwg.dbobj.SnpVarScen">
+    <Field name="VarName" type="java.lang.String"><![CDATA[GLOBAL.VAR_FLAG]]></Field>
+    <Field name="VarDatatype" type="java.lang.String"><![CDATA[V]]></Field>
+  </Object>""")
+    src = tmp_path / "odi"
+    src.mkdir()
+    _write(src, "SCEN_A.xml", a)
+    _write(src, "SCEN_B.xml", b)
+    out = tmp_path / "out"
+    odi_import(str(src), str(out))
+    import yaml as _yaml
+
+    doc = _yaml.safe_load((out / "pipeline.yml").read_text())
+    assert doc["variables"]["GLOBAL_VAR_FLAG"] == {"default": 0, "type": "integer"}
+
+
+def test_cli_odi_malformed_pipeline_yaml_is_clean_error(tmp_path, capsys):
+    from bruin_spark.cli import main
+
+    src = tmp_path / "odi"
+    src.mkdir()
+    _write(src, "SCEN_TEST.xml", TEST_SCENARIO_XML)
+    out = tmp_path / "out"
+    out.mkdir()
+    (out / "pipeline.yml").write_text("name: [unclosed\n  bad: ::::\n\tx")
+    rc = main(["import", str(out), "--odi", str(src)])
+    assert rc == 2
+    assert "ODI import failed" in capsys.readouterr().err
