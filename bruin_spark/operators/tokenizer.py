@@ -46,22 +46,17 @@ def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def bpe_learn_merges(
+def _bpe_train(
     docs: DataFrame,
-    n_merges: int = 8,
-    text_col: str = "text",
-) -> DataFrame:
-    """Learn ``n_merges`` BPE merges; returns the merge table
-    (step, merge_left, merge_right, pair_count).
-
-    Word representations start as space-delimited characters wrapped in
-    sentinel spaces (`` a b c ``); each iteration counts adjacent symbol
-    pairs weighted by word frequency, picks the (count DESC, pair ASC)
-    best, and rewrites `` left right `` -> `` leftright `` across the
-    vocab. ``localCheckpoint`` cuts the per-iteration lineage so the
-    plan doesn't grow with the merge count.
+    n_merges: int,
+    text_col: str,
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """The shared training loop: returns ``(merges, words)`` where
+    ``words`` is the PINNED post-merge vocabulary ``(w, freq, repr)``
+    — ``repr`` is the space-delimited merged-symbol form of ``w``.
+    The caller owns the pin: ``release(words)`` when done (or consume
+    inside ``checkpointing.pinned_scope()``).
     """
-    spark = docs.sparkSession
     words = word_frequencies(docs, text_col).withColumn(
         "repr",
         F.concat(F.lit(" "), F.concat_ws(" ", F.split(F.col("w"), "")), F.lit(" ")),
@@ -103,9 +98,74 @@ def bpe_learn_merges(
         # O(n_merges) rdd-<id> file sets on the DFS)
         release(prev)
 
+    return merges, words
+
+
+def bpe_learn_merges(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges; returns the merge table
+    (step, merge_left, merge_right, pair_count).
+
+    Word representations start as space-delimited characters wrapped in
+    sentinel spaces (`` a b c ``); each iteration counts adjacent symbol
+    pairs weighted by word frequency, picks the (count DESC, pair ASC)
+    best, and rewrites `` left right `` -> `` leftright `` across the
+    vocab. ``localCheckpoint`` cuts the per-iteration lineage so the
+    plan doesn't grow with the merge count.
+    """
+    spark = docs.sparkSession
+    merges, words = _bpe_train(docs, n_merges, text_col)
     # the merge table is driver-side; the last vocab round's pinned
     # blocks / checkpoint files aren't part of the result — release them
     release(words)
     return spark.createDataFrame(
         merges, "step int, merge_left string, merge_right string, pair_count bigint"
+    )
+
+
+def bpe_encode_counts(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize the corpus with a freshly-trained BPE vocabulary and
+    count pieces per document: ``(id_col, n_words, n_bpe_tokens)``.
+
+    The 100 TB shape: BPE application never touches corpus text
+    token-by-token. The trained vocabulary table already carries each
+    DISTINCT word's merged representation (``repr``), so encoding is a
+    piece-count column on the vocab (|V| rows) plus one broadcast join
+    from the per-document word counts — the classic "tokenize distinct
+    words once" optimization. The only corpus-scale work is the word
+    count (map-side combinable; duplicate words collapse before the
+    join). Counts are integers, so results are exact cross-engine.
+
+    The returned plan reads the pinned vocabulary — consume it inside
+    ``checkpointing.pinned_scope()`` (the registry harness does), which
+    frees the pin on exit.
+
+    Ref parity anchor: the reference treats tokenization as an ingestr
+    / python-asset concern (no native tokenizer); this extends the
+    training-data family alongside bpe_learn_merges.
+    """
+    _, words = _bpe_train(docs, n_merges, text_col)
+    # repr is ' p1 p2 ... pk ' → k pieces for the word
+    pieces = words.select(
+        "w", F.size(F.split(F.trim(F.col("repr")), " ")).alias("n_pieces")
+    )
+    doc_words = (
+        docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # vocab ≪ corpus (Heaps' law): broadcast the piece table so the
+    # corpus-side word counts never shuffle for this join
+    joined = doc_words.join(F.broadcast(pieces), "w")
+    return joined.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_words"),
+        F.sum(F.col("cnt") * F.col("n_pieces")).alias("n_bpe_tokens"),
     )

@@ -463,11 +463,12 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_learn_merges(_docs(spark, sf_dir), n_merges=_BPE_MERGES)
 
 
-def _bpe_oracle() -> str:
-    """The same iterations unrolled: stage k counts adjacent symbol
-    pairs of w{k-1}, b{k} picks (count DESC, pair ASC), w{k} rewrites
-    the vocab with REPLACE_PASSES nested literal replaces (canonical
-    symbol-wise merging; see operators/tokenizer.py)."""
+def _bpe_stages() -> tuple[list[str], list[str]]:
+    """CTE stages unrolling the BPE training loop: stage k counts
+    adjacent symbol pairs of w{k-1}, b{k} picks (count DESC, pair ASC),
+    w{k} rewrites the vocab with REPLACE_PASSES nested literal replaces
+    (canonical symbol-wise merging; see operators/tokenizer.py).
+    Shared by the merge-table oracle and the encode oracle."""
     from bruin_spark.operators.tokenizer import REPLACE_PASSES
 
     stages = []
@@ -495,6 +496,12 @@ w{k} AS (
             f"SELECT {k} AS step, split_part(pair, ' ', 1) AS merge_left, "
             f"split_part(pair, ' ', 2) AS merge_right, cnt::BIGINT AS pair_count FROM b{k}"
         )
+    return stages, finals
+
+
+def _bpe_vocab_ctes(stages: list[str]) -> str:
+    """The shared WITH prefix: corpus wordcount → char-split w0 → the
+    unrolled merge stages (the final vocab is ``w{_BPE_MERGES}``)."""
     return f"""
 WITH words AS (
   SELECT tok AS w, COUNT(*) AS freq
@@ -504,12 +511,120 @@ WITH words AS (
 w0 AS (
   SELECT w, freq, ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS repr
   FROM words
-),{','.join(stages)}
+),{','.join(stages)}"""
+
+
+def _bpe_oracle() -> str:
+    stages, finals = _bpe_stages()
+    return f"""
+{_bpe_vocab_ctes(stages)}
 {' UNION ALL '.join(finals)}
 """
 
 
 QUERIES["text_bpe_merges"] = (text_bpe_merges, _bpe_oracle())
+
+
+# -- BPE encoding (apply trained merges to the corpus) -------------------------
+
+
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BPE piece counts under the trained vocabulary —
+    encoding via the vocab join, never per-token application (see
+    operators/tokenizer.py: bpe_encode_counts)."""
+    from bruin_spark.operators.tokenizer import bpe_encode_counts
+
+    return bpe_encode_counts(_docs(spark, sf_dir), n_merges=_BPE_MERGES)
+
+
+def _bpe_encode_oracle() -> str:
+    stages, _ = _bpe_stages()
+    return f"""
+{_bpe_vocab_ctes(stages)},
+pieces AS (
+  SELECT w, len(string_split(trim(repr), ' ')) AS n_pieces FROM w{_BPE_MERGES}
+),
+doc_words AS (
+  SELECT doc_id, tok AS w, COUNT(*) AS cnt
+  FROM (SELECT doc_id, UNNEST({_duck_tokens()}) AS tok FROM documents)
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       SUM(cnt)::BIGINT AS n_words,
+       SUM(cnt * n_pieces)::BIGINT AS n_bpe_tokens
+FROM doc_words JOIN pieces USING (w)
+GROUP BY 1
+"""
+
+
+QUERIES["text_bpe_encode"] = (text_bpe_encode, _bpe_encode_oracle())
+
+
+# -- bigram-LM perplexity scoring (CCNet-style quality signal) ------------------
+
+_LM_TOP_V = 16
+_LM_ALPHA = 0.5
+
+
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-alpha bigram-LM document scoring with a pruned (top-16)
+    vocabulary — tail tokens train and score as '<unk>' (the CCNet
+    quality-filter shape; see operators/lm.py)."""
+    from bruin_spark.operators.lm import bigram_lm_scores
+
+    return bigram_lm_scores(
+        _docs(spark, sf_dir), alpha=_LM_ALPHA, top_v=_LM_TOP_V
+    )
+
+
+def _lm_oracle() -> str:
+    toks = _duck_tokens()
+    return f"""
+WITH base AS (
+  SELECT doc_id, {toks} AS t FROM documents
+), rawtoks AS (
+  SELECT UNNEST(t) AS w FROM base
+), vocab AS (
+  SELECT w FROM (SELECT w, COUNT(*) AS c FROM rawtoks GROUP BY 1)
+  ORDER BY c DESC, w ASC LIMIT {_LM_TOP_V}
+), mtoks AS (
+  SELECT COALESCE(v.w, '<unk>') AS w
+  FROM rawtoks t LEFT JOIN vocab v ON t.w = v.w
+), unigrams AS (
+  SELECT w, COUNT(*) AS c_a FROM mtoks GROUP BY 1
+), vsize AS (
+  SELECT COUNT(*) AS v FROM unigrams
+), rawpairs AS (
+  SELECT doc_id, t[i] AS a0, t[i + 1] AS b0
+  FROM base, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+), mpairs AS (
+  SELECT doc_id, COALESCE(va.w, '<unk>') AS a, COALESCE(vb.w, '<unk>') AS b
+  FROM rawpairs p
+  LEFT JOIN vocab va ON p.a0 = va.w
+  LEFT JOIN vocab vb ON p.b0 = vb.w
+), doc_pairs AS (
+  SELECT doc_id, a, b, COUNT(*) AS k FROM mpairs GROUP BY 1, 2, 3
+), bigrams AS (
+  SELECT a, b, SUM(k) AS c_ab FROM doc_pairs GROUP BY 1, 2
+), scored AS (
+  SELECT doc_id,
+         SUM(k) AS n_bigrams,
+         SUM(k * ln((c_ab + {_LM_ALPHA}) / (c_a + {_LM_ALPHA} * v))) / SUM(k) AS avg0
+  FROM doc_pairs
+  JOIN bigrams USING (a, b)
+  JOIN unigrams u ON doc_pairs.a = u.w
+  CROSS JOIN vsize
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(s.n_bigrams, 0)::BIGINT AS n_bigrams,
+       ROUND(s.avg0, 6) AS avg_logprob,
+       ROUND(exp(-s.avg0), 6) AS perplexity
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
+
+QUERIES["text_lm_perplexity"] = (text_lm_perplexity, _lm_oracle())
 
 # -- corpus top n-grams ------------------------------------------------------------
 

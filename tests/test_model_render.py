@@ -75,7 +75,9 @@ def test_render_interval_context():
 
 
 def test_render_filters_and_builtins():
-    assert render_sql("{{ '2024-01-31' | add_months(1) }}", CTX) == "2024-02-29"
+    # Go time.AddDate normalization (ref filters.go:128): Jan 31 + 1mo
+    # rolls into March, it is not clamped to Feb 29
+    assert render_sql("{{ '2024-01-31' | add_months(1) }}", CTX) == "2024-03-02"
     assert render_sql("{{ '2024-03-15' | truncate_month }}", CTX) == "2024-03-01"
     out = render_sql("SELECT {{ generate_surrogate_key('a', 'b') }}", CTX)
     assert out.startswith("SELECT MD5(CONCAT_WS('|', COALESCE(CAST(a AS STRING)")

@@ -312,3 +312,76 @@ def test_minhash_scheme_statistical_quality(spark):
     assert len(catchable) >= 40  # the corpus construction really is high-overlap
     recall = sum(p in pairs for p in catchable) / len(catchable)
     assert recall >= 0.7, f"banded LSH recall on J>=0.7 pairs: {recall:.2f}"
+
+
+def test_bpe_encode_counts_match_hand_simulation(spark):
+    """Exact checks on the vocab-join encoder: zero merges counts raw
+    characters; enough merges collapses every word to one piece; counts
+    agree with a hand-simulated merge application."""
+    from bruin_spark.checkpointing import pinned_scope
+    from bruin_spark.operators.tokenizer import bpe_encode_counts
+
+    docs = spark.createDataFrame(
+        [(1, "abc abc ax"), (2, "Abc bc")],  # lowercased by tokens()
+        "doc_id long, text string",
+    )
+    # n_merges=0: every word is char-split, so pieces == chars
+    with pinned_scope():
+        zero = {r["doc_id"]: r for r in bpe_encode_counts(docs, n_merges=0).collect()}
+    assert zero[1]["n_words"] == 3 and zero[1]["n_bpe_tokens"] == 8  # abc abc ax
+    assert zero[2]["n_words"] == 2 and zero[2]["n_bpe_tokens"] == 5  # abc bc
+
+    # merges: b-c (freq 3+1=4... hand count: words abc:3, ax:1, bc:1 ->
+    # pairs a-b:3, b-c:4, a-x:1) -> merge1 = b+c; then a-bc:3 -> merge2
+    # = a+bc; after 2 merges 'abc' is ONE piece, 'bc' is one, 'ax' two
+    with pinned_scope():
+        two = {r["doc_id"]: r for r in bpe_encode_counts(docs, n_merges=2).collect()}
+    assert two[1]["n_bpe_tokens"] == 1 + 1 + 2  # abc, abc, a x
+    assert two[2]["n_bpe_tokens"] == 1 + 1  # abc, bc
+
+    # saturation: enough merges collapses every word to a single piece
+    with pinned_scope():
+        sat = {r["doc_id"]: r for r in bpe_encode_counts(docs, n_merges=8).collect()}
+    for doc_id, r in sat.items():
+        assert r["n_bpe_tokens"] == r["n_words"], (doc_id, r)
+
+
+def test_bigram_lm_scores_match_hand_computation(spark):
+    """Hand-checked add-alpha bigram LM on a 3-doc corpus, both with and
+    without vocabulary pruning; short docs keep a NULL-scored row."""
+    import math
+
+    from bruin_spark.checkpointing import pinned_scope
+    from bruin_spark.operators.lm import bigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "a b"), (3, "z")],  # doc 3: single token, no bigrams
+        "doc_id long, text string",
+    )
+    # unigrams: a:3 b:2 z:1 -> V=3; bigrams: (a,b):2 (b,a):1; alpha=0.5
+    lp_ab = math.log((2 + 0.5) / (3 + 0.5 * 3))
+    lp_ba = math.log((1 + 0.5) / (2 + 0.5 * 3))
+    with pinned_scope():
+        out = {r["doc_id"]: r for r in bigram_lm_scores(docs, alpha=0.5).collect()}
+    assert out[1]["n_bigrams"] == 2
+    assert abs(out[1]["avg_logprob"] - round((lp_ab + lp_ba) / 2, 6)) < 1e-9
+    assert abs(out[1]["perplexity"] - round(math.exp(-(lp_ab + lp_ba) / 2), 6)) < 1e-9
+    assert out[2]["n_bigrams"] == 1
+    assert abs(out[2]["avg_logprob"] - round(lp_ab, 6)) < 1e-9
+    assert out[3]["n_bigrams"] == 0
+    assert out[3]["avg_logprob"] is None and out[3]["perplexity"] is None
+
+    # top_v=1 keeps only 'a' (count desc); b and z train as <unk>:
+    # unigrams a:3 <unk>:3 -> V=2; bigrams (a,<unk>):2 (<unk>,a):1
+    lp_au = math.log((2 + 0.5) / (3 + 0.5 * 2))
+    lp_ua = math.log((1 + 0.5) / (3 + 0.5 * 2))
+    with pinned_scope():
+        pruned = {
+            r["doc_id"]: r
+            for r in bigram_lm_scores(docs, alpha=0.5, top_v=1).collect()
+        }
+    assert pruned[1]["n_bigrams"] == 2
+    assert abs(pruned[1]["avg_logprob"] - round((lp_au + lp_ua) / 2, 6)) < 1e-9
+    assert pruned[2]["n_bigrams"] == 1
+    assert abs(pruned[2]["avg_logprob"] - round(lp_au, 6)) < 1e-9
+    assert pruned[3]["n_bigrams"] == 0
