@@ -70,6 +70,11 @@ HEADLINE = [
     "dedup_duplicate_spans",
     "dedup_spans_incremental",
     "diff_top_values",
+    # r11b: BPE corpus encoding (vocab join), bigram-LM quality scoring,
+    # per-group TF-IDF characteristic terms
+    "text_bpe_encode",
+    "text_lm_perplexity",
+    "text_tfidf_terms",
 ]
 
 

@@ -300,3 +300,71 @@ def top_ngrams(
         .orderBy(F.desc("occurrences"), F.asc("ngram"))
         .limit(k)
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k characteristic terms per group by TF-IDF — "what words
+    define each language / domain / cluster" (corpus curation's
+    mixture-inspection probe; pairs with top_ngrams, which finds
+    corpus-GLOBAL boilerplate, where this finds group-SPECIFIC signal).
+
+    score(t, g) = tf(t, g) * ln(N_docs / df_docs(t)): group term
+    frequency damped by how corpus-universal the term is. Ties rank
+    (score DESC, term ASC) so the k-set is deterministic cross-engine.
+
+    Plan (100 TB shape): ONE corpus-scale shuffle — the exploded token
+    stream pre-aggregates to (group, doc, term) rows map-side (a doc
+    belongs to one group, so these rows are unique per (doc, term)
+    and vocabulary-bounded per doc). Both statistics then derive from
+    that table without touching the corpus again: tf sums counts per
+    (group, term); df counts ROWS per term (= distinct docs, by
+    uniqueness — no second distinct shuffle). N_docs is a single-row
+    driver probe. The final rank windows over (group), a
+    vocabulary-sized relation, never the corpus.
+
+    Ref parity anchor: the reference has no corpus-statistics text
+    analysis (SURVEY §2 training-data extension family).
+    """
+    from pyspark.sql import Window
+
+    n_docs = df.count()  # scalar probe, stays JVM-side
+    base = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(group_col).alias("grp"),
+            F.col(id_col).alias("id"),
+            F.explode(tokens(text_col)).alias("term"),
+        )
+        .groupBy("grp", "id", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from bruin_spark.checkpointing import materialize
+
+    # base feeds both statistics — pin it; LAZY so the tf job
+    # materializes it inline
+    base = materialize(base, eager=False)
+    tf = base.groupBy("grp", "term").agg(F.sum("cnt").alias("tf"))
+    dfreq = base.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    idf = F.log(F.lit(float(n_docs)) / F.col("df_docs"))
+    scored = tf.join(dfreq, "term").select(
+        "grp", "term", "tf", "df_docs", (F.col("tf") * idf).alias("_score")
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("_score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("grp").alias(group_col),
+            "term",
+            "tf",
+            "df_docs",
+            F.round("_score", 6).alias("tfidf"),
+            "rank",
+        )
+    )

@@ -665,3 +665,45 @@ LIMIT {k}
 
 
 QUERIES["text_top_ngrams"] = (text_top_ngrams, _top_ngrams_oracle())
+
+
+# -- per-language TF-IDF characteristic terms -----------------------------------
+
+_TFIDF_K = 10
+
+
+def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 TF-IDF terms per language — group-characteristic
+    vocabulary (see operators/text.py: tfidf_top_terms)."""
+    return T.tfidf_top_terms(_docs(spark, sf_dir), group_col="lang", k=_TFIDF_K)
+
+
+def _tfidf_oracle() -> str:
+    return f"""
+WITH base AS (
+  SELECT lang AS grp, doc_id AS id, tok AS term, COUNT(*) AS cnt
+  FROM (
+    SELECT lang, doc_id, UNNEST({_duck_tokens()}) AS tok
+    FROM documents WHERE text IS NOT NULL
+  )
+  GROUP BY 1, 2, 3
+), tf AS (
+  SELECT grp, term, SUM(cnt)::BIGINT AS tf FROM base GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, COUNT(*)::BIGINT AS df_docs FROM base GROUP BY 1
+), n AS (
+  SELECT COUNT(*)::DOUBLE AS n_docs FROM documents
+), scored AS (
+  SELECT grp, term, tf, df_docs, tf * ln(n_docs / df_docs) AS s
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT grp, term, tf, df_docs, s,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY s DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT grp AS lang, term, tf, df_docs, ROUND(s, 6) AS tfidf, rank::INT AS rank
+FROM ranked WHERE rank <= {_TFIDF_K}
+"""
+
+
+QUERIES["text_tfidf_terms"] = (text_tfidf_terms, _tfidf_oracle())

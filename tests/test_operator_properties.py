@@ -385,3 +385,38 @@ def test_bigram_lm_scores_match_hand_computation(spark):
     assert pruned[2]["n_bigrams"] == 1
     assert abs(pruned[2]["avg_logprob"] - round(lp_au, 6)) < 1e-9
     assert pruned[3]["n_bigrams"] == 0
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    """Exact TF-IDF on a 4-doc, 2-group corpus: corpus-universal terms
+    score ln(1)=0; group-exclusive terms rank first; ranks are dense
+    per group with deterministic (score desc, term asc) ties."""
+    import math
+
+    from bruin_spark.checkpointing import pinned_scope
+    from bruin_spark.operators.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "cat cat dog"),
+            (2, "en", "cat fish"),
+            (3, "es", "gato gato dog"),
+            (4, "es", "gato fish"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    with pinned_scope():
+        rows = tfidf_top_terms(docs, group_col="lang", k=2).collect()
+    by_key = {(r["lang"], r["term"]): r for r in rows}
+    # en: cat tf=3 df=2 -> 3*ln(4/2); dog/fish tf=1 df=2 -> ln(2) tie,
+    # 'dog' wins rank 2 alphabetically
+    en = sorted([r for r in rows if r["lang"] == "en"], key=lambda r: r["rank"])
+    assert [r["term"] for r in en] == ["cat", "dog"]
+    assert by_key[("en", "cat")]["tf"] == 3
+    assert by_key[("en", "cat")]["df_docs"] == 2
+    assert abs(by_key[("en", "cat")]["tfidf"] - round(3 * math.log(4 / 2), 6)) < 1e-9
+    es = sorted([r for r in rows if r["lang"] == "es"], key=lambda r: r["rank"])
+    assert [r["term"] for r in es] == ["gato", "dog"]
+    assert abs(by_key[("es", "gato")]["tfidf"] - round(3 * math.log(4 / 2), 6)) < 1e-9
+    # k bound respected
+    assert all(r["rank"] <= 2 for r in rows) and len(rows) == 4
