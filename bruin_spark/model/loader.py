@@ -307,12 +307,17 @@ def load_pipeline(path: str) -> Pipeline:
         for asset in pipe.assets:
             _apply_asset_defaults(asset, default_values)
 
+    # ref pkg/jinja/macros_test.go LoadMacros table: only top-level
+    # macro FILES load (subdirectories and their contents are ignored,
+    # even a directory literally named `x.sql`); non-macro extensions
+    # skip; a missing/empty dir is not an error
     macros_dir = os.path.join(path, "macros")
     if os.path.isdir(macros_dir):
         parts = []
         for fn in sorted(os.listdir(macros_dir)):
-            if fn.endswith((".sql", ".jinja", ".j2")):
-                with open(os.path.join(macros_dir, fn), encoding="utf-8") as f:
+            full = os.path.join(macros_dir, fn)
+            if fn.endswith((".sql", ".jinja", ".j2")) and os.path.isfile(full):
+                with open(full, encoding="utf-8") as f:
                     parts.append(f.read())
         pipe.macros = "\n".join(parts)
     gdir = find_glossary_dir(path)

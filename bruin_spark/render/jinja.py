@@ -138,27 +138,13 @@ class RenderContext:
 def _environment() -> jinja2.Environment:
     env = jinja2.Environment(undefined=jinja2.StrictUndefined, keep_trailing_newline=True)
     env.filters.update(FILTERS)
-    env.globals.update(
-        # SQL-generating builtins, Spark dialect
-        # (ref: pkg/jinja/bruin_funcs.go:82-101, pkg/spark/bruin_funcs.go)
-        group_by=b.group_by,
-        safe_divide=b.safe_divide,
-        safe_add=b.safe_add,
-        safe_subtract=b.safe_subtract,
-        generate_surrogate_key=b.generate_surrogate_key,
-        haversine_distance=b.haversine_distance,
-        degrees_to_radians=b.degrees_to_radians,
-        width_bucket=b.width_bucket,
-        deduplicate=b.deduplicate,
-        generate_series=b.generate_series,
-        date_spine=b.date_spine,
-        slugify=b.slugify,
-        get_url_host=b.get_url_host,
-        get_url_parameter=b.get_url_parameter,
-        get_url_path=b.get_url_path,
-        pivot=b.pivot,
-        date_part=b.date_part,
-    )
+    # SQL-generating builtins, Spark platform set. The reference
+    # exposes them ONLY as the `bruin` namespace (pkg/jinja/jinja.go:
+    # 81-82 ctx["bruin"] = BuiltinFunctions()); bare names are kept
+    # too as a convenience for local templates. A Jinja2 dict resolves
+    # `bruin.group_by` via __getitem__ fallback, matching gonja.
+    env.globals.update(b.BUILTINS)
+    env.globals["bruin"] = dict(b.BUILTINS)
     return env
 
 

@@ -306,8 +306,9 @@ def q_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_SURROGATE_ORACLE = """
 SELECT n_nationkey,
-       MD5(CONCAT_WS('|', COALESCE(CAST(n_nationkey AS VARCHAR), '_bruin_surrogate_key_null_'),
-                          COALESCE(CAST(n_name AS VARCHAR), '_bruin_surrogate_key_null_'))) AS surrogate_key
+       MD5(CONCAT(COALESCE(CAST(n_nationkey AS STRING), '_bruin_surrogate_key_null_'),
+                  '-',
+                  COALESCE(CAST(n_name AS STRING), '_bruin_surrogate_key_null_'))) AS surrogate_key
 FROM nation
 """
 

@@ -60,6 +60,11 @@ DIALECT_ERROR_CLASSES = (
 #: regression that ADDS members is visible in review.
 ANSI_INVALID_MARKERS = [
     "MISSING_GROUP_BY",
+    # the builtins doc's combined-usage example selects bare `revenue`/
+    # `sessions` beside `group by 1` — illustrative, not valid ANSI; it
+    # only became renderable (and thus executable) once the `bruin.`
+    # namespace landed
+    "MISSING_AGGREGATION",
 ]
 
 

@@ -41,100 +41,17 @@ REF = Path("/root/reference/pkg/jinja/jinja_test.go")
 pytestmark = pytest.mark.skipif(not REF.exists(), reason="reference checkout absent")
 
 
-# -- Go test-table parsing ---------------------------------------------------
+# -- Go test-table parsing: shared helpers in tests/go_table.py --------------
+
+from go_table import entries as _go_entries, func_block as _go_func_block
 
 
 def _func_block(name: str) -> str:
-    src = REF.read_text()
-    m = re.search(rf"func {name}\(t \*testing\.T\) \{{\n(.*?)\n\}}\n", src, re.S)
-    assert m, f"reference test func {name} not found — tables moved?"
-    return m.group(1)
-
-
-def _split_top(text: str, sep: str = ",") -> list[str]:
-    """Split on `sep` at brace/bracket/paren depth 0, string-aware."""
-    parts, depth, start, i = [], 0, 0, 0
-    in_str = in_raw = False
-    while i < len(text):
-        c = text[i]
-        if in_str:
-            if c == "\\":
-                i += 1
-            elif c == '"':
-                in_str = False
-        elif in_raw:
-            if c == "`":
-                in_raw = False
-        elif c == '"':
-            in_str = True
-        elif c == "`":
-            in_raw = True
-        elif c in "{[(":
-            depth += 1
-        elif c in "}])":
-            depth -= 1
-        elif c == sep and depth == 0:
-            parts.append(text[start:i])
-            start = i + 1
-        i += 1
-    tail = text[start:]
-    if tail.strip():
-        parts.append(tail)
-    return parts
-
-
-def _unquote(v: str):
-    """Interpret one Go value: string/raw string/bool/int/slice/Context/func."""
-    v = v.strip()
-    if v.startswith('"'):
-        body = v[1:-1]
-        return body.encode().decode("unicode_escape")
-    if v.startswith("`"):
-        return v[1:-1]
-    if v in ("true", "false"):
-        return v == "true"
-    if re.fullmatch(r"-?\d+", v):
-        return int(v)
-    if v.startswith("[]string{"):
-        inner = v[len("[]string{") : v.rfind("}")]
-        return [_unquote(p) for p in _split_top(inner) if p.strip()]
-    if v.startswith("Context{"):
-        inner = v[len("Context{") : v.rfind("}")]
-        out = {}
-        for pair in _split_top(inner):
-            if not pair.strip():
-                continue
-            k, _, val = pair.partition(":")
-            out[_unquote(k)] = _unquote(val)
-        return out
-    if v.startswith("func("):
-        # harvest the constant a test stub returns: `return "X"`
-        m = re.search(r'return\s+"((?:[^"\\]|\\.)*)"', v)
-        assert m, f"unsupported func literal in reference table: {v[:80]}"
-        ret = m.group(1).encode().decode("unicode_escape")
-        return lambda *a, **kw: ret
-    raise AssertionError(f"unsupported Go value in reference table: {v[:80]}")
+    return _go_func_block(REF, name)
 
 
 def _entries(block: str) -> list[dict]:
-    """Parse `tests := []struct{...}{ {...}, ... }` into dicts."""
-    m = re.search(r"tests := \[\]struct \{.*?\n\t\}\{\n(.*)\n\t\}\n\s*for ", block, re.S)
-    assert m, "tests table not found"
-    body = m.group(1)
-    out = []
-    for item in _split_top(body):
-        item = item.strip()
-        if not item:
-            continue
-        assert item.startswith("{") and item.endswith("}"), item[:60]
-        fields = {}
-        for pair in _split_top(item[1:-1]):
-            if not pair.strip():
-                continue
-            k, _, val = pair.partition(":")
-            fields[k.strip()] = _unquote(val)
-        out.append(fields)
-    return out
+    return _go_entries(block)
 
 
 def _render(query: str, args: dict) -> str:

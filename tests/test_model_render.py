@@ -79,9 +79,15 @@ def test_render_filters_and_builtins():
     # rolls into March, it is not clamped to Feb 29
     assert render_sql("{{ '2024-01-31' | add_months(1) }}", CTX) == "2024-03-02"
     assert render_sql("{{ '2024-03-15' | truncate_month }}", CTX) == "2024-03-01"
+    # reference Spark-platform emissions (pkg/spark/bruin_funcs.go:12,
+    # pkg/jinja/bruin_funcs.go:576) — both bare and bruin.-namespaced
     out = render_sql("SELECT {{ generate_surrogate_key('a', 'b') }}", CTX)
-    assert out.startswith("SELECT MD5(CONCAT_WS('|', COALESCE(CAST(a AS STRING)")
-    assert render_sql("{{ safe_divide('x', 'y') }}", CTX) == "TRY_DIVIDE(x, y)"
+    assert out == (
+        "SELECT md5(concat(coalesce(cast(a as string), '_bruin_surrogate_key_null_'), "
+        "'-', coalesce(cast(b as string), '_bruin_surrogate_key_null_')))"
+    )
+    assert render_sql("{{ bruin.generate_surrogate_key(['a', 'b']) }}", CTX) == out[7:]
+    assert render_sql("{{ safe_divide('x', 'y') }}", CTX) == "(x) / nullif((y), 0)"
 
 
 def test_interval_modifiers():
@@ -287,13 +293,52 @@ def test_deduplicate_builtin_hides_helper_column(spark):
     from bruin_spark.render.builtins import deduplicate
 
     spark.range(5).selectExpr("id % 2 AS k", "id AS v").createOrReplaceTempView("dd_t")
-    df = spark.sql(f"SELECT * FROM {deduplicate('dd_t', 'k', 'v DESC')}")
-    assert df.columns == ["k", "v"]  # no _rn leak
+    # the builtin emits a bare select (reference shape) — wrap to embed
+    df = spark.sql(f"SELECT * FROM ({deduplicate('dd_t', 'k', 'v DESC')})")
+    assert df.columns == ["k", "v"]  # no __bruin_row_number leak
     assert {(r["k"], r["v"]) for r in df.collect()} == {(0, 4), (1, 3)}
 
 
 def test_date_spine_subday(spark):
     from bruin_spark.render.builtins import date_spine
 
-    df = spark.sql(f"SELECT * FROM {date_spine('hour', chr(39)+'2024-01-01'+chr(39), chr(39)+'2024-01-02'+chr(39))}")
+    df = spark.sql(f"SELECT * FROM ({date_spine('hour', chr(39)+'2024-01-01'+chr(39), chr(39)+'2024-01-02'+chr(39))})")
     assert df.count() == 24  # exclusive end, hourly
+
+
+def test_macro_loading_reference_behaviors(tmp_path):
+    """Pin the reference's LoadMacros contract (pkg/jinja/macros_test.go
+    TestLoadMacros table): only top-level macro FILES load —
+    subdirectories are ignored (even one named `x.sql`), non-macro
+    extensions skip, missing/empty dirs are fine."""
+    from bruin_spark.model import load_pipeline
+
+    (tmp_path / "pipeline.yml").write_text("name: p\n")
+    adir = tmp_path / "assets"
+    adir.mkdir()
+    (adir / "a.sql").write_text("/* @bruin\nname: a\ntype: duckdb.sql\n@bruin */\nSELECT 1")
+
+    # missing macros dir -> empty macros, loads fine
+    pipe = load_pipeline(str(tmp_path))
+    assert not pipe.macros
+
+    macros = tmp_path / "macros"
+    macros.mkdir()
+    # empty dir -> still empty
+    assert not load_pipeline(str(tmp_path)).macros
+
+    (macros / "m1.sql").write_text("{% macro m1() %}SELECT 1{% endmacro %}")
+    (macros / "readme.md").write_text("# Macros")
+    (macros / "notes.txt").write_text("Some notes")
+    sub = macros / "subdir"
+    sub.mkdir()
+    (sub / "ignored.sql").write_text("{% macro ignored() %}SELECT 2{% endmacro %}")
+    trap = macros / "trap.sql"
+    trap.mkdir()  # a DIRECTORY named like a macro file must not crash
+    (trap / "inner.sql").write_text("{% macro inner() %}SELECT 3{% endmacro %}")
+
+    pipe = load_pipeline(str(tmp_path))
+    assert "macro m1()" in pipe.macros
+    assert "ignored" not in pipe.macros
+    assert "inner" not in pipe.macros
+    assert "Macros" not in pipe.macros and "notes" not in pipe.macros
