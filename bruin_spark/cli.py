@@ -1180,7 +1180,14 @@ def render_curl_args(curl_args, lookup) -> list[str]:
             placeholders.append((ph, v))
             protected = protected.replace(v, ph, 1)
         try:
-            out = _ENV.from_string(protected).render(bruin={"connection": connection})
+            # ref cmd/curl.go:160-161: the curl `bruin` context is the
+            # full builtin set PLUS connection() — a passed kwarg
+            # shadows the env global, so merge rather than replace
+            from bruin_spark.render.builtins import BUILTINS
+
+            out = _ENV.from_string(protected).render(
+                bruin={**BUILTINS, "connection": connection}
+            )
         except ValueError:
             raise
         except Exception as exc:

@@ -170,3 +170,46 @@ def test_error_semantics_reference_table(case):
         # StrictUndefined errors surface on str() for some expression
         # positions — force full evaluation
         str(out)
+
+
+# -- property fuzz over the format-echo contract --------------------------------
+# The reference's contract (pkg/date/helper.go): parse against the
+# ordered format list, echo in the matched shape. Property: for any
+# datetime rendered into any supported shape, add_days(n)|add_days(-n)
+# round-trips to the exact input string, and truncate_* is idempotent.
+
+
+def _shape_strings(dt):
+    iso_date = dt.strftime("%Y-%m-%d")
+    base = [
+        iso_date,
+        dt.strftime("%Y-%m-%d %H:%M"),
+        dt.strftime("%Y-%m-%dT%H:%M"),
+        dt.strftime("%Y-%m-%d %H:%M:%S"),
+        dt.strftime("%Y-%m-%dT%H:%M:%S"),
+        dt.strftime("%Y-%m-%d %H:%M:%S.") + f"{dt.microsecond // 1000:03d}",
+        dt.strftime("%Y-%m-%dT%H:%M:%S.") + f"{dt.microsecond:06d}",
+    ]
+    return base + [b + "Z" for b in base[1:]] + [b + "+05:30" for b in base[1:]]
+
+
+def test_filter_shape_roundtrip_fuzz():
+    import random
+
+    from bruin_spark.render.filters import add_days, truncate_day, truncate_hour
+
+    rng = random.Random(20260815)
+    for _ in range(120):
+        dt = datetime(
+            rng.randint(1971, 2037), rng.randint(1, 12), rng.randint(1, 28),
+            rng.randint(0, 23), rng.randint(0, 59), rng.randint(0, 59),
+            rng.randint(0, 999999),
+        )
+        n = rng.randint(-4000, 4000)
+        for s in _shape_strings(dt):
+            back = add_days(add_days(s, n), -n)
+            assert back == s, (s, n, back)
+            t = truncate_day(s)
+            assert truncate_day(t) == t, s
+            h = truncate_hour(s)
+            assert truncate_hour(h) == h, s

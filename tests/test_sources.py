@@ -501,6 +501,11 @@ def test_curl_command_renders_connection_args(tmp_path, capfd):
     assert rc == 7  # exit code propagated from curl
     assert "Authorization: Bearer sekrit|" in out
     assert "https://api.example.com/v1/{{path:url}}|" in out
+    # SQL builtins coexist with connection() in the curl context
+    # (ref cmd/curl.go:160-161: BuiltinFunctions() + connection)
+    rc = cmd_curl(ns("{{ bruin.slugify('My Header') }}={{ bruin.connection('api').host }}"))
+    assert rc == 7
+    assert "my_header=api.example.com|" in capfd.readouterr().out
     # unknown connection -> diagnostic on stderr, exit 1, curl not run
     rc = cmd_curl(ns("https://{{ bruin.connection('nope').host }}/"))
     err = capfd.readouterr().err
