@@ -791,6 +791,17 @@ SKEW_ENTRIES = [
     # corpus (h, cnt) index — hot-cluster windows arrive PRE-AGGREGATED
     # on both sides, so the join keys stay uniform 60-bit longs
     ("dedup_spans_incremental", 16, 64),
+    # bigram-LM scoring: Zipf tokens make a few bigrams extremely hot —
+    # the model aggregations are map-side combinable and the scoring
+    # join's hot (a, b) keys arrive pre-collapsed per document, so the
+    # widest reducer is bounded by n_docs, not n_tokens
+    ("text_lm_perplexity", 16, 64),
+    # BPE encode: the hot identical-text cluster concentrates the word
+    # count on a few tokens (map-side combinable) and the piece table
+    # is broadcast — corpus-side rows never shuffle for the join.
+    # 4x/16x: the 8 training rounds make this data-dominated well
+    # below the cheap-entry 16x point (measured 14.7s @16x)
+    ("text_bpe_encode", 4, 16),
 ]
 SKEW_VARIANTS = {
     "dedup_minhash_lsh": _minhash_rep_pairs_stress,
