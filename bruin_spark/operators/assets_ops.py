@@ -81,22 +81,33 @@ def run_python_asset(
     env = _context_env(asset, ctx)
     old = {k: os.environ.get(k) for k in env}
     os.environ.update(env)
+    from bruin_spark.operators.python_sdk import bruin_module_scope
+
+    # connections the SDK's get_connection()/query(connection=) accept:
+    # the asset's default plus its injected secret keys
+    # (docs/assets/python-sdk.md "Asset Setup")
+    known = {s.get("secret_key") for s in asset.secrets if s.get("secret_key")}
+    if getattr(asset, "connection", None):
+        known.add(asset.connection)
     try:
         ns: dict[str, Any] = {"__name__": f"bruin_asset_{asset.name}", "spark": spark}
-        exec(compile(src, asset.file_path or asset.name, "exec"), ns)  # noqa: S102
-        if asset.materialization.type == MaterializationType.NONE:
-            return ns.get("result")
-        fn = ns.get("materialize")
-        if fn is None:
-            raise ValueError(
-                f"python asset {asset.name}: materialization declared but no materialize()"
-            )
-        strategy = asset.materialization.strategy or Strategy.CREATE_REPLACE
-        if strategy not in PYTHON_STRATEGIES:
-            raise ValueError(
-                f"python asset {asset.name}: strategy {strategy.value} not supported"
-            )
-        df = _to_spark_df(spark, fn())
+        # the scope covers the materialize() CALL too — a late
+        # `import bruin` inside materialize() must still resolve
+        with bruin_module_scope(spark, known):
+            exec(compile(src, asset.file_path or asset.name, "exec"), ns)  # noqa: S102
+            if asset.materialization.type == MaterializationType.NONE:
+                return ns.get("result")
+            fn = ns.get("materialize")
+            if fn is None:
+                raise ValueError(
+                    f"python asset {asset.name}: materialization declared but no materialize()"
+                )
+            strategy = asset.materialization.strategy or Strategy.CREATE_REPLACE
+            if strategy not in PYTHON_STRATEGIES:
+                raise ValueError(
+                    f"python asset {asset.name}: strategy {strategy.value} not supported"
+                )
+            df = _to_spark_df(spark, fn())
         if df is None:
             print("materialize() returned None, skipping materialization")
             return None
@@ -119,17 +130,37 @@ def _context_env(asset: Asset, ctx: RenderContext | None) -> dict[str, str]:
         return {}
     import json as _json
 
+    def ts(dt) -> str:
+        # Go layout '2006-01-02T15:04:05.000000Z07:00' (jinja.go:100)
+        base = dt.strftime("%Y-%m-%dT%H:%M:%S.%f")
+        off = dt.strftime("%z")
+        if not off or off in ("+0000", "-0000"):
+            return base + "Z"
+        return f"{base}{off[:3]}:{off[3:]}"
+
+    def fam(prefix, dt) -> dict[str, str]:
+        return {
+            f"BRUIN_{prefix}_DATE": dt.strftime("%Y-%m-%d"),
+            f"BRUIN_{prefix}_DATETIME": dt.strftime("%Y-%m-%dT%H:%M:%S"),
+            f"BRUIN_{prefix}_TIMESTAMP": ts(dt),
+        }
+
     env = {
-        "BRUIN_START_DATE": ctx.start.strftime("%Y-%m-%d"),
-        "BRUIN_START_DATETIME": ctx.start.strftime("%Y-%m-%dT%H:%M:%S"),
-        "BRUIN_END_DATE": ctx.end.strftime("%Y-%m-%d"),
-        "BRUIN_END_DATETIME": ctx.end.strftime("%Y-%m-%dT%H:%M:%S"),
+        **fam("START", ctx.start),
+        **fam("END", ctx.end),
+        # execution == start, same convention as RenderContext.to_jinja
+        **fam("EXECUTION", ctx.start),
         "BRUIN_RUN_ID": ctx.run_id,
         "BRUIN_PIPELINE": ctx.pipeline_name,
         "BRUIN_FULL_REFRESH": "1" if ctx.full_refresh else "",
         "BRUIN_THIS": asset.name,
+        "BRUIN_ASSET": asset.name,
+        "BRUIN_COMMIT_HASH": ctx.commit_hash or "",
         "BRUIN_VARS": _json.dumps(ctx.variables or {}),
+        "PYTHONUNBUFFERED": "1",
     }
+    if getattr(asset, "connection", None):
+        env["BRUIN_CONNECTION"] = asset.connection
     for s in asset.secrets:
         key = s.get("secret_key", "")
         if not key:

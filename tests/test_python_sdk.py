@@ -1,0 +1,164 @@
+"""The in-process `bruin` SDK for Python assets, pinned against the
+reference's documented contract (docs/assets/python-sdk.md API
+Reference): context property types and None-defaults, query()'s
+DataFrame-vs-None return split, connection gating, and the exceptions
+hierarchy — all through a REAL python asset run."""
+
+from __future__ import annotations
+
+import textwrap
+from datetime import date, datetime, timezone
+
+import pytest
+
+from bruin_spark.model.pipeline import Asset
+from bruin_spark.operators.assets_ops import run_python_asset
+from bruin_spark.render.jinja import RenderContext
+
+
+def _asset(body: str, **meta) -> Asset:
+    d = {"name": "sdk_probe", "type": "python", **meta}
+    return Asset.from_dict(d, query=textwrap.dedent(body))
+
+
+CTX = RenderContext(
+    start=datetime(2024, 6, 1),
+    end=datetime(2024, 6, 2),
+    run_id="run-42",
+    pipeline_name="sdkpipe",
+    variables={"segment": "enterprise", "horizon": 30, "cohorts": [{"a": 1}]},
+)
+
+
+def test_context_properties_match_docs(spark):
+    a = _asset(
+        """
+        from bruin import context
+
+        result = {
+            "start_date": context.start_date,
+            "end_date": context.end_date,
+            "start_datetime": context.start_datetime,
+            "start_timestamp": context.start_timestamp,
+            "execution_date": context.execution_date,
+            "run_id": context.run_id,
+            "pipeline": context.pipeline,
+            "asset_name": context.asset_name,
+            "connection": context.connection,
+            "is_full_refresh": context.is_full_refresh,
+            "vars": context.vars,
+        }
+        """,
+        connection="warehouse",
+    )
+    out = run_python_asset(spark, a, CTX)
+    assert out["start_date"] == date(2024, 6, 1)
+    assert out["end_date"] == date(2024, 6, 2)
+    assert out["start_datetime"] == datetime(2024, 6, 1, 0, 0, 0)
+    assert out["start_timestamp"] == datetime(2024, 6, 1, tzinfo=timezone.utc)
+    assert out["execution_date"] == date(2024, 6, 1)  # execution == start
+    assert out["run_id"] == "run-42"
+    assert out["pipeline"] == "sdkpipe"
+    assert out["asset_name"] == "sdk_probe"
+    assert out["connection"] == "warehouse"
+    assert out["is_full_refresh"] is False
+    # variable TYPES survive the BRUIN_VARS JSON round-trip (docs: str,
+    # int, list[dict])
+    assert out["vars"] == {"segment": "enterprise", "horizon": 30, "cohorts": [{"a": 1}]}
+
+
+def test_context_none_defaults_outside_a_run():
+    """Docs: properties return None when the env var is missing
+    (is_full_refresh False, vars {})."""
+    from bruin_spark.operators.python_sdk import _Context
+
+    import os
+
+    saved = {k: os.environ.pop(k) for k in list(os.environ) if k.startswith("BRUIN_")}
+    try:
+        c = _Context()
+        assert c.start_date is None and c.end_timestamp is None
+        assert c.run_id is None and c.asset_name is None
+        assert c.is_full_refresh is False
+        assert c.vars == {}
+    finally:
+        os.environ.update(saved)
+
+
+def test_query_returns_dataframe_or_none(spark):
+    a = _asset(
+        """
+        from bruin import query
+
+        df = query("SELECT 1 AS x UNION ALL SELECT 2 ORDER BY x")
+        query("CREATE OR REPLACE TEMP VIEW sdk_tmp AS SELECT 5 AS v")
+        none_result = query("CREATE OR REPLACE TEMP VIEW sdk_tmp2 AS SELECT 6 AS v")
+        df2 = query("WITH c AS (SELECT v FROM sdk_tmp) SELECT * FROM c")
+        result = (list(df["x"]), none_result, list(df2["v"]), type(df).__name__)
+        """
+    )
+    xs, none_result, vs, typename = run_python_asset(spark, a, CTX)
+    assert xs == [1, 2]
+    assert none_result is None  # DDL -> None, but executed:
+    assert vs == [5]
+    assert typename == "DataFrame"  # pandas
+
+
+def test_query_error_and_connection_gating(spark):
+    a = _asset(
+        """
+        from bruin import get_connection, query
+        from bruin.exceptions import BruinError, ConnectionNotFoundError, QueryError
+
+        conn = get_connection("warehouse")
+        got = {"name": conn.name, "type": conn.type}
+        got["client_is_spark"] = conn.client is spark
+        got["via_conn"] = list(conn.query("SELECT 7 AS n")["n"])
+
+        try:
+            get_connection("nope")
+        except ConnectionNotFoundError as e:
+            got["unknown_conn"] = "not found" in str(e) or "not available" in str(e)
+
+        try:
+            query("SELECT definitely_not_a_column FROM range(1)")
+        except QueryError as e:
+            got["query_error_is_bruin"] = isinstance(e, BruinError)
+        result = got
+        """,
+        connection="warehouse",
+        secrets=[],
+    )
+    got = run_python_asset(spark, a, CTX)
+    assert got["name"] == "warehouse" and got["type"] == "spark"
+    assert got["client_is_spark"] is True
+    assert got["via_conn"] == [7]
+    assert got["unknown_conn"] is True
+    assert got["query_error_is_bruin"] is True
+
+
+def test_sdk_materialize_with_late_import(spark):
+    """materialize() runs AFTER the script body — a `from bruin import
+    query` inside it must still resolve (the module scope covers the
+    call), and the returned frame materializes."""
+    a = _asset(
+        """
+        def materialize():
+            from bruin import query
+
+            return query("SELECT 1 AS a UNION ALL SELECT 2 ORDER BY a")
+        """,
+        materialization={"type": "table"},
+    )
+    run_python_asset(spark, a, CTX)
+    assert spark.table("sdk_probe").count() == 2
+
+
+def test_sdk_module_restored_after_run(spark):
+    import sys
+
+    a = _asset("from bruin import query\nresult = 1\n")
+    assert run_python_asset(spark, a, CTX) == 1
+    assert "bruin" not in sys.modules
+    with pytest.raises(ImportError):
+        import bruin  # noqa: F401
