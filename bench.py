@@ -71,10 +71,11 @@ HEADLINE = [
     "dedup_spans_incremental",
     "diff_top_values",
     # r11b: BPE corpus encoding (vocab join), bigram-LM quality scoring,
-    # per-group TF-IDF characteristic terms
+    # per-group TF-IDF characteristic terms, boilerplate stripping
     "text_bpe_encode",
     "text_lm_perplexity",
     "text_tfidf_terms",
+    "dedup_strip_boilerplate",
 ]
 
 
@@ -791,6 +792,10 @@ SKEW_ENTRIES = [
     # corpus (h, cnt) index — hot-cluster windows arrive PRE-AGGREGATED
     # on both sides, so the join keys stay uniform 60-bit longs
     ("dedup_spans_incremental", 16, 64),
+    # boilerplate strip: the hot cluster makes EVERY segment of the hot
+    # text cross the min_docs threshold — the distinct-doc count is a
+    # two-phase agg and the flag join broadcasts the boilerplate keys
+    ("dedup_strip_boilerplate", 16, 64),
     # bigram-LM scoring: Zipf tokens make a few bigrams extremely hot —
     # the model aggregations are map-side combinable and the scoring
     # join's hot (a, b) keys arrive pre-collapsed per document, so the

@@ -1099,6 +1099,89 @@ def segment_dedup(
     )
 
 
+def strip_boilerplate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 16,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Remove corpus-FREQUENT segments from every document — the
+    CCNet/RefinedWeb repeated-line rule: a segment appearing in
+    ``min_docs``+ distinct documents is boilerplate (nav bars, cookie
+    banners, license headers) and is stripped from ALL of them,
+    including its first occurrence.  Complements :func:`segment_dedup`,
+    which keeps first occurrences (dedup); this one keeps none
+    (cleaning).
+
+    Returns one row per input doc: (id, clean_text, n_segments_total,
+    n_boilerplate, n_tokens_kept).
+
+    Plan (100 TB shape): chunking is a map-only explode, done twice
+    rather than pinning a corpus-sized segment table.  The distinct-doc
+    count per segment is Spark's two-phase distinct aggregate keyed
+    (hash, doc) — a segment repeated 100M times spreads over its doc
+    ids, never one reducer.  The boilerplate KEY set (segments above
+    the threshold) is small by construction — repeated-in-many-docs
+    vocabulary, not corpus text — so it broadcasts and the corpus-side
+    flag join is map-side; drop the hint if a pathological corpus
+    inflates it past the broadcast threshold.  Reassembly is one
+    groupBy(doc).  No Python in the hot path.
+    """
+    from bruin_spark.operators.text import chunk_documents
+
+    def _segs() -> DataFrame:
+        return chunk_documents(
+            df.select(F.col(id_col), F.col(text_col)),
+            id_col=id_col,
+            text_col=text_col,
+            chunk_tokens=seg_tokens,
+            overlap=0,
+        ).select(
+            F.col(id_col).alias("id"),
+            F.col("chunk_idx").alias("idx"),
+            F.col("chunk_text").alias("seg"),
+            F.col("chunk_n_tokens").alias("seg_tokens"),
+            F.md5(F.col("chunk_text")).alias("_k"),
+        )
+
+    boiler = (
+        _segs()
+        .select("_k", "id")
+        .distinct()
+        .groupBy("_k")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("_k", F.lit(True).alias("_b"))
+    )
+    flagged = _segs().join(F.broadcast(boiler), "_k", "left")
+    keep = F.col("_b").isNull()
+    return flagged.groupBy("id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(keep, F.struct(F.col("idx"), F.col("seg")))
+                    )
+                ),
+                lambda s: s["seg"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_segments_total"),
+        F.sum(F.when(keep, 0).otherwise(1)).alias("n_boilerplate"),
+        F.coalesce(F.sum(F.when(keep, F.col("seg_tokens"))), F.lit(0)).alias(
+            "n_tokens_kept"
+        ),
+    ).select(
+        F.col("id").alias(id_col),
+        "clean_text",
+        "n_segments_total",
+        "n_boilerplate",
+        "n_tokens_kept",
+    )
+
+
 def duplicate_spans(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -507,3 +507,49 @@ QUERIES = {
     "dedup_minhash_signature": (dedup_minhash_signature, _minhash_oracle()),
     "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_lsh_oracle()),
 }
+
+
+# -- boilerplate stripping (frequency-threshold segment removal) -----------------
+
+BOILER_MIN_DOCS = 3
+
+
+def dedup_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style repeated-line rule: segments present in >= 3 distinct
+    documents are boilerplate and removed from ALL documents (including
+    first occurrences; see operators/dedup.py: strip_boilerplate)."""
+    return D.strip_boilerplate(
+        _docs(spark, sf_dir), seg_tokens=SEG_TOKENS, min_docs=BOILER_MIN_DOCS
+    )
+
+
+def _strip_boiler_oracle() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+), segs AS (
+  SELECT doc_id,
+         (s // {SEG_TOKENS}) AS idx,
+         array_to_string(list_slice(t, s + 1, least(s + {SEG_TOKENS}, len(t))), ' ') AS seg,
+         least({SEG_TOKENS}, len(t) - s) AS seg_tokens
+  FROM toks, LATERAL (
+    SELECT UNNEST(generate_series(0, greatest(len(t) - 1, 0), {SEG_TOKENS})) AS s
+  )
+), boiler AS (
+  SELECT k FROM (SELECT DISTINCT md5(seg) AS k, doc_id FROM segs)
+  GROUP BY k HAVING COUNT(*) >= {BOILER_MIN_DOCS}
+), flagged AS (
+  SELECT s.*, (b.k IS NOT NULL) AS is_b
+  FROM segs s LEFT JOIN boiler b ON md5(s.seg) = b.k
+)
+SELECT doc_id,
+       COALESCE(string_agg(seg, ' ' ORDER BY idx) FILTER (NOT is_b), '') AS clean_text,
+       COUNT(*) AS n_segments_total,
+       COUNT(*) FILTER (is_b)::BIGINT AS n_boilerplate,
+       COALESCE(SUM(seg_tokens) FILTER (NOT is_b), 0)::BIGINT AS n_tokens_kept
+FROM flagged
+GROUP BY doc_id
+"""
+
+
+QUERIES["dedup_strip_boilerplate"] = (dedup_strip_boilerplate, _strip_boiler_oracle())

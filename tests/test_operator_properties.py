@@ -420,3 +420,44 @@ def test_tfidf_top_terms_hand_computed(spark):
     assert abs(by_key[("es", "gato")]["tfidf"] - round(3 * math.log(4 / 2), 6)) < 1e-9
     # k bound respected
     assert all(r["rank"] <= 2 for r in rows) and len(rows) == 4
+
+
+def test_strip_boilerplate_semantics(spark):
+    """Frequency-threshold boilerplate removal: a segment in >= min_docs
+    distinct docs vanishes from ALL docs (first occurrence included);
+    within-doc repeats of a rare segment survive; token accounting is
+    exact."""
+    from bruin_spark.operators.dedup import strip_boilerplate
+
+    boiler = " ".join(f"b{i}" for i in range(4))  # one 4-token segment
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " u1 u2 u3 u4"),
+            (2, boiler + " v1 v2 v3 v4"),
+            (3, boiler + " w1 w2 w3 w4"),
+            (4, "x1 x2 x3 x4 x1 x2 x3 x4"),  # same segment twice, ONE doc
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in strip_boilerplate(docs, seg_tokens=4, min_docs=3).collect()
+    }
+    # the shared first segment is boilerplate in all three docs
+    for d, tail in ((1, "u1 u2 u3 u4"), (2, "v1 v2 v3 v4"), (3, "w1 w2 w3 w4")):
+        assert out[d]["clean_text"] == tail
+        assert out[d]["n_boilerplate"] == 1
+        assert out[d]["n_segments_total"] == 2
+        assert out[d]["n_tokens_kept"] == 4
+    # within-doc repetition of a segment seen in only ONE doc is kept
+    assert out[4]["clean_text"] == "x1 x2 x3 x4 x1 x2 x3 x4"
+    assert out[4]["n_boilerplate"] == 0
+
+    # min_docs=2 also catches the within-doc... no: distinct-DOC count
+    # is 1, still kept; but the three-way segment is caught at 2
+    out2 = {
+        r["doc_id"]: r
+        for r in strip_boilerplate(docs, seg_tokens=4, min_docs=2).collect()
+    }
+    assert out2[4]["n_boilerplate"] == 0
+    assert out2[1]["n_boilerplate"] == 1
