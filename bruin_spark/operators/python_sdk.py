@@ -15,9 +15,10 @@ Contract parity (python-sdk.md "API Reference"):
   to naive ``datetime``, timestamps to tz-aware ``datetime``; variable
   TYPES survive the BRUIN_VARS JSON round-trip.
 - ``query(sql, connection=None)`` returns a pandas DataFrame for
-  data-returning statements (SELECT / WITH / SHOW / DESCRIBE / EXPLAIN
-  / VALUES) and ``None`` for DDL/DML — executed either way.  Failures
-  raise ``QueryError``.
+  data-returning statements (the reference's IsLikelyResultQuery
+  classifier: SELECT / WITH / SHOW / DESCRIBE / DESC / EXPLAIN /
+  PRAGMA first keyword, or a top-level RETURNING) and ``None`` for
+  DDL/DML — executed either way.  Failures raise ``QueryError``.
 - ``get_connection(name)`` returns a ``Connection`` whose lazy
   ``client`` is this engine's SparkSession — the single-dialect analog
   of the SDK's per-warehouse clients.  Unknown names (neither the
@@ -32,7 +33,6 @@ from __future__ import annotations
 
 import json
 import os
-import re
 import sys
 import types
 from datetime import date, datetime
@@ -156,12 +156,13 @@ class _Context:
             raise ConnectionParseError(f"invalid BRUIN_VARS JSON: {exc}") from exc
 
 
-#: statements whose results come back as a DataFrame (python-sdk.md
-#: `query` returns); everything else executes and returns None
-_DATA_RETURNING = re.compile(
-    r"^\s*(?:--[^\n]*\n|/\*.*?\*/\s*)*\s*(select|with|show|describe|desc|explain|values)\b",
-    re.I | re.S,
-)
+def _data_returning(sql: str) -> bool:
+    """Statements whose results come back as a DataFrame (python-sdk.md
+    `query` returns) — the reference's IsLikelyResultQuery classifier
+    (pkg/query/statement.go:9-18), shared with the parser services."""
+    from bruin_spark.parser.sqlutil import is_likely_result_query
+
+    return is_likely_result_query(sql or "")
 
 
 class Connection:
@@ -184,7 +185,7 @@ class Connection:
 def _run_query(spark, sql: str):
     try:
         df = spark.sql(sql)
-        if _DATA_RETURNING.match(sql or ""):
+        if _data_returning(sql):
             return df.toPandas()
         df.collect()  # force DDL/DML side effects
         return None

@@ -67,6 +67,28 @@ def strip_sql_comments(sql: str) -> str:
     return "".join(out)
 
 
+def is_likely_result_query(sql: str) -> bool:
+    """Does the statement produce a result set?  (ref: pkg/query/
+    statement.go:9-18 IsLikelyResultQuery, table-pinned by
+    tests/test_builtins_reference_cases.py): SELECT / WITH / SHOW /
+    DESCRIBE / DESC / EXPLAIN / PRAGMA by first keyword, else any
+    DML with a top-level RETURNING keyword — a 'returning' inside a
+    string literal is data, not a keyword."""
+    first = None
+    for kind, text, _s in _tokens(sql):
+        if kind in ("lcomment", "bcomment", "ws"):
+            continue
+        if kind == "word":
+            first = text.upper()
+        break
+    if first in ("SELECT", "WITH", "SHOW", "DESCRIBE", "DESC", "EXPLAIN", "PRAGMA"):
+        return True
+    return any(
+        kind == "word" and text.upper() == "RETURNING"
+        for kind, text, _s in _tokens(sql)
+    )
+
+
 def split_statements(sql: str) -> list[str]:
     """Split on ';' outside strings/comments; drops empty statements."""
     toks = _tokens(sql)

@@ -266,8 +266,13 @@ GROUP BY user_id
 
 def q_date_spine_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
+    # dogfood the date_spine builtin (the reference's SparkDateSpine
+    # emission, end-exclusive): same day set as the old inclusive
+    # sequence to 03-31
+    from bruin_spark.render.builtins import date_spine
+
     spine = spark.sql(
-        "SELECT explode(sequence(DATE '1997-01-01', DATE '1997-03-31', INTERVAL 1 DAY)) AS d"
+        f"SELECT date_day AS d FROM ({date_spine('day', chr(39) + '1997-01-01' + chr(39), chr(39) + '1997-04-01' + chr(39))})"
     )
     daily = (
         orders.filter(F.col("o_orderdate").between("1997-01-01", "1997-03-31"))

@@ -269,3 +269,26 @@ def test_every_builtin_emission_executes_on_spark(spark):
     # sequence() would descend)
     assert spark.sql(b.date_spine("day", "'2024-01-04'", "'2024-01-04'")).count() == 0
     assert spark.sql(b.group_by(2).replace("group by", "select") + " from bt").count() == 1
+
+
+# -- pkg/query statement classification -----------------------------------------
+
+STMT = Path("/root/reference/pkg/query/statement_test.go")
+
+
+def _result_query_cases():
+    return [
+        pytest.param(e["sql"], e["want"], id=e["name"].replace(" ", "-"))
+        for e in entries(func_block(STMT, "TestIsLikelyResultQuery"))
+    ]
+
+
+@pytest.mark.parametrize("sql,want", _result_query_cases())
+def test_is_likely_result_query_reference_table(sql, want):
+    """The SDK's DataFrame-vs-None split uses the reference's
+    IsLikelyResultQuery classifier (pkg/query/statement.go:9-18) —
+    pinned against the reference's own table, including the
+    returning-inside-string-literal case."""
+    from bruin_spark.parser.sqlutil import is_likely_result_query
+
+    assert is_likely_result_query(sql) is want
