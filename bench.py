@@ -76,6 +76,7 @@ HEADLINE = [
     "text_lm_perplexity",
     "text_tfidf_terms",
     "dedup_strip_boilerplate",
+    "text_lang_segments",
 ]
 
 

@@ -368,3 +368,59 @@ def tfidf_top_terms(
             "rank",
         )
     )
+
+
+def language_segments(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 16,
+) -> DataFrame:
+    """Mixed-language detection: language-ID every token-window segment,
+    then report each document's majority language and language PURITY
+    (majority-segment fraction) — the code-switching / boilerplate-
+    contamination signal curation pipelines use to route documents to
+    per-language processing or drop noisy mixtures.
+
+    Returns ``(id_col, n_segments, majority_lang, n_majority_segments,
+    lang_purity)``; ties break (count DESC, lang ASC), segments that hit
+    no stopword list at all still pick the fixed-order argmax (same
+    contract as :func:`language_id`).
+
+    Plan (100 TB shape): chunking and per-segment scoring are one
+    map-only projection (the stopword scorers are JVM expressions over
+    each segment string); per-doc language counts are a map-side-
+    combinable groupBy; the majority pick is an algebraic
+    ``min(struct(-cnt, lang))`` — no window, so a million-segment doc
+    never streams through a rank operator.
+    """
+    segs = chunk_documents(
+        df.select(F.col(id_col), F.col(text_col)),
+        id_col=id_col,
+        text_col=text_col,
+        chunk_tokens=seg_tokens,
+        overlap=0,
+    ).select(F.col(id_col).alias("id"), F.col("chunk_text").alias("seg"))
+    for lang in LANGS:
+        segs = segs.withColumn(f"_s_{lang}", stopword_hits("seg", lang))
+    best = F.greatest(*[F.col(f"_s_{lang}") for lang in LANGS])
+    pick = None
+    for lang in LANGS:
+        cond = F.col(f"_s_{lang}") >= best
+        pick = F.when(cond, F.lit(lang)) if pick is None else pick.when(cond, F.lit(lang))
+    seg_langs = segs.select("id", pick.alias("seg_lang"))
+    counts = seg_langs.groupBy("id", "seg_lang").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        counts.groupBy("id")
+        .agg(
+            F.sum("cnt").alias("n_segments"),
+            F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("seg_lang").alias("lang"))).alias("_m"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_segments",
+            F.col("_m.lang").alias("majority_lang"),
+            (-F.col("_m.neg")).alias("n_majority_segments"),
+            F.round(-F.col("_m.neg") / F.col("n_segments"), 6).alias("lang_purity"),
+        )
+    )

@@ -707,3 +707,59 @@ FROM ranked WHERE rank <= {_TFIDF_K}
 
 
 QUERIES["text_tfidf_terms"] = (text_tfidf_terms, _tfidf_oracle())
+
+
+# -- mixed-language segment analysis ---------------------------------------------
+
+_LANGSEG_TOKENS = 16
+
+
+def text_lang_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document majority language + language purity over token-window
+    segments — the code-switching signal (see operators/text.py:
+    language_segments)."""
+    return T.language_segments(_docs(spark, sf_dir), seg_tokens=_LANGSEG_TOKENS)
+
+
+def _lang_segments_oracle() -> str:
+    n = _LANGSEG_TOKENS
+    score_cols = []
+    for lang in T.LANGS:
+        words = ", ".join(f"'{w}'" for w in T.STOPWORDS[lang])
+        score_cols.append(
+            f"len(list_filter(string_split_regex(lower(trim(seg)), '\\s+'), t -> t IN ({words}))) AS s_{lang}"
+        )
+    greatest = "GREATEST(" + ", ".join(f"s_{lang}" for lang in T.LANGS) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN s_{lang} >= {greatest} THEN '{lang}'" for lang in T.LANGS
+    ) + " END"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_duck_tokens()} AS t FROM documents
+), segs AS (
+  SELECT doc_id,
+         array_to_string(list_slice(t, s + 1, least(s + {n}, len(t))), ' ') AS seg
+  FROM toks, LATERAL (
+    SELECT UNNEST(generate_series(0, greatest(len(t) - 1, 0), {n})) AS s
+  )
+), scored AS (
+  SELECT doc_id, {case} AS seg_lang
+  FROM (SELECT doc_id, {', '.join(score_cols)} FROM segs)
+), counts AS (
+  SELECT doc_id, seg_lang, COUNT(*) AS cnt FROM scored GROUP BY 1, 2
+), ranked AS (
+  SELECT doc_id, seg_lang, cnt,
+         SUM(cnt) OVER (PARTITION BY doc_id) AS n_segments,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, seg_lang ASC) AS rn
+  FROM counts
+)
+SELECT doc_id,
+       n_segments::BIGINT AS n_segments,
+       seg_lang AS majority_lang,
+       cnt::BIGINT AS n_majority_segments,
+       ROUND(cnt / n_segments, 6) AS lang_purity
+FROM ranked WHERE rn = 1
+"""
+
+
+QUERIES["text_lang_segments"] = (text_lang_segments, _lang_segments_oracle())

@@ -461,3 +461,28 @@ def test_strip_boilerplate_semantics(spark):
     }
     assert out2[4]["n_boilerplate"] == 0
     assert out2[1]["n_boilerplate"] == 1
+
+
+def test_language_segments_majority_and_purity(spark):
+    """Hand-built bilingual docs: majority language, deterministic ties
+    (count DESC, lang ASC), and exact purity fractions."""
+    from bruin_spark.operators.text import language_segments
+
+    en = "the and of to in is it that for on"  # 10 en stopwords
+    es = "el la de que y en un los se por"  # 10 es stopwords... 'en'/'la'/'de' overlap langs
+    docs = spark.createDataFrame(
+        [
+            (1, f"{en} {en} {es}"),  # 3 segments: en, en, es-ish
+            (2, en),  # single segment
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in language_segments(docs, seg_tokens=10).collect()
+    }
+    assert out[1]["n_segments"] == 3
+    assert out[1]["majority_lang"] == "en"
+    assert out[1]["n_majority_segments"] == 2
+    assert abs(out[1]["lang_purity"] - round(2 / 3, 6)) < 1e-9
+    assert out[2]["n_segments"] == 1 and out[2]["lang_purity"] == 1.0
