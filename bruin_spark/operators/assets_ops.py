@@ -92,8 +92,12 @@ def run_python_asset(
     try:
         ns: dict[str, Any] = {"__name__": f"bruin_asset_{asset.name}", "spark": spark}
         # the scope covers the materialize() CALL too — a late
-        # `import bruin` inside materialize() must still resolve
-        with bruin_module_scope(spark, known):
+        # `import bruin` inside materialize() must still resolve.  env
+        # rides along as the thread's own overlay: the SDK context
+        # reads IT, not the process-global os.environ, so concurrent
+        # assets on scheduler worker threads never see each other's
+        # BRUIN_* values
+        with bruin_module_scope(spark, known, env):
             exec(compile(src, asset.file_path or asset.name, "exec"), ns)  # noqa: S102
             if asset.materialization.type == MaterializationType.NONE:
                 return ns.get("result")

@@ -53,11 +53,14 @@ from bruin_spark.operators.text import tokens
 UNK = "<unk>"
 
 
-def _pairs(tok_array: Column) -> Column:
-    """Adjacent (a, b) token pairs of an array column, as structs."""
+def _pairs(tok_col: str) -> Column:
+    """Adjacent (a, b) token pairs of the named array column, as
+    structs.  Caller guarantees size >= 2 (Spark's sequence(1, 0)
+    DESCENDS, so a shorter array would index out of bounds)."""
     return F.expr(
-        "transform(sequence(1, size(t) - 1),"
-        " i -> struct(element_at(t, i) as a, element_at(t, i + 1) as b))"
+        f"transform(sequence(1, size({tok_col}) - 1),"
+        f" i -> struct(element_at({tok_col}, i) as a,"
+        f" element_at({tok_col}, i + 1) as b))"
     )
 
 
@@ -126,7 +129,7 @@ def bigram_lm_scores(
     # size(NULL) is NULL, so NULL texts drop here too
     raw_pairs = (
         base.filter(F.size("t") >= 2)
-        .select(F.col(id_col), F.explode(_pairs(F.col("t"))).alias("p"))
+        .select(F.col(id_col), F.explode(_pairs("t")).alias("p"))
         .select(id_col, F.col("p.a").alias("a"), F.col("p.b").alias("b"))
     )
     raw_pairs = _map_token(_map_token(raw_pairs, "a"), "b")

@@ -4,26 +4,43 @@ The reference ships a ``bruin-sdk`` PyPI package that Python assets
 import (``from bruin import query, context, get_connection`` —
 documented contract: /root/reference/docs/assets/python-sdk.md).  This
 engine executes Python assets in-process, so the same import surface is
-provided by injecting a synthetic ``bruin`` module into ``sys.modules``
-for the duration of the asset's exec (operators/assets_ops.py).
+provided by installing a synthetic ``bruin`` module into
+``sys.modules`` around each asset run (operators/assets_ops.py).
+
+Concurrency: the scheduler runs Python assets on WORKER THREADS, and
+``sys.modules`` / ``os.environ`` are process-global — so the installed
+module is a process-wide SINGLETON whose functions resolve the ACTIVE
+PER-THREAD state (SparkSession, allowed connections, BRUIN_* values) at
+call time.  Each asset's ``bruin_module_scope`` pushes its state onto a
+``threading.local`` stack; two assets running concurrently each see
+their own context even though they share one module object.  The
+module is installed when the first scope enters and removed when the
+last exits (refcounted; a user-shadowed pre-existing ``bruin`` module
+is saved and restored).  ``context.*`` reads the thread's own overlay
+FIRST and only falls back to ``os.environ`` — the env vars are still
+exported for scripts that read them directly, but direct env reads in
+concurrent runs keep the process-global env's last-writer-wins
+semantics (same as any in-process engine; the reference avoids this by
+running each asset in a separate OS process).
 
 Contract parity (python-sdk.md "API Reference"):
 
-- ``context.*`` properties read the ``BRUIN_*`` env vars AT ACCESS TIME
-  and return ``None`` when the var is missing (``is_full_refresh`` →
-  False, ``vars`` → {}).  Dates parse to ``datetime.date``, datetimes
-  to naive ``datetime``, timestamps to tz-aware ``datetime``; variable
-  TYPES survive the BRUIN_VARS JSON round-trip.
+- ``context.*`` properties read the BRUIN_* values AT ACCESS TIME and
+  return ``None`` when missing (``is_full_refresh`` → False, ``vars``
+  → {}).  Dates parse to ``datetime.date``, datetimes to naive
+  ``datetime``, timestamps to tz-aware ``datetime``; variable TYPES
+  survive the BRUIN_VARS JSON round-trip.
 - ``query(sql, connection=None)`` returns a pandas DataFrame for
   data-returning statements (the reference's IsLikelyResultQuery
   classifier: SELECT / WITH / SHOW / DESCRIBE / DESC / EXPLAIN /
   PRAGMA first keyword, or a top-level RETURNING) and ``None`` for
   DDL/DML — executed either way.  Failures raise ``QueryError``.
-- ``get_connection(name)`` returns a ``Connection`` whose lazy
-  ``client`` is this engine's SparkSession — the single-dialect analog
-  of the SDK's per-warehouse clients.  Unknown names (neither the
-  asset's default connection nor an injected secret) raise
-  ``ConnectionNotFoundError``.
+- ``get_connection(name)`` / ``query(connection=...)`` accept only the
+  asset's declared connections (its ``connection:`` field and
+  ``secrets:`` keys — python-sdk.md "Asset Setup"); anything else
+  raises ``ConnectionNotFoundError``.  The returned ``Connection``'s
+  lazy ``client`` is this engine's SparkSession — the single-dialect
+  analog of the SDK's per-warehouse clients.
 - ``bruin.exceptions`` exposes the documented hierarchy
   (BruinError base; ConnectionNotFoundError / ConnectionParseError /
   ConnectionTypeError / QueryError).
@@ -34,6 +51,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import types
 from datetime import date, datetime
 
@@ -56,6 +74,39 @@ class ConnectionTypeError(BruinError):
 
 class QueryError(BruinError):
     pass
+
+
+# -- per-thread active-asset state ---------------------------------------------
+
+_state = threading.local()  # .stack: list[(spark, known, env_overlay)]
+
+
+def _stack() -> list:
+    st = getattr(_state, "stack", None)
+    if st is None:
+        st = _state.stack = []
+    return st
+
+
+def _active():
+    st = _stack()
+    if not st:
+        raise BruinError(
+            "the bruin SDK is only available while a Python asset is "
+            "running (no active asset on this thread)"
+        )
+    return st[-1]
+
+
+def _env_get(key: str) -> str | None:
+    """The running asset's own BRUIN_* value: per-thread overlay first,
+    process env as the fallback (import outside a run / REPL use)."""
+    st = _stack()
+    if st:
+        env = st[-1][2]
+        if key in env:
+            return env[key] or None
+    return os.environ.get(key) or None
 
 
 def _parse_date(v: str | None) -> date | None:
@@ -83,71 +134,71 @@ def _parse_timestamp(v: str | None) -> datetime | None:
 
 
 class _Context:
-    """Lazy env-backed run context (python-sdk.md `context` table)."""
+    """Lazy state-backed run context (python-sdk.md `context` table)."""
 
     @property
     def start_date(self):
-        return _parse_date(os.environ.get("BRUIN_START_DATE"))
+        return _parse_date(_env_get("BRUIN_START_DATE"))
 
     @property
     def start_datetime(self):
-        return _parse_datetime(os.environ.get("BRUIN_START_DATETIME"))
+        return _parse_datetime(_env_get("BRUIN_START_DATETIME"))
 
     @property
     def start_timestamp(self):
-        return _parse_timestamp(os.environ.get("BRUIN_START_TIMESTAMP"))
+        return _parse_timestamp(_env_get("BRUIN_START_TIMESTAMP"))
 
     @property
     def end_date(self):
-        return _parse_date(os.environ.get("BRUIN_END_DATE"))
+        return _parse_date(_env_get("BRUIN_END_DATE"))
 
     @property
     def end_datetime(self):
-        return _parse_datetime(os.environ.get("BRUIN_END_DATETIME"))
+        return _parse_datetime(_env_get("BRUIN_END_DATETIME"))
 
     @property
     def end_timestamp(self):
-        return _parse_timestamp(os.environ.get("BRUIN_END_TIMESTAMP"))
+        return _parse_timestamp(_env_get("BRUIN_END_TIMESTAMP"))
 
     @property
     def execution_date(self):
-        return _parse_date(os.environ.get("BRUIN_EXECUTION_DATE"))
+        return _parse_date(_env_get("BRUIN_EXECUTION_DATE"))
 
     @property
     def execution_datetime(self):
-        return _parse_datetime(os.environ.get("BRUIN_EXECUTION_DATETIME"))
+        return _parse_datetime(_env_get("BRUIN_EXECUTION_DATETIME"))
 
     @property
     def execution_timestamp(self):
-        return _parse_timestamp(os.environ.get("BRUIN_EXECUTION_TIMESTAMP"))
+        return _parse_timestamp(_env_get("BRUIN_EXECUTION_TIMESTAMP"))
 
     @property
     def run_id(self):
-        return os.environ.get("BRUIN_RUN_ID")
+        return _env_get("BRUIN_RUN_ID")
 
     @property
     def pipeline(self):
-        return os.environ.get("BRUIN_PIPELINE")
+        return _env_get("BRUIN_PIPELINE")
 
     @property
     def asset_name(self):
-        return os.environ.get("BRUIN_ASSET")
+        return _env_get("BRUIN_ASSET")
 
     @property
     def connection(self):
-        return os.environ.get("BRUIN_CONNECTION")
+        return _env_get("BRUIN_CONNECTION")
 
     @property
     def is_full_refresh(self) -> bool:
-        return os.environ.get("BRUIN_FULL_REFRESH", "") not in ("", "0", "false")
+        return (_env_get("BRUIN_FULL_REFRESH") or "") not in ("", "0", "false")
 
     @property
     def commit_hash(self):
-        return os.environ.get("BRUIN_COMMIT_HASH")
+        return _env_get("BRUIN_COMMIT_HASH")
 
     @property
     def vars(self) -> dict:
-        raw = os.environ.get("BRUIN_VARS")
+        raw = _env_get("BRUIN_VARS")
         if not raw:
             return {}
         try:
@@ -195,29 +246,28 @@ def _run_query(spark, sql: str):
         raise QueryError(str(exc)) from exc
 
 
-def make_bruin_module(spark, known_connections: set[str] | None = None) -> types.ModuleType:
-    """Build the synthetic ``bruin`` module (plus ``bruin.exceptions``)
-    bound to this SparkSession.  ``known_connections`` is the set of
-    names get_connection() accepts — the asset's default connection and
-    its injected secret keys (python-sdk.md "Asset Setup")."""
-    known = set(known_connections or ())
+def _check_connection(name: str, known: set[str]) -> None:
+    if name not in known:
+        raise ConnectionNotFoundError(
+            f"connection {name!r} is not available to this asset "
+            f"(declare it under `secrets:` or as the asset connection)"
+        )
 
-    def query(sql: str, connection: str | None = None):
-        if connection is not None and known and connection not in known:
-            raise ConnectionNotFoundError(
-                f"connection {connection!r} is not available to this asset "
-                f"(declare it under `secrets:` or as the asset connection)"
-            )
-        return _run_query(spark, sql)
 
-    def get_connection(name: str) -> Connection:
-        if known and name not in known:
-            raise ConnectionNotFoundError(
-                f"connection {name!r} is not available to this asset "
-                f"(declare it under `secrets:` or as the asset connection)"
-            )
-        return Connection(name, spark)
+def _sdk_query(sql: str, connection: str | None = None):
+    spark, known, _env = _active()
+    if connection is not None:
+        _check_connection(connection, known)
+    return _run_query(spark, sql)
 
+
+def _sdk_get_connection(name: str) -> Connection:
+    spark, known, _env = _active()
+    _check_connection(name, known)
+    return Connection(name, spark)
+
+
+def _build_singleton() -> types.ModuleType:
     exceptions = types.ModuleType("bruin.exceptions")
     exceptions.BruinError = BruinError
     exceptions.ConnectionNotFoundError = ConnectionNotFoundError
@@ -226,33 +276,79 @@ def make_bruin_module(spark, known_connections: set[str] | None = None) -> types
     exceptions.QueryError = QueryError
 
     mod = types.ModuleType("bruin")
-    mod.query = query
-    mod.get_connection = get_connection
+    mod.query = _sdk_query
+    mod.get_connection = _sdk_get_connection
     mod.context = _Context()
     mod.exceptions = exceptions
     mod.Connection = Connection
     return mod
 
 
-class bruin_module_scope:
-    """Context manager: install the synthetic ``bruin`` module for the
-    duration of an asset exec, restoring whatever was there before."""
+_singleton: types.ModuleType | None = None
+_install_lock = threading.Lock()
+_scope_count = 0
+_shadowed: dict = {}
 
-    def __init__(self, spark, known_connections: set[str] | None = None):
-        self._mod = make_bruin_module(spark, known_connections)
-        self._saved: dict = {}
+
+class bruin_module_scope:
+    """Install the synthetic ``bruin`` module for the duration of an
+    asset exec.  Refcounted and thread-state-scoped: concurrent assets
+    share the singleton module but resolve their OWN SparkSession /
+    connections / BRUIN_* values; a pre-existing user ``bruin`` module
+    is saved when the first scope enters and restored when the last
+    exits."""
+
+    def __init__(self, spark, known_connections: set[str] | None = None,
+                 env: dict | None = None):
+        self._entry = (spark, set(known_connections or ()), dict(env or {}))
 
     def __enter__(self):
-        for name in ("bruin", "bruin.exceptions"):
-            self._saved[name] = sys.modules.get(name)
-        sys.modules["bruin"] = self._mod
-        sys.modules["bruin.exceptions"] = self._mod.exceptions
-        return self._mod
+        global _singleton, _scope_count
+        with _install_lock:
+            if _singleton is None:
+                _singleton = _build_singleton()
+            if _scope_count == 0:
+                for name in ("bruin", "bruin.exceptions"):
+                    _shadowed[name] = sys.modules.get(name)
+                sys.modules["bruin"] = _singleton
+                sys.modules["bruin.exceptions"] = _singleton.exceptions
+            _scope_count += 1
+        _stack().append(self._entry)
+        return _singleton
 
     def __exit__(self, *exc):
-        for name, prev in self._saved.items():
-            if prev is None:
-                sys.modules.pop(name, None)
-            else:
-                sys.modules[name] = prev
+        global _scope_count
+        st = _stack()
+        if st and st[-1] is self._entry:
+            st.pop()
+        with _install_lock:
+            _scope_count -= 1
+            if _scope_count == 0:
+                for name, prev in _shadowed.items():
+                    if prev is None:
+                        sys.modules.pop(name, None)
+                    else:
+                        sys.modules[name] = prev
+                _shadowed.clear()
         return False
+
+
+def make_bruin_module(spark, known_connections: set[str] | None = None) -> types.ModuleType:
+    """Standalone module bound to explicit state (REPL / test use —
+    asset runs go through :class:`bruin_module_scope`)."""
+    known = set(known_connections or ())
+
+    mod = _build_singleton()
+
+    def query(sql: str, connection: str | None = None):
+        if connection is not None:
+            _check_connection(connection, known)
+        return _run_query(spark, sql)
+
+    def get_connection(name: str) -> Connection:
+        _check_connection(name, known)
+        return Connection(name, spark)
+
+    mod.query = query
+    mod.get_connection = get_connection
+    return mod

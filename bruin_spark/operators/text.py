@@ -346,9 +346,11 @@ def tfidf_top_terms(
     )
     from bruin_spark.checkpointing import materialize
 
-    # base feeds both statistics — pin it; LAZY so the tf job
-    # materializes it inline
-    base = materialize(base, eager=False)
+    # base feeds both statistics INSIDE the single consuming job (tf and
+    # dfreq join downstream), so the pin must be EAGER — a lazy
+    # checkpoint is not yet materialized when both branches execute and
+    # the corpus-scale aggregation would run twice in that job
+    base = materialize(base, eager=True)
     tf = base.groupBy("grp", "term").agg(F.sum("cnt").alias("tf"))
     dfreq = base.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
     idf = F.log(F.lit(float(n_docs)) / F.col("df_docs"))

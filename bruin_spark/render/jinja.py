@@ -33,18 +33,14 @@ def apply_interval_modifier(dt: datetime, modifier: str) -> datetime:
     if not m:
         raise ValueError(f"invalid interval modifier: {modifier!r}")
     n, unit = int(m.group(1)), m.group(2)
-    if unit == "M":
-        from calendar import monthrange
+    if unit in ("M", "y"):
+        # Go time.AddDate normalization, same as the reference's
+        # ModifyDate (pipeline.go:4118-4119): day overflow rolls into
+        # the next month (Jan 31 + 1M = Mar 2/3), never clamps —
+        # shared with the add_months/add_years filters
+        from bruin_spark.render.filters import _add_date
 
-        month = dt.month - 1 + n
-        year = dt.year + month // 12
-        month = month % 12 + 1
-        return dt.replace(year=year, month=month, day=min(dt.day, monthrange(year, month)[1]))
-    if unit == "y":
-        try:
-            return dt.replace(year=dt.year + n)
-        except ValueError:  # Feb 29
-            return dt.replace(year=dt.year + n, day=28)
+        return _add_date(dt, n if unit == "y" else 0, n if unit == "M" else 0)
     delta = {
         "ms": timedelta(milliseconds=n),
         "s": timedelta(seconds=n),

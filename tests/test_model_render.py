@@ -93,7 +93,10 @@ def test_render_filters_and_builtins():
 def test_interval_modifiers():
     assert apply_interval_modifier(datetime(2024, 1, 10), "-2d") == datetime(2024, 1, 8)
     assert apply_interval_modifier(datetime(2024, 1, 10), "3h") == datetime(2024, 1, 10, 3)
-    assert apply_interval_modifier(datetime(2024, 1, 31), "1M") == datetime(2024, 2, 29)
+    # Go AddDate normalization, like the reference's ModifyDate
+    # (pipeline.go:4118): Jan 31 + 1M rolls into March, never clamps
+    assert apply_interval_modifier(datetime(2024, 1, 31), "1M") == datetime(2024, 3, 2)
+    assert apply_interval_modifier(datetime(2024, 2, 29), "1y") == datetime(2025, 3, 1)
 
 
 def test_split_statements():

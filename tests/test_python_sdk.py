@@ -162,3 +162,102 @@ def test_sdk_module_restored_after_run(spark):
     assert "bruin" not in sys.modules
     with pytest.raises(ImportError):
         import bruin  # noqa: F401
+
+
+def test_unknown_connection_raises_even_with_no_declared_connections(spark):
+    """An asset that declares NO connections gets ConnectionNotFoundError
+    for any get_connection/query(connection=) name — empty is not
+    'anything goes'."""
+    a = _asset(
+        """
+        from bruin import get_connection, query
+        from bruin.exceptions import ConnectionNotFoundError
+
+        got = {}
+        try:
+            get_connection("prod_pg_typo")
+        except ConnectionNotFoundError:
+            got["gc"] = True
+        try:
+            query("SELECT 1", connection="prod_pg_typo")
+        except ConnectionNotFoundError:
+            got["q"] = True
+        # the default-connection path still works without a name
+        got["plain"] = int(query("SELECT 3 AS v")["v"][0])
+        result = got
+        """
+    )
+    got = run_python_asset(spark, a, CTX)
+    assert got == {"gc": True, "q": True, "plain": 3}
+
+
+def test_concurrent_assets_see_their_own_context(spark):
+    """Two Python assets running on different threads (the scheduler's
+    worker-pool shape) must each see their OWN context and connection
+    set through the shared singleton module."""
+    import threading
+
+    barrier = threading.Barrier(2, timeout=30)
+    results: dict = {}
+    errors: list = []
+
+    body = """
+import threading as _t
+from bruin import context, query, get_connection
+from bruin.exceptions import ConnectionNotFoundError
+
+_barrier.wait()   # both assets are now INSIDE their scopes
+name1 = context.asset_name
+sd = context.start_date
+_barrier.wait()   # overlap again after the other thread also read
+try:
+    get_connection(_other_conn)
+    leaked = True
+except ConnectionNotFoundError:
+    leaked = False
+own = get_connection(_own_conn).name
+result = {"name": name1, "start": str(sd), "leaked": leaked, "own": own}
+"""
+
+    def run(tag, conn, other, start):
+        try:
+            a = Asset.from_dict(
+                {"name": f"conc_{tag}", "type": "python", "connection": conn},
+                query=body,
+            )
+            ctx = RenderContext(
+                start=start, end=datetime(2030, 1, 1), run_id=f"r-{tag}",
+                pipeline_name="conc",
+            )
+            import bruin_spark.operators.assets_ops as ao
+
+            # inject the barrier + names into the exec namespace via a
+            # tiny prelude (the script is plain source)
+            src = (
+                f"_barrier = __import__('tests_conc_shared').barrier\n"
+                f"_own_conn = {conn!r}\n_other_conn = {other!r}\n" + body
+            )
+            import sys as _sys
+            import types as _types
+
+            shared = _types.ModuleType("tests_conc_shared")
+            shared.barrier = barrier
+            _sys.modules.setdefault("tests_conc_shared", shared)
+            a.query = src
+            results[tag] = ao.run_python_asset(spark, a, ctx)
+        except Exception as e:  # noqa: BLE001
+            errors.append((tag, repr(e)))
+
+    t1 = threading.Thread(
+        target=run, args=("a", "conn_a", "conn_b", datetime(2024, 1, 1))
+    )
+    t2 = threading.Thread(
+        target=run, args=("b", "conn_b", "conn_a", datetime(2025, 6, 15))
+    )
+    t1.start(); t2.start(); t1.join(30); t2.join(30)
+    assert not errors, errors
+    assert results["a"]["name"] == "conc_a" and results["b"]["name"] == "conc_b"
+    assert results["a"]["start"] == "2024-01-01"
+    assert results["b"]["start"] == "2025-06-15"
+    assert results["a"]["leaked"] is False and results["b"]["leaked"] is False
+    assert results["a"]["own"] == "conn_a" and results["b"]["own"] == "conn_b"
