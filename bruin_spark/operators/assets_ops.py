@@ -79,8 +79,7 @@ def run_python_asset(
         with open(asset.file_path) as f:
             src = f.read()
     env = _context_env(asset, ctx)
-    old = {k: os.environ.get(k) for k in env}
-    os.environ.update(env)
+    _export_env(env)
     from bruin_spark.operators.python_sdk import bruin_module_scope
 
     # connections the SDK's get_connection()/query(connection=) accept:
@@ -118,11 +117,47 @@ def run_python_asset(
         _write_df(spark, asset, df)
         return None
     finally:
-        for k, v in old.items():
-            if v is None:
-                os.environ.pop(k, None)
+        _restore_env(env)
+
+
+# -- refcounted BRUIN_* export -----------------------------------------------
+# os.environ is process-global while assets run on scheduler worker
+# threads: a naive per-run snapshot/restore would let a FINISHING asset
+# delete or clobber the keys a still-running asset just exported.  Each
+# key carries a depth count; the pre-any-run original is restored only
+# when the LAST exporter leaves.  Concurrent values still last-writer-
+# win (unavoidable for a process-global env — the SDK context reads the
+# per-thread overlay instead), but keys are never torn down mid-run.
+
+import threading as _threading
+
+_ENV_LOCK = _threading.Lock()
+_ENV_DEPTH: dict[str, int] = {}
+_ENV_ORIGINAL: dict[str, str | None] = {}
+
+
+def _export_env(env: dict[str, str]) -> None:
+    with _ENV_LOCK:
+        for k, v in env.items():
+            if _ENV_DEPTH.get(k, 0) == 0:
+                _ENV_ORIGINAL[k] = os.environ.get(k)
+            _ENV_DEPTH[k] = _ENV_DEPTH.get(k, 0) + 1
+            os.environ[k] = v
+
+
+def _restore_env(env: dict[str, str]) -> None:
+    with _ENV_LOCK:
+        for k in env:
+            depth = _ENV_DEPTH.get(k, 0) - 1
+            if depth <= 0:
+                _ENV_DEPTH.pop(k, None)
+                original = _ENV_ORIGINAL.pop(k, None)
+                if original is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = original
             else:
-                os.environ[k] = v
+                _ENV_DEPTH[k] = depth
 
 
 def _context_env(asset: Asset, ctx: RenderContext | None) -> dict[str, str]:

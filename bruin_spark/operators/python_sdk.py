@@ -16,12 +16,16 @@ call time.  Each asset's ``bruin_module_scope`` pushes its state onto a
 their own context even though they share one module object.  The
 module is installed when the first scope enters and removed when the
 last exits (refcounted; a user-shadowed pre-existing ``bruin`` module
-is saved and restored).  ``context.*`` reads the thread's own overlay
-FIRST and only falls back to ``os.environ`` — the env vars are still
-exported for scripts that read them directly, but direct env reads in
-concurrent runs keep the process-global env's last-writer-wins
-semantics (same as any in-process engine; the reference avoids this by
-running each asset in a separate OS process).
+is saved and restored).  Inside a scope, ``context.*`` reads ONLY the
+asset's own overlay — never the process env, whose BRUIN_* keys may
+belong to a concurrent asset; outside any scope it reads
+``os.environ`` (REPL / plain import).  Threads the ASSET ITSELF spawns
+(a ThreadPoolExecutor over query()) resolve to the single active asset
+when only one is running; with several concurrent assets a spawned
+thread is unattributable and SDK calls from it raise.  The env vars
+are still exported for scripts that read them directly, with
+last-writer-wins semantics under concurrency (the reference avoids
+this by running each asset in a separate OS process).
 
 Contract parity (python-sdk.md "API Reference"):
 
@@ -79,6 +83,9 @@ class QueryError(BruinError):
 # -- per-thread active-asset state ---------------------------------------------
 
 _state = threading.local()  # .stack: list[(spark, known, env_overlay)]
+#: every entry active ANYWHERE in the process, for the spawned-thread
+#: fallback below (guarded by _install_lock)
+_all_active: list = []
 
 
 def _stack() -> list:
@@ -88,24 +95,43 @@ def _stack() -> list:
     return st
 
 
-def _active():
+def _resolve():
+    """The calling thread's asset entry, or None.
+
+    An asset may spawn its OWN worker threads (ThreadPoolExecutor over
+    query()) — those threads have an empty thread-local stack, so when
+    exactly ONE asset is active process-wide its entry is the
+    unambiguous answer.  With several concurrent assets a spawned
+    thread cannot be attributed and the caller must raise."""
     st = _stack()
-    if not st:
+    if st:
+        return st[-1]
+    with _install_lock:
+        if len(_all_active) == 1:
+            return _all_active[0]
+    return None
+
+
+def _active():
+    entry = _resolve()
+    if entry is None:
         raise BruinError(
             "the bruin SDK is only available while a Python asset is "
-            "running (no active asset on this thread)"
+            "running (no active asset on this thread; with several "
+            "assets running concurrently, call the SDK from the "
+            "asset's main thread)"
         )
-    return st[-1]
+    return entry
 
 
 def _env_get(key: str) -> str | None:
-    """The running asset's own BRUIN_* value: per-thread overlay first,
-    process env as the fallback (import outside a run / REPL use)."""
-    st = _stack()
-    if st:
-        env = st[-1][2]
-        if key in env:
-            return env[key] or None
+    """The running asset's own BRUIN_* value.  Inside an active scope
+    the thread's overlay is AUTHORITATIVE — never fall through to the
+    process env, whose BRUIN_* keys may belong to a concurrent asset.
+    Outside any scope (REPL / plain import), read the process env."""
+    entry = _resolve()
+    if entry is not None:
+        return entry[2].get(key) or None
     return os.environ.get(key) or None
 
 
@@ -313,6 +339,7 @@ class bruin_module_scope:
                 sys.modules["bruin"] = _singleton
                 sys.modules["bruin.exceptions"] = _singleton.exceptions
             _scope_count += 1
+            _all_active.append(self._entry)
         _stack().append(self._entry)
         return _singleton
 
@@ -323,6 +350,8 @@ class bruin_module_scope:
             st.pop()
         with _install_lock:
             _scope_count -= 1
+            if self._entry in _all_active:
+                _all_active.remove(self._entry)
             if _scope_count == 0:
                 for name, prev in _shadowed.items():
                     if prev is None:
@@ -331,24 +360,3 @@ class bruin_module_scope:
                         sys.modules[name] = prev
                 _shadowed.clear()
         return False
-
-
-def make_bruin_module(spark, known_connections: set[str] | None = None) -> types.ModuleType:
-    """Standalone module bound to explicit state (REPL / test use —
-    asset runs go through :class:`bruin_module_scope`)."""
-    known = set(known_connections or ())
-
-    mod = _build_singleton()
-
-    def query(sql: str, connection: str | None = None):
-        if connection is not None:
-            _check_connection(connection, known)
-        return _run_query(spark, sql)
-
-    def get_connection(name: str) -> Connection:
-        _check_connection(name, known)
-        return Connection(name, spark)
-
-    mod.query = query
-    mod.get_connection = get_connection
-    return mod

@@ -261,3 +261,38 @@ result = {"name": name1, "start": str(sd), "leaked": leaked, "own": own}
     assert results["b"]["start"] == "2025-06-15"
     assert results["a"]["leaked"] is False and results["b"]["leaked"] is False
     assert results["a"]["own"] == "conn_a" and results["b"]["own"] == "conn_b"
+
+
+def test_asset_spawned_threads_resolve_single_active_asset(spark):
+    """An asset's OWN worker threads (empty thread-local stack) resolve
+    to the single active asset's state."""
+    a = _asset(
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        from bruin import context, query
+
+        def probe(i):
+            return (int(query(f"SELECT {i} AS v")["v"][0]), context.asset_name)
+
+        with ThreadPoolExecutor(2) as ex:
+            result = sorted(ex.map(probe, [1, 2]))
+        """
+    )
+    out = run_python_asset(spark, a, CTX)
+    assert out == [(1, "sdk_probe"), (2, "sdk_probe")]
+
+
+def test_overlay_is_authoritative_inside_scope(spark):
+    """An asset WITHOUT a connection sees context.connection None even
+    while another (sequentially prior) asset exported BRUIN_CONNECTION
+    into the process env — inside a scope the overlay never falls
+    through to os.environ."""
+    import os
+
+    os.environ["BRUIN_CONNECTION"] = "leaked-from-elsewhere"
+    try:
+        a = _asset("from bruin import context\nresult = context.connection\n")
+        assert run_python_asset(spark, a, CTX) is None
+    finally:
+        os.environ.pop("BRUIN_CONNECTION", None)
