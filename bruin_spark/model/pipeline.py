@@ -98,9 +98,19 @@ class ColumnCheck:
     def from_obj(cls, obj: Any) -> "ColumnCheck":
         if isinstance(obj, str):
             return cls(name=obj)
+        value = obj.get("value")
+        # the reference's ColumnCheckValue accepts scalars and arrays
+        # only and errors on anything else (pipeline.go UnmarshalJSON,
+        # pinned by its pipeline_test.go table) — a mapping here is a
+        # config mistake that would otherwise fail far away at check time
+        if value is not None and not isinstance(value, (int, float, str, bool, list)):
+            raise ValueError(
+                f"check {obj.get('name')!r}: unsupported value type "
+                f"{type(value).__name__} (expected number, string, bool or list)"
+            )
         return cls(
             name=obj["name"],
-            value=obj.get("value"),
+            value=value,
             blocking=obj.get("blocking", True),
         )
 

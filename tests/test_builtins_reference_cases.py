@@ -292,3 +292,31 @@ def test_is_likely_result_query_reference_table(sql, want):
     from bruin_spark.parser.sqlutil import is_likely_result_query
 
     assert is_likely_result_query(sql) is want
+
+
+# -- pkg/pipeline check-value forms ----------------------------------------------
+
+
+def test_column_check_value_forms_reference_table():
+    """The reference's ColumnCheckValue accepts int/string arrays,
+    scalar int/float/string/bool and null, and ERRORS on an object
+    (pipeline_test.go TestColumnCheckValue_UnmarshalJSON) — our YAML
+    check values carry the same type domain, a mapping rejects at
+    load."""
+    from bruin_spark.model.pipeline import ColumnCheck
+
+    cases = [
+        ([1, 2, 3], [1, 2, 3]),
+        (["1", "2", "3"], ["1", "2", "3"]),
+        (123, 123),
+        (123.45, 123.45),
+        ("test", "test"),
+        (True, True),
+        (False, False),
+        (None, None),
+    ]
+    for given, want in cases:
+        c = ColumnCheck.from_obj({"name": "accepted_values", "value": given})
+        assert c.value == want and type(c.value) is type(want)
+    with pytest.raises(ValueError, match="unsupported value type"):
+        ColumnCheck.from_obj({"name": "min", "value": {"invalid": "data"}})
