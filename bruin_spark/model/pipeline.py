@@ -99,14 +99,35 @@ class ColumnCheck:
         if isinstance(obj, str):
             return cls(name=obj)
         value = obj.get("value")
-        # the reference's ColumnCheckValue accepts scalars and arrays
-        # only and errors on anything else (pipeline.go UnmarshalJSON,
-        # pinned by its pipeline_test.go table) — a mapping here is a
-        # config mistake that would otherwise fail far away at check time
-        if value is not None and not isinstance(value, (int, float, str, bool, list)):
+        # the reference's ColumnCheckValue accepts scalar int/float/
+        # string/bool, INT or STRING arrays, and null, and errors on
+        # anything else (pipeline.go UnmarshalJSON, pinned by its
+        # pipeline_test.go table) — a mapping here is a config mistake
+        # that would otherwise fail far away at check time.  YAML adds
+        # one wrinkle the JSON reference never sees: safe_load resolves
+        # an UNQUOTED `value: 2024-01-01` to datetime.date — yaml.v3
+        # hands the reference a plain string there, so those stay legal
+        # (kept as date objects; Spark literals them correctly).
+        import datetime as _dt
+
+        if value is not None and not isinstance(
+            value, (int, float, str, bool, list, _dt.date, _dt.datetime)
+        ):
             raise ValueError(
                 f"check {obj.get('name')!r}: unsupported value type "
                 f"{type(value).__name__} (expected number, string, bool or list)"
+            )
+        if isinstance(value, list) and not all(
+            isinstance(e, (_dt.date, _dt.datetime))
+            or (isinstance(e, (int, str, float)) and not isinstance(e, bool))
+            for e in value
+        ):
+            # reference arrays are []int or []string; element-level
+            # junk (mappings, bools) would otherwise stringify into a
+            # nonsensical accepted_values comparison at check time
+            raise ValueError(
+                f"check {obj.get('name')!r}: list values must hold "
+                f"numbers, strings or dates"
             )
         return cls(
             name=obj["name"],

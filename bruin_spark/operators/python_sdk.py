@@ -82,7 +82,7 @@ class QueryError(BruinError):
 
 # -- per-thread active-asset state ---------------------------------------------
 
-_state = threading.local()  # .stack: list[(spark, known, env_overlay)]
+_state = threading.local()  # .stack: list[(spark, known, env_overlay, pre_idents)]
 #: every entry active ANYWHERE in the process, for the spawned-thread
 #: fallback below (guarded by _install_lock)
 _all_active: list = []
@@ -100,15 +100,23 @@ def _resolve():
 
     An asset may spawn its OWN worker threads (ThreadPoolExecutor over
     query()) — those threads have an empty thread-local stack, so when
-    exactly ONE asset is active process-wide its entry is the
-    unambiguous answer.  With several concurrent assets a spawned
-    thread cannot be attributed and the caller must raise."""
+    exactly ONE asset is active process-wide AND the calling thread
+    started AFTER that asset's scope opened (its ident is not in the
+    scope's entry-time snapshot of live threads), the entry is the
+    unambiguous answer.  The snapshot closes the orphan hole: a stray
+    thread left over from a FINISHED asset predates the next scope and
+    is never attributed to it (it raises instead of silently
+    inheriting the wrong connections/context), and the main/REPL
+    thread keeps its outside-any-scope behavior.  With several
+    concurrent assets a spawned thread cannot be attributed at all."""
     st = _stack()
     if st:
         return st[-1]
     with _install_lock:
         if len(_all_active) == 1:
-            return _all_active[0]
+            entry = _all_active[0]
+            if threading.get_ident() not in entry[3]:
+                return entry
     return None
 
 
@@ -126,11 +134,15 @@ def _active():
 
 def _env_get(key: str) -> str | None:
     """The running asset's own BRUIN_* value.  Inside an active scope
-    the thread's overlay is AUTHORITATIVE — never fall through to the
-    process env, whose BRUIN_* keys may belong to a concurrent asset.
-    Outside any scope (REPL / plain import), read the process env."""
+    a NON-EMPTY overlay is AUTHORITATIVE — never fall through to the
+    process env, whose BRUIN_* keys may belong to a concurrent asset
+    (an asset without a `connection:` must see None, not a neighbor's
+    BRUIN_CONNECTION).  An EMPTY overlay means the asset ran without a
+    RenderContext — nothing engine-set to protect, so externally
+    exported BRUIN_* vars stay readable.  Outside any scope (REPL /
+    plain import), read the process env."""
     entry = _resolve()
-    if entry is not None:
+    if entry is not None and entry[2]:
         return entry[2].get(key) or None
     return os.environ.get(key) or None
 
@@ -281,14 +293,14 @@ def _check_connection(name: str, known: set[str]) -> None:
 
 
 def _sdk_query(sql: str, connection: str | None = None):
-    spark, known, _env = _active()
+    spark, known, _env, _pre = _active()
     if connection is not None:
         _check_connection(connection, known)
     return _run_query(spark, sql)
 
 
 def _sdk_get_connection(name: str) -> Connection:
-    spark, known, _env = _active()
+    spark, known, _env, _pre = _active()
     _check_connection(name, known)
     return Connection(name, spark)
 
@@ -326,10 +338,14 @@ class bruin_module_scope:
 
     def __init__(self, spark, known_connections: set[str] | None = None,
                  env: dict | None = None):
-        self._entry = (spark, set(known_connections or ()), dict(env or {}))
+        # the 4th element is filled at __enter__: idents of threads
+        # alive BEFORE the scope opened (see _resolve)
+        self._entry = (spark, set(known_connections or ()), dict(env or {}), set())
 
     def __enter__(self):
         global _singleton, _scope_count
+        self._entry[3].clear()
+        self._entry[3].update(t.ident for t in threading.enumerate() if t.ident)
         with _install_lock:
             if _singleton is None:
                 _singleton = _build_singleton()

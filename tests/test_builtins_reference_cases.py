@@ -320,3 +320,25 @@ def test_column_check_value_forms_reference_table():
         assert c.value == want and type(c.value) is type(want)
     with pytest.raises(ValueError, match="unsupported value type"):
         ColumnCheck.from_obj({"name": "min", "value": {"invalid": "data"}})
+
+
+def test_column_check_value_yaml_dates_and_list_elements():
+    """YAML-specific wrinkles around the reference table: an unquoted
+    `value: 2024-01-01` arrives from safe_load as datetime.date and
+    must stay legal (yaml.v3 gives the reference a string there), while
+    element-level junk inside a list rejects at load."""
+    import datetime
+
+    import yaml
+
+    from bruin_spark.model.pipeline import ColumnCheck
+
+    loaded = yaml.safe_load("name: min\nvalue: 2024-01-01\n")
+    assert isinstance(loaded["value"], datetime.date)
+    assert ColumnCheck.from_obj(loaded).value == datetime.date(2024, 1, 1)
+    ok = ColumnCheck.from_obj({"name": "accepted_values", "value": [1, 2]})
+    assert ok.value == [1, 2]
+    with pytest.raises(ValueError, match="list values"):
+        ColumnCheck.from_obj({"name": "accepted_values", "value": [{"a": 1}]})
+    with pytest.raises(ValueError, match="list values"):
+        ColumnCheck.from_obj({"name": "accepted_values", "value": [True]})

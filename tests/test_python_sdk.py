@@ -296,3 +296,40 @@ def test_overlay_is_authoritative_inside_scope(spark):
         assert run_python_asset(spark, a, CTX) is None
     finally:
         os.environ.pop("BRUIN_CONNECTION", None)
+
+
+def test_orphan_thread_from_finished_asset_is_not_attributed(spark):
+    """A thread that OUTLIVES its asset must not inherit the NEXT
+    asset's connections/context: it predates the next scope (it is in
+    that scope's entry-time thread snapshot), so SDK calls raise
+    instead of leaking."""
+    import threading
+    import time
+
+    from bruin_spark.operators.python_sdk import BruinError, bruin_module_scope
+
+    leak: dict = {}
+    release = threading.Event()
+    started = threading.Event()
+
+    def orphan():
+        from bruin_spark.operators import python_sdk as sdk
+
+        started.set()
+        release.wait(10)  # survives past asset A, fires during asset B
+        try:
+            sdk._sdk_get_connection("conn_b")
+            leak["got"] = "connection"
+        except BruinError as e:
+            leak["got"] = type(e).__name__
+
+    # asset A spawns the orphan inside its scope, then finishes
+    with bruin_module_scope(spark, {"conn_a"}, {"BRUIN_ASSET": "a"}):
+        t = threading.Thread(target=orphan, daemon=True)
+        t.start()
+        started.wait(10)
+    # asset B is now the single active scope; the orphan wakes up
+    with bruin_module_scope(spark, {"conn_b"}, {"BRUIN_ASSET": "b"}):
+        release.set()
+        t.join(10)
+    assert leak["got"] == "BruinError"
