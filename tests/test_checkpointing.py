@@ -252,15 +252,23 @@ def test_pinned_scope_releases_cluster_pipeline_blocks(spark):
         "doc_id long, text string",
     )
 
-    def n_persistent() -> int:
-        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    def persistent_ids() -> set:
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().keys().iterator()
+        out = set()
+        while it.hasNext():
+            out.add(int(str(it.next())))
+        return out
 
-    base = n_persistent()
+    # compare SETS, not counts: unpersist from earlier tests completes
+    # asynchronously (ContextCleaner), so a pre-existing RDD can vanish
+    # mid-test and a count comparison flakes low; the contract here is
+    # only that nothing THIS pipeline pinned survives the scope
+    base = persistent_ids()
     with ck.pinned_scope() as bucket:
         assert minhash_dedup_clusters(docs).count() > 0
         assert bucket  # the pipeline did register pinned results
-        assert n_persistent() > base
-    assert n_persistent() == base
+        assert persistent_ids() - base
+    assert not (persistent_ids() - base)
 
 
 def test_pinned_scope_reliable_mode_deletes_checkpoint_files(spark, tmp_path):
