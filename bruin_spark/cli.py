@@ -1265,6 +1265,16 @@ def cmd_optimize(args) -> int:
     return 0
 
 
+def cmd_mcp(args) -> int:
+    """Serve the engine's docs tree over MCP stdio JSON-RPC
+    (ref: cmd/mcp/mcp.go:41-110)."""
+    from bruin_spark.mcpserver import run_mcp_server
+
+    if args.debug:
+        print("Starting Bruin MCP server...", file=sys.stderr)
+    return run_mcp_server(debug=args.debug)
+
+
 def cmd_render(args) -> int:
     from bruin_spark.mat.strategies import render_materialization
     from bruin_spark.model import load_pipeline
@@ -1893,6 +1903,14 @@ def main(argv: list[str] | None = None) -> int:
     po.add_argument("--analyze", action="store_true", help="ANALYZE TABLE after compaction")
     po.add_argument("--columns", nargs="*", help="columns for ANALYZE ... FOR COLUMNS")
     po.set_defaults(fn=cmd_optimize)
+
+    pm = sub.add_parser(
+        "mcp",
+        help="serve the engine docs over the Model Context Protocol "
+        "(stdio JSON-RPC; ref: bruin mcp)",
+    )
+    pm.add_argument("--debug", action="store_true", help="trace requests on stderr")
+    pm.set_defaults(fn=cmd_mcp)
 
     pver = sub.add_parser("version", help="print the engine version")
     pver.set_defaults(fn=lambda a: (print(f"bruin_spark {__import__('bruin_spark').__version__}"), 0)[1])
