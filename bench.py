@@ -77,6 +77,10 @@ HEADLINE = [
     "text_tfidf_terms",
     "dedup_strip_boilerplate",
     "text_lang_segments",
+    # r11c: Gopher-rule quality filter (map-only) and DSIR importance
+    # weights (one corpus shuffle + broadcast bucket models)
+    "text_gopher_rules",
+    "text_dsir_weights",
 ]
 
 
@@ -808,6 +812,11 @@ SKEW_ENTRIES = [
     # 4x/16x: the 8 training rounds make this data-dominated well
     # below the cheap-entry 16x point (measured 14.7s @16x)
     ("text_bpe_encode", 4, 16),
+    # DSIR weights: Zipf tokens concentrate features into a few hash
+    # buckets, but the bucket models aggregate map-side into B rows,
+    # the weight join is broadcast, and the per-doc scoring reducer is
+    # keyed by doc_id — the hot buckets never pile onto one reducer
+    ("text_dsir_weights", 16, 64),
 ]
 SKEW_VARIANTS = {
     "dedup_minhash_lsh": _minhash_rep_pairs_stress,

@@ -426,3 +426,101 @@ def language_segments(
             F.round(-F.col("_m.neg") / F.col("n_segments"), 6).alias("lang_purity"),
         )
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """The published Gopher document-quality rules (Rae et al. 2021,
+    appendix A1.1) as one map-only projection: word-count bounds, mean
+    word length bounds, symbol-to-word ratio ('#' and '...'), bullet /
+    ellipsis line fractions, alphabetic-word fraction, and the
+    two-of-eight English stop-word requirement.
+
+    Returns per-document measurements plus per-rule booleans and the
+    combined ``gopher_pass``.  Everything is a JVM expression over one
+    row — no shuffle, no UDF — so the filter runs at scan speed and
+    composes with the curation funnel.  Thresholds are the paper's
+    defaults, parameterized.  The alphabetic-character test is [a-z]
+    over lowercased tokens (the published rule set is English-centric;
+    route non-Latin corpora through language_id first).
+    """
+    toks = tokens(text_col)
+    lines = F.split(F.col(text_col), "\n")
+    raw = F.col(text_col)
+    base = df.select(
+        F.col(id_col),
+        raw.alias("_txt"),
+        toks.alias("_toks"),
+        lines.alias("_lines"),
+    )
+    n_words = F.size(F.col("_toks"))
+    n_lines = F.size(F.col("_lines"))
+    words_d = F.greatest(n_words, F.lit(1)).cast("double")
+    lines_d = F.greatest(n_lines, F.lit(1)).cast("double")
+    # counts, all exact integers
+    nonspace = F.length(F.regexp_replace(F.lower(F.trim(F.col("_txt"))), r"\s+", ""))
+    n_hash = F.length(F.col("_txt")) - F.length(F.replace(F.col("_txt"), F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(F.col("_txt")) - F.length(F.replace(F.col("_txt"), F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    n_bullet_lines = F.size(
+        F.filter(F.col("_lines"), lambda line: F.ltrim(line).rlike("^[-*•]"))
+    )
+    n_ellipsis_lines = F.size(
+        F.filter(F.col("_lines"), lambda line: F.rtrim(line).rlike("\\.\\.\\.$"))
+    )
+    n_alpha_words = F.size(F.filter(F.col("_toks"), lambda t: t.rlike("[a-z]")))
+    stop_hits = None
+    for w in GOPHER_STOPWORDS:
+        hit = F.array_contains(F.col("_toks"), w).cast("int")
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    # raw (unrounded) ratios drive the rule booleans; the emitted ratio
+    # columns are rounded for stable cross-engine comparison
+    mean_wl = nonspace / words_d
+    sym_ratio = F.greatest(n_hash, n_ellipsis) / words_d
+    bullet_frac = n_bullet_lines / lines_d
+    ellipsis_frac = n_ellipsis_lines / lines_d
+    alpha_frac = n_alpha_words / words_d
+    rule_words = (n_words >= min_words) & (n_words <= max_words)
+    rule_wl = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+    rule_sym = sym_ratio <= max_symbol_ratio
+    rule_bullet = bullet_frac <= max_bullet_frac
+    rule_ellipsis = ellipsis_frac <= max_ellipsis_frac
+    rule_alpha = alpha_frac >= min_alpha_frac
+    rule_stop = stop_hits >= min_stop_hits
+    return base.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(sym_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_line_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_line_frac"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        stop_hits.alias("stop_hits"),
+        rule_words.alias("rule_word_count"),
+        rule_wl.alias("rule_word_length"),
+        rule_sym.alias("rule_symbol_ratio"),
+        rule_bullet.alias("rule_bullets"),
+        rule_ellipsis.alias("rule_ellipsis"),
+        rule_alpha.alias("rule_alpha_words"),
+        rule_stop.alias("rule_stopwords"),
+        (
+            rule_words & rule_wl & rule_sym & rule_bullet
+            & rule_ellipsis & rule_alpha & rule_stop
+        ).alias("gopher_pass"),
+    )

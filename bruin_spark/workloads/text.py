@@ -763,3 +763,115 @@ FROM ranked WHERE rn = 1
 
 
 QUERIES["text_lang_segments"] = (text_lang_segments, _lang_segments_oracle())
+
+
+# -- Gopher quality rules ------------------------------------------------------
+
+
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.gopher_rules(_docs(spark, sf_dir), min_words=5)
+
+
+def _gopher_oracle() -> str:
+    toks = _duck_tokens()
+    stop = " + ".join(
+        f"list_contains(toks, '{w}')::INT" for w in T.GOPHER_STOPWORDS
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         {toks} AS toks,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         GREATEST(len(toks), 1)::DOUBLE AS words_d,
+         GREATEST(len(lines), 1)::DOUBLE AS lines_d,
+         length(regexp_replace(lower(trim(text)), '\\s+', '', 'g')) AS nonspace,
+         length(text) - length(replace(text, '#', '')) AS n_hash,
+         (length(text) - length(replace(text, '...', ''))) / 3 AS n_ellipsis,
+         len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*•]'))) AS n_bullet,
+         len(list_filter(lines, l -> regexp_matches(rtrim(l), '\\.\\.\\.$'))) AS n_ell_lines,
+         len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS n_alpha,
+         {stop} AS stop_hits
+  FROM base
+)
+SELECT doc_id, n_words,
+       round(nonspace / words_d, 6) AS mean_word_len,
+       round(GREATEST(n_hash, n_ellipsis) / words_d, 6) AS symbol_ratio,
+       round(n_bullet / lines_d, 6) AS bullet_line_frac,
+       round(n_ell_lines / lines_d, 6) AS ellipsis_line_frac,
+       round(n_alpha / words_d, 6) AS alpha_word_frac,
+       stop_hits,
+       n_words BETWEEN 5 AND 100000 AS rule_word_count,
+       nonspace / words_d BETWEEN 3.0 AND 10.0 AS rule_word_length,
+       GREATEST(n_hash, n_ellipsis) / words_d <= 0.1 AS rule_symbol_ratio,
+       n_bullet / lines_d <= 0.9 AS rule_bullets,
+       n_ell_lines / lines_d <= 0.3 AS rule_ellipsis,
+       n_alpha / words_d >= 0.8 AS rule_alpha_words,
+       stop_hits >= 2 AS rule_stopwords,
+       (n_words BETWEEN 5 AND 100000)
+         AND (nonspace / words_d BETWEEN 3.0 AND 10.0)
+         AND (GREATEST(n_hash, n_ellipsis) / words_d <= 0.1)
+         AND (n_bullet / lines_d <= 0.9)
+         AND (n_ell_lines / lines_d <= 0.3)
+         AND (n_alpha / words_d >= 0.8)
+         AND (stop_hits >= 2) AS gopher_pass
+FROM m
+"""
+
+
+QUERIES["text_gopher_rules"] = (text_gopher_rules, _gopher_oracle())
+
+
+# -- DSIR importance weights ---------------------------------------------------
+
+
+def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bruin_spark.operators.dsir import dsir_weights
+
+    return dsir_weights(_docs(spark, sf_dir), target=F.col("lang") == "en", n_buckets=64)
+
+
+def _dsir_oracle(n_buckets: int = 64) -> str:
+    toks = _duck_tokens()
+    h = "('0x' || substr(md5(f), 1, 15))::BIGINT % {b}".format(b=n_buckets)
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang = 'en' AS is_target, {toks} AS t FROM documents
+), uni AS (
+  SELECT doc_id, is_target, tok AS f FROM base, LATERAL (SELECT UNNEST(t) AS tok)
+), bi AS (
+  SELECT doc_id, is_target, t[i] || ' ' || t[i + 1] AS f
+  FROM base, LATERAL (SELECT UNNEST(generate_series(1, len(t) - 1)) AS i)
+  WHERE len(t) >= 2
+), feats AS (
+  SELECT doc_id, is_target, {h} AS bucket FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+), doc_feats AS (
+  SELECT doc_id, is_target, bucket, COUNT(*) AS k
+  FROM feats GROUP BY doc_id, is_target, bucket
+), buckets AS (
+  SELECT bucket,
+         SUM(CASE WHEN NOT is_target THEN k ELSE 0 END) AS c_raw,
+         SUM(CASE WHEN is_target THEN k ELSE 0 END) AS c_tgt
+  FROM doc_feats GROUP BY bucket
+), totals AS (
+  SELECT SUM(c_raw) AS t_raw, SUM(c_tgt) AS t_tgt FROM buckets
+), weights AS (
+  SELECT bucket,
+         ln(((c_tgt + 1) / (t_tgt + {n_buckets})) / ((c_raw + 1) / (t_raw + {n_buckets}))) AS w
+  FROM buckets, totals
+), scored AS (
+  SELECT doc_id, SUM(k) AS n_feats, SUM(k * w) AS lw
+  FROM doc_feats JOIN weights USING (bucket)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, d.lang = 'en' AS is_target,
+       COALESCE(s.n_feats, 0)::BIGINT AS n_feats,
+       round(s.lw, 6) AS log_weight
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
+QUERIES["text_dsir_weights"] = (text_dsir_weights, _dsir_oracle())

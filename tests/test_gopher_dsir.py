@@ -1,0 +1,164 @@
+"""Gopher-rule quality filter and DSIR importance weights, checked
+against independent pure-Python reimplementations (differential
+oracles, same pattern as the funnel/span randomized tests)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import pytest
+
+from bruin_spark.operators.dsir import dsir_weights, hashed_features
+from bruin_spark.operators.text import GOPHER_STOPWORDS, gopher_rules
+
+DOCS = [
+    # passes everything at the relaxed thresholds used below
+    (1, "the cat and the dog have fun with all of that good stuff", "en"),
+    # bullet-dominated: 3 of 4 lines start with a bullet
+    (2, "- alpha beta\n* gamma delta\n• epsilon zeta\nthe end of that with be", "en"),
+    # ellipsis-heavy lines and '...' symbols
+    (3, "well...\nmaybe...\nthe story goes on... and on...\nhave to be with of", "en"),
+    # hash-symbol spam
+    (4, "# # # # # the of and to be that have with", "en"),
+    # numeric words: fails the alphabetic-word fraction
+    (5, "1 2 3 4 5 6 7 8 9 10 11 12 the of", "en"),
+    # no English stop words
+    (6, "der die das und oder aber nicht doch immer wieder", "de"),
+    # empty text: tokenizes to [''], every ratio on the guard denominator
+    (7, "", "en"),
+    # long words: mean word length out of bounds
+    (8, "extraordinarily incomprehensibilities considerations the of", "en"),
+]
+
+
+def _ref_gopher(text, min_words=2, max_words=100_000):
+    toks = re.split(r"\s+", text.strip().lower())
+    lines = text.split("\n")
+    n_words, n_lines = len(toks), len(lines)
+    words_d, lines_d = float(max(n_words, 1)), float(max(n_lines, 1))
+    nonspace = len(re.sub(r"\s+", "", text.strip().lower()))
+    n_hash = text.count("#")
+    n_ellipsis = (len(text) - len(text.replace("...", ""))) / 3
+    n_bullet = sum(1 for line in lines if re.match(r"^[-*•]", line.lstrip(" ")))
+    n_ell_lines = sum(1 for line in lines if re.search(r"\.\.\.$", line.rstrip(" ")))
+    n_alpha = sum(1 for t in toks if re.search(r"[a-z]", t))
+    stop_hits = sum(1 for w in GOPHER_STOPWORDS if w in toks)
+    mean_wl = nonspace / words_d
+    sym = max(n_hash, n_ellipsis) / words_d
+    bullet = n_bullet / lines_d
+    ell = n_ell_lines / lines_d
+    alpha = n_alpha / words_d
+    rules = dict(
+        rule_word_count=min_words <= n_words <= max_words,
+        rule_word_length=3.0 <= mean_wl <= 10.0,
+        rule_symbol_ratio=sym <= 0.1,
+        rule_bullets=bullet <= 0.9,
+        rule_ellipsis=ell <= 0.3,
+        rule_alpha_words=alpha >= 0.8,
+        rule_stopwords=stop_hits >= 2,
+    )
+    return dict(
+        n_words=n_words,
+        mean_word_len=round(mean_wl, 6),
+        symbol_ratio=round(sym, 6),
+        bullet_line_frac=round(bullet, 6),
+        ellipsis_line_frac=round(ell, 6),
+        alpha_word_frac=round(alpha, 6),
+        stop_hits=stop_hits,
+        **rules,
+        gopher_pass=all(rules.values()),
+    )
+
+
+def test_gopher_rules_differential(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text", "lang"])
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_rules(df, min_words=2).collect()
+    }
+    assert set(got) == {d[0] for d in DOCS}
+    for doc_id, text, _ in DOCS:
+        want = _ref_gopher(text)
+        have = {k: v for k, v in got[doc_id].items() if k != "doc_id"}
+        assert have == pytest.approx(want), f"doc {doc_id}"
+
+
+def test_gopher_rule_bits_behave():
+    by_id = {d[0]: _ref_gopher(d[1]) for d in DOCS}
+    assert by_id[1]["gopher_pass"] is True
+    assert by_id[2]["rule_bullets"] is True  # 3/4 = 0.75 <= 0.9
+    assert by_id[3]["rule_ellipsis"] is False
+    assert by_id[3]["rule_symbol_ratio"] is False
+    assert by_id[4]["rule_symbol_ratio"] is False
+    assert by_id[5]["rule_alpha_words"] is False
+    assert by_id[6]["rule_stopwords"] is False
+    assert by_id[7]["rule_word_count"] is False  # [''] -> 1 word < 2
+    assert by_id[8]["rule_word_length"] is False
+
+
+def _bucket(s: str, b: int) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % b
+
+
+def _ref_dsir(docs, b=16):
+    feats = {}
+    for doc_id, text, _lang in docs:
+        toks = re.split(r"\s+", text.strip().lower())
+        fs = list(toks)
+        fs += [f"{a} {c}" for a, c in zip(toks, toks[1:])]
+        feats[doc_id] = [_bucket(f, b) for f in fs]
+    target = {d[0] for d in docs if d[2] == "en"}
+    c_raw = [0] * b
+    c_tgt = [0] * b
+    for doc_id, fs in feats.items():
+        for bk in fs:
+            (c_tgt if doc_id in target else c_raw)[bk] += 1
+    t_raw, t_tgt = sum(c_raw), sum(c_tgt)
+    w = [
+        math.log(((c_tgt[i] + 1) / (t_tgt + b)) / ((c_raw[i] + 1) / (t_raw + b)))
+        for i in range(b)
+    ]
+    out = {}
+    for doc_id, fs in feats.items():
+        out[doc_id] = (len(fs), round(sum(w[bk] for bk in fs), 6))
+    return out
+
+
+def test_dsir_weights_differential(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(DOCS, ["doc_id", "text", "lang"])
+    got = {
+        r["doc_id"]: r
+        for r in dsir_weights(
+            df, target=F.col("lang") == "en", n_buckets=16
+        ).collect()
+    }
+    want = _ref_dsir(DOCS, b=16)
+    assert set(got) == set(want)
+    for doc_id, (n_feats, lw) in want.items():
+        assert got[doc_id]["n_feats"] == n_feats
+        assert got[doc_id]["log_weight"] == pytest.approx(lw, abs=2e-6)
+        assert got[doc_id]["is_target"] == (doc_id != 6)
+
+
+def test_dsir_target_docs_score_higher_on_average(spark):
+    """English docs share vocabulary; the lone German doc must carry a
+    lower importance weight than the English mean."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(DOCS, ["doc_id", "text", "lang"])
+    rows = dsir_weights(df, target=F.col("lang") == "en", n_buckets=64).collect()
+    en = [r["log_weight"] for r in rows if r["is_target"] and r["log_weight"] is not None]
+    de = [r["log_weight"] for r in rows if not r["is_target"]]
+    assert de and sum(en) / len(en) > de[0]
+
+
+def test_dsir_unigram_only_feature_count(spark):
+    df = spark.createDataFrame([(1, "a b c", "en")], ["doc_id", "text", "lang"])
+    uni = hashed_features(df, use_bigrams=False)
+    assert uni.count() == 3
+    both = hashed_features(df, use_bigrams=True)
+    assert both.count() == 5  # 3 unigrams + 2 bigrams

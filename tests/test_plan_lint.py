@@ -62,6 +62,9 @@ BNLJ_OK = {
     "sim_near_dup_exact",
     "sim_topk_bruteforce",
     "text_bm25_topk",
+    # DSIR: the 1-row totals aggregate cross-joins back onto the B-row
+    # bucket table — both sides constant-bounded by construction
+    "text_dsir_weights",
 }
 
 #: SinglePartition stages allowed ONLY here:
@@ -86,6 +89,9 @@ SINGLE_PARTITION_OK = {
     # combinable sums); the K output rows explode from that single row —
     # bounded by construction, same class as the scalar aggregates above
     "rel_funnel_steps",
+    # DSIR totals: the B-row bucket model reduces to ONE (t_raw, t_tgt)
+    # row — same scalar-aggregate class as above
+    "text_dsir_weights",
 }
 
 
