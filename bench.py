@@ -81,6 +81,7 @@ HEADLINE = [
     # weights (one corpus shuffle + broadcast bucket models)
     "text_gopher_rules",
     "text_dsir_weights",
+    "text_line_filters",
 ]
 
 

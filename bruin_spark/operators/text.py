@@ -524,3 +524,58 @@ def gopher_rules(
             & rule_ellipsis & rule_alpha & rule_stop
         ).alias("gopher_pass"),
     )
+
+
+def line_filters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_words: int = 5,
+    max_upper_frac: float = 0.5,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4 / RefinedWeb-style line-level cleaning (Raffel et al. 2020
+    §2.2; Penedo et al. 2023 line-wise corrections), as one map-only
+    projection.
+
+    A line is KEPT when it: has >= ``min_line_words`` whitespace words,
+    ends in terminal punctuation (``. ! ? "``), does not mention
+    ``javascript``, is not mostly-uppercase (> ``max_upper_frac`` of
+    its letters... measured against total length), and is not
+    numeric/counter-only.  Document-level C4 drops: any ``lorem
+    ipsum``, any ``{``, or fewer than ``min_kept_lines`` surviving
+    lines.
+
+    Returns ``(id_col, n_lines, n_kept, kept_frac, has_lorem_ipsum,
+    has_brace, keep_doc, clean_text)`` — ``clean_text`` is the kept
+    lines re-joined with newlines, order preserved.  Every predicate
+    is a JVM higher-order-function over the split lines: no shuffle,
+    no UDF, scan-speed at any corpus size.
+    """
+    lines = F.split(F.col(text_col), "\n")
+
+    def _kept(line: Column) -> Column:
+        words_ok = F.size(F.split(F.trim(line), r"\s+")) >= min_line_words
+        punct_ok = F.rtrim(line).rlike('[.!?"]$')
+        js_ok = ~F.lower(line).contains("javascript")
+        upper_chars = F.length(F.regexp_replace(line, "[^A-Z]", ""))
+        upper_ok = upper_chars <= F.lit(max_upper_frac) * F.length(line)
+        numeric_only = (F.trim(line) != "") & F.trim(line).rlike("^[0-9 .,%:-]+$")
+        return words_ok & punct_ok & js_ok & upper_ok & ~numeric_only
+
+    base = df.select(F.col(id_col), F.col(text_col).alias("_txt"), lines.alias("_lines"))
+    kept = F.filter(F.col("_lines"), _kept)
+    n_lines = F.size(F.col("_lines"))
+    n_kept = F.size(kept)
+    has_lorem = F.lower(F.col("_txt")).contains("lorem ipsum")
+    has_brace = F.col("_txt").contains("{")
+    return base.select(
+        F.col(id_col),
+        n_lines.alias("n_lines"),
+        n_kept.alias("n_kept"),
+        F.round(n_kept / F.greatest(n_lines, F.lit(1)).cast("double"), 6).alias("kept_frac"),
+        has_lorem.alias("has_lorem_ipsum"),
+        has_brace.alias("has_brace"),
+        (~has_lorem & ~has_brace & (n_kept >= min_kept_lines)).alias("keep_doc"),
+        F.array_join(kept, "\n").alias("clean_text"),
+    )

@@ -875,3 +875,42 @@ FROM documents d LEFT JOIN scored s USING (doc_id)
 
 
 QUERIES["text_dsir_weights"] = (text_dsir_weights, _dsir_oracle())
+
+
+# -- C4 / RefinedWeb line filters -----------------------------------------------
+
+
+def text_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.line_filters(_docs(spark, sf_dir), min_line_words=3, min_kept_lines=1)
+
+
+def _line_filters_oracle(min_line_words: int = 3, min_kept_lines: int = 1) -> str:
+    kept = (
+        "list_filter(string_split(text, chr(10)), l -> "
+        f"len(string_split_regex(trim(l), '\\s+')) >= {min_line_words} "
+        "AND regexp_matches(rtrim(l), '[.!?\"]$') "
+        "AND NOT contains(lower(l), 'javascript') "
+        "AND length(regexp_replace(l, '[^A-Z]', '', 'g')) <= 0.5 * length(l) "
+        "AND NOT (trim(l) <> '' AND regexp_matches(trim(l), '^[0-9 .,%:-]+$')))"
+    )
+    return f"""
+WITH m AS (
+  SELECT doc_id, text,
+         len(string_split(text, chr(10))) AS n_lines,
+         {kept} AS kept
+  FROM documents
+)
+SELECT doc_id, n_lines,
+       len(kept) AS n_kept,
+       round(len(kept) / GREATEST(n_lines, 1)::DOUBLE, 6) AS kept_frac,
+       contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+       contains(text, '{{') AS has_brace,
+       (NOT contains(lower(text), 'lorem ipsum')
+         AND NOT contains(text, '{{')
+         AND len(kept) >= {min_kept_lines}) AS keep_doc,
+       COALESCE(array_to_string(kept, chr(10)), '') AS clean_text
+FROM m
+"""
+
+
+QUERIES["text_line_filters"] = (text_line_filters, _line_filters_oracle())

@@ -162,3 +162,77 @@ def test_dsir_unigram_only_feature_count(spark):
     assert uni.count() == 3
     both = hashed_features(df, use_bigrams=True)
     assert both.count() == 5  # 3 unigrams + 2 bigrams
+
+
+# -- C4/RefinedWeb line filters -------------------------------------------------
+
+LINE_DOCS = [
+    (1, 'Good sentence with many words here.\nshort.\nNO PUNCTUATION LINE\n'
+        'Another fine long sentence ends here!\n12 34, 56.\n'
+        'this line mentions javascript code.\nMOSTLY UPPER CASE LINE HERE OK.'),
+    (2, "lorem ipsum dolor sit amet and more words here."),
+    (3, "var x = { a: 1 }; this long line still ends with a period."),
+    (4, ""),
+]
+
+
+def _ref_line_filters(text, min_line_words=3, min_kept_lines=1, max_upper=0.5):
+    lines = text.split("\n")
+
+    def kept(line):
+        words = [w for w in re.split(r"\s+", line.strip())]
+        if len(words) < min_line_words:
+            return False
+        if not re.search(r'[.!?"]$', line.rstrip(" ")):
+            return False
+        if "javascript" in line.lower():
+            return False
+        upper = len(re.sub(r"[^A-Z]", "", line))
+        if upper > max_upper * len(line):
+            return False
+        s = line.strip()
+        if s != "" and re.fullmatch(r"[0-9 .,%:-]+", s):
+            return False
+        return True
+
+    k = [line for line in lines if kept(line)]
+    lorem = "lorem ipsum" in text.lower()
+    brace = "{" in text
+    return dict(
+        n_lines=len(lines),
+        n_kept=len(k),
+        kept_frac=round(len(k) / max(len(lines), 1), 6),
+        has_lorem_ipsum=lorem,
+        has_brace=brace,
+        keep_doc=not lorem and not brace and len(k) >= min_kept_lines,
+        clean_text="\n".join(k),
+    )
+
+
+def test_line_filters_differential(spark):
+    from bruin_spark.operators.text import line_filters
+
+    df = spark.createDataFrame(LINE_DOCS, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in line_filters(df, min_line_words=3, min_kept_lines=1).collect()
+    }
+    for doc_id, text in LINE_DOCS:
+        want = _ref_line_filters(text)
+        have = {k: v for k, v in got[doc_id].items() if k != "doc_id"}
+        assert have == pytest.approx(want), f"doc {doc_id}"
+
+
+def test_line_filters_rule_bits():
+    r1 = _ref_line_filters(LINE_DOCS[0][1])
+    # of the 7 lines, only the two well-formed sentences survive
+    assert r1["n_kept"] == 2
+    assert r1["clean_text"].splitlines() == [
+        "Good sentence with many words here.",
+        "Another fine long sentence ends here!",
+    ]
+    assert r1["keep_doc"] is True
+    assert _ref_line_filters(LINE_DOCS[1][1])["keep_doc"] is False  # lorem ipsum
+    assert _ref_line_filters(LINE_DOCS[2][1])["keep_doc"] is False  # brace
+    r4 = _ref_line_filters(LINE_DOCS[3][1])
+    assert r4["n_kept"] == 0 and r4["keep_doc"] is False and r4["clean_text"] == ""
