@@ -49,6 +49,15 @@ SWEEP_ENTRIES = [
     "dedup_duplicate_spans",
     "dedup_spans_incremental",
     "text_top_ngrams",
+    # r11 additions (documents-only, oracle-paired)
+    "text_bpe_encode",
+    "text_lm_perplexity",
+    "text_tfidf_terms",
+    "text_lang_segments",
+    "dedup_strip_boilerplate",
+    "text_gopher_rules",
+    "text_dsir_weights",
+    "text_line_filters",
 ]
 
 _E = "é"                      # é precomposed (NFC)
