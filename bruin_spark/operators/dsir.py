@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from bruin_spark.checkpointing import materialize
 from bruin_spark.operators.dedup import _md5_60bit_key  # portable md5 hash
 from bruin_spark.operators.text import tokens
 
@@ -44,19 +45,24 @@ def hashed_features(
     text_col: str = "text",
     n_buckets: int = 256,
     use_bigrams: bool = True,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, bucket) rows: one per unigram occurrence, plus one per
-    adjacent-bigram occurrence when ``use_bigrams`` (the paper's
+    """(id, *carry, bucket) rows: one per unigram occurrence, plus one
+    per adjacent-bigram occurrence when ``use_bigrams`` (the paper's
     feature space).  Bigrams hash the space-joined pair so the bucket
-    is a pure function of the two tokens."""
-    base = docs.select(F.col(id_col), tokens(text_col).alias("_t"))
-    uni = base.select(F.col(id_col), F.explode(F.col("_t")).alias("_w")).select(
-        F.col(id_col), _bucket(F.col("_w"), n_buckets).alias("bucket")
+    is a pure function of the two tokens.  ``carry`` columns ride
+    through the explode — cheaper than re-joining per-doc flags onto
+    the exploded (tokens-sized) table afterwards."""
+    extra = [F.col(c) for c in carry]
+    base = docs.select(F.col(id_col), *extra, tokens(text_col).alias("_t"))
+    uni = base.select(F.col(id_col), *extra, F.explode(F.col("_t")).alias("_w")).select(
+        F.col(id_col), *extra, _bucket(F.col("_w"), n_buckets).alias("bucket")
     )
     if not use_bigrams:
         return uni
     pairs = base.filter(F.size("_t") >= 2).select(
         F.col(id_col),
+        *extra,
         F.explode(
             F.expr(
                 "transform(sequence(1, size(_t) - 1),"
@@ -64,7 +70,9 @@ def hashed_features(
             )
         ).alias("_bg"),
     )
-    bi = pairs.select(F.col(id_col), _bucket(F.col("_bg"), n_buckets).alias("bucket"))
+    bi = pairs.select(
+        F.col(id_col), *extra, _bucket(F.col("_bg"), n_buckets).alias("bucket")
+    )
     return uni.unionByName(bi)
 
 
@@ -88,14 +96,20 @@ def dsir_weights(
     flagged = docs.select(
         F.col(id_col), F.col(text_col), target.cast("boolean").alias("is_target")
     )
-    feats = hashed_features(flagged, id_col, text_col, n_buckets, use_bigrams)
-    feats = feats.join(
-        flagged.select(id_col, "is_target"), id_col
-    )  # re-attach the flag post-explode
+    feats = hashed_features(
+        flagged, id_col, text_col, n_buckets, use_bigrams, carry=("is_target",)
+    )
 
-    # (doc, bucket, k): collapse duplicates before the weight join
-    doc_feats = feats.groupBy(id_col, "is_target", "bucket").agg(
-        F.count(F.lit(1)).alias("k")
+    # (doc, bucket, k): collapse duplicates before the weight join.
+    # doc_feats feeds BOTH the bucket models and the scoring join —
+    # pinned so the explode + corpus shuffle runs once, not once per
+    # consumer (lazy: the bucket-model aggregation materializes it
+    # inside its own job, exactly the _keyed_and_groups pattern)
+    doc_feats = materialize(
+        feats.groupBy(id_col, "is_target", "bucket").agg(
+            F.count(F.lit(1)).alias("k")
+        ),
+        eager=False,
     )
     # the paper's split: p̂ fit on the target examples, q̂ on the raw
     # pool being selected from (everything else)
