@@ -5,7 +5,8 @@ JSON line:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is timed end-to-end (plan + execute + count action), twice,
+Each query is timed end-to-end (plan + execute + full-column noop-sink
+materialization - see _force), twice,
 and the FASTER run is recorded: the first execution of a large fused
 expression tree pays a one-time Janino/whole-stage-codegen compile (for
 diff_profile_orders that compile is ~4-5 s while the actual sf0.1 scan
@@ -830,12 +831,10 @@ SKEW_EXPONENT_MAX = 1.1
 def _scale_stress_skewed(spark, registry) -> dict:
     """Time SKEW_ENTRIES on the Zipf-skewed corpus at half-factor and
     factor scale; fit the growth exponent and gate it at
-    SKEW_EXPONENT_MAX.  Same two-point protocol as the uniform stress;
+    SKEW_EXPONENT_MAX.  Same two-point protocol as the uniform stress
+    (interleaved median-of-5 per point — see _interleaved_medians);
     cached per (git state, factor, sf_dir)."""
     import math as _math
-    import time as _time
-
-    from bruin_spark.checkpointing import pinned_scope
 
     cache_path = "/tmp/bruin_scale_stress_skew_cache.json"
     key = _stress_cache_key() + ":skew"
@@ -859,29 +858,14 @@ def _scale_stress_skewed(spark, registry) -> dict:
             continue
         spark.sparkContext.setJobDescription(f"bench-skew:{name}")
 
-        # shuffle partitions stay at the session base: the question is
-        # how the per-core data SLICE behaves as data grows (the 100 TB
-        # per-executor view); scaling partition count with the factor
-        # injects O(tasks) scheduling overhead into sub-second fits
-        def timed(sf_dir: str) -> tuple[float, int]:
-            # untimed warmup: whichever scale runs FIRST otherwise pays
-            # the one-time codegen/JIT compile (plans are identical
-            # across scales), which deflates the fitted exponent
-            spark.catalog.clearCache()
-            with pinned_scope():
-                fn(spark, sf_dir).count()
-            times, rows = [], 0
-            for _ in range(5):
-                spark.catalog.clearCache()
-                t0 = _time.perf_counter()
-                with pinned_scope():
-                    rows = fn(spark, sf_dir).count()
-                    dt = _time.perf_counter() - t0
-                times.append(dt)
-            return sorted(times)[len(times) // 2], rows
-
-        t_half, _ = timed(dirs[half])
-        t_full, n_rows = timed(dirs[full])
+        # shuffle partitions stay at the session base (None): the
+        # question is how the per-core data SLICE behaves as data grows
+        # (the 100 TB per-executor view); scaling partition count with
+        # the factor injects O(tasks) scheduling overhead into
+        # sub-second fits
+        (t_half, _, raw_half), (t_full, n_rows, raw_full) = _interleaved_medians(
+            spark, fn, [(dirs[half], None), (dirs[full], None)]
+        )
         step = full / half
         exponent = _math.log(t_full / max(t_half, 1e-9)) / _math.log(step)
         ok = exponent <= SKEW_EXPONENT_MAX
@@ -895,6 +879,8 @@ def _scale_stress_skewed(spark, registry) -> dict:
             "gate_max": SKEW_EXPONENT_MAX,
             "pass": ok,
             "verdict": "sub-linear-or-linear" if ok else "HOT-KEY-FANOUT",
+            "raw_half_s": raw_half,
+            "raw_scaled_s": raw_full,
         }
         print(
             f"# skew-stress {name}: {t_half:.2f}s @{half}x -> {t_full:.2f}s "
@@ -961,15 +947,84 @@ def _stress_cache_key() -> str:
     return f"{key}:{SCALE_FACTOR}:{SF_DIR}"
 
 
+def _force(df) -> None:
+    """Fully materialize every output column.
+
+    ``count()`` is NOT a benchmark action: Catalyst prunes everything
+    the count does not need — a projection-only operator collapses to
+    a bare parquet row count, and a final left join onto a grouped
+    subquery is ELIMINATED outright (unique join keys preserve row
+    count), so the r11 DSIR entry "ran" in 0.13s while computing
+    nothing.  The noop datasource sink (OSS Spark >= 3.0, built for
+    exactly this) forces full evaluation of every column with no write
+    cost.  Timings before r11 used count() — projection-heavy entries
+    were under-measured then, on BOTH the r01 baseline and later
+    rounds (same harness), so cross-round ratios stayed comparable;
+    from r11 the per-entry numbers are faithful."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _interleaved_medians(spark, fn, points, reps=5):
+    """Median-of-``reps`` timings for several (sf_dir,
+    shuffle_partitions|None) scale points, measured in INTERLEAVED
+    rounds (p1, p2, ..., p1, p2, ...) after one untimed warmup per
+    point.
+
+    Why interleaved: the stress verdicts are RATIOS between points, so
+    the two measurements must see the same machine.  Sequential blocks
+    (all-half then all-full) let a minutes-long degraded phase land
+    entirely on one side — r11: a phase that tripled ONLY the 64x block
+    pushed dedup_spans_incremental's skew exponent from its steady 0.93
+    (fresh-session reproduction, 6 runs/point) to a spurious 1.46 FAIL
+    while the median-of-5 held at 59s.  Medians per point (not min:
+    one lucky fast half-scale run inflates the exponent ~0.3, r8).
+
+    Returns [(median_s, rows, raw_times)] aligned with ``points``.
+    """
+    import time as _time
+
+    from bruin_spark.checkpointing import pinned_scope
+
+    base_parts = spark.conf.get("spark.sql.shuffle.partitions")
+
+    def run(sf_dir, parts, want_rows=False):
+        if parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        try:
+            spark.catalog.clearCache()
+            t0 = _time.perf_counter()
+            with pinned_scope():
+                df = fn(spark, sf_dir)
+                _force(df)
+                dt = _time.perf_counter() - t0
+                # rows via an UNTIMED count (its pruned plan is cheap)
+                r = df.count() if want_rows else 0
+            return dt, r
+        finally:
+            if parts is not None:
+                spark.conf.set("spark.sql.shuffle.partitions", base_parts)
+
+    rows = [0] * len(points)
+    for i, (d, p) in enumerate(points):  # untimed codegen/JIT warmup
+        _, rows[i] = run(d, p, want_rows=True)
+    raws = [[] for _ in points]
+    for _ in range(reps):
+        for i, (d, p) in enumerate(points):
+            dt, _ = run(d, p)
+            raws[i].append(dt)
+    out = []
+    for i in range(len(points)):
+        ts = sorted(raws[i])
+        out.append((ts[len(ts) // 2], rows[i], [round(t, 3) for t in raws[i]]))
+    return out
+
+
 def _scale_stress(spark, registry, timings: dict[str, float]) -> dict:
     """Time SCALE_ENTRIES at half-factor and factor scale and fit the
     growth exponent between the two points (``timings`` only gates which
     entries ran in the main loop).  The result is cached per
     (git state, factor, sf_dir) so repeated bench invocations in one
     round pay the ~2 min probe once and reuse the measurement."""
-    from bruin_spark.checkpointing import pinned_scope
-    import time as _time
-
     cache_path = "/tmp/bruin_scale_stress_cache.json"
     key = _stress_cache_key()
     try:
@@ -1005,41 +1060,14 @@ def _scale_stress(spark, registry, timings: dict[str, float]) -> dict:
         fn = STRESS_VARIANTS.get(name) or registry[name][0]
         spark.sparkContext.setJobDescription(f"bench-scale:{name}")
 
-        def timed(sf_dir: str, factor: int) -> tuple[float, int]:
-            # size shuffle parallelism to the data, as a cluster
-            # operator would (AQE still coalesces downward)
-            spark.conf.set(
-                "spark.sql.shuffle.partitions", str(base_parts * factor)
-            )
-            try:
-                # untimed warmup first: whichever scale runs FIRST
-                # otherwise pays the one-time codegen/JIT compile (plans
-                # are identical across scales, so the later scale gets a
-                # compile-cache hit), which skews the fitted exponent
-                # downward (r8: measured up to -1.4 on sub-2s entries)
-                spark.catalog.clearCache()
-                with pinned_scope():
-                    fn(spark, sf_dir).count()
-                # MEDIAN-of-5: sub-2s measurements carry enough noise to
-                # flap the fitted exponent across the verdict boundary,
-                # and best-of-N is biased — one lucky fast run at the
-                # HALF scale inflates the exponent by ~0.3 (measured).
-                # The median is robust to a single outlier on either
-                # side of the ratio.
-                times, rows = [], 0
-                for _ in range(5):
-                    spark.catalog.clearCache()
-                    t0 = _time.perf_counter()
-                    with pinned_scope():
-                        rows = fn(spark, sf_dir).count()
-                        dt = _time.perf_counter() - t0
-                    times.append(dt)
-                return sorted(times)[len(times) // 2], rows
-            finally:
-                spark.conf.set("spark.sql.shuffle.partitions", str(base_parts))
-
-        t_half, _ = timed(dir_half, half)
-        t_full, n = timed(dir_full, SCALE_FACTOR)
+        # shuffle parallelism sized to the data per point, as a cluster
+        # operator would (AQE still coalesces downward); interleaved
+        # median-of-5 per point — see _interleaved_medians
+        (t_half, _, raw_half), (t_full, n, raw_full) = _interleaved_medians(
+            spark,
+            fn,
+            [(dir_half, base_parts * half), (dir_full, base_parts * SCALE_FACTOR)],
+        )
         step = SCALE_FACTOR / half  # data growth between the two points
         exponent = _math.log(t_full / max(t_half, 1e-9)) / _math.log(step)
         # linear cost -> exponent ~1 (n log n ~1.1); quadratic -> ~2
@@ -1056,18 +1084,32 @@ def _scale_stress(spark, registry, timings: dict[str, float]) -> dict:
             "rows": n,
             "exponent": round(exponent, 2),
             "verdict": verdict,
+            "raw_half_s": raw_half,
+            "raw_scaled_s": raw_full,
         }
         if name in THREE_POINT_ENTRIES and THREE_POINT_FACTOR > SCALE_FACTOR:
+            # the 8x->16x segment is ALSO a ratio: re-measure the 8x
+            # point interleaved with 16x rather than reusing t_full
+            # from a different measurement phase
             dir_hi = _build_scaled_dir(spark, SF_DIR, THREE_POINT_FACTOR)
-            t_hi, _ = timed(dir_hi, THREE_POINT_FACTOR)
+            (t_full, _, _), (t_hi, _, raw_hi) = _interleaved_medians(
+                spark,
+                fn,
+                [
+                    (dir_full, base_parts * SCALE_FACTOR),
+                    (dir_hi, base_parts * THREE_POINT_FACTOR),
+                ],
+            )
             step_hi = THREE_POINT_FACTOR / SCALE_FACTOR
             exp_hi = _math.log(t_hi / max(t_full, 1e-9)) / _math.log(step_hi)
             entries[name].update(
                 {
                     "t_16x_s": round(t_hi, 3),
+                    "t_8x_segment_s": round(t_full, 3),
                     "exponent_8_16": round(exp_hi, 2),
                     "three_point_max": THREE_POINT_MAX,
                     "three_point_pass": exp_hi <= THREE_POINT_MAX,
+                    "raw_16x_s": raw_hi,
                 }
             )
             print(
@@ -1130,7 +1172,7 @@ def main() -> int:
         fn, _oracle = registry[name]
         spark.sparkContext.setJobDescription(f"bench:{name}")
         best, n = float("inf"), 0
-        for _ in range(repeats):
+        for rep in range(repeats):
             spark.catalog.clearCache()  # isolate runs from accumulated state
             t0 = time.perf_counter()
             # release whatever the query pinned (localCheckpoint blocks
@@ -1142,8 +1184,11 @@ def main() -> int:
             # timings were taken without it.
             with pinned_scope():
                 df = fn(spark, SF_DIR)
-                n = df.count()
+                # full-column materialization, not count() — see _force
+                _force(df)
                 dt = time.perf_counter() - t0
+                if rep == 0:
+                    n = df.count()  # untimed, display only
             best = min(best, dt)
         timings[name] = round(best, 3)
         # plan fingerprint: a changed hash across rounds means the PLAN

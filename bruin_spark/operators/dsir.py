@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from bruin_spark.checkpointing import materialize
 from bruin_spark.operators.dedup import _md5_60bit_key  # portable md5 hash
 from bruin_spark.operators.text import tokens
 
@@ -99,22 +100,25 @@ def dsir_weights(
         flagged, id_col, text_col, n_buckets, use_bigrams, carry=("is_target",)
     )
 
-    # (doc, bucket, k): collapse duplicates before the weight join —
-    # the single doc-keyed corpus shuffle, consumed once (the scoring
-    # join below)
-    doc_feats = feats.groupBy(id_col, "is_target", "bucket").agg(
-        F.count(F.lit(1)).alias("k")
+    # (doc, bucket, k): collapse duplicates before the weight join.
+    # doc_feats feeds BOTH the bucket models and the scoring join, so
+    # it is pinned (lazy: the bucket-model broadcast job is the first
+    # consumer and materializes it inside its own job) — otherwise the
+    # tokenize/explode/shuffle subtree runs once per consumer.  A/B
+    # under full-materialization timing: pinned <= recompute even at
+    # toy scale, and at corpus scale the (doc, bucket, k) table is far
+    # narrower than re-reading the text twice.
+    doc_feats = materialize(
+        feats.groupBy(id_col, "is_target", "bucket").agg(
+            F.count(F.lit(1)).alias("k")
+        ),
+        eager=False,
     )
     # the paper's split: p̂ fit on the target examples, q̂ on the raw
-    # pool being selected from (everything else).  Aggregated straight
-    # off the PRE-collapse features: map-side combine reduces every
-    # partition to <= B rows before a tiny B-key exchange, so the
-    # doc-keyed shuffle above is not a shared subtree — re-running the
-    # map-only tokenize/explode for this branch beats checkpointing a
-    # corpus-sized intermediate (measured 2x on the headline entry)
-    buckets = feats.groupBy("bucket").agg(
-        F.sum(F.when(~F.col("is_target"), 1).otherwise(0)).alias("c_raw"),
-        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("c_tgt"),
+    # pool being selected from (everything else)
+    buckets = doc_feats.groupBy("bucket").agg(
+        F.sum(F.when(~F.col("is_target"), F.col("k")).otherwise(F.lit(0))).alias("c_raw"),
+        F.sum(F.when(F.col("is_target"), F.col("k")).otherwise(F.lit(0))).alias("c_tgt"),
     )
     totals = buckets.agg(
         F.sum("c_raw").alias("t_raw"), F.sum("c_tgt").alias("t_tgt")
