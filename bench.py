@@ -819,6 +819,10 @@ SKEW_ENTRIES = [
     # the weight join is broadcast, and the per-doc scoring reducer is
     # keyed by doc_id — the hot buckets never pile onto one reducer
     ("text_dsir_weights", 16, 64),
+    # CCNet perplexity buckets: the skewed lang column concentrates one
+    # language into the hot ntile window partition — the documented
+    # weak spot (per-language partition sort); measured 0.53 @16x->64x
+    ("text_ccnet_buckets", 16, 64),
 ]
 SKEW_VARIANTS = {
     "dedup_minhash_lsh": _minhash_rep_pairs_stress,

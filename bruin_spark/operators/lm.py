@@ -172,3 +172,57 @@ def bigram_lm_scores(
         )
     )
     return out
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    n_buckets: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    alpha: float = 0.5,
+    top_v: int | None = None,
+) -> DataFrame:
+    """CCNet's perplexity bucketing (Wenzek et al. 2020 §4.3): score
+    every document under the corpus bigram LM, then split each
+    language into equal-count perplexity buckets — head (lowest
+    perplexity, most fluent), middle, tail.  Training pipelines keep
+    head+middle or re-weight buckets.
+
+    Returns ``(id_col, lang, perplexity, ppl_bucket, ppl_band)``;
+    documents the LM cannot score (<2 tokens) keep their row with a
+    NULL bucket.  Bucketing is an ``ntile`` window partitioned by
+    language, ordered by (rounded perplexity, id) so the assignment is
+    deterministic and cross-engine stable.  At extreme scale a
+    language partition is one sort — swap in per-language
+    ``percentile_approx`` thresholds when a single language exceeds
+    what a partition sort should carry; the ntile form is the exact
+    reference semantics.
+    """
+    from pyspark.sql import Window
+
+    scored = bigram_lm_scores(
+        docs, text_col=text_col, id_col=id_col, alpha=alpha, top_v=top_v
+    ).select(id_col, "perplexity")
+    flagged = docs.select(F.col(id_col), F.col(lang_col).alias("lang"))
+    joined = flagged.join(scored, id_col, "left")
+    w = Window.partitionBy("lang").orderBy(F.col("perplexity"), F.col(id_col))
+    bucketed = (
+        joined.filter(F.col("perplexity").isNotNull())
+        .withColumn("ppl_bucket", F.ntile(n_buckets).over(w))
+    )
+    band = (
+        F.when(F.col("ppl_bucket") == 1, F.lit("head"))
+        .when(F.col("ppl_bucket") == n_buckets, F.lit("tail"))
+        .otherwise(F.lit("middle"))
+    )
+    return (
+        joined.join(bucketed.select(id_col, "ppl_bucket"), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("lang"),
+            F.col("perplexity"),
+            F.col("ppl_bucket"),
+            F.when(F.col("ppl_bucket").isNotNull(), band).alias("ppl_band"),
+        )
+    )

@@ -577,10 +577,12 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lm_oracle() -> str:
+def _lm_ctes() -> str:
+    """The bigram-LM scoring CTE chain (vocab prune -> model counts ->
+    per-doc scores), shared by the perplexity entry and the CCNet
+    bucket entry."""
     toks = _duck_tokens()
-    return f"""
-WITH base AS (
+    return f"""base AS (
   SELECT doc_id, {toks} AS t FROM documents
 ), rawtoks AS (
   SELECT UNNEST(t) AS w FROM base
@@ -615,7 +617,12 @@ WITH base AS (
   JOIN unigrams u ON doc_pairs.a = u.w
   CROSS JOIN vsize
   GROUP BY 1
-)
+)"""
+
+
+def _lm_oracle() -> str:
+    return f"""
+WITH {_lm_ctes()}
 SELECT d.doc_id,
        COALESCE(s.n_bigrams, 0)::BIGINT AS n_bigrams,
        ROUND(s.avg0, 6) AS avg_logprob,
@@ -625,6 +632,41 @@ FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
 
 
 QUERIES["text_lm_perplexity"] = (text_lm_perplexity, _lm_oracle())
+
+
+# -- CCNet perplexity buckets ---------------------------------------------------
+
+
+def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bruin_spark.operators.lm import perplexity_buckets
+
+    return perplexity_buckets(
+        _docs(spark, sf_dir), n_buckets=3, alpha=_LM_ALPHA, top_v=_LM_TOP_V
+    )
+
+
+def _ccnet_oracle() -> str:
+    return f"""
+WITH {_lm_ctes()},
+ranked AS (
+  SELECT d.doc_id, d.lang, ROUND(exp(-s.avg0), 6) AS perplexity
+  FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+),
+buckets AS (
+  SELECT doc_id,
+         NTILE(3) OVER (PARTITION BY lang ORDER BY perplexity, doc_id)::INT AS ppl_bucket
+  FROM ranked WHERE perplexity IS NOT NULL
+)
+SELECT r.doc_id, r.lang, r.perplexity, b.ppl_bucket,
+       CASE WHEN b.ppl_bucket IS NULL THEN NULL
+            WHEN b.ppl_bucket = 1 THEN 'head'
+            WHEN b.ppl_bucket = 3 THEN 'tail'
+            ELSE 'middle' END AS ppl_band
+FROM ranked r LEFT JOIN buckets b USING (doc_id)
+"""
+
+
+QUERIES["text_ccnet_buckets"] = (text_ccnet_buckets, _ccnet_oracle())
 
 # -- corpus top n-grams ------------------------------------------------------------
 

@@ -236,3 +236,40 @@ def test_line_filters_rule_bits():
     assert _ref_line_filters(LINE_DOCS[2][1])["keep_doc"] is False  # brace
     r4 = _ref_line_filters(LINE_DOCS[3][1])
     assert r4["n_kept"] == 0 and r4["keep_doc"] is False and r4["clean_text"] == ""
+
+
+# -- CCNet perplexity buckets ----------------------------------------------------
+
+
+def test_ccnet_buckets_balanced_and_ordered(spark):
+    from bruin_spark.operators.lm import perplexity_buckets
+
+    rows = []
+    for lang, n in (("en", 9), ("de", 6)):
+        for i in range(n):
+            # vary fluency: repeat a common phrase i times then add noise
+            body = " ".join(["the cat sat on the mat"] * (i + 1))
+            noise = " ".join(f"zz{lang}{i}x{j}" for j in range(n - i))
+            rows.append((len(rows), f"{body} {noise}", lang))
+    rows.append((len(rows), "one", "en"))  # <2 tokens: NULL bucket
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = perplexity_buckets(df, n_buckets=3, top_v=8).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    # the unscorable doc keeps its row with NULL bucket/band
+    nulls = [r for r in out if r["ppl_bucket"] is None]
+    assert len(nulls) == 1 and nulls[0]["ppl_band"] is None
+    # each language splits into (near-)equal buckets over scored docs
+    for lang, n_scored in (("en", 9), ("de", 6)):
+        scored = [r for r in by_lang[lang] if r["ppl_bucket"] is not None]
+        assert len(scored) == n_scored
+        sizes = {}
+        for r in scored:
+            sizes[r["ppl_bucket"]] = sizes.get(r["ppl_bucket"], 0) + 1
+        assert set(sizes) == {1, 2, 3}
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+        # head has strictly lower max perplexity than tail's min
+        head = [r["perplexity"] for r in scored if r["ppl_band"] == "head"]
+        tail = [r["perplexity"] for r in scored if r["ppl_band"] == "tail"]
+        assert max(head) <= min(tail)

@@ -52,6 +52,7 @@ SWEEP_ENTRIES = [
     # r11 additions (documents-only, oracle-paired)
     "text_bpe_encode",
     "text_lm_perplexity",
+    "text_ccnet_buckets",
     "text_tfidf_terms",
     "text_lang_segments",
     "dedup_strip_boilerplate",
