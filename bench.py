@@ -83,6 +83,7 @@ HEADLINE = [
     "text_gopher_rules",
     "text_dsir_weights",
     "text_line_filters",
+    "text_ccnet_buckets",
 ]
 
 
@@ -821,7 +822,8 @@ SKEW_ENTRIES = [
     ("text_dsir_weights", 16, 64),
     # CCNet perplexity buckets: the skewed lang column concentrates one
     # language into the hot ntile window partition — the documented
-    # weak spot (per-language partition sort); measured 0.53 @16x->64x
+    # weak spot (per-language partition sort); 0.45 on the clean
+    # final-HEAD run (bench_details.json is authoritative)
     ("text_ccnet_buckets", 16, 64),
 ]
 SKEW_VARIANTS = {

@@ -103,7 +103,9 @@ def _safe_read(docs_root: Path, rel: str) -> str | None:
     except ValueError:
         return None
     try:
-        return p.read_text()
+        # errors='replace': a stray non-UTF-8 doc must degrade to
+        # mojibake in ONE tool answer, not kill the server loop
+        return p.read_text(errors="replace")
     except OSError:
         return None
 

@@ -205,7 +205,11 @@ def perplexity_buckets(
         docs, text_col=text_col, id_col=id_col, alpha=alpha, top_v=top_v
     ).select(id_col, "perplexity")
     flagged = docs.select(F.col(id_col), F.col(lang_col).alias("lang"))
-    joined = flagged.join(scored, id_col, "left")
+    # pinned: both the ntile branch and the outer left join consume
+    # this LM-scoring subtree — unpinned, the corpus-scale scoring
+    # join would execute once per consumer (same pattern as
+    # dsir_weights' doc_feats)
+    joined = materialize(flagged.join(scored, id_col, "left"), eager=False)
     w = Window.partitionBy("lang").orderBy(F.col("perplexity"), F.col(id_col))
     bucketed = (
         joined.filter(F.col("perplexity").isNotNull())

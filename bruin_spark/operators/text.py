@@ -460,7 +460,11 @@ def gopher_rules(
     route non-Latin corpora through language_id first).
     """
     toks = tokens(text_col)
-    lines = F.split(F.col(text_col), "\n")
+    # split on \r?\n: web corpora are CRLF-ridden, and Java-regex `$`
+    # matches BEFORE a trailing \r (line-terminator semantics) while
+    # RE2/DuckDB `$` does not — splitting the \r away and anchoring
+    # line rules with \z keeps both engines on one semantics
+    lines = F.split(F.col(text_col), "\r?\n")
     raw = F.col(text_col)
     base = df.select(
         F.col(id_col),
@@ -482,7 +486,7 @@ def gopher_rules(
         F.filter(F.col("_lines"), lambda line: F.ltrim(line).rlike("^[-*•]"))
     )
     n_ellipsis_lines = F.size(
-        F.filter(F.col("_lines"), lambda line: F.rtrim(line).rlike("\\.\\.\\.$"))
+        F.filter(F.col("_lines"), lambda line: F.rtrim(line).rlike("\\.\\.\\.\\z"))
     )
     n_alpha_words = F.size(F.filter(F.col("_toks"), lambda t: t.rlike("[a-z]")))
     stop_hits = None
@@ -552,15 +556,16 @@ def line_filters(
     is a JVM higher-order-function over the split lines: no shuffle,
     no UDF, scan-speed at any corpus size.
     """
-    lines = F.split(F.col(text_col), "\n")
+    # \r?\n split + \z anchors: see gopher_rules (CRLF divergence)
+    lines = F.split(F.col(text_col), "\r?\n")
 
     def _kept(line: Column) -> Column:
         words_ok = F.size(F.split(F.trim(line), r"\s+")) >= min_line_words
-        punct_ok = F.rtrim(line).rlike('[.!?"]$')
+        punct_ok = F.rtrim(line).rlike('[.!?"]\\z')
         js_ok = ~F.lower(line).contains("javascript")
         upper_chars = F.length(F.regexp_replace(line, "[^A-Z]", ""))
         upper_ok = upper_chars <= F.lit(max_upper_frac) * F.length(line)
-        numeric_only = (F.trim(line) != "") & F.trim(line).rlike("^[0-9 .,%:-]+$")
+        numeric_only = (F.trim(line) != "") & F.trim(line).rlike("^[0-9 .,%:-]+\\z")
         return words_ok & punct_ok & js_ok & upper_ok & ~numeric_only
 
     base = df.select(F.col(id_col), F.col(text_col).alias("_txt"), lines.alias("_lines"))

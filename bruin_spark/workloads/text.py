@@ -823,7 +823,7 @@ def _gopher_oracle() -> str:
 WITH base AS (
   SELECT doc_id, text,
          {toks} AS toks,
-         string_split(text, chr(10)) AS lines
+         string_split_regex(text, '\r?\n') AS lines
   FROM documents
 ), m AS (
   SELECT doc_id,
@@ -834,7 +834,7 @@ WITH base AS (
          length(text) - length(replace(text, '#', '')) AS n_hash,
          (length(text) - length(replace(text, '...', ''))) / 3 AS n_ellipsis,
          len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*•]'))) AS n_bullet,
-         len(list_filter(lines, l -> regexp_matches(rtrim(l), '\\.\\.\\.$'))) AS n_ell_lines,
+         len(list_filter(lines, l -> regexp_matches(rtrim(l), '\\.\\.\\.\\z'))) AS n_ell_lines,
          len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS n_alpha,
          {stop} AS stop_hits
   FROM base
@@ -928,17 +928,17 @@ def text_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _line_filters_oracle(min_line_words: int = 3, min_kept_lines: int = 1) -> str:
     kept = (
-        "list_filter(string_split(text, chr(10)), l -> "
+        "list_filter(string_split_regex(text, '\\r?\\n'), l -> "
         f"len(string_split_regex(trim(l), '\\s+')) >= {min_line_words} "
-        "AND regexp_matches(rtrim(l), '[.!?\"]$') "
+        "AND regexp_matches(rtrim(l), '[.!?\"]\\z') "
         "AND NOT contains(lower(l), 'javascript') "
         "AND length(regexp_replace(l, '[^A-Z]', '', 'g')) <= 0.5 * length(l) "
-        "AND NOT (trim(l) <> '' AND regexp_matches(trim(l), '^[0-9 .,%:-]+$')))"
+        "AND NOT (trim(l) <> '' AND regexp_matches(trim(l), '^[0-9 .,%:-]+\\z')))"
     )
     return f"""
 WITH m AS (
   SELECT doc_id, text,
-         len(string_split(text, chr(10))) AS n_lines,
+         len(string_split_regex(text, '\r?\n')) AS n_lines,
          {kept} AS kept
   FROM documents
 )

@@ -30,19 +30,21 @@ DOCS = [
     (7, "", "en"),
     # long words: mean word length out of bounds
     (8, "extraordinarily incomprehensibilities considerations the of", "en"),
+    # CRLF line endings: ellipsis-line rule must see past the \r
+    (9, "the story ends...\r\nwith more of that...\r\nhave to be done", "en"),
 ]
 
 
 def _ref_gopher(text, min_words=2, max_words=100_000):
     toks = re.split(r"\s+", text.strip().lower())
-    lines = text.split("\n")
+    lines = re.split(r"\r?\n", text)
     n_words, n_lines = len(toks), len(lines)
     words_d, lines_d = float(max(n_words, 1)), float(max(n_lines, 1))
     nonspace = len(re.sub(r"\s+", "", text.strip().lower()))
     n_hash = text.count("#")
     n_ellipsis = (len(text) - len(text.replace("...", ""))) / 3
     n_bullet = sum(1 for line in lines if re.match(r"^[-*•]", line.lstrip(" ")))
-    n_ell_lines = sum(1 for line in lines if re.search(r"\.\.\.$", line.rstrip(" ")))
+    n_ell_lines = sum(1 for line in lines if re.search(r"\.\.\.\Z", line.rstrip(" ")))
     n_alpha = sum(1 for t in toks if re.search(r"[a-z]", t))
     stop_hits = sum(1 for w in GOPHER_STOPWORDS if w in toks)
     mean_wl = nonspace / words_d
@@ -173,17 +175,20 @@ LINE_DOCS = [
     (2, "lorem ipsum dolor sit amet and more words here."),
     (3, "var x = { a: 1 }; this long line still ends with a period."),
     (4, ""),
+    # CRLF endings: Java-regex $ matches BEFORE the trailing \r — the
+    # repro that forced the \r?\n split + \z anchors (r11c review)
+    (5, "One good line ends here.\r\nanother fine long sentence too!\r\n12 34, 56.\r\nshouty...\r\n"),
 ]
 
 
 def _ref_line_filters(text, min_line_words=3, min_kept_lines=1, max_upper=0.5):
-    lines = text.split("\n")
+    lines = re.split(r"\r?\n", text)
 
     def kept(line):
         words = [w for w in re.split(r"\s+", line.strip())]
         if len(words) < min_line_words:
             return False
-        if not re.search(r'[.!?"]$', line.rstrip(" ")):
+        if not re.search(r'[.!?"]\Z', line.rstrip(" ")):
             return False
         if "javascript" in line.lower():
             return False

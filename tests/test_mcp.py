@@ -187,3 +187,20 @@ def test_cli_registers_mcp():
     with pytest.raises(SystemExit) as exc:
         main(["mcp", "--help"])
     assert exc.value.code == 0
+
+
+def test_non_utf8_doc_degrades_instead_of_crashing(tmp_path):
+    (tmp_path / "overview.md").write_text("# ok")
+    (tmp_path / "latin.md").write_bytes("caf\xe9 cr\xe8me".encode("latin-1"))
+    body = get_doc_content(tmp_path, "latin")
+    assert "caf" in body  # served with replacement chars, not an exception
+    out = io.StringIO()
+    req = json.dumps(
+        _req(
+            "tools/call",
+            1,
+            {"name": "bruin_get_doc_content", "arguments": {"filename": "latin"}},
+        )
+    )
+    rc = run_mcp_server(io.StringIO(req + "\n"), out, docs_root=tmp_path)
+    assert rc == 0 and json.loads(out.getvalue())["id"] == 1

@@ -40,7 +40,8 @@ def _doc(rng: random.Random) -> str:
         words = [rng.choice(_WORDS) for _ in range(n_words)]
         sep = rng.choice([" ", "  ", " \t "])
         lines.append(sep.join(words) + rng.choice(["", " ", "."]))
-    return "\n".join(lines)
+    # mix LF and CRLF endings (the r11c Java-$ divergence regression)
+    return rng.choice(["\n", "\r\n"]).join(lines)
 
 
 @pytest.fixture(scope="module")
