@@ -822,8 +822,8 @@ SKEW_ENTRIES = [
     ("text_dsir_weights", 16, 64),
     # CCNet perplexity buckets: the skewed lang column concentrates one
     # language into the hot ntile window partition — the documented
-    # weak spot (per-language partition sort); 0.45 on the clean
-    # final-HEAD run (bench_details.json is authoritative)
+    # weak spot (per-language partition sort); bench_details.json is
+    # authoritative (0.59 on the final-HEAD clean run)
     ("text_ccnet_buckets", 16, 64),
 ]
 SKEW_VARIANTS = {
@@ -1098,7 +1098,9 @@ def _scale_stress(spark, registry, timings: dict[str, float]) -> dict:
             # point interleaved with 16x rather than reusing t_full
             # from a different measurement phase
             dir_hi = _build_scaled_dir(spark, SF_DIR, THREE_POINT_FACTOR)
-            (t_full, _, _), (t_hi, _, raw_hi) = _interleaved_medians(
+            # distinct name: reassigning t_full here would leak the
+            # re-measured 8x point into the half->full summary print
+            (t_full_seg, _, _), (t_hi, _, raw_hi) = _interleaved_medians(
                 spark,
                 fn,
                 [
@@ -1107,11 +1109,11 @@ def _scale_stress(spark, registry, timings: dict[str, float]) -> dict:
                 ],
             )
             step_hi = THREE_POINT_FACTOR / SCALE_FACTOR
-            exp_hi = _math.log(t_hi / max(t_full, 1e-9)) / _math.log(step_hi)
+            exp_hi = _math.log(t_hi / max(t_full_seg, 1e-9)) / _math.log(step_hi)
             entries[name].update(
                 {
                     "t_16x_s": round(t_hi, 3),
-                    "t_8x_segment_s": round(t_full, 3),
+                    "t_8x_segment_s": round(t_full_seg, 3),
                     "exponent_8_16": round(exp_hi, 2),
                     "three_point_max": THREE_POINT_MAX,
                     "three_point_pass": exp_hi <= THREE_POINT_MAX,
@@ -1119,7 +1121,7 @@ def _scale_stress(spark, registry, timings: dict[str, float]) -> dict:
                 }
             )
             print(
-                f"# scale-stress {name} third point: {t_full:.2f}s @{SCALE_FACTOR}x"
+                f"# scale-stress {name} third point: {t_full_seg:.2f}s @{SCALE_FACTOR}x"
                 f" -> {t_hi:.2f}s @{THREE_POINT_FACTOR}x (segment exponent"
                 f" {exp_hi:.2f}, gate {THREE_POINT_MAX}):"
                 f" {'pass' if exp_hi <= THREE_POINT_MAX else 'FAIL'}",
