@@ -823,7 +823,7 @@ SKEW_ENTRIES = [
     # CCNet perplexity buckets: the skewed lang column concentrates one
     # language into the hot ntile window partition — the documented
     # weak spot (per-language partition sort); bench_details.json is
-    # authoritative (0.59 on the final-HEAD clean run)
+    # authoritative for the measured exponent
     ("text_ccnet_buckets", 16, 64),
 ]
 SKEW_VARIANTS = {

@@ -97,8 +97,14 @@ def _safe_read(docs_root: Path, rel: str) -> str | None:
     The reference reads through an embedded ``fs.FS``, whose path rules
     reject ``..`` and absolute paths outright — an on-disk tree needs
     the explicit containment check."""
-    p = (docs_root / rel).resolve()
+    # A NUL byte in a JSON string is valid JSON but poison for the
+    # filesystem layer: Path.resolve() raises ValueError on Linux.
+    # Treat it as not-found rather than letting one malformed request
+    # kill the server loop (the reference's fs.FS returns an error).
+    if "\x00" in rel:
+        return None
     try:
+        p = (docs_root / rel).resolve()
         p.relative_to(docs_root.resolve())
     except ValueError:
         return None

@@ -926,13 +926,18 @@ def text_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.line_filters(_docs(spark, sf_dir), min_line_words=3, min_kept_lines=1)
 
 
-def _line_filters_oracle(min_line_words: int = 3, min_kept_lines: int = 1) -> str:
+def _line_filters_oracle(
+    min_line_words: int = 3,
+    min_kept_lines: int = 1,
+    max_upper_frac: float = 0.5,
+) -> str:
     kept = (
         "list_filter(string_split_regex(text, '\\r?\\n'), l -> "
         f"len(string_split_regex(trim(l), '\\s+')) >= {min_line_words} "
         "AND regexp_matches(rtrim(l), '[.!?\"]\\z') "
         "AND NOT contains(lower(l), 'javascript') "
-        "AND length(regexp_replace(l, '[^A-Z]', '', 'g')) <= 0.5 * length(l) "
+        "AND length(regexp_replace(l, '[^A-Z]', '', 'g')) <= "
+        f"{max_upper_frac} * length(l) "
         "AND NOT (trim(l) <> '' AND regexp_matches(trim(l), '^[0-9 .,%:-]+\\z')))"
     )
     return f"""

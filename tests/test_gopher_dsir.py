@@ -32,15 +32,21 @@ DOCS = [
     (8, "extraordinarily incomprehensibilities considerations the of", "en"),
     # CRLF line endings: ellipsis-line rule must see past the \r
     (9, "the story ends...\r\nwith more of that...\r\nhave to be done", "en"),
+    # leading newline + tab: space-only trim (F.trim/DuckDB trim) keeps
+    # a leading empty token — pins the .strip(' ') reference semantics
+    (10, "\n\tthe cat and the dog have fun with all of that", "en"),
 ]
 
 
 def _ref_gopher(text, min_words=2, max_words=100_000):
-    toks = re.split(r"\s+", text.strip().lower())
+    # .strip(' '): the Spark operator (F.trim) and the DuckDB oracle
+    # (trim) trim SPACES only — text starting with '\n'/'\t' keeps a
+    # leading empty token in both engines, and this reference must too
+    toks = re.split(r"\s+", text.strip(" ").lower())
     lines = re.split(r"\r?\n", text)
     n_words, n_lines = len(toks), len(lines)
     words_d, lines_d = float(max(n_words, 1)), float(max(n_lines, 1))
-    nonspace = len(re.sub(r"\s+", "", text.strip().lower()))
+    nonspace = len(re.sub(r"\s+", "", text.strip(" ").lower()))
     n_hash = text.count("#")
     n_ellipsis = (len(text) - len(text.replace("...", ""))) / 3
     n_bullet = sum(1 for line in lines if re.match(r"^[-*•]", line.lstrip(" ")))
@@ -107,7 +113,7 @@ def _bucket(s: str, b: int) -> int:
 def _ref_dsir(docs, b=16):
     feats = {}
     for doc_id, text, _lang in docs:
-        toks = re.split(r"\s+", text.strip().lower())
+        toks = re.split(r"\s+", text.strip(" ").lower())  # space-only trim, like the engines
         fs = list(toks)
         fs += [f"{a} {c}" for a, c in zip(toks, toks[1:])]
         feats[doc_id] = [_bucket(f, b) for f in fs]
@@ -185,7 +191,7 @@ def _ref_line_filters(text, min_line_words=3, min_kept_lines=1, max_upper=0.5):
     lines = re.split(r"\r?\n", text)
 
     def kept(line):
-        words = [w for w in re.split(r"\s+", line.strip())]
+        words = [w for w in re.split(r"\s+", line.strip(" "))]
         if len(words) < min_line_words:
             return False
         if not re.search(r'[.!?"]\Z', line.rstrip(" ")):
@@ -195,7 +201,7 @@ def _ref_line_filters(text, min_line_words=3, min_kept_lines=1, max_upper=0.5):
         upper = len(re.sub(r"[^A-Z]", "", line))
         if upper > max_upper * len(line):
             return False
-        s = line.strip()
+        s = line.strip(" ")
         if s != "" and re.fullmatch(r"[0-9 .,%:-]+", s):
             return False
         return True
