@@ -84,6 +84,8 @@ HEADLINE = [
     "text_dsir_weights",
     "text_line_filters",
     "text_ccnet_buckets",
+    # r12: the window-free percentile-threshold bucketing (100 TB path)
+    "text_ccnet_buckets_approx",
 ]
 
 
@@ -825,6 +827,10 @@ SKEW_ENTRIES = [
     # weak spot (per-language partition sort); bench_details.json is
     # authoritative for the measured exponent
     ("text_ccnet_buckets", 16, 64),
+    # approx mode removes the per-language window sort entirely —
+    # thresholds are one GK-sketch row per language; the plan is
+    # window-free (asserted in tests/test_gopher_dsir.py)
+    ("text_ccnet_buckets_approx", 16, 64),
 ]
 SKEW_VARIANTS = {
     "dedup_minhash_lsh": _minhash_rep_pairs_stress,

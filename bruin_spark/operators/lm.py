@@ -182,6 +182,8 @@ def perplexity_buckets(
     lang_col: str = "lang",
     alpha: float = 0.5,
     top_v: int | None = None,
+    approx: bool = False,
+    approx_accuracy: int = 10_000,
 ) -> DataFrame:
     """CCNet's perplexity bucketing (Wenzek et al. 2020 §4.3): score
     every document under the corpus bigram LM, then split each
@@ -191,13 +193,25 @@ def perplexity_buckets(
 
     Returns ``(id_col, lang, perplexity, ppl_bucket, ppl_band)``;
     documents the LM cannot score (<2 tokens) keep their row with a
-    NULL bucket.  Bucketing is an ``ntile`` window partitioned by
-    language, ordered by (rounded perplexity, id) so the assignment is
-    deterministic and cross-engine stable.  At extreme scale a
-    language partition is one sort — swap in per-language
-    ``percentile_approx`` thresholds when a single language exceeds
-    what a partition sort should carry; the ntile form is the exact
-    reference semantics.
+    NULL bucket.
+
+    Two bucketing modes:
+
+    - ``approx=False`` (exact, CCNet-faithful): ``ntile`` window
+      partitioned by language, ordered by (rounded perplexity, id) —
+      deterministic, exactly-equal bucket counts, cross-engine stable.
+      The window sort funnels each language through ONE task, so this
+      mode is for corpora where the hottest language fits a partition
+      sort.
+    - ``approx=True`` (the 100 TB path): per-language bucket
+      thresholds via ``percentile_approx`` — a map-side-combinable
+      GK-sketch aggregation producing ONE row per language — broadcast
+      back, with buckets assigned in a map-only projection.  NO window
+      anywhere in the plan (plan-asserted in tests); the per-language
+      reducer merges constant-size sketches instead of sorting the
+      language's documents.  Boundary documents (exact threshold ties
+      / sketch rank error ≤ n/accuracy) may land one bucket off the
+      ntile assignment; everything away from boundaries agrees.
     """
     from pyspark.sql import Window
 
@@ -205,28 +219,70 @@ def perplexity_buckets(
         docs, text_col=text_col, id_col=id_col, alpha=alpha, top_v=top_v
     ).select(id_col, "perplexity")
     flagged = docs.select(F.col(id_col), F.col(lang_col).alias("lang"))
-    # pinned: both the ntile branch and the outer left join consume
+    # pinned: both the bucketing branch and the outer left join consume
     # this LM-scoring subtree — unpinned, the corpus-scale scoring
     # join would execute once per consumer (same pattern as
     # dsir_weights' doc_feats)
     joined = materialize(flagged.join(scored, id_col, "left"), eager=False)
-    w = Window.partitionBy("lang").orderBy(F.col("perplexity"), F.col(id_col))
-    bucketed = (
-        joined.filter(F.col("perplexity").isNotNull())
-        .withColumn("ppl_bucket", F.ntile(n_buckets).over(w))
-    )
+
+    if approx:
+        # thresholds at i/n quantiles, one sketch row per language;
+        # the groupBy(lang) reducer merges bounded GK summaries —
+        # never the language's rows — so the hot language costs the
+        # same as a cold one
+        pcts = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
+        thresholds = (
+            joined.filter(F.col("perplexity").isNotNull())
+            .groupBy("lang")
+            .agg(
+                F.percentile_approx(
+                    "perplexity", pcts, F.lit(approx_accuracy)
+                ).alias("_thr")
+            )
+        )
+        # bucket = 1 + |{thresholds strictly below this doc}|: map-only
+        # JVM fold over the (n_buckets - 1)-element broadcast array
+        bucket = F.when(
+            F.col("perplexity").isNotNull(),
+            F.aggregate(
+                F.col("_thr"),
+                F.lit(1),
+                lambda acc, t: acc
+                + F.when(F.col("perplexity") > t, 1).otherwise(0),
+            ),
+        )
+        labeled = joined.join(F.broadcast(thresholds), "lang", "left").select(
+            F.col(id_col),
+            F.col("lang"),
+            F.col("perplexity"),
+            bucket.alias("ppl_bucket"),
+        )
+    else:
+        w = Window.partitionBy("lang").orderBy(
+            F.col("perplexity"), F.col(id_col)
+        )
+        bucketed = (
+            joined.filter(F.col("perplexity").isNotNull())
+            .withColumn("ppl_bucket", F.ntile(n_buckets).over(w))
+        )
+        labeled = joined.join(
+            bucketed.select(id_col, "ppl_bucket"), id_col, "left"
+        ).select(
+            F.col(id_col),
+            F.col("lang"),
+            F.col("perplexity"),
+            F.col("ppl_bucket"),
+        )
+
     band = (
         F.when(F.col("ppl_bucket") == 1, F.lit("head"))
         .when(F.col("ppl_bucket") == n_buckets, F.lit("tail"))
         .otherwise(F.lit("middle"))
     )
-    return (
-        joined.join(bucketed.select(id_col, "ppl_bucket"), id_col, "left")
-        .select(
-            F.col(id_col),
-            F.col("lang"),
-            F.col("perplexity"),
-            F.col("ppl_bucket"),
-            F.when(F.col("ppl_bucket").isNotNull(), band).alias("ppl_band"),
-        )
+    return labeled.select(
+        F.col(id_col),
+        F.col("lang"),
+        F.col("perplexity"),
+        F.col("ppl_bucket"),
+        F.when(F.col("ppl_bucket").isNotNull(), band).alias("ppl_band"),
     )

@@ -668,6 +668,54 @@ FROM ranked r LEFT JOIN buckets b USING (doc_id)
 
 QUERIES["text_ccnet_buckets"] = (text_ccnet_buckets, _ccnet_oracle())
 
+
+def text_ccnet_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB bucketing path: per-language percentile_approx
+    thresholds (one GK-sketch row per language, broadcast back) +
+    map-only bucket assignment — NO window sort anywhere in the plan
+    (tests/test_lm.py asserts it).  Oracle-able because Spark's
+    percentile_approx at accuracy >> n returns exactly DuckDB's
+    quantile_disc element for each requested fraction."""
+    from bruin_spark.operators.lm import perplexity_buckets
+
+    return perplexity_buckets(
+        _docs(spark, sf_dir),
+        n_buckets=3,
+        alpha=_LM_ALPHA,
+        top_v=_LM_TOP_V,
+        approx=True,
+    )
+
+
+def _ccnet_approx_oracle() -> str:
+    return f"""
+WITH {_lm_ctes()},
+ranked AS (
+  SELECT d.doc_id, d.lang, ROUND(exp(-s.avg0), 6) AS perplexity
+  FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+),
+thresholds AS (
+  SELECT lang, quantile_disc(perplexity, [1.0/3, 2.0/3]) AS thr
+  FROM ranked WHERE perplexity IS NOT NULL GROUP BY lang
+)
+SELECT r.doc_id, r.lang, r.perplexity,
+       CASE WHEN r.perplexity IS NULL THEN NULL
+            ELSE (1 + CASE WHEN r.perplexity > thr[1] THEN 1 ELSE 0 END
+                    + CASE WHEN r.perplexity > thr[2] THEN 1 ELSE 0 END)::INT
+       END AS ppl_bucket,
+       CASE WHEN r.perplexity IS NULL THEN NULL
+            WHEN r.perplexity <= thr[1] THEN 'head'
+            WHEN r.perplexity > thr[2] THEN 'tail'
+            ELSE 'middle' END AS ppl_band
+FROM ranked r LEFT JOIN thresholds t USING (lang)
+"""
+
+
+QUERIES["text_ccnet_buckets_approx"] = (
+    text_ccnet_buckets_approx,
+    _ccnet_approx_oracle(),
+)
+
 # -- corpus top n-grams ------------------------------------------------------------
 
 TOPNGRAM_N = 3

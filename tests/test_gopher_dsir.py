@@ -284,3 +284,43 @@ def test_ccnet_buckets_balanced_and_ordered(spark):
         head = [r["perplexity"] for r in scored if r["ppl_band"] == "head"]
         tail = [r["perplexity"] for r in scored if r["ppl_band"] == "tail"]
         assert max(head) <= min(tail)
+
+
+def test_ccnet_buckets_approx_window_free_and_agrees(spark):
+    """The 100 TB path: percentile_approx thresholds + map-only bucket
+    assign.  Asserts (1) NO Window operator anywhere in the executed
+    plan — the exact mode's per-language ntile sort is the scale-killer
+    this mode removes — and (2) bucket agreement with the exact ntile
+    assignment away from threshold boundaries (>= 99% on a spread-out
+    corpus; boundary docs may legally land one bucket off)."""
+    import random
+
+    from bruin_spark.operators.lm import perplexity_buckets
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for lang, n in (("en", 120), ("de", 60), ("fr", 30)):
+        for _ in range(n):
+            k = rng.randint(5, 40)
+            rows.append(
+                (len(rows), " ".join(rng.choice(vocab) for _ in range(k)), lang)
+            )
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    ap = perplexity_buckets(df, n_buckets=3, top_v=16, approx=True)
+    plan = ap._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    got = {r["doc_id"]: (r["ppl_bucket"], r["ppl_band"]) for r in ap.collect()}
+    exact = {
+        r["doc_id"]: (r["ppl_bucket"], r["ppl_band"])
+        for r in perplexity_buckets(
+            df, n_buckets=3, top_v=16, approx=False
+        ).collect()
+    }
+    assert set(got) == set(exact)
+    agree = sum(1 for k in got if got[k] == exact[k])
+    assert agree / len(got) >= 0.99
+    # disagreements, if any, are off by exactly one bucket
+    for k in got:
+        if got[k] != exact[k] and got[k][0] is not None:
+            assert abs(got[k][0] - exact[k][0]) == 1

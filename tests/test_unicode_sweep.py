@@ -59,6 +59,7 @@ SWEEP_ENTRIES = [
     "text_gopher_rules",
     "text_dsir_weights",
     "text_line_filters",
+    "text_ccnet_buckets_approx",
 ]
 
 _E = "é"                      # é precomposed (NFC)
