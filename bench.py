@@ -86,6 +86,8 @@ HEADLINE = [
     "text_ccnet_buckets",
     # r12: the window-free percentile-threshold bucketing (100 TB path)
     "text_ccnet_buckets_approx",
+    # r12: image near-dup candidate pairs (pHash + Hamming banding)
+    "mm_phash_pairs",
 ]
 
 
@@ -737,6 +739,59 @@ def _ngram_rep_pairs_stress(spark, sf_dir: str):
     return D.ngram_jaccard_pairs(reps, n=NGRAM, threshold=JACCARD_T)
 
 
+def _phash_pairs_stress(spark, sf_dir: str):
+    """Image pHash near-dup banding under duplicate skew: ONE hot
+    cluster of 2000 near-identical images (constant as the corpus
+    grows — its ~2M true pairs are the bounded hot band-bucket the
+    join must absorb) plus 16-image near-dup families over the rest
+    (linear pair output).  Measures that the banded join's cost tracks
+    the answer, not the candidate cross product."""
+    import os as _os
+
+    from pyspark.sql import functions as _F
+
+    from bruin_spark.operators import multimodal as _M
+    from bruin_spark.operators.dedup import hamming_near_pairs
+
+    docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                if i < 2000:
+                    seed, v = 7, i  # the hot cluster
+                else:
+                    seed, v = (i // 16) % 29, i % 16
+                blob = bytearray(
+                    _M.synth_media(
+                        seed % 32 + 1, seed % 24 + 1, seed % 12 + 1,
+                        payload_seed=seed * 7,
+                    )
+                )
+                plen = len(blob) - _M.HEADER_SIZE
+                if v > 0:
+                    pos = (v * 13) % plen
+                    blob[_M.HEADER_SIZE + pos] = (
+                        blob[_M.HEADER_SIZE + pos] + v * 17
+                    ) % 256
+                rows.append((i, bytes(blob)))
+            yield pd.DataFrame(rows, columns=["doc_id", "media"])
+
+    media = (
+        docs.select("doc_id")
+        .repartition(32)
+        .mapInPandas(gen, "doc_id bigint, media binary")
+    )
+    sig = _M.phash64(media)
+    return hamming_near_pairs(
+        sig, id_col="doc_id", hash_col="phash", bits=64, max_hamming=3, n_chunks=4
+    ).select("id_a", "id_b", _F.col("hamming").cast("int").alias("hamming"))
+
+
 def _cc_hub_graph_stress(spark, sf_dir: str):
     """Connected components on a synthetic hub graph scaled to the
     corpus size: node 0 owns ~20% of all edges (the star-root shape LSH
@@ -831,11 +886,15 @@ SKEW_ENTRIES = [
     # thresholds are one GK-sketch row per language; the plan is
     # window-free (asserted in tests/test_gopher_dsir.py)
     ("text_ccnet_buckets_approx", 16, 64),
+    # image pHash banding: hot cluster bounded by construction (2000
+    # images → constant ~2M-pair band bucket); family pairs linear
+    ("mm_phash_pairs", 16, 64),
 ]
 SKEW_VARIANTS = {
     "dedup_minhash_lsh": _minhash_rep_pairs_stress,
     "dedup_ngram_jaccard": _ngram_rep_pairs_stress,
     "cc_hub_graph": _cc_hub_graph_stress,
+    "mm_phash_pairs": _phash_pairs_stress,
 }
 SKEW_EXPONENT_MAX = 1.1
 

@@ -672,6 +672,80 @@ def simhash_near_pairs(
     )
 
 
+def hamming_near_pairs(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "phash",
+    bits: int = 64,
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs over ANY precomputed bigint signature column by
+    Hamming distance — the banding engine behind image pHash dedup
+    (and any other fixed-width perceptual/locality hash).
+
+    Same pigeonhole blocking as simhash_near_pairs: split the ``bits``
+    signature into ``n_chunks`` equal chunks; two signatures within
+    Hamming distance ``n_chunks - 1`` share at least one identical
+    chunk, so the candidate join touches only chunk-equal pairs and
+    never the O(n²) space.  ``max_hamming`` must stay below
+    ``n_chunks`` for the guarantee to hold (enforced).  Chunk keys are
+    extracted with an arithmetic shift + mask, which is sign-fill-proof
+    — bit 63 of a two's-complement bigint lands in the top chunk the
+    same way on Spark and DuckDB.
+
+    100 TB shape: the input is (id, int64) — 16 bytes per image
+    regardless of media size; the banded self-join shuffles on
+    (chunk, key), and a hot duplicate cluster concentrates into ONE
+    chunk-key group whose output is the cluster's true pair set (the
+    quadratic is in the answer, not the algorithm).  Verification is
+    one JVM ``bit_count(xor)`` per candidate.
+    """
+    if max_hamming >= n_chunks:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs n_chunks > max_hamming "
+            f"(pigeonhole guarantee), got n_chunks={n_chunks}"
+        )
+    if bits % n_chunks:
+        raise ValueError(f"bits={bits} not divisible by n_chunks={n_chunks}")
+    width = bits // n_chunks
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("blk"),
+                F.shiftright(hash_col, c * width)
+                .bitwiseAND(F.lit(2**width - 1))
+                .alias("blk_key"),
+            )
+            for c in range(n_chunks)
+        ]
+    )
+    blocked = sig.select(
+        F.col(id_col).alias("id"),
+        F.col(hash_col).alias("sig"),
+        F.explode(chunk_structs).alias("bk"),
+    ).select(
+        "id", "sig", F.col("bk.blk").alias("blk"), F.col("bk.blk_key").alias("blk_key")
+    )
+    return (
+        blocked.alias("a")
+        .hint("merge")
+        .join(
+            blocked.alias("b").hint("merge"),
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.blk_key") == F.col("b.blk_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 # -- duplicate clusters: connected components ---------------------------------
 
 

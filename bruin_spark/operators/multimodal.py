@@ -183,6 +183,98 @@ def byte_histogram_features(
     return df.select(id_col, bin_col).mapInPandas(work, out_schema)
 
 
+def phash64(
+    df: DataFrame,
+    bin_col: str = "media",
+    id_col: str = "doc_id",
+    out: str = "phash",
+    n_samples: int = 64,
+) -> DataFrame:
+    """64-bit perceptual hash per media blob, Arrow-batched.
+
+    Real image formats (PIL present) get the classic pHash: grayscale →
+    32×32 resize → 2-D DCT → top-left 8×8 low-frequency block →
+    median threshold.  BRUI blobs get the deterministic analog on the
+    payload byte stream: nearest-neighbor subsample to ``n_samples``
+    bytes (``sub[i] = payload[(i·L)//n]``, the resize_media rule), then
+    mean threshold — bit i set iff ``sub[i]·n > sum(sub)`` (integer
+    compare, no float, so the oracle reproduces it exactly).  Either
+    way two blobs that differ by a few bytes/pixels differ in a few
+    bits, which is what the Hamming-band candidate join needs.
+
+    The 64 bits pack into a SIGNED bigint two's-complement (numpy
+    uint64 → int64 view), the same convention DuckDB's BIGINT uses, so
+    ``bit_count(xor(a, b))`` is the Hamming distance on both engines.
+
+    Pipeline shape: this runs inside the same mapInPandas decode pass
+    as decode_media — one Arrow transfer of the heavy binary column
+    yields the 8-byte signature, and everything downstream (banding,
+    candidate join, verify) is JVM-side on a table of (id, int64).
+    """
+    out_schema = f"{id_col} bigint, {out} bigint"
+
+    def work(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        try:
+            from PIL import Image
+
+            have_pil = True
+        except ImportError:
+            have_pil = False
+
+        def brui_hash(b: bytes) -> int:
+            payload = np.frombuffer(b[HEADER_SIZE:], dtype=np.uint8)
+            L = len(payload)
+            idx = (np.arange(n_samples, dtype=np.int64) * L) // n_samples
+            sub = payload[idx].astype(np.int64)
+            total = int(sub.sum())
+            packed = 0
+            for i, v in enumerate(sub):
+                if int(v) * n_samples > total:
+                    packed |= 1 << i
+            # two's-complement into the signed-bigint domain
+            return packed - (1 << 64) if packed >= (1 << 63) else packed
+
+        def pil_hash(b: bytes) -> int:
+            # classic DCT pHash (public algorithm; same shape as the
+            # imagehash library's phash): 32x32 grayscale, 2-D DCT-II,
+            # 8x8 low-frequency block, median threshold
+            from io import BytesIO
+
+            img = Image.open(BytesIO(b)).convert("L").resize((32, 32))
+            px = np.asarray(img, dtype=np.float64)
+            n = 32
+            k = np.arange(n)
+            basis = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+            dct = basis @ px @ basis.T
+            block = dct[:8, :8].flatten()
+            med = np.median(block[1:])  # skip the DC term
+            packed = 0
+            for i, v in enumerate(block):
+                if v > med:
+                    packed |= 1 << i
+            return packed - (1 << 64) if packed >= (1 << 63) else packed
+
+        for pdf in batches:
+            rows = []
+            for rid, blob in zip(pdf[id_col], pdf[bin_col]):
+                b = bytes(blob)
+                if b[:4] == MAGIC:
+                    h = brui_hash(b)
+                elif have_pil:
+                    h = pil_hash(b)
+                else:
+                    raise NotImplementedError(
+                        "non-BRUI media needs Pillow, which is not in this container"
+                    )
+                rows.append((int(rid), h))
+            yield pd.DataFrame(rows, columns=[id_col, out])
+
+    return df.select(id_col, bin_col).mapInPandas(work, out_schema)
+
+
 def frame_sample(
     df: DataFrame, every_n: int = 10, bin_col: str = "media", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -141,10 +141,99 @@ FROM base, UNNEST(generate_series(0, 15)) AS t(b)
 """
 
 
+def _with_media_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media corpus with built-in near-duplicate clusters: docs sharing
+    ``doc_id % 29`` get identical dimensions and payload except for ONE
+    perturbed byte per variant — the image analog of a boilerplate-heavy
+    web crawl (hot clusters of ~n/29 near-identical images)."""
+    docs = read_parquet(spark, os.path.join(sf_dir, "documents.parquet")).repartition(8)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out_rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                seed, v = i % 29, i // 29
+                blob = bytearray(
+                    M.synth_media(
+                        seed % 32 + 1, seed % 24 + 1, seed % 12 + 1, payload_seed=seed * 7
+                    )
+                )
+                payload_len = len(blob) - M.HEADER_SIZE
+                if v > 0:
+                    pos = (v * 13) % payload_len
+                    blob[M.HEADER_SIZE + pos] = (blob[M.HEADER_SIZE + pos] + v * 17) % 256
+                out_rows.append((i, bytes(blob)))
+            yield pd.DataFrame(out_rows, columns=["doc_id", "media"])
+
+    return docs.select("doc_id").mapInPandas(gen, "doc_id bigint, media binary")
+
+
+def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate candidate pairs: 64-bit perceptual hash in
+    the Arrow decode pass (operators/multimodal.py phash64) → Hamming
+    banding over 4×16-bit chunks (operators/dedup.py
+    hamming_near_pairs, pigeonhole-complete for distance ≤ 3) → JVM
+    bit_count(xor) verify.  The media column never leaves the decode
+    stage; the banded join runs on (id, int64)."""
+    from bruin_spark.operators.dedup import hamming_near_pairs
+
+    sig = M.phash64(_with_media_dups(spark, sf_dir))
+    pairs = hamming_near_pairs(
+        sig, id_col="doc_id", hash_col="phash", bits=64, max_hamming=3, n_chunks=4
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+def _phash_pairs_oracle() -> str:
+    """Reproduces phash64's BRUI arithmetic exactly (subsample → mean
+    threshold → two's-complement pack), then brute-forces all pairs —
+    the toy-scale oracle for the banded join's answer set."""
+    byte = (
+        "(seed * 7 + 31 * ((i * L) // 64)"
+        " + CASE WHEN v > 0 AND (i * L) // 64 = (v * 13) % L"
+        " THEN v * 17 ELSE 0 END) % 256"
+    )
+    pack = " + ".join(
+        f"(CASE WHEN s[{i + 1}] * 64 > t THEN {2 ** i}::HUGEINT ELSE 0::HUGEINT END)"
+        for i in range(64)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         doc_id % 29 AS seed,
+         doc_id // 29 AS v,
+         ((doc_id % 29) % 32 + 1) * ((doc_id % 29) % 24 + 1) + 16 AS L
+  FROM documents
+), sub AS (
+  SELECT doc_id,
+         [ {byte} FOR i IN generate_series(0, 63) ] AS s
+  FROM base
+), tot AS (
+  SELECT doc_id, s, list_sum(s) AS t FROM sub
+), ph AS (
+  SELECT doc_id,
+         CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+                   THEN u - 18446744073709551616::HUGEINT
+                   ELSE u END AS BIGINT) AS phash
+  FROM (SELECT doc_id, ({pack}) AS u FROM tot)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.phash, b.phash))::INT AS hamming
+FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 3
+"""
+
+
 QUERIES = {
     "mm_decode": (mm_decode, DECODE_ORACLE),
     "mm_meta_scan": (mm_meta_scan, META_ORACLE),
     "mm_frame_sample": (mm_frame_sample, FRAME_ORACLE),
     "mm_resize": (mm_resize, RESIZE_ORACLE),
     "mm_features": (mm_features, FEATURES_ORACLE),
+    "mm_phash_pairs": (mm_phash_pairs, _phash_pairs_oracle()),
 }

@@ -103,3 +103,82 @@ def test_byte_histogram_features(spark):
     for i in range(5):
         payload_len = ((i % 8 + 1) * (i % 6 + 1)) % 4096 + 16
         assert per_doc[i] == payload_len
+
+
+# -- perceptual hash + Hamming-band near-dup pairs ------------------------------
+
+
+def _phash_ref(blob: bytes, n: int = 64) -> int:
+    """Pure-Python reference for the BRUI phash64 arithmetic."""
+    payload = blob[M.HEADER_SIZE:]
+    L = len(payload)
+    sub = [payload[(i * L) // n] for i in range(n)]
+    total = sum(sub)
+    packed = 0
+    for i, v in enumerate(sub):
+        if v * n > total:
+            packed |= 1 << i
+    return packed - (1 << 64) if packed >= (1 << 63) else packed
+
+
+def test_phash64_matches_reference_and_dedups(spark):
+    # three exact copies + one single-byte perturbation + one unrelated
+    base = bytearray(M.synth_media(16, 12, 1, payload_seed=5))
+    near = bytearray(base)
+    near[M.HEADER_SIZE + 3] = (near[M.HEADER_SIZE + 3] + 90) % 256
+    other = M.synth_media(16, 12, 1, payload_seed=200)
+    rows = [(0, bytes(base)), (1, bytes(base)), (2, bytes(base)),
+            (3, bytes(near)), (4, bytes(other))]
+    df = spark.createDataFrame(rows, "doc_id bigint, media binary")
+    got = {r["doc_id"]: r["phash"] for r in M.phash64(df).collect()}
+    for i, blob in rows:
+        assert got[i] == _phash_ref(bytes(blob)), i
+    assert got[0] == got[1] == got[2]
+    ham_near = bin((got[0] ^ got[3]) & ((1 << 64) - 1)).count("1")
+    assert 0 < ham_near <= 6  # one byte -> a couple of sample bits
+    ham_far = bin((got[0] ^ got[4]) & ((1 << 64) - 1)).count("1")
+    assert ham_far > 6
+
+
+def test_hamming_near_pairs_complete_vs_brute_force(spark):
+    """Banding must return EXACTLY the brute-force answer for
+    max_hamming <= n_chunks - 1, including signatures with bit 63 set
+    (negative bigints — arithmetic-shift sign-fill is masked off)."""
+    import random
+
+    from bruin_spark.operators.dedup import hamming_near_pairs
+
+    rng = random.Random(3)
+    sigs = []
+    for i in range(60):
+        if i < 12:
+            base = (1 << 63) | 0x1234_5678_9ABC_DEF0  # negative family
+        else:
+            base = rng.getrandbits(64)
+        flips = rng.sample(range(64), rng.randint(0, 3))
+        v = base
+        for b in flips:
+            v ^= 1 << b
+        sigs.append((i, v - (1 << 64) if v >= (1 << 63) else v))
+    df = spark.createDataFrame(sigs, "doc_id bigint, phash bigint")
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hamming_near_pairs(df, max_hamming=3, n_chunks=4).collect()
+    }
+    want = set()
+    for i in range(len(sigs)):
+        for j in range(i + 1, len(sigs)):
+            h = bin((sigs[i][1] ^ sigs[j][1]) & ((1 << 64) - 1)).count("1")
+            if h <= 3:
+                want.add((sigs[i][0], sigs[j][0], h))
+    assert got == want and want  # non-trivial answer set
+
+
+def test_hamming_near_pairs_guards(spark):
+    from bruin_spark.operators.dedup import hamming_near_pairs
+
+    df = spark.createDataFrame([(1, 2)], "doc_id bigint, phash bigint")
+    with pytest.raises(ValueError):
+        hamming_near_pairs(df, max_hamming=4, n_chunks=4)
+    with pytest.raises(ValueError):
+        hamming_near_pairs(df, bits=50, n_chunks=4)
