@@ -792,6 +792,44 @@ def _phash_pairs_stress(spark, sf_dir: str):
     ).select("id_a", "id_b", _F.col("hamming").cast("int").alias("hamming"))
 
 
+_SPAN_IDX_TABLES: dict = {}
+
+
+def _spans_incremental_bucketed_stress(spark, sf_dir: str):
+    """Incremental span dedup against the PERSISTED bucketed-by-h span
+    index — the production layout write_span_index_bucketed documents.
+    The index table is built once per scale dir (on the harness's
+    untimed warmup pass); timed reps measure what production pays
+    daily: batch-side hashing + the join whose corpus side is a
+    bucketed scan with no Exchange (plan-asserted in
+    tests/test_duplicate_spans.py)."""
+    import hashlib as _hashlib
+
+    from bruin_spark.operators import dedup as _D
+    from bruin_spark.operators.sampling import N_BUCKETS, hash_bucket
+    from bruin_spark.workloads.dedup import BATCH_FRACTION, SPAN_TOKENS, _docs
+
+    docs = _docs(spark, sf_dir)
+    cut = int(BATCH_FRACTION * N_BUCKETS)
+    bucket = hash_bucket("doc_id", "incr")
+    batch = docs.filter(bucket < cut)
+    table = _SPAN_IDX_TABLES.get(sf_dir)
+    if table is None:
+        corpus = docs.filter(bucket >= cut)
+        suffix = _hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        table = f"bench_span_idx_{suffix}"
+        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        _D.write_span_index_bucketed(
+            _D.span_hash_index(corpus, win_tokens=SPAN_TOKENS),
+            table,
+            buckets=n_buckets,
+        )
+        _SPAN_IDX_TABLES[sf_dir] = table
+    return _D.incremental_duplicate_spans(
+        batch, spark.table(table), win_tokens=SPAN_TOKENS
+    )
+
+
 def _cc_hub_graph_stress(spark, sf_dir: str):
     """Connected components on a synthetic hub graph scaled to the
     corpus size: node 0 owns ~20% of all edges (the star-root shape LSH
@@ -889,12 +927,16 @@ SKEW_ENTRIES = [
     # image pHash banding: hot cluster bounded by construction (2000
     # images → constant ~2M-pair band bucket); family pairs linear
     ("mm_phash_pairs", 16, 64),
+    # span dedup against the PERSISTED bucketed index: batch-side cost
+    # only (the index builds once, untimed, on the warmup pass)
+    ("dedup_spans_incr_bucketed", 16, 64),
 ]
 SKEW_VARIANTS = {
     "dedup_minhash_lsh": _minhash_rep_pairs_stress,
     "dedup_ngram_jaccard": _ngram_rep_pairs_stress,
     "cc_hub_graph": _cc_hub_graph_stress,
     "mm_phash_pairs": _phash_pairs_stress,
+    "dedup_spans_incr_bucketed": _spans_incremental_bucketed_stress,
 }
 SKEW_EXPONENT_MAX = 1.1
 
@@ -959,6 +1001,14 @@ def _scale_stress_skewed(spark, registry) -> dict:
             f"{'pass' if ok else 'FAIL'}",
             file=sys.stderr,
         )
+    # drop the memoized bucketed span-index tables (they live under
+    # spark-warehouse in the repo tree; leftovers would be noise)
+    for _t in list(_SPAN_IDX_TABLES.values()):
+        try:
+            spark.sql(f"DROP TABLE IF EXISTS {_t}")
+        except Exception:
+            pass
+    _SPAN_IDX_TABLES.clear()
     result = {
         "skew_shape": "hot key ~20% of rows + fixed-size near-dup families + unique tail (see _build_skewed_dir)",
         # measured r8 on this corpus WITHOUT the mitigations:

@@ -1422,6 +1422,32 @@ def span_hash_index(
     return wins.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def write_span_index_bucketed(
+    index: DataFrame, table: str, buckets: int = 32
+) -> str:
+    """Persist a :func:`span_hash_index` result bucketed (and sorted)
+    by ``h`` — the production layout for the incremental span check.
+
+    A bucketed scan satisfies the join's required distribution
+    directly, so :func:`incremental_duplicate_spans` against
+    ``spark.table(table)`` plans NO Exchange above the corpus-side
+    scan (plan-asserted in tests/test_duplicate_spans.py): only the
+    new batch — a sliver of the corpus — ever shuffles.  Pick
+    ``buckets`` to match ``spark.sql.shuffle.partitions`` where
+    possible so the batch side's aggregate exchange is reused as the
+    join distribution too.  Daily appends merge via a count-SUM on h
+    (mat strategy ``merge``), preserving the bucket layout.
+    """
+    (
+        index.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(buckets, "h")
+        .sortBy("h")
+        .saveAsTable(table)
+    )
+    return table
+
+
 def incremental_duplicate_spans(
     batch: DataFrame,
     span_index: DataFrame,

@@ -247,3 +247,60 @@ def test_incremental_min_count_composes_across_split(spark):
     }
     assert 10 in rows and rows[10]["dup_tokens"] == W
     assert 11 not in rows
+
+
+def test_incremental_bucketed_index_corpus_side_exchange_free(spark):
+    """The 100 TB layout: span_hash_index persisted bucketBy(h) —
+    the incremental join's corpus side reads the bucketed scan with NO
+    Exchange above it (only the batch sliver shuffles), and the result
+    is row-identical to the in-plan index path."""
+    import random
+
+    from bruin_spark.operators.dedup import (
+        incremental_duplicate_spans,
+        span_hash_index,
+        write_span_index_bucketed,
+    )
+
+    rng = random.Random(7)
+    pool = [f"w{i}" for i in range(10)]
+
+    def text():
+        return " ".join(rng.choice(pool) for _ in range(rng.randint(6, 20)))
+
+    corpus = spark.createDataFrame(
+        [(i, text()) for i in range(40)], "doc_id int, text string"
+    )
+    batch = spark.createDataFrame(
+        [(100 + i, text()) for i in range(15)], "doc_id int, text string"
+    )
+    idx = span_hash_index(corpus, win_tokens=4)
+    table = "span_idx_bucketed_test"
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # at toy scale AQE broadcasts the index either way, hiding the
+        # exchange this test is about — force the sort-merge shape the
+        # corpus-scale join takes
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # buckets == shuffle partitions: the batch aggregate's exchange
+        # then satisfies the join distribution on BOTH counts (the
+        # docstring's guidance, exercised here)
+        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        write_span_index_bucketed(idx, table, buckets=n_buckets)
+        bucketed = incremental_duplicate_spans(
+            batch, spark.table(table), win_tokens=4
+        )
+        plain = incremental_duplicate_spans(batch, idx, win_tokens=4)
+        pb = bucketed._jdf.queryExecution().executedPlan().toString()
+        pp = plain._jdf.queryExecution().executedPlan().toString()
+        # bucketed scan feeds the join directly: one Exchange fewer
+        # than the in-plan index (whose groupBy must shuffle), and the
+        # scan node itself is marked bucketed
+        assert "Bucketed: true" in pb
+        assert pb.count("Exchange") == pp.count("Exchange") - 1
+        got = sorted(map(tuple, bucketed.collect()))
+        want = sorted(map(tuple, plain.collect()))
+        assert got == want and got  # non-trivial result
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
