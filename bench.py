@@ -88,6 +88,8 @@ HEADLINE = [
     "text_ccnet_buckets_approx",
     # r12: image near-dup candidate pairs (pHash + Hamming banding)
     "mm_phash_pairs",
+    # r12: the composed five-stage RefinedWeb curation funnel
+    "text_refinedweb_funnel",
 ]
 
 

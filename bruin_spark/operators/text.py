@@ -444,6 +444,7 @@ def gopher_rules(
     max_ellipsis_frac: float = 0.3,
     min_alpha_frac: float = 0.8,
     min_stop_hits: int = 2,
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """The published Gopher document-quality rules (Rae et al. 2021,
     appendix A1.1) as one map-only projection: word-count bounds, mean
@@ -466,11 +467,13 @@ def gopher_rules(
     # line rules with \z keeps both engines on one semantics
     lines = F.split(F.col(text_col), "\r?\n")
     raw = F.col(text_col)
+    # keep_cols pass through (see line_filters); default () = plan unchanged
     base = df.select(
         F.col(id_col),
         raw.alias("_txt"),
         toks.alias("_toks"),
         lines.alias("_lines"),
+        *[F.col(c) for c in keep_cols],
     )
     n_words = F.size(F.col("_toks"))
     n_lines = F.size(F.col("_lines"))
@@ -527,6 +530,7 @@ def gopher_rules(
             rule_words & rule_wl & rule_sym & rule_bullet
             & rule_ellipsis & rule_alpha & rule_stop
         ).alias("gopher_pass"),
+        *[F.col(c) for c in keep_cols],
     )
 
 
@@ -537,6 +541,7 @@ def line_filters(
     min_line_words: int = 5,
     max_upper_frac: float = 0.5,
     min_kept_lines: int = 3,
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """C4 / RefinedWeb-style line-level cleaning (Raffel et al. 2020
     §2.2; Penedo et al. 2023 line-wise corrections), as one map-only
@@ -568,7 +573,13 @@ def line_filters(
         numeric_only = (F.trim(line) != "") & F.trim(line).rlike("^[0-9 .,%:-]+\\z")
         return words_ok & punct_ok & js_ok & upper_ok & ~numeric_only
 
-    base = df.select(F.col(id_col), F.col(text_col).alias("_txt"), lines.alias("_lines"))
+    # keep_cols ride through both projections (the fused-funnel path:
+    # a downstream map-only stage over THIS output collapses with it
+    # into one scan); empty by default, leaving the plan unchanged
+    extra = [F.col(c) for c in keep_cols]
+    base = df.select(
+        F.col(id_col), F.col(text_col).alias("_txt"), lines.alias("_lines"), *extra
+    )
     kept = F.filter(F.col("_lines"), _kept)
     n_lines = F.size(F.col("_lines"))
     n_kept = F.size(kept)
@@ -583,4 +594,5 @@ def line_filters(
         has_brace.alias("has_brace"),
         (~has_lorem & ~has_brace & (n_kept >= min_kept_lines)).alias("keep_doc"),
         F.array_join(kept, "\n").alias("clean_text"),
+        *[F.col(c) for c in keep_cols],
     )

@@ -974,12 +974,10 @@ def text_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.line_filters(_docs(spark, sf_dir), min_line_words=3, min_kept_lines=1)
 
 
-def _line_filters_oracle(
-    min_line_words: int = 3,
-    min_kept_lines: int = 1,
-    max_upper_frac: float = 0.5,
-) -> str:
-    kept = (
+def _line_kept_expr(min_line_words: int, max_upper_frac: float) -> str:
+    """DuckDB list expression for C4-kept lines (mirrors
+    operators/text.py line_filters' per-line predicate)."""
+    return (
         "list_filter(string_split_regex(text, '\\r?\\n'), l -> "
         f"len(string_split_regex(trim(l), '\\s+')) >= {min_line_words} "
         "AND regexp_matches(rtrim(l), '[.!?\"]\\z') "
@@ -988,6 +986,14 @@ def _line_filters_oracle(
         f"{max_upper_frac} * length(l) "
         "AND NOT (trim(l) <> '' AND regexp_matches(trim(l), '^[0-9 .,%:-]+\\z')))"
     )
+
+
+def _line_filters_oracle(
+    min_line_words: int = 3,
+    min_kept_lines: int = 1,
+    max_upper_frac: float = 0.5,
+) -> str:
+    kept = _line_kept_expr(min_line_words, max_upper_frac)
     return f"""
 WITH m AS (
   SELECT doc_id, text,
@@ -1009,3 +1015,176 @@ FROM m
 
 
 QUERIES["text_line_filters"] = (text_line_filters, _line_filters_oracle())
+
+
+# -- RefinedWeb end-to-end curation funnel --------------------------------------
+
+
+def text_refinedweb_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The five published curation stages (Gopher rules, C4 line
+    filters, CCNet LM perplexity band, repeated-segment boilerplate,
+    duplicate-span mass) fused into one per-document decision table —
+    operators/refinedweb.py; map-only stages share one corpus scan."""
+    from bruin_spark.operators.refinedweb import refinedweb_funnel
+
+    return refinedweb_funnel(_docs(spark, sf_dir), lm_top_v=_LM_TOP_V)
+
+
+def text_refinedweb_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage attrition report of the RefinedWeb funnel: one row per
+    stage with (n_in, n_dropped, n_out) under first-failure semantics."""
+    from bruin_spark.operators.refinedweb import funnel_attrition, refinedweb_funnel
+
+    return funnel_attrition(refinedweb_funnel(_docs(spark, sf_dir), lm_top_v=_LM_TOP_V))
+
+
+def _refinedweb_flags_ctes() -> str:
+    """CTE chain computing the five per-doc stage flags (shared by the
+    funnel and attrition oracles).  Reuses the LM chain's tokenization
+    (`base`), mirroring each Spark stage's published thresholds:
+    gopher min_words=5, lines (3 words, 1 kept), lm tail band dropped
+    (3 approx buckets), boilerplate (16-token segments, 3 docs, frac
+    <= 0.5), spans (8-token windows, dup_ratio <= 0.5)."""
+    from bruin_spark.workloads.dedup import BOILER_MIN_DOCS, SEG_TOKENS, SPAN_TOKENS
+
+    stop = " + ".join(
+        f"list_contains(toks, '{w}')::INT" for w in T.GOPHER_STOPWORDS
+    )
+    kept = _line_kept_expr(3, 0.5)
+    w = SPAN_TOKENS
+    dup_tok = f"CASE WHEN prev IS NULL THEN {w} ELSE least({w}, pos - prev) END"
+    return f"""{_lm_ctes()},
+ranked AS (
+  SELECT d.doc_id, d.lang, ROUND(exp(-s.avg0), 6) AS perplexity
+  FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+),
+thresholds AS (
+  SELECT lang, quantile_disc(perplexity, [1.0/3, 2.0/3]) AS thr
+  FROM ranked WHERE perplexity IS NOT NULL GROUP BY lang
+),
+lmflag AS (
+  SELECT r.doc_id, COALESCE(r.perplexity <= thr[2], FALSE) AS lm_pass
+  FROM ranked r LEFT JOIN thresholds t USING (lang)
+),
+gbase AS (
+  SELECT d.doc_id, d.text, b.t AS toks,
+         string_split_regex(d.text, '\r?\n') AS lines
+  FROM documents d JOIN base b ON d.doc_id = b.doc_id
+),
+gflag AS (
+  SELECT doc_id,
+         (len(toks) BETWEEN 5 AND 100000)
+           AND (length(regexp_replace(lower(trim(text)), '\\s+', '', 'g'))
+                / GREATEST(len(toks), 1)::DOUBLE BETWEEN 3.0 AND 10.0)
+           AND (GREATEST(length(text) - length(replace(text, '#', '')),
+                         (length(text) - length(replace(text, '...', ''))) / 3)
+                / GREATEST(len(toks), 1)::DOUBLE <= 0.1)
+           AND (len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*•]')))
+                / GREATEST(len(lines), 1)::DOUBLE <= 0.9)
+           AND (len(list_filter(lines, l -> regexp_matches(rtrim(l), '\\.\\.\\.\\z')))
+                / GREATEST(len(lines), 1)::DOUBLE <= 0.3)
+           AND (len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+                / GREATEST(len(toks), 1)::DOUBLE >= 0.8)
+           AND ({stop} >= 2) AS gopher_pass
+  FROM gbase
+),
+lnflag AS (
+  SELECT doc_id,
+         (NOT contains(lower(text), 'lorem ipsum')
+           AND NOT contains(text, '{{')
+           AND len({kept}) >= 1) AS line_pass
+  FROM documents
+),
+rw_segs AS (
+  SELECT doc_id,
+         array_to_string(list_slice(t, s + 1, least(s + {SEG_TOKENS}, len(t))), ' ') AS seg
+  FROM base, LATERAL (
+    SELECT UNNEST(generate_series(0, greatest(len(t) - 1, 0), {SEG_TOKENS})) AS s
+  )
+),
+rw_boiler AS (
+  SELECT k FROM (SELECT DISTINCT md5(seg) AS k, doc_id FROM rw_segs)
+  GROUP BY k HAVING COUNT(*) >= {BOILER_MIN_DOCS}
+),
+bflag AS (
+  SELECT doc_id,
+         (COUNT(*) FILTER (b.k IS NOT NULL)::DOUBLE
+          / GREATEST(COUNT(*), 1) <= 0.5) AS boiler_pass
+  FROM rw_segs s LEFT JOIN rw_boiler b ON md5(s.seg) = b.k
+  GROUP BY doc_id
+),
+rw_wins AS (
+  SELECT doc_id, len(t) AS total_tokens, i - 1 AS pos,
+         ('0x' || substr(md5(array_to_string(list_slice(t, i, i + {w - 1}), ' ')), 1, 15))::BIGINT AS h
+  FROM base, LATERAL (
+    SELECT UNNEST(generate_series(1, len(t) - {w - 1})) AS i
+  )
+  WHERE len(t) >= {w}
+),
+rw_dup AS (
+  SELECT h FROM rw_wins GROUP BY h HAVING COUNT(*) >= 2
+),
+rw_d AS (
+  SELECT doc_id, total_tokens, pos,
+         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM (SELECT w.* FROM rw_wins w JOIN rw_dup USING (h))
+),
+sflag AS (
+  SELECT doc_id,
+         (SUM({dup_tok})::DOUBLE / max(total_tokens) <= 0.5) AS span_pass
+  FROM rw_d GROUP BY doc_id
+),
+rw_flags AS (
+  SELECT d.doc_id, d.lang,
+         g.gopher_pass, ln.line_pass, lm.lm_pass,
+         COALESCE(b.boiler_pass, TRUE) AS boiler_pass,
+         COALESCE(s.span_pass, TRUE) AS span_pass
+  FROM documents d
+  JOIN gflag g ON d.doc_id = g.doc_id
+  JOIN lnflag ln ON d.doc_id = ln.doc_id
+  JOIN lmflag lm ON d.doc_id = lm.doc_id
+  LEFT JOIN bflag b ON d.doc_id = b.doc_id
+  LEFT JOIN sflag s ON d.doc_id = s.doc_id
+)"""
+
+
+def _refinedweb_funnel_oracle() -> str:
+    return f"""
+WITH {_refinedweb_flags_ctes()}
+SELECT doc_id, lang, gopher_pass, line_pass, lm_pass, boiler_pass, span_pass,
+       (gopher_pass AND line_pass AND lm_pass AND boiler_pass AND span_pass) AS keep,
+       CASE WHEN NOT gopher_pass THEN 'gopher'
+            WHEN NOT line_pass THEN 'lines'
+            WHEN NOT lm_pass THEN 'lm'
+            WHEN NOT boiler_pass THEN 'boilerplate'
+            WHEN NOT span_pass THEN 'spans'
+            ELSE NULL END AS stage_failed
+FROM rw_flags
+"""
+
+
+def _refinedweb_attrition_oracle() -> str:
+    return f"""
+WITH {_refinedweb_flags_ctes()},
+agg AS (
+  SELECT COUNT(*)::BIGINT AS n0,
+         SUM(gopher_pass::INT)::BIGINT AS s1,
+         SUM((gopher_pass AND line_pass)::INT)::BIGINT AS s2,
+         SUM((gopher_pass AND line_pass AND lm_pass)::INT)::BIGINT AS s3,
+         SUM((gopher_pass AND line_pass AND lm_pass AND boiler_pass)::INT)::BIGINT AS s4,
+         SUM((gopher_pass AND line_pass AND lm_pass AND boiler_pass AND span_pass)::INT)::BIGINT AS s5
+  FROM rw_flags
+)
+SELECT 1::INT AS stage_no, 'gopher' AS stage, n0 AS n_in, n0 - s1 AS n_dropped, s1 AS n_out FROM agg
+UNION ALL SELECT 2, 'lines', s1, s1 - s2, s2 FROM agg
+UNION ALL SELECT 3, 'lm', s2, s2 - s3, s3 FROM agg
+UNION ALL SELECT 4, 'boilerplate', s3, s3 - s4, s4 FROM agg
+UNION ALL SELECT 5, 'spans', s4, s4 - s5, s5 FROM agg
+"""
+
+
+QUERIES["text_refinedweb_funnel"] = (text_refinedweb_funnel, _refinedweb_funnel_oracle())
+QUERIES["text_refinedweb_attrition"] = (
+    text_refinedweb_attrition,
+    _refinedweb_attrition_oracle(),
+)

@@ -172,3 +172,85 @@ def test_funnel_randomized_differential_vs_naive(spark):
         for k in range(1, lv + 1):
             want[steps[k - 1]] += 1
     assert got == want
+
+
+# -- RefinedWeb five-stage fused funnel -----------------------------------------
+
+
+def _rw_docs(spark):
+    rows = [
+        # healthy: enough stopword-laden prose, punctuated lines
+        (1, "the cat and the dog have fun with all of that good stuff here.\n"
+            "the story continues with more of the same happy words today.", "en"),
+        # gopher fail: too few words
+        (2, "tiny doc.", "en"),
+        # lines fail (gopher-passing text but no line survives: no punctuation)
+        (3, "the cat and the dog have fun with all of that good stuff\n"
+            "the story continues with more of the same happy words", "en"),
+    ]
+    # boilerplate cluster: same 16-token segment shared by 4 docs, plus
+    # per-doc unique tails so they are not exact duplicates
+    boiler = "the quick brown fox jumps over the lazy dog near the old stone bridge at dawn."
+    for i in range(4):
+        rows.append((10 + i, boiler + f"\nunique tail {i} words of the doc are here now.", "en"))
+    return spark.createDataFrame(rows, "doc_id int, text string, lang string")
+
+
+def test_refinedweb_funnel_first_fail_and_attrition_consistency(spark):
+    from bruin_spark.operators.refinedweb import (
+        STAGES,
+        funnel_attrition,
+        refinedweb_funnel,
+    )
+
+    decisions = refinedweb_funnel(_rw_docs(spark))
+    rows = {r["doc_id"]: r for r in decisions.collect()}
+    assert set(rows) == {1, 2, 3, 10, 11, 12, 13}
+    flag_col = {
+        "gopher": "gopher_pass", "lines": "line_pass", "lm": "lm_pass",
+        "boilerplate": "boiler_pass", "spans": "span_pass",
+    }
+    for r in rows.values():
+        flags = [bool(r[flag_col[s]]) for s in STAGES]
+        assert r["keep"] == all(flags)
+        if all(flags):
+            assert r["stage_failed"] is None
+        else:
+            assert r["stage_failed"] == STAGES[flags.index(False)]
+    assert rows[2]["stage_failed"] == "gopher"     # too short
+    assert rows[3]["gopher_pass"] and not rows[3]["line_pass"]
+
+    att = funnel_attrition(decisions).collect()
+    assert [a["stage"] for a in sorted(att, key=lambda a: a["stage_no"])] == list(STAGES)
+    att_by = {a["stage"]: a for a in att}
+    # attrition math: chained counts over the SAME decisions
+    n = len(rows)
+    for s in STAGES:
+        a = att_by[s]
+        assert a["n_in"] == n
+        survivors = [
+            r for r in rows.values()
+            if all(bool(r[flag_col[t]]) for t in STAGES[: STAGES.index(s) + 1])
+        ]
+        assert a["n_out"] == len(survivors)
+        assert a["n_dropped"] == a["n_in"] - a["n_out"]
+        n = a["n_out"]
+    assert att_by["spans"]["n_out"] == sum(1 for r in rows.values() if r["keep"])
+
+
+def test_refinedweb_map_stages_share_one_scan(spark, tmp_path):
+    """Gopher rules + line filters fuse into ONE corpus scan: the
+    line_filters(keep_cols=...) output feeds gopher_rules and Catalyst
+    collapses both projections onto a single FileScan, no Exchange."""
+    from bruin_spark.operators.text import gopher_rules, line_filters
+
+    path = str(tmp_path / "docs.parquet")
+    _rw_docs(spark).write.parquet(path)
+    docs = spark.read.parquet(path)
+    lf = line_filters(
+        docs, min_line_words=3, min_kept_lines=1, keep_cols=("text", "lang")
+    )
+    fused = gopher_rules(lf, min_words=5, keep_cols=("keep_doc", "lang"))
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert "Exchange" not in plan

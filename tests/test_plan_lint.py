@@ -92,6 +92,9 @@ SINGLE_PARTITION_OK = {
     # DSIR totals: the B-row bucket model reduces to ONE (t_raw, t_tgt)
     # row — same scalar-aggregate class as above
     "text_dsir_weights",
+    # attrition report: per-doc flags reduce to ONE row of constant-width
+    # counters; the 5 stage rows explode from it — bounded by construction
+    "text_refinedweb_attrition",
 }
 
 

@@ -60,6 +60,7 @@ SWEEP_ENTRIES = [
     "text_dsir_weights",
     "text_line_filters",
     "text_ccnet_buckets_approx",
+    "text_refinedweb_funnel",
 ]
 
 _E = "é"                      # é precomposed (NFC)
