@@ -1462,7 +1462,12 @@ def cmd_data_diff(args) -> int:
     def resolve(ref: str):
         return spark.read.parquet(ref) if ref.endswith(".parquet") else spark.table(ref)
 
-    res = diff_tables(resolve(args.table1), resolve(args.table2), tolerance=args.tolerance)
+    res = diff_tables(
+        resolve(args.table1),
+        resolve(args.table2),
+        tolerance=args.tolerance,
+        approx=bool(getattr(args, "approx", False)),
+    )
     for c in res.schema_only_a:
         print(f"only in {args.table1}: {c}")
     for c in res.schema_only_b:
@@ -1843,6 +1848,12 @@ def main(argv: list[str] | None = None) -> int:
         help="also compare the N most-common values per string column",
     )
     pdd.add_argument("--sf-dir", help="register parquet tables from this dir")
+    pdd.add_argument(
+        "--approx",
+        action="store_true",
+        help="HyperLogLog distinct counts (Expand-free plan; the "
+        "recommended mode for large tables)",
+    )
     pdd.set_defaults(fn=cmd_data_diff)
 
     pp = sub.add_parser("parse", help="dump the parsed pipeline as JSON")

@@ -202,15 +202,26 @@ def schema_diff(a: DataFrame, b: DataFrame) -> tuple[list[str], list[str], list[
     return only_a, only_b, mismatch
 
 
-def diff_tables(a: DataFrame, b: DataFrame, tolerance: float = 0.0) -> DiffResult:
+def diff_tables(
+    a: DataFrame, b: DataFrame, tolerance: float = 0.0, approx: bool = False
+) -> DiffResult:
     """Compare schemas + per-column stats of two tables.
 
     ``tolerance`` is relative (|a-b| <= tolerance * max(|a|,|b|)) for
     float stats; counts compare exactly.
+
+    ``approx=True`` profiles with HyperLogLog++ distinct counts — the
+    large-table default: the exact mode's multi-distinct aggregate
+    plans an Expand (one duplicated input row per counted column),
+    while the approx plan is Expand-free (one pass, constant-size
+    sketches; plan-asserted in tests/test_diff.py).  Identical inputs
+    produce identical sketches, so equal tables still MATCH; distinct
+    counts of genuinely differing tables are estimates (±rsd), which
+    is the usual CI tradeoff at 100 TB.
     """
     only_a, only_b, mismatch = schema_diff(a, b)
-    pa = {c.column: c for c in profile(a)}
-    pb = {c.column: c for c in profile(b)}
+    pa = {c.column: c for c in profile(a, approx=approx)}
+    pb = {c.column: c for c in profile(b, approx=approx)}
     diffs: list[tuple[str, str, float | None, float | None]] = []
     for col in sorted(set(pa) & set(pb)):
         sa, sb = pa[col].stats, pb[col].stats

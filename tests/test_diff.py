@@ -173,3 +173,26 @@ def test_top_values_no_string_columns(spark):
     out = top_values(df, n=3)
     assert out.columns == ["column_name", "value", "cnt", "rank"]
     assert out.count() == 0
+
+
+def test_diff_tables_approx_flag_identical_tables_match(spark):
+    df = spark.range(500).selectExpr(
+        "id", "CAST(id % 7 AS STRING) AS s", "id * 1.5 AS x"
+    )
+    res = diff_tables(df, df, approx=True)
+    assert res.matched and not res.stat_diffs
+
+
+def test_data_diff_cli_approx_flag(spark, tmp_path, capsys):
+    """`bruin data-diff --approx` end-to-end: the CLI threads the flag
+    into the Expand-free profile and identical parquet inputs MATCH."""
+    from bruin_spark.cli import main
+
+    p1 = str(tmp_path / "a.parquet")
+    p2 = str(tmp_path / "b.parquet")
+    df = spark.range(200).selectExpr("id", "CAST(id % 5 AS STRING) AS s")
+    df.write.parquet(p1)
+    df.write.parquet(p2)
+    rc = main(["data-diff", p1, p2, "--approx"])
+    assert rc == 0
+    assert "MATCH" in capsys.readouterr().out
