@@ -204,3 +204,99 @@ def test_non_utf8_doc_degrades_instead_of_crashing(tmp_path):
     )
     rc = run_mcp_server(io.StringIO(req + "\n"), out, docs_root=tmp_path)
     assert rc == 0 and json.loads(out.getvalue())["id"] == 1
+
+
+# -- adversarial fuzz: the loop must survive ANY client ------------------------
+
+
+def test_server_loop_survives_adversarial_frames(tmp_path):
+    """200+ seeded hostile frames through the real line loop: oversized
+    lines, invalid/degenerate JSON, batched arrays, nested ids, NUL and
+    traversal filenames, wrong-typed params.  The loop must (1) never
+    raise, (2) emit only valid JSON responses, (3) use only the
+    reference's -32601/-32602 error codes, and (4) never leak file
+    content from outside the docs root."""
+    import random
+
+    rng = random.Random(20260816)
+    secret = tmp_path / "secret.txt"
+    secret.write_text("TOP-SECRET-CANARY-9c4e1")
+    docs = tmp_path / "docs"
+    docs.mkdir()
+    (docs / "overview.md").write_text("# overview\n")
+
+    def call_frame(filename, req_id=1):
+        return json.dumps(
+            {
+                "jsonrpc": "2.0",
+                "id": req_id,
+                "method": "tools/call",
+                "params": {
+                    "name": "bruin_get_doc_content",
+                    "arguments": {"filename": filename},
+                },
+            }
+        )
+
+    frames: list[str] = []
+    # malformed / degenerate JSON
+    frames += [
+        "", "   ", "{", "}", "null", "true", "42", '"just a string"',
+        "[1, 2, 3]", '[{"jsonrpc": "2.0", "id": 1, "method": "tools/list"}]',
+        '{"jsonrpc": "2.0"', "\x00", "\xff\xfe garbage", "{}" * 5,
+        '{"a": NaN}', '{"method": "tools/list", "id": ',
+    ]
+    # oversized lines: a 1 MiB junk line and a 1 MiB valid filename
+    frames.append("x" * (1 << 20))
+    frames.append(call_frame("a" * (1 << 20)))
+    # id-less / weird-id requests
+    frames += [
+        json.dumps({"jsonrpc": "2.0", "method": "tools/list"}),
+        json.dumps({"jsonrpc": "2.0", "id": None, "method": "tools/list"}),
+        json.dumps({"jsonrpc": "2.0", "id": {"k": [1]}, "method": "tools/list"}),
+        json.dumps({"jsonrpc": "2.0", "id": [1, 2], "method": "nope"}),
+        json.dumps({"jsonrpc": "2.0", "id": 1, "method": {"not": "a string"}}),
+        json.dumps({"jsonrpc": "2.0", "id": 1}),
+    ]
+    # wrong-typed params / tool names / arguments
+    for bad_params in (None, 17, "x", [], {"name": 3}, {"name": "bruin_get_doc_content"},
+                       {"name": "bruin_get_doc_content", "arguments": "f"},
+                       {"name": "bruin_get_doc_content", "arguments": {"filename": 9}},
+                       {"name": "no_such_tool", "arguments": {}}):
+        frames.append(json.dumps(
+            {"jsonrpc": "2.0", "id": 1, "method": "tools/call", "params": bad_params}
+        ))
+    # hostile filenames: NUL bytes, traversal, absolute, device-ish, long
+    hostile = [
+        "over\x00view", "\x00", "a\x00.md", "../secret.txt", "../../secret.txt",
+        "../" * 40 + "etc/passwd", "/etc/passwd", str(secret), "..", ".", "/",
+        "....//secret.txt", "sub/../../secret.txt", "con", "\\..\\secret.txt",
+        "\ud800bad-surrogate", "n" * 5000, ("deep/" * 200) + "x.md", "secret.txt",
+    ]
+    frames += [call_frame(f, req_id=i + 10) for i, f in enumerate(hostile)]
+    # seeded random junk + random near-valid frames to pass 200 total
+    charset = '{}[]":,abc\\/é\n\t '
+    while len(frames) < 210:
+        if rng.random() < 0.5:
+            frames.append("".join(rng.choice(charset) for _ in range(rng.randint(1, 80))))
+        else:
+            frames.append(call_frame("".join(
+                rng.choice("ab/.\x00é-") for _ in range(rng.randint(1, 30))
+            ), req_id=rng.randint(-5, 5)))
+    rng.shuffle(frames)
+    # close with a well-formed call to prove the loop is still alive
+    frames.append(call_frame("overview.md", req_id="final"))
+
+    stdin = io.StringIO("\n".join(frames) + "\n")
+    stdout = io.StringIO()
+    rc = run_mcp_server(stdin, stdout, docs_root=docs)
+    assert rc == 0
+    responses = [json.loads(line) for line in stdout.getvalue().splitlines()]
+    assert responses  # the loop answered something
+    for r in responses:
+        assert r.get("jsonrpc") == "2.0"
+        if "error" in r:
+            assert r["error"]["code"] in (-32601, -32602)
+        assert "TOP-SECRET-CANARY-9c4e1" not in json.dumps(r)
+    finals = [r for r in responses if r.get("id") == "final"]
+    assert len(finals) == 1 and "# overview" in finals[0]["result"]["content"][0]["text"]
