@@ -90,6 +90,8 @@ HEADLINE = [
     "mm_phash_pairs",
     # r12: the composed five-stage RefinedWeb curation funnel
     "text_refinedweb_funnel",
+    # r12: image duplicate clusters (exact-collapse + banding + CC)
+    "mm_phash_clusters",
 ]
 
 

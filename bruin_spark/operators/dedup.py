@@ -1089,6 +1089,48 @@ def simhash_dedup_clusters(
     return _expand_exact_clusters(keyed, groups, cc)
 
 
+def phash_dedup_clusters(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "phash",
+    bits: int = 64,
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+    max_iter: int = 30,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Image near-dup clusters -> (node, component) from a perceptual
+    hash column — the multimodal sibling of
+    :func:`simhash_dedup_clusters`, exact-collapse form.
+
+    The signature IS the exact-group key (identical images decode to
+    identical pHashes, and Hamming 0 <= any ``max_hamming``), so each
+    hash-equal group is fully connected through its min-id
+    representative and cross-group pairing depends only on the two
+    signature values: the output is identical to
+    ``connected_components(hamming_near_pairs(sig))`` while a hot
+    duplicate image (100M thumbnails of one logo) collapses to ONE rep
+    row before the banded join.  The (id, hash) projection is pinned so
+    the upstream decode pass (Arrow mapInPandas over the heavy binary
+    column) runs once, not once per consumer.
+    """
+    keyed = materialize(
+        sig.select(F.col(id_col).alias("id"), F.col(hash_col).alias("_tkey")),
+        eager=True,
+    )
+    groups = keyed.groupBy("_tkey").agg(
+        F.min("id").alias("rep"), F.count(F.lit(1)).alias("group_n")
+    )
+    reps = groups.select(
+        F.col("rep").alias(id_col), F.col("_tkey").alias(hash_col)
+    )
+    pairs = hamming_near_pairs(
+        reps, id_col, hash_col, bits, max_hamming, n_chunks
+    )
+    cc = connected_components(pairs, "id_a", "id_b", max_iter, stats)
+    return _expand_exact_clusters(keyed, groups, cc)
+
+
 # -- segment-level (cross-corpus span) dedup ----------------------------------
 
 

@@ -229,6 +229,41 @@ WHERE bit_count(xor(a.phash, b.phash)) <= 3
 """
 
 
+def mm_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image duplicate CLUSTERS: pHash signatures → exact-collapse on
+    the hash value → Hamming banding over min-id reps → alternating-star
+    connected components → members inherit their rep's component
+    (operators/dedup.py phash_dedup_clusters)."""
+    from bruin_spark.operators.dedup import phash_dedup_clusters
+
+    sig = M.phash64(_with_media_dups(spark, sf_dir))
+    cc = phash_dedup_clusters(sig)
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+def _phash_clusters_oracle() -> str:
+    """Reachability closure over the SAME deterministic pHash pair
+    graph (identical hashes pair at Hamming 0, so exact groups are
+    inside the closure): min reachable id == the star algorithm's
+    component representative."""
+    return f"""
+WITH RECURSIVE pairs AS ({_phash_pairs_oracle()}),
+e AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(u, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM e) AS n(u)
+  UNION
+  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u
+)
+SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u
+"""
+
+
 QUERIES = {
     "mm_decode": (mm_decode, DECODE_ORACLE),
     "mm_meta_scan": (mm_meta_scan, META_ORACLE),
@@ -236,4 +271,5 @@ QUERIES = {
     "mm_resize": (mm_resize, RESIZE_ORACLE),
     "mm_features": (mm_features, FEATURES_ORACLE),
     "mm_phash_pairs": (mm_phash_pairs, _phash_pairs_oracle()),
+    "mm_phash_clusters": (mm_phash_clusters, _phash_clusters_oracle()),
 }

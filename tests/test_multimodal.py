@@ -182,3 +182,44 @@ def test_hamming_near_pairs_guards(spark):
         hamming_near_pairs(df, max_hamming=4, n_chunks=4)
     with pytest.raises(ValueError):
         hamming_near_pairs(df, bits=50, n_chunks=4)
+
+
+def test_phash_dedup_clusters_equivalent_to_flat_cc(spark):
+    """Exact-collapse clusters == connected_components over the flat
+    pair graph, including hash-identical groups with no cross pair
+    (a component of their own) and singletons (excluded)."""
+    import random
+
+    from bruin_spark.operators.dedup import (
+        connected_components,
+        hamming_near_pairs,
+        phash_dedup_clusters,
+    )
+
+    rng = random.Random(11)
+    sigs = []
+    base_a = rng.getrandbits(62)
+    # family A: 6 near sigs around base_a (pairwise <= 3 via chains)
+    for i in range(6):
+        v = base_a ^ (1 << rng.randrange(64)) if i else base_a
+        sigs.append((i, v - (1 << 64) if v >= (1 << 63) else v))
+    # family B: an exact group of 4 (identical sigs), far from A
+    base_b = rng.getrandbits(62) | (1 << 63)
+    vb = base_b - (1 << 64)
+    sigs += [(10 + i, vb) for i in range(4)]
+    # singletons
+    sigs += [(20 + i, rng.getrandbits(60)) for i in range(5)]
+    df = spark.createDataFrame(sigs, "doc_id bigint, phash bigint")
+    got = {
+        (r["node"], r["component"])
+        for r in phash_dedup_clusters(df).collect()
+    }
+    flat = connected_components(
+        hamming_near_pairs(df, max_hamming=3, n_chunks=4), "id_a", "id_b"
+    )
+    want = {(r["node"], r["component"]) for r in flat.collect()}
+    assert got == want
+    # the exact group IS a cluster (members 10..13, component 10)
+    assert {(10 + i, 10) for i in range(4)} <= got
+    # singletons excluded
+    assert not any(n >= 20 for n, _ in got)
