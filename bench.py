@@ -92,6 +92,8 @@ HEADLINE = [
     "text_refinedweb_funnel",
     # r12: image duplicate clusters (exact-collapse + banding + CC)
     "mm_phash_clusters",
+    # r12: URL filtering (RefinedWeb stage 1; map-only)
+    "text_url_filters",
 ]
 
 

@@ -596,3 +596,104 @@ def line_filters(
         F.array_join(kept, "\n").alias("clean_text"),
         *[F.col(c) for c in keep_cols],
     )
+
+
+# -- URL filtering (RefinedWeb stage 1) ----------------------------------------
+
+#: default adult/spam fragments with RefinedWeb-style soft weights
+#: (Penedo et al. 2023 §3.1 scores words in the URL rather than hard
+#: matching; the published UT1 blocklist is the hard layer on top)
+URL_SOFT_WORDS: tuple[tuple[str, float], ...] = (
+    ("porn", 1.0),
+    ("xxx", 1.0),
+    ("sex", 0.8),
+    ("casino", 0.8),
+    ("poker", 0.7),
+    ("viagra", 1.0),
+    ("escort", 0.8),
+    ("webcam", 0.5),
+    ("dating", 0.4),
+    ("torrent", 0.4),
+    ("warez", 0.8),
+    ("crack", 0.3),
+)
+
+
+def url_filters(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    blocked_domains: tuple[str, ...] = (),
+    soft_words: tuple[tuple[str, float], ...] = URL_SOFT_WORDS,
+    max_soft_score: float = 0.9,
+    max_digit_frac: float = 0.5,
+    max_host_len: int = 64,
+) -> DataFrame:
+    """URL-level curation (RefinedWeb §3.1): the stage a web pipeline
+    runs BEFORE fetching or scoring any text.
+
+    Three rules, every one a map-only JVM expression:
+
+    - **blocklist** — the host or any registrable parent domain is in
+      ``blocked_domains`` (the UT1-blocklist shape).  The list is a
+      compile-time literal array per level, so matching is an integer
+      ``array_contains`` over the host's dot-suffixes — no join at all;
+      for a multi-million-entry production list swap in a broadcast
+      left-semi join on the same suffix explosion.
+    - **soft words** — flagged fragments in the WHOLE url accumulate
+      their weights; total > ``max_soft_score`` fails (matching is on
+      the lowercased url, so ``PORN`` and path fragments count).
+    - **host shape** — mostly-digit hosts (link farms) and
+      over-long hosts fail.
+
+    Returns ``(id_col, url_col, host, blocklisted, soft_score,
+    digit_frac, url_pass)``; NULL/unparseable urls fail with host NULL.
+    Host extraction is a cross-engine regexp (``scheme://host``) rather
+    than ``parse_url`` so the DuckDB oracle reproduces it verbatim.
+    """
+    url = F.col(url_col)
+    host = F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1))
+    host = F.when(host == "", F.lit(None)).otherwise(host)
+    base = df.select(F.col(id_col), url, host.alias("_host"))
+
+    # dot-suffix explosion-free blocklist: host a.b.c.d matches blocked
+    # entry X iff X ∈ {a.b.c.d, b.c.d, c.d, d}; build the suffix set
+    # with JVM array ops over the split host
+    parts = F.split(F.col("_host"), r"\.")
+    suffixes = F.transform(
+        F.sequence(F.lit(1), F.size(parts)),
+        lambda i: F.array_join(F.slice(parts, i, F.size(parts)), "."),
+    )
+    blocked_arr = F.array(*[F.lit(d) for d in blocked_domains]) if blocked_domains else None
+    blocklisted = (
+        F.size(F.array_intersect(suffixes, blocked_arr)) > 0
+        if blocked_arr is not None
+        else F.lit(False)
+    )
+    blocklisted = F.when(F.col("_host").isNull(), F.lit(True)).otherwise(blocklisted)
+
+    low_url = F.lower(url)
+    score = F.lit(0.0)
+    for word, weight in soft_words:
+        score = score + F.when(low_url.contains(word), F.lit(weight)).otherwise(F.lit(0.0))
+
+    digits = F.length(F.regexp_replace(F.col("_host"), "[^0-9]", ""))
+    digit_frac = digits / F.greatest(F.length("_host"), F.lit(1)).cast("double")
+
+    return base.select(
+        F.col(id_col),
+        url.alias(url_col),
+        F.col("_host").alias("host"),
+        blocklisted.alias("blocklisted"),
+        F.round(score, 6).alias("soft_score"),
+        F.round(F.coalesce(digit_frac, F.lit(1.0)), 6).alias("digit_frac"),
+        (
+            ~blocklisted
+            & (score <= max_soft_score)
+            & F.coalesce(
+                (digit_frac <= max_digit_frac)
+                & (F.length("_host") <= max_host_len),
+                F.lit(False),
+            )
+        ).alias("url_pass"),
+    )

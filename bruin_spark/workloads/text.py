@@ -1188,3 +1188,84 @@ QUERIES["text_refinedweb_attrition"] = (
     text_refinedweb_attrition,
     _refinedweb_attrition_oracle(),
 )
+
+
+# -- URL filtering (RefinedWeb stage 1) -----------------------------------------
+# The driver's documents table has no url column, so the workload plants
+# deterministic urls derived from doc_id on BOTH engines (same pattern
+# as text_pii_redact), then runs the operator over them.
+
+_URL_BLOCKED = ("bad-site.com", "spam.example")
+_URL_LONG_HOST = "a" * 70 + ".com"
+_URL_DOMAINS = (
+    "example.com",                 # clean
+    "news.example.org",            # clean
+    "forum.bad-site.com",          # blocklisted via parent suffix
+    "xxx-casino.win",              # soft words: xxx + casino = 1.8
+    "123456789012345.net",         # digit-heavy host
+    "sub.portal.example.net",      # clean
+    _URL_LONG_HOST,                # over-long host
+)
+
+
+def text_url_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.col("doc_id")
+    cases = F.when(d % 8 == 7, F.lit(None).cast("string"))
+    for i, dom in enumerate(_URL_DOMAINS):
+        cases = cases.when(
+            d % 8 == i,
+            F.concat(F.lit("https://"), F.lit(dom), F.lit("/page/"), d.cast("string")),
+        )
+    docs = _docs(spark, sf_dir).select("doc_id", cases.alias("url"))
+    return T.url_filters(docs, blocked_domains=_URL_BLOCKED)
+
+
+def _url_filters_oracle() -> str:
+    dom_case = "CASE doc_id % 8 WHEN 7 THEN NULL " + " ".join(
+        f"WHEN {i} THEN '{d}'" for i, d in enumerate(_URL_DOMAINS)
+    ) + " END"
+    soft = " + ".join(
+        f"(CASE WHEN contains(lower(url), '{w}') THEN {wt} ELSE 0.0 END)"
+        for w, wt in T.URL_SOFT_WORDS
+    )
+    blocked_list = ", ".join(f"'{b}'" for b in _URL_BLOCKED)
+    # host dot-suffix set vs the blocklist (mirrors the Spark
+    # array_intersect over array_join(slice(parts, i, n)))
+    suffix_hit = (
+        "len(list_intersect("
+        "[array_to_string(list_slice(string_split(host, '.'), i, len(string_split(host, '.'))), '.') "
+        "FOR i IN generate_series(1, len(string_split(host, '.')))], "
+        f"[{blocked_list}])) > 0"
+    )
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN ({dom_case}) IS NULL THEN NULL
+              ELSE 'https://' || ({dom_case}) || '/page/' || CAST(doc_id AS VARCHAR)
+         END AS url
+  FROM documents
+), h AS (
+  SELECT doc_id, url,
+         NULLIF(lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)), '') AS host
+  FROM planted
+), m AS (
+  SELECT doc_id, url, host,
+         CASE WHEN host IS NULL THEN TRUE ELSE ({suffix_hit}) END AS blocklisted,
+         {soft} AS soft_score,
+         COALESCE(length(regexp_replace(host, '[^0-9]', '', 'g'))
+                  / GREATEST(length(host), 1)::DOUBLE, 1.0) AS digit_frac,
+         length(regexp_replace(host, '[^0-9]', '', 'g'))
+           / GREATEST(length(host), 1)::DOUBLE AS raw_digit_frac,
+         length(host) AS host_len
+  FROM h
+)
+SELECT doc_id, url, host, blocklisted,
+       ROUND(soft_score, 6) AS soft_score,
+       ROUND(digit_frac, 6) AS digit_frac,
+       (NOT blocklisted AND soft_score <= 0.9
+         AND COALESCE(raw_digit_frac <= 0.5 AND host_len <= 64, FALSE)) AS url_pass
+FROM m
+"""
+
+
+QUERIES["text_url_filters"] = (text_url_filters, _url_filters_oracle())

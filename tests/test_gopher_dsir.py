@@ -324,3 +324,38 @@ def test_ccnet_buckets_approx_window_free_and_agrees(spark):
     for k in got:
         if got[k] != exact[k] and got[k][0] is not None:
             assert abs(got[k][0] - exact[k][0]) == 1
+
+
+# -- URL filtering ---------------------------------------------------------------
+
+
+def test_url_filters_rules(spark):
+    from bruin_spark.operators.text import url_filters
+
+    rows = [
+        (1, "https://example.com/a"),
+        (2, "https://forum.bad-site.com/x"),      # parent-suffix blocklisted
+        (3, "https://bad-site.com.evil.org/x"),   # NOT a suffix match
+        (4, "https://xxx-casino.win/p"),          # soft 1.8 > 0.9
+        (5, "https://www.dating-site.net/p"),     # soft 0.4 passes
+        (6, "https://123456.78.net/p"),           # digit-heavy host
+        (7, "https://" + "h" * 70 + ".com/p"),    # over-long host
+        (8, None),                                # NULL url fails
+        (9, "not a url at all"),                  # unparseable fails
+        (10, "ftp://files.example.com/pub"),      # other scheme parses
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, url string")
+    got = {
+        r["doc_id"]: r
+        for r in url_filters(df, blocked_domains=("bad-site.com",)).collect()
+    }
+    assert got[1]["url_pass"] and not got[1]["blocklisted"]
+    assert got[2]["blocklisted"] and not got[2]["url_pass"]
+    assert not got[3]["blocklisted"] and got[3]["url_pass"]
+    assert got[4]["soft_score"] == 1.8 and not got[4]["url_pass"]
+    assert got[5]["soft_score"] == 0.4 and got[5]["url_pass"]
+    assert got[6]["digit_frac"] > 0.5 and not got[6]["url_pass"]
+    assert not got[7]["url_pass"]
+    assert got[8]["host"] is None and not got[8]["url_pass"] and got[8]["blocklisted"]
+    assert got[9]["host"] is None and not got[9]["url_pass"]
+    assert got[10]["host"] == "files.example.com" and got[10]["url_pass"]
