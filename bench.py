@@ -94,6 +94,8 @@ HEADLINE = [
     "mm_phash_clusters",
     # r12: URL filtering (RefinedWeb stage 1; map-only)
     "text_url_filters",
+    # r12: hashed linear quality classifier (train + apply)
+    "text_quality_classifier",
 ]
 
 

@@ -1269,3 +1269,64 @@ FROM m
 
 
 QUERIES["text_url_filters"] = (text_url_filters, _url_filters_oracle())
+
+
+# -- hashed linear quality classifier -------------------------------------------
+
+
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-shaped quality gate: closed-form bucket log-odds trained
+    against the lang='en' subset, applied as a mean-pooled sigmoid
+    score with a 0.5 keep threshold (operators/classifier.py)."""
+    from bruin_spark.operators.classifier import (
+        classifier_scores,
+        train_bucket_logodds,
+    )
+
+    docs = _docs(spark, sf_dir)
+    w = train_bucket_logodds(docs, target=F.col("lang") == "en", n_buckets=64)
+    return classifier_scores(docs, w, n_buckets=64)
+
+
+def _classifier_oracle(n_buckets: int = 64) -> str:
+    toks = _duck_tokens()
+    h = "('0x' || substr(md5(f), 1, 15))::BIGINT % {b}".format(b=n_buckets)
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang = 'en' AS is_target, {toks} AS t FROM documents
+), uni AS (
+  SELECT doc_id, is_target, tok AS f FROM base, LATERAL (SELECT UNNEST(t) AS tok)
+), bi AS (
+  SELECT doc_id, is_target, t[i] || ' ' || t[i + 1] AS f
+  FROM base, LATERAL (SELECT UNNEST(generate_series(1, len(t) - 1)) AS i)
+  WHERE len(t) >= 2
+), feats AS (
+  SELECT doc_id, is_target, {h} AS bucket FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+), buckets AS (
+  SELECT bucket,
+         SUM(CASE WHEN NOT is_target THEN 1 ELSE 0 END) AS c_raw,
+         SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS c_tgt
+  FROM feats GROUP BY bucket
+), totals AS (
+  SELECT SUM(c_raw) AS t_raw, SUM(c_tgt) AS t_tgt FROM buckets
+), weights AS (
+  SELECT bucket,
+         ln(((c_tgt + 1) / (t_tgt + {n_buckets})) / ((c_raw + 1) / (t_raw + {n_buckets}))) AS w
+  FROM buckets, totals
+), doc_feats AS (
+  SELECT doc_id, bucket, COUNT(*) AS k FROM feats GROUP BY doc_id, bucket
+), scored AS (
+  SELECT doc_id, SUM(k) AS n_feats, SUM(k * COALESCE(w, 0.0)) AS sw
+  FROM doc_feats LEFT JOIN weights USING (bucket)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(s.n_feats, 0)::BIGINT AS n_feats,
+       round(s.sw / s.n_feats, 6) AS logit,
+       round(1.0 / (1.0 + exp(-(s.sw / s.n_feats))), 6) AS prob,
+       (1.0 / (1.0 + exp(-(s.sw / s.n_feats))) >= 0.5) AS keep
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
+QUERIES["text_quality_classifier"] = (text_quality_classifier, _classifier_oracle())

@@ -359,3 +359,46 @@ def test_url_filters_rules(spark):
     assert got[8]["host"] is None and not got[8]["url_pass"] and got[8]["blocklisted"]
     assert got[9]["host"] is None and not got[9]["url_pass"]
     assert got[10]["host"] == "files.example.com" and got[10]["url_pass"]
+
+
+# -- hashed linear quality classifier ---------------------------------------------
+
+
+def test_classifier_separates_target_from_rest(spark):
+    from pyspark.sql import functions as F
+
+    from bruin_spark.operators.classifier import (
+        classifier_scores,
+        train_bucket_logodds,
+    )
+
+    df = spark.createDataFrame(DOCS, ["doc_id", "text", "lang"])
+    w = train_bucket_logodds(df, target=F.col("lang") == "en", n_buckets=64)
+    assert w.count() <= 64
+    got = {r["doc_id"]: r for r in classifier_scores(df, w, n_buckets=64).collect()}
+    assert set(got) == {d[0] for d in DOCS}
+    # the lone German doc scores below every English doc's probability
+    de_prob = got[6]["prob"]
+    en_probs = [got[d[0]]["prob"] for d in DOCS if d[2] == "en" and d[0] != 7]
+    assert all(p > de_prob for p in en_probs)
+    assert not got[6]["keep"]
+    for r in got.values():
+        assert r["n_feats"] >= 1
+        assert 0.0 <= r["prob"] <= 1.0
+        assert r["keep"] == (r["prob"] >= 0.5)
+
+
+def test_classifier_sparse_weights_and_bias(spark):
+    """Buckets missing from the weight table contribute 0; bias shifts
+    the logit; mean pooling makes repetition score-invariant."""
+    from bruin_spark.operators.classifier import classifier_scores
+
+    df = spark.createDataFrame(
+        [(1, "good words here"), (2, "good words here " * 10)],
+        ["doc_id", "text"],
+    )
+    empty_w = spark.createDataFrame([], "bucket bigint, w double")
+    got = {r["doc_id"]: r for r in classifier_scores(df, empty_w, bias=2.0).collect()}
+    assert got[1]["logit"] == 2.0 and got[1]["prob"] == round(1 / (1 + math.exp(-2.0)), 6)
+    # doc 2 repeats doc 1's text: identical mean-pooled logit
+    assert got[2]["logit"] == got[1]["logit"]

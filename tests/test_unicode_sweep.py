@@ -61,6 +61,7 @@ SWEEP_ENTRIES = [
     "text_line_filters",
     "text_ccnet_buckets_approx",
     "text_refinedweb_funnel",
+    "text_quality_classifier",
 ]
 
 _E = "é"                      # é precomposed (NFC)
