@@ -242,6 +242,49 @@ FROM events p JOIN events l
 """
 
 
+
+
+_DOC_STAGED: dict[str, str] = {}
+
+
+def _docs_path(sf_dir: str) -> str:
+    """Staged directory for streaming the documents table (same symlink
+    discipline as _events_path)."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    if sf_dir not in _DOC_STAGED:
+        import glob
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="bruin_stream_docs_")
+        if os.path.isdir(src):
+            for i, part in enumerate(sorted(glob.glob(os.path.join(src, "*.parquet")))):
+                os.symlink(part, os.path.join(d, f"docs_{i}.parquet"))
+        else:
+            os.symlink(src, os.path.join(d, "documents.parquet"))
+        _DOC_STAGED[sf_dir] = d
+    return _DOC_STAGED[sf_dir]
+
+
+def stream_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation on a STREAM: the gopher_rules operator is a map-only
+    projection, so the exact same function runs unchanged on a
+    streaming DataFrame in append mode — the shape of continuous
+    crawl-ingest quality gating (new files -> new micro-batches ->
+    per-document rule verdicts, no state, no watermark needed)."""
+    from bruin_spark.operators.text import gopher_rules
+
+    stream = stream_file_source(spark, _docs_path(sf_dir))
+    sdf = gopher_rules(stream, min_words=5)
+    out = _run(spark, sdf, "append", "stream_sink_gopher")
+    return out
+
+
+def _stream_gopher_oracle() -> str:
+    from bruin_spark.workloads.text import _gopher_oracle
+
+    return _gopher_oracle()
+
+
 QUERIES = {
     "stream_hourly_counts": (stream_hourly_counts, HOURLY_ORACLE),
     "stream_purchase_view_join": (stream_purchase_view_join, PV_JOIN_ORACLE),
@@ -249,4 +292,5 @@ QUERIES = {
     "stream_user_totals": (stream_user_totals, USER_TOTALS_ORACLE),
     "stream_dedup_ids": (stream_dedup_ids, DEDUP_ORACLE),
     "stream_kafka_parse": (stream_kafka_parse, KAFKA_PARSE_ORACLE),
+    "stream_gopher_filter": (stream_gopher_filter, _stream_gopher_oracle()),
 }
