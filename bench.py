@@ -96,6 +96,8 @@ HEADLINE = [
     "text_url_filters",
     # r12: hashed linear quality classifier (train + apply)
     "text_quality_classifier",
+    # r12: full BPE tokenization to id sequences
+    "text_bpe_ids",
 ]
 
 

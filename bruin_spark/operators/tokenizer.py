@@ -169,3 +169,67 @@ def bpe_encode_counts(
         F.sum("cnt").alias("n_words"),
         F.sum(F.col("cnt") * F.col("n_pieces")).alias("n_bpe_tokens"),
     )
+
+
+def bpe_encode_ids(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full BPE tokenization to ID SEQUENCES: ``(id_col, n_ids, ids)``
+    — the array of vocabulary ids a trainer's data loader consumes, in
+    document order.
+
+    Same "tokenize distinct words once" discipline as
+    :func:`bpe_encode_counts`: piece ids are assigned on the |pieces|
+    table (lexicographic rank — deterministic, tokenizer-file-like),
+    each DISTINCT word maps to its id array once, and the corpus-side
+    work is one posexplode + a broadcast join + one per-document
+    reassembly groupBy.  The sequence is rebuilt with
+    ``array_sort(collect_list(struct(pos, ids)))`` → ``flatten`` — the
+    same skew-safe reassembly shape as segment_dedup (no window over
+    the corpus).  The piece-id rank runs on the vocabulary relation
+    (bounded by construction: pieces ≤ distinct chars + n_merges).
+    """
+    from pyspark.sql import Window
+
+    _, words = _bpe_train(docs, n_merges, text_col)
+    word_pieces = words.select(
+        "w", F.split(F.trim(F.col("repr")), " ").alias("_ps")
+    )
+    vocab = (
+        word_pieces.select(F.explode("_ps").alias("piece"))
+        .distinct()
+        .withColumn(
+            "piece_id",
+            F.row_number().over(Window.orderBy(F.col("piece"))).cast("int"),
+        )
+    )
+    word_ids = (
+        word_pieces.select("w", F.posexplode("_ps").alias("_i", "piece"))
+        .join(F.broadcast(vocab), "piece")
+        .groupBy("w")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_i", "piece_id"))),
+                lambda s: s["piece_id"],
+            ).alias("_wids")
+        )
+    )
+    doc_words = docs.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("_pos", "w")
+    )
+    return (
+        doc_words.join(F.broadcast(word_ids), "w")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_wids"))),
+                    lambda s: s["_wids"],
+                )
+            ).alias("ids")
+        )
+        .select(F.col(id_col), F.size("ids").alias("n_ids"), F.col("ids"))
+    )

@@ -1330,3 +1330,50 @@ FROM documents d LEFT JOIN scored s USING (doc_id)
 
 
 QUERIES["text_quality_classifier"] = (text_quality_classifier, _classifier_oracle())
+
+
+# -- BPE tokenization to id sequences -------------------------------------------
+
+
+def text_bpe_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full tokenization: per-document BPE id sequences under the
+    trained vocabulary (lexicographic piece ids) — the data-loader
+    artifact (operators/tokenizer.py: bpe_encode_ids)."""
+    from bruin_spark.operators.tokenizer import bpe_encode_ids
+
+    return bpe_encode_ids(_docs(spark, sf_dir), n_merges=_BPE_MERGES)
+
+
+def _bpe_ids_oracle() -> str:
+    stages, _ = _bpe_stages()
+    return f"""
+{_bpe_vocab_ctes(stages)},
+word_pieces AS (
+  SELECT w, string_split(trim(repr), ' ') AS ps FROM w{_BPE_MERGES}
+),
+vocab AS (
+  SELECT piece, ROW_NUMBER() OVER (ORDER BY piece)::INT AS piece_id
+  FROM (SELECT DISTINCT UNNEST(ps) AS piece FROM word_pieces)
+),
+word_ids AS (
+  SELECT w, list(piece_id ORDER BY i) AS wids
+  FROM (
+    SELECT w, i, ps[i] AS piece
+    FROM word_pieces, UNNEST(generate_series(1, len(ps))) AS t(i)
+  ) JOIN vocab USING (piece)
+  GROUP BY w
+),
+doc_words AS (
+  SELECT doc_id, i AS pos, t[i] AS w
+  FROM (SELECT doc_id, {_duck_tokens()} AS t FROM documents),
+       UNNEST(generate_series(1, len(t))) AS g(i)
+)
+SELECT doc_id,
+       len(flatten(list(wids ORDER BY pos)))::INT AS n_ids,
+       flatten(list(wids ORDER BY pos)) AS ids
+FROM doc_words JOIN word_ids USING (w)
+GROUP BY doc_id
+"""
+
+
+QUERIES["text_bpe_ids"] = (text_bpe_ids, _bpe_ids_oracle())

@@ -486,3 +486,34 @@ def test_language_segments_majority_and_purity(spark):
     assert out[1]["n_majority_segments"] == 2
     assert abs(out[1]["lang_purity"] - round(2 / 3, 6)) < 1e-9
     assert out[2]["n_segments"] == 1 and out[2]["lang_purity"] == 1.0
+
+
+def test_bpe_encode_ids_consistent_with_counts_and_decodable(spark):
+    """Id sequences: (1) per-doc length equals bpe_encode_counts'
+    n_bpe_tokens, (2) ids decode back to the exact piece strings of the
+    trained vocab, in document order."""
+    from bruin_spark.checkpointing import pinned_scope
+    from bruin_spark.operators.tokenizer import (
+        _bpe_train,
+        bpe_encode_counts,
+        bpe_encode_ids,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest"), (2, "low low newer"), (3, "wider low")],
+        ["doc_id", "text"],
+    )
+    with pinned_scope():
+        ids_rows = {r["doc_id"]: r for r in bpe_encode_ids(docs, n_merges=3).collect()}
+        counts = {r["doc_id"]: r for r in bpe_encode_counts(docs, n_merges=3).collect()}
+        _, words = _bpe_train(docs, 3, "text")
+        reprs = {r["w"]: r["repr"].strip().split(" ") for r in words.collect()}
+    assert set(ids_rows) == {1, 2, 3}
+    for d, r in ids_rows.items():
+        assert r["n_ids"] == len(r["ids"]) == counts[d]["n_bpe_tokens"]
+    # rebuild the id->piece table the operator's lexicographic rank implies
+    pieces = sorted({p for ps in reprs.values() for p in ps})
+    id2p = {i + 1: p for i, p in enumerate(pieces)}
+    for d, text in [(1, "low lower lowest"), (2, "low low newer"), (3, "wider low")]:
+        expect = [p for w in text.split(" ") for p in reprs[w]]
+        assert [id2p[i] for i in ids_rows[d]["ids"]] == expect

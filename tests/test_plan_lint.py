@@ -95,6 +95,9 @@ SINGLE_PARTITION_OK = {
     # attrition report: per-doc flags reduce to ONE row of constant-width
     # counters; the 5 stage rows explode from it — bounded by construction
     "text_refinedweb_attrition",
+    # piece-id assignment: row_number over the PIECE vocabulary, bounded
+    # by construction (distinct chars + n_merges rows)
+    "text_bpe_ids",
 }
 
 

@@ -62,6 +62,7 @@ SWEEP_ENTRIES = [
     "text_ccnet_buckets_approx",
     "text_refinedweb_funnel",
     "text_quality_classifier",
+    "text_bpe_ids",
 ]
 
 _E = "é"                      # é precomposed (NFC)
