@@ -98,6 +98,8 @@ HEADLINE = [
     "text_quality_classifier",
     # r12: full BPE tokenization to id sequences
     "text_bpe_ids",
+    # r12: paraphrase-robust (Jaccard) decontamination
+    "text_decontaminate_fuzzy",
 ]
 
 

@@ -1377,3 +1377,65 @@ GROUP BY doc_id
 
 
 QUERIES["text_bpe_ids"] = (text_bpe_ids, _bpe_ids_oracle())
+
+
+# -- fuzzy (Jaccard) decontamination --------------------------------------------
+
+_FUZZY_DECON_N = 3
+_FUZZY_DECON_T = 0.2
+
+
+def text_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paraphrase-robust decontamination: exact distinct-shingle Jaccard
+    of every corpus doc against its best eval-set match (the eval side
+    broadcasts; see operators/contamination.py fuzzy_contamination)."""
+    from bruin_spark.operators.contamination import fuzzy_contamination
+
+    docs = _docs(spark, sf_dir)
+    is_test = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    return fuzzy_contamination(
+        docs.filter(~is_test),
+        docs.filter(is_test),
+        n=_FUZZY_DECON_N,
+        threshold=_FUZZY_DECON_T,
+    )
+
+
+def _fuzzy_decon_oracle() -> str:
+    sh = f"list_distinct({_duck_shingles_all(_FUZZY_DECON_N)})"
+    return f"""
+WITH test AS (SELECT * FROM documents WHERE {_TEST_PRED}),
+corpus AS (SELECT * FROM documents WHERE NOT ({_TEST_PRED})),
+tsh AS (
+  SELECT doc_id AS tid, len(s) AS tsize, UNNEST(s) AS shingle
+  FROM (SELECT doc_id, {sh} AS s FROM test)
+),
+csh AS (
+  SELECT doc_id AS cid, len(s) AS csize, UNNEST(s) AS shingle
+  FROM (SELECT doc_id, {sh} AS s FROM corpus)
+),
+pair_stats AS (
+  SELECT cid, tid,
+         COUNT(*) AS common,
+         ANY_VALUE(csize) AS csize,
+         ANY_VALUE(tsize) AS tsize
+  FROM csh JOIN tsh USING (shingle)
+  GROUP BY cid, tid
+),
+ranked AS (
+  SELECT cid, tid,
+         common / (csize + tsize - common)::DOUBLE AS j,
+         ROW_NUMBER() OVER (PARTITION BY cid
+                            ORDER BY common / (csize + tsize - common)::DOUBLE DESC,
+                                     tid ASC) AS rn
+  FROM pair_stats
+)
+SELECT c.doc_id,
+       r.tid AS best_eval_id,
+       COALESCE(ROUND(r.j, 6), 0.0) AS max_jaccard,
+       COALESCE(r.j, 0.0) >= {_FUZZY_DECON_T} AS contaminated_fuzzy
+FROM corpus c LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r ON c.doc_id = r.cid
+"""
+
+
+QUERIES["text_decontaminate_fuzzy"] = (text_decontaminate_fuzzy, _fuzzy_decon_oracle())

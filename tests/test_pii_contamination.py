@@ -215,3 +215,55 @@ def test_curation_decisions_null_text_rows_survive(spark):
     assert "exact_duplicate" not in out[2]["drop_reasons"]
     assert "exact_duplicate" in out[3]["drop_reasons"]
     assert not out[4]["keep"]
+
+
+def test_fuzzy_contamination_catches_paraphrase(spark):
+    """A doc sharing most (but not all) shingles with an eval doc is
+    flagged by the fuzzy path and MISSED by exact overlap at large n —
+    the paraphrase gap fuzzy_contamination exists to close."""
+    from bruin_spark.operators.contamination import (
+        fuzzy_contamination,
+        ngram_overlap_contamination,
+    )
+
+    eval_docs = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog today")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            # light edit of the eval doc: one word changed
+            (1, "the quick brown fox leaps over the lazy dog today"),
+            # unrelated
+            (2, "completely different words in this other document here"),
+            # verbatim copy
+            (3, "the quick brown fox jumps over the lazy dog today"),
+        ],
+        ["doc_id", "text"],
+    )
+    fuzzy = {
+        r["doc_id"]: r
+        for r in fuzzy_contamination(corpus, eval_docs, n=3, threshold=0.4).collect()
+    }
+    assert fuzzy[3]["max_jaccard"] == 1.0 and fuzzy[3]["contaminated_fuzzy"]
+    assert fuzzy[1]["contaminated_fuzzy"] and 0.4 <= fuzzy[1]["max_jaccard"] < 1.0
+    assert fuzzy[1]["best_eval_id"] == 100
+    assert not fuzzy[2]["contaminated_fuzzy"] and fuzzy[2]["max_jaccard"] < 0.1
+    # exact n-gram overlap at n=8 misses the paraphrase entirely
+    exact = {
+        r["doc_id"]: r
+        for r in ngram_overlap_contamination(corpus, eval_docs, n=8).collect()
+    }
+    assert not exact[1]["contaminated"] and exact[3]["contaminated"]
+
+
+def test_fuzzy_contamination_tie_breaks_on_smaller_eval_id(spark):
+    from bruin_spark.operators.contamination import fuzzy_contamination
+
+    eval_docs = spark.createDataFrame(
+        [(7, "alpha beta gamma delta"), (3, "alpha beta gamma delta")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame([(1, "alpha beta gamma delta")], ["doc_id", "text"])
+    row = fuzzy_contamination(corpus, eval_docs, n=3, threshold=0.5).collect()[0]
+    assert row["best_eval_id"] == 3 and row["max_jaccard"] == 1.0

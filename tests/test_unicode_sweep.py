@@ -63,6 +63,7 @@ SWEEP_ENTRIES = [
     "text_refinedweb_funnel",
     "text_quality_classifier",
     "text_bpe_ids",
+    "text_decontaminate_fuzzy",
 ]
 
 _E = "é"                      # é precomposed (NFC)
