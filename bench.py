@@ -100,6 +100,8 @@ HEADLINE = [
     "text_bpe_ids",
     # r12: paraphrase-robust (Jaccard) decontamination
     "text_decontaminate_fuzzy",
+    # r12: A-ES weighted sampling (TakeOrderedAndProject)
+    "sample_weighted_topk",
 ]
 
 

@@ -335,3 +335,38 @@ def domain_mixture_sample(
         salt=salt,
         two_phase=two_phase,
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES): each row draws ``key = -ln(u) / w`` with ``u``
+    derived from ``md5(salt || id)`` — the k SMALLEST keys are an exact
+    weighted sample without replacement, reproducible across runs and
+    engines (no rand()).
+
+    Rows with NULL or non-positive weight are excluded.  Ties (only
+    possible via hash collision on u AND equal weights) break on the
+    id for determinism.
+
+    100 TB shape: the key is one map-only expression; selection is
+    ``ORDER BY key LIMIT k`` which Spark plans as TakeOrderedAndProject
+    — per-partition partial top-k, then a merge of P·k candidate rows
+    on one reducer (k is small by contract).  No full sort, no window,
+    no shuffle of the corpus.  Plan-asserted in tests.
+    """
+    w = F.col(weight_col).cast("double")
+    u = (hash_bucket(id_col, salt) + F.lit(0.5)) / F.lit(float(N_BUCKETS))
+    key = -F.log(u) / w
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("sample_key", key)
+        .orderBy(F.col("sample_key").asc(), F.col(id_col).asc())
+        .limit(int(k))
+        .withColumn("sample_key", F.round(F.col("sample_key"), 6))
+    )

@@ -188,6 +188,34 @@ WHERE d.rn <= q.quota
 """
 
 
+
+
+_WS_K = 40
+
+
+def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (A-ES):
+    n_chars-weighted — longer documents proportionally more likely —
+    selected via TakeOrderedAndProject, no full sort (see
+    operators/sampling.py weighted_sample)."""
+    from bruin_spark.operators.sampling import weighted_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    return weighted_sample(docs, "n_chars", k=_WS_K, salt="ws")
+
+
+def _weighted_oracle() -> str:
+    u = f"(({bucket_sql('doc_id', 'ws')}) + 0.5) / {float(N_BUCKETS)}"
+    return f"""
+SELECT doc_id, lang, n_chars,
+       ROUND(-ln({u}) / n_chars::DOUBLE, 6) AS sample_key
+FROM documents
+WHERE n_chars IS NOT NULL AND n_chars > 0
+ORDER BY -ln({u}) / n_chars::DOUBLE ASC, doc_id ASC
+LIMIT {_WS_K}
+"""
+
+
 QUERIES = {
     "sample_domain_mixture": (sample_domain_mixture, _MIX_ORACLE),
     "split_counts_by_lang": (split_counts_by_lang, SPLIT_COUNTS_ORACLE),
@@ -197,4 +225,5 @@ QUERIES = {
     ),
     "sample_docs_10pct": (sample_docs_10pct, SAMPLE_ORACLE),
     "sample_stratified_quota": (sample_stratified_quota, _quota_oracle()),
+    "sample_weighted_topk": (sample_weighted_topk, _weighted_oracle()),
 }

@@ -136,3 +136,42 @@ def test_domain_mixture_water_filling(spark):
     n_small = sum(1 for i in out1 if i.startswith("b"))
     assert n_small == 20  # equal weights: small exhausted, rest from big
     assert len(out1) >= 58
+
+
+def test_weighted_sample_proportional_and_plan(spark):
+    """A-ES weighted sampling: (1) matches the pure-Python reference
+    exactly for a fixed salt, (2) heavy items are selected far more
+    often across salts (proportionality), (3) plans as
+    TakeOrderedAndProject (partial per-partition top-k, no full sort),
+    (4) non-positive/NULL weights are excluded."""
+    import hashlib
+    import math
+
+    from bruin_spark.operators.sampling import N_BUCKETS, weighted_sample
+
+    rows = [(i, 1000.0 if i < 3 else 1.0) for i in range(60)]
+    rows += [(100, 0.0), (101, -1.0), (102, None)]
+    df = spark.createDataFrame(rows, "doc_id int, w double")
+
+    def ref_key(i, salt):
+        b = int(hashlib.md5(f"{salt}{i}".encode()).hexdigest()[:8], 16) % N_BUCKETS
+        return -math.log((b + 0.5) / N_BUCKETS)
+
+    got = weighted_sample(df, "w", k=10, salt="t").collect()
+    assert len(got) == 10
+    want = sorted(
+        ((ref_key(i, "t") / w, i) for i, w in rows if w and w > 0),
+    )[:10]
+    assert [r["doc_id"] for r in got] == [i for _, i in want]
+    for r in got:
+        assert r["doc_id"] not in (100, 101, 102)
+
+    heavy_hits = 0
+    for salt in map(str, range(20)):
+        ids = {r["doc_id"] for r in weighted_sample(df, "w", k=5, salt=salt).collect()}
+        heavy_hits += len(ids & {0, 1, 2})
+    # 3 heavy items own ~98% of the weight: expect nearly 3 of 5 slots
+    assert heavy_hits >= 40
+
+    p = weighted_sample(df, "w", k=10)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p
