@@ -102,6 +102,8 @@ HEADLINE = [
     "text_decontaminate_fuzzy",
     # r12: A-ES weighted sampling (TakeOrderedAndProject)
     "sample_weighted_topk",
+    # r12: Gopher repetition-removal table (one unified explode)
+    "text_gopher_repetition",
 ]
 
 

@@ -697,3 +697,114 @@ def url_filters(
             )
         ).alias("url_pass"),
     )
+
+
+# -- Gopher repetition rules (appendix A1.2) ------------------------------------
+
+#: (measurement key, max fraction) — the paper's published thresholds
+GOPHER_REP_THRESHOLDS: tuple[tuple[str, float], ...] = (
+    ("dup_line_frac", 0.30),
+    ("dup_line_char_frac", 0.20),
+    ("top_2gram_char_frac", 0.20),
+    ("top_3gram_char_frac", 0.18),
+    ("top_4gram_char_frac", 0.16),
+    ("dup_5gram_char_frac", 0.15),
+    ("dup_6gram_char_frac", 0.14),
+    ("dup_7gram_char_frac", 0.13),
+    ("dup_8gram_char_frac", 0.12),
+    ("dup_9gram_char_frac", 0.11),
+    ("dup_10gram_char_frac", 0.10),
+)
+
+
+def gopher_repetition_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The Gopher repetition-removal table (Rae et al. 2021, appendix
+    A1.2): duplicate-line fraction and char fraction, most-frequent
+    {2,3,4}-gram char fractions, and duplicate-{5..10}-gram char
+    fractions, each gated at the paper's threshold, plus the combined
+    ``rep_pass``.  Char fractions are occurrence-weighted
+    (``count·len(gram) / len(text)``; the paper's
+    no-double-counting refinement needs positional interval merging —
+    the occurrence-weighted form is the standard reimplementation and
+    is what the thresholds gate here, stated explicitly for parity).
+
+    Plan (100 TB shape): ONE unified explode emits (doc, kind, gram)
+    rows for the lines stream and every n-gram size in a single corpus
+    scan (the token array binds once per row); ONE
+    map-side-combinable groupBy(doc, kind, gram) collapses repeats —
+    heavy repetition makes the shuffle cheaper, not hotter — and the
+    per-kind statistics pivot back map-side keyed by doc.  All
+    built-in expressions, no window, no Python.
+    """
+    lines_arr = F.split(F.col(text_col), "\r?\n")
+    # one exploded stream for every kind: build an array of (kind, gram)
+    # structs per row and explode ONCE
+    parts = [
+        F.transform(lines_arr, lambda g: F.struct(F.lit("line").alias("kind"), g.alias("gram")))
+    ]
+    def _kind_part(n: int):
+        # single-parameter lambda closing over the kind STRING: a
+        # two-parameter lambda (e.g. `lambda g, n=n`) would be called
+        # by Spark's transform as (element, index) — the index column
+        # silently replaces the default
+        kind = f"{n}gram"
+        return F.transform(
+            shingles(text_col, n),
+            lambda g: F.struct(F.lit(kind).alias("kind"), g.alias("gram")),
+        )
+
+    for n in range(2, 11):
+        parts.append(_kind_part(n))
+    exploded = df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("_chars"),
+        F.explode(F.concat(*parts)).alias("_kg"),
+    ).select(
+        id_col, "_chars", F.col("_kg.kind").alias("kind"), F.col("_kg.gram").alias("gram")
+    )
+    grp = exploded.groupBy(id_col, "kind", "gram").agg(
+        F.count(F.lit(1)).alias("c"), F.first("_chars").alias("_chars")
+    )
+    per_kind = grp.groupBy(id_col, "kind").agg(
+        F.sum("c").alias("n_occ"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.max(F.col("c") * F.length("gram")).alias("top_char"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c") * F.length("gram")).otherwise(0)).alias(
+            "dup_char"
+        ),
+        F.first("_chars").alias("_chars"),
+    )
+
+    def kv(kind: str, expr_name: str):
+        return F.max(F.when(F.col("kind") == kind, F.col(expr_name)))
+
+    chars_d = F.greatest(F.max("_chars"), F.lit(1)).cast("double")
+    measures = {
+        "dup_line_frac": (kv("line", "n_occ") - kv("line", "n_groups"))
+        / F.greatest(kv("line", "n_occ"), F.lit(1)).cast("double"),
+        "dup_line_char_frac": kv("line", "dup_char") / chars_d,
+    }
+    for n in (2, 3, 4):
+        measures[f"top_{n}gram_char_frac"] = kv(f"{n}gram", "top_char") / chars_d
+    for n in range(5, 11):
+        measures[f"dup_{n}gram_char_frac"] = kv(f"{n}gram", "dup_char") / chars_d
+    agg = per_kind.groupBy(id_col).agg(
+        *[
+            F.round(expr, 6).alias(name)
+            for name, expr in measures.items()
+        ],
+        *[
+            (expr <= F.lit(thr)).alias(f"rule_{name}")
+            for name, thr in GOPHER_REP_THRESHOLDS
+            for expr in [measures[name]]
+        ],
+    )
+    rep_pass = None
+    for name, _thr in GOPHER_REP_THRESHOLDS:
+        c = F.col(f"rule_{name}")
+        rep_pass = c if rep_pass is None else (rep_pass & c)
+    return agg.withColumn("rep_pass", rep_pass)

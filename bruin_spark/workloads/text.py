@@ -1439,3 +1439,75 @@ FROM corpus c LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r ON c.doc_id = r.ci
 
 
 QUERIES["text_decontaminate_fuzzy"] = (text_decontaminate_fuzzy, _fuzzy_decon_oracle())
+
+
+# -- Gopher repetition rules (appendix A1.2) ------------------------------------
+
+
+def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher repetition-removal table: duplicate-line fractions,
+    top-{2,3,4}-gram char fractions, duplicate-{5..10}-gram char
+    fractions (occurrence-weighted), paper thresholds, one unified
+    explode + one wordcount-shaped shuffle (operators/text.py
+    gopher_repetition_rules)."""
+    return T.gopher_repetition_rules(_docs(spark, sf_dir))
+
+
+def _gopher_rep_oracle() -> str:
+    lines = "string_split_regex(text, '\\r?\\n')"
+    streams = [
+        f"SELECT doc_id, length(text) AS chars, 'line' AS kind, UNNEST({lines}) AS gram FROM documents"
+    ] + [
+        f"SELECT doc_id, length(text) AS chars, '{n}gram' AS kind, "
+        f"UNNEST({_duck_shingles_all(n)}) AS gram FROM documents"
+        for n in range(2, 11)
+    ]
+    union = "\nUNION ALL\n".join(streams)
+    from bruin_spark.operators.text import GOPHER_REP_THRESHOLDS
+
+    kv = lambda kind, col: f"MAX(CASE WHEN kind = '{kind}' THEN {col} END)"
+    chars_d = "GREATEST(MAX(chars), 1)::DOUBLE"
+    measures = {
+        "dup_line_frac": f"({kv('line', 'n_occ')} - {kv('line', 'n_groups')})"
+        f" / GREATEST({kv('line', 'n_occ')}, 1)::DOUBLE",
+        "dup_line_char_frac": f"{kv('line', 'dup_char')} / {chars_d}",
+    }
+    for n in (2, 3, 4):
+        measures[f"top_{n}gram_char_frac"] = f"{kv(f'{n}gram', 'top_char')} / {chars_d}"
+    for n in range(5, 11):
+        measures[f"dup_{n}gram_char_frac"] = f"{kv(f'{n}gram', 'dup_char')} / {chars_d}"
+    meas_sql = ",\n       ".join(
+        f"ROUND({expr}, 6) AS {name}" for name, expr in measures.items()
+    )
+    rules_sql = ",\n       ".join(
+        f"({measures[name]}) <= {thr} AS rule_{name}"
+        for name, thr in GOPHER_REP_THRESHOLDS
+    )
+    combined = " AND ".join(
+        f"(({measures[name]}) <= {thr})" for name, thr in GOPHER_REP_THRESHOLDS
+    )
+    return f"""
+WITH stream AS (
+{union}
+), grp AS (
+  SELECT doc_id, kind, gram, COUNT(*) AS c, ANY_VALUE(chars) AS chars
+  FROM stream GROUP BY doc_id, kind, gram
+), per_kind AS (
+  SELECT doc_id, kind,
+         SUM(c) AS n_occ,
+         COUNT(*) AS n_groups,
+         MAX(c * length(gram)) AS top_char,
+         SUM(CASE WHEN c >= 2 THEN c * length(gram) ELSE 0 END) AS dup_char,
+         ANY_VALUE(chars) AS chars
+  FROM grp GROUP BY doc_id, kind
+)
+SELECT doc_id,
+       {meas_sql},
+       {rules_sql},
+       ({combined}) AS rep_pass
+FROM per_kind
+GROUP BY doc_id
+"""
+
+
+QUERIES["text_gopher_repetition"] = (text_gopher_repetition, _gopher_rep_oracle())

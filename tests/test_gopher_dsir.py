@@ -402,3 +402,64 @@ def test_classifier_sparse_weights_and_bias(spark):
     assert got[1]["logit"] == 2.0 and got[1]["prob"] == round(1 / (1 + math.exp(-2.0)), 6)
     # doc 2 repeats doc 1's text: identical mean-pooled logit
     assert got[2]["logit"] == got[1]["logit"]
+
+
+# -- Gopher repetition rules (A1.2) ----------------------------------------------
+
+
+def test_gopher_repetition_rules_differential(spark):
+    """Pure-Python reference over repetition-shaped fixtures (same
+    occurrence-weighted char-fraction convention as the operator)."""
+    from collections import Counter
+
+    from bruin_spark.operators.text import (
+        GOPHER_REP_THRESHOLDS,
+        gopher_repetition_rules,
+    )
+
+    docs = [
+        (1, "good line one.\ngood line one.\ngood line one.\nother text"),
+        (2, "spam spam spam spam spam spam spam spam"),
+        (3, " ".join(f"w{i} unique{i*7%97} tok{i*13%89}" for i in range(40)) + "."),
+        (4, ""),
+        (5, "a b\r\na b\r\nc d"),  # CRLF duplicate lines
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {r["doc_id"]: r.asDict() for r in gopher_repetition_rules(df).collect()}
+
+    def ref(text):
+        import re
+
+        chars = max(len(text), 1)
+        out = {}
+        lines = re.split(r"\r?\n", text)
+        lc = Counter(lines)
+        occ = len(lines)
+        out["dup_line_frac"] = round((occ - len(lc)) / max(occ, 1), 6)
+        out["dup_line_char_frac"] = round(
+            sum(c * len(g) for g, c in lc.items() if c >= 2) / chars, 6
+        )
+        toks = re.split(r"\s+", text.strip(" ").lower())
+        for n in range(2, 11):
+            if len(toks) >= n:
+                grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            else:
+                grams = [" ".join(toks)]
+            gc = Counter(grams)
+            top = max(c * len(g) for g, c in gc.items())
+            dup = sum(c * len(g) for g, c in gc.items() if c >= 2)
+            if n in (2, 3, 4):
+                out[f"top_{n}gram_char_frac"] = round(top / chars, 6)
+            else:
+                out[f"dup_{n}gram_char_frac"] = round(dup / chars, 6)
+        return out
+
+    for doc_id, text in docs:
+        want = ref(text)
+        for k, v in want.items():
+            assert got[doc_id][k] == pytest.approx(v, abs=2e-6), (doc_id, k)
+        flags = [got[doc_id][f"rule_{name}"] for name, _ in GOPHER_REP_THRESHOLDS]
+        assert got[doc_id]["rep_pass"] == all(flags)
+    assert got[3]["rep_pass"] is True
+    assert got[2]["rep_pass"] is False
+    assert got[5]["dup_line_frac"] == pytest.approx(1 / 3, abs=2e-6)

@@ -64,6 +64,7 @@ SWEEP_ENTRIES = [
     "text_quality_classifier",
     "text_bpe_ids",
     "text_decontaminate_fuzzy",
+    "text_gopher_repetition",
 ]
 
 _E = "é"                      # é precomposed (NFC)
