@@ -104,6 +104,8 @@ HEADLINE = [
     "sample_weighted_topk",
     # r12: Gopher repetition-removal table (one unified explode)
     "text_gopher_repetition",
+    # r12: PQ + asymmetric-distance ANN (memory-bound path)
+    "sim_pq_adc_topk",
 ]
 
 

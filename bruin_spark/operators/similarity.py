@@ -569,3 +569,158 @@ def random_projection(
         sq = F.col(f"{prefix}{j}") * F.col(f"{prefix}{j}")
         norm = sq if norm is None else norm + sq
     return out.withColumn("proj_norm", F.round(F.sqrt(norm), 6))
+
+
+# -- product quantization (PQ) + asymmetric distance (ADC) ----------------------
+
+
+def _sub_expr(vec_col: str, j: int, m: int) -> str:
+    """SQL expr for subspace ``j`` of an array column split into ``m``
+    equal slices (requires m | dim, enforced by the callers' data)."""
+    return (
+        f"slice({vec_col}, {j} * (size({vec_col}) div {m}) + 1,"
+        f" size({vec_col}) div {m})"
+    )
+
+
+def _l2sq(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def pq_codebooks(
+    df: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "unit_vec",
+) -> DataFrame:
+    """Product-quantization codebooks ``(j, code, code_vec)``: the
+    ``n_codes`` lowest-id vectors' subspace slices, code = rank by id.
+
+    Same deterministic-seed discipline as :func:`deterministic_centroids`
+    (oracle-reproducible; production swaps per-subspace k-means via
+    :func:`kmeans_train` — the encode/ADC path below is unchanged).
+    The row_number runs on the LIMITed ``n_codes``-row relation, not
+    the corpus.
+    """
+    sel = (
+        df.orderBy(id_col)
+        .limit(n_codes)
+        .withColumn("code", F.row_number().over(Window.orderBy(F.col(id_col))) - 1)
+    )
+    subs = F.array(
+        *[
+            F.struct(F.lit(j).alias("j"), F.expr(_sub_expr(vec_col, j, m)).alias("code_vec"))
+            for j in range(m)
+        ]
+    )
+    return sel.select("code", F.explode(subs).alias("_s")).select(
+        F.col("_s.j").alias("j"), "code", F.col("_s.code_vec").alias("code_vec")
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "unit_vec",
+) -> DataFrame:
+    """Encode each vector to ``m`` codebook ids: ``(id_col, codes)``
+    with ``codes[j]`` the L2-nearest code of subspace ``j`` (ties to
+    the smaller code).
+
+    100 TB shape: the corpus explodes to m sub-vector rows, scores the
+    BROADCAST codebook (m·n_codes rows), and the per-(vec, subspace)
+    argmin is a map-side-combinable ``max_by`` — the shuffle carries m
+    rows per vector, then one groupBy reassembles the m-byte code
+    word.  8-32x smaller than the embedding column; the scan-speed
+    payoff is :func:`pq_adc_topk`.
+    """
+    subs = F.array(
+        *[
+            F.struct(F.lit(j).alias("j"), F.expr(_sub_expr(vec_col, j, m)).alias("sub"))
+            for j in range(m)
+        ]
+    )
+    ex = df.select(F.col(id_col), F.explode(subs).alias("_s")).select(
+        id_col, F.col("_s.j").alias("j"), F.col("_s.sub").alias("sub")
+    )
+    scored = ex.join(F.broadcast(codebooks), "j").withColumn(
+        "_d", _l2sq(F.col("sub"), F.col("code_vec"))
+    )
+    tie = F.struct((-F.col("_d")).alias("_nd"), (-F.col("code")).alias("_nc"))
+    per_sub = scored.groupBy(id_col, "j").agg(F.max_by(F.col("code"), tie).alias("code"))
+    return per_sub.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "code"))), lambda s: s["code"]
+        ).alias("codes")
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    m: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "unit_vec",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k by Asymmetric Distance Computation: each query
+    precomputes its per-subspace distance table against the codebooks
+    (m·n_codes doubles — built on the BOUNDED codebook relation, never
+    the corpus), the tables broadcast, and every corpus row's distance
+    is ``m`` array lookups — no per-row float math against the
+    original embeddings, which never leave disk.
+
+    Returns ``(query_id, nn_id, adc_dist, rank)`` — rank 1 = nearest
+    (smallest summed L2).  Per-query selection is a rank window over
+    the scored frame (same baseline shape as :func:`cosine_topk`; at
+    extreme scale swap the window for per-partition top-k + merge).
+    """
+    qsubs = F.array(
+        *[
+            F.struct(F.lit(j).alias("j"), F.expr(_sub_expr(vec_col, j, m)).alias("sub"))
+            for j in range(m)
+        ]
+    )
+    qex = queries.select(F.col(query_id_col).alias("query_id"), F.explode(qsubs).alias("_s")).select(
+        "query_id", F.col("_s.j").alias("j"), F.col("_s.sub").alias("sub")
+    )
+    qdists = qex.join(F.broadcast(codebooks), "j").withColumn(
+        "_d", _l2sq(F.col("sub"), F.col("code_vec"))
+    )
+    per_j = qdists.groupBy("query_id", "j").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("code", "_d"))), lambda s: s["_d"]
+        ).alias("arr")
+    )
+    qtab = per_j.groupBy("query_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "arr"))), lambda s: s["arr"]
+        ).alias("tbl")
+    )
+    scored = (
+        F.broadcast(qtab)
+        .crossJoin(codes.select(F.col(id_col).alias("nn_id"), "codes"))
+        .withColumn(
+            "adc_dist",
+            F.expr(
+                # element_at is 1-based throughout (bracket indexing is
+                # 0-based in Spark SQL — mixing them is a classic trap)
+                f"aggregate(sequence(0, {m - 1}), 0d,"
+                " (acc, j) -> acc + element_at(element_at(tbl, j + 1),"
+                " element_at(codes, j + 1) + 1))"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("nn_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "nn_id", F.round(F.col("adc_dist"), 6).alias("adc_dist"), "rank"
+        )
+    )

@@ -362,3 +362,82 @@ SELECT vec_id, {cols}, ROUND(SQRT({norm}), 6) AS proj_norm FROM proj
 
 
 QUERIES["emb_random_projection"] = (emb_random_projection, _rp_oracle())
+
+
+# -- product quantization + ADC search ------------------------------------------
+
+PQ_M = 4
+PQ_CODES = 16
+
+
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed approximate top-k: deterministic-seed codebooks,
+    m-subspace encode (corpus stored as m small ints per vector), ADC
+    scoring via broadcast per-query distance tables — the
+    memory-bound ANN path (operators/similarity.py pq_*)."""
+    emb = _emb(spark, sf_dir)
+    u = S.with_unit_vectors(emb).select("vec_id", "unit_vec")
+    cb = S.pq_codebooks(u, m=PQ_M, n_codes=PQ_CODES)
+    codes = S.pq_encode(u, cb, m=PQ_M)
+    queries = u.filter(f"vec_id % {QUERY_MOD} = 0").withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    return S.pq_adc_topk(codes, cb, queries, m=PQ_M, k=K)
+
+
+def _duck_l2(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})),"
+        f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+
+
+PQ_ADC_ORACLE = f"""
+WITH u AS (SELECT vec_id, {_DUCK_UNIT} AS uv FROM embeddings),
+cb0 AS (
+  SELECT vec_id, uv, (ROW_NUMBER() OVER (ORDER BY vec_id) - 1)::INT AS code
+  FROM (SELECT * FROM u ORDER BY vec_id LIMIT {PQ_CODES})
+),
+cb AS (
+  SELECT t.j, code,
+         list_slice(uv, t.j * (len(uv) // {PQ_M}) + 1,
+                    (t.j + 1) * (len(uv) // {PQ_M})) AS code_vec
+  FROM cb0, UNNEST([i FOR i IN generate_series(0, {PQ_M - 1})]) AS t(j)
+),
+subs AS (
+  SELECT vec_id, t.j,
+         list_slice(uv, t.j * (len(uv) // {PQ_M}) + 1,
+                    (t.j + 1) * (len(uv) // {PQ_M})) AS sub
+  FROM u, UNNEST([i FOR i IN generate_series(0, {PQ_M - 1})]) AS t(j)
+),
+enc AS (
+  SELECT vec_id, j, code FROM (
+    SELECT s.vec_id, s.j, c.code,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.vec_id, s.j
+             ORDER BY {_duck_l2('s.sub', 'c.code_vec')} ASC, c.code ASC
+           ) AS rn
+    FROM subs s JOIN cb c ON s.j = c.j
+  ) WHERE rn = 1
+),
+qdist AS (
+  SELECT s.vec_id AS query_id, s.j, c.code,
+         {_duck_l2('s.sub', 'c.code_vec')} AS d
+  FROM subs s JOIN cb c ON s.j = c.j
+  WHERE s.vec_id % {QUERY_MOD} = 0
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS nn_id, SUM(q.d) AS adc
+  FROM enc e JOIN qdist q ON e.j = q.j AND e.code = q.code
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, nn_id, adc,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc ASC, nn_id) AS rank
+  FROM scored
+)
+SELECT query_id, nn_id, ROUND(adc, 6) AS adc_dist, rank::INT AS rank
+FROM ranked WHERE rank <= {K}
+"""
+
+QUERIES["sim_pq_adc_topk"] = (sim_pq_adc_topk, PQ_ADC_ORACLE)

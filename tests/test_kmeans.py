@@ -151,3 +151,71 @@ def test_ivf_recall_planted_mixture(spark):
     )
     recall = approx.join(exact, ["query_id", "nn_id"]).count() / exact.count()
     assert recall >= bench.IVF_PLANTED_MIN_RECALL, recall
+
+
+# -- product quantization + ADC --------------------------------------------------
+
+
+def test_pq_encode_seed_vectors_self_code(spark):
+    """A codebook seed vector encodes to its own code in every
+    subspace (its subspace distance to itself is exactly 0)."""
+    import random
+
+    from bruin_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+        with_unit_vectors,
+    )
+
+    rng = random.Random(5)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(30)]
+    df = with_unit_vectors(
+        spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    ).select("vec_id", "unit_vec")
+    cb = pq_codebooks(df, m=2, n_codes=4)
+    codes = {r["vec_id"]: r["codes"] for r in pq_encode(df, cb, m=2).collect()}
+    assert len(codes) == 30 and all(len(c) == 2 for c in codes.values())
+    # seeds are the 4 lowest ids, code = rank by id
+    for rank, vid in enumerate(sorted(codes)[:4]):
+        assert codes[vid] == [rank, rank], vid
+
+
+def test_pq_adc_scores_match_hand_computation(spark):
+    """ADC distance == sum over subspaces of the query-to-assigned-code
+    L2^2, computed by hand from the same codebooks."""
+    import math
+    import random
+
+    from bruin_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+        with_unit_vectors,
+    )
+
+    rng = random.Random(9)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(20)]
+    df = with_unit_vectors(
+        spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    ).select("vec_id", "unit_vec")
+    cb = pq_codebooks(df, m=3, n_codes=5)
+    codes_df = pq_encode(df, cb, m=3)
+    queries = df.filter("vec_id = 7").withColumnRenamed("vec_id", "query_id")
+    got = pq_adc_topk(codes_df, cb, queries, m=3, k=20).collect()
+    assert len(got) == 20 and [r["rank"] for r in sorted(got, key=lambda r: r["rank"])] == list(range(1, 21))
+
+    cbl = {(r["j"], r["code"]): r["code_vec"] for r in cb.collect()}
+    unit = {r["vec_id"]: r["unit_vec"] for r in df.collect()}
+    codes = {r["vec_id"]: r["codes"] for r in codes_df.collect()}
+
+    def sub(v, j):
+        s = len(v) // 3
+        return v[j * s : (j + 1) * s]
+
+    q = unit[7]
+    for r in got:
+        want = sum(
+            sum((a - b) ** 2 for a, b in zip(sub(q, j), cbl[(j, codes[r["nn_id"]][j])]))
+            for j in range(3)
+        )
+        assert math.isclose(r["adc_dist"], round(want, 6), abs_tol=2e-6)

@@ -98,6 +98,9 @@ SINGLE_PARTITION_OK = {
     # piece-id assignment: row_number over the PIECE vocabulary, bounded
     # by construction (distinct chars + n_merges rows)
     "text_bpe_ids",
+    # PQ codebook ranking: row_number over the LIMITed n_codes-row
+    # relation — bounded by construction
+    "sim_pq_adc_topk",
 }
 
 
