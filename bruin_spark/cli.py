@@ -1450,6 +1450,40 @@ def cmd_parse(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Run the five-stage RefinedWeb curation funnel over a documents
+    table/parquet: per-document decisions (optionally written to
+    parquet) plus the per-stage attrition report on stdout."""
+    from bruin_spark import get_spark
+    from bruin_spark.operators.refinedweb import funnel_attrition, refinedweb_funnel
+    from bruin_spark.session import load_tables
+
+    spark = get_spark("bruin:curate")
+    if args.sf_dir:
+        load_tables(spark, args.sf_dir)
+    src = args.table
+    docs = spark.read.parquet(src) if src.endswith(".parquet") else spark.table(src)
+    decisions = refinedweb_funnel(
+        docs,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        lang_col=args.lang_col,
+        lm_top_v=args.lm_top_v,
+    )
+    if args.out:
+        decisions.write.mode("overwrite").parquet(args.out)
+        # re-read: the attrition pass must not recompute the funnel
+        decisions = spark.read.parquet(args.out)
+    for r in funnel_attrition(decisions, id_col=args.id_col).collect():
+        print(
+            f"{r['stage_no']}. {r['stage']:<12} in={r['n_in']:<8} "
+            f"dropped={r['n_dropped']:<8} out={r['n_out']}"
+        )
+    if args.out:
+        print(f"decisions written to {args.out}")
+    return 0
+
+
 def cmd_data_diff(args) -> int:
     from bruin_spark import get_spark
     from bruin_spark.diff import diff_tables
@@ -1836,6 +1870,23 @@ def main(argv: list[str] | None = None) -> int:
     pli.add_argument("pipeline")
     pli.add_argument("asset")
     pli.set_defaults(fn=cmd_lineage)
+
+    pcu = sub.add_parser(
+        "curate", help="five-stage RefinedWeb curation funnel over a documents table"
+    )
+    pcu.add_argument("table", help="catalog table or parquet path with (id, text, lang)")
+    pcu.add_argument("--sf-dir", help="register parquet tables from this dir")
+    pcu.add_argument("--out", help="write per-document decisions parquet here")
+    pcu.add_argument("--id-col", default="doc_id")
+    pcu.add_argument("--text-col", default="text")
+    pcu.add_argument("--lang-col", default="lang")
+    pcu.add_argument(
+        "--lm-top-v",
+        type=int,
+        default=None,
+        help="prune the LM vocabulary to the top V tokens (production setting)",
+    )
+    pcu.set_defaults(fn=cmd_curate)
 
     pdd = sub.add_parser("data-diff", help="schema + per-column stat comparison")
     pdd.add_argument("table1", help="catalog table or parquet path")
