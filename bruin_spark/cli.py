@@ -1474,7 +1474,7 @@ def cmd_curate(args) -> int:
         decisions.write.mode("overwrite").parquet(args.out)
         # re-read: the attrition pass must not recompute the funnel
         decisions = spark.read.parquet(args.out)
-    for r in funnel_attrition(decisions, id_col=args.id_col).collect():
+    for r in funnel_attrition(decisions).collect():
         print(
             f"{r['stage_no']}. {r['stage']:<12} in={r['n_in']:<8} "
             f"dropped={r['n_dropped']:<8} out={r['n_out']}"

@@ -251,7 +251,13 @@ def perplexity_buckets(
                 + F.when(F.col("perplexity") > t, 1).otherwise(0),
             ),
         )
-        labeled = joined.join(F.broadcast(thresholds), "lang", "left").select(
+        # NULL-SAFE join: groupBy keeps NULL lang as its own group (as
+        # the exact mode's Window.partitionBy does), but an equi-join
+        # would drop it — NULL-lang docs must bucket, not silently fail
+        thr = F.broadcast(thresholds.withColumnRenamed("lang", "_tlang"))
+        labeled = joined.join(
+            thr, joined["lang"].eqNullSafe(thr["_tlang"]), "left"
+        ).select(
             F.col(id_col),
             F.col("lang"),
             F.col("perplexity"),

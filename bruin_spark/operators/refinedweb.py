@@ -156,7 +156,7 @@ def refinedweb_funnel(
     )
 
 
-def funnel_attrition(decisions: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def funnel_attrition(decisions: DataFrame) -> DataFrame:
     """Per-stage attrition report from :func:`refinedweb_funnel`'s
     output: one row per stage, funnel order, with the count entering
     the stage, dropped AT it (first-failure semantics), and surviving

@@ -707,7 +707,7 @@ SELECT r.doc_id, r.lang, r.perplexity,
             WHEN r.perplexity <= thr[1] THEN 'head'
             WHEN r.perplexity > thr[2] THEN 'tail'
             ELSE 'middle' END AS ppl_band
-FROM ranked r LEFT JOIN thresholds t USING (lang)
+FROM ranked r LEFT JOIN thresholds t ON r.lang IS NOT DISTINCT FROM t.lang
 """
 
 
@@ -1064,7 +1064,7 @@ thresholds AS (
 ),
 lmflag AS (
   SELECT r.doc_id, COALESCE(r.perplexity <= thr[2], FALSE) AS lm_pass
-  FROM ranked r LEFT JOIN thresholds t USING (lang)
+  FROM ranked r LEFT JOIN thresholds t ON r.lang IS NOT DISTINCT FROM t.lang
 ),
 gbase AS (
   SELECT d.doc_id, d.text, b.t AS toks,

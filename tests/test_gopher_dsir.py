@@ -463,3 +463,34 @@ def test_gopher_repetition_rules_differential(spark):
     assert got[3]["rep_pass"] is True
     assert got[2]["rep_pass"] is False
     assert got[5]["dup_line_frac"] == pytest.approx(1 / 3, abs=2e-6)
+
+
+def test_ccnet_approx_buckets_null_lang_like_exact(spark):
+    """NULL-lang documents form their own bucketing group in BOTH
+    modes (the approx thresholds join is null-safe): approx must not
+    silently NULL-bucket them while exact buckets them normally."""
+    import random
+
+    from bruin_spark.operators.lm import perplexity_buckets
+
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(20)]
+    rows = []
+    for i in range(24):
+        lang = None if i % 3 == 0 else "en"
+        rows.append(
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(6, 25))), lang)
+        )
+    df = spark.createDataFrame(rows, "doc_id int, text string, lang string")
+    ap = {
+        r["doc_id"]: (r["ppl_bucket"], r["ppl_band"])
+        for r in perplexity_buckets(df, n_buckets=3, top_v=8, approx=True).collect()
+    }
+    ex = {
+        r["doc_id"]: (r["ppl_bucket"], r["ppl_band"])
+        for r in perplexity_buckets(df, n_buckets=3, top_v=8, approx=False).collect()
+    }
+    null_ids = [i for i in range(24) if i % 3 == 0]
+    assert all(ap[i][0] is not None for i in null_ids)
+    agree = sum(1 for i in ap if ap[i] == ex[i])
+    assert agree / len(ap) >= 0.9  # small-n boundary wiggle only

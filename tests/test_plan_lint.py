@@ -65,6 +65,12 @@ BNLJ_OK = {
     # DSIR: the 1-row totals aggregate cross-joins back onto the B-row
     # bucket table — both sides constant-bounded by construction
     "text_dsir_weights",
+    # classifier training: same 1-row totals x B-row buckets cross join
+    "text_quality_classifier",
+    # ADC scoring: the per-query distance TABLE (Q rows, m·n_codes
+    # doubles each) broadcast-cross-joins the code word table — the
+    # broadcast side is bounded by the query set by construction
+    "sim_pq_adc_topk",
 }
 
 #: SinglePartition stages allowed ONLY here:
@@ -98,9 +104,9 @@ SINGLE_PARTITION_OK = {
     # piece-id assignment: row_number over the PIECE vocabulary, bounded
     # by construction (distinct chars + n_merges rows)
     "text_bpe_ids",
-    # PQ codebook ranking: row_number over the LIMITed n_codes-row
-    # relation — bounded by construction
-    "sim_pq_adc_topk",
+    # classifier training: the 1-row (t_raw, t_tgt) totals reduce —
+    # same scalar-aggregate class as text_dsir_weights above
+    "text_quality_classifier",
 }
 
 
