@@ -774,22 +774,38 @@ def _phash_pairs_stress(spark, sf_dir: str):
     docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
 
     def gen(batches):
+        import random
+        import struct as _struct
+
         import pandas as pd
+
+        # base media per FAMILY, cached per partition: rng-seeded
+        # payloads make every family's content globally unique — a
+        # modular arithmetic scheme (r12 first cut used seed % 29)
+        # collapses families onto a few contents, and at 64x the
+        # resulting band buckets go quadratic (reproduced: executor
+        # OOM).  The hot cluster is the ONLY intentional repeat.
+        base_cache: dict = {}
+
+        def base_blob(fam: int) -> bytes:
+            b = base_cache.get(fam)
+            if b is None:
+                rng = random.Random(fam)
+                w, h = rng.randrange(1, 33), rng.randrange(1, 25)
+                payload = rng.randbytes(w * h + 16)
+                b = _struct.pack(_M.HEADER_FMT, _M.MAGIC, w, h, 1) + payload
+                base_cache[fam] = b
+            return b
 
         for pdf in batches:
             rows = []
             for i in pdf["doc_id"]:
                 i = int(i)
                 if i < 2000:
-                    seed, v = 7, i  # the hot cluster
+                    fam, v = -1, i  # the hot cluster
                 else:
-                    seed, v = (i // 16) % 29, i % 16
-                blob = bytearray(
-                    _M.synth_media(
-                        seed % 32 + 1, seed % 24 + 1, seed % 12 + 1,
-                        payload_seed=seed * 7,
-                    )
-                )
+                    fam, v = i // 16, i % 16
+                blob = bytearray(base_blob(fam))
                 plen = len(blob) - _M.HEADER_SIZE
                 if v > 0:
                     pos = (v * 13) % plen
