@@ -106,6 +106,10 @@ HEADLINE = [
     "text_gopher_repetition",
     # r12: PQ + asymmetric-distance ANN (memory-bound path)
     "sim_pq_adc_topk",
+    # r12b: readability/lexical-diversity features (map-only)
+    "text_readability",
+    # r12b: per-domain curation report (one groupBy, two-phase distincts)
+    "text_domain_stats",
 ]
 
 
@@ -964,6 +968,11 @@ SKEW_ENTRIES = [
     # span dedup against the PERSISTED bucketed index: batch-side cost
     # only (the index builds once, untimed, on the warmup pass)
     ("dedup_spans_incr_bucketed", 16, 64),
+    # per-domain report: the hot identical text spans all 20 domains —
+    # the (domain, md5) distinct partial collapses the duplicate mass
+    # map-side, and the skewed lang column stresses the second
+    # two-phase distinct; output stays 20 rows at any factor
+    ("text_domain_stats", 16, 64),
 ]
 SKEW_VARIANTS = {
     "dedup_minhash_lsh": _minhash_rep_pairs_stress,

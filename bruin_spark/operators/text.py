@@ -808,3 +808,101 @@ def gopher_repetition_rules(
         c = F.col(f"rule_{name}")
         rep_pass = c if rep_pass is None else (rep_pass & c)
     return agg.withColumn("rep_pass", rep_pass)
+
+
+def readability_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Readability + lexical-diversity features (Flesch reading ease
+    with the standard vowel-run syllable heuristic, type-token ratio).
+
+    The classic document-level quality signals used alongside the
+    Gopher/C4 rules when curating training text: Flesch reading ease
+    (Flesch 1948; `206.835 - 1.015*(words/sentences) -
+    84.6*(syllables/word)`) flags both telegraphic fragments (too
+    high) and run-on boilerplate (negative), and type-token ratio
+    flags low-diversity spam.  Syllables use the portable vowel-run
+    heuristic `max(1, count of [aeiouy]+ runs per word)`.
+
+    Plan (100 TB shape): one map-only JVM projection — the token array
+    binds once per row, sentence/syllable/distinct counts are
+    higher-order-function folds over it, nothing shuffles.  No Python
+    in the plan.
+
+    Ref parity anchor: extends the heuristic quality family
+    (operators/text.py quality_features); the reference's quality
+    checks stop at column-level rules (pkg/ansisql/checks.go).
+    """
+    toks = F.filter(tokens(text_col), lambda t: t != "")
+    sentences = F.greatest(
+        F.expr(
+            f"size(filter(split({text_col}, '[.!?]+'), s -> trim(s) <> ''))"
+        ),
+        F.lit(1),
+    )
+    words = F.greatest(F.size(toks), F.lit(1))
+    syllables = F.expr(
+        "aggregate(transform(filter(split(lower(trim("
+        + text_col
+        + ")), '\\\\s+'), t -> t <> ''),"
+        " w -> greatest(1, regexp_count(w, '[aeiouy]+'))),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+    distinct_words = F.size(F.array_distinct(toks))
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sentences)
+        - F.lit(84.6) * (syllables.cast("double") / words)
+    )
+    return df.select(
+        id_col,
+        F.size(toks).alias("n_words"),
+        sentences.alias("n_sentences"),
+        syllables.alias("n_syllables"),
+        F.round(flesch, 6).alias("flesch"),
+        F.round(distinct_words.cast("double") / words, 6).alias("ttr"),
+    )
+
+
+def domain_stats(
+    df: DataFrame,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-domain curation report: document/language counts, token
+    volume, mean heuristic quality, and the exact-duplicate rate.
+
+    Web-scale curation decides KEEP/DOWN-WEIGHT/DROP at the domain
+    level (RefinedWeb and C4 both maintain per-host statistics); this
+    is the aggregation that feeds that decision.
+
+    Plan (100 TB shape): quality features are a map-only projection;
+    the report is ONE groupBy(domain) where every measure except the
+    distinct counts combines map-side, and the distincts
+    (count(distinct md5), count(distinct lang)) are two-phase
+    partial aggregations — no per-domain sort, no window.  Output is
+    one row per domain (bounded by the host universe, millions at
+    web scale — a normal shuffle, never a hot key, because the
+    duplicate mass collapses map-side at the (domain, md5) level).
+    """
+    normalized = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]", "")
+    feat = quality_features(df, text_col).withColumn("_fp", F.md5(normalized))
+    n_docs = F.count(F.lit(1))
+    return (
+        feat.groupBy(F.col(domain_col).alias("domain"))
+        .agg(
+            n_docs.alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("n_tokens_q").alias("total_tokens"),
+            F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+            F.round(
+                F.lit(1.0) - F.countDistinct("_fp") / n_docs, 6
+            ).alias("dup_rate"),
+            F.round(
+                F.avg((F.col("quality_score") >= 0.5).cast("double")), 6
+            ).alias("keep_rate"),
+        )
+    )

@@ -1511,3 +1511,81 @@ GROUP BY doc_id
 
 
 QUERIES["text_gopher_repetition"] = (text_gopher_repetition, _gopher_rep_oracle())
+
+
+# -- readability + lexical diversity (Flesch, TTR) -------------------------------
+
+
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease (vowel-run syllable heuristic) +
+    type-token ratio — one map-only JVM projection (operators/text.py
+    readability_features)."""
+    return T.readability_features(_docs(spark, sf_dir))
+
+
+def _readability_oracle() -> str:
+    toks = f"list_filter({_duck_tokens()}, t -> t <> '')"
+    return f"""
+SELECT doc_id,
+       n_words::INT AS n_words,
+       n_sentences::INT AS n_sentences,
+       n_syllables::BIGINT AS n_syllables,
+       ROUND(206.835 - 1.015 * (GREATEST(n_words, 1) / n_sentences)
+             - 84.6 * (n_syllables / GREATEST(n_words, 1)), 6) AS flesch,
+       ROUND(n_distinct / GREATEST(n_words, 1), 6) AS ttr
+FROM (
+  SELECT doc_id,
+         len({toks}) AS n_words,
+         GREATEST(len(list_filter(string_split_regex(text, '[.!?]+'),
+                                   s -> trim(s) <> '')), 1) AS n_sentences,
+         list_sum(list_prepend(0, list_transform({toks},
+             w -> GREATEST(1, len(regexp_extract_all(w, '[aeiouy]+')))))) AS n_syllables,
+         len(list_distinct({toks})) AS n_distinct
+  FROM documents
+)
+"""
+
+
+QUERIES["text_readability"] = (text_readability, _readability_oracle())
+
+
+# -- per-domain curation stats ----------------------------------------------------
+
+
+def text_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain KEEP/DOWN-WEIGHT report: counts, token volume, mean
+    quality, exact-dup rate (operators/text.py domain_stats)."""
+    return T.domain_stats(_docs(spark, sf_dir)).orderBy("domain")
+
+
+def _domain_stats_oracle() -> str:
+    en = ", ".join(f"'{w}'" for w in T.STOPWORDS["en"])
+    toks = _duck_tokens()
+    return f"""
+WITH feat AS (
+  SELECT source AS domain, lang,
+         md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
+         len({toks}) AS n_tokens_q,
+         ROUND(
+           LEAST(len({toks}) / 64.0, 1.0) * 0.5
+           + (1.0 - LEAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+                          / GREATEST(length(text), 1) * 4.0, 1.0)) * 0.3
+           + LEAST(len(list_filter({toks}, t -> t IN ({en})))
+                   / GREATEST(len({toks}), 1) * 5.0, 1.0) * 0.2,
+         6) AS quality_score
+  FROM documents
+)
+SELECT domain,
+       COUNT(*)::BIGINT AS n_docs,
+       COUNT(DISTINCT lang)::BIGINT AS n_langs,
+       SUM(n_tokens_q)::BIGINT AS total_tokens,
+       ROUND(AVG(quality_score), 6) AS avg_quality,
+       ROUND(1.0 - COUNT(DISTINCT fp)::DOUBLE / COUNT(*), 6) AS dup_rate,
+       ROUND(AVG(CASE WHEN quality_score >= 0.5 THEN 1.0 ELSE 0.0 END), 6) AS keep_rate
+FROM feat
+GROUP BY domain
+ORDER BY domain
+"""
+
+
+QUERIES["text_domain_stats"] = (text_domain_stats, _domain_stats_oracle())

@@ -65,6 +65,9 @@ SWEEP_ENTRIES = [
     "text_bpe_ids",
     "text_decontaminate_fuzzy",
     "text_gopher_repetition",
+    # r12b additions
+    "text_readability",
+    "text_domain_stats",
 ]
 
 _E = "é"                      # é precomposed (NFC)
