@@ -110,6 +110,9 @@ HEADLINE = [
     "text_readability",
     # r12b: per-domain curation report (one groupBy, two-phase distincts)
     "text_domain_stats",
+    # r12b: stupid-backoff trigram LM (trusted-slice model, broadcast
+    # joins, one doc-keyed shuffle)
+    "text_lm_stupid_backoff",
 ]
 
 
@@ -973,6 +976,10 @@ SKEW_ENTRIES = [
     # map-side, and the skewed lang column stresses the second
     # two-phase distinct; output stays 20 rows at any factor
     ("text_domain_stats", 16, 64),
+    # stupid backoff: Zipf tokens make a few trigrams hot, but model
+    # tables are vocab-bounded broadcasts and the scoring stream
+    # pre-collapses per (doc, a, b, w) — reducers keyed by doc_id
+    ("text_lm_stupid_backoff", 16, 64),
 ]
 SKEW_VARIANTS = {
     "dedup_minhash_lsh": _minhash_rep_pairs_stress,

@@ -292,3 +292,204 @@ def perplexity_buckets(
         F.col("ppl_bucket"),
         F.when(F.col("ppl_bucket").isNotNull(), band).alias("ppl_band"),
     )
+
+
+def _trigrams(tok_col: str) -> Column:
+    """Adjacent (a, b, w) token triples of the named array column, as
+    structs.  Caller guarantees size >= 3 (sequence(1, 0) DESCENDS)."""
+    return F.expr(
+        f"transform(sequence(1, size({tok_col}) - 2),"
+        f" i -> struct(element_at({tok_col}, i) as a,"
+        f" element_at({tok_col}, i + 1) as b,"
+        f" element_at({tok_col}, i + 2) as w))"
+    )
+
+
+def stupid_backoff_scores(
+    docs: DataFrame,
+    train_filter: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_v: int = 16,
+    backoff: float = 0.4,
+) -> DataFrame:
+    """Trigram stupid-backoff scoring (Brants et al. 2007 §4): train
+    n-gram counts on a TRUSTED slice of the corpus (``train_filter``;
+    the CCNet shape — LM trained on Wikipedia, applied to the crawl),
+    score every document by its mean log trigram score under
+
+        S(w | a, b) = c3(a,b,w)/c2(a,b)          if the trigram was seen
+                    = 0.4 * c2(b,w)/c1(b)        else if the bigram was
+                    = 0.4 * (0.4 * c1(w)/N)      else (always defined:
+                                                  tokens outside the
+                                                  trained vocabulary map
+                                                  to '<unk>')
+
+    Stupid backoff is chosen over Katz/Kneser-Ney exactly as the paper
+    argues: the score needs no discount bookkeeping, so it is
+    count-ratio arithmetic — distributed-friendly AND bit-reproducible
+    in plain SQL (the DuckDB oracle re-expresses it verbatim; both
+    engines evaluate ``0.4 * (0.4 * (c/n))`` in the same association
+    order, so the doubles agree exactly).
+
+    Returns ``(id_col, n_trigrams, n_tri_hits, n_bi_hits, n_uni_hits,
+    avg_logscore, score_ppl)`` — hit counts say which backoff level
+    served each position; documents with <3 tokens carry
+    ``n_trigrams = 0`` and NULL scores.
+
+    100 TB shape:
+    - ``top_v`` unk-pruning bounds EVERY model table by the trained
+      alphabet (≤ (top_v+1)^3 trigrams) — all three model joins
+      broadcast at any corpus size, exactly the property the paper's
+      distributed serving layer needed.
+    - Counting is three map-side-combinable aggregations over the
+      TRAINING slice only (filter pushed to the scan).
+    - Scoring pre-collapses the corpus stream to (doc, a, b, w, k) —
+      one doc-keyed shuffle; repeated trigrams score once.
+    - The unk map applies to a/b/w independently (per-token, commutes
+      with the windowing), so the stream is never re-assembled.
+    """
+    base = docs.select(F.col(id_col), tokens(text_col).alias("t"))
+    train = docs.filter(train_filter).select(tokens(text_col).alias("t"))
+    train_toks = train.select(F.explode("t").alias("w"))
+
+    vocab = (
+        train_toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(top_v)
+        .select("w")
+    )
+    vocab = materialize(vocab, eager=False)
+
+    def _map_token(df: DataFrame, col: str) -> DataFrame:
+        kept = f"__kept_{col}"
+        v = vocab.select(F.col("w").alias(kept))
+        return (
+            df.join(F.broadcast(v), df[col] == F.col(kept), "left")
+            .withColumn(col, F.coalesce(F.col(kept), F.lit(UNK)))
+            .drop(kept)
+        )
+
+    # -- model counts over the training slice (all map-side combinable)
+    uni = _map_token(train_toks, "w").groupBy("w").agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    uni = materialize(uni, eager=False)
+    # N: total trained tokens (single-row driver probe, same budget
+    # class as bigram_lm_scores' v_size)
+    n_total = uni.agg(F.sum("c1")).collect()[0][0] or 0
+
+    tr_pairs = train.filter(F.size("t") >= 2).select(
+        F.explode(_pairs("t")).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    bi = (
+        _map_token(_map_token(tr_pairs, "a"), "b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    bi = materialize(bi, eager=False)
+
+    tr_tris = train.filter(F.size("t") >= 3).select(
+        F.explode(_trigrams("t")).alias("g")
+    ).select(
+        F.col("g.a").alias("a"), F.col("g.b").alias("b"), F.col("g.w").alias("w")
+    )
+    tri = (
+        _map_token(_map_token(_map_token(tr_tris, "a"), "b"), "w")
+        .groupBy("a", "b", "w")
+        .agg(F.count(F.lit(1)).alias("c3"))
+    )
+
+    # -- scoring stream: pre-collapsed per document ---------------------
+    raw = (
+        base.filter(F.size("t") >= 3)
+        .select(F.col(id_col), F.explode(_trigrams("t")).alias("g"))
+        .select(
+            id_col,
+            F.col("g.a").alias("a"),
+            F.col("g.b").alias("b"),
+            F.col("g.w").alias("w"),
+        )
+    )
+    raw = _map_token(_map_token(_map_token(raw, "a"), "b"), "w")
+    doc_tris = raw.groupBy(id_col, "a", "b", "w").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+
+    # model joins: all vocab-bounded -> broadcast
+    c2ab = bi.select(
+        F.col("a").alias("_a2"), F.col("b").alias("_b2"), F.col("c2").alias("c2ab")
+    )
+    c2bw = bi.select(
+        F.col("a").alias("_b3"), F.col("b").alias("_w3"), F.col("c2").alias("c2bw")
+    )
+    c1b = uni.select(F.col("w").alias("_ub"), F.col("c1").alias("c1b"))
+    c1w = uni.select(F.col("w").alias("_uw"), F.col("c1").alias("c1w"))
+    joined = (
+        doc_tris.join(
+            F.broadcast(tri), ["a", "b", "w"], "left"
+        )
+        .join(
+            F.broadcast(c2ab),
+            (F.col("a") == F.col("_a2")) & (F.col("b") == F.col("_b2")),
+            "left",
+        )
+        .join(
+            F.broadcast(c2bw),
+            (F.col("b") == F.col("_b3")) & (F.col("w") == F.col("_w3")),
+            "left",
+        )
+        .join(F.broadcast(c1b), F.col("b") == F.col("_ub"), "left")
+        .join(F.broadcast(c1w), F.col("w") == F.col("_uw"), "left")
+    )
+    bk = F.lit(backoff)
+    score = (
+        F.when(
+            F.col("c3").isNotNull(), F.col("c3") / F.col("c2ab")
+        )
+        .when(
+            F.col("c2bw").isNotNull(), bk * (F.col("c2bw") / F.col("c1b"))
+        )
+        .otherwise(bk * (bk * (F.col("c1w") / F.lit(n_total))))
+    )
+    level = (
+        F.when(F.col("c3").isNotNull(), F.lit(3))
+        .when(F.col("c2bw").isNotNull(), F.lit(2))
+        .otherwise(F.lit(1))
+    )
+    scored = (
+        joined.select(
+            F.col(id_col),
+            F.col("k"),
+            F.log(score).alias("ls"),
+            level.alias("lvl"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("k").alias("n_trigrams"),
+            F.sum(F.when(F.col("lvl") == 3, F.col("k")).otherwise(0)).alias(
+                "n_tri_hits"
+            ),
+            F.sum(F.when(F.col("lvl") == 2, F.col("k")).otherwise(0)).alias(
+                "n_bi_hits"
+            ),
+            F.sum(F.when(F.col("lvl") == 1, F.col("k")).otherwise(0)).alias(
+                "n_uni_hits"
+            ),
+            (F.sum(F.col("k") * F.col("ls")) / F.sum("k")).alias("_avg"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_trigrams"), F.lit(0)).alias("n_trigrams"),
+            F.coalesce(F.col("n_tri_hits"), F.lit(0)).alias("n_tri_hits"),
+            F.coalesce(F.col("n_bi_hits"), F.lit(0)).alias("n_bi_hits"),
+            F.coalesce(F.col("n_uni_hits"), F.lit(0)).alias("n_uni_hits"),
+            F.round(F.col("_avg"), 6).alias("avg_logscore"),
+            F.round(F.exp(-F.col("_avg")), 6).alias("score_ppl"),
+        )
+    )

@@ -1589,3 +1589,101 @@ ORDER BY domain
 
 
 QUERIES["text_domain_stats"] = (text_domain_stats, _domain_stats_oracle())
+
+
+# -- stupid-backoff trigram LM scoring (Brants et al. 2007) ----------------------
+
+_SB_TOP_V = 16
+_SB_TRAIN = ("src0", "src1")
+
+
+def text_lm_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram stupid-backoff scoring: model trained on the trusted
+    slice (sources src0/src1 stand in for Wikipedia), applied to the
+    whole corpus — unseen trigrams genuinely back off
+    (operators/lm.py stupid_backoff_scores)."""
+    from bruin_spark.operators.lm import stupid_backoff_scores
+
+    return stupid_backoff_scores(
+        _docs(spark, sf_dir),
+        train_filter=F.col("source").isin(*_SB_TRAIN),
+        top_v=_SB_TOP_V,
+    )
+
+
+def _sb_oracle() -> str:
+    toks = _duck_tokens()
+    srcs = ", ".join(f"'{s}'" for s in _SB_TRAIN)
+    return f"""
+WITH train AS (
+  SELECT {toks} AS t FROM documents WHERE source IN ({srcs})
+), train_toks AS (
+  SELECT UNNEST(t) AS w FROM train
+), vocab AS (
+  SELECT w FROM (SELECT w, COUNT(*) AS c FROM train_toks GROUP BY 1)
+  ORDER BY c DESC, w ASC LIMIT {_SB_TOP_V}
+), uni AS (
+  SELECT COALESCE(v.w, '<unk>') AS w, COUNT(*)::BIGINT AS c1
+  FROM train_toks t LEFT JOIN vocab v ON t.w = v.w GROUP BY 1
+), ntot AS (
+  SELECT SUM(c1)::BIGINT AS n FROM uni
+), tr_pairs AS (
+  SELECT COALESCE(va.w, '<unk>') AS a, COALESCE(vb.w, '<unk>') AS b
+  FROM (SELECT t[i] AS a0, t[i + 1] AS b0
+        FROM train, UNNEST(generate_series(1, len(t) - 1)) AS g(i)) p
+  LEFT JOIN vocab va ON p.a0 = va.w
+  LEFT JOIN vocab vb ON p.b0 = vb.w
+), bi AS (
+  SELECT a, b, COUNT(*)::BIGINT AS c2 FROM tr_pairs GROUP BY 1, 2
+), tr_tris AS (
+  SELECT COALESCE(va.w, '<unk>') AS a, COALESCE(vb.w, '<unk>') AS b,
+         COALESCE(vw.w, '<unk>') AS w
+  FROM (SELECT t[i] AS a0, t[i + 1] AS b0, t[i + 2] AS w0
+        FROM train, UNNEST(generate_series(1, len(t) - 2)) AS g(i)) p
+  LEFT JOIN vocab va ON p.a0 = va.w
+  LEFT JOIN vocab vb ON p.b0 = vb.w
+  LEFT JOIN vocab vw ON p.w0 = vw.w
+), tri AS (
+  SELECT a, b, w, COUNT(*)::BIGINT AS c3 FROM tr_tris GROUP BY 1, 2, 3
+), base AS (
+  SELECT doc_id, {toks} AS t FROM documents
+), doc_tris AS (
+  SELECT doc_id, COALESCE(va.w, '<unk>') AS a, COALESCE(vb.w, '<unk>') AS b,
+         COALESCE(vw.w, '<unk>') AS w, COUNT(*)::BIGINT AS k
+  FROM (SELECT doc_id, t[i] AS a0, t[i + 1] AS b0, t[i + 2] AS w0
+        FROM base, UNNEST(generate_series(1, len(t) - 2)) AS g(i)) p
+  LEFT JOIN vocab va ON p.a0 = va.w
+  LEFT JOIN vocab vb ON p.b0 = vb.w
+  LEFT JOIN vocab vw ON p.w0 = vw.w
+  GROUP BY 1, 2, 3, 4
+), scored AS (
+  SELECT doc_id,
+         SUM(k) AS n_trigrams,
+         SUM(CASE WHEN tri.c3 IS NOT NULL THEN k ELSE 0 END) AS n_tri_hits,
+         SUM(CASE WHEN tri.c3 IS NULL AND bw.c2 IS NOT NULL THEN k ELSE 0 END) AS n_bi_hits,
+         SUM(CASE WHEN tri.c3 IS NULL AND bw.c2 IS NULL THEN k ELSE 0 END) AS n_uni_hits,
+         SUM(k * ln(CASE
+             WHEN tri.c3 IS NOT NULL THEN tri.c3 / ab.c2
+             WHEN bw.c2 IS NOT NULL THEN 0.4 * (bw.c2 / ub.c1)
+             ELSE 0.4 * (0.4 * (uw.c1 / ntot.n)) END)) / SUM(k) AS avg0
+  FROM doc_tris d
+  LEFT JOIN tri ON d.a = tri.a AND d.b = tri.b AND d.w = tri.w
+  LEFT JOIN bi ab ON d.a = ab.a AND d.b = ab.b
+  LEFT JOIN bi bw ON d.b = bw.a AND d.w = bw.b
+  LEFT JOIN uni ub ON d.b = ub.w
+  LEFT JOIN uni uw ON d.w = uw.w
+  CROSS JOIN ntot
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(s.n_trigrams, 0)::BIGINT AS n_trigrams,
+       COALESCE(s.n_tri_hits, 0)::BIGINT AS n_tri_hits,
+       COALESCE(s.n_bi_hits, 0)::BIGINT AS n_bi_hits,
+       COALESCE(s.n_uni_hits, 0)::BIGINT AS n_uni_hits,
+       ROUND(s.avg0, 6) AS avg_logscore,
+       ROUND(exp(-s.avg0), 6) AS score_ppl
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
+
+QUERIES["text_lm_stupid_backoff"] = (text_lm_stupid_backoff, _sb_oracle())

@@ -68,6 +68,7 @@ SWEEP_ENTRIES = [
     # r12b additions
     "text_readability",
     "text_domain_stats",
+    "text_lm_stupid_backoff",
 ]
 
 _E = "é"                      # é precomposed (NFC)
