@@ -370,3 +370,80 @@ def weighted_sample(
         .limit(int(k))
         .withColumn("sample_key", F.round(F.col("sample_key"), 6))
     )
+
+
+def unimax_quotas(
+    df: DataFrame,
+    lang_col: str,
+    budget: int,
+    epoch_cap: float = 4.0,
+) -> DataFrame:
+    """UniMax language-budget allocation (Chung et al. 2023): spread a
+    training budget UNIFORMLY across languages, except no language may
+    repeat more than ``epoch_cap`` epochs of its available data.
+
+    The paper's sequential procedure (visit languages smallest-first;
+    give each ``min(avail*cap, remaining_budget/remaining_langs)``) is
+    exactly uniform water-filling against per-language caps, so it has
+    the same closed form as :func:`domain_mixture_quotas` with unit
+    weights and ``cap = avail*epoch_cap``: languages with cap below the
+    water level λ saturate, the rest get λ, and λ solves
+    ``sum(min(cap_l, λ)) = budget`` via one prefix-scan over languages
+    sorted by cap — no driver loop.
+
+    Returns one row per language: ``(lang, avail, cap, alloc,
+    epochs)`` with ``alloc`` floored to integers and ``epochs =
+    alloc/avail``.  If the caps cannot absorb the budget every language
+    saturates (``alloc = cap`` floored).
+
+    Scale shape: ONE map-side-combinable groupBy(lang) count, then
+    window math over the k-language table — k is bounded by the world's
+    language inventory, so the single-partition window is constant-size
+    by construction.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(lang_col).alias("lang")).agg(
+        F.count(F.lit(1)).cast("double").alias("avail")
+    )
+    capped = counts.withColumn(
+        "cap", F.round(F.col("avail") * F.lit(float(epoch_cap)), 6)
+    )
+
+    order = Window.orderBy("cap", "lang")
+    everything = Window.partitionBy()
+    prefix_cap = F.coalesce(
+        F.sum("cap").over(order.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0.0),
+    )
+    n_langs = F.count(F.lit(1)).over(everything)
+    rn = F.row_number().over(order)
+    # λ candidate at row i: spread what the i..k tail must absorb evenly
+    lam_cand = (F.lit(float(budget)) - prefix_cap) / (
+        n_langs - rn + F.lit(1)
+    ).cast("double")
+    annotated = capped.select(
+        "lang",
+        "avail",
+        "cap",
+        rn.alias("rn"),
+        lam_cand.alias("lam_cand"),
+    )
+    first_valid = F.min(
+        F.when(F.col("lam_cand") <= F.col("cap"), F.col("rn"))
+    ).over(everything)
+    lam = F.max(
+        F.when(F.col("rn") == first_valid, F.col("lam_cand"))
+    ).over(everything)
+    alloc = F.when(
+        lam.isNull() | (F.col("rn") < first_valid), F.col("cap")
+    ).otherwise(F.least(F.col("cap"), lam))
+    # round before flooring so the DuckDB oracle lands on identical ints
+    alloc_i = F.floor(F.round(alloc, 6))
+    return annotated.select(
+        "lang",
+        F.col("avail").cast("bigint").alias("avail"),
+        F.floor(F.round(F.col("cap"), 6)).cast("bigint").alias("cap"),
+        alloc_i.cast("bigint").alias("alloc"),
+        F.round(alloc_i / F.col("avail"), 6).alias("epochs"),
+    )

@@ -227,3 +227,63 @@ QUERIES = {
     "sample_stratified_quota": (sample_stratified_quota, _quota_oracle()),
     "sample_weighted_topk": (sample_weighted_topk, _weighted_oracle()),
 }
+
+
+# -- UniMax language-budget allocation (Chung et al. 2023) -----------------------
+
+_UNIMAX_EPOCHS = 3.0
+
+
+def sample_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax budget allocation over the corpus languages: budget =
+    2x corpus size, max 3 epochs per language — the low-resource
+    languages saturate at 3 epochs, the rest share the remainder
+    evenly (operators/sampling.py unimax_quotas)."""
+    from bruin_spark.operators.sampling import unimax_quotas
+
+    docs = _docs(spark, sf_dir)
+    budget = 2 * docs.count()  # single-row driver probe
+    return unimax_quotas(
+        docs, "lang", budget=budget, epoch_cap=_UNIMAX_EPOCHS
+    ).orderBy("lang")
+
+
+def _unimax_oracle() -> str:
+    return f"""
+WITH counts AS (
+  SELECT lang, COUNT(*)::DOUBLE AS avail FROM documents GROUP BY lang
+), budget AS (
+  SELECT 2.0 * COUNT(*) AS b FROM documents
+), capped AS (
+  SELECT lang, avail, ROUND(avail * {_UNIMAX_EPOCHS}, 6) AS cap FROM counts
+), annotated AS (
+  SELECT lang, avail, cap,
+         ROW_NUMBER() OVER (ORDER BY cap, lang) AS rn,
+         (b - COALESCE(SUM(cap) OVER (ORDER BY cap, lang
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0))
+           / (COUNT(*) OVER () - ROW_NUMBER() OVER (ORDER BY cap, lang) + 1)
+           AS lam_cand
+  FROM capped CROSS JOIN budget
+), fv AS (
+  SELECT *, MIN(CASE WHEN lam_cand <= cap THEN rn END) OVER () AS first_valid
+  FROM annotated
+), levels AS (
+  SELECT *, MAX(CASE WHEN rn = first_valid THEN lam_cand END) OVER () AS lam
+  FROM fv
+)
+SELECT lang,
+       avail::BIGINT AS avail,
+       FLOOR(ROUND(cap, 6))::BIGINT AS cap,
+       alloc_i::BIGINT AS alloc,
+       ROUND(alloc_i / avail, 6) AS epochs
+FROM (
+  SELECT lang, avail, cap,
+         FLOOR(ROUND(CASE WHEN lam IS NULL OR rn < first_valid THEN cap
+                          ELSE LEAST(cap, lam) END, 6)) AS alloc_i
+  FROM levels
+)
+ORDER BY lang
+"""
+
+
+QUERIES["sample_unimax"] = (sample_unimax, _unimax_oracle())

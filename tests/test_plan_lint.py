@@ -107,6 +107,10 @@ SINGLE_PARTITION_OK = {
     # classifier training: the 1-row (t_raw, t_tgt) totals reduce —
     # same scalar-aggregate class as text_dsir_weights above
     "text_quality_classifier",
+    # UniMax water-filling: window math over the k-LANGUAGE table
+    # (bounded by the world's language inventory by construction);
+    # the corpus-scale work is the map-side-combinable lang count
+    "sample_unimax",
 }
 
 

@@ -69,6 +69,7 @@ SWEEP_ENTRIES = [
     "text_readability",
     "text_domain_stats",
     "text_lm_stupid_backoff",
+    "sample_unimax",
 ]
 
 _E = "é"                      # é precomposed (NFC)
