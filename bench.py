@@ -113,6 +113,8 @@ HEADLINE = [
     # r12b: stupid-backoff trigram LM (trusted-slice model, broadcast
     # joins, one doc-keyed shuffle)
     "text_lm_stupid_backoff",
+    # r12b: IVFADC+R — coarse cells + residual PQ + ADC + exact rerank
+    "sim_ivfpq_rerank_topk",
 ]
 
 

@@ -724,3 +724,179 @@ def pq_adc_topk(
             "query_id", "nn_id", F.round(F.col("adc_dist"), 6).alias("adc_dist"), "rank"
         )
     )
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    rerank: int | None = None,
+) -> DataFrame:
+    """IVFADC (Jégou et al. 2011): coarse inverted-file quantizer +
+    product quantization of the RESIDUALS + asymmetric distance — the
+    composition behind FAISS's IndexIVFPQ and the standard
+    billion-scale ANN layout.
+
+    Per query: probe the ``n_probe`` nearest coarse cells; within each
+    probed cell build the ADC table against the query's residual
+    ``q - c`` (residuals carry far less variance than raw vectors, so
+    the same code budget quantizes them much more accurately); every
+    candidate's distance is ``m`` array lookups over its stored code
+    word.
+
+    100 TB shape — this operator is why the layout exists:
+    - the corpus is stored as (centroid_id, m code bytes) — neither
+      the embeddings nor the residuals are re-read at query time;
+    - the candidate join is an equi-join on ``centroid_id``
+      (partition-prunable when the code table is written partitioned
+      by cell), touching ~n_probe/n_centroids of the corpus;
+    - codebooks and the per-(query, cell) ADC tables are bounded by
+      construction (m·n_codes rows / m·n_codes doubles) and broadcast;
+    - every per-vector reduce (cell argmax, per-subspace argmin) is a
+      map-side-combinable ``max_by``.
+
+    Deterministic seeds keep the oracle exact: centroids = the
+    ``n_centroids`` lowest-id unit vectors; codebook seeds = the next
+    ``n_codes`` lowest-id RESIDUALS (the centroid rows themselves
+    quantize to the zero residual, so they are skipped — production
+    swaps per-subspace k-means, the probe/ADC path is unchanged).
+
+    ``rerank=r`` adds the paper's +R stage (§IV): the ADC top-``r``
+    shortlist per query is re-scored with EXACT cosine against the
+    original vectors and the final top-k ranks by that — quantization
+    error stops costing recall at the price of re-reading ``r·|Q|``
+    embeddings (bounded by the query batch, never the corpus; the
+    shortlist broadcasts into the fetch join).
+
+    Returns ``(query_id, nn_id, adc_dist, rank)`` — rank 1 = nearest —
+    or ``(query_id, nn_id, cosine, rank)`` under ``rerank``.
+    """
+    corpus_u = with_unit_vectors(df, vec_col)
+    cents = deterministic_centroids(corpus_u, n_centroids, id_col)
+    assigned = ivf_assign(corpus_u, cents, id_col=id_col)
+    resid = assigned.join(F.broadcast(cents), "centroid_id").withColumn(
+        "rvec", F.zip_with("unit_vec", "centroid_vec", lambda x, y: x - y)
+    )
+
+    # codebook seeds: rank over the (n_centroids + n_codes)-row LIMIT,
+    # never the corpus
+    seeds = (
+        resid.orderBy(id_col)
+        .limit(n_centroids + n_codes)
+        .withColumn("_rn", F.row_number().over(Window.orderBy(F.col(id_col))))
+        .filter(F.col("_rn") > n_centroids)
+    )
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.expr(_sub_expr("rvec", j, m)).alias("code_vec"),
+            )
+            for j in range(m)
+        ]
+    )
+    cbs = seeds.select(
+        (F.col("_rn") - n_centroids - 1).alias("code"), F.explode(subs).alias("_s")
+    ).select(F.col("_s.j").alias("j"), "code", F.col("_s.code_vec").alias("code_vec"))
+
+    codes = pq_encode(
+        resid.select(id_col, "rvec"), cbs, m=m, id_col=id_col, vec_col="rvec"
+    )
+    corpus_codes = codes.join(
+        resid.select(F.col(id_col).alias("nn_id"), "centroid_id"),
+        codes[id_col] == F.col("nn_id"),
+    ).select("nn_id", "codes", "centroid_id")
+
+    # -- query side: probe cells, residualize, ADC tables per (q, cell)
+    qs_u = with_unit_vectors(queries, vec_col)
+    q_scored = qs_u.join(F.broadcast(cents)).withColumn(
+        "_score", _dot(F.col("unit_vec"), F.col("centroid_vec"))
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.col("_score").desc(), F.col("centroid_id")
+    )
+    q_cells = (
+        q_scored.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= n_probe)
+        .select(
+            F.col(query_id_col).alias("query_id"),
+            F.zip_with("unit_vec", "centroid_vec", lambda x, y: x - y).alias("qr"),
+            "centroid_id",
+        )
+    )
+    qsubs = F.array(
+        *[
+            F.struct(F.lit(j).alias("j"), F.expr(_sub_expr("qr", j, m)).alias("sub"))
+            for j in range(m)
+        ]
+    )
+    qex = q_cells.select("query_id", "centroid_id", F.explode(qsubs).alias("_s")).select(
+        "query_id", "centroid_id", F.col("_s.j").alias("j"), F.col("_s.sub").alias("sub")
+    )
+    qdists = qex.join(F.broadcast(cbs), "j").withColumn(
+        "_d", _l2sq(F.col("sub"), F.col("code_vec"))
+    )
+    per_j = qdists.groupBy("query_id", "centroid_id", "j").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("code", "_d"))), lambda s: s["_d"]
+        ).alias("arr")
+    )
+    qtab = per_j.groupBy("query_id", "centroid_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "arr"))), lambda s: s["arr"]
+        ).alias("tbl")
+    )
+    scored = (
+        F.broadcast(qtab)
+        .join(corpus_codes, "centroid_id")
+        .withColumn(
+            "adc_dist",
+            F.expr(
+                f"aggregate(sequence(0, {m - 1}), 0d,"
+                " (acc, j) -> acc + element_at(element_at(tbl, j + 1),"
+                " element_at(codes, j + 1) + 1))"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("nn_id"))
+    if rerank is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id",
+                "nn_id",
+                F.round(F.col("adc_dist"), 6).alias("adc_dist"),
+                "rank",
+            )
+        )
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(rerank))
+        .select("query_id", "nn_id")
+    )
+    cand = F.broadcast(shortlist).join(
+        corpus_u.select(F.col(id_col).alias("nn_id"), F.col("unit_vec").alias("cv")),
+        "nn_id",
+    )
+    qvs = qs_u.select(
+        F.col(query_id_col).alias("query_id"), F.col("unit_vec").alias("qv")
+    )
+    exact = cand.join(F.broadcast(qvs), "query_id").select(
+        "query_id",
+        "nn_id",
+        F.round(_dot(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nn_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nn_id", "cosine", "rank")
+    )

@@ -233,3 +233,57 @@ def bpe_encode_ids(
         )
         .select(F.col(id_col), F.size("ids").alias("n_ids"), F.col("ids"))
     )
+
+
+def bpe_fertility_by_lang(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-language tokenizer fertility report: how many BPE pieces an
+    average word costs in each language, and how many characters a
+    piece carries.
+
+    The standard multilingual-tokenizer equity metric (fertility =
+    tokens/word; see e.g. Petrov et al. 2023 on tokenizer parity):
+    languages the vocabulary serves badly pay more tokens for the same
+    text, which skews both training mixture math and serving cost.
+    Returns one row per language: ``(lang, n_words, n_bpe_tokens,
+    fertility, chars_per_token, single_piece_rate)``.
+
+    100 TB shape: the corpus-scale work is ONE map-side-combinable
+    groupBy(lang, word) count; the trained piece table (|V| rows,
+    Heaps-bounded) broadcasts onto it; the report reduces to
+    |languages| rows.  Same "tokenize distinct words once" discipline
+    as :func:`bpe_encode_counts`.
+    """
+    _, words = _bpe_train(docs, n_merges, text_col)
+    pieces = words.select(
+        "w", F.size(F.split(F.trim(F.col("repr")), " ")).alias("n_pieces")
+    )
+    lang_words = (
+        docs.select(F.col(lang_col).alias("lang"), F.explode(tokens(text_col)).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    joined = lang_words.join(F.broadcast(pieces), "w")
+    n_words = F.sum("cnt")
+    n_toks = F.sum(F.col("cnt") * F.col("n_pieces"))
+    return (
+        joined.groupBy("lang")
+        .agg(
+            n_words.alias("n_words"),
+            n_toks.alias("n_bpe_tokens"),
+            F.round(n_toks / n_words, 6).alias("fertility"),
+            F.round(
+                F.sum(F.col("cnt") * F.length(F.col("w"))) / n_toks, 6
+            ).alias("chars_per_token"),
+            F.round(
+                F.sum(F.when(F.col("n_pieces") == 1, F.col("cnt")).otherwise(0))
+                / n_words,
+                6,
+            ).alias("single_piece_rate"),
+        )
+    )

@@ -441,3 +441,160 @@ FROM ranked WHERE rank <= {K}
 """
 
 QUERIES["sim_pq_adc_topk"] = (sim_pq_adc_topk, PQ_ADC_ORACLE)
+
+
+# -- IVF-PQ (IVFADC, Jégou et al. 2011): coarse cells + residual PQ + ADC --------
+
+
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS-IndexIVFPQ-shaped ANN: probe n_probe coarse cells, score
+    PQ codes of the RESIDUALS with per-(query, cell) ADC tables
+    (operators/similarity.py ivf_pq_topk)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(f"vec_id % {QUERY_MOD} = 0").withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    return S.ivf_pq_topk(
+        emb,
+        queries,
+        k=K,
+        n_centroids=N_CENTROIDS,
+        n_probe=N_PROBE,
+        m=PQ_M,
+        n_codes=PQ_CODES,
+    )
+
+
+def _ivfpq_oracle() -> str:
+    dim_slice = (
+        "list_slice({v}, t.j * (len({v}) // %(m)d) + 1,"
+        " (t.j + 1) * (len({v}) // %(m)d))" % {"m": PQ_M}
+    )
+    return f"""
+WITH u AS (SELECT vec_id, {_DUCK_UNIT} AS uv FROM embeddings),
+cents AS (
+  SELECT vec_id AS centroid_id, uv AS cv FROM u ORDER BY vec_id LIMIT {N_CENTROIDS}
+),
+assigned AS (
+  SELECT vec_id, uv, centroid_id FROM (
+    SELECT v.vec_id, v.uv, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_duck_dot('v.uv', 'c.cv')} DESC, c.centroid_id
+           ) AS rn
+    FROM u v CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+resid AS (
+  SELECT a.vec_id, a.centroid_id,
+         list_transform(generate_series(1, len(a.uv)), i -> a.uv[i] - c.cv[i]) AS rv
+  FROM assigned a JOIN cents c USING (centroid_id)
+),
+cb0 AS (
+  SELECT rv, (ROW_NUMBER() OVER (ORDER BY vec_id) - 1)::INT AS code
+  FROM (SELECT * FROM resid ORDER BY vec_id LIMIT {PQ_CODES} OFFSET {N_CENTROIDS})
+),
+cb AS (
+  SELECT t.j, code, {dim_slice.format(v='rv')} AS code_vec
+  FROM cb0, UNNEST([i FOR i IN generate_series(0, {PQ_M - 1})]) AS t(j)
+),
+subs AS (
+  SELECT vec_id, centroid_id, t.j, {dim_slice.format(v='rv')} AS sub
+  FROM resid, UNNEST([i FOR i IN generate_series(0, {PQ_M - 1})]) AS t(j)
+),
+enc AS (
+  SELECT vec_id, centroid_id, j, code FROM (
+    SELECT s.vec_id, s.centroid_id, s.j, c.code,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.vec_id, s.j
+             ORDER BY {_duck_l2('s.sub', 'c.code_vec')} ASC, c.code ASC
+           ) AS rn
+    FROM subs s JOIN cb c ON s.j = c.j
+  ) WHERE rn = 1
+),
+q_resid AS (
+  SELECT query_id, centroid_id,
+         list_transform(generate_series(1, len(uv)), i -> uv[i] - cv[i]) AS qr
+  FROM (
+    SELECT v.vec_id AS query_id, v.uv, c.centroid_id, c.cv,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_duck_dot('v.uv', 'c.cv')} DESC, c.centroid_id
+           ) AS rn
+    FROM u v CROSS JOIN cents c
+    WHERE v.vec_id % {QUERY_MOD} = 0
+  ) WHERE rn <= {N_PROBE}
+),
+qdist AS (
+  SELECT s.query_id, s.centroid_id, s.j, c.code,
+         {_duck_l2('s.sub', 'c.code_vec')} AS d
+  FROM (
+    SELECT query_id, centroid_id, t.j, {dim_slice.format(v='qr')} AS sub
+    FROM q_resid, UNNEST([i FOR i IN generate_series(0, {PQ_M - 1})]) AS t(j)
+  ) s JOIN cb c ON s.j = c.j
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS nn_id, SUM(q.d) AS adc
+  FROM enc e
+  JOIN qdist q ON e.j = q.j AND e.code = q.code AND e.centroid_id = q.centroid_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, nn_id, adc,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc ASC, nn_id) AS rank
+  FROM scored
+)
+SELECT query_id, nn_id, ROUND(adc, 6) AS adc_dist, rank::INT AS rank
+FROM ranked WHERE rank <= {K}
+"""
+
+
+QUERIES["sim_ivfpq_topk"] = (sim_ivfpq_topk, _ivfpq_oracle())
+
+
+PQ_RERANK = 16  # ADC shortlist size for the +R stage
+
+
+def sim_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC+R (Jégou et al. 2011 §IV): the ADC top-16 shortlist per
+    query is re-scored with exact cosine; recall stops paying for
+    quantization error at the cost of re-reading 16·|Q| vectors."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(f"vec_id % {QUERY_MOD} = 0").withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    return S.ivf_pq_topk(
+        emb,
+        queries,
+        k=K,
+        n_centroids=N_CENTROIDS,
+        n_probe=N_PROBE,
+        m=PQ_M,
+        n_codes=PQ_CODES,
+        rerank=PQ_RERANK,
+    )
+
+
+def _ivfpq_rerank_oracle() -> str:
+    base = _ivfpq_oracle()
+    # reuse everything up to `ranked`, swap the SELECT for the +R stage
+    cut = base.index("SELECT query_id, nn_id, ROUND(adc, 6)")
+    return base[:cut] + f""",
+shortlist AS (
+  SELECT query_id, nn_id FROM ranked WHERE rank <= {PQ_RERANK}
+),
+rescored AS (
+  SELECT s.query_id, s.nn_id,
+         ROUND({_duck_dot('q.uv', 'c.uv')}, 6) AS cosine
+  FROM shortlist s
+  JOIN u q ON q.vec_id = s.query_id
+  JOIN u c ON c.vec_id = s.nn_id
+)
+SELECT query_id, nn_id, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rank
+  FROM rescored
+) WHERE rank <= {K}
+"""
+
+
+QUERIES["sim_ivfpq_rerank_topk"] = (sim_ivfpq_rerank_topk, _ivfpq_rerank_oracle())

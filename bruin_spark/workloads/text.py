@@ -1687,3 +1687,45 @@ FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
 
 
 QUERIES["text_lm_stupid_backoff"] = (text_lm_stupid_backoff, _sb_oracle())
+
+
+# -- tokenizer fertility by language ---------------------------------------------
+
+
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language BPE fertility (tokens/word), chars/token, and
+    single-piece word rate under the corpus-trained vocabulary
+    (operators/tokenizer.py bpe_fertility_by_lang)."""
+    from bruin_spark.operators.tokenizer import bpe_fertility_by_lang
+
+    return bpe_fertility_by_lang(
+        _docs(spark, sf_dir), n_merges=_BPE_MERGES
+    ).orderBy("lang")
+
+
+def _fertility_oracle() -> str:
+    stages, _ = _bpe_stages()
+    return f"""
+{_bpe_vocab_ctes(stages)},
+pieces AS (
+  SELECT w, len(string_split(trim(repr), ' ')) AS n_pieces FROM w{_BPE_MERGES}
+),
+lang_words AS (
+  SELECT lang, tok AS w, COUNT(*) AS cnt
+  FROM (SELECT lang, UNNEST({_duck_tokens()}) AS tok FROM documents)
+  GROUP BY 1, 2
+)
+SELECT lang,
+       SUM(cnt)::BIGINT AS n_words,
+       SUM(cnt * n_pieces)::BIGINT AS n_bpe_tokens,
+       ROUND(SUM(cnt * n_pieces)::DOUBLE / SUM(cnt), 6) AS fertility,
+       ROUND(SUM(cnt * length(w))::DOUBLE / SUM(cnt * n_pieces), 6) AS chars_per_token,
+       ROUND(SUM(CASE WHEN n_pieces = 1 THEN cnt ELSE 0 END)::DOUBLE / SUM(cnt), 6)
+         AS single_piece_rate
+FROM lang_words JOIN pieces USING (w)
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+QUERIES["text_tokenizer_fertility"] = (text_tokenizer_fertility, _fertility_oracle())

@@ -71,6 +71,11 @@ BNLJ_OK = {
     # doubles each) broadcast-cross-joins the code word table — the
     # broadcast side is bounded by the query set by construction
     "sim_pq_adc_topk",
+    # IVFADC: queries x centroids scoring joins are keyless broadcasts
+    # bounded by |Q| x n_centroids by construction; the corpus-side
+    # candidate join is a centroid_id equi-join
+    "sim_ivfpq_topk",
+    "sim_ivfpq_rerank_topk",
 }
 
 #: SinglePartition stages allowed ONLY here:

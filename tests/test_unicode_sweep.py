@@ -70,6 +70,7 @@ SWEEP_ENTRIES = [
     "text_domain_stats",
     "text_lm_stupid_backoff",
     "sample_unimax",
+    "text_tokenizer_fertility",
 ]
 
 _E = "é"                      # é precomposed (NFC)
