@@ -115,6 +115,11 @@ HEADLINE = [
     "text_lm_stupid_backoff",
     # r12b: IVFADC+R — coarse cells + residual PQ + ADC + exact rerank
     "sim_ivfpq_rerank_topk",
+    # r12b: DPR-style hard-negative mining on the IVF probe set
+    "sim_hard_negatives",
+    # r12b: GK-sketch per-language length profile (the 100 TB quantile
+    # path — constant-size summaries, no per-language sort)
+    "stat_doc_length_profile",
 ]
 
 

@@ -900,3 +900,73 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "nn_id", "cosine", "rank")
     )
+
+
+def hard_negatives(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the DPR recipe,
+    Karpukhin et al. 2020 §4.2): for each query, the top-k most
+    SIMILAR vectors whose label differs — the negatives that actually
+    teach the encoder, versus random negatives it already separates.
+
+    Runs on the IVF index (same coarse cells as :func:`ivf_topk`): each
+    query scores only its ``n_probe`` nearest cells, the label
+    inequality prunes before ranking, and the per-query top-k is a rank
+    window over the probed candidates.  Hardest negatives are the
+    near-duplicates of the query's neighborhood, which is exactly
+    where the probed cells are — the inverted file loses only easy
+    negatives.
+
+    Returns ``(query_id, nn_id, nn_label, cosine, rank)``.
+    """
+    corpus_u = with_unit_vectors(df, vec_col)
+    cents = deterministic_centroids(corpus_u, n_centroids, id_col)
+    corpus = ivf_assign(corpus_u, cents, id_col=id_col).select(
+        F.col(id_col).alias("nn_id"),
+        F.col("unit_vec").alias("cv"),
+        F.col(label_col).alias("nn_label"),
+        "centroid_id",
+    )
+    qs_u = with_unit_vectors(queries, vec_col)
+    q_scored = qs_u.join(F.broadcast(cents)).withColumn(
+        "_score", _dot(F.col("unit_vec"), F.col("centroid_vec"))
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.col("_score").desc(), F.col("centroid_id")
+    )
+    q_cells = (
+        q_scored.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= n_probe)
+        .select(
+            F.col(query_id_col).alias("query_id"),
+            F.col("unit_vec").alias("qv"),
+            F.col(label_col).alias("q_label"),
+            "centroid_id",
+        )
+    )
+    scored = (
+        F.broadcast(q_cells)
+        .join(corpus, "centroid_id")
+        .filter(F.col("nn_label") != F.col("q_label"))
+        .select(
+            "query_id",
+            "nn_id",
+            "nn_label",
+            F.round(_dot(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nn_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nn_id", "nn_label", "cosine", "rank")
+    )

@@ -598,3 +598,59 @@ SELECT query_id, nn_id, cosine, rank FROM (
 
 
 QUERIES["sim_ivfpq_rerank_topk"] = (sim_ivfpq_rerank_topk, _ivfpq_rerank_oracle())
+
+
+# -- hard-negative mining (DPR-style contrastive training data) ------------------
+
+
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k most-similar DIFFERENT-label vectors per query over the
+    IVF probe set (operators/similarity.py hard_negatives)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(f"vec_id % {QUERY_MOD} = 0").withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    return S.hard_negatives(
+        emb, queries, k=K, n_centroids=N_CENTROIDS, n_probe=N_PROBE
+    )
+
+
+HARD_NEG_ORACLE = f"""
+WITH u AS (SELECT vec_id, label, {_DUCK_UNIT} AS uv FROM embeddings),
+cents AS (
+  SELECT vec_id AS centroid_id, uv AS cv FROM u ORDER BY vec_id LIMIT {N_CENTROIDS}
+),
+assigned AS (
+  SELECT vec_id, label, uv, centroid_id FROM (
+    SELECT v.vec_id, v.label, v.uv, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_duck_dot('v.uv', 'c.cv')} DESC, c.centroid_id
+           ) AS rn
+    FROM u v CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+q_cells AS (
+  SELECT query_id, q_label, uv AS qv, centroid_id FROM (
+    SELECT v.vec_id AS query_id, v.label AS q_label, v.uv, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_duck_dot('v.uv', 'c.cv')} DESC, c.centroid_id
+           ) AS rn
+    FROM u v CROSS JOIN cents c
+    WHERE v.vec_id % {QUERY_MOD} = 0
+  ) WHERE rn <= {N_PROBE}
+),
+scored AS (
+  SELECT q.query_id, a.vec_id AS nn_id, a.label AS nn_label,
+         ROUND({_duck_dot('q.qv', 'a.uv')}, 6) AS cosine
+  FROM q_cells q JOIN assigned a ON q.centroid_id = a.centroid_id
+  WHERE a.label <> q.q_label
+)
+SELECT query_id, nn_id, nn_label, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rank
+  FROM scored
+) WHERE rank <= {K}
+"""
+
+QUERIES["sim_hard_negatives"] = (sim_hard_negatives, HARD_NEG_ORACLE)

@@ -149,3 +149,50 @@ QUERIES = {
     "stat_price_quantiles": (stat_price_quantiles, STAT_QUANTILES_ORACLE),
     "stat_event_user_sketch": (stat_event_user_sketch, STAT_SKETCH_ORACLE),
 }
+
+
+def stat_doc_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length profile via the GK sketch
+    (percentile_approx) — the 100 TB quantile path: map-side-combinable
+    constant-size summaries per language, never a per-language sort.
+    At accuracy >> n the sketch returns exactly DuckDB's quantile_disc
+    element, so this is a full-hash oracle entry (same contract as
+    text_ccnet_buckets_approx)."""
+    import os
+
+    from bruin_spark.session import read_parquet
+
+    docs = read_parquet(spark, os.path.join(sf_dir, "documents.parquet"))
+    toks = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    return (
+        docs.select("lang", toks.alias("n_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.percentile_approx("n_tokens", 0.25, 1_000_000).alias("p25_tokens"),
+            F.percentile_approx("n_tokens", 0.5, 1_000_000).alias("p50_tokens"),
+            F.percentile_approx("n_tokens", 0.9, 1_000_000).alias("p90_tokens"),
+            F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+DOC_LENGTH_PROFILE_ORACLE = """
+SELECT lang,
+       COUNT(*)::BIGINT AS n_docs,
+       QUANTILE_DISC(n_tokens, 0.25)::INT AS p25_tokens,
+       QUANTILE_DISC(n_tokens, 0.5)::INT AS p50_tokens,
+       QUANTILE_DISC(n_tokens, 0.9)::INT AS p90_tokens,
+       ROUND(AVG(n_tokens), 6) AS avg_tokens,
+       MAX(n_tokens)::INT AS max_tokens
+FROM (
+  SELECT lang, len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens
+  FROM documents
+)
+GROUP BY lang
+ORDER BY lang
+"""
+
+QUERIES["stat_doc_length_profile"] = (stat_doc_length_profile, DOC_LENGTH_PROFILE_ORACLE)

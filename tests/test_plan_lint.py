@@ -76,6 +76,9 @@ BNLJ_OK = {
     # candidate join is a centroid_id equi-join
     "sim_ivfpq_topk",
     "sim_ivfpq_rerank_topk",
+    # hard negatives: queries x centroids probe scoring — same bounded
+    # keyless broadcast as sim_ivf_topk
+    "sim_hard_negatives",
 }
 
 #: SinglePartition stages allowed ONLY here:
