@@ -120,6 +120,8 @@ HEADLINE = [
     # r12b: GK-sketch per-language length profile (the 100 TB quantile
     # path — constant-size summaries, no per-language sort)
     "stat_doc_length_profile",
+    # r12b: video copy detection (per-frame pHash, df-capped overlap)
+    "mm_video_frame_dedup",
 ]
 
 

@@ -387,3 +387,105 @@ def with_media_meta(df: DataFrame, bin_col: str = "media") -> DataFrame:
         F.length(blob).cast("bigint").alias("n_bytes"),
     )
     return df.withColumn("media_meta", meta)
+
+
+def frame_phash64(
+    df: DataFrame,
+    bin_col: str = "media",
+    id_col: str = "doc_id",
+    n_samples: int = 64,
+) -> DataFrame:
+    """Per-FRAME 64-bit perceptual hash: one output row per frame,
+    ``(id, frame_idx, fhash)`` — the video analog of :func:`phash64`
+    (a real build hashes each decoded frame; the BRUI stand-in hashes
+    the frame-rotated payload sample ``sub[i] = payload[(f + (i·L)//n)
+    % L]`` with the same integer mean-threshold pack, so the oracle
+    reproduces it exactly).
+
+    Runs in the SAME Arrow decode pass shape as phash64: the binary
+    column is read once, and everything downstream operates on
+    (id, int, int64) rows.
+    """
+    out_schema = f"{id_col} bigint, frame_idx int, fhash bigint"
+
+    def work(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for rid, blob in zip(pdf[id_col], pdf[bin_col]):
+                b = bytes(blob)
+                _w, _h, n_frames = parse_header(b)
+                payload = np.frombuffer(b[HEADER_SIZE:], dtype=np.uint8)
+                L = len(payload)
+                base_idx = (np.arange(n_samples, dtype=np.int64) * L) // n_samples
+                for f in range(n_frames):
+                    sub = payload[(f + base_idx) % L].astype(np.int64)
+                    total = int(sub.sum())
+                    packed = 0
+                    for i, v in enumerate(sub):
+                        if int(v) * n_samples > total:
+                            packed |= 1 << i
+                    if packed >= (1 << 63):
+                        packed -= 1 << 64
+                    rows.append((int(rid), f, packed))
+            yield pd.DataFrame(rows, columns=[id_col, "frame_idx", "fhash"])
+
+    return df.select(id_col, bin_col).mapInPandas(work, out_schema)
+
+
+def video_frame_overlap_pairs(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "fhash",
+    min_overlap: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Video copy detection by frame-fingerprint overlap: pairs of
+    videos sharing ≥ ``min_overlap`` of the smaller video's DISTINCT
+    frame hashes — the standard content-based copy-detection join
+    (match frame fingerprints exactly, count matches per video pair).
+
+    Plan (100 TB shape): distinct (video, hash) collapses repeated
+    frames map-side; candidate pairs come from the inverted index
+    (hash → videos) — quadratic only in per-hash posting size, which
+    ``max_df`` caps by dropping ubiquitous frames (intro cards / logo
+    frames — the boilerplate of video, exactly the hot posting list
+    the n-gram prefix filter sheds for text); the per-pair count is a
+    map-side-combinable groupBy.  No all-pairs join anywhere.
+
+    Returns ``(id_a, id_b, shared_frames, overlap)``.
+    """
+    distinct_fh = sig.select(F.col(id_col).alias("id"), F.col(hash_col).alias("h")).distinct()
+    sizes = distinct_fh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    postings = distinct_fh
+    if max_df is not None:
+        dfc = distinct_fh.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
+        postings = distinct_fh.join(
+            dfc.filter(F.col("_df") <= max_df).select("h"), "h", "left_semi"
+        )
+    a = postings.select(F.col("h"), F.col("id").alias("id_a"))
+    b = postings.select(F.col("h"), F.col("id").alias("id_b"))
+    shared = (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_frames"))
+    )
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("_na"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("_nb"))
+    # gate on the RAW ratio (rounding first would move boundary pairs
+    # across the threshold differently per engine), round for output
+    raw = F.col("shared_frames") / F.least("_na", "_nb")
+    return (
+        shared.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(raw >= F.lit(min_overlap))
+        .select(
+            "id_a",
+            "id_b",
+            "shared_frames",
+            F.round(raw, 6).alias("overlap"),
+        )
+    )

@@ -273,3 +273,75 @@ QUERIES = {
     "mm_phash_pairs": (mm_phash_pairs, _phash_pairs_oracle()),
     "mm_phash_clusters": (mm_phash_clusters, _phash_clusters_oracle()),
 }
+
+
+def mm_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video copy detection: per-frame pHash in the Arrow decode pass
+    (operators/multimodal.py frame_phash64) → inverted-index join on
+    exact frame fingerprints with a df-cap → per-pair overlap count
+    (video_frame_overlap_pairs).  Pairs sharing >= 50% of the smaller
+    video's distinct frames."""
+    sig = M.frame_phash64(_with_media_dups(spark, sf_dir))
+    return M.video_frame_overlap_pairs(
+        sig, min_overlap=0.5, max_df=40
+    ).orderBy("id_a", "id_b")
+
+
+def _video_dedup_oracle() -> str:
+    """Reproduces frame_phash64's BRUI arithmetic (frame-rotated
+    subsample -> mean threshold -> two's-complement pack) per (video,
+    frame), then the same df-capped overlap join."""
+    byte = (
+        "(seed * 7 + 31 * ((f + (i * L) // 64) % L)"
+        " + CASE WHEN v > 0 AND (f + (i * L) // 64) % L = (v * 13) % L"
+        " THEN v * 17 ELSE 0 END) % 256"
+    )
+    pack = " + ".join(
+        f"(CASE WHEN s[{i + 1}] * 64 > t THEN {2 ** i}::HUGEINT ELSE 0::HUGEINT END)"
+        for i in range(64)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         doc_id % 29 AS seed,
+         doc_id // 29 AS v,
+         ((doc_id % 29) % 32 + 1) * ((doc_id % 29) % 24 + 1) + 16 AS L,
+         (doc_id % 29) % 12 + 1 AS n_frames
+  FROM documents
+), frames AS (
+  SELECT doc_id, seed, v, L, f
+  FROM base, UNNEST(generate_series(0, n_frames - 1)) AS g(f)
+), sub AS (
+  SELECT doc_id,
+         [ {byte} FOR i IN generate_series(0, 63) ] AS s
+  FROM frames
+), tot AS (
+  SELECT doc_id, s, list_sum(s) AS t FROM sub
+), fh AS (
+  SELECT DISTINCT doc_id AS id,
+         CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+                   THEN u - 18446744073709551616::HUGEINT
+                   ELSE u END AS BIGINT) AS h
+  FROM (SELECT doc_id, ({pack}) AS u FROM tot)
+), sizes AS (
+  SELECT id, COUNT(*) AS n FROM fh GROUP BY id
+), postings AS (
+  SELECT * FROM fh WHERE h IN (
+    SELECT h FROM fh GROUP BY h HAVING COUNT(*) <= 40
+  )
+), shared AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS shared_frames
+  FROM postings a JOIN postings b ON a.h = b.h AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, shared_frames::BIGINT AS shared_frames,
+       ROUND(shared_frames / LEAST(na.n, nb.n), 6) AS overlap
+FROM shared
+JOIN sizes na ON na.id = id_a
+JOIN sizes nb ON nb.id = id_b
+WHERE shared_frames / LEAST(na.n, nb.n) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+QUERIES["mm_video_frame_dedup"] = (mm_video_frame_dedup, _video_dedup_oracle())
