@@ -122,6 +122,8 @@ HEADLINE = [
     "stat_doc_length_profile",
     # r12b: video copy detection (per-frame pHash, df-capped overlap)
     "mm_video_frame_dedup",
+    # r12b: asymmetric containment pairs (overlap prefix filter)
+    "dedup_containment",
 ]
 
 
@@ -773,6 +775,22 @@ def _ngram_rep_pairs_stress(spark, sf_dir: str):
     return D.ngram_jaccard_pairs(reps, n=NGRAM, threshold=JACCARD_T)
 
 
+def _containment_rep_pairs_stress(spark, sf_dir: str):
+    """Overlap-prefix-filtered containment pairs among distinct texts:
+    exact-collapse removes the identical-doc cluster (quadratic OUTPUT
+    by construction, same as the jaccard stress), so what this measures
+    is the absolute-overlap prefix filter shedding each doc's hottest
+    c-1 shingles — including the 8-word boilerplate prefix's posting
+    lists."""
+    from bruin_spark.operators import dedup as D
+    from bruin_spark.workloads.dedup import CONTAIN_MIN_OV, CONTAIN_T, NGRAM, _docs
+
+    reps = D.collapse_exact_texts(_docs(spark, sf_dir))
+    return D.ngram_containment_pairs(
+        reps, n=NGRAM, threshold=CONTAIN_T, min_overlap=CONTAIN_MIN_OV
+    )
+
+
 def _phash_pairs_stress(spark, sf_dir: str):
     """Image pHash near-dup banding under duplicate skew: ONE hot
     cluster of 2000 near-identical images (constant as the corpus
@@ -989,8 +1007,11 @@ SKEW_ENTRIES = [
     # tables are vocab-bounded broadcasts and the scoring stream
     # pre-collapses per (doc, a, b, w) — reducers keyed by doc_id
     ("text_lm_stupid_backoff", 16, 64),
+    # containment: overlap-prefix filter on collapsed reps (see variant)
+    ("dedup_containment", 4, 8),
 ]
 SKEW_VARIANTS = {
+    "dedup_containment": _containment_rep_pairs_stress,
     "dedup_minhash_lsh": _minhash_rep_pairs_stress,
     "dedup_ngram_jaccard": _ngram_rep_pairs_stress,
     "cc_hub_graph": _cc_hub_graph_stress,

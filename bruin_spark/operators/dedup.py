@@ -1532,3 +1532,92 @@ def incremental_duplicate_spans(
     )
     flagged = wins.join(dup, "h", "left_semi")
     return _merge_flagged_spans(flagged, w)
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.6,
+    min_overlap: int = 8,
+) -> DataFrame:
+    """Asymmetric near-dup / quote detection: pairs where the SMALLER
+    document's shingle set is ≥ ``threshold`` contained in the other's
+    (``|A∩B| / min(|A|,|B|)``) AND the sets share ≥ ``min_overlap``
+    shingles.  Jaccard misses these pairs by construction — a 40-line
+    article fully quoted inside a 4000-line page has Jaccard ~0.01 but
+    containment 1.0 — and they matter for curation (quotes, mirrors
+    with chrome, partial scrapes) and decontamination (an eval item
+    embedded in a crawl page).
+
+    Candidate generation uses the absolute-OVERLAP prefix filter
+    (Chaudhuri et al., SSJoin ICDE'06): containment has no two-sided
+    size bound, so the Jaccard prefix theorem doesn't apply — but
+    ``|A∩B| ≥ c`` does: order shingles by global rarity and the
+    rarest common shingle of any qualifying pair lies within BOTH
+    docs' first ``|x| − c + 1`` positions.  Indexing that prefix sheds
+    each document's ``c − 1`` most common shingles — exactly the hot
+    boilerplate posting lists that blow up a naive inverted index.
+    Verification computes the exact intersection over candidate docs
+    only and gates on the RAW ratio.
+
+    Returns ``(id_a, id_b, n_common, containment)``.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), F.array_distinct(shingles(text_col, n)).alias("sh")
+    )
+    hkey = _md5_60bit_key(F.col("shingle"))
+    inv = (
+        sh.filter(F.size("sh") >= min_overlap)
+        .select("id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
+        .select("id", "n_sh", hkey.alias("_hs"))
+    )
+    dfreq = inv.groupBy("_hs").agg(F.count(F.lit(1)).alias("_df"))
+    # same dense_rank rarity order as ngram_jaccard_pairs (within-doc
+    # hash collisions must not displace keys past the prefix boundary)
+    w = Window.partitionBy("id").orderBy("_df", "_hs")
+    ranked = inv.join(dfreq, "_hs").withColumn("_r", F.dense_rank().over(w))
+    prefix = ranked.filter(
+        F.col("_r") <= F.col("n_sh") - F.lit(int(min_overlap)) + 1
+    ).select("id", "_hs")
+    cands = (
+        prefix.alias("a")
+        .hint("merge")
+        .join(
+            prefix.alias("b").hint("merge"),
+            (F.col("a._hs") == F.col("b._hs")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    cands = materialize(cands, eager=True)
+
+    cand_ids = (
+        cands.select(F.col("id_a").alias("cid"))
+        .union(cands.select(F.col("id_b").alias("cid")))
+        .distinct()
+    )
+    docs_small = df.join(cand_ids, F.col(id_col) == F.col("cid"), "left_semi")
+    sh_small = materialize(
+        docs_small.select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(shingles(text_col, n)).alias("sh"),
+        ),
+        eager=True,
+    )
+    raw_cont = F.col("n_common") / F.least(F.size("sh_a"), F.size("sh_b"))
+    return (
+        cands.join(sh_small.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh_small.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .filter(
+            (F.col("n_common") >= min_overlap) & (raw_cont >= F.lit(threshold))
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            F.round(raw_cont, 6).alias("containment"),
+        )
+    )

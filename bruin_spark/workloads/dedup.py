@@ -553,3 +553,40 @@ GROUP BY doc_id
 
 
 QUERIES["dedup_strip_boilerplate"] = (dedup_strip_boilerplate, _strip_boiler_oracle())
+
+
+# -- n-gram containment (asymmetric near-dup / quote detection) ------------------
+
+CONTAIN_T = 0.6
+CONTAIN_MIN_OV = 8
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs where the smaller shingle set is >= 60% contained in the
+    other and they share >= 8 shingles — the asymmetric overlap
+    Jaccard misses (operators/dedup.py ngram_containment_pairs)."""
+    return D.ngram_containment_pairs(
+        _docs(spark, sf_dir), n=NGRAM, threshold=CONTAIN_T, min_overlap=CONTAIN_MIN_OV
+    )
+
+
+CONTAINMENT_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id AS id, {_DUCK_SHINGLES} AS sh FROM documents
+),
+inv AS (SELECT id, UNNEST(sh) AS shingle FROM sh),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common::INT AS n_common,
+       ROUND(n_common / LEAST(sa.n_sh, sb.n_sh), 6) AS containment
+FROM pairs
+JOIN (SELECT id, len(sh) AS n_sh FROM sh) sa ON sa.id = id_a
+JOIN (SELECT id, len(sh) AS n_sh FROM sh) sb ON sb.id = id_b
+WHERE n_common >= {CONTAIN_MIN_OV}
+  AND n_common / LEAST(sa.n_sh, sb.n_sh) >= {CONTAIN_T}
+"""
+
+QUERIES["dedup_containment"] = (dedup_containment, CONTAINMENT_ORACLE)

@@ -71,6 +71,7 @@ SWEEP_ENTRIES = [
     "text_lm_stupid_backoff",
     "sample_unimax",
     "text_tokenizer_fertility",
+    "dedup_containment",
 ]
 
 _E = "é"                      # é precomposed (NFC)
