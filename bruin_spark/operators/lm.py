@@ -320,10 +320,14 @@ def stupid_backoff_scores(
 
         S(w | a, b) = c3(a,b,w)/c2(a,b)          if the trigram was seen
                     = 0.4 * c2(b,w)/c1(b)        else if the bigram was
-                    = 0.4 * (0.4 * c1(w)/N)      else (always defined:
-                                                  tokens outside the
-                                                  trained vocabulary map
-                                                  to '<unk>')
+                    = 0.4 * (0.4 * c1(w)/N)      else (total whenever
+                                                  '<unk>' itself was
+                                                  trained, i.e. the
+                                                  training slice has
+                                                  out-of-vocabulary
+                                                  tokens — always true
+                                                  under top_v pruning
+                                                  of a real corpus)
 
     Stupid backoff is chosen over Katz/Kneser-Ney exactly as the paper
     argues: the score needs no discount bookkeeping, so it is
@@ -335,7 +339,12 @@ def stupid_backoff_scores(
     Returns ``(id_col, n_trigrams, n_tri_hits, n_bi_hits, n_uni_hits,
     avg_logscore, score_ppl)`` — hit counts say which backoff level
     served each position; documents with <3 tokens carry
-    ``n_trigrams = 0`` and NULL scores.
+    ``n_trigrams = 0`` and NULL scores.  ``avg_logscore`` averages over
+    the SCORABLE positions only: in the degenerate case where even the
+    unigram level is untrained (no '<unk>' unigram because the training
+    slice had <= top_v distinct tokens), unscorable positions drop from
+    both the numerator and the denominator instead of silently biasing
+    the mean toward zero.
 
     100 TB shape:
     - ``top_v`` unk-pruning bounds EVERY model table by the trained
@@ -477,7 +486,13 @@ def stupid_backoff_scores(
             F.sum(F.when(F.col("lvl") == 1, F.col("k")).otherwise(0)).alias(
                 "n_uni_hits"
             ),
-            (F.sum(F.col("k") * F.col("ls")) / F.sum("k")).alias("_avg"),
+            # numerator AND denominator restricted to scorable rows:
+            # SUM skips NULL ls on its own, but a bare SUM(k) would
+            # still count the unscorable positions and bias the mean
+            (
+                F.sum(F.col("k") * F.col("ls"))
+                / F.sum(F.when(F.col("ls").isNotNull(), F.col("k")))
+            ).alias("_avg"),
         )
     )
     return (

@@ -211,6 +211,11 @@ def phash64(
     yields the 8-byte signature, and everything downstream (banding,
     candidate join, verify) is JVM-side on a table of (id, int64).
     """
+    if n_samples > 64:
+        raise ValueError(
+            f"n_samples={n_samples}: the pack is a signed 64-bit hash; "
+            "more than 64 sample bits would overflow the bigint schema"
+        )
     out_schema = f"{id_col} bigint, {out} bigint"
 
     def work(batches: Iterator) -> Iterator:
@@ -406,6 +411,11 @@ def frame_phash64(
     column is read once, and everything downstream operates on
     (id, int, int64) rows.
     """
+    if n_samples > 64:
+        raise ValueError(
+            f"n_samples={n_samples}: the pack is a signed 64-bit hash; "
+            "more than 64 sample bits would overflow the bigint schema"
+        )
     out_schema = f"{id_col} bigint, frame_idx int, fhash bigint"
 
     def work(batches: Iterator) -> Iterator:

@@ -467,6 +467,33 @@ def kmeans_train(
     return cents
 
 
+def _probe_cells(
+    qs_u: DataFrame,
+    cents: DataFrame,
+    n_probe: int,
+    query_id_col: str,
+    cols: list,
+) -> DataFrame:
+    """Each query's ``n_probe`` nearest coarse cells — the shared probe
+    stage of ivf_topk / ivf_pq_topk / hard_negatives (one tie order,
+    one bounded |Q|×n_centroids broadcast, maintained in ONE place).
+    Input must carry ``unit_vec``; ``cols`` is the caller's FINAL
+    projection, applied as the helper's single select so the optimized
+    plan is identical to the pre-helper form (plan hashes are tracked
+    round-over-round)."""
+    q_scored = qs_u.join(F.broadcast(cents)).withColumn(
+        "_score", _dot(F.col("unit_vec"), F.col("centroid_vec"))
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.col("_score").desc(), F.col("centroid_id")
+    )
+    return (
+        q_scored.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= n_probe)
+        .select(*cols)
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -495,14 +522,16 @@ def ivf_topk(
         F.col(id_col).alias("nn_id"), F.col("unit_vec").alias("cv"), "centroid_id"
     )
     qs_u = with_unit_vectors(queries, vec_col)
-    q_scored = qs_u.join(F.broadcast(cents)).withColumn(
-        "_score", _dot(F.col("unit_vec"), F.col("centroid_vec"))
-    )
-    wq = Window.partitionBy(query_id_col).orderBy(F.col("_score").desc(), F.col("centroid_id"))
-    q_cells = (
-        q_scored.withColumn("_rn", F.row_number().over(wq))
-        .filter(F.col("_rn") <= n_probe)
-        .select(F.col(query_id_col).alias("query_id"), F.col("unit_vec").alias("qv"), "centroid_id")
+    q_cells = _probe_cells(
+        qs_u,
+        cents,
+        n_probe,
+        query_id_col,
+        [
+            F.col(query_id_col).alias("query_id"),
+            F.col("unit_vec").alias("qv"),
+            "centroid_id",
+        ],
     )
     scored = (
         F.broadcast(q_cells)
@@ -716,13 +745,17 @@ def pq_adc_topk(
             ),
         )
     )
+    # rank on the ROUNDED distance: two corpus rows with the same code
+    # word tie EXACTLY by construction, but the raw per-engine float
+    # sums can differ in the last ulp (summation order), flipping
+    # tie-adjacent ranks cross-engine — round-6 makes ties exact ties
+    # on both engines, broken identically by nn_id
+    scored = scored.withColumn("adc_dist", F.round(F.col("adc_dist"), 6))
     w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("nn_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(
-            "query_id", "nn_id", F.round(F.col("adc_dist"), 6).alias("adc_dist"), "rank"
-        )
+        .select("query_id", "nn_id", "adc_dist", "rank")
     )
 
 
@@ -816,20 +849,16 @@ def ivf_pq_topk(
 
     # -- query side: probe cells, residualize, ADC tables per (q, cell)
     qs_u = with_unit_vectors(queries, vec_col)
-    q_scored = qs_u.join(F.broadcast(cents)).withColumn(
-        "_score", _dot(F.col("unit_vec"), F.col("centroid_vec"))
-    )
-    wq = Window.partitionBy(query_id_col).orderBy(
-        F.col("_score").desc(), F.col("centroid_id")
-    )
-    q_cells = (
-        q_scored.withColumn("_rn", F.row_number().over(wq))
-        .filter(F.col("_rn") <= n_probe)
-        .select(
+    q_cells = _probe_cells(
+        qs_u,
+        cents,
+        n_probe,
+        query_id_col,
+        [
             F.col(query_id_col).alias("query_id"),
             F.zip_with("unit_vec", "centroid_vec", lambda x, y: x - y).alias("qr"),
             "centroid_id",
-        )
+        ],
     )
     qsubs = F.array(
         *[
@@ -865,17 +894,16 @@ def ivf_pq_topk(
             ),
         )
     )
+    # rank (and the +R shortlist cut) on the ROUNDED distance: same-code
+    # candidates tie exactly; raw float sums differ in the last ulp per
+    # engine, flipping tie-adjacent ranks — see pq_adc_topk
+    scored = scored.withColumn("adc_dist", F.round(F.col("adc_dist"), 6))
     w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("nn_id"))
     if rerank is None:
         return (
             scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
-            .select(
-                "query_id",
-                "nn_id",
-                F.round(F.col("adc_dist"), 6).alias("adc_dist"),
-                "rank",
-            )
+            .select("query_id", "nn_id", "adc_dist", "rank")
         )
     shortlist = (
         scored.withColumn("rank", F.row_number().over(w))
@@ -937,21 +965,17 @@ def hard_negatives(
         "centroid_id",
     )
     qs_u = with_unit_vectors(queries, vec_col)
-    q_scored = qs_u.join(F.broadcast(cents)).withColumn(
-        "_score", _dot(F.col("unit_vec"), F.col("centroid_vec"))
-    )
-    wq = Window.partitionBy(query_id_col).orderBy(
-        F.col("_score").desc(), F.col("centroid_id")
-    )
-    q_cells = (
-        q_scored.withColumn("_rn", F.row_number().over(wq))
-        .filter(F.col("_rn") <= n_probe)
-        .select(
+    q_cells = _probe_cells(
+        qs_u,
+        cents,
+        n_probe,
+        query_id_col,
+        [
             F.col(query_id_col).alias("query_id"),
             F.col("unit_vec").alias("qv"),
             F.col(label_col).alias("q_label"),
             "centroid_id",
-        )
+        ],
     )
     scored = (
         F.broadcast(q_cells)

@@ -869,7 +869,6 @@ def readability_features(
 def domain_stats(
     df: DataFrame,
     domain_col: str = "source",
-    id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
     """Per-domain curation report: document/language counts, token

@@ -432,11 +432,13 @@ scored AS (
   GROUP BY 1, 2
 ),
 ranked AS (
-  SELECT query_id, nn_id, adc,
-         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc ASC, nn_id) AS rank
+  -- rank on the ROUNDED sum: same-code candidates tie exactly, and the
+  -- raw SUM's float order is engine-nondeterministic at the last ulp
+  SELECT query_id, nn_id, ROUND(adc, 6) AS adc_dist,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ROUND(adc, 6) ASC, nn_id) AS rank
   FROM scored
 )
-SELECT query_id, nn_id, ROUND(adc, 6) AS adc_dist, rank::INT AS rank
+SELECT query_id, nn_id, adc_dist, rank::INT AS rank
 FROM ranked WHERE rank <= {K}
 """
 
@@ -540,11 +542,13 @@ scored AS (
   GROUP BY 1, 2
 ),
 ranked AS (
-  SELECT query_id, nn_id, adc,
-         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc ASC, nn_id) AS rank
+  -- rank on the ROUNDED sum: same-code candidates tie exactly, and the
+  -- raw SUM's float order is engine-nondeterministic at the last ulp
+  SELECT query_id, nn_id, ROUND(adc, 6) AS adc_dist,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ROUND(adc, 6) ASC, nn_id) AS rank
   FROM scored
 )
-SELECT query_id, nn_id, ROUND(adc, 6) AS adc_dist, rank::INT AS rank
+SELECT query_id, nn_id, adc_dist, rank::INT AS rank
 FROM ranked WHERE rank <= {K}
 """
 
@@ -578,7 +582,7 @@ def sim_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ivfpq_rerank_oracle() -> str:
     base = _ivfpq_oracle()
     # reuse everything up to `ranked`, swap the SELECT for the +R stage
-    cut = base.index("SELECT query_id, nn_id, ROUND(adc, 6)")
+    cut = base.index("SELECT query_id, nn_id, adc_dist, rank::INT AS rank")
     return base[:cut] + f""",
 shortlist AS (
   SELECT query_id, nn_id FROM ranked WHERE rank <= {PQ_RERANK}

@@ -1665,7 +1665,9 @@ WITH train AS (
          SUM(k * ln(CASE
              WHEN tri.c3 IS NOT NULL THEN tri.c3 / ab.c2
              WHEN bw.c2 IS NOT NULL THEN 0.4 * (bw.c2 / ub.c1)
-             ELSE 0.4 * (0.4 * (uw.c1 / ntot.n)) END)) / SUM(k) AS avg0
+             ELSE 0.4 * (0.4 * (uw.c1 / ntot.n)) END))
+           / SUM(CASE WHEN (tri.c3 IS NOT NULL OR bw.c2 IS NOT NULL
+                            OR uw.c1 IS NOT NULL) THEN k END) AS avg0
   FROM doc_tris d
   LEFT JOIN tri ON d.a = tri.a AND d.b = tri.b AND d.w = tri.w
   LEFT JOIN bi ab ON d.a = ab.a AND d.b = ab.b

@@ -27,6 +27,8 @@ SCORE = [
     (5, "d a b", "crawl"),     # (d,a) bigram unseen -> backoff to (a,b)? no:
                                # trigram (d,a,b) unseen, bigram (a,b) seen
     (6, "a b", "crawl"),       # too short: no trigrams
+    (7, "a b c z", "crawl"),   # MIXED: (a,b,c) scorable, (b,c,<unk>)
+                               # unscorable (unk untrained at top_v=100)
 ]
 
 
@@ -72,6 +74,11 @@ def test_backoff_levels_and_values(spark):
     # training docs score entirely at the trigram level
     assert got[0]["n_tri_hits"] == got[0]["n_trigrams"] == 7
     assert got[1]["n_tri_hits"] == got[1]["n_trigrams"] == 1
+    # doc 7 mixes one scorable and one unscorable position: the mean is
+    # over the SCORABLE position only (log(3/4) / 1, not / 2)
+    d7 = got[7]
+    assert d7["n_trigrams"] == 2 and d7["n_tri_hits"] == 1 and d7["n_uni_hits"] == 1
+    assert d7["avg_logscore"] == pytest.approx(round(math.log(3 / 4), 6))
 
 
 def test_unk_unigram_backstop_with_pruned_vocab(spark):

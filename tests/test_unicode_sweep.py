@@ -72,6 +72,7 @@ SWEEP_ENTRIES = [
     "sample_unimax",
     "text_tokenizer_fertility",
     "dedup_containment",
+    "stat_doc_length_profile",
 ]
 
 _E = "é"                      # é precomposed (NFC)
