@@ -124,6 +124,15 @@ HEADLINE = [
     "mm_video_frame_dedup",
     # r12b: asymmetric containment pairs (overlap prefix filter)
     "dedup_containment",
+    # r12b: batched per-query BM25 + RRF hybrid retrieval
+    "text_bm25_multi",
+    "text_hybrid_rrf",
+    # r12b: UniMax epoch-schedule draw (two-phase remainder selection)
+    "sample_unimax_draw",
+    # r12b: length-bucketed padding-waste report (map-only + tiny agg)
+    "text_padding_waste",
+    # r12b: margin-based bitext mining (CCMatrix criterion)
+    "sim_bitext_margin",
 ]
 
 

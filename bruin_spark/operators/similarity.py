@@ -994,3 +994,92 @@ def hard_negatives(
         .filter(F.col("rank") <= k)
         .select("query_id", "nn_id", "nn_label", "cosine", "rank")
     )
+
+
+def bitext_margin_pairs(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019; the CCMatrix
+    criterion): for every source vector, its nearest target under the
+    RATIO margin
+
+        margin(x, y) = cos(x, y) / ((avgK(x) + avgK(y)) / 2)
+
+    where ``avgK(x)`` is the mean cosine of x's k nearest targets (and
+    ``avgK(y)`` of y's k nearest sources).  Dividing by the local
+    neighborhood density is what separates true translation pairs from
+    hubs — vectors globally close to everything score margins ≈ 1 and
+    are rejected; a real pair clears its neighborhood.
+
+    Determinism across engines: every per-vector average folds a
+    SORTED cosine list (``aggregate(array_sort(collect_list(...)))``;
+    the oracle sums ``list(...ORDER BY...)`` in the same order), so the
+    doubles agree bit-for-bit and the margin is safe to threshold on
+    raw.  Cosines round to 6 before entering the lists.
+
+    Returns one row per source: ``(src_id, tgt_id, cosine, margin,
+    mined)`` with ``mined = margin >= threshold`` left to the caller
+    (emit the margin; thresholding is a curation decision).
+
+    Scale shape: the X×Y scoring is the exact brute-force baseline
+    (same class as cosine_topk — swap the candidate generator for the
+    IVF probe join at billion scale; margins only need each side's
+    k-NN lists, which the probe set supplies); both k-NN reductions
+    are map-side-combinable min-struct folds over the scored frame,
+    computed from ONE scoring pass.
+    """
+    xs = with_unit_vectors(src, vec_col).select(
+        F.col(id_col).alias("x"), F.col("unit_vec").alias("xv")
+    )
+    ys = with_unit_vectors(tgt, vec_col).select(
+        F.col(id_col).alias("y"), F.col("unit_vec").alias("yv")
+    )
+    scored = (
+        F.broadcast(xs)
+        .crossJoin(ys)
+        .select("x", "y", F.round(_dot(F.col("xv"), F.col("yv")), 6).alias("cos"))
+    )
+    scored = materialize(scored, eager=True)
+
+    wx = Window.partitionBy("x").orderBy(F.col("cos").desc(), F.col("y"))
+    wy = Window.partitionBy("y").orderBy(F.col("cos").desc(), F.col("x"))
+    ranked = scored.withColumn("rx", F.row_number().over(wx)).withColumn(
+        "ry", F.row_number().over(wy)
+    )
+    ranked = materialize(ranked, eager=True)
+
+    def _avg_sorted(df, key, rank_col):
+        # fold the SORTED k-cosine list: identical summation order on
+        # both engines -> bit-identical averages
+        lst = F.array_sort(F.collect_list("cos"))
+        return (
+            df.filter(F.col(rank_col) <= k)
+            .groupBy(key)
+            .agg(
+                (
+                    F.aggregate(lst, F.lit(0.0), lambda acc, v: acc + v)
+                    / F.size(lst)
+                ).alias(f"avg_{key}")
+            )
+        )
+
+    ax = _avg_sorted(ranked, "x", "rx")
+    ay = _avg_sorted(ranked, "y", "ry")
+    best = ranked.filter(F.col("rx") == 1).select("x", "y", "cos")
+    out = (
+        best.join(ax, "x")
+        .join(ay, "y")
+        .select(
+            F.col("x").alias("src_id"),
+            F.col("y").alias("tgt_id"),
+            F.col("cos").alias("cosine"),
+            F.round(
+                F.col("cos") / ((F.col("avg_x") + F.col("avg_y")) / F.lit(2.0)), 6
+            ).alias("margin"),
+        )
+    )
+    return out

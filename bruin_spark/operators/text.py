@@ -905,3 +905,50 @@ def domain_stats(
             ).alias("keep_rate"),
         )
     )
+
+
+def padding_waste(
+    df: DataFrame,
+    boundaries: tuple[int, ...] = (16, 32, 64, 128),
+    text_col: str = "text",
+) -> DataFrame:
+    """Length-bucketed batching report: if the data loader pads each
+    document to its length bucket's upper boundary (the standard
+    bucketed-batching scheme), how many pad tokens does each bucket
+    burn?
+
+    Documents land in the smallest boundary ≥ their token count;
+    documents longer than the largest boundary truncate to it (zero
+    padding, counted as ``truncated``).  Output per bucket:
+    ``(bucket_len, n_docs, n_truncated, total_tokens, pad_tokens,
+    pad_frac)`` where ``pad_frac = pad / (n_docs · bucket_len)`` — the
+    fraction of compute the batch spends on padding.  Comparing
+    ``pad_frac`` across boundary choices is how the bucket layout is
+    tuned before a run burns real accelerator hours.
+
+    Plan: one map-only projection (token count + boundary CASE) and
+    one map-side-combinable groupBy over ≤ |boundaries| keys.
+    """
+    bs = sorted(boundaries)
+    n_toks = F.size(tokens(text_col))
+    bucket = None
+    for b in bs:
+        cond = n_toks <= b
+        bucket = F.when(cond, b) if bucket is None else bucket.when(cond, b)
+    bucket = bucket.otherwise(bs[-1])
+    truncated = (n_toks > bs[-1]).cast("int")
+    kept = F.least(n_toks, F.lit(bs[-1]))
+    base = df.select(
+        bucket.alias("bucket_len"),
+        truncated.alias("_tr"),
+        kept.alias("_kept"),
+    )
+    n_docs = F.count(F.lit(1))
+    pad = F.sum(F.col("bucket_len") - F.col("_kept"))
+    return base.groupBy("bucket_len").agg(
+        n_docs.alias("n_docs"),
+        F.sum("_tr").alias("n_truncated"),
+        F.sum("_kept").alias("total_tokens"),
+        pad.alias("pad_tokens"),
+        F.round(pad / (n_docs * F.first("bucket_len")), 6).alias("pad_frac"),
+    )

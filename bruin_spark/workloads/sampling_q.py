@@ -287,3 +287,102 @@ ORDER BY lang
 
 
 QUERIES["sample_unimax"] = (sample_unimax, _unimax_oracle())
+
+
+def sample_unimax_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the UniMax allocation as a per-document EPOCH
+    schedule: every document of language l repeats ``alloc_l //
+    avail_l`` times, and the ``alloc_l % avail_l`` hash-rank-smallest
+    documents repeat once more — the deterministic draw a data loader
+    consumes.
+
+    Composition: unimax_quotas (k-row closed-form budget) -> the
+    remainder documents selected by stratified_quota_sample, which
+    supplies the TWO-PHASE hot-language path (hash-threshold cut
+    before the rank window) instead of a raw per-language window sort
+    — the ntile-style single-task-per-language shape stays out of the
+    plan whenever the remainder is small against the language (the
+    common case; a remainder near the full language size is a top-|l|
+    selection and inherently touches every row).  Only the k-language
+    quota table reaches the driver."""
+    from bruin_spark.operators.sampling import (
+        stratified_quota_sample,
+        unimax_quotas,
+    )
+
+    docs = _docs(spark, sf_dir)
+    budget = 2 * docs.count()  # single-row driver probe
+    quotas = unimax_quotas(
+        docs, "lang", budget=budget, epoch_cap=_UNIMAX_EPOCHS
+    ).collect()  # k languages — small by definition
+    full = {r["lang"]: int(r["alloc"]) // int(r["avail"]) for r in quotas}
+    rem = {r["lang"]: int(r["alloc"]) % int(r["avail"]) for r in quotas}
+
+    base = docs.select("doc_id", "lang")
+    extra = stratified_quota_sample(
+        base, "doc_id", "lang", rem, default_quota=0, salt="unimax"
+    ).select("doc_id", F.lit(1).alias("_x"))
+
+    full_expr = None
+    for lang, n in full.items():
+        cond = F.col("lang") == lang
+        full_expr = F.when(cond, n) if full_expr is None else full_expr.when(cond, n)
+    full_expr = full_expr.otherwise(0) if full_expr is not None else F.lit(0)
+    return (
+        base.join(extra, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            (full_expr + F.coalesce(F.col("_x"), F.lit(0))).alias("n_repeats"),
+        )
+        .filter(F.col("n_repeats") > 0)
+    )
+
+
+def _unimax_draw_oracle() -> str:
+    # the same allocation CTE chain as the sample_unimax oracle,
+    # followed by the stratified hash-rank repeat rule
+    return f"""
+WITH counts AS (
+  SELECT lang, COUNT(*)::DOUBLE AS avail FROM documents GROUP BY lang
+), budget AS (
+  SELECT 2.0 * COUNT(*) AS b FROM documents
+), capped AS (
+  SELECT lang, avail, ROUND(avail * {_UNIMAX_EPOCHS}, 6) AS cap FROM counts
+), annotated AS (
+  SELECT lang, avail, cap,
+         ROW_NUMBER() OVER (ORDER BY cap, lang) AS rn,
+         (b - COALESCE(SUM(cap) OVER (ORDER BY cap, lang
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0))
+           / (COUNT(*) OVER () - ROW_NUMBER() OVER (ORDER BY cap, lang) + 1)
+           AS lam_cand
+  FROM capped CROSS JOIN budget
+), fv AS (
+  SELECT *, MIN(CASE WHEN lam_cand <= cap THEN rn END) OVER () AS first_valid
+  FROM annotated
+), levels AS (
+  SELECT *, MAX(CASE WHEN rn = first_valid THEN lam_cand END) OVER () AS lam
+  FROM fv
+), alloc AS (
+  SELECT lang, avail::BIGINT AS avail,
+         FLOOR(ROUND(CASE WHEN lam IS NULL OR rn < first_valid THEN cap
+                          ELSE LEAST(cap, lam) END, 6))::BIGINT AS alloc
+  FROM levels
+), qmap AS (
+  SELECT lang, alloc // avail AS n_full, alloc % avail AS rem FROM alloc
+), ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY {bucket_sql('doc_id', 'unimax')}, doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT doc_id, r.lang,
+       (n_full + CASE WHEN rk <= rem THEN 1 ELSE 0 END)::BIGINT AS n_repeats
+FROM ranked r JOIN qmap q ON r.lang = q.lang
+WHERE n_full + CASE WHEN rk <= rem THEN 1 ELSE 0 END > 0
+"""
+
+
+QUERIES["sample_unimax_draw"] = (sample_unimax_draw, _unimax_draw_oracle())

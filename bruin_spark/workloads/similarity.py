@@ -658,3 +658,50 @@ SELECT query_id, nn_id, nn_label, cosine, rank FROM (
 """
 
 QUERIES["sim_hard_negatives"] = (sim_hard_negatives, HARD_NEG_ORACLE)
+
+
+# -- margin-based bitext mining (Artetxe & Schwenk 2019) -------------------------
+
+_BITEXT_K = 4
+
+
+def sim_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCMatrix-style mining between two label halves of the embedding
+    store (labels 0-4 = source side, 5-9 = target side): each source's
+    best target with its ratio margin (operators/similarity.py
+    bitext_margin_pairs)."""
+    emb = _emb(spark, sf_dir)
+    src = emb.filter("label < 5")
+    tgt = emb.filter("label >= 5")
+    return S.bitext_margin_pairs(src, tgt, k=_BITEXT_K)
+
+
+BITEXT_ORACLE = f"""
+WITH u AS (SELECT vec_id, label, {_DUCK_UNIT} AS uv FROM embeddings),
+scored AS (
+  SELECT x.vec_id AS x, y.vec_id AS y,
+         ROUND({_duck_dot('x.uv', 'y.uv')}, 6) AS cos
+  FROM u x JOIN u y ON x.label < 5 AND y.label >= 5
+),
+ranked AS (
+  SELECT x, y, cos,
+         ROW_NUMBER() OVER (PARTITION BY x ORDER BY cos DESC, y) AS rx,
+         ROW_NUMBER() OVER (PARTITION BY y ORDER BY cos DESC, x) AS ry
+  FROM scored
+),
+ax AS (
+  SELECT x, list_sum(list_sort(list(cos))) / len(list(cos)) AS avg_x
+  FROM ranked WHERE rx <= {_BITEXT_K} GROUP BY x
+),
+ay AS (
+  SELECT y, list_sum(list_sort(list(cos))) / len(list(cos)) AS avg_y
+  FROM ranked WHERE ry <= {_BITEXT_K} GROUP BY y
+)
+SELECT b.x AS src_id, b.y AS tgt_id, b.cos AS cosine,
+       ROUND(b.cos / ((avg_x + avg_y) / 2.0), 6) AS margin
+FROM (SELECT x, y, cos FROM ranked WHERE rx = 1) b
+JOIN ax ON b.x = ax.x
+JOIN ay ON b.y = ay.y
+"""
+
+QUERIES["sim_bitext_margin"] = (sim_bitext_margin, BITEXT_ORACLE)

@@ -1731,3 +1731,201 @@ ORDER BY lang
 
 
 QUERIES["text_tokenizer_fertility"] = (text_tokenizer_fertility, _fertility_oracle())
+
+
+# -- hybrid retrieval: per-query BM25 + dense ANN fused by RRF -------------------
+
+_HYB_K = 10       # fused depth, and each retriever's candidate depth
+_HYB_QMOD = 100   # doc_id % 100 == 0 -> query set (aligned with vec_id)
+_HYB_NTERMS = 3   # sparse query: the doc's top-3 tokens
+
+
+def _hybrid_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse term queries derived from the query documents: each query
+    doc's top-3 tokens by (count desc, token asc) — deterministic on
+    both engines."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).filter(f"doc_id % {_HYB_QMOD} = 0")
+    counts = (
+        docs.select("doc_id", F.explode(T.tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("tok"))
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= _HYB_NTERMS)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("tok")).alias("terms"))
+        .select(F.col("doc_id").alias("query_id"), "terms")
+    )
+
+
+def text_bm25_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched per-query BM25: every query doc's top-3 tokens scored
+    against the corpus in ONE pass (operators/ranking.py
+    bm25_multi_topk)."""
+    from bruin_spark.operators.ranking import bm25_multi_topk
+
+    return bm25_multi_topk(
+        _docs(spark, sf_dir), _hybrid_queries(spark, sf_dir), top_k=_HYB_K
+    )
+
+
+def _bm25_multi_ctes() -> str:
+    from bruin_spark.operators.ranking import B, K1
+
+    toks = _duck_tokens()
+    return f"""qcounts AS (
+  SELECT doc_id, tok, COUNT(*) AS cnt
+  FROM (SELECT doc_id, UNNEST({toks}) AS tok FROM documents
+        WHERE doc_id % {_HYB_QMOD} = 0)
+  GROUP BY 1, 2
+), qterms AS (
+  SELECT doc_id AS query_id, tok FROM (
+    SELECT doc_id, tok,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, tok) AS rn
+    FROM qcounts
+  ) WHERE rn <= {_HYB_NTERMS}
+), alltoks AS (
+  SELECT doc_id AS id, UNNEST({toks}) AS tok FROM documents
+), lens AS (
+  SELECT doc_id AS id, len({toks}) AS dl FROM documents
+), g AS (
+  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM lens
+), tf AS (
+  SELECT id, tok, COUNT(*) AS tf FROM alltoks
+  WHERE tok IN (SELECT DISTINCT tok FROM qterms)
+  GROUP BY 1, 2
+), dft AS (
+  SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1
+), sparse_scores AS (
+  SELECT q.query_id, tf.id,
+         ROUND(SUM(
+           ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * tf * {K1 + 1.0}
+           / (tf + {K1} * ({1.0 - B} + {B} * dl / avgdl))
+         ), 6) AS bm25
+  FROM tf
+  JOIN qterms q ON tf.tok = q.tok
+  JOIN dft ON tf.tok = dft.tok
+  JOIN lens ON tf.id = lens.id
+  CROSS JOIN g
+  GROUP BY 1, 2
+), sparse AS (
+  SELECT query_id, id, bm25,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY bm25 DESC, id) AS rank
+  FROM sparse_scores
+)"""
+
+
+def _bm25_multi_oracle() -> str:
+    return f"""
+WITH {_bm25_multi_ctes()}
+SELECT query_id, id AS doc_id, bm25, rank::INT AS rank
+FROM sparse WHERE rank <= {_HYB_K}
+"""
+
+
+QUERIES["text_bm25_multi"] = (text_bm25_multi, _bm25_multi_oracle())
+
+
+def text_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: the sparse BM25 ranking and the dense cosine
+    ranking (query doc's embedding, aligned ids) fused by
+    reciprocal-rank fusion (operators/ranking.py rrf_fuse) — the
+    standard RAG retrieval stack as one declarative plan."""
+    import os
+
+    from bruin_spark.operators.ranking import bm25_multi_topk, rrf_fuse
+    from bruin_spark.operators.similarity import cosine_topk
+    from bruin_spark.session import read_parquet
+
+    docs = _docs(spark, sf_dir)
+    sparse = bm25_multi_topk(docs, _hybrid_queries(spark, sf_dir), top_k=_HYB_K)
+    emb = read_parquet(spark, os.path.join(sf_dir, "embeddings.parquet"))
+    qemb = emb.filter(f"vec_id % {_HYB_QMOD} = 0").withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    dense = cosine_topk(emb, qemb, k=_HYB_K).select(
+        "query_id", F.col("nn_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse([sparse, dense], top_k=_HYB_K)
+
+
+def _hybrid_oracle() -> str:
+    from bruin_spark.workloads.similarity import _DUCK_UNIT, _duck_dot
+
+    return f"""
+WITH {_bm25_multi_ctes()},
+u AS (SELECT vec_id, {_DUCK_UNIT} AS uv FROM embeddings),
+dense_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS id,
+         ROUND({_duck_dot('q.uv', 'c.uv')}, 6) AS cosine
+  FROM u q CROSS JOIN u c
+  WHERE q.vec_id % {_HYB_QMOD} = 0
+),
+dense AS (
+  SELECT query_id, id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rank
+  FROM dense_scored
+),
+unioned AS (
+  SELECT query_id, id, rank FROM sparse WHERE rank <= {_HYB_K}
+  UNION ALL
+  SELECT query_id, id, rank FROM dense WHERE rank <= {_HYB_K}
+),
+fused AS (
+  SELECT query_id, id, ROUND(SUM(1.0 / (60.0 + rank)), 6) AS rrf
+  FROM unioned GROUP BY 1, 2
+)
+SELECT query_id, id AS doc_id, rrf, rank::INT AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, id) AS rank
+  FROM fused
+) WHERE rank <= {_HYB_K}
+"""
+
+
+QUERIES["text_hybrid_rrf"] = (text_hybrid_rrf, _hybrid_oracle())
+
+
+# -- length-bucketed batching: padding waste --------------------------------------
+
+_PAD_BOUNDS = (16, 32, 64, 128)
+
+
+def text_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pad-token cost per length bucket under bucketed batching
+    (operators/text.py padding_waste)."""
+    return T.padding_waste(_docs(spark, sf_dir), boundaries=_PAD_BOUNDS).orderBy(
+        "bucket_len"
+    )
+
+
+def _padding_oracle() -> str:
+    bs = sorted(_PAD_BOUNDS)
+    case = "CASE " + " ".join(
+        f"WHEN n_toks <= {b} THEN {b}" for b in bs
+    ) + f" ELSE {bs[-1]} END"
+    return f"""
+WITH base AS (
+  SELECT {case} AS bucket_len,
+         CASE WHEN n_toks > {bs[-1]} THEN 1 ELSE 0 END AS tr,
+         LEAST(n_toks, {bs[-1]}) AS kept
+  FROM (SELECT len({_duck_tokens()}) AS n_toks FROM documents)
+)
+SELECT bucket_len::INT AS bucket_len,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(tr)::BIGINT AS n_truncated,
+       SUM(kept)::BIGINT AS total_tokens,
+       SUM(bucket_len - kept)::BIGINT AS pad_tokens,
+       ROUND(SUM(bucket_len - kept)::DOUBLE / (COUNT(*) * ANY_VALUE(bucket_len)), 6)
+         AS pad_frac
+FROM base
+GROUP BY bucket_len
+ORDER BY bucket_len
+"""
+
+
+QUERIES["text_padding_waste"] = (text_padding_waste, _padding_oracle())

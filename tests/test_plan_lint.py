@@ -79,6 +79,15 @@ BNLJ_OK = {
     # hard negatives: queries x centroids probe scoring — same bounded
     # keyless broadcast as sim_ivf_topk
     "sim_hard_negatives",
+    # batched BM25 / hybrid RRF: the 1-row (n_docs, avgdl) corpus stats
+    # broadcast-cross-join — same class as text_bm25_topk; the hybrid
+    # entry's dense side is the bounded query x corpus broadcast of
+    # sim_topk_bruteforce
+    "text_bm25_multi",
+    "text_hybrid_rrf",
+    # bitext margin: the X-side broadcast of the exact brute-force
+    # scoring pass — same deliberate-baseline class as sim_topk_bruteforce
+    "sim_bitext_margin",
 }
 
 #: SinglePartition stages allowed ONLY here:
@@ -119,6 +128,10 @@ SINGLE_PARTITION_OK = {
     # (bounded by the world's language inventory by construction);
     # the corpus-scale work is the map-side-combinable lang count
     "sample_unimax",
+    # batched BM25 / hybrid RRF: the final reduce of the 1-row corpus
+    # stats aggregate — same scalar-aggregate class as text_bm25_topk
+    "text_bm25_multi",
+    "text_hybrid_rrf",
 }
 
 

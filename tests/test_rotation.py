@@ -88,13 +88,17 @@ def test_window_is_50_unique_registry_names():
     assert names[: len(w._ROTATION_PINS)] == w._ROTATION_PINS
 
 
-def test_every_registry_entry_rewindows_within_three_rounds():
+def test_every_registry_entry_rewindows_within_four_rounds():
     """The staleness sort guarantees bounded re-verification latency:
-    with 110 entries, 50 slots and <=4 pins, any entry excluded this
-    round has last_green >= every included non-pin entry's, so after
-    ~ceil((N - pins) / (50 - pins)) rounds it must re-enter."""
+    any entry excluded this round has last_green >= every included
+    non-pin entry's, so after ~ceil((N - pins) / (50 - pins)) rounds it
+    must re-enter.  The bound was 3 rounds up to 150 registry entries;
+    crossing 150 in r12b made 3 mechanically impossible with the
+    driver's fixed 50-slot window, so the gate is now 4 — which also
+    means pins are UNAFFORDABLE below ~199 entries (a single pin pushes
+    ceil over 4): prove plans unchanged instead of pinning."""
     w = _workloads()
     n = len(w.collect_registry())
     slots = 50 - len(w._ROTATION_PINS)
     rounds_to_cover = -(-(n - len(w._ROTATION_PINS)) // slots)
-    assert rounds_to_cover <= 3
+    assert rounds_to_cover <= 4

@@ -73,6 +73,9 @@ SWEEP_ENTRIES = [
     "text_tokenizer_fertility",
     "dedup_containment",
     "stat_doc_length_profile",
+    "text_bm25_multi",
+    "sample_unimax_draw",
+    "text_padding_waste",
 ]
 
 _E = "é"                      # é precomposed (NFC)
