@@ -784,6 +784,23 @@ def _ngram_rep_pairs_stress(spark, sf_dir: str):
     return D.ngram_jaccard_pairs(reps, n=NGRAM, threshold=JACCARD_T)
 
 
+def _bm25_multi_fixed_queries_stress(spark, sf_dir: str):
+    """Batched BM25 under Zipf token skew with a FIXED 5-query batch:
+    the workload entry derives its query set from the corpus (query
+    count grows with the factor, so total candidate work is
+    Q x matches — quadratic by the WORKLOAD's construction, like the
+    all-pairs oracle entries).  The operator property the gate owns is
+    the hot-token shuffle: tf groupBy(id, tok) and the term semi-join
+    land on the Zipf-hot tokens and must collapse map-side, which a
+    constant query batch isolates."""
+    from bruin_spark.operators.ranking import bm25_multi_topk
+    from bruin_spark.workloads.text import _HYB_K, _hybrid_queries, _docs
+
+    docs = _docs(spark, sf_dir)
+    queries = _hybrid_queries(spark, sf_dir).filter("query_id < 500")
+    return bm25_multi_topk(docs, queries, top_k=_HYB_K)
+
+
 def _containment_rep_pairs_stress(spark, sf_dir: str):
     """Overlap-prefix-filtered containment pairs among distinct texts:
     exact-collapse removes the identical-doc cluster (quadratic OUTPUT
@@ -1018,8 +1035,12 @@ SKEW_ENTRIES = [
     ("text_lm_stupid_backoff", 16, 64),
     # containment: overlap-prefix filter on collapsed reps (see variant)
     ("dedup_containment", 4, 8),
+    # batched BM25 with a fixed query batch (see variant): hot Zipf
+    # tokens in the tf/df groupBys must collapse map-side
+    ("text_bm25_multi", 16, 64),
 ]
 SKEW_VARIANTS = {
+    "text_bm25_multi": _bm25_multi_fixed_queries_stress,
     "dedup_containment": _containment_rep_pairs_stress,
     "dedup_minhash_lsh": _minhash_rep_pairs_stress,
     "dedup_ngram_jaccard": _ngram_rep_pairs_stress,

@@ -122,10 +122,16 @@ def bm25_multi_topk(
     """
     from pyspark.sql import Window
 
-    qterms = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.explode(terms_col).alias("tok"),
-    ).distinct()
+    # lowercase the terms like bm25_topk does: tokens() lowercases the
+    # corpus, so an uppercase query term must not silently match nothing
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(terms_col).alias("_tok0"),
+        )
+        .select("query_id", F.lower(F.col("_tok0")).alias("tok"))
+        .distinct()
+    )
     term_set = qterms.select("tok").distinct()
     toks = tokens(text_col)
     lens = docs.select(F.col(id_col).alias("id"), F.size(toks).alias("dl"))

@@ -1021,9 +1021,9 @@ def bitext_margin_pairs(
     doubles agree bit-for-bit and the margin is safe to threshold on
     raw.  Cosines round to 6 before entering the lists.
 
-    Returns one row per source: ``(src_id, tgt_id, cosine, margin,
-    mined)`` with ``mined = margin >= threshold`` left to the caller
-    (emit the margin; thresholding is a curation decision).
+    Returns one row per source: ``(src_id, tgt_id, cosine, margin)``
+    — thresholding the margin is a curation decision left to the
+    caller.
 
     Scale shape: the X×Y scoring is the exact brute-force baseline
     (same class as cosine_topk — swap the candidate generator for the

@@ -16,10 +16,13 @@ DOCS = [
 
 
 def test_multi_matches_single_query_bm25(spark):
-    """A one-query batch reproduces bm25_topk's scores exactly."""
+    """A one-query batch reproduces bm25_topk's scores exactly — and
+    uppercase terms lowercase like the single-query variant (tokens()
+    lowercases the corpus; an uppercase term must not silently score
+    zero)."""
     docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
     queries = spark.createDataFrame(
-        [(100, ["join", "batch"])], "query_id int, terms array<string>"
+        [(100, ["Join", "BATCH"])], "query_id int, terms array<string>"
     )
     multi = {
         r["doc_id"]: r["bm25"]

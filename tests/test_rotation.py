@@ -94,9 +94,10 @@ def test_every_registry_entry_rewindows_within_four_rounds():
     non-pin entry's, so after ~ceil((N - pins) / (50 - pins)) rounds it
     must re-enter.  The bound was 3 rounds up to 150 registry entries;
     crossing 150 in r12b made 3 mechanically impossible with the
-    driver's fixed 50-slot window, so the gate is now 4 — which also
-    means pins are UNAFFORDABLE below ~199 entries (a single pin pushes
-    ceil over 4): prove plans unchanged instead of pinning."""
+    driver's fixed 50-slot window, so the gate is now 4.  Affordable
+    pins under the 4-round bound: N <= 200 - 3*pins (at 154 entries up
+    to 15 pins; from ~197 entries even one pin breaks the bound) —
+    still prefer proving plans unchanged over pinning."""
     w = _workloads()
     n = len(w.collect_registry())
     slots = 50 - len(w._ROTATION_PINS)
