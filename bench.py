@@ -69,7 +69,10 @@ HEADLINE = [
     "sim_ivf_topk",
     "emb_kmeans_step",
     "dedup_duplicate_spans",
-    "dedup_spans_incremental",
+    # r13: the PERSISTED bucketed-index layout is now the headline
+    # daily-batch measurement (the unbucketed in-line variant stays in
+    # the registry + skew suite); see BASELINE.md r13 note
+    "dedup_spans_incr_bucketed",
     "diff_top_values",
     # r11b: BPE corpus encoding (vocab join), bigram-LM quality scoring,
     # per-group TF-IDF characteristic terms, boilerplate stripping
@@ -886,42 +889,18 @@ def _phash_pairs_stress(spark, sf_dir: str):
     ).select("id_a", "id_b", _F.col("hamming").cast("int").alias("hamming"))
 
 
-_SPAN_IDX_TABLES: dict = {}
-
-
 def _spans_incremental_bucketed_stress(spark, sf_dir: str):
     """Incremental span dedup against the PERSISTED bucketed-by-h span
     index — the production layout write_span_index_bucketed documents.
-    The index table is built once per scale dir (on the harness's
-    untimed warmup pass); timed reps measure what production pays
-    daily: batch-side hashing + the join whose corpus side is a
-    bucketed scan with no Exchange (plan-asserted in
+    Since r13 this IS the registry entry (dedup_spans_incr_bucketed):
+    the index table is built once per scale dir (first call — the
+    harness's untimed warmup pass absorbs it); timed reps measure what
+    production pays daily: batch-side hashing + the join whose corpus
+    side is a bucketed scan with no Exchange (plan-asserted in
     tests/test_duplicate_spans.py)."""
-    import hashlib as _hashlib
+    from bruin_spark.workloads.dedup import dedup_spans_incr_bucketed
 
-    from bruin_spark.operators import dedup as _D
-    from bruin_spark.operators.sampling import N_BUCKETS, hash_bucket
-    from bruin_spark.workloads.dedup import BATCH_FRACTION, SPAN_TOKENS, _docs
-
-    docs = _docs(spark, sf_dir)
-    cut = int(BATCH_FRACTION * N_BUCKETS)
-    bucket = hash_bucket("doc_id", "incr")
-    batch = docs.filter(bucket < cut)
-    table = _SPAN_IDX_TABLES.get(sf_dir)
-    if table is None:
-        corpus = docs.filter(bucket >= cut)
-        suffix = _hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-        table = f"bench_span_idx_{suffix}"
-        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        _D.write_span_index_bucketed(
-            _D.span_hash_index(corpus, win_tokens=SPAN_TOKENS),
-            table,
-            buckets=n_buckets,
-        )
-        _SPAN_IDX_TABLES[sf_dir] = table
-    return _D.incremental_duplicate_spans(
-        batch, spark.table(table), win_tokens=SPAN_TOKENS
-    )
+    return dedup_spans_incr_bucketed(spark, sf_dir)
 
 
 def _cc_hub_graph_stress(spark, sf_dir: str):
@@ -1178,6 +1157,28 @@ def _stress_cache_key() -> str:
     return f"{key}:{SCALE_FACTOR}:{SF_DIR}"
 
 
+def _quiesce(spark) -> None:
+    """Level the playing field before a timed rep: drop cached
+    relations, drain Python garbage, and force a JVM collection so
+    entry N's timing doesn't pay entry N-1's GC debt.
+
+    Why: in the r12 driver session five carried entries read 2.3-3.8x
+    their r11 numbers with BYTE-IDENTICAL plan hashes — the suite had
+    grown to 67 entries in one JVM, and heavy new entries left
+    old-gen/codegen-cache pressure that landed on whoever ran next
+    (the builder's same-HEAD isolated numbers matched r11).  All of
+    this runs OUTSIDE the timer; System.gc() is a stop-the-world pause
+    we pay in harness time, not query time."""
+    import gc
+
+    spark.catalog.clearCache()
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+
+
 def _force(df) -> None:
     """Fully materialize every output column.
 
@@ -1222,7 +1223,7 @@ def _interleaved_medians(spark, fn, points, reps=5):
         if parts is not None:
             spark.conf.set("spark.sql.shuffle.partitions", str(parts))
         try:
-            spark.catalog.clearCache()
+            _quiesce(spark)
             t0 = _time.perf_counter()
             with pinned_scope():
                 df = fn(spark, sf_dir)
@@ -1406,7 +1407,7 @@ def main() -> int:
         spark.sparkContext.setJobDescription(f"bench:{name}")
         best, n = float("inf"), 0
         for rep in range(repeats):
-            spark.catalog.clearCache()  # isolate runs from accumulated state
+            _quiesce(spark)  # isolate runs from accumulated state (untimed)
             t0 = time.perf_counter()
             # release whatever the query pinned (localCheckpoint blocks
             # of multi-referenced subtrees) once consumed — otherwise a

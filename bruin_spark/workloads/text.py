@@ -1338,10 +1338,21 @@ QUERIES["text_quality_classifier"] = (text_quality_classifier, _classifier_oracl
 def text_bpe_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full tokenization: per-document BPE id sequences under the
     trained vocabulary (lexicographic piece ids) — the data-loader
-    artifact (operators/tokenizer.py: bpe_encode_ids)."""
+    artifact (operators/tokenizer.py: bpe_encode_ids).
+
+    The ORACLE projection flattens the id array to a space-joined
+    string: the driver's canonicalization (pandas sort/hash) cannot
+    factorize Python lists, so a raw ARRAY column errors in its
+    harness (CORRECTNESS_r12 `TypeError: unhashable type: 'list'`).
+    Users get the array from bpe_encode_ids directly; this entry
+    carries the same information losslessly as `ids_str`."""
     from bruin_spark.operators.tokenizer import bpe_encode_ids
 
-    return bpe_encode_ids(_docs(spark, sf_dir), n_merges=_BPE_MERGES)
+    return bpe_encode_ids(_docs(spark, sf_dir), n_merges=_BPE_MERGES).select(
+        "doc_id",
+        "n_ids",
+        F.array_join(F.col("ids"), " ").alias("ids_str"),
+    )
 
 
 def _bpe_ids_oracle() -> str:
@@ -1370,7 +1381,7 @@ doc_words AS (
 )
 SELECT doc_id,
        len(flatten(list(wids ORDER BY pos)))::INT AS n_ids,
-       flatten(list(wids ORDER BY pos)) AS ids
+       COALESCE(array_to_string(flatten(list(wids ORDER BY pos)), ' '), '') AS ids_str
 FROM doc_words JOIN word_ids USING (w)
 GROUP BY doc_id
 """

@@ -118,6 +118,18 @@ def main():
             # otherwise accumulate them all
             with pinned_scope():
                 sdf = fn(spark, sf_dir)
+                complex_cols = [
+                    f"{f.name}: {f.dataType.simpleString()}"
+                    for f in sdf.schema.fields
+                    if f.dataType.typeName() in ("array", "map", "struct")
+                ]
+                if complex_cols:
+                    # the driver's pandas canonicalization cannot hash
+                    # lists/dicts — this FAILS in its harness even when
+                    # values match (CORRECTNESS_r12 text_bpe_ids)
+                    print(f"FAIL {name}: complex top-level columns {complex_cols}")
+                    n_fail += 1
+                    continue
                 s_pdf = sdf.toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:200]}")

@@ -136,7 +136,7 @@ SINGLE_PARTITION_OK = {
 
 
 @pytest.fixture(scope="module")
-def plans(spark):
+def built(spark):
     from bruin_spark.checkpointing import checkpoint_scope
     from bruin_spark.workloads import collect_queries
 
@@ -145,8 +145,16 @@ def plans(spark):
         for name, (fn, _oracle) in collect_queries().items():
             if not name.startswith(LAZY_PREFIXES):
                 continue
-            out[name] = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+            out[name] = fn(spark, SF)
     return out
+
+
+@pytest.fixture(scope="module")
+def plans(built):
+    return {
+        name: df._jdf.queryExecution().executedPlan().toString()
+        for name, df in built.items()
+    }
 
 
 def test_sweep_covers_the_lazy_registry(plans):
@@ -180,6 +188,28 @@ def test_broadcast_nested_loop_only_where_bounded(plans):
         f"unexpected: {sorted(got - BNLJ_OK)}; "
         f"stale allowlist: {sorted(BNLJ_OK - got)}"
     )
+
+
+def test_no_complex_top_level_output_columns(built):
+    """The driver's oracle harness canonicalizes results via pandas
+    sort/hash, which cannot factorize Python lists/dicts — a raw
+    ARRAY/MAP/STRUCT top-level column errors in its gate even when the
+    values match (CORRECTNESS_r12: text_bpe_ids, `TypeError: unhashable
+    type: 'list'`).  Entries must project complex payloads to a hashable
+    form (array_join / md5) in their FINAL schema; the array-returning
+    operator APIs stay untouched for users."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = {
+        name: [
+            f"{f.name}: {f.dataType.simpleString()}"
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        for name, df in built.items()
+    }
+    bad = {n: cols for n, cols in bad.items() if cols}
+    assert bad == {}, bad
 
 
 def test_single_partition_only_where_bounded(plans):
