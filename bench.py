@@ -136,6 +136,9 @@ HEADLINE = [
     "text_padding_waste",
     # r12b: margin-based bitext mining (CCMatrix criterion)
     "sim_bitext_margin",
+    # r13: HTML main-content extraction (stage 0 of web curation;
+    # map-only JVM projection)
+    "text_html_extract",
 ]
 
 

@@ -53,6 +53,9 @@ def refinedweb_funnel(
     id_col: str = "doc_id",
     text_col: str = "text",
     lang_col: str = "lang",
+    html_col: str | None = None,
+    html_min_chars: int = 25,
+    html_max_link_density: float = 0.33,
     gopher_min_words: int = 5,
     line_min_words: int = 3,
     line_min_kept: int = 1,
@@ -73,27 +76,58 @@ def refinedweb_funnel(
     when ``keep``).  Unscorable documents (<2 tokens) fail ``lm``;
     documents absent from a side table (no segments / no dup spans)
     pass that stage by definition.
+
+    With ``html_col`` set the input is raw crawl HTML: main-content
+    extraction (operators/html.py) runs as stage 0 — ``text_col`` is
+    DERIVED from the kept blocks, an ``extract_pass`` flag (at least
+    one content block survived) leads the funnel order, and the output
+    gains that column.  Extraction is map-only, so it fuses into the
+    same single scan as stages 1+2.
     """
-    # stages 1+2: one scan, one fused projection
+    extract_flag = None
+    if html_col is not None:
+        from bruin_spark.operators.html import extract_main_content
+
+        extracted = extract_main_content(
+            docs,
+            html_col=html_col,
+            id_col=id_col,
+            min_chars=html_min_chars,
+            max_link_density=html_max_link_density,
+            keep_cols=(lang_col,),
+        )
+        extract_flag = F.col("_extract_pass")
+        docs = extracted.select(
+            F.col(id_col),
+            F.col(lang_col),
+            F.col("text").alias(text_col),
+            (F.col("n_kept") > 0).alias("_extract_pass"),
+        )
+    # stages 1+2 (and stage 0 extraction, all map-only): one scan, one
+    # fused projection
+    carry = ("_extract_pass",) if extract_flag is not None else ()
     lf = line_filters(
-        docs.select(F.col(id_col), F.col(text_col), F.col(lang_col)),
+        docs.select(
+            F.col(id_col), F.col(text_col), F.col(lang_col), *[F.col(c) for c in carry]
+        ),
         id_col=id_col,
         text_col=text_col,
         min_line_words=line_min_words,
         min_kept_lines=line_min_kept,
-        keep_cols=(text_col, lang_col),
+        keep_cols=(text_col, lang_col) + carry,
     )
     fused = gopher_rules(
         lf,
         id_col=id_col,
         text_col=text_col,
         min_words=gopher_min_words,
-        keep_cols=("keep_doc", lang_col),
+        keep_cols=("keep_doc", lang_col) + carry,
     ).select(
         F.col(id_col),
         F.col(lang_col).alias("lang"),
         F.col("gopher_pass"),
         F.col("keep_doc").alias("line_pass"),
+        *[F.col(c) for c in carry],
     )
 
     lm = perplexity_buckets(
@@ -137,15 +171,22 @@ def refinedweb_funnel(
         "boilerplate": boiler_pass,
         "spans": span_pass,
     }
+    stages = STAGES
+    flag_cols = []
+    if extract_flag is not None:
+        flags["extract"] = extract_flag
+        stages = ("extract",) + STAGES
+        flag_cols.append(flags["extract"].alias("extract_pass"))
     failed = F.lit(None).cast("string")
-    for name in reversed(STAGES):
+    for name in reversed(stages):
         failed = F.when(~flags[name], F.lit(name)).otherwise(failed)
     keep = None
-    for name in STAGES:
+    for name in stages:
         keep = flags[name] if keep is None else (keep & flags[name])
     return out.select(
         F.col(id_col),
         F.col("lang"),
+        *flag_cols,
         flags["gopher"].alias("gopher_pass"),
         flags["lines"].alias("line_pass"),
         flags["lm"].alias("lm_pass"),
@@ -164,22 +205,26 @@ def funnel_attrition(decisions: DataFrame) -> DataFrame:
     single-row reduce is O(stages), not O(corpus).
     """
     flag_col = {
+        "extract": "extract_pass",
         "gopher": "gopher_pass",
         "lines": "line_pass",
         "lm": "lm_pass",
         "boilerplate": "boiler_pass",
         "spans": "span_pass",
     }
+    stages = (
+        ("extract",) + STAGES if "extract_pass" in decisions.columns else STAGES
+    )
     aggs = [F.count(F.lit(1)).alias("_n0")]
     run = None
-    for name in STAGES:
+    for name in stages:
         c = F.col(flag_col[name])
         run = c if run is None else (run & c)
         aggs.append(F.sum(run.cast("long")).alias(f"_s_{name}"))
     totals = decisions.agg(*aggs)
     rows = []
     prev = F.col("_n0")
-    for i, name in enumerate(STAGES):
+    for i, name in enumerate(stages):
         surv = F.col(f"_s_{name}")
         rows.append(
             F.struct(

@@ -494,7 +494,14 @@ def dedup_spans_incr_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = _SPAN_IDX_TABLES.get(sf_dir)
     if table is None or not spark.catalog.tableExists(table):
         corpus = docs.filter(bucket >= cut)
-        table = f"span_idx_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+        # the table name carries the APPLICATION id: a leftover warehouse
+        # directory from a previous session (not in this session's
+        # in-memory catalog) would otherwise fail saveAsTable with
+        # LOCATION_ALREADY_EXISTS
+        suffix = hashlib.md5(
+            f"{sf_dir}|{spark.sparkContext.applicationId}".encode()
+        ).hexdigest()[:10]
+        table = f"span_idx_{suffix}"
         n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
         D.write_span_index_bucketed(
             D.span_hash_index(corpus, win_tokens=SPAN_TOKENS),

@@ -1940,3 +1940,123 @@ ORDER BY bucket_len
 
 
 QUERIES["text_padding_waste"] = (text_padding_waste, _padding_oracle())
+
+
+# -- HTML main-content extraction (stage 0 of web curation) ----------------------
+
+_HTML_MIN_CHARS = 25
+_HTML_MAX_LD = 0.33
+
+
+def _spark_doc_html(docs: DataFrame) -> DataFrame:
+    """Wrap each document's text into a deterministic HTML page:
+    entity-escaped paragraphs between a nav bar, a tracking script and
+    a link-dense footer — the synthetic crawl fixture (testdata has no
+    raw HTML; the templating is replayed verbatim by the oracle)."""
+    esc = "replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+    paras = (
+        f"array_join(transform(split({esc}, chr(10)), "
+        "l -> concat('<p>', l, '</p>')), '')"
+    )
+    return docs.select(
+        "doc_id",
+        F.expr(
+            "concat("
+            "'<html><head><title>doc</title><style>p{margin:0}</style></head><body>',"
+            "'<nav><a href=\"/\">Home</a> <a href=\"/about\">About us</a> "
+            "<a href=\"/contact\">Contact</a></nav>',"
+            f"{paras},"
+            "'<script type=\"text/javascript\">var t = \"', cast(doc_id as string), '\";</script>',"
+            "'<footer>(c) 2026 Example Corp <a href=\"/privacy\">Privacy</a> "
+            "<a href=\"/terms\">Terms of service</a></footer>',"
+            "'</body></html>')"
+        ).alias("html"),
+    )
+
+
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Main-content extraction over synthetic crawl HTML built from the
+    documents table (operators/html.py extract_main_content): nav bar,
+    script and footer are boilerplate to drop; the entity-escaped
+    paragraphs are the content to recover.  Map-only JVM projection —
+    no shuffle, no UDF."""
+    from bruin_spark.operators.html import extract_main_content
+
+    pages = _spark_doc_html(_docs(spark, sf_dir))
+    out = extract_main_content(
+        pages,
+        min_chars=_HTML_MIN_CHARS,
+        max_link_density=_HTML_MAX_LD,
+    )
+    return out.select(
+        "doc_id",
+        "n_blocks",
+        "n_kept",
+        F.length("text").alias("extracted_chars"),
+        "text",
+    )
+
+
+def _html_extract_oracle() -> str:
+    from bruin_spark.operators.html import (
+        BLOCK_TAG_RE,
+        STRIP_REGIONS,
+        _link_chars_sql,
+        _plain_sql,
+    )
+
+    esc = "replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+    paras = (
+        f"array_to_string([('<p>' || l || '</p>') FOR l IN string_split({esc}, chr(10))], '')"
+    )
+    html = (
+        "'<html><head><title>doc</title><style>p{margin:0}</style></head><body>'"
+        " || '<nav><a href=\"/\">Home</a> <a href=\"/about\">About us</a>"
+        " <a href=\"/contact\">Contact</a></nav>'"
+        f" || {paras}"
+        " || '<script type=\"text/javascript\">var t = \"' || doc_id::VARCHAR || '\";</script>'"
+        " || '<footer>(c) 2026 Example Corp <a href=\"/privacy\">Privacy</a>"
+        " <a href=\"/terms\">Terms of service</a></footer>'"
+        " || '</body></html>'"
+    )
+    cleaned = "html"
+    for pat in STRIP_REGIONS:
+        pat_sql = pat.replace("'", "''")
+        cleaned = f"regexp_replace({cleaned}, '{pat_sql}', ' ', 'g')"
+    block_re = BLOCK_TAG_RE.replace("'", "''")
+    blocks = f"string_split(regexp_replace({cleaned}, '{block_re}', chr(30), 'g'), chr(30))"
+    # the extractor's per-block scoring, replayed in DuckDB's dialect
+    # (duck=True: 'g' flags, single-backslash \\s, array_to_string);
+    # regexes are RE2-safe by construction (operators/html.py)
+    plain = _plain_sql("b", duck=True)
+    lc = _link_chars_sql("b", duck=True)
+    return f"""
+WITH pages AS (
+  SELECT doc_id, {html} AS html FROM documents
+), s1 AS (
+  SELECT doc_id,
+         list_transform({blocks}, b -> {{'plain': {plain}, 'lc': {lc}}}) AS s1
+  FROM pages
+), s2 AS (
+  SELECT doc_id,
+         list_transform(s1, s -> {{'plain': s.plain,
+                                   'tc': length(replace(s.plain, ' ', '')),
+                                   'lc': s.lc}}) AS s2
+  FROM s1
+), kept AS (
+  SELECT doc_id, s2,
+         list_filter(s2, s -> s.tc >= {_HTML_MIN_CHARS}
+                          AND s.lc <= {_HTML_MAX_LD!r} * s.tc) AS k
+  FROM s2
+)
+SELECT doc_id,
+       len(list_filter(s2, s -> s.tc > 0))::BIGINT AS n_blocks,
+       len(k)::BIGINT AS n_kept,
+       length(COALESCE(array_to_string(list_transform(k, s -> s.plain), chr(10)), ''))::INT
+         AS extracted_chars,
+       COALESCE(array_to_string(list_transform(k, s -> s.plain), chr(10)), '') AS text
+FROM kept
+"""
+
+
+QUERIES["text_html_extract"] = (text_html_extract, _html_extract_oracle())

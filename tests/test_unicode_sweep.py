@@ -76,6 +76,9 @@ SWEEP_ENTRIES = [
     "text_bm25_multi",
     "sample_unimax_draw",
     "text_padding_waste",
+    # r13 additions
+    "text_html_extract",
+    "dedup_spans_incr_bucketed",
 ]
 
 _E = "é"                      # é precomposed (NFC)
