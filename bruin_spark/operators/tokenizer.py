@@ -235,12 +235,46 @@ def bpe_encode_ids(
     )
 
 
+def apply_bpe_merges(words: DataFrame, merges) -> DataFrame:
+    """Apply an EXTERNALLY SUPPLIED ordered merge list to a word table.
+
+    ``words`` needs a ``w`` column (any other columns pass through);
+    ``merges`` is an ordered ``[(left, right), ...]`` list or a
+    DataFrame with ``(step, merge_left, merge_right)`` — the artifact
+    :func:`bpe_learn_merges` produces, or a tokenizer file read from
+    anywhere.  Returns ``words`` plus the sentinel-space ``repr``
+    column (`` p1 p2 ... pk ``), identical in form to the trained path.
+
+    Unlike training, application needs NO iteration barrier: every
+    merge is a literal replace, so the whole chain composes into ONE
+    map-only projection over the vocab table (n_merges × REPLACE_PASSES
+    nested replaces — Catalyst folds them into a single codegen stage).
+    A merge table is |V|-bounded by construction, so collecting a
+    DataFrame input to the driver is bounded the same way.
+    """
+    if isinstance(merges, DataFrame):
+        merges = [
+            (r["merge_left"], r["merge_right"])
+            for r in merges.orderBy("step").collect()
+        ]
+    repr_col = F.concat(
+        F.lit(" "), F.concat_ws(" ", F.split(F.col("w"), "")), F.lit(" ")
+    )
+    for left, right in merges:
+        for _ in range(REPLACE_PASSES):
+            repr_col = F.replace(
+                repr_col, F.lit(f" {left} {right} "), F.lit(f" {left}{right} ")
+            )
+    return words.withColumn("repr", repr_col)
+
+
 def bpe_fertility_by_lang(
     docs: DataFrame,
     n_merges: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
     lang_col: str = "lang",
+    merges=None,
 ) -> DataFrame:
     """Per-language tokenizer fertility report: how many BPE pieces an
     average word costs in each language, and how many characters a
@@ -258,8 +292,18 @@ def bpe_fertility_by_lang(
     Heaps-bounded) broadcasts onto it; the report reduces to
     |languages| rows.  Same "tokenize distinct words once" discipline
     as :func:`bpe_encode_counts`.
+
+    With ``merges`` supplied (see :func:`apply_bpe_merges`) the report
+    scores the corpus under that FIXED external vocabulary instead of
+    training one — the tokenizer-SELECTION workflow: run once per
+    candidate tokenizer and compare per-language fertility columns.
+    The fixed path is cheaper: no training loop, the piece table is a
+    single projection over the distinct-word count.
     """
-    _, words = _bpe_train(docs, n_merges, text_col)
+    if merges is not None:
+        words = apply_bpe_merges(word_frequencies(docs, text_col), merges)
+    else:
+        _, words = _bpe_train(docs, n_merges, text_col)
     pieces = words.select(
         "w", F.size(F.split(F.trim(F.col("repr")), " ")).alias("n_pieces")
     )

@@ -1744,6 +1744,81 @@ ORDER BY lang
 QUERIES["text_tokenizer_fertility"] = (text_tokenizer_fertility, _fertility_oracle())
 
 
+#: the FIXED external vocabulary under comparison: an English-bigram
+#: merge list (the shape a candidate off-the-shelf tokenizer's first
+#: merges take); 'th'+'e' depends on 't'+'h' — ordering is exercised
+_FIXED_MERGES = [
+    ("t", "h"),
+    ("th", "e"),
+    ("i", "n"),
+    ("a", "n"),
+    ("e", "r"),
+    ("o", "n"),
+    ("r", "e"),
+    ("s", "t"),
+]
+
+
+def text_fertility_fixed_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language fertility under a FIXED externally supplied merge
+    list (operators/tokenizer.py apply_bpe_merges) — the tokenizer-
+    SELECTION workflow: score each candidate tokenizer's per-language
+    equity on the corpus without training anything.  Same output schema
+    as text_tokenizer_fertility, so the two reports diff column-wise."""
+    from bruin_spark.operators.tokenizer import bpe_fertility_by_lang
+
+    return bpe_fertility_by_lang(
+        _docs(spark, sf_dir), merges=_FIXED_MERGES
+    ).orderBy("lang")
+
+
+def _fertility_fixed_oracle() -> str:
+    from bruin_spark.operators.tokenizer import REPLACE_PASSES
+
+    repl = "repr"
+    for left, right in _FIXED_MERGES:
+        for _ in range(REPLACE_PASSES):
+            repl = f"replace({repl}, ' {left} {right} ', ' {left}{right} ')"
+    return f"""
+WITH words AS (
+  SELECT tok AS w, COUNT(*) AS freq
+  FROM (SELECT UNNEST({_duck_tokens()}) AS tok FROM documents)
+  GROUP BY 1
+),
+applied AS (
+  SELECT w, {repl} AS repr
+  FROM (
+    SELECT w, ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS repr
+    FROM words
+  )
+),
+pieces AS (
+  SELECT w, len(string_split(trim(repr), ' ')) AS n_pieces FROM applied
+),
+lang_words AS (
+  SELECT lang, tok AS w, COUNT(*) AS cnt
+  FROM (SELECT lang, UNNEST({_duck_tokens()}) AS tok FROM documents)
+  GROUP BY 1, 2
+)
+SELECT lang,
+       SUM(cnt)::BIGINT AS n_words,
+       SUM(cnt * n_pieces)::BIGINT AS n_bpe_tokens,
+       ROUND(SUM(cnt * n_pieces)::DOUBLE / SUM(cnt), 6) AS fertility,
+       ROUND(SUM(cnt * length(w))::DOUBLE / SUM(cnt * n_pieces), 6) AS chars_per_token,
+       ROUND(SUM(CASE WHEN n_pieces = 1 THEN cnt ELSE 0 END)::DOUBLE / SUM(cnt), 6)
+         AS single_piece_rate
+FROM lang_words JOIN pieces USING (w)
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+QUERIES["text_fertility_fixed_vocab"] = (
+    text_fertility_fixed_vocab,
+    _fertility_fixed_oracle(),
+)
+
+
 # -- hybrid retrieval: per-query BM25 + dense ANN fused by RRF -------------------
 
 _HYB_K = 10       # fused depth, and each retriever's candidate depth

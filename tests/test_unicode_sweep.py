@@ -79,6 +79,7 @@ SWEEP_ENTRIES = [
     # r13 additions
     "text_html_extract",
     "dedup_spans_incr_bucketed",
+    "text_fertility_fixed_vocab",
 ]
 
 _E = "é"                      # é precomposed (NFC)
