@@ -911,6 +911,7 @@ def padding_waste(
     df: DataFrame,
     boundaries: tuple[int, ...] = (16, 32, 64, 128),
     text_col: str = "text",
+    count_col: str | None = None,
 ) -> DataFrame:
     """Length-bucketed batching report: if the data loader pads each
     document to its length bucket's upper boundary (the standard
@@ -926,11 +927,17 @@ def padding_waste(
     ``pad_frac`` across boundary choices is how the bucket layout is
     tuned before a run burns real accelerator hours.
 
+    With ``count_col`` set the per-document token count is read from
+    that column instead of whitespace-tokenizing ``text_col`` — the
+    training-handoff shape, where the count is the TOKENIZER's (e.g.
+    ``n_ids`` from bpe_encode_ids) and the report prices the actual
+    batch the data loader will build.
+
     Plan: one map-only projection (token count + boundary CASE) and
     one map-side-combinable groupBy over ≤ |boundaries| keys.
     """
     bs = sorted(boundaries)
-    n_toks = F.size(tokens(text_col))
+    n_toks = F.col(count_col) if count_col else F.size(tokens(text_col))
     bucket = None
     for b in bs:
         cond = n_toks <= b
