@@ -139,6 +139,10 @@ HEADLINE = [
     # r13: HTML main-content extraction (stage 0 of web curation;
     # map-only JVM projection)
     "text_html_extract",
+    # r13: crawl-level URL dedup (canonicalization + two-phase distinct)
+    "text_url_dedup",
+    # r13: D4 prototype pruning (broadcast argmax + GK quantile per cluster)
+    "emb_d4_prune",
 ]
 
 

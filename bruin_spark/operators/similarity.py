@@ -294,6 +294,66 @@ def semantic_dedup(
     )
 
 
+def d4_prototype_prune(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    prune_frac: float = 0.25,
+) -> DataFrame:
+    """D4-style density/prototype pruning (Tirumala et al. 2023,
+    arXiv:2308.12284 — SemDeDup then SSL-prototype pruning): within
+    each embedding cluster, drop the ``prune_frac`` most PROTOTYPICAL
+    examples — the points with the highest cosine to their own
+    centroid carry the least marginal information once near-duplicates
+    are gone, and removing them measurably improves LM data quality in
+    the paper.
+
+    Returns one row per vector: ``(id_col, cluster_id, proto_cos,
+    keep)`` with ``keep = proto_cos < thr`` where ``thr`` is the
+    cluster's discrete ``1 - prune_frac`` quantile of the ROUND-6
+    centroid cosine (ties prune together, so at least ``prune_frac``
+    of each cluster goes).
+
+    100 TB shape: assignment is the shared broadcast max_by argmax
+    (:func:`ivf_assign`); the per-cluster threshold is ONE
+    percentile_approx aggregate over k clusters (constant-size GK
+    summaries — no per-cluster sort, no window over the corpus) joined
+    back broadcast.  Composes after :func:`semantic_dedup` exactly as
+    D4 prescribes: dedup first, then prune prototypes of what remains.
+    """
+    u = with_unit_vectors(df, vec_col).select(F.col(id_col).alias("id"), "unit_vec")
+    cents = deterministic_centroids(u, n_centroids, id_col="id")
+    assigned = ivf_assign(u, cents, id_col="id")
+    # the scored subtree feeds BOTH the threshold aggregate and the
+    # final join — materialize it so the corpus scan + assignment run
+    # once (same rationale as semantic_dedup's assignment cut)
+    scored = materialize(
+        assigned.join(F.broadcast(cents), "centroid_id").select(
+            "id",
+            "centroid_id",
+            F.round(
+                _dot(F.col("unit_vec"), F.col("centroid_vec")), 6
+            ).alias("proto_cos"),
+        ),
+        eager=True,
+    )
+    # accuracy >> n makes percentile_approx return EXACTLY the discrete
+    # quantile element (DuckDB quantile_disc), so the entry stays a
+    # full-hash oracle; the summaries stay constant-size at any scale
+    thr = scored.groupBy("centroid_id").agg(
+        F.percentile_approx(
+            "proto_cos", F.lit(1.0 - float(prune_frac)), F.lit(10_000_000)
+        ).alias("_thr")
+    )
+    return scored.join(F.broadcast(thr), "centroid_id").select(
+        F.col("id").alias(id_col),
+        F.col("centroid_id").alias("cluster_id"),
+        F.col("proto_cos"),
+        (F.col("proto_cos") < F.col("_thr")).alias("keep"),
+    )
+
+
 # -- IVF (inverted-file) ANN --------------------------------------------------
 
 

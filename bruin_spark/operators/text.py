@@ -699,6 +699,100 @@ def url_filters(
     )
 
 
+# -- URL canonicalization + URL-level dedup --------------------------------------
+
+#: query parameters that never change page content — dropped during
+#: canonicalization (any ``utm_``-prefixed name is dropped too)
+URL_TRACKING_PARAMS: tuple[str, ...] = (
+    "fbclid",
+    "gclid",
+    "msclkid",
+    "ref",
+    "sessionid",
+    "phpsessid",
+)
+
+
+def canonical_url(url_col: str | Column = "url") -> Column:
+    """Canonical form of a URL: the key for crawl-level URL dedup
+    (every large pipeline dedups snapshots BY URL before touching
+    text — CommonCrawl-derived corpora like C4/RefinedWeb do this
+    first because it is free compared to content dedup).
+
+    Normalizations (all pure string expressions — map-only, fuses with
+    the scan): lowercase scheme and host, strip a leading ``www.``,
+    strip the scheme's default port (:80/:443), drop the fragment,
+    strip trailing slashes from the path ('' -> '/'), drop tracking
+    parameters (:data:`URL_TRACKING_PARAMS` + any ``utm_*``), and sort
+    the surviving query parameters.  NULL/schemeless input yields NULL
+    (callers decide whether that fails open or closed).
+    """
+    url = F.col(url_col) if isinstance(url_col, str) else url_col
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    after = F.regexp_replace(url, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.lower(F.regexp_extract(after, r"^([^/?#]*)", 1))
+    host = F.regexp_replace(hostport, r"^www\.", "")
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, r":443$", ""))
+        .otherwise(host)
+    )
+    rest = F.regexp_replace(after, r"^[^/?#]*", "")  # path + query + fragment
+    path = F.regexp_extract(rest, r"^([^?#]*)", 1)
+    path = F.regexp_replace(path, r"/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(rest, r"\?([^#]*)", 1)
+    tracked = F.array(*[F.lit(p) for p in URL_TRACKING_PARAMS])
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~F.array_contains(tracked, F.lower(F.split_part(p, F.lit("="), F.lit(1))))
+        & ~F.lower(p).startswith("utm_"),
+    )
+    canon_q = F.array_join(F.array_sort(params), "&")
+    return F.when(
+        scheme == "",
+        F.lit(None).cast("string"),
+    ).otherwise(
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            path,
+            F.when(canon_q == "", F.lit("")).otherwise(F.concat(F.lit("?"), canon_q)),
+        )
+    )
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """URL-level dedup table: one row per canonical URL with
+    ``(canon_url, group_size, n_variants, canonical_id)`` — the kept
+    representative is the min id, ``n_variants`` counts distinct RAW
+    spellings that collapsed.  NULL-canonical rows (no scheme) are
+    excluded: they cannot be keyed, and the content-dedup stages
+    downstream still see them.
+
+    Plan: canonicalization is map-only; the dedup is the standard
+    two-phase distinct aggregate (partial on (canon_url, raw), final on
+    canon_url) — both phases map-side combinable.  At 100 TB the key
+    space is ~pages (uniform hash distribution); a hot key would mean
+    the same canonical URL recrawled millions of times, which the
+    partial aggregates absorb map-side.
+    """
+    canon = df.select(
+        F.col(id_col), F.col(url_col).alias("_raw"), canonical_url(url_col).alias("canon_url")
+    ).filter(F.col("canon_url").isNotNull())
+    return canon.groupBy("canon_url").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.count_distinct(F.col("_raw")).alias("n_variants"),
+        F.min(id_col).alias("canonical_id"),
+    )
+
+
 # -- Gopher repetition rules (appendix A1.2) ------------------------------------
 
 #: (measurement key, max fraction) — the paper's published thresholds

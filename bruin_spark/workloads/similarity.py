@@ -230,8 +230,51 @@ FROM assigned a LEFT JOIN d ON d.vec_id = a.vec_id
 """
 
 
+D4_PRUNE_FRAC = 0.25
+
+
+def emb_d4_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4-style prototype pruning: within each cluster, drop the 25%
+    of vectors most similar to their own centroid (the redundant
+    'prototypical' mass; operators/similarity.py d4_prototype_prune).
+    Composes after emb_semantic_dedup in the D4 recipe."""
+    return S.d4_prototype_prune(
+        _emb(spark, sf_dir), n_centroids=N_CENTROIDS, prune_frac=D4_PRUNE_FRAC
+    )
+
+
+D4_PRUNE_ORACLE = f"""
+WITH u AS (SELECT vec_id, {_DUCK_UNIT} AS uv FROM embeddings),
+cents AS (
+  SELECT vec_id AS centroid_id, uv AS cv FROM u ORDER BY vec_id LIMIT {N_CENTROIDS}
+),
+assigned AS (
+  SELECT vec_id, uv, centroid_id, cv FROM (
+    SELECT v.vec_id, v.uv, c.centroid_id, c.cv,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_duck_dot('v.uv', 'c.cv')} DESC, c.centroid_id
+           ) AS rn
+    FROM u v CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+scored AS (
+  SELECT vec_id, centroid_id, ROUND({_duck_dot('uv', 'cv')}, 6) AS proto_cos
+  FROM assigned
+),
+thr AS (
+  SELECT centroid_id, quantile_disc(proto_cos, {1.0 - D4_PRUNE_FRAC}) AS t
+  FROM scored GROUP BY 1
+)
+SELECT s.vec_id, s.centroid_id AS cluster_id, s.proto_cos,
+       s.proto_cos < t.t AS keep
+FROM scored s JOIN thr t USING (centroid_id)
+"""
+
+
 QUERIES = {
     "emb_semantic_dedup": (emb_semantic_dedup, SEM_DEDUP_ORACLE),
+    "emb_d4_prune": (emb_d4_prune, D4_PRUNE_ORACLE),
     "sim_ivf_topk": (sim_ivf_topk, IVF_ORACLE),
     "sim_topk_bruteforce": (sim_topk_bruteforce, TOPK_ORACLE),
     "sim_near_dup_exact": (sim_near_dup_exact, NEAR_DUP_ORACLE),

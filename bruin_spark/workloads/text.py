@@ -2135,3 +2135,114 @@ FROM kept
 
 
 QUERIES["text_html_extract"] = (text_html_extract, _html_extract_oracle())
+
+
+# -- URL canonicalization + crawl-level URL dedup ---------------------------------
+
+
+def _url_variants_expr() -> "F.Column":
+    """Five deterministic raw spellings per target page (doc_id % 50):
+    plain, uppercase-www-trailing-slash, default-port + tracking
+    params, reordered real params, http + fragment — the first three
+    collapse to one canonical URL; the last two form their own groups
+    (different query / different scheme)."""
+    d = F.col("doc_id")
+    g = (d % 50).cast("string")
+    # variant index must be INDEPENDENT of the page index: d % 5 would
+    # equal (d % 50) % 5, giving every page a single spelling
+    v = F.floor(d / 50) % 5
+    base = F.concat(F.lit("https://example.org/article/"), g)
+    return (
+        F.when(v == 0, base)
+        .when(
+            v == 1,
+            F.concat(F.lit("HTTPS://WWW.Example.ORG/article/"), g, F.lit("/")),
+        )
+        .when(
+            v == 2,
+            F.concat(
+                F.lit("https://example.org:443/article/"),
+                g,
+                F.lit("?utm_source=feed&utm_medium=rss&fbclid=xyz"),
+            ),
+        )
+        .when(v == 3, F.concat(base, F.lit("?b=2&a=1")))
+        .otherwise(
+            F.concat(F.lit("http://example.org/article/"), g, F.lit("#section-2"))
+        )
+    )
+
+
+def text_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-level URL dedup (operators/text.py url_dedup): canonical
+    form collapses scheme/host case, www., default ports, trailing
+    slashes, fragments, tracking params, and param order — the free
+    first dedup stage every CommonCrawl-derived pipeline runs before
+    any content hashing."""
+    docs = _docs(spark, sf_dir).select("doc_id", _url_variants_expr().alias("url"))
+    return T.url_dedup(docs)
+
+
+def _url_dedup_oracle() -> str:
+    variant = (
+        "CASE (doc_id // 50) % 5 "
+        "WHEN 0 THEN 'https://example.org/article/' || g "
+        "WHEN 1 THEN 'HTTPS://WWW.Example.ORG/article/' || g || '/' "
+        "WHEN 2 THEN 'https://example.org:443/article/' || g "
+        "|| '?utm_source=feed&utm_medium=rss&fbclid=xyz' "
+        "WHEN 3 THEN 'https://example.org/article/' || g || '?b=2&a=1' "
+        "ELSE 'http://example.org/article/' || g || '#section-2' END"
+    )
+    from bruin_spark.operators.text import URL_TRACKING_PARAMS
+
+    tracked = ", ".join(f"'{p}'" for p in URL_TRACKING_PARAMS)
+    return f"""
+WITH raw AS (
+  SELECT doc_id, {variant} AS url
+  FROM (SELECT doc_id, (doc_id % 50)::VARCHAR AS g FROM documents)
+), p1 AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS after
+  FROM raw
+), p2 AS (
+  SELECT *,
+         regexp_replace(lower(regexp_extract(after, '^([^/?#]*)', 1)), '^www\\.', '') AS host0,
+         regexp_replace(after, '^[^/?#]*', '') AS rest
+  FROM p1
+), p3 AS (
+  SELECT *,
+         CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+              WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+              ELSE host0 END AS host,
+         regexp_replace(regexp_extract(rest, '^([^?#]*)', 1), '/+$', '') AS path0,
+         regexp_extract(rest, '\\?([^#]*)', 1) AS query
+  FROM p2
+), p4 AS (
+  SELECT *,
+         CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+         COALESCE(array_to_string(list_sort(list_filter(
+           string_split(query, '&'),
+           p -> p <> '' AND NOT list_contains([{tracked}], lower(split_part(p, '=', 1)))
+                AND NOT starts_with(lower(p), 'utm_')
+         )), '&'), '') AS canon_q
+  FROM p3
+), canon AS (
+  SELECT doc_id, url,
+         CASE WHEN scheme = '' THEN NULL
+              ELSE scheme || '://' || host || path ||
+                   CASE WHEN canon_q = '' THEN '' ELSE '?' || canon_q END
+         END AS canon_url
+  FROM p4
+)
+SELECT canon_url,
+       COUNT(*)::BIGINT AS group_size,
+       COUNT(DISTINCT url)::BIGINT AS n_variants,
+       MIN(doc_id) AS canonical_id
+FROM canon
+WHERE canon_url IS NOT NULL
+GROUP BY canon_url
+"""
+
+
+QUERIES["text_url_dedup"] = (text_url_dedup, _url_dedup_oracle())

@@ -494,3 +494,57 @@ def test_ccnet_approx_buckets_null_lang_like_exact(spark):
     assert all(ap[i][0] is not None for i in null_ids)
     agree = sum(1 for i in ap if ap[i] == ex[i])
     assert agree / len(ap) >= 0.9  # small-n boundary wiggle only
+
+
+def test_canonical_url(spark):
+    """URL canonicalization: every documented normalization, plus the
+    fail-closed NULL for schemeless input (operators/text.py
+    canonical_url)."""
+    from bruin_spark.operators.text import canonical_url
+
+    cases = [
+        # (raw, canonical)
+        ("https://example.org/a", "https://example.org/a"),
+        ("HTTPS://WWW.Example.ORG/a/", "https://example.org/a"),
+        ("https://example.org:443/a", "https://example.org/a"),
+        ("http://example.org:80/a", "http://example.org/a"),
+        ("http://example.org:8080/a", "http://example.org:8080/a"),
+        ("https://example.org/a#frag", "https://example.org/a"),
+        ("https://example.org/a?utm_source=x&b=2&a=1", "https://example.org/a?a=1&b=2"),
+        ("https://example.org/a?UTM_CAMPAIGN=x&fbclid=y", "https://example.org/a"),
+        ("https://example.org/a?REF=z&keep=1", "https://example.org/a?keep=1"),
+        ("https://example.org", "https://example.org/"),
+        ("https://example.org/?", "https://example.org/"),
+        ("ftp://Files.example.org/pub/", "ftp://files.example.org/pub"),
+        ("no-scheme.example.org/a", None),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i int, url string"
+    )
+    got = {r["i"]: r["c"] for r in df.select("i", canonical_url("url").alias("c")).collect()}
+    for i, (raw, want) in enumerate(cases):
+        assert got[i] == want, (raw, got[i], want)
+
+
+def test_url_dedup_groups(spark):
+    from bruin_spark.operators.text import url_dedup
+
+    rows = [
+        (1, "https://example.org/a"),
+        (2, "HTTPS://WWW.EXAMPLE.ORG/a/"),
+        (3, "https://example.org/a?utm_source=x"),
+        (4, "https://example.org/a?x=1"),
+        (5, "not a url"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, url string")
+    out = {r["canon_url"]: r for r in url_dedup(df).collect()}
+    assert set(out) == {"https://example.org/a", "https://example.org/a?x=1"}
+    g = out["https://example.org/a"]
+    assert (g["group_size"], g["n_variants"], g["canonical_id"]) == (3, 3, 1)
+    # map-only canonicalization + the standard two-phase distinct
+    # aggregate: partial on (canon_url, raw) then final on canon_url —
+    # both map-side combinable, exactly two Exchanges
+    plan = url_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

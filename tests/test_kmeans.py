@@ -219,3 +219,34 @@ def test_pq_adc_scores_match_hand_computation(spark):
             for j in range(3)
         )
         assert math.isclose(r["adc_dist"], round(want, 6), abs_tol=2e-6)
+
+
+def test_d4_prototype_prune(spark):
+    """Per-cluster prototype pruning: at least prune_frac of every
+    cluster goes, ties prune together, and the flag is exactly the
+    threshold comparison (operators/similarity.py d4_prototype_prune)."""
+    import numpy as np
+
+    from bruin_spark.operators.similarity import d4_prototype_prune
+
+    rng = np.random.RandomState(7)
+    rows = [
+        (i, (rng.randn(8) + (i % 4) * 3.0).tolist())  # 4 loose clusters
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = d4_prototype_prune(df, n_centroids=4, prune_frac=0.25).collect()
+    assert len(out) == 200
+    by_cluster: dict = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        pruned = [r for r in members if not r["keep"]]
+        kept = [r for r in members if r["keep"]]
+        # at least a quarter of the cluster is pruned...
+        assert len(pruned) >= 0.25 * len(members) - 1e-9, cid
+        # ...and it is exactly the HIGH-cosine (prototypical) tail
+        if kept and pruned:
+            assert max(r["proto_cos"] for r in kept) < min(
+                r["proto_cos"] for r in pruned
+            )

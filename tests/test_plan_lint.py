@@ -55,6 +55,7 @@ MAP_IN_PANDAS_OK = ("mm_",)
 BNLJ_OK = {
     "emb_kmeans_step",
     "emb_semantic_dedup",  # broadcast centroid argmax (IVF assignment)
+    "emb_d4_prune",  # same broadcast centroid argmax + broadcast cents rejoin
     "q11_important_parts",
     "q22_inactive_customers",
     "rel_range_price_bands",

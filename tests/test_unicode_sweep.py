@@ -80,6 +80,7 @@ SWEEP_ENTRIES = [
     "text_html_extract",
     "dedup_spans_incr_bucketed",
     "text_fertility_fixed_vocab",
+    "text_url_dedup",
 ]
 
 _E = "é"                      # é precomposed (NFC)
