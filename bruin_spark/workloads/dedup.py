@@ -92,7 +92,8 @@ SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS doc_fingerprint
        COUNT(*) AS group_size,
        MIN(doc_id) AS canonical_id,
        COALESCE(array_to_string(
-         list_transform(list_sort(list(doc_id)), x -> x::VARCHAR), ' '), '')
+         list_transform(list_slice(list_sort(list(doc_id)), 1, 100), x -> x::VARCHAR),
+         ' '), '')
          AS member_ids_str
 FROM documents
 GROUP BY 1
@@ -494,14 +495,11 @@ def dedup_spans_incr_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = _SPAN_IDX_TABLES.get(sf_dir)
     if table is None or not spark.catalog.tableExists(table):
         corpus = docs.filter(bucket >= cut)
-        # the table name carries the APPLICATION id: a leftover warehouse
-        # directory from a previous session (not in this session's
-        # in-memory catalog) would otherwise fail saveAsTable with
-        # LOCATION_ALREADY_EXISTS
-        suffix = hashlib.md5(
-            f"{sf_dir}|{spark.sparkContext.applicationId}".encode()
-        ).hexdigest()[:10]
-        table = f"span_idx_{suffix}"
+        # STABLE per-sf_dir name: write_span_index_bucketed clears any
+        # leftover catalog entry / warehouse directory from a previous
+        # session, so sessions REUSE the location instead of leaking
+        # one index copy per session
+        table = f"span_idx_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
         n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
         D.write_span_index_bucketed(
             D.span_hash_index(corpus, win_tokens=SPAN_TOKENS),

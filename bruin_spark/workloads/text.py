@@ -2076,6 +2076,7 @@ def _html_extract_oracle() -> str:
     from bruin_spark.operators.html import (
         BLOCK_TAG_RE,
         STRIP_REGIONS,
+        _anchor_net_sql,
         _link_chars_sql,
         _plain_sql,
     )
@@ -2105,18 +2106,30 @@ def _html_extract_oracle() -> str:
     # regexes are RE2-safe by construction (operators/html.py)
     plain = _plain_sql("b", duck=True)
     lc = _link_chars_sql("b", duck=True)
+    net = _anchor_net_sql("b", duck=True)
+    # anchor depth at block start: clamped prefix sum of per-block net
+    # open/close anchor-tag counts (DuckDB's index lambda is 1-based);
+    # lc = -1 is the in-anchor sentinel, resolved to tc in s2 —
+    # mirroring operators/html.py exactly
+    depth = "greatest(0, COALESCE(list_sum(list_slice(nets, 1, i - 1)), 0))"
     return f"""
 WITH pages AS (
   SELECT doc_id, {html} AS html FROM documents
+), bn AS (
+  SELECT doc_id, blocks, list_transform(blocks, b -> {net}) AS nets
+  FROM (SELECT doc_id, {blocks} AS blocks FROM pages)
 ), s1 AS (
   SELECT doc_id,
-         list_transform({blocks}, b -> {{'plain': {plain}, 'lc': {lc}}}) AS s1
-  FROM pages
+         list_transform(blocks, (b, i) -> {{'plain': {plain},
+           'lc': CASE WHEN {depth} > 0 THEN -1 ELSE {lc} END}}) AS s1
+  FROM bn
 ), s2 AS (
   SELECT doc_id,
          list_transform(s1, s -> {{'plain': s.plain,
                                    'tc': length(replace(s.plain, ' ', '')),
-                                   'lc': s.lc}}) AS s2
+                                   'lc': CASE WHEN s.lc < 0
+                                             THEN length(replace(s.plain, ' ', ''))
+                                             ELSE s.lc END}}) AS s2
   FROM s1
 ), kept AS (
   SELECT doc_id, s2,
@@ -2208,15 +2221,15 @@ WITH raw AS (
 ), p2 AS (
   SELECT *,
          regexp_replace(lower(regexp_extract(after, '^([^/?#]*)', 1)), '^www\\.', '') AS host0,
-         regexp_replace(after, '^[^/?#]*', '') AS rest
+         regexp_extract(regexp_replace(after, '^[^/?#]*', ''), '^([^#]*)', 1) AS rest
   FROM p1
 ), p3 AS (
   SELECT *,
          CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
               WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
               ELSE host0 END AS host,
-         regexp_replace(regexp_extract(rest, '^([^?#]*)', 1), '/+$', '') AS path0,
-         regexp_extract(rest, '\\?([^#]*)', 1) AS query
+         regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '') AS path0,
+         regexp_extract(rest, '\\?(.*)', 1) AS query
   FROM p2
 ), p4 AS (
   SELECT *,

@@ -50,6 +50,7 @@ def main() -> int:
     shared = sidecar.get("queries", {})
 
     ab: dict[str, dict] = {}
+    failed = False
     for name in entries:
         # one entry per process: fresh JVM, nothing else has run
         proc = subprocess.run(
@@ -60,25 +61,29 @@ def main() -> int:
         )
         line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else "{}"
         try:
-            res = json.loads(line)
+            res = json.loads(line) if proc.returncode == 0 else {}
         except json.JSONDecodeError:
-            print(f"# {name}: bench subprocess failed\n{proc.stderr[-2000:]}")
-            return 1
+            res = {}
         got = res.get("queries", {})
         if name not in got:
-            print(f"# {name}: not in subprocess result {sorted(got)}")
-            return 1
+            # keep going: each completed entry cost a full fresh-JVM
+            # bench — merge the partial evidence rather than losing it
+            print(f"# {name}: bench subprocess failed (rc={proc.returncode})")
+            print(proc.stderr[-2000:])
+            failed = True
+            continue
         ab[name] = {
             "fresh_sec": got[name],
             "shared_sec": shared.get(name),
         }
         print(f"# {name}: fresh={got[name]}s shared={shared.get(name)}s")
 
-    sidecar["fresh_session_ab"] = ab
-    with open(sidecar_path, "w") as f:
-        json.dump(sidecar, f, indent=1)
-    print(f"# merged fresh_session_ab -> {sidecar_path}")
-    return 0
+    if ab:
+        sidecar.setdefault("fresh_session_ab", {}).update(ab)
+        with open(sidecar_path, "w") as f:
+            json.dump(sidecar, f, indent=1)
+        print(f"# merged fresh_session_ab ({len(ab)} entries) -> {sidecar_path}")
+    return 1 if failed else 0
 
 
 if __name__ == "__main__":

@@ -76,3 +76,41 @@ def test_never_windowed_entry_matches_oracle(spark, duck, registry, name):
 @pytest.mark.parametrize("name", HASH_SCHEME)
 def test_hash_scheme_signatures_bit_identical(spark, duck, registry, name):
     _assert_entry_matches_oracle(spark, duck, registry, name)
+
+
+def test_exact_groups_cap_parity_on_large_group(spark, tmp_path):
+    """dedup_exact_groups vs its oracle on a corpus with a >100-member
+    duplicate group: the operator caps member_ids at 100 (pre-agg
+    window), and EXACT_ORACLE must replay the cap (list_slice ... 100)
+    — the sf0.01 fixture has ZERO duplicate groups, so only this test
+    exercises the entry's values at all."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    d = tmp_path / "capdir"
+    d.mkdir()
+    rows = [(i, "same text!", "en", "src0", 10) for i in range(120)] + [
+        (200 + i, f"unique text {i}", "en", "src0", 12) for i in range(5)
+    ] + [(400, "same text", "en", "src0", 9), (401, "same, text?", "en", "src0", 11)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+
+    con = duckdb.connect()
+    # Spark writes the table as a DIRECTORY of part files
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    queries, oracles = entry.queries(), entry.oracle_sql()
+    s_pdf = queries["dedup_exact_groups"](spark, str(d)).toPandas()
+    d_pdf = con.execute(oracles["dedup_exact_groups"]).df()
+    sc, sr = pdf_to_rows(s_pdf)
+    dc, dr = pdf_to_rows(d_pdf)
+    assert sc == dc and sr == dr
+    # the canonicalized 'same text' group: 122 members, 100 listed
+    big = s_pdf[s_pdf.group_size == 122]
+    assert len(big) == 1
+    ids = big.iloc[0]["member_ids_str"].split(" ")
+    assert len(ids) == 100 and ids[0] == "0"
+    con.close()

@@ -510,6 +510,9 @@ def test_canonical_url(spark):
         ("http://example.org:80/a", "http://example.org/a"),
         ("http://example.org:8080/a", "http://example.org:8080/a"),
         ("https://example.org/a#frag", "https://example.org/a"),
+        # '?' INSIDE the fragment must not fabricate a query (SPA routes)
+        ("https://example.org/a#!/profile?user=1", "https://example.org/a"),
+        ("https://example.org/a?real=1#frag?fake=2", "https://example.org/a?real=1"),
         ("https://example.org/a?utm_source=x&b=2&a=1", "https://example.org/a?a=1&b=2"),
         ("https://example.org/a?UTM_CAMPAIGN=x&fbclid=y", "https://example.org/a"),
         ("https://example.org/a?REF=z&keep=1", "https://example.org/a?keep=1"),

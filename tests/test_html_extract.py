@@ -49,8 +49,12 @@ def _py_plain(block: str) -> str:
 
 
 def _py_link_chars(block: str) -> int:
+    # complete anchors + the text after a trailing unclosed '<a ...>'
     anchors = " ".join(re.findall(r"(?is)<a[^>]*>(.*?)</a>", block))
-    plain = re.sub(r"<[^>]*>", " ", anchors)
+    no_complete = re.sub(r"(?is)<a[^>]*>.*?</a>", " ", block)
+    m = re.match(r"(?is)^.*<a[^>]*>(.*)$", no_complete)
+    tail = m.group(1) if m else ""
+    plain = re.sub(r"<[^>]*>", " ", anchors + " " + tail)
     return len(re.sub(r"\s+", "", _py_unescape(plain)))
 
 
@@ -60,14 +64,22 @@ def py_extract(html: str) -> tuple[int, int, str]:
     for pat in STRIP_REGIONS:
         cleaned = re.sub(pat, " ", cleaned)
     blocks = re.sub(BLOCK_TAG_RE, "\x1e", cleaned).split("\x1e")
+    nets = [
+        len(re.findall(r"(?i)<a(?:\s[^>]*)?>", b))
+        - len(re.findall(r"(?i)</a\s*>", b))
+        for b in blocks
+    ]
     n_blocks = n_kept = 0
     kept: list[str] = []
-    for b in blocks:
+    for j, b in enumerate(blocks):
         plain = _py_plain(b)
         tc = len(plain.replace(" ", ""))
+        # a block starting inside an open anchor is entirely anchor text
+        depth = max(0, sum(nets[:j]))
+        lc = tc if depth > 0 else _py_link_chars(b)
         if tc > 0:
             n_blocks += 1
-        if tc >= MIN_CHARS and _py_link_chars(b) <= MAX_LD * tc:
+        if tc >= MIN_CHARS and lc <= MAX_LD * tc:
             n_kept += 1
             kept.append(plain)
     return n_blocks, n_kept, "\n".join(kept)
@@ -118,6 +130,27 @@ PAGES = [
         f"<div><div><ul><li>{LONG} one</li><li>tiny</li></ul></div>"
         f"<table><tr><td>{LONG} in a cell</td><td>x</td></tr></table></div>"
     ),
+    # card widget: ONE anchor wrapping block-level content — the whole
+    # card is anchor text even though its blocks carry no <a> markup
+    (
+        '<div><a href="/promo"><h3>Sponsored headline title here</h3>'
+        f"<p>{LONG} teaser for the linked promotional card.</p></a></div>"
+        f"<p>{LONG}</p>"
+    ),
+    # several linked cards then an article paragraph
+    (
+        "".join(
+            f'<div class="card"><a href="/{i}"><h4>Card {i} headline text</h4>'
+            f"<p>{LONG} snippet {i}.</p></a></div>"
+            for i in range(3)
+        )
+        + f"<p>{LONG} the real article body continues here.</p>"
+    ),
+    # anchor closed in a later block with trailing prose in that block
+    (
+        f'<body><a href="x"><p>{LONG} linked part</p>trailing linked text</a>'
+        f"<p>{LONG} unlinked paragraph after the anchor closes.</p></body>"
+    ),
 ]
 
 
@@ -153,6 +186,13 @@ def test_boilerplate_dropped_content_kept(extracted):
     assert "not content" not in extracted[5].text
     # empty page yields zero blocks
     assert extracted[6].n_blocks == 0 and extracted[6].text == ""
+    # block-spanning anchors: the linked cards drop, the article stays
+    assert "Sponsored headline" not in extracted[9].text
+    assert "teaser for the linked promotional card" not in extracted[9].text
+    assert LONG in extracted[9].text
+    assert "Card 1 headline" not in extracted[10].text
+    assert "the real article body continues" in extracted[10].text
+    assert "unlinked paragraph after the anchor closes" in extracted[11].text
 
 
 def test_entity_decode(extracted):
