@@ -1098,13 +1098,17 @@ def _scale_stress_skewed(spark, registry) -> dict:
             file=sys.stderr,
         )
     # drop the memoized bucketed span-index tables (they live under
-    # spark-warehouse in the repo tree; leftovers would be noise)
-    for _t in list(_SPAN_IDX_TABLES.values()):
+    # spark-warehouse in the repo tree; leftovers would be noise) —
+    # the memo moved to the workloads module in r13 when the bucketed
+    # entry joined the registry
+    from bruin_spark.workloads.dedup import _SPAN_IDX_TABLES as _span_tbls
+
+    for _t in list(_span_tbls.values()):
         try:
             spark.sql(f"DROP TABLE IF EXISTS {_t}")
         except Exception:
             pass
-    _SPAN_IDX_TABLES.clear()
+    _span_tbls.clear()
     result = {
         "skew_shape": "hot key ~20% of rows + fixed-size near-dup families + unique tail (see _build_skewed_dir)",
         # measured r8 on this corpus WITHOUT the mitigations:
