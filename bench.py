@@ -1168,6 +1168,26 @@ def _stress_cache_key() -> str:
     return f"{key}:{SCALE_FACTOR}:{SF_DIR}"
 
 
+def _cpu_probe(n: int = 20_000_000) -> float:
+    """Single-threaded host-health probe: seconds for a fixed
+    ``n``-iteration pure-Python integer loop.  The r13 verdict found
+    the per-entry baseline non-reproducible because the host epoch
+    itself drifts (plan-identical TPC-H Q1 read 3.5-5x across
+    sessions); stamping every bench session with this figure lets
+    cross-session comparisons be probe-normalized instead of guessed.
+    Healthy figure on this box: record it in bench_details.json and
+    compare ratios, not absolutes."""
+    import time as _time
+
+    t0 = _time.perf_counter()
+    x = 0
+    for i in range(n):
+        x += i
+    # keep x live so the loop cannot be elided by a future optimizer
+    assert x >= 0
+    return round(_time.perf_counter() - t0, 3)
+
+
 def _quiesce(spark) -> None:
     """Level the playing field before a timed rep: drop cached
     relations, drain Python garbage, and force a JVM collection so
@@ -1387,6 +1407,10 @@ def main() -> int:
 
     spark = get_spark("bruin_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # host-health stamp, measured BEFORE and AFTER the timed suite (a
+    # degraded phase can start mid-run); recorded in the sidecar
+    cpu_probe_start = _cpu_probe()
+    print(f"# cpu-probe (20M-iter loop): {cpu_probe_start}s", file=sys.stderr)
     # plan fingerprints hash optimizedPlan().toString(): at the default
     # maxToStringFields=25 a wide aggregate/project list prints as
     # "... N more fields", silently blinding the hash to changes inside
@@ -1501,7 +1525,13 @@ def main() -> int:
     # line as JSON (BENCH_r04 truncated mid-line once plan_hashes +
     # scale_stress grew past the buffer). Keep the stdout contract line
     # minimal; the full diagnostics go to a sidecar file next to bench.py.
-    sidecar = {**out, "plan_hashes": plan_hashes}
+    cpu_probe_end = _cpu_probe()
+    print(f"# cpu-probe (20M-iter loop, post-suite): {cpu_probe_end}s", file=sys.stderr)
+    sidecar = {
+        **out,
+        "cpu_probe_s": {"start": cpu_probe_start, "end": cpu_probe_end},
+        "plan_hashes": plan_hashes,
+    }
     if scale_stress:
         sidecar["scale_stress"] = scale_stress
     if scale_stress_skewed:

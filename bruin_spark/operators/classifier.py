@@ -70,6 +70,78 @@ def train_bucket_logodds(
     )
 
 
+def train_and_score(
+    docs: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    use_bigrams: bool = True,
+    bias: float = 0.0,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Self-trained classification in ONE featurization pass: train the
+    bucket log-odds against ``target`` and score the SAME corpus.
+
+    Output is IDENTICAL to ``classifier_scores(docs,
+    train_bucket_logodds(docs, target, ...), ...)`` — the weight table
+    is derived from the same per-(doc, bucket) counts the scoring join
+    consumes (``Σ_occurrences 1`` grouped by bucket equals ``Σ k`` over
+    the (doc, bucket, k) rows) — but the expensive featurization
+    (tokenize + unigram/bigram explode + md5 bucket hash per
+    occurrence) runs ONCE instead of once for training and once for
+    scoring (guide §2.3 / the dsir_weights shared-``doc_feats`` shape).
+    """
+    flagged = docs.select(
+        F.col(id_col), F.col(text_col), target.cast("boolean").alias("_is_t")
+    )
+    feats = hashed_features(
+        flagged, id_col, text_col, n_buckets, use_bigrams, carry=("_is_t",)
+    )
+    # (doc, bucket, k) with the target flag carried: feeds BOTH the
+    # bucket model and the scoring join (pinned — lazy, the weight
+    # broadcast is the first consumer)
+    doc_feats = materialize(
+        feats.groupBy(id_col, "_is_t", "bucket").agg(
+            F.count(F.lit(1)).alias("k")
+        ),
+        eager=False,
+    )
+    buckets = doc_feats.groupBy("bucket").agg(
+        F.sum(F.when(~F.col("_is_t"), F.col("k")).otherwise(F.lit(0))).alias("c_raw"),
+        F.sum(F.when(F.col("_is_t"), F.col("k")).otherwise(F.lit(0))).alias("c_tgt"),
+    )
+    totals = buckets.agg(F.sum("c_raw").alias("t_raw"), F.sum("c_tgt").alias("t_tgt"))
+    weights = buckets.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.log(
+            ((F.col("c_tgt") + F.lit(1)) / (F.col("t_tgt") + F.lit(n_buckets)))
+            / ((F.col("c_raw") + F.lit(1)) / (F.col("t_raw") + F.lit(n_buckets)))
+        ).alias("w"),
+    )
+    scored = (
+        doc_feats.join(F.broadcast(weights), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum("k").alias("n_feats"),
+            F.sum(F.col("k") * F.coalesce(F.col("w"), F.lit(0.0))).alias("_sw"),
+        )
+    )
+    logit = F.lit(bias) + F.col("_sw") / F.col("n_feats")
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_feats"), F.lit(0)).alias("n_feats"),
+            F.round(logit, 6).alias("logit"),
+            F.round(prob, 6).alias("prob"),
+            (prob >= F.lit(threshold)).alias("keep"),
+        )
+    )
+
+
 def classifier_scores(
     docs: DataFrame,
     weights: DataFrame,

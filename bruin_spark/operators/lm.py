@@ -88,16 +88,27 @@ def bigram_lm_scores(
     toks = base.select(F.explode("t").alias("w"))
 
     if top_v is not None:
+        # ONE corpus-scale token aggregation serves BOTH the vocab
+        # selection and the unigram model: the per-distinct-token counts
+        # are computed once, the top_v cut is a k-row TakeOrdered over
+        # them, and the unk-mapped unigram table is a re-aggregation of
+        # the |distinct tokens| count rows — never a second explode +
+        # shuffle of the token STREAM (guide §2.3 "aggregate before you
+        # shuffle"; the previous shape tokenized and shuffled the corpus
+        # twice, once for vocab and once for unigrams, with identical
+        # resulting counts: Σ_occurrences 1 grouped by mapped token ==
+        # Σ_distinct-token counts grouped by mapped token).
+        wc = materialize(
+            toks.groupBy("w").agg(F.count(F.lit(1)).alias("c")), eager=False
+        )
         vocab = (
-            toks.groupBy("w")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .orderBy(F.col("c").desc(), F.col("w").asc())
+            wc.orderBy(F.col("c").desc(), F.col("w").asc())
             .limit(top_v)
             .select("w")
         )
-        # the vocab feeds the unigram job and the pair job — pin it
-        # once; LAZY, so the first consuming job materializes it inline
-        # (scan + checkpoint-write + aggregate in one pass)
+        # the vocab feeds the unigram derivation and the pair job — pin
+        # it once; LAZY, so the first consuming job materializes it
+        # inline (scan + checkpoint-write + aggregate in one pass)
         vocab = materialize(vocab, eager=False)
 
         def _map_token(df: DataFrame, col: str) -> DataFrame:
@@ -109,14 +120,15 @@ def bigram_lm_scores(
                 .drop(kept)
             )
 
-        toks = _map_token(toks, "w")
+        unigrams = (
+            _map_token(wc, "w").groupBy("w").agg(F.sum("c").alias("c_a"))
+        )
     else:
 
         def _map_token(df: DataFrame, col: str) -> DataFrame:
             return df
 
-    # -- model: unigram and bigram counts (map-side combinable) -------
-    unigrams = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c_a"))
+        unigrams = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c_a"))
     # lazy pin: the V-probe count below is the first consumer and
     # materializes it in its own job; the scoring join then reuses it
     unigrams = materialize(unigrams, eager=False)
@@ -362,10 +374,15 @@ def stupid_backoff_scores(
     train = docs.filter(train_filter).select(tokens(text_col).alias("t"))
     train_toks = train.select(F.explode("t").alias("w"))
 
+    # ONE training-slice token aggregation serves both the vocab cut and
+    # the unigram model (same derivation as bigram_lm_scores: re-group
+    # the |distinct tokens| count rows under the unk map instead of
+    # exploding and shuffling the token stream a second time)
+    wc = materialize(
+        train_toks.groupBy("w").agg(F.count(F.lit(1)).alias("c")), eager=False
+    )
     vocab = (
-        train_toks.groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .orderBy(F.col("c").desc(), F.col("w").asc())
+        wc.orderBy(F.col("c").desc(), F.col("w").asc())
         .limit(top_v)
         .select("w")
     )
@@ -381,9 +398,7 @@ def stupid_backoff_scores(
         )
 
     # -- model counts over the training slice (all map-side combinable)
-    uni = _map_token(train_toks, "w").groupBy("w").agg(
-        F.count(F.lit(1)).alias("c1")
-    )
+    uni = _map_token(wc, "w").groupBy("w").agg(F.sum("c").alias("c1"))
     uni = materialize(uni, eager=False)
     # N: total trained tokens (single-row driver probe, same budget
     # class as bigram_lm_scores' v_size)

@@ -57,16 +57,28 @@ def _bpe_train(
     The caller owns the pin: ``release(words)`` when done (or consume
     inside ``checkpointing.pinned_scope()``).
     """
-    words = word_frequencies(docs, text_col).withColumn(
+    base = word_frequencies(docs, text_col).withColumn(
         "repr",
         F.concat(F.lit(" "), F.concat_ws(" ", F.split(F.col("w"), "")), F.lit(" ")),
     )
-    words = materialize(words, eager=True, required=True)
+    # ONE pin for the whole training loop: the corpus-scale word count
+    # is checkpointed once, and each merge step's replace chain is
+    # re-applied as a plain projection over it.  Replaces compose into
+    # a single codegen stage (exactly how apply_bpe_merges applies an
+    # external merge list), so step k's pair-count job does k×
+    # REPLACE_PASSES literal replaces over |V| rows — trivially cheap
+    # next to the corpus pass — instead of paying a localCheckpoint
+    # write + read of the whole vocab table per merge (the previous
+    # shape: n_merges extra jobs and 2× vocab-size block churn per
+    # step).  Values are identical: the projection computes the same
+    # repr strings the per-step checkpoint held.
+    base = materialize(base, eager=True, required=True)
 
     merges: list[tuple[int, str, str, int]] = []
+    repr_col = F.col("repr")
     for step in range(1, n_merges + 1):
         pc = (
-            words.withColumn("s", F.split(F.trim(F.col("repr")), " "))
+            base.withColumn("s", F.split(F.trim(repr_col), " "))
             .filter(F.size("s") >= 2)
             .select(
                 "freq",
@@ -86,19 +98,12 @@ def _bpe_train(
         pair, cnt = best[0]["pair"], int(best[0]["cnt"])
         left, right = pair.split(" ")
         merges.append((step, left, right, cnt))
-        new_repr = F.col("repr")
         for _ in range(REPLACE_PASSES):
-            new_repr = F.replace(
-                new_repr, F.lit(f" {left} {right} "), F.lit(f" {left}{right} ")
+            repr_col = F.replace(
+                repr_col, F.lit(f" {left} {right} "), F.lit(f" {left}{right} ")
             )
-        prev = words
-        words = materialize(words.withColumn("repr", new_repr), eager=True, required=True)
-        # free the previous iteration's pinned blocks — and, in
-        # 'reliable' mode, its checkpoint FILES (unpersist alone leaves
-        # O(n_merges) rdd-<id> file sets on the DFS)
-        release(prev)
 
-    return merges, words
+    return merges, base.withColumn("repr", repr_col)
 
 
 def bpe_learn_merges(
@@ -195,8 +200,14 @@ def bpe_encode_ids(
     from pyspark.sql import Window
 
     _, words = _bpe_train(docs, n_merges, text_col)
-    word_pieces = words.select(
-        "w", F.split(F.trim(F.col("repr")), " ").alias("_ps")
+    # TWO consumers fan out from the piece arrays (the piece-id vocab
+    # and the per-word id map): materialize once at the fan-out point
+    # so the trained repr's replace chain is not re-evaluated per
+    # consumer — ONE checkpoint for the whole encode instead of the
+    # per-merge checkpoints _bpe_train used to pay
+    word_pieces = materialize(
+        words.select("w", F.split(F.trim(F.col("repr")), " ").alias("_ps")),
+        eager=True,
     )
     vocab = (
         word_pieces.select(F.explode("_ps").alias("piece"))

@@ -1277,15 +1277,15 @@ QUERIES["text_url_filters"] = (text_url_filters, _url_filters_oracle())
 def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-shaped quality gate: closed-form bucket log-odds trained
     against the lang='en' subset, applied as a mean-pooled sigmoid
-    score with a 0.5 keep threshold (operators/classifier.py)."""
-    from bruin_spark.operators.classifier import (
-        classifier_scores,
-        train_bucket_logodds,
-    )
+    score with a 0.5 keep threshold.  Fused train+score path
+    (operators/classifier.py train_and_score): the featurization pass
+    runs once and serves both halves — output identical to
+    classifier_scores(docs, train_bucket_logodds(docs, ...))."""
+    from bruin_spark.operators.classifier import train_and_score
 
-    docs = _docs(spark, sf_dir)
-    w = train_bucket_logodds(docs, target=F.col("lang") == "en", n_buckets=64)
-    return classifier_scores(docs, w, n_buckets=64)
+    return train_and_score(
+        _docs(spark, sf_dir), target=F.col("lang") == "en", n_buckets=64
+    )
 
 
 def _classifier_oracle(n_buckets: int = 64) -> str:
