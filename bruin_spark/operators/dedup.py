@@ -1596,17 +1596,56 @@ def ngram_containment_pairs(
     # hash collisions must not displace keys past the prefix boundary)
     w = Window.partitionBy("id").orderBy("_df", "_hs")
     ranked = inv.join(dfreq, "_hs").withColumn("_r", F.dense_rank().over(w))
-    prefix = ranked.filter(
-        F.col("_r") <= F.col("n_sh") - F.lit(int(min_overlap)) + 1
-    ).select("id", "_hs")
+    # SIZE-ORDERED prefix join: for a qualifying pair the required
+    # overlap is r = max(min_overlap, ceil(t·min(|A|,|B|))) — much
+    # larger than the bare min_overlap when t·|small| > c — and the
+    # rarest common shingle lies within the first |x| − r + 1 positions
+    # of BOTH docs.  min(|A|,|B|) is the SMALLER side's own size, so the
+    # smaller doc's indexable prefix tightens from |x| − c + 1 to
+    # |x| − max(c, ceil(t·|x|)) + 1 (for t=0.6 that sheds ~60% of each
+    # doc's posting rows from the probe side), while the larger side
+    # keeps the c-prefix plus a pair-specific rank bound evaluated in
+    # the join.  t_prune relaxes t by the float slack so the pruning
+    # stays strictly conservative (same discipline as
+    # ngram_jaccard_pairs); verification is unchanged, so the output is
+    # EXACTLY the two-sided c-prefix plan's.
+    t_prune = threshold - 1e-6
+    c = F.lit(int(min_overlap))
+    r_small = F.greatest(c, F.ceil(F.lit(t_prune) * F.col("n_sh")))
+    # ONE evaluation of the explode/dfreq/window pipeline: the tight
+    # small-side prefix is a subset of the c-prefix, so materialize the
+    # c-prefix rows once and filter both join sides from the pinned
+    # result (two differently-filtered references would otherwise
+    # defeat exchange reuse and run the whole ranking pipeline twice)
+    prefix_large = materialize(
+        ranked.filter(F.col("_r") <= F.col("n_sh") - c + 1).select(
+            "id", "n_sh", "_r", "_hs"
+        ),
+        eager=True,
+    )
+    prefix_small = prefix_large.filter(
+        F.col("_r") <= F.col("n_sh") - r_small + 1
+    ).select("id", "n_sh", "_hs")
+    r_pair = F.greatest(c, F.ceil(F.lit(t_prune) * F.col("a.n_sh")))
     cands = (
-        prefix.alias("a")
+        prefix_small.alias("a")
         .hint("merge")
         .join(
-            prefix.alias("b").hint("merge"),
-            (F.col("a._hs") == F.col("b._hs")) & (F.col("a.id") < F.col("b.id")),
+            prefix_large.alias("b").hint("merge"),
+            (F.col("a._hs") == F.col("b._hs"))
+            # size order (n_sh, id): 'a' is the pair's smaller doc
+            & (
+                (F.col("a.n_sh") < F.col("b.n_sh"))
+                | ((F.col("a.n_sh") == F.col("b.n_sh")) & (F.col("a.id") < F.col("b.id")))
+            )
+            # the larger doc's pair-specific prefix bound (its own
+            # filter above only encoded the weaker c bound)
+            & (F.col("b._r") <= F.col("b.n_sh") - r_pair + 1),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+        )
         .distinct()
     )
     cands = materialize(cands, eager=True)
