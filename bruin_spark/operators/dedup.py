@@ -751,7 +751,15 @@ def hamming_near_pairs(
 
 def _large_star(e: DataFrame) -> DataFrame:
     """Large-star round: every node points its LARGER neighbors at the
-    minimum of its neighborhood (including itself)."""
+    minimum of its neighborhood (including itself).
+
+    NO trailing distinct: every composition site is
+    ``_small_star(_large_star(e))``, and the small-star round's
+    ``withself.distinct()`` removes duplicate edges anyway — a distinct
+    here would pay one extra full-edge-set exchange per CC round for
+    rows the very next operator re-dedups (the duplicate volume the
+    small star absorbs is exactly what the dropped distinct processed).
+    """
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     mins = (
         sym.groupBy("u")
@@ -762,7 +770,6 @@ def _large_star(e: DataFrame) -> DataFrame:
         sym.join(mins, "u")
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .distinct()
     )
 
 
@@ -863,9 +870,14 @@ def connected_components(
     if stats is not None:
         stats["rounds"] = rounds
 
-    # converged star edges: (node, root); roots map to themselves
+    # converged star edges: (node, root); roots map to themselves.
+    # Plain union, no distinct: e is distinct (small-star output), roots
+    # is distinct, and the two sets are disjoint (every e row has
+    # u != v — the small star filters v != m — while every roots row
+    # has u == v), so a distinct here would be one full exchange over
+    # rows that are already unique.
     roots = e.select(F.col("v").alias("u"), F.col("v").alias("v")).distinct()
-    return e.union(roots).distinct().select(
+    return e.union(roots).select(
         F.col("u").alias("node"), F.col("v").alias("component")
     )
 
