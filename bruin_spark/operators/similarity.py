@@ -714,10 +714,11 @@ def pq_encode(
     m: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "unit_vec",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Encode each vector to ``m`` codebook ids: ``(id_col, codes)``
-    with ``codes[j]`` the L2-nearest code of subspace ``j`` (ties to
-    the smaller code).
+    """Encode each vector to ``m`` codebook ids: ``(id_col, *carry,
+    codes)`` with ``codes[j]`` the L2-nearest code of subspace ``j``
+    (ties to the smaller code).
 
     100 TB shape: the corpus explodes to m sub-vector rows, scores the
     BROADCAST codebook (m·n_codes rows), and the per-(vec, subspace)
@@ -725,6 +726,12 @@ def pq_encode(
     rows per vector, then one groupBy reassembles the m-byte code
     word.  8-32x smaller than the embedding column; the scan-speed
     payoff is :func:`pq_adc_topk`.
+
+    ``carry``: extra per-vector columns (functionally dependent on the
+    id, e.g. the IVF cell assignment) that ride through the encode as
+    additional grouping keys — cheaper than re-deriving the input
+    relation afterwards just to join one column back on (the join's
+    probe side would re-run the whole upstream pipeline).
     """
     subs = F.array(
         *[
@@ -732,15 +739,19 @@ def pq_encode(
             for j in range(m)
         ]
     )
-    ex = df.select(F.col(id_col), F.explode(subs).alias("_s")).select(
-        id_col, F.col("_s.j").alias("j"), F.col("_s.sub").alias("sub")
+    ex = df.select(
+        F.col(id_col), *[F.col(c) for c in carry], F.explode(subs).alias("_s")
+    ).select(
+        id_col, *carry, F.col("_s.j").alias("j"), F.col("_s.sub").alias("sub")
     )
     scored = ex.join(F.broadcast(codebooks), "j").withColumn(
         "_d", _l2sq(F.col("sub"), F.col("code_vec"))
     )
     tie = F.struct((-F.col("_d")).alias("_nd"), (-F.col("code")).alias("_nc"))
-    per_sub = scored.groupBy(id_col, "j").agg(F.max_by(F.col("code"), tie).alias("code"))
-    return per_sub.groupBy(id_col).agg(
+    per_sub = scored.groupBy(id_col, *carry, "j").agg(
+        F.max_by(F.col("code"), tie).alias("code")
+    )
+    return per_sub.groupBy(id_col, *carry).agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("j", "code"))), lambda s: s["code"]
         ).alias("codes")
@@ -877,6 +888,15 @@ def ivf_pq_topk(
     resid = assigned.join(F.broadcast(cents), "centroid_id").withColumn(
         "rvec", F.zip_with("unit_vec", "centroid_vec", lambda x, y: x - y)
     )
+    # ONE evaluation of the scan→normalize→assign→residual pipeline:
+    # it feeds the codebook-seed cut AND the encode (previously also a
+    # centroid_id join-back — three executions of the corpus pipeline
+    # per call).  Materializing the (id, centroid_id, rvec) projection
+    # is the IVFADC index BUILD artifact anyway — production persists
+    # exactly this relation (partitioned by cell).
+    resid = materialize(
+        resid.select(id_col, "centroid_id", "rvec"), eager=True
+    )
 
     # codebook seeds: rank over the (n_centroids + n_codes)-row LIMIT,
     # never the corpus
@@ -899,13 +919,11 @@ def ivf_pq_topk(
         (F.col("_rn") - n_centroids - 1).alias("code"), F.explode(subs).alias("_s")
     ).select(F.col("_s.j").alias("j"), "code", F.col("_s.code_vec").alias("code_vec"))
 
-    codes = pq_encode(
-        resid.select(id_col, "rvec"), cbs, m=m, id_col=id_col, vec_col="rvec"
-    )
-    corpus_codes = codes.join(
-        resid.select(F.col(id_col).alias("nn_id"), "centroid_id"),
-        codes[id_col] == F.col("nn_id"),
-    ).select("nn_id", "codes", "centroid_id")
+    # the cell assignment rides through the encode as a carried key —
+    # no join-back against a second evaluation of the corpus pipeline
+    corpus_codes = pq_encode(
+        resid, cbs, m=m, id_col=id_col, vec_col="rvec", carry=("centroid_id",)
+    ).select(F.col(id_col).alias("nn_id"), "codes", "centroid_id")
 
     # -- query side: probe cells, residualize, ADC tables per (q, cell)
     qs_u = with_unit_vectors(queries, vec_col)
@@ -970,9 +988,15 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= int(rerank))
         .select("query_id", "nn_id")
     )
-    cand = F.broadcast(shortlist).join(
-        corpus_u.select(F.col(id_col).alias("nn_id"), F.col("unit_vec").alias("cv")),
-        "nn_id",
+    # fetch raw embeddings for the shortlist FIRST, normalize after the
+    # broadcast join: the unit-vector fold runs on r·|Q| candidate rows
+    # instead of every corpus row (identical per-row arithmetic)
+    cand = with_unit_vectors(
+        F.broadcast(shortlist).join(
+            df.select(F.col(id_col).alias("nn_id"), F.col(vec_col)), "nn_id"
+        ),
+        vec_col,
+        out="cv",
     )
     qvs = qs_u.select(
         F.col(query_id_col).alias("query_id"), F.col("unit_vec").alias("qv")
