@@ -1505,11 +1505,25 @@ def write_span_index_bucketed(
     try:
         jvm = spark.sparkContext._jvm
         wh = spark.conf.get("spark.sql.warehouse.dir")
-        path = jvm.org.apache.hadoop.fs.Path(wh, table.lower())
+        # resolve the default location the way the session catalog does:
+        # a qualified name db.tbl lives at wh/<db>.db/<tbl>, not
+        # wh/db.tbl (the literal-lowercase form silently missed it and
+        # LOCATION_ALREADY_EXISTS resurfaced for qualified tables)
+        parts = [p.strip("`").lower() for p in table.split(".")]
+        rel = parts[-1] if len(parts) == 1 else f"{parts[-2]}.db/{parts[-1]}"
+        path = jvm.org.apache.hadoop.fs.Path(wh, rel)
         fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
         fs.delete(path, True)
-    except Exception:
-        pass  # non-default location/catalog: let saveAsTable report
+    except Exception as e:  # noqa: BLE001
+        # non-default location/catalog: saveAsTable will report — but a
+        # SWALLOWED failure must stay visible, or a failed cleanup shows
+        # up later as an opaque LOCATION_ALREADY_EXISTS
+        import warnings
+
+        warnings.warn(
+            f"span-index leftover cleanup for {table!r} skipped: {e}",
+            stacklevel=2,
+        )
     (
         index.write.mode("overwrite")
         .format("parquet")

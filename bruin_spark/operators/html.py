@@ -96,18 +96,27 @@ def _link_chars_sql(b: str, duck: bool = False) -> str:
 
     ``duck`` as in :func:`_plain_sql`; additionally DuckDB spells
     array_join as array_to_string and returns NULL for the empty list
-    (a no-anchor block must score 0, not NULL — COALESCE pins that)."""
+    (a no-anchor block must score 0, not NULL — COALESCE pins that).
+
+    The anchor-open pattern is the STRICT ``<a(?:\\s[^>]*)?>`` —
+    matching :func:`_anchor_net_sql` — not ``<a[^>]*>``, which also
+    matches any tag whose name merely starts with 'a' (``<abbr>``,
+    ``<audio>``, ``<area>``): under the loose form a legitimate long
+    block containing such a tag had its following text counted as
+    anchor text and could be dropped as link-dense."""
     g = ", 'g'" if duck else ""
     ws = r"\s+" if duck else r"\\s+"
-    extracted = f"regexp_extract_all({b}, '(?is)<a[^>]*>(.*?)</a>', 1)"
+    wso = r"\s" if duck else r"\\s"
+    a_open = f"<a(?:{wso}[^>]*)?>"
+    extracted = f"regexp_extract_all({b}, '(?is){a_open}(.*?)</a>', 1)"
     if duck:
         anchors = f"COALESCE(array_to_string({extracted}, ' '), '')"
     else:
         anchors = f"array_join({extracted}, ' ')"
     # remove complete anchors, then everything after the LAST remaining
     # (necessarily unclosed) '<a ...>' is anchor text too
-    no_complete = f"regexp_replace({b}, '(?is)<a[^>]*>.*?</a>', ' '{g})"
-    tail = f"regexp_extract({no_complete}, '(?is)^.*<a[^>]*>(.*)$', 1)"
+    no_complete = f"regexp_replace({b}, '(?is){a_open}.*?</a>', ' '{g})"
+    tail = f"regexp_extract({no_complete}, '(?is)^.*{a_open}(.*)$', 1)"
     combined = f"concat({anchors}, ' ', {tail})"
     plain = f"regexp_replace({combined}, '<[^>]*>', ' '{g})"
     return f"length(regexp_replace({_unescape_sql(plain)}, '{ws}', ''{g}))"

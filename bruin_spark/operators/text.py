@@ -702,18 +702,24 @@ def url_filters(
 # -- URL canonicalization + URL-level dedup --------------------------------------
 
 #: query parameters that never change page content — dropped during
-#: canonicalization (any ``utm_``-prefixed name is dropped too)
+#: canonicalization (any ``utm_``-prefixed name is dropped too).
+#: ONLY unambiguous tracker names: generic names like ``ref`` are
+#: content-bearing on many real sites (git hosting ``?ref=branch``,
+#: docs build pages) and stripping them silently collapses genuinely
+#: distinct pages into one canonical group — document loss before
+#: content dedup ever runs.  Pipelines that know their crawl can pass
+#: a wider set via ``canonical_url(..., tracking_params=...)``.
 URL_TRACKING_PARAMS: tuple[str, ...] = (
     "fbclid",
     "gclid",
     "msclkid",
-    "ref",
-    "sessionid",
-    "phpsessid",
 )
 
 
-def canonical_url(url_col: str | Column = "url") -> Column:
+def canonical_url(
+    url_col: str | Column = "url",
+    tracking_params: tuple[str, ...] = URL_TRACKING_PARAMS,
+) -> Column:
     """Canonical form of a URL: the key for crawl-level URL dedup
     (every large pipeline dedups snapshots BY URL before touching
     text — CommonCrawl-derived corpora like C4/RefinedWeb do this
@@ -723,7 +729,7 @@ def canonical_url(url_col: str | Column = "url") -> Column:
     the scan): lowercase scheme and host, strip a leading ``www.``,
     strip the scheme's default port (:80/:443), drop the fragment,
     strip trailing slashes from the path ('' -> '/'), drop tracking
-    parameters (:data:`URL_TRACKING_PARAMS` + any ``utm_*``), and sort
+    parameters (``tracking_params`` + any ``utm_*``), and sort
     the surviving query parameters.  NULL/schemeless input yields NULL
     (callers decide whether that fails open or closed).
     """
@@ -745,7 +751,7 @@ def canonical_url(url_col: str | Column = "url") -> Column:
     path = F.regexp_replace(path, r"/+$", "")
     path = F.when(path == "", F.lit("/")).otherwise(path)
     query = F.regexp_extract(rest, r"\?(.*)", 1)
-    tracked = F.array(*[F.lit(p) for p in URL_TRACKING_PARAMS])
+    tracked = F.array(*[F.lit(p) for p in tracking_params])
     params = F.filter(
         F.split(query, "&"),
         lambda p: (p != "")
@@ -771,6 +777,7 @@ def url_dedup(
     df: DataFrame,
     url_col: str = "url",
     id_col: str = "doc_id",
+    tracking_params: tuple[str, ...] = URL_TRACKING_PARAMS,
 ) -> DataFrame:
     """URL-level dedup table: one row per canonical URL with
     ``(canon_url, group_size, n_variants, canonical_id)`` — the kept
@@ -787,7 +794,9 @@ def url_dedup(
     partial aggregates absorb map-side.
     """
     canon = df.select(
-        F.col(id_col), F.col(url_col).alias("_raw"), canonical_url(url_col).alias("canon_url")
+        F.col(id_col),
+        F.col(url_col).alias("_raw"),
+        canonical_url(url_col, tracking_params).alias("canon_url"),
     ).filter(F.col("canon_url").isNotNull())
     return canon.groupBy("canon_url").agg(
         F.count(F.lit(1)).alias("group_size"),

@@ -59,11 +59,19 @@ def main() -> int:
             text=True,
             cwd=REPO,
         )
-        line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else "{}"
-        try:
-            res = json.loads(line) if proc.returncode == 0 else {}
-        except json.JSONDecodeError:
-            res = {}
+        # scan stdout in REVERSE for the first line that parses to the
+        # bench contract dict: a trailing diagnostic print after the
+        # JSON line must not discard a successful run's evidence
+        res = {}
+        if proc.returncode == 0:
+            for line in reversed(proc.stdout.strip().splitlines()):
+                try:
+                    cand = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if isinstance(cand, dict) and "queries" in cand:
+                    res = cand
+                    break
         got = res.get("queries", {})
         if name not in got:
             # keep going: each completed entry cost a full fresh-JVM

@@ -515,7 +515,9 @@ def test_canonical_url(spark):
         ("https://example.org/a?real=1#frag?fake=2", "https://example.org/a?real=1"),
         ("https://example.org/a?utm_source=x&b=2&a=1", "https://example.org/a?a=1&b=2"),
         ("https://example.org/a?UTM_CAMPAIGN=x&fbclid=y", "https://example.org/a"),
-        ("https://example.org/a?REF=z&keep=1", "https://example.org/a?keep=1"),
+        # 'ref' is content-bearing on many real sites (git hosting
+        # ?ref=branch) and is NOT in the default tracker set — kept
+        ("https://example.org/a?REF=z&keep=1", "https://example.org/a?REF=z&keep=1"),
         ("https://example.org", "https://example.org/"),
         ("https://example.org/?", "https://example.org/"),
         ("ftp://Files.example.org/pub/", "ftp://files.example.org/pub"),
@@ -528,6 +530,12 @@ def test_canonical_url(spark):
     got = {r["i"]: r["c"] for r in df.select("i", canonical_url("url").alias("c")).collect()}
     for i, (raw, want) in enumerate(cases):
         assert got[i] == want, (raw, got[i], want)
+    # a pipeline that KNOWS its crawl can widen the tracker set
+    wide = df.select(
+        "i", canonical_url("url", ("fbclid", "gclid", "msclkid", "ref")).alias("c")
+    )
+    got_w = {r["i"]: r["c"] for r in wide.collect()}
+    assert got_w[10] == "https://example.org/a?keep=1"
 
 
 def test_url_dedup_groups(spark):

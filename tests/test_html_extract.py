@@ -50,9 +50,11 @@ def _py_plain(block: str) -> str:
 
 def _py_link_chars(block: str) -> int:
     # complete anchors + the text after a trailing unclosed '<a ...>'
-    anchors = " ".join(re.findall(r"(?is)<a[^>]*>(.*?)</a>", block))
-    no_complete = re.sub(r"(?is)<a[^>]*>.*?</a>", " ", block)
-    m = re.match(r"(?is)^.*<a[^>]*>(.*)$", no_complete)
+    # strict anchor-open pattern (matches _anchor_net_sql): <a[^>]*>
+    # would also match <abbr>/<audio>/<area> and miscount their text
+    anchors = " ".join(re.findall(r"(?is)<a(?:\s[^>]*)?>(.*?)</a>", block))
+    no_complete = re.sub(r"(?is)<a(?:\s[^>]*)?>.*?</a>", " ", block)
+    m = re.match(r"(?is)^.*<a(?:\s[^>]*)?>(.*)$", no_complete)
     tail = m.group(1) if m else ""
     plain = re.sub(r"<[^>]*>", " ", anchors + " " + tail)
     return len(re.sub(r"\s+", "", _py_unescape(plain)))
