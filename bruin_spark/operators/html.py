@@ -167,14 +167,32 @@ def extract_main_content(
     blocks = F.split(F.regexp_replace(cleaned, BLOCK_TAG_RE, BLOCK_SEP), BLOCK_SEP)
 
     nets = f"transform(_blocks, b -> {_anchor_net_sql('b')})"
+    # running-sum array of the nets, built in ONE aggregate pass:
+    # _depths[i] (0-based pairing) = sum of nets[0..i-1] = the anchor
+    # depth block i starts at.  The previous form re-summed
+    # aggregate(slice(_nets, 1, i), ...) PER BLOCK — O(blocks²) adds
+    # per page, a straggler risk on adversarial 50k-block crawl pages
+    # (~1.2B adds in one row).  Values are identical.
+    depths = (
+        "aggregate(_nets, named_struct('s', 0, 'ds', array(0)), "
+        "(acc, x) -> named_struct('s', acc.s + x, "
+        "'ds', array_append(acc.ds, acc.s + x)), acc -> acc.ds)"
+    )
     # depth at block start = clamped prefix sum of the nets; lc = -1 is
     # the in-anchor sentinel, resolved to the block's full text mass in
-    # the next projection (where tc is available)
+    # the next projection (where tc is available).  zip_with, NOT
+    # element_at(_depths, i) inside a transform lambda: Catalyst's
+    # project collapsing inlines the _depths EXPRESSION into the lambda
+    # body, where it would re-run the whole running-sum build once per
+    # block (O(blocks²) again, verified: a 2000-block page planned that
+    # way runs for minutes) — zip_with takes the arrays as arguments,
+    # which are evaluated once per ROW even after inlining.
     stats = (
-        f"transform(_blocks, (b, i) -> named_struct("
+        f"zip_with(_blocks, slice(_depths, 1, size(_blocks)), "
+        f"(b, d) -> named_struct("
         f"'plain', {_plain_sql('b')}, "
-        f"'lc', CASE WHEN greatest(0, aggregate(slice(_nets, 1, i), 0, "
-        f"(a, x) -> a + x)) > 0 THEN -1 ELSE {_link_chars_sql('b')} END))"
+        f"'lc', CASE WHEN greatest(0, d) > 0 "
+        f"THEN -1 ELSE {_link_chars_sql('b')} END))"
     )
     scored = (
         "transform(_s1, s -> named_struct("
@@ -189,6 +207,7 @@ def extract_main_content(
     return (
         df.withColumn("_blocks", blocks)
         .withColumn("_nets", F.expr(nets))
+        .withColumn("_depths", F.expr(depths))
         .withColumn("_s1", F.expr(stats))
         .withColumn("_s2", F.expr(scored))
         .withColumn("_kept", F.expr(kept))

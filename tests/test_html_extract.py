@@ -237,3 +237,28 @@ def test_funnel_html_stage(spark):
     att = funnel_attrition(dec).collect()
     assert att[0].stage == "extract" and att[0].stage_no == 1
     assert att[0].n_in == 2 and att[0].n_dropped == 1
+
+
+def test_pathological_many_block_page(spark):
+    """Adversarial 4000-block page (alternating anchored cards and
+    prose): the linearized running-sum anchor depth must agree with the
+    pure-Python reference — and finish without the O(blocks²) per-block
+    re-summation the previous slice-aggregate form paid."""
+    import time
+
+    page = "".join(
+        (
+            f'<div><a href="/{i}"><h4>Hot card {i}</h4><p>{LONG} t{i}.</p></a></div>'
+            if i % 3 == 0
+            else f"<p>{LONG} paragraph number {i} keeps the page long.</p>"
+        )
+        for i in range(2000)
+    )
+    df = spark.createDataFrame([(0, page)], "doc_id bigint, html string")
+    t0 = time.perf_counter()
+    r = extract_main_content(df, min_chars=MIN_CHARS, max_link_density=MAX_LD).collect()[0]
+    wall = time.perf_counter() - t0
+    n_blocks, n_kept, text = py_extract(page)
+    assert (r.n_blocks, r.n_kept, r.text) == (n_blocks, n_kept, text)
+    # generous bound: the quadratic form took minutes on this shape
+    assert wall < 60, f"pathological page took {wall:.1f}s"
