@@ -50,12 +50,14 @@ def _bpe_train(
     docs: DataFrame,
     n_merges: int,
     text_col: str,
-) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
-    """The shared training loop: returns ``(merges, words)`` where
-    ``words`` is the PINNED post-merge vocabulary ``(w, freq, repr)``
-    — ``repr`` is the space-delimited merged-symbol form of ``w``.
-    The caller owns the pin: ``release(words)`` when done (or consume
-    inside ``checkpointing.pinned_scope()``).
+) -> tuple[list[tuple[int, str, str, int]], DataFrame, DataFrame]:
+    """The shared training loop: returns ``(merges, words, base)``
+    where ``words`` is the post-merge vocabulary ``(w, freq, repr)`` —
+    ``repr`` is the space-delimited merged-symbol form of ``w`` — as a
+    PROJECTION over ``base``, the PINNED word-frequency checkpoint.
+    The caller owns the pin: ``release(base)`` once nothing derived
+    from ``words`` will run again (or consume inside
+    ``checkpointing.pinned_scope()``).
     """
     base = word_frequencies(docs, text_col).withColumn(
         "repr",
@@ -103,7 +105,7 @@ def _bpe_train(
                 repr_col, F.lit(f" {left} {right} "), F.lit(f" {left}{right} ")
             )
 
-    return merges, base.withColumn("repr", repr_col)
+    return merges, base.withColumn("repr", repr_col), base
 
 
 def bpe_learn_merges(
@@ -118,14 +120,16 @@ def bpe_learn_merges(
     sentinel spaces (`` a b c ``); each iteration counts adjacent symbol
     pairs weighted by word frequency, picks the (count DESC, pair ASC)
     best, and rewrites `` left right `` -> `` leftright `` across the
-    vocab. ``localCheckpoint`` cuts the per-iteration lineage so the
-    plan doesn't grow with the merge count.
+    vocab. The word-frequency base is checkpointed ONCE; each step's
+    plan is the accumulated replace chain over it (bounded by
+    n_merges × REPLACE_PASSES literal replaces — one codegen stage).
     """
     spark = docs.sparkSession
-    merges, words = _bpe_train(docs, n_merges, text_col)
-    # the merge table is driver-side; the last vocab round's pinned
-    # blocks / checkpoint files aren't part of the result — release them
-    release(words)
+    merges, _words, base = _bpe_train(docs, n_merges, text_col)
+    # the merge table is driver-side; the pinned word-frequency base
+    # isn't part of the result — release it (the checkpoint files in
+    # 'reliable' mode included)
+    release(base)
     return spark.createDataFrame(
         merges, "step int, merge_left string, merge_right string, pair_count bigint"
     )
@@ -157,7 +161,7 @@ def bpe_encode_counts(
     / python-asset concern (no native tokenizer); this extends the
     training-data family alongside bpe_learn_merges.
     """
-    _, words = _bpe_train(docs, n_merges, text_col)
+    _, words, _base = _bpe_train(docs, n_merges, text_col)
     # repr is ' p1 p2 ... pk ' → k pieces for the word
     pieces = words.select(
         "w", F.size(F.split(F.trim(F.col("repr")), " ")).alias("n_pieces")
@@ -199,7 +203,7 @@ def bpe_encode_ids(
     """
     from pyspark.sql import Window
 
-    _, words = _bpe_train(docs, n_merges, text_col)
+    _, words, _base = _bpe_train(docs, n_merges, text_col)
     # TWO consumers fan out from the piece arrays (the piece-id vocab
     # and the per-word id map): materialize once at the fan-out point
     # so the trained repr's replace chain is not re-evaluated per
@@ -314,7 +318,7 @@ def bpe_fertility_by_lang(
     if merges is not None:
         words = apply_bpe_merges(word_frequencies(docs, text_col), merges)
     else:
-        _, words = _bpe_train(docs, n_merges, text_col)
+        _, words, _base = _bpe_train(docs, n_merges, text_col)
     pieces = words.select(
         "w", F.size(F.split(F.trim(F.col("repr")), " ")).alias("n_pieces")
     )

@@ -506,7 +506,7 @@ def test_bpe_encode_ids_consistent_with_counts_and_decodable(spark):
     with pinned_scope():
         ids_rows = {r["doc_id"]: r for r in bpe_encode_ids(docs, n_merges=3).collect()}
         counts = {r["doc_id"]: r for r in bpe_encode_counts(docs, n_merges=3).collect()}
-        _, words = _bpe_train(docs, 3, "text")
+        _, words, _base = _bpe_train(docs, 3, "text")
         reprs = {r["w"]: r["repr"].strip().split(" ") for r in words.collect()}
     assert set(ids_rows) == {1, 2, 3}
     for d, r in ids_rows.items():
