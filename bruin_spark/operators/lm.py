@@ -17,10 +17,12 @@ high-probability documents are templated spam.
   bigram table grows with the corpus (Heaps' law) and the scoring join
   degrades to a key shuffle; both modes are supported, pruned is the
   production setting.
-- The unk-mapping itself is a broadcast left join applied to the
-  bigram's two sides INDEPENDENTLY (mapping is per-token, so it
-  commutes with pairing) — the corpus-side stream is never
-  re-assembled positionally.
+- The unk-mapping applies to the bigram's two sides INDEPENDENTLY
+  (mapping is per-token, so it commutes with pairing) — the
+  corpus-side stream is never re-assembled positionally.  For vocabs
+  up to ``INSET_MAX_VOCAB`` it is a literal IN-set expression (pure
+  map-side, no join node on the corpus stream); above that it is a
+  broadcast left join.
 - Scoring is one groupBy(doc, a, b) pre-aggregation (duplicate bigrams
   collapse map-side) + broadcast joins against the model + one groupBy
   per document. Every expression is a Spark built-in; no Python in the
@@ -51,6 +53,30 @@ from bruin_spark.checkpointing import materialize
 from bruin_spark.operators.text import tokens
 
 UNK = "<unk>"
+
+# Vocabulary-size cutoff for inlining the unk map as a literal IN-set
+# expression instead of a broadcast left join.  The vocab is bounded by
+# ``top_v`` (a parameter, known before anything runs), so up to this
+# size it is collected to the driver (same bounded-collect budget class
+# as the v_size / n_total single-row probes) and the map becomes a pure
+# map-side expression — no broadcast exchange, no relation build, no
+# join node on the corpus-scale token/pair/trigram streams (guide §2.4:
+# remove the shuffle machinery outright when the small side is tiny).
+# Catalyst turns the IN into an InSet hash probe above
+# spark.sql.optimizer.inSetConversionThreshold, so per-row cost matches
+# the join's hash probe without the exchange.  Above the cutoff the
+# broadcast-join form is kept: a 100k-literal expression tree bloats
+# the plan and the task closure for no win over a broadcast.
+INSET_MAX_VOCAB = 4096
+
+
+def _unk_map_expr(col: str, vocab: list[str]) -> Column:
+    """``col`` if it is in ``vocab`` else ``<unk>`` — the literal-IN-set
+    form of the unk map.  NULL tokens map to UNK exactly like the
+    broadcast-left-join form (NULL isin(...) is NULL -> otherwise)."""
+    if not vocab:
+        return F.lit(UNK)
+    return F.when(F.col(col).isin(vocab), F.col(col)).otherwise(F.lit(UNK))
 
 
 def _pairs(tok_col: str) -> Column:
@@ -101,24 +127,40 @@ def bigram_lm_scores(
         wc = materialize(
             toks.groupBy("w").agg(F.count(F.lit(1)).alias("c")), eager=False
         )
-        vocab = (
-            wc.orderBy(F.col("c").desc(), F.col("w").asc())
-            .limit(top_v)
-            .select("w")
-        )
-        # the vocab feeds the unigram derivation and the pair job — pin
-        # it once; LAZY, so the first consuming job materializes it
-        # inline (scan + checkpoint-write + aggregate in one pass)
-        vocab = materialize(vocab, eager=False)
+        if top_v <= INSET_MAX_VOCAB:
+            # the vocab is ≤ top_v rows: collect it once (this is also
+            # the job that materializes the pinned wc) and apply the
+            # unk map as a literal IN-set expression — zero broadcast
+            # joins on the corpus-scale pair stream below
+            vocab_list = [
+                r[0]
+                for r in wc.orderBy(F.col("c").desc(), F.col("w").asc())
+                .limit(top_v)
+                .collect()
+            ]
 
-        def _map_token(df: DataFrame, col: str) -> DataFrame:
-            kept = f"__kept_{col}"
-            v = vocab.select(F.col("w").alias(kept))
-            return (
-                df.join(F.broadcast(v), df[col] == F.col(kept), "left")
-                .withColumn(col, F.coalesce(F.col(kept), F.lit(UNK)))
-                .drop(kept)
+            def _map_token(df: DataFrame, col: str) -> DataFrame:
+                return df.withColumn(col, _unk_map_expr(col, vocab_list))
+
+        else:
+            vocab = (
+                wc.orderBy(F.col("c").desc(), F.col("w").asc())
+                .limit(top_v)
+                .select("w")
             )
+            # the vocab feeds the unigram derivation and the pair job —
+            # pin it once; LAZY, so the first consuming job materializes
+            # it inline (scan + checkpoint-write + aggregate in one pass)
+            vocab = materialize(vocab, eager=False)
+
+            def _map_token(df: DataFrame, col: str) -> DataFrame:
+                kept = f"__kept_{col}"
+                v = vocab.select(F.col("w").alias(kept))
+                return (
+                    df.join(F.broadcast(v), df[col] == F.col(kept), "left")
+                    .withColumn(col, F.coalesce(F.col(kept), F.lit(UNK)))
+                    .drop(kept)
+                )
 
         unigrams = (
             _map_token(wc, "w").groupBy("w").agg(F.sum("c").alias("c_a"))
@@ -381,21 +423,38 @@ def stupid_backoff_scores(
     wc = materialize(
         train_toks.groupBy("w").agg(F.count(F.lit(1)).alias("c")), eager=False
     )
-    vocab = (
-        wc.orderBy(F.col("c").desc(), F.col("w").asc())
-        .limit(top_v)
-        .select("w")
-    )
-    vocab = materialize(vocab, eager=False)
+    if top_v <= INSET_MAX_VOCAB:
+        # tiny vocab (bounded by the top_v parameter): collect it once
+        # and inline the unk map as a literal IN-set — this removes
+        # NINE broadcast joins from the call (three over the
+        # corpus-scale scoring trigram stream, six over the training
+        # streams), leaving only the vocab-bounded model joins
+        vocab_list = [
+            r[0]
+            for r in wc.orderBy(F.col("c").desc(), F.col("w").asc())
+            .limit(top_v)
+            .collect()
+        ]
 
-    def _map_token(df: DataFrame, col: str) -> DataFrame:
-        kept = f"__kept_{col}"
-        v = vocab.select(F.col("w").alias(kept))
-        return (
-            df.join(F.broadcast(v), df[col] == F.col(kept), "left")
-            .withColumn(col, F.coalesce(F.col(kept), F.lit(UNK)))
-            .drop(kept)
+        def _map_token(df: DataFrame, col: str) -> DataFrame:
+            return df.withColumn(col, _unk_map_expr(col, vocab_list))
+
+    else:
+        vocab = (
+            wc.orderBy(F.col("c").desc(), F.col("w").asc())
+            .limit(top_v)
+            .select("w")
         )
+        vocab = materialize(vocab, eager=False)
+
+        def _map_token(df: DataFrame, col: str) -> DataFrame:
+            kept = f"__kept_{col}"
+            v = vocab.select(F.col("w").alias(kept))
+            return (
+                df.join(F.broadcast(v), df[col] == F.col(kept), "left")
+                .withColumn(col, F.coalesce(F.col(kept), F.lit(UNK)))
+                .drop(kept)
+            )
 
     # -- model counts over the training slice (all map-side combinable)
     uni = _map_token(wc, "w").groupBy("w").agg(F.sum("c").alias("c1"))

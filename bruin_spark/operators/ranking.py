@@ -58,18 +58,20 @@ def bm25_topk(
     gstats = lens.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
+    # dl rides through the explode (constant per doc, min() restores it
+    # after the groupBy) instead of joining the corpus-scale lens table
+    # back onto tf — one fewer corpus join/scan (guide §2.4); the token
+    # array binds once in the projection below, so size() and explode()
+    # share the same evaluation
     tf = (
-        docs.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
+        docs.select(F.col(id_col).alias("id"), toks.alias("_t"))
+        .select("id", F.size("_t").alias("dl"), F.explode("_t").alias("tok"))
         .filter(F.col("tok").isin(list(query_terms)))
         .groupBy("id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
     )
     df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    joined = (
-        tf.join(F.broadcast(df_t), "tok")
-        .join(lens, "id")
-        .crossJoin(F.broadcast(gstats))
-    )
+    joined = tf.join(F.broadcast(df_t), "tok").crossJoin(F.broadcast(gstats))
     idf = F.log(
         (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
         + F.lit(1.0)
@@ -138,17 +140,20 @@ def bm25_multi_topk(
     gstats = lens.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
+    # dl rides through the explode (constant per doc) instead of joining
+    # the corpus-scale lens table back onto tf — one fewer corpus
+    # join/scan per batch call (guide §2.4)
     tf = (
-        docs.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
+        docs.select(F.col(id_col).alias("id"), toks.alias("_t"))
+        .select("id", F.size("_t").alias("dl"), F.explode("_t").alias("tok"))
         .join(F.broadcast(term_set), "tok", "left_semi")
         .groupBy("id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
     )
     df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     joined = (
         tf.join(F.broadcast(qterms), "tok")
         .join(F.broadcast(df_t), "tok")
-        .join(lens, "id")
         .crossJoin(F.broadcast(gstats))
     )
     idf = F.log(

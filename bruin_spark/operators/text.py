@@ -875,30 +875,43 @@ def gopher_repetition_rules(
     grp = exploded.groupBy(id_col, "kind", "gram").agg(
         F.count(F.lit(1)).alias("c"), F.first("_chars").alias("_chars")
     )
-    per_kind = grp.groupBy(id_col, "kind").agg(
-        F.sum("c").alias("n_occ"),
-        F.count(F.lit(1)).alias("n_groups"),
-        F.max(F.col("c") * F.length("gram")).alias("top_char"),
-        F.sum(F.when(F.col("c") >= 2, F.col("c") * F.length("gram")).otherwise(0)).alias(
-            "dup_char"
-        ),
-        F.first("_chars").alias("_chars"),
-    )
 
-    def kv(kind: str, expr_name: str):
-        return F.max(F.when(F.col("kind") == kind, F.col(expr_name)))
+    # per-kind statistics as CONDITIONAL aggregates directly in the
+    # per-document groupBy — the former intermediate groupBy(doc, kind)
+    # exchange collapses into this one (3 Exchanges -> 2; guide §2.4).
+    # Absent kinds yield NULL exactly as the old max-over-missing-row
+    # pivot did: sum/max over a when(...) with no otherwise() sees only
+    # NULLs for non-matching rows and returns NULL when the kind never
+    # occurs; dup_char nests its otherwise(0) INSIDE the kind gate so a
+    # present kind with no c>=2 group still reads 0, not NULL.
+    def n_occ(kind: str):
+        return F.sum(F.when(F.col("kind") == kind, F.col("c")))
+
+    def n_groups(kind: str):
+        return F.sum(F.when(F.col("kind") == kind, F.lit(1)))
+
+    def top_char(kind: str):
+        return F.max(F.when(F.col("kind") == kind, F.col("c") * F.length("gram")))
+
+    def dup_char(kind: str):
+        return F.sum(
+            F.when(
+                F.col("kind") == kind,
+                F.when(F.col("c") >= 2, F.col("c") * F.length("gram")).otherwise(0),
+            )
+        )
 
     chars_d = F.greatest(F.max("_chars"), F.lit(1)).cast("double")
     measures = {
-        "dup_line_frac": (kv("line", "n_occ") - kv("line", "n_groups"))
-        / F.greatest(kv("line", "n_occ"), F.lit(1)).cast("double"),
-        "dup_line_char_frac": kv("line", "dup_char") / chars_d,
+        "dup_line_frac": (n_occ("line") - n_groups("line"))
+        / F.greatest(n_occ("line"), F.lit(1)).cast("double"),
+        "dup_line_char_frac": dup_char("line") / chars_d,
     }
     for n in (2, 3, 4):
-        measures[f"top_{n}gram_char_frac"] = kv(f"{n}gram", "top_char") / chars_d
+        measures[f"top_{n}gram_char_frac"] = top_char(f"{n}gram") / chars_d
     for n in range(5, 11):
-        measures[f"dup_{n}gram_char_frac"] = kv(f"{n}gram", "dup_char") / chars_d
-    agg = per_kind.groupBy(id_col).agg(
+        measures[f"dup_{n}gram_char_frac"] = dup_char(f"{n}gram") / chars_d
+    agg = grp.groupBy(id_col).agg(
         *[
             F.round(expr, 6).alias(name)
             for name, expr in measures.items()

@@ -100,9 +100,31 @@ def test_plan_shape(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     for op in ("Window", "BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
         assert op not in plan, f"{op} in stupid-backoff plan:\n{plan}"
-    # every model/vocab join broadcasts (vocab-bounded tables); the ONE
-    # sort-merge join is the final doc-keyed left join back onto the
-    # corpus — the single intended shuffle
-    assert plan.count("BroadcastHashJoin") >= 11
+    # the FIVE model joins broadcast (vocab-bounded tables: tri, c2ab,
+    # c2bw, c1b, c1w); the unk map itself is a literal IN-set expression
+    # below INSET_MAX_VOCAB — no join node at all on the token streams
+    # (r14: was nine additional broadcast joins).  The ONE sort-merge
+    # join is the final doc-keyed left join back onto the corpus — the
+    # single intended shuffle join.
+    assert plan.count("BroadcastHashJoin") == 5, plan.count("BroadcastHashJoin")
     smj = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln]
     assert len(smj) == 1 and "doc_id" in smj[0], smj
+
+
+def test_inset_and_join_unk_paths_agree(spark, monkeypatch):
+    # the literal IN-set unk map (top_v <= INSET_MAX_VOCAB) and the
+    # broadcast-join fallback must produce identical scores; force the
+    # fallback by dropping the cutoff to 0
+    import bruin_spark.operators.lm as lm
+
+    df = spark.createDataFrame(TRAIN + SCORE, ["doc_id", "text", "source"])
+    fast = stupid_backoff_scores(
+        df, train_filter=F.col("source") == "train", top_v=2
+    ).collect()
+    monkeypatch.setattr(lm, "INSET_MAX_VOCAB", -1)
+    slow = stupid_backoff_scores(
+        df, train_filter=F.col("source") == "train", top_v=2
+    ).collect()
+    assert sorted((r.asDict() for r in fast), key=lambda d: d["doc_id"]) == sorted(
+        (r.asDict() for r in slow), key=lambda d: d["doc_id"]
+    )
