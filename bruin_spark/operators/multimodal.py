@@ -26,6 +26,8 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, functions as F
 
+from bruin_spark.checkpointing import materialize
+
 MAGIC = b"BRUI"
 HEADER_FMT = ">4sHHI"  # magic, width, height, n_frames
 HEADER_SIZE = struct.calcsize(HEADER_FMT)
@@ -468,6 +470,15 @@ def video_frame_overlap_pairs(
     Returns ``(id_a, id_b, shared_frames, overlap)``.
     """
     distinct_fh = sig.select(F.col(id_col).alias("id"), F.col(hash_col).alias("h")).distinct()
+    # distinct_fh fans out to FOUR consumers (sizes, the df-cap
+    # aggregate, the semi-join probe, and both self-join sides); sig is
+    # typically the per-frame Arrow decode pass over the raw media
+    # blobs, which Catalyst would otherwise re-run once PER consumer
+    # (no exchange reuse across the differently-keyed aggregates —
+    # observed as 12 MapInPandas nodes in the mm_video_frame_dedup
+    # plan).  Pin the small (video, hash) projection once; everything
+    # downstream is decide-with-small-rows (guide §8).
+    distinct_fh = materialize(distinct_fh, eager=False)
     sizes = distinct_fh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     postings = distinct_fh
     if max_df is not None:

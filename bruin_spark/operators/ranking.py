@@ -124,6 +124,8 @@ def bm25_multi_topk(
     """
     from pyspark.sql import Window
 
+    from bruin_spark.checkpointing import materialize
+
     # lowercase the terms like bm25_topk does: tokens() lowercases the
     # corpus, so an uppercase query term must not silently match nothing
     qterms = (
@@ -134,6 +136,12 @@ def bm25_multi_topk(
         .select("query_id", F.lower(F.col("_tok0")).alias("tok"))
         .distinct()
     )
+    # qterms fans out to TWO consumers (the term-set semi-join build and
+    # the per-(query, term) broadcast below); ``queries`` may itself be
+    # a derived pipeline (the hybrid entries mine query terms from the
+    # corpus with a window), so pin the tiny (query, term) table once
+    # instead of evaluating that pipeline once per consumer
+    qterms = materialize(qterms, eager=False)
     term_set = qterms.select("tok").distinct()
     toks = tokens(text_col)
     lens = docs.select(F.col(id_col).alias("id"), F.size(toks).alias("dl"))
