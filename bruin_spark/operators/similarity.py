@@ -1131,29 +1131,34 @@ def bitext_margin_pairs(
 
     wx = Window.partitionBy("x").orderBy(F.col("cos").desc(), F.col("y"))
     wy = Window.partitionBy("y").orderBy(F.col("cos").desc(), F.col("x"))
-    ranked = scored.withColumn("rx", F.row_number().over(wx)).withColumn(
-        "ry", F.row_number().over(wy)
-    )
-    ranked = materialize(ranked, eager=True)
+    # each rank filter sits DIRECTLY on its own window so Spark plans
+    # WindowGroupLimit in partial+final mode: every map partition keeps
+    # only its top-k rows per key BEFORE the exchange, so each side
+    # shuffles ~k rows per vector instead of the full X×Y scored frame.
+    # (The previous shape stacked both windows on one frame and eagerly
+    # pinned ALL |X|·|Y| ranked rows just so the k-filters could run
+    # later — two unpruned corpus-squared shuffles plus a full-frame
+    # checkpoint.)
+    rxd = scored.withColumn("rx", F.row_number().over(wx)).filter(F.col("rx") <= k)
+    # rxd feeds both avgK(x) and the best-pair cut; pin the small
+    # (≤ k·|X| rows) result once
+    rxd = materialize(rxd, eager=False)
+    ryd = scored.withColumn("ry", F.row_number().over(wy)).filter(F.col("ry") <= k)
 
-    def _avg_sorted(df, key, rank_col):
+    def _avg_sorted(df, key):
         # fold the SORTED k-cosine list: identical summation order on
         # both engines -> bit-identical averages
         lst = F.array_sort(F.collect_list("cos"))
-        return (
-            df.filter(F.col(rank_col) <= k)
-            .groupBy(key)
-            .agg(
-                (
-                    F.aggregate(lst, F.lit(0.0), lambda acc, v: acc + v)
-                    / F.size(lst)
-                ).alias(f"avg_{key}")
-            )
+        return df.groupBy(key).agg(
+            (
+                F.aggregate(lst, F.lit(0.0), lambda acc, v: acc + v)
+                / F.size(lst)
+            ).alias(f"avg_{key}")
         )
 
-    ax = _avg_sorted(ranked, "x", "rx")
-    ay = _avg_sorted(ranked, "y", "ry")
-    best = ranked.filter(F.col("rx") == 1).select("x", "y", "cos")
+    ax = _avg_sorted(rxd, "x")
+    ay = _avg_sorted(ryd, "y")
+    best = rxd.filter(F.col("rx") == 1).select("x", "y", "cos")
     out = (
         best.join(ax, "x")
         .join(ay, "y")
