@@ -143,6 +143,9 @@ HEADLINE = [
     "text_url_dedup",
     # r13: D4 prototype pruning (broadcast argmax + GK quantile per cluster)
     "emb_d4_prune",
+    # r14: fixed-vocab fertility comparison (the one r13 entry that had
+    # no headline row — verdict ask; ADDED entry, never renames/removes)
+    "text_fertility_fixed_vocab",
 ]
 
 
@@ -1024,8 +1027,49 @@ SKEW_ENTRIES = [
     # batched BM25 with a fixed query batch (see variant): hot Zipf
     # tokens in the tf/df groupBys must collapse map-side
     ("text_bm25_multi", 16, 64),
+    # viral-URL hot-key distinct (see variant): one canonical URL owns
+    # ~20% of rows with all-distinct raw spellings — the shape the
+    # r13 verdict flagged as unevidenced for the two-phase distinct
+    ("text_url_dedup", 16, 64),
 ]
+def _url_dedup_viral_stress(spark, sf_dir: str):
+    """Viral-URL hot-key distinct (r13 verdict ask): ~20% of rows are
+    ONE canonical URL, each spelled with an rng-unique utm_ tracking
+    param — unique tracking params are stripped from the CANONICAL key,
+    so every spelling collapses onto one canon key while remaining a
+    DISTINCT raw.  This is the exact shape the partial distinct
+    aggregate cannot collapse map-side in phase 1 (no duplicate
+    (canon, raw) pairs exist); what must hold is phase 2's map-side
+    partial COUNT after the (canon, raw) exchange, which bounds the hot
+    reducer at one row per canon per map partition."""
+    from pyspark.sql import functions as F
+
+    from bruin_spark.operators import text as T
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    uhex = F.md5(F.concat(F.lit("vu#"), F.col("doc_id").cast("string")))
+    is_hot = (
+        F.conv(F.substring(uhex, 1, 8), 16, 10).cast("double") / float(16**8)
+    ) < 0.20
+    url = F.when(
+        is_hot,
+        F.concat(
+            F.lit("https://Viral.Example.com/story/?utm_source="),
+            F.md5(F.concat(F.lit("sp#"), F.col("doc_id").cast("string"))),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("https://site"),
+            (F.col("doc_id") % 1000).cast("string"),
+            F.lit(".example.org/p/"),
+            F.md5(F.concat(F.lit("pg#"), F.col("doc_id").cast("string"))),
+        )
+    )
+    return T.url_dedup(docs.select("doc_id", url.alias("url")))
+
+
 SKEW_VARIANTS = {
+    "text_url_dedup": _url_dedup_viral_stress,
     "text_bm25_multi": _bm25_multi_fixed_queries_stress,
     "dedup_containment": _containment_rep_pairs_stress,
     "dedup_minhash_lsh": _minhash_rep_pairs_stress,
