@@ -387,6 +387,32 @@ def test_bigram_lm_scores_match_hand_computation(spark):
     assert pruned[3]["n_bigrams"] == 0
 
 
+def test_bigram_lm_inset_and_join_unk_paths_agree(spark, monkeypatch):
+    """The literal IN-set unk map (top_v <= INSET_MAX_VOCAB) and the
+    broadcast-join fallback must produce identical scores; force the
+    fallback by dropping the cutoff below top_v."""
+    import bruin_spark.operators.lm as lm
+    from bruin_spark.checkpointing import pinned_scope
+    from bruin_spark.operators.lm import bigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a b a c"), (2, "a b"), (3, "z"), (4, "c c a")],
+        "doc_id long, text string",
+    )
+    with pinned_scope():
+        fast = sorted(
+            (r.asDict() for r in bigram_lm_scores(docs, top_v=2).collect()),
+            key=lambda d: d["doc_id"],
+        )
+    monkeypatch.setattr(lm, "INSET_MAX_VOCAB", -1)
+    with pinned_scope():
+        slow = sorted(
+            (r.asDict() for r in bigram_lm_scores(docs, top_v=2).collect()),
+            key=lambda d: d["doc_id"],
+        )
+    assert fast == slow
+
+
 def test_tfidf_top_terms_hand_computed(spark):
     """Exact TF-IDF on a 4-doc, 2-group corpus: corpus-universal terms
     score ln(1)=0; group-exclusive terms rank first; ranks are dense
