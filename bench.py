@@ -1558,18 +1558,30 @@ def main() -> int:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    cpu_probe_end = _cpu_probe()
     out = {
         "metric": "suite_total_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        # host-health stamp IN the contract line (r14 verdict ask #1):
+        # healthy band on this box is ~0.7-0.9 s; a session whose probes
+        # read above ~1.1 s ran in a degraded host window and its wall
+        # numbers should not be compared against healthy-window runs.
+        "cpu_probe_s": {
+            "start": round(cpu_probe_start, 3),
+            "end": round(cpu_probe_end, 3),
+        },
     }
     # The driver captures a bounded tail of stdout and parses the last
     # line as JSON (BENCH_r04 truncated mid-line once plan_hashes +
-    # scale_stress grew past the buffer). Keep the stdout contract line
-    # minimal; the full diagnostics go to a sidecar file next to bench.py.
-    cpu_probe_end = _cpu_probe()
+    # scale_stress grew past the buffer; BENCH_r13's stored tail ALSO
+    # truncated, which nulled the whole r14 round-over-round comparison).
+    # Keep the stdout contract line minimal; the full diagnostics go to
+    # the bench_details.json sidecar next to bench.py — which carries
+    # the same metric/value/queries/sf keys and is the documented
+    # FALLBACK when the captured stdout tail is truncated mid-line.
     print(f"# cpu-probe (20M-iter loop, post-suite): {cpu_probe_end}s", file=sys.stderr)
     sidecar = {
         **out,
