@@ -96,6 +96,7 @@ def bigram_lm_scores(
     id_col: str = "doc_id",
     alpha: float = 0.5,
     top_v: int | None = None,
+    complete_ids: bool = True,
 ) -> DataFrame:
     """Score each document under an add-alpha bigram LM trained on the
     same corpus.
@@ -109,6 +110,21 @@ def bigram_lm_scores(
     DESC, token ASC ties) as the vocabulary; all other tokens become
     ``<unk>`` for BOTH training and scoring. This bounds the model
     tables (broadcastable at any corpus size) — the production setting.
+
+    ``complete_ids=False`` skips the final "left join back so every
+    document keeps a row" pass: the output then has rows ONLY for
+    documents with >= 1 bigram (values identical where present).  For
+    a caller that immediately left-joins the scores onto its own
+    full-document table — :func:`perplexity_buckets` does exactly that
+    — the completion join is redundant: it costs one extra corpus-id
+    scan plus a doc-count-scale join (2 Exchanges) to manufacture NULL
+    rows the caller's left join would produce anyway (guide §2.4).
+
+    NOTE: under ``top_v <= INSET_MAX_VOCAB`` this function is an EAGER
+    builder — the vocabulary IN-set is collected at plan-construction
+    time, so merely constructing the plan runs a real Spark job and any
+    build-time error surfaces before the caller's first action
+    (plan-only tooling: expect jobs from this call).
     """
     base = docs.select(F.col(id_col), tokens(text_col).alias("t"))
     toks = base.select(F.explode("t").alias("w"))
@@ -214,6 +230,17 @@ def bigram_lm_scores(
             (F.sum(F.col("k") * F.col("lp")) / F.sum("k")).alias("_avg"),
         )
     )
+    if not complete_ids:
+        # scored has one row per document with >= 1 bigram, and the
+        # model joins are lossless (trained on the same corpus), so
+        # every value below matches the completed output's row for
+        # that document exactly
+        return scored.select(
+            F.col(id_col),
+            F.col("n_bigrams"),
+            F.round(F.col("_avg"), 6).alias("avg_logprob"),
+            F.round(F.exp(-F.col("_avg")), 6).alias("perplexity"),
+        )
     # left join back so <2-token documents keep a row (NULL scores)
     out = (
         docs.select(F.col(id_col))
@@ -269,8 +296,18 @@ def perplexity_buckets(
     """
     from pyspark.sql import Window
 
+    # complete_ids=False: the left join onto `flagged` below restores
+    # the missing (<2-token) documents with NULL perplexity — exactly
+    # what the completed output would carry — so the scorer's own
+    # completion join (one corpus-id scan + a doc-scale join) is
+    # redundant here and skipped (guide §2.4)
     scored = bigram_lm_scores(
-        docs, text_col=text_col, id_col=id_col, alpha=alpha, top_v=top_v
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        alpha=alpha,
+        top_v=top_v,
+        complete_ids=False,
     ).select(id_col, "perplexity")
     flagged = docs.select(F.col(id_col), F.col(lang_col).alias("lang"))
     # pinned: both the bucketing branch and the outer left join consume

@@ -7,6 +7,12 @@ the bench HEADLINE list).  <tag> is like "r14"; suffix defaults to
 "before" (override with EXPLAIN_SUFFIX=after).  Building a DataFrame can
 itself run jobs (BPE training collects per merge; bucketed-index entries
 write their fixture) — the dump reflects the plan the bench times.
+
+EXPLAIN_CHECKPOINT_MODE=none dumps the FULL-lineage plan instead: a
+materialize() pin hides everything upstream of it behind a LogicalRDD
+leaf, so a change below a pin is invisible in the default dump — mode
+'none' disables pinning for the dump, exposing the whole operator
+pipeline (use a distinct suffix, e.g. full_before / full_after).
 """
 
 from __future__ import annotations
@@ -27,9 +33,16 @@ def main() -> int:
     out_dir = os.path.join(repo, "plans", tag)
     os.makedirs(out_dir, exist_ok=True)
 
-    from bruin_spark.checkpointing import pinned_scope
+    from contextlib import nullcontext
+
+    from bruin_spark.checkpointing import checkpoint_scope, pinned_scope
     from bruin_spark.session import get_spark
     from bruin_spark.workloads import collect_queries
+
+    mode = os.environ.get("EXPLAIN_CHECKPOINT_MODE", "")
+
+    def mode_ctx():  # fresh context per entry (generator CMs are one-shot)
+        return checkpoint_scope(mode) if mode else nullcontext()
 
     spark = get_spark("bruin_spark_explain")
     spark.sparkContext.setLogLevel("ERROR")
@@ -44,7 +57,7 @@ def main() -> int:
     for name in names:
         fn, _ = registry[name]
         try:
-            with pinned_scope():
+            with mode_ctx(), pinned_scope():
                 df = fn(spark, SF_DIR)
                 plan = df._jdf.queryExecution().explainString(
                     spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
