@@ -1637,24 +1637,29 @@ def ngram_containment_pairs(
     # EXACTLY the two-sided c-prefix plan's.
     t_prune = threshold - 1e-6
     c = F.lit(int(min_overlap))
-    r_small = F.greatest(c, F.ceil(F.lit(t_prune) * F.col("n_sh")))
     # ONE evaluation of the explode/dfreq/window pipeline: the tight
     # small-side prefix is a subset of the c-prefix, so materialize the
-    # c-prefix rows once and filter both join sides from the pinned
-    # result (two differently-filtered references would otherwise
-    # defeat exchange reuse and run the whole ranking pipeline twice)
+    # c-prefix rows once and join it WITH ITSELF — byte-identical join
+    # inputs mean AQE reuses one Exchange+Sort for both sides at
+    # runtime (r14-measured on the simhash/phash self-joins), where the
+    # r14 shape (a pre-filtered 'a' side vs the bare pin) planned and
+    # executed two.  Both prefix bounds now live in the join condition:
+    # the pair bound r = max(c, ceil(t·min(|A|,|B|))) is written over
+    # least(a.n_sh, b.n_sh) — equal to a.n_sh under the size-order
+    # predicate in the same conjunction, so the candidate set is
+    # EXACTLY the r14 shape's — and deliberately references BOTH sides
+    # so Catalyst cannot push it down and de-duplicate the sides again.
     prefix_large = materialize(
         ranked.filter(F.col("_r") <= F.col("n_sh") - c + 1).select(
             "id", "n_sh", "_r", "_hs"
         ),
         eager=True,
     )
-    prefix_small = prefix_large.filter(
-        F.col("_r") <= F.col("n_sh") - r_small + 1
-    ).select("id", "n_sh", "_hs")
-    r_pair = F.greatest(c, F.ceil(F.lit(t_prune) * F.col("a.n_sh")))
+    r_pair = F.greatest(
+        c, F.ceil(F.lit(t_prune) * F.least(F.col("a.n_sh"), F.col("b.n_sh")))
+    )
     cands = (
-        prefix_small.alias("a")
+        prefix_large.alias("a")
         .hint("merge")
         .join(
             prefix_large.alias("b").hint("merge"),
@@ -1664,8 +1669,10 @@ def ngram_containment_pairs(
                 (F.col("a.n_sh") < F.col("b.n_sh"))
                 | ((F.col("a.n_sh") == F.col("b.n_sh")) & (F.col("a.id") < F.col("b.id")))
             )
-            # the larger doc's pair-specific prefix bound (its own
-            # filter above only encoded the weaker c bound)
+            # the smaller doc's tight prefix bound (was a pre-join
+            # filter; r_pair = r_small given the size order above)
+            & (F.col("a._r") <= F.col("a.n_sh") - r_pair + 1)
+            # the larger doc's pair-specific prefix bound
             & (F.col("b._r") <= F.col("b.n_sh") - r_pair + 1),
         )
         .select(

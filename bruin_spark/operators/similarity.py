@@ -1140,9 +1140,12 @@ def bitext_margin_pairs(
     # later — two unpruned corpus-squared shuffles plus a full-frame
     # checkpoint.)
     rxd = scored.withColumn("rx", F.row_number().over(wx)).filter(F.col("rx") <= k)
-    # rxd feeds both avgK(x) and the best-pair cut; pin the small
-    # (≤ k·|X| rows) result once
-    rxd = materialize(rxd, eager=False)
+    # rxd feeds both avgK(x) and the best-pair cut — TWO subtrees of the
+    # single final job, so the pin must be EAGER (materialize's
+    # contract): a lazy local checkpoint lets both branches compute
+    # partitions concurrently before the cache fills, duplicating the
+    # window pass.  Cheap: rxd is ≤ k·|X| rows over the pinned `scored`.
+    rxd = materialize(rxd, eager=True)
     ryd = scored.withColumn("ry", F.row_number().over(wy)).filter(F.col("ry") <= k)
 
     def _avg_sorted(df, key):

@@ -848,19 +848,30 @@ def gopher_repetition_rules(
     """
     lines_arr = F.split(F.col(text_col), "\r?\n")
     # one exploded stream for every kind: build an array of (kind, gram)
-    # structs per row and explode ONCE
+    # structs per row and explode ONCE.  `kind` is a TINYINT code
+    # (0 = line, n = n-gram), not the old "line"/"2gram" string: the
+    # kind rides every exploded row through the (doc, kind, gram)
+    # exchange, and a byte field costs 8 bytes fixed in an UnsafeRow
+    # where a short string costs 8 fixed + 8 padded variable — ~8
+    # bytes/row off the widest shuffle (guide §2.3 narrower types).
+    # Internal only: no output column carries it.
     parts = [
-        F.transform(lines_arr, lambda g: F.struct(F.lit("line").alias("kind"), g.alias("gram")))
+        F.transform(
+            lines_arr,
+            lambda g: F.struct(
+                F.lit(0).cast("tinyint").alias("kind"), g.alias("gram")
+            ),
+        )
     ]
     def _kind_part(n: int):
-        # single-parameter lambda closing over the kind STRING: a
+        # single-parameter lambda closing over the kind CODE: a
         # two-parameter lambda (e.g. `lambda g, n=n`) would be called
         # by Spark's transform as (element, index) — the index column
         # silently replaces the default
-        kind = f"{n}gram"
+        kind = F.lit(n).cast("tinyint")
         return F.transform(
             shingles(text_col, n),
-            lambda g: F.struct(F.lit(kind).alias("kind"), g.alias("gram")),
+            lambda g: F.struct(kind.alias("kind"), g.alias("gram")),
         )
 
     for n in range(2, 11):
@@ -884,16 +895,16 @@ def gopher_repetition_rules(
     # NULLs for non-matching rows and returns NULL when the kind never
     # occurs; dup_char nests its otherwise(0) INSIDE the kind gate so a
     # present kind with no c>=2 group still reads 0, not NULL.
-    def n_occ(kind: str):
+    def n_occ(kind: int):
         return F.sum(F.when(F.col("kind") == kind, F.col("c")))
 
-    def n_groups(kind: str):
+    def n_groups(kind: int):
         return F.sum(F.when(F.col("kind") == kind, F.lit(1)))
 
-    def top_char(kind: str):
+    def top_char(kind: int):
         return F.max(F.when(F.col("kind") == kind, F.col("c") * F.length("gram")))
 
-    def dup_char(kind: str):
+    def dup_char(kind: int):
         return F.sum(
             F.when(
                 F.col("kind") == kind,
@@ -903,14 +914,14 @@ def gopher_repetition_rules(
 
     chars_d = F.greatest(F.max("_chars"), F.lit(1)).cast("double")
     measures = {
-        "dup_line_frac": (n_occ("line") - n_groups("line"))
-        / F.greatest(n_occ("line"), F.lit(1)).cast("double"),
-        "dup_line_char_frac": dup_char("line") / chars_d,
+        "dup_line_frac": (n_occ(0) - n_groups(0))
+        / F.greatest(n_occ(0), F.lit(1)).cast("double"),
+        "dup_line_char_frac": dup_char(0) / chars_d,
     }
     for n in (2, 3, 4):
-        measures[f"top_{n}gram_char_frac"] = top_char(f"{n}gram") / chars_d
+        measures[f"top_{n}gram_char_frac"] = top_char(n) / chars_d
     for n in range(5, 11):
-        measures[f"dup_{n}gram_char_frac"] = dup_char(f"{n}gram") / chars_d
+        measures[f"dup_{n}gram_char_frac"] = dup_char(n) / chars_d
     agg = grp.groupBy(id_col).agg(
         *[
             F.round(expr, 6).alias(name)

@@ -42,6 +42,14 @@ def main() -> int:
     spark.conf.set("spark.sql.shuffle.partitions", "32")
 
     registry = collect_queries()
+    unknown = [n for n in names if n not in registry]
+    if unknown:
+        import difflib
+
+        for n in unknown:
+            close = difflib.get_close_matches(n, registry, n=3)
+            print(f"unknown entry {n!r}; did you mean {close}?", file=sys.stderr)
+        return 2
     sc = spark.sparkContext
     out: dict[str, dict[str, int]] = {}
     for name in names:
