@@ -763,6 +763,57 @@ def _build_skewed_dir(spark, base_dir: str, factor: int) -> str:
         F.concat(F.lit("src"), (F.col("doc_id") % 20).cast("string")).alias("source"),
     ).withColumn("n_chars", F.length("text"))
     docs.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+
+    # HOT-CENTROID embeddings (r14 verdict ask #5): the uniform corpus
+    # has no skewed vector table, so emb_d4_prune never saw a dominant
+    # cluster.  Rows 0..7 are exact cluster prototypes (the operator's
+    # deterministic_centroids picks the 8 lowest vec_ids); ~20% of the
+    # remaining rows sit in a tight ball around prototype 0 (one
+    # centroid owns a fifth of the corpus — the hot-cluster shape) and
+    # the rest spread over prototypes 1..7.  Deterministic md5-derived
+    # floats; jitter 0.02 keeps assignment unambiguous while making
+    # every proto_cos distinct.
+    n_emb_base = spark.read.parquet(
+        os.path.join(base_dir, "embeddings.parquet")
+    ).count()
+    n_emb = n_emb_base * factor
+    eids = spark.range(n_emb).select(F.col("id").alias("vec_id"))
+    ue = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ecl#"), F.col("vec_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("double") / float(16**8)
+    ue2 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ecs#"), F.col("vec_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("double") / float(16**8)
+    ecl = (
+        F.when(F.col("vec_id") < 8, F.col("vec_id"))
+        .when(ue < 0.20, F.lit(0))
+        .otherwise(1 + F.floor(ue2 * 7))
+    ).cast("long")
+    eps = F.when(F.col("vec_id") < 8, F.lit(0.0)).otherwise(F.lit(0.02))
+    emb_expr = F.expr(
+        """
+        transform(sequence(0, 63), j -> cast(
+          (conv(substring(md5(concat('eb#', cast(_ec as string), '#', cast(j as string))), 1, 8), 16, 10) / 4294967296.0 - 0.5)
+          + _eps * (conv(substring(md5(concat('ej#', cast(vec_id as string), '#', cast(j as string))), 1, 8), 16, 10) / 4294967296.0 - 0.5)
+        as float))
+        """
+    )
+    emb = eids.select(
+        "vec_id", ecl.alias("_ec"), eps.alias("_eps")
+    ).select(
+        "vec_id",
+        emb_expr.alias("embedding"),
+        (F.col("vec_id") % 16).cast("int").alias("label"),
+    )
+    emb.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
     with open(marker, "w") as f:
         f.write(str(factor))
     return out
@@ -1031,6 +1082,15 @@ SKEW_ENTRIES = [
     # ~20% of rows with all-distinct raw spellings — the shape the
     # r13 verdict flagged as unevidenced for the two-phase distinct
     ("text_url_dedup", 16, 64),
+    # D4 prototype prune on the hot-centroid embeddings: one centroid
+    # owns ~20% of vectors — the per-cluster threshold must stay a
+    # constant-size GK sketch per cluster, never a hot-partition sort
+    ("emb_d4_prune", 16, 64),
+    # main-content extraction on the adversarial block-count mix (see
+    # variant): per-page work must stay linear in blocks after the r14
+    # running-sum fix — a quadratic residue shows up as a super-linear
+    # exponent once the 256/2048-block pages multiply
+    ("text_html_extract", 16, 64),
 ]
 def _url_dedup_viral_stress(spark, sf_dir: str):
     """Viral-URL hot-key distinct (r13 verdict ask): ~20% of rows are
@@ -1068,8 +1128,69 @@ def _url_dedup_viral_stress(spark, sf_dir: str):
     return T.url_dedup(docs.select("doc_id", url.alias("url")))
 
 
+def _html_extract_block_mix_stress(spark, sf_dir: str):
+    """Adversarial block-count page mix (r14 verdict ask #5): most
+    pages are normal (8 blocks), ~5% are heavy (256 blocks) and ~0.1%
+    are the pathological shape the r14 extractor fix targeted (2048
+    blocks — the page that took minutes under the old O(blocks²)
+    prefix re-sum).  Every 4th block is link-wrapped so the
+    link-density machinery runs on a mixed kept/dropped profile.
+    Deterministic from doc_id; the gate checks total extraction work
+    stays linear in rows as the corpus scales."""
+    from pyspark.sql import functions as F
+
+    from bruin_spark.operators.html import extract_main_content
+    from bruin_spark.workloads.text import _HTML_MAX_LD, _HTML_MIN_CHARS
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    uh = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("hb#"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        / float(16**8)
+    )
+    n_blocks = (
+        F.when(uh < 0.001, F.lit(2048)).when(uh < 0.05, F.lit(256)).otherwise(F.lit(8))
+    )
+    body = F.expr(
+        """
+        array_join(transform(sequence(1, _nb), i ->
+          CASE WHEN i % 4 = 0
+          THEN concat('<p>see <a href="/x', cast(i as string), '">', substring(text, 1, 40), '</a></p>')
+          ELSE concat('<p>', substring(text, 1, 120), ' block ', cast(i as string), '.</p>')
+          END), '')
+        """
+    )
+    pages = docs.select(
+        "doc_id", F.col("text"), n_blocks.alias("_nb")
+    ).select(
+        "doc_id",
+        F.concat(
+            F.lit(
+                '<html><head><title>d</title></head><body>'
+                '<nav><a href="/">Home</a> <a href="/about">About</a></nav>'
+            ),
+            body,
+            F.lit("<footer>(c) corp <a href=\"/p\">Privacy</a></footer></body></html>"),
+        ).alias("html"),
+    )
+    out = extract_main_content(
+        pages, min_chars=_HTML_MIN_CHARS, max_link_density=_HTML_MAX_LD
+    )
+    return out.select(
+        "doc_id", "n_blocks", "n_kept", F.length("text").alias("extracted_chars")
+    )
+
+
 SKEW_VARIANTS = {
     "text_url_dedup": _url_dedup_viral_stress,
+    "text_html_extract": _html_extract_block_mix_stress,
+    # emb_d4_prune has no variant: the registry fn reads the skewed
+    # dir's embeddings.parquet (hot-centroid corpus) directly
     "text_bm25_multi": _bm25_multi_fixed_queries_stress,
     "dedup_containment": _containment_rep_pairs_stress,
     "dedup_minhash_lsh": _minhash_rep_pairs_stress,

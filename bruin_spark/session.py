@@ -88,10 +88,44 @@ def read_parquet(spark: SparkSession, path: str):
     # downstream map stage runs serially. Fan small inputs out to the
     # cluster's parallelism (footer-metadata check only; at real scale
     # inputs have >= cores row groups and this is a no-op).
+    #
+    # HASH fan-out, not round-robin: RoundRobinPartitioning's placement
+    # depends on the order rows arrive, so Spark pays a local
+    # binary-row sort inside the exchange (sortBeforeRepartition,
+    # SPARK-23207) to make task retries deterministic — measured at
+    # ~45% of the exchange's wall on lineitem (1.99 s sorted vs 1.08 s
+    # unsorted at sf0.1/32 cores).  Hashing the full row is
+    # content-deterministic (a retried task re-derives identical
+    # placements from the row bytes alone), needs no sort, and costs
+    # one xxhash64 per row (measured 0.97 s — at the unsorted-RR
+    # floor).  Identical full rows co-locate, but a table whose rows
+    # duplicate wholesale is precisely what the dedup operators
+    # collapse; map-typed columns are not hashable, so those fall back
+    # to the sorted round-robin path.
     cores = spark.sparkContext.defaultParallelism
     if n_row_groups is not None and n_row_groups < cores and n_rows >= 1000:
-        df = df.repartition(cores)
+        if _hashable_schema(df.schema):
+            df = df.repartition(cores, F.xxhash64(*[F.col(c) for c in df.columns]))
+        else:
+            df = df.repartition(cores)
     return df
+
+
+def _hashable_schema(schema) -> bool:
+    """True when every column (recursively) is xxhash64-hashable —
+    hash expressions reject MapType (and VariantType) fields."""
+    from pyspark.sql import types as T
+
+    def ok(dt) -> bool:
+        if isinstance(dt, T.MapType) or dt.typeName() == "variant":
+            return False
+        if isinstance(dt, T.ArrayType):
+            return ok(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return all(ok(f.dataType) for f in dt.fields)
+        return True
+
+    return all(ok(f.dataType) for f in schema.fields)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
