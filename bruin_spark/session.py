@@ -89,43 +89,21 @@ def read_parquet(spark: SparkSession, path: str):
     # cluster's parallelism (footer-metadata check only; at real scale
     # inputs have >= cores row groups and this is a no-op).
     #
-    # HASH fan-out, not round-robin: RoundRobinPartitioning's placement
-    # depends on the order rows arrive, so Spark pays a local
-    # binary-row sort inside the exchange (sortBeforeRepartition,
-    # SPARK-23207) to make task retries deterministic — measured at
-    # ~45% of the exchange's wall on lineitem (1.99 s sorted vs 1.08 s
-    # unsorted at sf0.1/32 cores).  Hashing the full row is
-    # content-deterministic (a retried task re-derives identical
-    # placements from the row bytes alone), needs no sort, and costs
-    # one xxhash64 per row (measured 0.97 s — at the unsorted-RR
-    # floor).  Identical full rows co-locate, but a table whose rows
-    # duplicate wholesale is precisely what the dedup operators
-    # collapse; map-typed columns are not hashable, so those fall back
-    # to the sorted round-robin path.
+    # Round-robin deliberately, despite its internal binary-row sort
+    # (sortBeforeRepartition, SPARK-23207; ~45% of the exchange's wall
+    # on a full-width lineitem scan): a content-hash fan-out
+    # (repartition on xxhash64(all columns)) removes the sort but its
+    # hash expression REFERENCES every column, defeating column pruning
+    # below the exchange — q1's lineitem ReadSchema grew from 6 to 11
+    # columns and 4 of 6 representative queries got slower (interleaved
+    # min-of-5 A/B, r15).  RR keys on nothing, so Catalyst prunes the
+    # scan to exactly the query's columns; pruning beats the sort
+    # saving, and this exchange only exists on sub-row-group LOCAL
+    # inputs anyway (at scale the branch never fires).
     cores = spark.sparkContext.defaultParallelism
     if n_row_groups is not None and n_row_groups < cores and n_rows >= 1000:
-        if _hashable_schema(df.schema):
-            df = df.repartition(cores, F.xxhash64(*[F.col(c) for c in df.columns]))
-        else:
-            df = df.repartition(cores)
+        df = df.repartition(cores)
     return df
-
-
-def _hashable_schema(schema) -> bool:
-    """True when every column (recursively) is xxhash64-hashable —
-    hash expressions reject MapType (and VariantType) fields."""
-    from pyspark.sql import types as T
-
-    def ok(dt) -> bool:
-        if isinstance(dt, T.MapType) or dt.typeName() == "variant":
-            return False
-        if isinstance(dt, T.ArrayType):
-            return ok(dt.elementType)
-        if isinstance(dt, T.StructType):
-            return all(ok(f.dataType) for f in dt.fields)
-        return True
-
-    return all(ok(f.dataType) for f in schema.fields)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:

@@ -37,39 +37,18 @@ def test_column_pruning_reaches_scan(spark):
     assert "l_orderkey" in read_schema and "l_extendedprice" not in read_schema
 
 
-def test_read_parquet_fanout_is_content_hashed(spark):
-    # single-row-group inputs fan out via a CONTENT hash (xxhash64 over
-    # all columns): retry-deterministic with no sortBeforeRepartition
-    # local sort (r15; the sort was ~45% of the RR exchange's wall)
+def test_read_parquet_fanout_preserves_column_pruning(spark):
+    # the single-row-group fan-out must key on NOTHING (round-robin):
+    # a content-hash repartition references every column and defeats
+    # pruning below the exchange (measured r15 — q1's ReadSchema grew
+    # 6 -> 11 columns and most queries slowed; attempt reverted)
     li = read_parquet(spark, f"{SF}/lineitem.parquet")
-    plan = plan_of(li)
+    df = li.select("l_orderkey")
+    plan = plan_of(df)
     if "Exchange" in plan:  # fan-out fired (single-row-group input)
-        assert "RoundRobinPartitioning" not in plan
-        assert "hashpartitioning(xxhash64" in plan
-    # content unchanged by the exchange
-    raw = spark.read.parquet(f"{SF}/lineitem.parquet")
-    assert li.count() == raw.count()
-
-
-def test_hashable_schema_gate():
-    from pyspark.sql import types as T
-
-    from bruin_spark.session import _hashable_schema
-
-    mp = T.StructType([T.StructField("a", T.MapType(T.StringType(), T.LongType()))])
-    assert not _hashable_schema(mp)
-    nested_mp = T.StructType(
-        [T.StructField("a", T.ArrayType(T.MapType(T.StringType(), T.LongType())))]
-    )
-    assert not _hashable_schema(nested_mp)
-    ok = T.StructType(
-        [
-            T.StructField("a", T.ArrayType(T.FloatType())),
-            T.StructField("b", T.StructType([T.StructField("c", T.StringType())])),
-            T.StructField("t", T.TimestampNTZType()),
-        ]
-    )
-    assert _hashable_schema(ok)
+        read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+        assert "l_orderkey" in read_schema
+        assert "l_extendedprice" not in read_schema  # pruned through it
 
 
 def test_q5_broadcasts_dimensions(spark):
@@ -262,13 +241,9 @@ def test_diff_rows_single_shuffle_per_side(spark):
     b = a.limit(100)
     plan = plan_of(diff_rows(a, b, pks=["o_orderkey"]))
     assert "SortMergeJoin FullOuter" in plan or "FullOuter" in plan
-    # exactly one PK-keyed exchange per side; the reader's content-hash
-    # fan-out (xxhash64 over all columns, r15) is NOT a join shuffle
-    pk_exchanges = [
-        seg
-        for seg in plan.split("Exchange hashpartitioning(")[1:]
-        if not seg.startswith("xxhash64(")
-    ]
+    # exactly one PK-keyed exchange per side (the reader's round-robin
+    # fan-out prints as RoundRobinPartitioning, not hashpartitioning)
+    pk_exchanges = plan.split("Exchange hashpartitioning(")[1:]
     assert len(pk_exchanges) == 2
     # the PK rides each join exchange (null-safe: coalesce(pk, 0))
     assert all("o_orderkey" in seg[:60] for seg in pk_exchanges)
