@@ -1087,9 +1087,15 @@ SKEW_ENTRIES = [
     # constant-size GK sketch per cluster, never a hot-partition sort
     ("emb_d4_prune", 16, 64),
     # main-content extraction on the adversarial block-count mix (see
-    # variant): per-page work must stay linear in blocks after the r14
-    # running-sum fix — a quadratic residue shows up as a super-linear
-    # exponent once the 256/2048-block pages multiply
+    # variant).  NOTE what this gate can and cannot see: the per-page
+    # block distribution is factor-INVARIANT, so a quadratic per-page
+    # residue inflates both points by the same constant and the
+    # exponent stays ~1 — the O(blocks²) bound itself is pinned by
+    # tests/test_html's test_pathological_many_block_page (2000-block
+    # page under a wall ceiling).  What THIS row gates is linear
+    # scaling in rows under a heavy-tailed block profile: straggler
+    # packing / partition balance when 0.1% of pages are 256× the
+    # median work.
     ("text_html_extract", 16, 64),
 ]
 def _url_dedup_viral_stress(spark, sf_dir: str):

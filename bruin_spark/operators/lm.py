@@ -313,8 +313,12 @@ def perplexity_buckets(
     # pinned: both the bucketing branch and the outer left join consume
     # this LM-scoring subtree — unpinned, the corpus-scale scoring
     # join would execute once per consumer (same pattern as
-    # dsir_weights' doc_feats)
-    joined = materialize(flagged.join(scored, id_col, "left"), eager=False)
+    # dsir_weights' doc_feats).  EAGER: the two consumers are subtrees
+    # of the single final job, materialize's documented eager case — a
+    # lazy pin lets AQE submit both upstream map stages concurrently
+    # and compute `joined` twice before the cache fills (measured:
+    # eager drops 31 tasks on both ccnet entries at sf0.1).
+    joined = materialize(flagged.join(scored, id_col, "left"), eager=True)
 
     if approx:
         # thresholds at i/n quantiles, one sketch row per language;

@@ -477,8 +477,11 @@ def video_frame_overlap_pairs(
     # (no exchange reuse across the differently-keyed aggregates —
     # observed as 12 MapInPandas nodes in the mm_video_frame_dedup
     # plan).  Pin the small (video, hash) projection once; everything
-    # downstream is decide-with-small-rows (guide §8).
-    distinct_fh = materialize(distinct_fh, eager=False)
+    # downstream is decide-with-small-rows (guide §8).  EAGER: the
+    # consumers are subtrees of one final job, so a lazy pin lets
+    # concurrent stages re-run part of the decode before the cache
+    # fills (measured: eager drops 8 tasks / 1 stage at sf0.1).
+    distinct_fh = materialize(distinct_fh, eager=True)
     sizes = distinct_fh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     postings = distinct_fh
     if max_df is not None:

@@ -45,10 +45,15 @@ def main() -> int:
     # SparkSession.builder is a fresh Builder on every access, so confs
     # set on one builder instance never reach get_spark's; submit-args
     # is the one channel that survives into any builder in this process
+    # PREPEND to any existing submit args (never clobber a user's
+    # --driver-memory/--packages); the trailing token must stay
+    # 'pyspark-shell', so strip and re-append it
+    prior = os.environ.get("PYSPARK_SUBMIT_ARGS", "").replace("pyspark-shell", "").strip()
     os.environ["PYSPARK_SUBMIT_ARGS"] = (
         "--conf spark.eventLog.enabled=true "
-        "--conf spark.eventLog.compress=false "  # no python zstd reader here
-        f"--conf spark.eventLog.dir=file://{ev_dir} pyspark-shell"
+        "--conf spark.eventLog.compress=false "  # prefer plain-text segments
+        f"--conf spark.eventLog.dir=file://{ev_dir} "
+        f"{prior} pyspark-shell".replace("  ", " ")
     )
 
     from bruin_spark.checkpointing import pinned_scope
@@ -130,8 +135,13 @@ def main() -> int:
         for path in log_files:
             if path.endswith(".zstd"):
                 if zstandard is None:
-                    print("zstandard module missing; cannot read log", file=sys.stderr)
-                    return
+                    # FAIL, never yield a truncated stream: an A/B
+                    # consumer must see an error, not all-zero totals
+                    raise RuntimeError(
+                        f"event log segment {path} is zstd-compressed and "
+                        "the zstandard module is missing - install it or "
+                        "keep spark.eventLog.compress=false"
+                    )
                 with open(path, "rb") as fh:
                     reader = zstandard.ZstdDecompressor().stream_reader(fh)
                     yield from io.TextIOWrapper(reader, encoding="utf-8")
@@ -139,43 +149,42 @@ def main() -> int:
                 with open(path) as fh:
                     yield from fh
 
-    if True:
-        for line in _lines():
-            try:
-                ev = json.loads(line)
-            except json.JSONDecodeError:
+    for line in _lines():
+        try:
+            ev = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        kind = ev.get("Event")
+        if kind == "SparkListenerJobStart":
+            grp = (ev.get("Properties") or {}).get("spark.jobGroup.id")
+            if grp in totals:
+                for sid in ev.get("Stage IDs", []):
+                    stage_group[sid] = grp
+        elif kind == "SparkListenerStageCompleted":
+            si = ev.get("Stage Info", {})
+            sid = si.get("Stage ID")
+            grp = stage_group.get(sid)
+            # skipped stages re-appear under later jobs; count once
+            if grp is None or sid in seen_stages:
                 continue
-            kind = ev.get("Event")
-            if kind == "SparkListenerJobStart":
-                grp = (ev.get("Properties") or {}).get("spark.jobGroup.id")
-                if grp in totals:
-                    for sid in ev.get("Stage IDs", []):
-                        stage_group[sid] = grp
-            elif kind == "SparkListenerStageCompleted":
-                si = ev.get("Stage Info", {})
-                sid = si.get("Stage ID")
-                grp = stage_group.get(sid)
-                # skipped stages re-appear under later jobs; count once
-                if grp is None or sid in seen_stages:
+            if si.get("Submission Time") is None:
+                continue  # skipped (reused) stage: no tasks ran
+            seen_stages.add(sid)
+            t = totals[grp]
+            for acc in si.get("Accumulables", []):
+                nm, val = acc.get("Name"), acc.get("Value")
+                if not isinstance(val, int):
                     continue
-                if si.get("Submission Time") is None:
-                    continue  # skipped (reused) stage: no tasks ran
-                seen_stages.add(sid)
-                t = totals[grp]
-                for acc in si.get("Accumulables", []):
-                    nm, val = acc.get("Name"), acc.get("Value")
-                    if not isinstance(val, int):
-                        continue
-                    if nm == "internal.metrics.shuffle.write.bytesWritten":
-                        t["shuffle_write_bytes"] += val
-                    elif nm == "internal.metrics.shuffle.write.recordsWritten":
-                        t["shuffle_write_records"] += val
-                    elif nm == "internal.metrics.shuffle.read.localBytesRead":
-                        t["shuffle_read_bytes"] += val
-                    elif nm == "internal.metrics.shuffle.read.remoteBytesRead":
-                        t["shuffle_read_bytes"] += val
-                    elif nm == "internal.metrics.input.bytesRead":
-                        t["input_bytes"] += val
+                if nm == "internal.metrics.shuffle.write.bytesWritten":
+                    t["shuffle_write_bytes"] += val
+                elif nm == "internal.metrics.shuffle.write.recordsWritten":
+                    t["shuffle_write_records"] += val
+                elif nm == "internal.metrics.shuffle.read.localBytesRead":
+                    t["shuffle_read_bytes"] += val
+                elif nm == "internal.metrics.shuffle.read.remoteBytesRead":
+                    t["shuffle_read_bytes"] += val
+                elif nm == "internal.metrics.input.bytesRead":
+                    t["input_bytes"] += val
     shutil.rmtree(ev_dir, ignore_errors=True)
     for n in names:
         print(f"# {n}: {totals[n]}", file=sys.stderr)

@@ -29,26 +29,19 @@ def test_filter_pushdown_reaches_parquet_scan(spark):
 
 
 def test_column_pruning_reaches_scan(spark):
+    # sf0.001 lineitem is single-row-group, so this plan includes the
+    # reader's round-robin fan-out Exchange — the assertion therefore
+    # also pins that pruning pushes THROUGH the fan-out (an r15
+    # content-hash repartition attempt referenced every column, grew
+    # q1's ReadSchema 6 -> 11 and was reverted; the fan-out must key
+    # on nothing)
     li = read_parquet(spark, f"{SF}/lineitem.parquet")
     df = li.select("l_orderkey")
     plan = plan_of(df)
+    assert "Exchange" in plan  # the fan-out fired (single row group)
     # ReadSchema must contain ONLY the selected column
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "l_orderkey" in read_schema and "l_extendedprice" not in read_schema
-
-
-def test_read_parquet_fanout_preserves_column_pruning(spark):
-    # the single-row-group fan-out must key on NOTHING (round-robin):
-    # a content-hash repartition references every column and defeats
-    # pruning below the exchange (measured r15 — q1's ReadSchema grew
-    # 6 -> 11 columns and most queries slowed; attempt reverted)
-    li = read_parquet(spark, f"{SF}/lineitem.parquet")
-    df = li.select("l_orderkey")
-    plan = plan_of(df)
-    if "Exchange" in plan:  # fan-out fired (single-row-group input)
-        read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
-        assert "l_orderkey" in read_schema
-        assert "l_extendedprice" not in read_schema  # pruned through it
 
 
 def test_q5_broadcasts_dimensions(spark):
