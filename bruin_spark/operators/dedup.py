@@ -141,6 +141,18 @@ def ngram_jaccard_pairs(
     inv = sh.select(
         "id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
     ).select("id", "n_sh", hkey.alias("_hs"))
+    # ONE evaluation of the scan→shingle→explode→md5 pipeline: inv
+    # feeds BOTH the document-frequency aggregate and the probe side of
+    # the rarity join below, and the two subtrees differ (one has the
+    # agg), so neither exchange reuse nor AQE can de-duplicate them —
+    # r15 stage profiling measured the explode+md5 stage TWICE per
+    # call, each ~30% of the entry's executor time.  The pinned rows
+    # are three fixed-width columns (~20 B/row, no text) — this is the
+    # posting-list artifact an SSJoin system persists anyway, not a
+    # fat-row cache (contrast the rejected funnel tokenization pin,
+    # OPTIMIZATION_r15.md ask #3 Attempt A).  eager=True: both
+    # consumers are subtrees of the same downstream job.
+    inv = materialize(inv, eager=True)
     # global document frequency: count+min aggregate map-side, so the
     # hot shingle collapses before it can fan out
     dfreq = inv.groupBy("_hs").agg(F.count(F.lit(1)).alias("_df"))
@@ -187,6 +199,25 @@ def ngram_jaccard_pairs(
     return _verify_jaccard_pairs(cands, df, id_col, text_col, n, threshold)
 
 
+def _spread(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Hash-repartition ``df`` by ``key_cols`` into at least the
+    cluster's default parallelism (keeping a larger existing width).
+
+    For CPU-dense verification stages whose input rows are tiny, AQE's
+    byte-based partition sizing under-parallelizes: a few MB of
+    candidate pairs coalesce to 1-3 partitions even though each row
+    costs microseconds of set-intersection CPU.  The target is derived
+    from the cluster (``defaultParallelism``) and the data's current
+    width — never a hard-coded partition count.  Keys must be uniform
+    (candidate pairs are distinct by construction), so the hash spreads
+    evenly."""
+    n = max(
+        df.sparkSession.sparkContext.defaultParallelism,
+        df.rdd.getNumPartitions(),
+    )
+    return df.repartition(n, *[F.col(c) for c in key_cols])
+
+
 def _verify_jaccard_pairs(
     cands: DataFrame,
     docs: DataFrame,
@@ -216,6 +247,16 @@ def _verify_jaccard_pairs(
         ),
         eager=True,
     )
+    # Spread the verification: the exact-intersection projection is the
+    # pipeline's most CPU-dense per-row work (~µs/pair) over its
+    # narrowest rows (two ids), so AQE's byte-based coalescing parks it
+    # on 1-3 tasks while 30 cores idle (r15 stage profile: the verify
+    # stage held >40% of entry CPU on 2 tasks).  Scale-adaptive, not a
+    # constant: lift the pinned pairs to at least the cluster's default
+    # parallelism, keeping any larger AQE-chosen width at real scale.
+    # When sh_small broadcasts (the common case — it is a candidate
+    # sliver), both joins preserve this partitioning.
+    cands = _spread(cands, "id_a", "id_b")
     return (
         cands.join(sh_small.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
         .join(sh_small.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
@@ -1617,6 +1658,10 @@ def ngram_containment_pairs(
         .select("id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
         .select("id", "n_sh", hkey.alias("_hs"))
     )
+    # pin the posting rows: inv feeds both dfreq and the rarity join's
+    # probe side (same double-explode measurement and same ~20 B/row
+    # posting-artifact rationale as ngram_jaccard_pairs above)
+    inv = materialize(inv, eager=True)
     dfreq = inv.groupBy("_hs").agg(F.count(F.lit(1)).alias("_df"))
     # same dense_rank rarity order as ngram_jaccard_pairs (within-doc
     # hash collisions must not displace keys past the prefix boundary)
@@ -1697,6 +1742,8 @@ def ngram_containment_pairs(
         eager=True,
     )
     raw_cont = F.col("n_common") / F.least(F.size("sh_a"), F.size("sh_b"))
+    # same CPU-dense verify spread as _verify_jaccard_pairs (see _spread)
+    cands = _spread(cands, "id_a", "id_b")
     return (
         cands.join(sh_small.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
         .join(sh_small.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
