@@ -838,91 +838,84 @@ def gopher_repetition_rules(
     the occurrence-weighted form is the standard reimplementation and
     is what the thresholds gate here, stated explicitly for parity).
 
-    Plan (100 TB shape): ONE unified explode emits (doc, kind, gram)
-    rows for the lines stream and every n-gram size in a single corpus
-    scan (the token array binds once per row); ONE
-    map-side-combinable groupBy(doc, kind, gram) collapses repeats —
-    heavy repetition makes the shuffle cheaper, not hotter — and the
-    per-kind statistics pivot back map-side keyed by doc.  All
-    built-in expressions, no window, no Python.
+    Plan (100 TB shape, r15): MAP-ONLY.  Every statistic here is a
+    WITHIN-document function — count each distinct line/n-gram's
+    occurrences inside its own document — so no shuffle is fundamental.
+    The former shape (one unified explode → groupBy(doc, kind, gram))
+    paid the suite's single widest exchange (67.5 MB at sf0.1, ~75×
+    the input bytes: grams are mostly unique within a doc, so map-side
+    partial aggregation collapsed almost nothing).  Now each kind's
+    gram array is sorted per row and folded ONCE by a run-length
+    ``aggregate`` walk (prev, run, groups, top, dup): identical grams
+    are adjacent after the sort, so run lengths ARE the per-gram
+    counts the groupBy produced, and every per-kind scalar (n_occ,
+    n_groups, top count·len, duplicated count·len mass) falls out of
+    one O(n) pass.  2 Exchanges → 0; all built-in expressions, no
+    window, no Python.  Row-set parity with the explode shape: a NULL
+    text made the unified explode emit no rows (concat of a NULL lines
+    array is NULL), dropping the doc — the filter reproduces that.
     """
-    lines_arr = F.split(F.col(text_col), "\r?\n")
-    # one exploded stream for every kind: build an array of (kind, gram)
-    # structs per row and explode ONCE.  `kind` is a TINYINT code
-    # (0 = line, n = n-gram), not the old "line"/"2gram" string: the
-    # kind rides every exploded row through the (doc, kind, gram)
-    # exchange, and a byte field costs 8 bytes fixed in an UnsafeRow
-    # where a short string costs 8 fixed + 8 padded variable — ~8
-    # bytes/row off the widest shuffle (guide §2.3 narrower types).
-    # Internal only: no output column carries it.
-    parts = [
-        F.transform(
-            lines_arr,
-            lambda g: F.struct(
-                F.lit(0).cast("tinyint").alias("kind"), g.alias("gram")
-            ),
-        )
-    ]
-    def _kind_part(n: int):
-        # single-parameter lambda closing over the kind CODE: a
-        # two-parameter lambda (e.g. `lambda g, n=n`) would be called
-        # by Spark's transform as (element, index) — the index column
-        # silently replaces the default
-        kind = F.lit(n).cast("tinyint")
-        return F.transform(
-            shingles(text_col, n),
-            lambda g: F.struct(kind.alias("kind"), g.alias("gram")),
-        )
-
+    # the walk closes a run when the element changes (or at the end):
+    # fold the completed run's count·len into top/dup, exactly the
+    # per-(doc, kind, gram) c·length(gram) the groupBy computed.
+    # Types mirror the aggregate shape (BIGINT counts/products) so the
+    # double divisions below are bit-identical to the old plan's.
+    walk = """
+    aggregate(
+      {arr},
+      named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'groups', 0L,
+                   'top', CAST(NULL AS BIGINT), 'dup', 0L),
+      (a, x) -> CASE WHEN a.prev IS NOT NULL AND x = a.prev THEN
+          named_struct('prev', x, 'run', a.run + 1L, 'groups', a.groups,
+                       'top', a.top, 'dup', a.dup)
+        ELSE
+          named_struct('prev', x, 'run', 1L, 'groups', a.groups + 1L,
+            'top', CASE WHEN a.prev IS NULL THEN a.top
+                        ELSE greatest(a.top, a.run * length(a.prev)) END,
+            'dup', CASE WHEN a.prev IS NOT NULL AND a.run >= 2L
+                        THEN a.dup + a.run * length(a.prev) ELSE a.dup END)
+        END,
+      a -> named_struct(
+        'n_occ', CAST(size({arr}) AS BIGINT),
+        'groups', a.groups,
+        'top', CASE WHEN a.prev IS NULL THEN a.top
+                    ELSE greatest(a.top, a.run * length(a.prev)) END,
+        'dup', CASE WHEN a.prev IS NOT NULL AND a.run >= 2L
+                    THEN a.dup + a.run * length(a.prev) ELSE a.dup END)
+    )
+    """
+    kinds: dict[int, Column] = {0: F.split(F.col(text_col), "\r?\n")}
     for n in range(2, 11):
-        parts.append(_kind_part(n))
-    exploded = df.select(
+        kinds[n] = shingles(text_col, n)
+    # bind each kind's SORTED array to a column first: the aggregate
+    # lambda must reference a bound column, not inline the shingle
+    # expression (the HOF-lambda CSE trap — see shingles())
+    bound = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col),
         F.length(F.col(text_col)).alias("_chars"),
-        F.explode(F.concat(*parts)).alias("_kg"),
-    ).select(
-        id_col, "_chars", F.col("_kg.kind").alias("kind"), F.col("_kg.gram").alias("gram")
+        *[F.array_sort(expr).alias(f"_s{k}") for k in sorted(kinds) for expr in [kinds[k]]],
     )
-    grp = exploded.groupBy(id_col, "kind", "gram").agg(
-        F.count(F.lit(1)).alias("c"), F.first("_chars").alias("_chars")
+    stats = bound.select(
+        id_col,
+        "_chars",
+        *[F.expr(walk.format(arr=f"_s{k}")).alias(f"_st{k}") for k in sorted(kinds)],
     )
 
-    # per-kind statistics as CONDITIONAL aggregates directly in the
-    # per-document groupBy — the former intermediate groupBy(doc, kind)
-    # exchange collapses into this one (3 Exchanges -> 2; guide §2.4).
-    # Absent kinds yield NULL exactly as the old max-over-missing-row
-    # pivot did: sum/max over a when(...) with no otherwise() sees only
-    # NULLs for non-matching rows and returns NULL when the kind never
-    # occurs; dup_char nests its otherwise(0) INSIDE the kind gate so a
-    # present kind with no c>=2 group still reads 0, not NULL.
-    def n_occ(kind: int):
-        return F.sum(F.when(F.col("kind") == kind, F.col("c")))
+    def st(kind: int, field: str):
+        return F.col(f"_st{kind}")[field]
 
-    def n_groups(kind: int):
-        return F.sum(F.when(F.col("kind") == kind, F.lit(1)))
-
-    def top_char(kind: int):
-        return F.max(F.when(F.col("kind") == kind, F.col("c") * F.length("gram")))
-
-    def dup_char(kind: int):
-        return F.sum(
-            F.when(
-                F.col("kind") == kind,
-                F.when(F.col("c") >= 2, F.col("c") * F.length("gram")).otherwise(0),
-            )
-        )
-
-    chars_d = F.greatest(F.max("_chars"), F.lit(1)).cast("double")
+    chars_d = F.greatest(F.col("_chars"), F.lit(1)).cast("double")
     measures = {
-        "dup_line_frac": (n_occ(0) - n_groups(0))
-        / F.greatest(n_occ(0), F.lit(1)).cast("double"),
-        "dup_line_char_frac": dup_char(0) / chars_d,
+        "dup_line_frac": (st(0, "n_occ") - st(0, "groups"))
+        / F.greatest(st(0, "n_occ"), F.lit(1)).cast("double"),
+        "dup_line_char_frac": st(0, "dup") / chars_d,
     }
     for n in (2, 3, 4):
-        measures[f"top_{n}gram_char_frac"] = top_char(n) / chars_d
+        measures[f"top_{n}gram_char_frac"] = st(n, "top") / chars_d
     for n in range(5, 11):
-        measures[f"dup_{n}gram_char_frac"] = dup_char(n) / chars_d
-    agg = grp.groupBy(id_col).agg(
+        measures[f"dup_{n}gram_char_frac"] = st(n, "dup") / chars_d
+    agg = stats.select(
+        F.col(id_col),
         *[
             F.round(expr, 6).alias(name)
             for name, expr in measures.items()

@@ -559,3 +559,21 @@ def test_url_dedup_groups(spark):
     plan = url_dedup(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 2
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_gopher_repetition_is_map_only(spark):
+    """r15: every repetition statistic is a within-document function,
+    so the operator must plan with NO shuffle of its own — the former
+    explode -> groupBy(doc, kind, gram) shape paid the suite's widest
+    exchange (67.5 MB at sf0.1, ~75x its input) for a computation the
+    sorted-run walk does per row.  Only the reader's round-robin
+    fan-out may appear; no hash exchange, no Generate, no Python."""
+    from bruin_spark.operators.text import gopher_repetition_rules
+
+    docs = spark.createDataFrame(
+        [(1, "a b\na b\nc"), (2, "x y z x y z x y")], "doc_id int, text string"
+    )
+    plan = gopher_repetition_rules(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert "Generate" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
