@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from bruin_spark.operators.text import tokens
+from bruin_spark.operators.text import run_length_counts, tokens
 
 K1 = 1.2
 B = 0.75
@@ -58,45 +58,13 @@ def _matched_tf(
     their tokens, and ``dl`` is the same per-document token count the
     old ``min(dl)`` restored."""
     toks = tokens(text_col)
-    acc_t = "struct<prev: string, run: bigint, acc: array<struct<tok: string, tf: bigint>>>"
-
-    def _close(a: Column) -> Column:
-        return F.when(a["prev"].isNull(), a["acc"]).otherwise(
-            F.array_append(
-                a["acc"], F.struct(a["prev"].alias("tok"), a["run"].alias("tf"))
-            )
-        )
-
-    def _step(a: Column, x: Column) -> Column:
-        same = a["prev"].isNotNull() & (x == a["prev"])
-        return F.when(
-            same,
-            F.struct(
-                x.alias("prev"),
-                (a["run"] + F.lit(1).cast("bigint")).alias("run"),
-                a["acc"].alias("acc"),
-            ),
-        ).otherwise(
-            F.struct(
-                x.alias("prev"),
-                F.lit(1).cast("bigint").alias("run"),
-                _close(a).alias("acc"),
-            )
-        )
-
-    walk = F.aggregate(
-        F.array_sort(F.filter(F.col("_t"), lambda t: t.isin(terms))),
-        F.expr(
-            "named_struct('prev', CAST(NULL AS STRING), 'run', 0L,"
-            " 'acc', CAST(array() AS array<struct<tok: string, tf: bigint>>))"
-        ).cast(acc_t),
-        _step,
-        _close,
+    walk = run_length_counts(
+        F.array_sort(F.filter(F.col("_t"), lambda t: t.isin(terms))), "string"
     )
     return (
         docs.select(F.col(id_col).alias("id"), toks.alias("_t"))
         .select("id", F.size("_t").alias("dl"), F.explode(walk).alias("_s"))
-        .select("id", "dl", F.col("_s.tok").alias("tok"), F.col("_s.tf").alias("tf"))
+        .select("id", "dl", F.col("_s.v").alias("tok"), F.col("_s.k").alias("tf"))
     )
 
 
