@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from bruin_spark.checkpointing import materialize
-from bruin_spark.operators.dsir import doc_bucket_counts, hashed_features
+from bruin_spark.operators.dsir import hashed_features
 
 
 def train_bucket_logodds(
@@ -95,13 +95,15 @@ def train_and_score(
     flagged = docs.select(
         F.col(id_col), F.col(text_col), target.cast("boolean").alias("_is_t")
     )
-    # (doc, bucket, k) with the target flag carried, collapsed
-    # map-only (r15 — see dsir.doc_bucket_counts): feeds BOTH the
+    feats = hashed_features(
+        flagged, id_col, text_col, n_buckets, use_bigrams, carry=("_is_t",)
+    )
+    # (doc, bucket, k) with the target flag carried: feeds BOTH the
     # bucket model and the scoring join (pinned — lazy, the weight
     # broadcast is the first consumer)
     doc_feats = materialize(
-        doc_bucket_counts(
-            flagged, id_col, text_col, n_buckets, use_bigrams, carry=("_is_t",)
+        feats.groupBy(id_col, "_is_t", "bucket").agg(
+            F.count(F.lit(1)).alias("k")
         ),
         eager=False,
     )
@@ -159,8 +161,9 @@ def classifier_scores(
     keeps a row (``n_feats`` >= 1 — even empty text hashes its one
     empty token).
     """
+    feats = hashed_features(docs, id_col, text_col, n_buckets, use_bigrams)
     doc_feats = materialize(
-        doc_bucket_counts(docs, id_col, text_col, n_buckets, use_bigrams),
+        feats.groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("k")),
         eager=False,
     )
     scored = (

@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from bruin_spark.checkpointing import materialize
 from bruin_spark.operators.dedup import _md5_60bit_key  # portable md5 hash
-from bruin_spark.operators.text import run_length_counts, tokens
+from bruin_spark.operators.text import tokens
 
 
 def _bucket(col: Column, n_buckets: int) -> Column:
@@ -76,74 +76,6 @@ def hashed_features(
     return uni.unionByName(bi)
 
 
-def _bucket_arr(n_buckets: int, use_bigrams: bool) -> Column:
-    """``array<bigint>`` of hashed feature buckets of the bound token
-    array column ``_t`` — one per unigram occurrence plus one per
-    adjacent-bigram occurrence when ``use_bigrams``.  The array form of
-    :func:`hashed_features`' exploded rows (same md5 bucket per
-    feature; concat of a NULL unigram array keeps NULL-text documents
-    rowless exactly like explode did)."""
-    uni = F.transform(
-        F.col("_t"), lambda w: F.pmod(_md5_60bit_key(w), F.lit(n_buckets))
-    )
-    if not use_bigrams:
-        return uni
-    # CASE-guarded: sequence(1, 0) DESCENDS, so a short array would
-    # index out of bounds under ANSI mode (same guard as the explode
-    # form's size filter)
-    bg = F.when(
-        F.size("_t") >= 2,
-        F.expr(
-            "transform(sequence(1, size(_t) - 1),"
-            " i -> concat(element_at(_t, i), ' ', element_at(_t, i + 1)))"
-        ),
-    ).otherwise(F.expr("CAST(array() AS array<string>)"))
-    bi = F.transform(bg, lambda g: F.pmod(_md5_60bit_key(g), F.lit(n_buckets)))
-    return F.concat(uni, bi)
-
-
-def doc_bucket_counts(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n_buckets: int = 256,
-    use_bigrams: bool = True,
-    carry: tuple[str, ...] = (),
-) -> DataFrame:
-    """(id, *carry, bucket, k) — per-document hashed-feature counts,
-    MAP-ONLY (r15).
-
-    ``hashed_features(...).groupBy(id, *carry, bucket).count()``
-    grouped by a key containing the document id — a within-document
-    aggregation whose exploded rows are co-located by construction, so
-    the exchange shuffled one row per feature OCCURRENCE to merge rows
-    that were already together (guide §2.4).  The bucket array is
-    computed per row and folded by the sorted-run-length walk instead:
-    run lengths ARE the per-bucket counts.  Row parity with the
-    explode + groupBy form: NULL-text documents produce a NULL bucket
-    array and explode drops them, exactly as explode of a NULL token
-    array did."""
-    extra = [F.col(c) for c in carry]
-    return (
-        docs.select(F.col(id_col), *extra, tokens(text_col).alias("_t"))
-        .select(
-            F.col(id_col),
-            *extra,
-            F.explode(
-                run_length_counts(
-                    F.array_sort(_bucket_arr(n_buckets, use_bigrams)), "bigint"
-                )
-            ).alias("_bk"),
-        )
-        .select(
-            F.col(id_col),
-            *extra,
-            F.col("_bk.v").alias("bucket"),
-            F.col("_bk.k").alias("k"),
-        )
-    )
-
-
 def dsir_weights(
     docs: DataFrame,
     target: Column,
@@ -164,16 +96,21 @@ def dsir_weights(
     flagged = docs.select(
         F.col(id_col), F.col(text_col), target.cast("boolean").alias("is_target")
     )
-    # (doc, bucket, k): collapsed map-only (see doc_bucket_counts).
+    feats = hashed_features(
+        flagged, id_col, text_col, n_buckets, use_bigrams, carry=("is_target",)
+    )
+
+    # (doc, bucket, k): collapse duplicates before the weight join.
     # doc_feats feeds BOTH the bucket models and the scoring join, so
     # it is pinned (lazy: the bucket-model broadcast job is the first
     # consumer and materializes it inside its own job) — otherwise the
-    # tokenize/walk subtree runs once per consumer.  At corpus scale
-    # the (doc, bucket, k) table is far narrower than re-reading the
-    # text twice.
+    # tokenize/explode/shuffle subtree runs once per consumer.  A/B
+    # under full-materialization timing: pinned <= recompute even at
+    # toy scale, and at corpus scale the (doc, bucket, k) table is far
+    # narrower than re-reading the text twice.
     doc_feats = materialize(
-        doc_bucket_counts(
-            flagged, id_col, text_col, n_buckets, use_bigrams, carry=("is_target",)
+        feats.groupBy(id_col, "is_target", "bucket").agg(
+            F.count(F.lit(1)).alias("k")
         ),
         eager=False,
     )

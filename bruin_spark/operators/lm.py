@@ -50,7 +50,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from bruin_spark.checkpointing import materialize
-from bruin_spark.operators.text import run_length_counts, tokens
+from bruin_spark.operators.text import tokens
 
 UNK = "<unk>"
 
@@ -77,18 +77,6 @@ def _unk_map_expr(col: str, vocab: list[str]) -> Column:
     if not vocab:
         return F.lit(UNK)
     return F.when(F.col(col).isin(vocab), F.col(col)).otherwise(F.lit(UNK))
-
-
-def _unk_map_arr(vocab: list[str]):
-    """Array form of the IN-set unk map: token array → mapped token
-    array (same per-token semantics as :func:`_unk_map_expr`; the map
-    commutes with pairing/windowing, so mapping the array THEN building
-    n-grams equals building n-grams THEN mapping each field)."""
-    if not vocab:
-        return lambda c: F.transform(c, lambda w: F.lit(UNK))
-    return lambda c: F.transform(
-        c, lambda w: F.when(w.isin(vocab), w).otherwise(F.lit(UNK))
-    )
 
 
 def _pairs(tok_col: str) -> Column:
@@ -170,8 +158,6 @@ def bigram_lm_scores(
             def _map_token(df: DataFrame, col: str) -> DataFrame:
                 return df.withColumn(col, _unk_map_expr(col, vocab_list))
 
-            _map_arr = _unk_map_arr(vocab_list)
-
         else:
             vocab = (
                 wc.orderBy(F.col("c").desc(), F.col("w").asc())
@@ -192,10 +178,6 @@ def bigram_lm_scores(
                     .drop(kept)
                 )
 
-            # the unk map is a join — no array-expression form; the
-            # pair collapse below keeps the explode + groupBy shape
-            _map_arr = None
-
         unigrams = (
             _map_token(wc, "w").groupBy("w").agg(F.sum("c").alias("c_a"))
         )
@@ -203,9 +185,6 @@ def bigram_lm_scores(
 
         def _map_token(df: DataFrame, col: str) -> DataFrame:
             return df
-
-        def _map_arr(c):
-            return c
 
         unigrams = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c_a"))
     # lazy pin: the V-probe count below is the first consumer and
@@ -218,47 +197,17 @@ def bigram_lm_scores(
     # size guard first: Spark's sequence(1, 0) DESCENDS ([1, 0]), so a
     # single-token document would index past the array under ANSI mode;
     # size(NULL) is NULL, so NULL texts drop here too
-    if _map_arr is not None:
-        # map-only (doc, a, b, k) collapse (r15): the unk map is an
-        # array expression, so the duplicate-pair counting happens
-        # inside the row via the sorted-run-length walk — a document's
-        # exploded pairs were co-located by construction, so the
-        # groupBy(id, a, b) exchange merged nothing while shuffling the
-        # whole pair stream (guide §2.4; same pattern as
-        # gopher_repetition_rules / bm25's _matched_tf).  Rows are
-        # identical: run lengths over the sorted mapped-pair array ARE
-        # the per-(doc, a, b) counts, and explode drops no documents
-        # the size filter kept (a size >= 2 doc has >= 1 pair).
-        doc_pairs = (
-            base.filter(F.size("t") >= 2)
-            .select(F.col(id_col), _map_arr(F.col("t")).alias("_mt"))
-            .select(
-                F.col(id_col),
-                F.explode(
-                    run_length_counts(
-                        F.array_sort(_pairs("_mt")), "struct<a: string, b: string>"
-                    )
-                ).alias("_pk"),
-            )
-            .select(
-                id_col,
-                F.col("_pk.v.a").alias("a"),
-                F.col("_pk.v.b").alias("b"),
-                F.col("_pk.k").alias("k"),
-            )
-        )
-    else:
-        raw_pairs = (
-            base.filter(F.size("t") >= 2)
-            .select(F.col(id_col), F.explode(_pairs("t")).alias("p"))
-            .select(id_col, F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-        )
-        raw_pairs = _map_token(_map_token(raw_pairs, "a"), "b")
-        # collapse duplicate (doc, a, b) early: the scoring join and the
-        # model aggregation both run on the collapsed table
-        doc_pairs = raw_pairs.groupBy(id_col, "a", "b").agg(
-            F.count(F.lit(1)).alias("k")
-        )
+    raw_pairs = (
+        base.filter(F.size("t") >= 2)
+        .select(F.col(id_col), F.explode(_pairs("t")).alias("p"))
+        .select(id_col, F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
+    raw_pairs = _map_token(_map_token(raw_pairs, "a"), "b")
+    # collapse duplicate (doc, a, b) early: the scoring join and the
+    # model aggregation both run on the collapsed table
+    doc_pairs = raw_pairs.groupBy(id_col, "a", "b").agg(
+        F.count(F.lit(1)).alias("k")
+    )
     doc_pairs = materialize(doc_pairs, eager=True)
     bigrams = doc_pairs.groupBy("a", "b").agg(F.sum("k").alias("c_ab"))
 
@@ -531,8 +480,6 @@ def stupid_backoff_scores(
         def _map_token(df: DataFrame, col: str) -> DataFrame:
             return df.withColumn(col, _unk_map_expr(col, vocab_list))
 
-        _map_arr = _unk_map_arr(vocab_list)
-
     else:
         vocab = (
             wc.orderBy(F.col("c").desc(), F.col("w").asc())
@@ -549,8 +496,6 @@ def stupid_backoff_scores(
                 .withColumn(col, F.coalesce(F.col(kept), F.lit(UNK)))
                 .drop(kept)
             )
-
-        _map_arr = None
 
     # -- model counts over the training slice (all map-side combinable)
     uni = _map_token(wc, "w").groupBy("w").agg(F.sum("c").alias("c1"))
@@ -581,46 +526,20 @@ def stupid_backoff_scores(
     )
 
     # -- scoring stream: pre-collapsed per document ---------------------
-    if _map_arr is not None:
-        # map-only (doc, a, b, w, k) collapse (r15): same sorted-run
-        # walk as bigram_lm_scores' doc_pairs — the groupBy(id, a, b, w)
-        # exchange shuffled the whole corpus trigram stream to merge
-        # rows that were already co-located per document
-        doc_tris = (
-            base.filter(F.size("t") >= 3)
-            .select(F.col(id_col), _map_arr(F.col("t")).alias("_mt"))
-            .select(
-                F.col(id_col),
-                F.explode(
-                    run_length_counts(
-                        F.array_sort(_trigrams("_mt")),
-                        "struct<a: string, b: string, w: string>",
-                    )
-                ).alias("_gk"),
-            )
-            .select(
-                id_col,
-                F.col("_gk.v.a").alias("a"),
-                F.col("_gk.v.b").alias("b"),
-                F.col("_gk.v.w").alias("w"),
-                F.col("_gk.k").alias("k"),
-            )
+    raw = (
+        base.filter(F.size("t") >= 3)
+        .select(F.col(id_col), F.explode(_trigrams("t")).alias("g"))
+        .select(
+            id_col,
+            F.col("g.a").alias("a"),
+            F.col("g.b").alias("b"),
+            F.col("g.w").alias("w"),
         )
-    else:
-        raw = (
-            base.filter(F.size("t") >= 3)
-            .select(F.col(id_col), F.explode(_trigrams("t")).alias("g"))
-            .select(
-                id_col,
-                F.col("g.a").alias("a"),
-                F.col("g.b").alias("b"),
-                F.col("g.w").alias("w"),
-            )
-        )
-        raw = _map_token(_map_token(_map_token(raw, "a"), "b"), "w")
-        doc_tris = raw.groupBy(id_col, "a", "b", "w").agg(
-            F.count(F.lit(1)).alias("k")
-        )
+    )
+    raw = _map_token(_map_token(_map_token(raw, "a"), "b"), "w")
+    doc_tris = raw.groupBy(id_col, "a", "b", "w").agg(
+        F.count(F.lit(1)).alias("k")
+    )
 
     # model joins: all vocab-bounded -> broadcast
     c2ab = bi.select(

@@ -25,47 +25,12 @@ training-data surface this engine adds (SURVEY.md §2 extras).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F
 
-from bruin_spark.operators.text import run_length_counts, tokens
+from bruin_spark.operators.text import tokens
 
 K1 = 1.2
 B = 0.75
-
-#: literal IN-set bound for the map-only term-frequency walk (same
-#: bounded-collect design as lm.INSET_MAX_VOCAB): query batches above
-#: this fall back to the explode + semi-join + groupBy shape
-TERMSET_MAX = 4096
-
-
-def _matched_tf(
-    docs: DataFrame, id_col: str, text_col: str, terms: list[str]
-) -> DataFrame:
-    """Per-document term frequencies for a LITERAL term set, map-only:
-    ``(id, dl, tok, tf)`` with one row per (document, present term).
-
-    The former shape exploded the matching tokens and re-grouped them
-    by (id, tok) — but a document's tokens are co-located by
-    construction, so that exchange merged nothing while carrying every
-    matching token occurrence (r14 root-caused its ``dl``-widened
-    partial rows as bm25_multi's shuffle inflation; this removes the
-    exchange outright, guide §2.4).  Here the token array is filtered
-    to the query terms and folded by the sorted-run-length walk (the
-    gopher_repetition_rules pattern): run lengths over the sorted
-    matched tokens ARE the per-term counts the groupBy produced.
-    Rows are identical: explode of the per-doc (tok, tf) structs drops
-    documents with no matching terms exactly as the filter dropped all
-    their tokens, and ``dl`` is the same per-document token count the
-    old ``min(dl)`` restored."""
-    toks = tokens(text_col)
-    walk = run_length_counts(
-        F.array_sort(F.filter(F.col("_t"), lambda t: t.isin(terms))), "string"
-    )
-    return (
-        docs.select(F.col(id_col).alias("id"), toks.alias("_t"))
-        .select("id", F.size("_t").alias("dl"), F.explode(walk).alias("_s"))
-        .select("id", "dl", F.col("_s.v").alias("tok"), F.col("_s.k").alias("tf"))
-    )
 
 
 def bm25_topk(
@@ -93,9 +58,18 @@ def bm25_topk(
     gstats = lens.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-    # map-only per-document term frequencies (see _matched_tf): the
-    # query terms are a literal list, so no explode/groupBy exchange
-    tf = _matched_tf(docs, id_col, text_col, query_terms)
+    # dl rides through the explode (constant per doc, min() restores it
+    # after the groupBy) instead of joining the corpus-scale lens table
+    # back onto tf — one fewer corpus join/scan (guide §2.4); the token
+    # array binds once in the projection below, so size() and explode()
+    # share the same evaluation
+    tf = (
+        docs.select(F.col(id_col).alias("id"), toks.alias("_t"))
+        .select("id", F.size("_t").alias("dl"), F.explode("_t").alias("tok"))
+        .filter(F.col("tok").isin(list(query_terms)))
+        .groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
+    )
     df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     joined = tf.join(F.broadcast(df_t), "tok").crossJoin(F.broadcast(gstats))
     idf = F.log(
@@ -168,30 +142,22 @@ def bm25_multi_topk(
     # corpus with a window), so pin the tiny (query, term) table once
     # instead of evaluating that pipeline once per consumer
     qterms = materialize(qterms, eager=False)
+    term_set = qterms.select("tok").distinct()
     toks = tokens(text_col)
     lens = docs.select(F.col(id_col).alias("id"), F.size(toks).alias("dl"))
     gstats = lens.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-    # the union of query terms is bounded by the query batch: collect
-    # it once (this also materializes the qterms pin — NOTE: an EAGER
-    # builder, like lm's IN-set path) and compute term frequencies
-    # map-only against the literal set (see _matched_tf).  Batches
-    # beyond TERMSET_MAX keep the explode + semi-join + groupBy shape.
-    term_list = [r["tok"] for r in qterms.select("tok").distinct().limit(TERMSET_MAX + 1).collect()]
-    if len(term_list) <= TERMSET_MAX:
-        tf = _matched_tf(docs, id_col, text_col, term_list)
-    else:
-        term_set = qterms.select("tok").distinct()
-        # dl rides through the explode (constant per doc) instead of
-        # joining the corpus-scale lens table back onto tf (guide §2.4)
-        tf = (
-            docs.select(F.col(id_col).alias("id"), toks.alias("_t"))
-            .select("id", F.size("_t").alias("dl"), F.explode("_t").alias("tok"))
-            .join(F.broadcast(term_set), "tok", "left_semi")
-            .groupBy("id", "tok")
-            .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
-        )
+    # dl rides through the explode (constant per doc) instead of joining
+    # the corpus-scale lens table back onto tf — one fewer corpus
+    # join/scan per batch call (guide §2.4)
+    tf = (
+        docs.select(F.col(id_col).alias("id"), toks.alias("_t"))
+        .select("id", F.size("_t").alias("dl"), F.explode("_t").alias("tok"))
+        .join(F.broadcast(term_set), "tok", "left_semi")
+        .groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
+    )
     df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     joined = (
         tf.join(F.broadcast(qterms), "tok")

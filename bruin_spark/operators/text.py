@@ -259,53 +259,6 @@ def shingles(text_col: str, n: int = 3) -> Column:
     )
 
 
-def run_length_counts(sorted_arr: Column, elem_type: str) -> Column:
-    """``array<T>`` (SORTED) → ``array<struct<v: T, k: bigint>>`` of
-    run-length counts: one struct per distinct element with its
-    occurrence count.
-
-    The map-only replacement for ``explode → groupBy(id, elem)`` when
-    the grouping key includes the row's own id (a within-row
-    aggregation): equal elements are adjacent after the sort, so run
-    lengths ARE the per-element counts the groupBy produced, with no
-    exchange (guide §2.4; the gopher_repetition_rules pattern).  The
-    caller passes the ALREADY-SORTED array (bind it to a column first —
-    see the HOF-lambda CSE note on shingles()) and ``elem_type`` as a
-    DDL type string whose struct field names, if any, match the
-    element's (struct equality checks names).  Elements must not be
-    NULL (run boundaries use ``x == prev``)."""
-    acc_t = (
-        f"named_struct('prev', CAST(NULL AS {elem_type}), 'run', 0L,"
-        f" 'acc', CAST(array() AS array<struct<v: {elem_type}, k: bigint>>))"
-    )
-
-    def _close(a: Column) -> Column:
-        return F.when(a["prev"].isNull(), a["acc"]).otherwise(
-            F.array_append(
-                a["acc"], F.struct(a["prev"].alias("v"), a["run"].alias("k"))
-            )
-        )
-
-    def _step(a: Column, x: Column) -> Column:
-        same = a["prev"].isNotNull() & (x == a["prev"])
-        return F.when(
-            same,
-            F.struct(
-                x.alias("prev"),
-                (a["run"] + F.lit(1).cast("bigint")).alias("run"),
-                a["acc"].alias("acc"),
-            ),
-        ).otherwise(
-            F.struct(
-                x.alias("prev"),
-                F.lit(1).cast("bigint").alias("run"),
-                _close(a).alias("acc"),
-            )
-        )
-
-    return F.aggregate(sorted_arr, F.expr(acc_t), _step, _close)
-
-
 def top_ngrams(
     df: DataFrame,
     id_col: str = "doc_id",

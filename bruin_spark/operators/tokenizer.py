@@ -161,28 +161,15 @@ def bpe_encode_counts(
     / python-asset concern (no native tokenizer); this extends the
     training-data family alongside bpe_learn_merges.
     """
-    from bruin_spark.operators.text import run_length_counts
-
     _, words, _base = _bpe_train(docs, n_merges, text_col)
     # repr is ' p1 p2 ... pk ' → k pieces for the word
     pieces = words.select(
         "w", F.size(F.split(F.trim(F.col("repr")), " ")).alias("n_pieces")
     )
-    # per-document word counts, map-only (r15): groupBy(id, w) keyed on
-    # the document id shuffled every token occurrence to merge rows that
-    # were co-located by construction — the sorted-run-length walk
-    # collapses them inside the row (guide §2.4)
     doc_words = (
-        docs.select(F.col(id_col), tokens(text_col).alias("_t"))
-        .select(
-            F.col(id_col),
-            F.explode(run_length_counts(F.array_sort(F.col("_t")), "string")).alias(
-                "_wk"
-            ),
-        )
-        .select(
-            F.col(id_col), F.col("_wk.v").alias("w"), F.col("_wk.k").alias("cnt")
-        )
+        docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
     # vocab ≪ corpus (Heaps' law): broadcast the piece table so the
     # corpus-side word counts never shuffle for this join

@@ -577,41 +577,3 @@ def test_gopher_repetition_is_map_only(spark):
     assert "Exchange hashpartitioning" not in plan
     assert "Generate" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-
-
-def test_doc_bucket_counts_matches_explode_groupby(spark):
-    """r15: the map-only (doc, bucket, k) walk must reproduce
-    hashed_features(...).groupBy(id, flag, bucket).count() exactly,
-    including NULL-text (rowless) and empty-text (one empty-token
-    feature) documents, for both feature spaces."""
-    from pyspark.sql import functions as F
-
-    from bruin_spark.operators.dsir import doc_bucket_counts
-
-    docs = spark.createDataFrame(
-        [
-            (1, "a b a b c", True),
-            (2, "", False),
-            (3, None, True),
-            (4, "x", False),
-            (5, "a a a a", True),
-        ],
-        "doc_id int, text string, flag boolean",
-    )
-    for use_bigrams in (True, False):
-        ref = sorted(
-            tuple(r)
-            for r in hashed_features(
-                docs, n_buckets=8, use_bigrams=use_bigrams, carry=("flag",)
-            )
-            .groupBy("doc_id", "flag", "bucket")
-            .agg(F.count(F.lit(1)).alias("k"))
-            .collect()
-        )
-        got = sorted(
-            tuple(r)
-            for r in doc_bucket_counts(
-                docs, n_buckets=8, use_bigrams=use_bigrams, carry=("flag",)
-            ).collect()
-        )
-        assert got == ref and got, use_bigrams

@@ -80,49 +80,3 @@ def test_rrf_top_k_cut_and_ties(spark):
     )
     out = rrf_fuse([a], k=60, top_k=1).collect()
     assert len(out) == 1 and out[0]["doc_id"] == 20
-
-
-def test_inset_tf_matches_semijoin_fallback(spark, monkeypatch):
-    """r15: term frequencies are computed map-only against the literal
-    term set (sorted-run walk, no (id, tok) exchange); batches beyond
-    TERMSET_MAX keep the explode + semi-join + groupBy shape.  Both
-    paths must produce identical output."""
-    from bruin_spark.operators import ranking as R
-
-    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
-    queries = spark.createDataFrame(
-        [(100, ["join", "batch"]), (101, ["filter", "shuffle", "nomatch"])],
-        "query_id int, terms array<string>",
-    )
-
-    def run():
-        return sorted(
-            (r["query_id"], r["doc_id"], r["bm25"], r["rank"])
-            for r in bm25_multi_topk(docs, queries, top_k=10).collect()
-        )
-
-    inset = run()
-    monkeypatch.setattr(R, "TERMSET_MAX", 0)
-    fallback = run()
-    assert inset == fallback and inset
-
-
-def test_bm25_tf_has_no_token_exchange(spark):
-    """r15: the per-document TF walk removed the (id, tok) groupBy
-    exchange — only the term-level df aggregate and the per-doc score
-    aggregate shuffles remain (plus the reader fan-out, which keys on
-    nothing)."""
-    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
-    plan = (
-        bm25_topk(docs, ["join", "batch"], top_k=3)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    # no exchange keyed on BOTH the doc id and the token: the remaining
-    # hash exchanges key on a single column each (tok for df, id for
-    # the score sum)
-    for spec in plan.split("Exchange hashpartitioning(")[1:]:
-        keyspec = spec.split(")")[0]
-        assert not ("id#" in keyspec and "tok#" in keyspec), keyspec
-    assert "Generate explode(_t" not in plan

@@ -118,12 +118,6 @@ def test_plan_shape(spark, monkeypatch, unk_path):
     bhj = plan.count("BroadcastHashJoin")
     if unk_path == "inset":
         assert 5 <= bhj <= 6, f"IN-set path: {bhj} broadcast joins\n{plan}"
-        # r15: the scoring pre-collapse is map-only (sorted-run walk) —
-        # no exchange may key on the doc id TOGETHER with trigram
-        # fields (the old groupBy(id, a, b, w) corpus-stream shuffle)
-        for spec in plan.split("Exchange hashpartitioning(")[1:]:
-            keyspec = spec.split(")")[0]
-            assert not ("doc_id#" in keyspec and "a#" in keyspec), keyspec
     else:
         assert bhj >= 5, f"join fallback lost the model broadcasts\n{plan}"
     # the ONE sort-merge join is the final doc-keyed left join back
