@@ -196,7 +196,12 @@ def ngram_jaccard_pairs(
         .distinct()
     )
     cands = materialize(cands, eager=True)
-    return _verify_jaccard_pairs(cands, df, id_col, text_col, n, threshold)
+    # spread=True: prefix-filter candidate sets are large by
+    # construction (everything sharing a rare-prefix posting verifies),
+    # so the exact-intersection projection is the hot stage here
+    return _verify_jaccard_pairs(
+        cands, df, id_col, text_col, n, threshold, spread=True
+    )
 
 
 def _spread(df: DataFrame, *key_cols: str) -> DataFrame:
@@ -225,6 +230,7 @@ def _verify_jaccard_pairs(
     text_col: str,
     n: int,
     threshold: float,
+    spread: bool = False,
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate (id_a, id_b) pairs:
     semi-join the RAW docs down to candidate ids FIRST, then compute
@@ -247,16 +253,19 @@ def _verify_jaccard_pairs(
         ),
         eager=True,
     )
-    # Spread the verification: the exact-intersection projection is the
+    # spread (opt-in): the exact-intersection projection is the
     # pipeline's most CPU-dense per-row work (~µs/pair) over its
     # narrowest rows (two ids), so AQE's byte-based coalescing parks it
-    # on 1-3 tasks while 30 cores idle (r15 stage profile: the verify
-    # stage held >40% of entry CPU on 2 tasks).  Scale-adaptive, not a
-    # constant: lift the pinned pairs to at least the cluster's default
-    # parallelism, keeping any larger AQE-chosen width at real scale.
-    # When sh_small broadcasts (the common case — it is a candidate
-    # sliver), both joins preserve this partitioning.
-    cands = _spread(cands, "id_a", "id_b")
+    # on 1-3 tasks while 30 cores idle (r15 stage profile on the
+    # prefix-filter pipelines: the verify stage held >40% of entry CPU
+    # on 2 tasks; probe-gated A/B: containment 0.57x WITH the spread).
+    # Opt-IN because the lifted width propagates into whatever consumes
+    # the verified pairs: for the LSH cluster pipelines — whose
+    # candidate sets are band-collision-bounded and exact-collapse
+    # shielded, so verification is cheap — the spread measured +620
+    # downstream connected-components tasks at sf0.1 for no verify win.
+    if spread:
+        cands = _spread(cands, "id_a", "id_b")
     return (
         cands.join(sh_small.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
         .join(sh_small.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
